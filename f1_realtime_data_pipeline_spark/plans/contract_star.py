@@ -1,0 +1,318 @@
+"""Contract queries Q0-Q4 over the driver's star schema (oracle-checked).
+
+The reference's observable query surface is four serving-layer queries
+plus the in-stream transform (SURVEY.md §2.9, streamlit-app.py:41-133,
+spark_ingestion.py:80-134). The DuckDB oracle only has the star-schema
+tables, so — per FIXTURES.md's "Reference-query ↔ star-schema mapping" —
+we derive a deterministic race-shaped fact from ``orders``:
+
+- driver_number := o_custkey                  (dim = ``customer``)
+- grand_prix    := month bucket of o_orderdate
+- position      := NULL when o_orderstatus = 'P' (race in progress),
+                   else o_orderkey % 25 + 1   (1..25; >10 scores 0)
+
+which preserves every semantic the real queries exercise: nullable
+position (P6), the points ladder incl. >10 (P4), TEXT-vs-int join keys
+aside (unit-tested separately on F1-shaped fixtures), wins-with-default
+(J3), count-distinct season length (A3), win-rate arithmetic (P10),
+ordering with explicit tie-breaks (§3.4).
+
+Exact reference semantics on reference-shaped tables live in
+``plans.contract_f1`` (unit-tested, not oracle-checked).
+
+Determinism vs. the oracle: integer aggregates only (points are ints);
+the one ratio (win_rate) is a single IEEE-754 division identical in both
+engines; no double summation anywhere, so no FP-association drift. The
+reference's ``round(win_rate, 2)`` (streamlit-app.py:58) is applied in
+``contract_f1`` but deliberately not here — Spark rounds HALF_UP and
+DuckDB's rounding of doubles may disagree at exact .005 boundaries,
+which would be a false oracle mismatch.
+
+Scale posture (100 TB): the fact derivation is a pure map-side
+projection; the aggregations are partial+final hash aggs shuffled on
+``driver_number``; the dim and wins sides of the joins are aggregates
+far smaller than the fact and are broadcast; the one global scalar
+(total_gps) is a 1-row broadcast-nested-loop cross join, not a
+driver-side collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from f1_realtime_data_pipeline_spark.functions.points import (
+    points_case_sql,
+    points_for_position,
+)
+from f1_realtime_data_pipeline_spark.sources.parquet import read_events
+
+#: season-complete threshold analog (reference hard-codes 22 GPs,
+#: streamlit-app.py:65; the star-schema analog has monthly "GPs")
+SEASON_COMPLETE_GPS = 12
+
+
+def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+
+def _customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+
+def race_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived race-shaped fact (pre-filter, position still nullable)."""
+    return _orders(spark, sf_dir).select(
+        F.col("o_custkey").alias("driver_number"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("grand_prix"),
+        F.when(F.col("o_orderstatus") == "P", F.lit(None).cast("int"))
+        .otherwise((F.col("o_orderkey") % 25 + 1).cast("int"))
+        .alias("position"),
+        F.col("o_totalprice"),
+    )
+
+
+def scored_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Race fact → not-null filter (P6) → points ladder (P4).
+
+    Mirrors the in-stream order of spark_ingestion.py:95-113 (project
+    then filter); Catalyst pushes the filter below the projection either
+    way, and with NULL scoring 0 in the ladder the two orders agree.
+    """
+    return (
+        race_fact(spark, sf_dir)
+        .filter(F.col("position").isNotNull())
+        .withColumn("points", points_for_position("position"))
+    )
+
+
+#: shared oracle CTE prologue — must stay semantically identical to
+#: race_fact/scored_fact above (points ladder is rendered from the same
+#: POINTS_LADDER literal via points_case_sql)
+_FACT_CTES = f"""
+fact AS (
+  SELECT o_custkey AS driver_number,
+         strftime(o_orderdate, '%Y-%m') AS grand_prix,
+         CASE WHEN o_orderstatus = 'P' THEN NULL
+              ELSE CAST(o_orderkey % 25 + 1 AS INT) END AS position,
+         o_totalprice
+  FROM orders
+),
+scored AS (
+  SELECT *, {points_case_sql("position")} AS points
+  FROM fact WHERE position IS NOT NULL
+)"""
+
+
+def _standings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 core: standings + wins-with-default + season length + win rate."""
+    scored = scored_fact(spark, sf_dir)
+    standings = scored.groupBy("driver_number").agg(
+        F.sum("points").cast("bigint").alias("points")
+    )
+    wins = (
+        scored.filter(F.col("position") == 1)
+        .groupBy("driver_number")
+        .agg(F.count("*").cast("bigint").alias("wins"))
+    )
+    totals = scored.agg(
+        F.countDistinct("grand_prix").cast("bigint").alias("total_gps")
+    )
+    dim = _customer(spark, sf_dir).select(
+        F.col("c_custkey").alias("driver_number"), F.col("c_name").alias("driver_name")
+    )
+    return (
+        standings.join(F.broadcast(dim), "driver_number", "left")
+        .join(F.broadcast(wins), "driver_number", "left")
+        .withColumn("wins", F.coalesce(F.col("wins"), F.lit(0).cast("bigint")))
+        .crossJoin(F.broadcast(totals))
+        .withColumn("win_rate", F.col("wins") * F.lit(100.0) / F.col("total_gps"))
+    )
+
+
+_STANDINGS_CTES = (
+    _FACT_CTES
+    + """,
+standings AS (
+  SELECT driver_number, CAST(SUM(points) AS BIGINT) AS points
+  FROM scored GROUP BY driver_number
+),
+wins AS (
+  SELECT driver_number, CAST(COUNT(*) AS BIGINT) AS wins
+  FROM scored WHERE position = 1 GROUP BY driver_number
+),
+totals AS (
+  SELECT CAST(COUNT(DISTINCT grand_prix) AS BIGINT) AS total_gps FROM scored
+),
+q1 AS (
+  SELECT s.driver_number,
+         c.c_name AS driver_name,
+         s.points,
+         CAST(COALESCE(w.wins, 0) AS BIGINT) AS wins,
+         t.total_gps,
+         CAST(COALESCE(w.wins, 0) AS BIGINT) * 100.0 / t.total_gps AS win_rate
+  FROM standings s
+  LEFT JOIN customer c ON s.driver_number = c.c_custkey
+  LEFT JOIN wins w ON s.driver_number = w.driver_number
+  CROSS JOIN totals t
+)"""
+)
+
+
+def q1_standings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 championship standings (streamlit-app.py:41-60)."""
+    return _standings(spark, sf_dir).select(
+        "driver_number", "driver_name", "points", "wins", "total_gps", "win_rate"
+    )
+
+
+Q1_SQL = f"""WITH {_STANDINGS_CTES}
+SELECT driver_number, driver_name, points, wins, total_gps, win_rate FROM q1
+"""
+
+
+def q2_champion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 champion banner: season-complete gate + arg-max row
+    (streamlit-app.py:65-66) with the §3.4 explicit tie-break."""
+    w = Window.orderBy(F.col("points").desc(), F.col("driver_number").asc())
+    return (
+        _standings(spark, sf_dir)
+        .filter(F.col("total_gps") >= SEASON_COMPLETE_GPS)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("driver_number", "driver_name", "points", "wins", "win_rate")
+    )
+
+
+Q2_SQL = f"""WITH {_STANDINGS_CTES}
+SELECT driver_number, driver_name, points, wins, win_rate
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY points DESC, driver_number ASC) AS rn
+  FROM q1 WHERE total_gps >= {SEASON_COMPLETE_GPS}
+)
+WHERE rn = 1
+"""
+
+
+def q3_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 per-GP classification (streamlit-app.py:107-121): pick one GP
+    (deterministically: the earliest), order by position, display gap
+    with the 'N/A' coalesce (P11)."""
+    scored = scored_fact(spark, sf_dir)
+    target = scored.agg(F.min("grand_prix").alias("grand_prix"))
+    dim = _customer(spark, sf_dir).select(
+        F.col("c_custkey").alias("driver_number"), F.col("c_name").alias("driver_name")
+    )
+    gap = F.when(
+        F.col("position") == 1, F.lit(None).cast("string")
+    ).otherwise(F.concat(F.lit("+"), ((F.col("position") - 1) * 10).cast("string")))
+    return (
+        scored.join(F.broadcast(target), "grand_prix", "inner")
+        .join(F.broadcast(dim), "driver_number", "left")
+        .select(
+            "driver_number",
+            "driver_name",
+            "position",
+            F.coalesce(gap, F.lit("N/A")).alias("gap_to_leader"),
+        )
+        .orderBy("position", "driver_number")
+    )
+
+
+Q3_SQL = f"""WITH {_FACT_CTES},
+target AS (SELECT MIN(grand_prix) AS grand_prix FROM scored)
+SELECT f.driver_number,
+       c.c_name AS driver_name,
+       f.position,
+       COALESCE(
+         CASE WHEN f.position = 1 THEN NULL
+              ELSE '+' || CAST((f.position - 1) * 10 AS VARCHAR) END,
+         'N/A') AS gap_to_leader
+FROM scored f
+JOIN target t ON f.grand_prix = t.grand_prix
+LEFT JOIN customer c ON f.driver_number = c.c_custkey
+ORDER BY f.position, f.driver_number
+"""
+
+
+def q4_podium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 podium: top-3 of the standings with a rank column
+    (streamlit-app.py:127-133; O3 + the O5 implied row_number)."""
+    w = Window.orderBy(F.col("points").desc(), F.col("driver_number").asc())
+    return (
+        _standings(spark, sf_dir)
+        .withColumn("podium_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("podium_rank") <= 3)
+        .select("podium_rank", "driver_number", "driver_name", "points")
+    )
+
+
+Q4_SQL = f"""WITH {_STANDINGS_CTES}
+SELECT CAST(rn AS INT) AS podium_rank, driver_number, driver_name, points
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY points DESC, driver_number ASC) AS rn
+  FROM q1
+)
+WHERE rn <= 3
+"""
+
+
+def q0_stream_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q0, the in-stream transform, as a batch plan over ``events``
+    (spark_ingestion.py:91-113): JSON parse (P2) → CASE points (P4) →
+    string→timestamp (P5) → not-null filter (P6).
+
+    The identical plan is wired into Structured Streaming by
+    ``streaming.pipeline``; running it as batch first is what makes it
+    oracle-checkable (SURVEY.md §7 phase 2).
+    """
+    events = read_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    position = (
+        F.when(F.col("event_type") == "error", F.lit(None).cast("int"))
+        .otherwise((k % 20 + 1).cast("int"))
+    )
+    return (
+        events.withColumn("position", position)
+        .withColumn("points", points_for_position("position"))
+        .withColumn(
+            "event_time",
+            F.to_timestamp(F.date_format("ts", "yyyy-MM-dd HH:mm:ss")),
+        )
+        .filter(F.col("position").isNotNull())
+        .select("event_id", "event_time", "user_id", "event_type", "position", "points", "value")
+    )
+
+
+Q0_SQL = f"""WITH parsed AS (
+  SELECT event_id,
+         strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS event_time,
+         user_id, event_type, value,
+         CASE WHEN event_type = 'error' THEN NULL
+              ELSE CAST(CAST(json_extract_string(props, '$.k') AS INT) % 20 + 1 AS INT)
+         END AS position
+  FROM events
+)
+SELECT event_id, event_time, user_id, event_type, position,
+       {points_case_sql("position")} AS points,
+       value
+FROM parsed WHERE position IS NOT NULL
+"""
+
+
+QUERIES = {
+    "q0_stream_transform": q0_stream_transform,
+    "q1_standings": q1_standings,
+    "q2_champion": q2_champion,
+    "q3_classification": q3_classification,
+    "q4_podium": q4_podium,
+}
+
+ORACLE = {
+    "q0_stream_transform": Q0_SQL,
+    "q1_standings": Q1_SQL,
+    "q2_champion": Q2_SQL,
+    "q3_classification": Q3_SQL,
+    "q4_podium": Q4_SQL,
+}

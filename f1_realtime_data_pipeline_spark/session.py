@@ -1,0 +1,90 @@
+"""SparkSession factory and test-table loader.
+
+Scale posture: the config here is tuned for the harness's single-JVM
+``local[N]`` runs, but every knob is the one you would also set on a real
+cluster — AQE on (runtime coalesce + skew-join handling), UTC session
+timezone (determinism vs. the DuckDB oracle), Arrow for any pandas
+interchange, and shuffle partitions sized to the parallelism at hand
+instead of the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: every parquet table the driver generates per scale factor (TESTDATA.md)
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(
+    app_name: str = "f1_realtime_data_pipeline_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    On a real cluster the master/memory settings come from spark-submit;
+    everything else here is cluster-appropriate as-is.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        # local mode: ~cores; a 1000-executor cluster would use
+        # cores*executors*2-3 or rely on AQE coalesce from a high initial.
+        shuffle_partitions = max(cpus, 8)
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load the driver-generated star-schema parquet tables.
+
+    Plain ``spark.read.parquet`` so Catalyst keeps predicate pushdown and
+    column pruning into the scan; at 100 TB these would be partitioned
+    table paths and the same call sites work unchanged. ``events`` goes
+    through ``sources.parquet.read_events`` (nanos-timestamp handling).
+    """
+    from f1_realtime_data_pipeline_spark.sources.parquet import read_table
+
+    return {name: read_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load tables and register each as a temp view (for the SQL API)."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables

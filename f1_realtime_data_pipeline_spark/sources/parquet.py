@@ -1,0 +1,33 @@
+"""Parquet readers for the driver's test tables.
+
+``events.parquet`` is written with nanosecond timestamps
+(TIMESTAMP(NANOS)), which Spark's vectorized parquet reader rejects
+outright. We read nanos as raw int64 (``spark.sql.legacy.parquet.
+nanosAsLong`` — a session conf, safe to set at read time) and rebuild a
+microsecond TimestampType column with integer division, so downstream
+event-time logic (windows, watermarks) sees a normal timestamp. The
+division is JVM-side integer arithmetic (``DIV``), not a double cast,
+because nanosecond epochs exceed 2^53 and would lose precision through
+a double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Plain parquet scan; special-cases ``events`` (nanos timestamps)."""
+    if name == "events":
+        return read_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events`` with ``ts`` as a proper microsecond TimestampType."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df

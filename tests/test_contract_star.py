@@ -1,0 +1,64 @@
+"""Contract queries Q0-Q4 (star-schema analog): shape + semantics smoke.
+
+The value-level gate is the DuckDB oracle (tools/selfcheck.py and the
+driver's CORRECTNESS run); these tests pin the structural semantics.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+from f1_realtime_data_pipeline_spark.plans import contract_star
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"driver_number", "driver_name", "points", "wins", "total_gps", "win_rate"} == set(
+        df.columns
+    )
+
+
+def test_queries_have_oracles():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 5
+
+
+def test_q1_standings_semantics(spark, sf_dir):
+    rows = contract_star.q1_standings(spark, sf_dir).collect()
+    by_driver = {r.driver_number: r for r in rows}
+    assert len(by_driver) == len(rows), "one row per driver"
+    for r in rows:
+        assert r.points >= 0
+        assert r.wins >= 0
+        assert r.total_gps > 0
+        assert abs(r.win_rate - r.wins * 100.0 / r.total_gps) < 1e-12
+
+
+def test_q2_champion_is_argmax(spark, sf_dir):
+    champs = contract_star.q2_champion(spark, sf_dir).collect()
+    assert len(champs) <= 1
+    if champs:
+        standings = contract_star.q1_standings(spark, sf_dir).collect()
+        best = max(standings, key=lambda r: (r.points, -r.driver_number))
+        assert champs[0].points == best.points
+
+
+def test_q4_podium_top3(spark, sf_dir):
+    podium = contract_star.q4_podium(spark, sf_dir).collect()
+    assert [r.podium_rank for r in sorted(podium, key=lambda r: r.podium_rank)] == [1, 2, 3]
+    standings = sorted(
+        contract_star.q1_standings(spark, sf_dir).collect(),
+        key=lambda r: (-r.points, r.driver_number),
+    )
+    assert {r.driver_number for r in podium} == {r.driver_number for r in standings[:3]}
+
+
+def test_q0_no_error_events_and_points_range(spark, sf_dir):
+    rows = contract_star.q0_stream_transform(spark, sf_dir).collect()
+    assert rows
+    assert all(r.event_type != "error" for r in rows)
+    assert all(1 <= r.position <= 20 for r in rows)
+    assert all(r.points == 0 for r in rows if r.position > 10)
