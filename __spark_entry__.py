@@ -16,9 +16,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from f1_realtime_data_pipeline_spark.plans import contract_star
+from f1_realtime_data_pipeline_spark.plans import contract_star, inventory_star, tpch
 
-_QUERY_MODULES = [contract_star]
+_QUERY_MODULES = [contract_star, inventory_star, tpch]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,785 @@
+"""Operator-inventory queries (SURVEY.md §2), one oracle-checked entry
+per operator family, over the driver's star schema.
+
+Naming: ``p_*`` projection/scalar (§2.2, §2.7), ``f_*`` filters,
+``j_*`` joins (§2.3), ``a_*`` aggregations (§2.4), ``o_*``
+sort/limit/rank/window (§2.5), ``s_*`` set ops (§2.6).
+
+Every query aliases its computed columns identically in the DataFrame
+plan and the DuckDB SQL (driver compares by sorted column name), uses
+explicit total orders wherever a winner is picked (§3.4 tie-break
+hazard), and routes double sums through exact decimals
+(``operators.aggregations``) so a 1000-partition shuffle cannot drift
+from the oracle's addition order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from f1_realtime_data_pipeline_spark.functions.points import (
+    points_case_sql,
+    points_for_position,
+)
+from f1_realtime_data_pipeline_spark.operators.aggregations import (
+    DECIMAL_ACC,
+    argmax_per_group,
+    decimal_avg,
+    decimal_avg_sql,
+    decimal_sum,
+    decimal_sum_sql,
+    dedup_first_wins,
+)
+from f1_realtime_data_pipeline_spark.operators.joins import (
+    anti,
+    broadcast_enrich,
+    lookup_with_default,
+    semi,
+)
+from f1_realtime_data_pipeline_spark.operators.sorts import (
+    ranked,
+    topk_global,
+    topk_per_group,
+)
+from f1_realtime_data_pipeline_spark.plans.contract_star import race_fact
+from f1_realtime_data_pipeline_spark.sources.parquet import read_events, read_table
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def _register(name: str, fn, sql: str | None) -> None:
+    QUERIES[name] = fn
+    if sql is not None:
+        ORACLE[name] = sql
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# §2.2 projection / scalar expressions
+# --------------------------------------------------------------------------
+
+
+def p_project_rename(spark, sf_dir):
+    """P13 projection/rename + P10 arithmetic: pure map-side, no shuffle."""
+    return _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_linenumber").alias("line_no"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+
+
+_register(
+    "p_project_rename",
+    p_project_rename,
+    """SELECT l_orderkey AS order_id, l_linenumber AS line_no,
+       l_extendedprice * (1 - l_discount) AS revenue
+FROM lineitem""",
+)
+
+
+def p_json_extract(spark, sf_dir):
+    """P2 JSON parse: get_json_object stays JVM-side (no UDF)."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+_register(
+    "p_json_extract",
+    p_json_extract,
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+FROM events""",
+)
+
+
+def p_to_json(spark, sf_dir):
+    """P12 JSON serialize: to_json(struct(...)) — the Kafka-sink payload
+    shape (kafka_producer.py:148) as a batch expression."""
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.to_json(F.struct("o_orderkey", "o_orderstatus")).alias("payload"),
+    )
+
+
+_register(
+    "p_to_json",
+    p_to_json,
+    """SELECT o_orderkey,
+       CAST(to_json(struct_pack(o_orderkey := o_orderkey, o_orderstatus := o_orderstatus)) AS VARCHAR) AS payload
+FROM orders""",
+)
+
+
+def p_case_points(spark, sf_dir):
+    """P4 CASE ladder over the race analog, pre-filter — exercises the
+    NULL->0 and >10->0 branches the contract queries filter away."""
+    return race_fact(spark, sf_dir).select(
+        "driver_number",
+        "grand_prix",
+        "position",
+        points_for_position("position").alias("points"),
+    )
+
+
+_register(
+    "p_case_points",
+    p_case_points,
+    f"""SELECT o_custkey AS driver_number,
+       strftime(o_orderdate, '%Y-%m') AS grand_prix,
+       CASE WHEN o_orderstatus = 'P' THEN NULL
+            ELSE CAST(o_orderkey % 25 + 1 AS INT) END AS position,
+       {points_case_sql("(CASE WHEN o_orderstatus = 'P' THEN NULL ELSE CAST(o_orderkey % 25 + 1 AS INT) END)")} AS points
+FROM orders""",
+)
+
+
+def p_string_funcs(spark, sf_dir):
+    """§2.7 string surface: upper/lower/length/substring/replace/lpad/concat."""
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 10, 6).alias("name_mid"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Driver")).alias("name_repl"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_pad"),
+        F.concat_ws("-", "c_mktsegment", "c_name").alias("seg_name"),
+    )
+
+
+_register(
+    "p_string_funcs",
+    p_string_funcs,
+    """SELECT c_custkey,
+       upper(c_name) AS name_upper,
+       lower(c_mktsegment) AS seg_lower,
+       length(c_name) AS name_len,
+       substring(c_name, 10, 6) AS name_mid,
+       replace(c_name, 'Customer', 'Driver') AS name_repl,
+       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_pad,
+       concat_ws('-', c_mktsegment, c_name) AS seg_name
+FROM customer""",
+)
+
+
+def p_datetime_funcs(spark, sf_dir):
+    """§2.7 date/time surface (P5 family): extract + truncate."""
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.month("o_orderdate").alias("mth"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.weekday("o_orderdate").alias("wd_mon0"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("ymd"),
+    )
+
+
+_register(
+    "p_datetime_funcs",
+    p_datetime_funcs,
+    """SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(quarter(o_orderdate) AS INT) AS qtr,
+       CAST(month(o_orderdate) AS INT) AS mth,
+       CAST(day(o_orderdate) AS INT) AS dom,
+       CAST(isodow(o_orderdate) - 1 AS INT) AS wd_mon0,
+       date_trunc('month', o_orderdate) AS month_start,
+       strftime(o_orderdate, '%Y-%m-%d') AS ymd
+FROM orders""",
+)
+
+
+def p_math_funcs(spark, sf_dir):
+    """§2.7 math surface: IEEE-exact ops only (no libm drift vs oracle)."""
+    return _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.floor("l_extendedprice").cast("bigint").alias("price_floor"),
+        F.ceil("l_extendedprice").cast("bigint").alias("price_ceil"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.pow(F.col("l_tax"), 2).alias("tax_sq"),
+    )
+
+
+_register(
+    "p_math_funcs",
+    p_math_funcs,
+    """SELECT l_orderkey, l_linenumber,
+       abs(l_discount - 0.05) AS disc_dev,
+       CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+       CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+       sqrt(l_quantity) AS qty_sqrt,
+       power(l_tax, 2) AS tax_sq
+FROM lineitem""",
+)
+
+
+def p_coalesce_nullif(spark, sf_dir):
+    """P11 coalesce-for-display + nullif (the 'N/A' / 'Inconnu' pattern)."""
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("IN_PROGRESS")).alias(
+            "status_display"
+        ),
+    )
+
+
+_register(
+    "p_coalesce_nullif",
+    p_coalesce_nullif,
+    """SELECT o_orderkey,
+       COALESCE(NULLIF(o_orderstatus, 'P'), 'IN_PROGRESS') AS status_display
+FROM orders""",
+)
+
+
+# --------------------------------------------------------------------------
+# §2.2 filters (P6-P9)
+# --------------------------------------------------------------------------
+
+
+def f_predicates(spark, sf_dir):
+    """P7/P8 equality + IN + BETWEEN + LIKE, all pushed to the parquet scan."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("O", "F")
+        & F.col("o_totalprice").between(1000.0, 50000.0)
+        & F.col("o_orderpriority").like("%URGENT%")
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+_register(
+    "f_predicates",
+    f_predicates,
+    """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+FROM orders
+WHERE o_orderstatus IN ('O', 'F')
+  AND o_totalprice BETWEEN 1000.0 AND 50000.0
+  AND o_orderpriority LIKE '%URGENT%'""",
+)
+
+
+def f_distinct_not_null(spark, sf_dir):
+    """P9: null-drop + distinct projection (the GP-picker query)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .select("c_mktsegment")
+        .where(F.col("c_mktsegment").isNotNull())
+        .distinct()
+    )
+
+
+_register(
+    "f_distinct_not_null",
+    f_distinct_not_null,
+    "SELECT DISTINCT c_mktsegment FROM customer WHERE c_mktsegment IS NOT NULL",
+)
+
+
+def f_regexp(spark, sf_dir):
+    """Regex filter + extract (simple portable patterns only)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_name").rlike("[02468]$"))
+        .select(
+            "c_custkey",
+            F.regexp_extract("c_name", "#0*([1-9][0-9]*)", 1).alias("key_digits"),
+        )
+    )
+
+
+_register(
+    "f_regexp",
+    f_regexp,
+    """SELECT c_custkey, regexp_extract(c_name, '#0*([1-9][0-9]*)', 1) AS key_digits
+FROM customer WHERE regexp_matches(c_name, '[02468]$')""",
+)
+
+
+# --------------------------------------------------------------------------
+# §2.3 joins
+# --------------------------------------------------------------------------
+
+
+def j_left_enrich(spark, sf_dir):
+    """J1: fact ⋈ broadcast(dim) left-outer, misses kept with defaults."""
+    o = _t(spark, sf_dir, "orders")
+    dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    out = broadcast_enrich(o, dim, o.o_custkey == dim.c_custkey, "left")
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        F.coalesce("c_name", F.lit("Inconnu")).alias("cust_name"),
+        F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"),
+    )
+
+
+_register(
+    "j_left_enrich",
+    j_left_enrich,
+    """SELECT o_orderkey, o_custkey,
+       COALESCE(c_name, 'Inconnu') AS cust_name,
+       COALESCE(c_mktsegment, 'UNKNOWN') AS segment
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey""",
+)
+
+
+def j_inner(spark, sf_dir):
+    """Inner equi-join lineitem ⋈ part with a computed margin column."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_retailprice")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "inner")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "p_name",
+            (F.col("l_extendedprice") - F.col("p_retailprice") * F.col("l_quantity")).alias(
+                "margin"
+            ),
+        )
+    )
+
+
+_register(
+    "j_inner",
+    j_inner,
+    """SELECT l_orderkey, l_linenumber, p_name,
+       l_extendedprice - p_retailprice * l_quantity AS margin
+FROM lineitem JOIN part ON l_partkey = p_partkey""",
+)
+
+
+def j_semi(spark, sf_dir):
+    """Left-semi (EXISTS): customers that have at least one order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return semi(c, o, "c_custkey").select("c_custkey", "c_name")
+
+
+_register(
+    "j_semi",
+    j_semi,
+    """SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+)
+
+
+def j_anti(spark, sf_dir):
+    """Left-anti (NOT EXISTS): customers with no orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return anti(c, o, "c_custkey").select("c_custkey", "c_name")
+
+
+_register(
+    "j_anti",
+    j_anti,
+    """SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+)
+
+
+def j_full_outer(spark, sf_dir):
+    """Full-outer join of two aggregates (nations with suppliers and/or
+    customers) — nulls possible on either side."""
+    s_cnt = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").cast("bigint").alias("n_suppliers"))
+    )
+    c_cnt = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+    )
+    return (
+        s_cnt.join(c_cnt, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_suppliers", F.lit(0).cast("bigint")).alias("n_suppliers"),
+            F.coalesce("n_customers", F.lit(0).cast("bigint")).alias("n_customers"),
+        )
+    )
+
+
+_register(
+    "j_full_outer",
+    j_full_outer,
+    """WITH s_cnt AS (
+  SELECT s_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+  FROM supplier GROUP BY s_nationkey
+), c_cnt AS (
+  SELECT c_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers
+  FROM customer GROUP BY c_nationkey
+)
+SELECT COALESCE(s_cnt.nationkey, c_cnt.nationkey) AS nationkey,
+       CAST(COALESCE(n_suppliers, 0) AS BIGINT) AS n_suppliers,
+       CAST(COALESCE(n_customers, 0) AS BIGINT) AS n_customers
+FROM s_cnt FULL JOIN c_cnt ON s_cnt.nationkey = c_cnt.nationkey""",
+)
+
+
+def j_cross(spark, sf_dir):
+    """Cross join (tiny × tiny only — a broadcast nested loop)."""
+    r1 = _t(spark, sf_dir, "region").select(F.col("r_name").alias("region_a"))
+    r2 = _t(spark, sf_dir, "region").select(F.col("r_name").alias("region_b"))
+    return r1.crossJoin(F.broadcast(r2))
+
+
+_register(
+    "j_cross",
+    j_cross,
+    """SELECT a.r_name AS region_a, b.r_name AS region_b
+FROM region a CROSS JOIN region b""",
+)
+
+
+def j_lookup_default(spark, sf_dir):
+    """J2/J3: keyed lookup with default — nation name per customer,
+    'Inconnu' on miss (the meeting_key -> meeting_name dict pattern)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("nation_name")
+    )
+    return lookup_with_default(
+        c, n, "c_nationkey", {"nation_name": F.lit("Inconnu")}
+    ).select("c_custkey", "c_nationkey", "nation_name")
+
+
+_register(
+    "j_lookup_default",
+    j_lookup_default,
+    """SELECT c_custkey, c_nationkey, COALESCE(n_name, 'Inconnu') AS nation_name
+FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey""",
+)
+
+
+# --------------------------------------------------------------------------
+# §2.4 aggregations
+# --------------------------------------------------------------------------
+
+
+def a_group_count(spark, sf_dir):
+    """A1 group-by count + A3 count-distinct in one pass."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+        )
+    )
+
+
+_register(
+    "a_group_count",
+    a_group_count,
+    """SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM orders GROUP BY o_orderstatus""",
+)
+
+
+def a_sum_stats(spark, sf_dir):
+    """A2 multi-key group sums + min/max/avg, FP-deterministic via the
+    decimal route (operators.aggregations)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            decimal_sum("l_extendedprice", "sum_price"),
+            decimal_avg("l_discount", "avg_disc"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            F.count("*").cast("bigint").alias("n_rows"),
+        )
+    )
+
+
+_register(
+    "a_sum_stats",
+    a_sum_stats,
+    f"""SELECT l_returnflag, l_linestatus,
+       {decimal_sum_sql("l_extendedprice", "sum_price")},
+       {decimal_avg_sql("l_discount", "avg_disc")},
+       MIN(l_quantity) AS min_qty,
+       MAX(l_quantity) AS max_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+)
+
+
+def a_dedup_first_wins(spark, sf_dir):
+    """A4: first-wins dedup with an explicit total order — each
+    customer's earliest order (ties broken by key), the deterministic
+    form of the reference's 'seen'-set dedup (kafka_producer.py:34-41)."""
+    return dedup_first_wins(
+        _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate"),
+        keys=["o_custkey"],
+        order=[F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+    )
+
+
+_register(
+    "a_dedup_first_wins",
+    a_dedup_first_wins,
+    """SELECT o_custkey, o_orderkey, o_orderdate FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn = 1""",
+)
+
+
+def a_argmax(spark, sf_dir):
+    """A5 arg-max per group: each customer's most expensive order."""
+    return argmax_per_group(
+        _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+        keys=["o_custkey"],
+        order=[F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+    )
+
+
+_register(
+    "a_argmax",
+    a_argmax,
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn = 1""",
+)
+
+
+def a_rollup(spark, sf_dir):
+    """Rollup (subtotals + grand total) — beyond the reference's surface
+    but part of the engine's §2.4 group-by family."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            decimal_sum("l_quantity", "sum_qty"),
+        )
+    )
+
+
+_register(
+    "a_rollup",
+    a_rollup,
+    f"""SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {decimal_sum_sql("l_quantity", "sum_qty")}
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+)
+
+
+def a_pivot(spark, sf_dir):
+    """Pivot linestatus into columns (missing cells coalesced to 0 —
+    Spark's pivot yields null for absent groups, the oracle's CASE-sum
+    yields 0; align on 0)."""
+    piv = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "l_returnflag",
+        F.coalesce(F.col("O"), F.lit(0)).cast("bigint").alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).cast("bigint").alias("n_finished"),
+    )
+
+
+_register(
+    "a_pivot",
+    a_pivot,
+    """SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished
+FROM lineitem GROUP BY l_returnflag""",
+)
+
+
+def a_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HLL++) — sketch values are engine-specific,
+    so no SQL oracle (driver records rows-only); the exact twin is
+    a_group_count. At 100 TB this is the right default for high-card
+    distinct counts: one pass, no distinct-shuffle."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_orderkey").alias("approx_orders"))
+    )
+
+
+_register("a_approx_distinct", a_approx_distinct, None)
+
+
+# --------------------------------------------------------------------------
+# §2.5 sorts / limits / rank / windows
+# --------------------------------------------------------------------------
+
+
+def o_topk_global(spark, sf_dir):
+    """O1+O3: global sort desc + limit — TakeOrderedAndProject, never a
+    full sort (each partition keeps k, driver merges k·partitions)."""
+    return topk_global(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+        order=[F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=5,
+    )
+
+
+_register(
+    "o_topk_global",
+    o_topk_global,
+    """SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 5""",
+)
+
+
+def o_topk_per_group(spark, sf_dir):
+    """Top-3 lineitems per return flag, rank exposed (O5)."""
+    return topk_per_group(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
+        ),
+        keys=["l_returnflag"],
+        order=[
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        ],
+        k=3,
+    )
+
+
+_register(
+    "o_topk_per_group",
+    o_topk_per_group,
+    """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rnk FROM (
+  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag
+              ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS INT) AS rnk
+  FROM lineitem
+) WHERE rnk <= 3""",
+)
+
+
+def o_rank_kinds(spark, sf_dir):
+    """row_number vs rank vs dense_rank under one explicit order."""
+    df = _t(spark, sf_dir, "customer").select("c_mktsegment", "c_custkey", "c_acctbal")
+    order = [F.col("c_acctbal").desc(), F.col("c_custkey").asc()]
+    df = ranked(df, order, keys=["c_mktsegment"], col="rn", method="row_number")
+    df = ranked(df, order, keys=["c_mktsegment"], col="rk", method="rank")
+    return ranked(df, order, keys=["c_mktsegment"], col="drk", method="dense_rank")
+
+
+_register(
+    "o_rank_kinds",
+    o_rank_kinds,
+    """SELECT c_mktsegment, c_custkey, c_acctbal,
+       CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+       CAST(RANK() OVER w AS INT) AS rk,
+       CAST(DENSE_RANK() OVER w AS INT) AS drk
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)""",
+)
+
+
+def o_window_running(spark, sf_dir):
+    """Running total + lag/lead per customer over order date — the
+    window-aggregate surface. Running sum goes through the decimal
+    route: cumulative double addition is order-dependent otherwise."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast(DECIMAL_ACC)).over(frame).cast("double").alias(
+            "running_spend"
+        ),
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+    )
+
+
+_register(
+    "o_window_running",
+    o_window_running,
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+       LAG(o_totalprice, 1) OVER w AS prev_price,
+       LEAD(o_totalprice, 1) OVER w AS next_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+)
+
+
+# --------------------------------------------------------------------------
+# §2.6 set operations
+# --------------------------------------------------------------------------
+
+
+def s_union_all(spark, sf_dir):
+    """UNION ALL (duplicate-preserving append, the S5 ingest pattern)."""
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey", "c_mktsegment")
+    b = c.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey", "c_mktsegment")
+    return a.unionAll(b)
+
+
+_register(
+    "s_union_all",
+    s_union_all,
+    """SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION ALL
+SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'MACHINERY'""",
+)
+
+
+def s_intersect_except(spark, sf_dir):
+    """INTERSECT and EXCEPT (distinct set semantics) in one result:
+    nation keys having customers, partitioned into with/without
+    suppliers."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    both = c.intersect(s).withColumn("has_supplier", F.lit(True))
+    only_c = c.subtract(s).withColumn("has_supplier", F.lit(False))
+    return both.unionAll(only_c)
+
+
+_register(
+    "s_intersect_except",
+    s_intersect_except,
+    """SELECT nationkey, TRUE AS has_supplier FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  INTERSECT
+  SELECT s_nationkey AS nationkey FROM supplier
+)
+UNION ALL
+SELECT nationkey, FALSE AS has_supplier FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  EXCEPT
+  SELECT s_nationkey AS nationkey FROM supplier
+)""",
+)
