@@ -1,0 +1,78 @@
+"""Throughput benchmark — the driver runs this per round (BENCH_r{N}.json).
+
+Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion with the noop sink (full plan
+runs, nothing is collected to the driver — same I/O shape a real job
+has). One untimed warm-up query amortizes JVM/codegen startup so the
+numbers measure the plans, not session boot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from f1_realtime_data_pipeline_spark.session import get_spark  # noqa: E402
+
+#: the queries whose throughput we track round-over-round
+HEADLINE = [
+    "q0_stream_transform",
+    "q1_standings",
+    "q4_podium",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q10",
+    "tpch_q18",
+]
+
+
+def run_to_completion(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("bench")
+    qs = entrymod.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # warm-up: run the cheapest headline once, untimed
+    run_to_completion(qs[names[0]](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        run_to_completion(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall-clock, noop sink, local mode",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
