@@ -16,9 +16,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from f1_realtime_data_pipeline_spark.plans import contract_star, inventory_star, tpch
+from f1_realtime_data_pipeline_spark.plans import (
+    contract_star,
+    inventory_star,
+    tpch,
+    windows_star,
+)
 
-_QUERY_MODULES = [contract_star, inventory_star, tpch]
+_QUERY_MODULES = [contract_star, inventory_star, tpch, windows_star]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,191 @@
+"""Event-time window operators over ``events`` (SURVEY.md §2.8 T7 —
+absent from the reference, required by the engine's streaming surface).
+
+Each is registered as a *batch* plan so the DuckDB oracle can check the
+exact window semantics; ``streaming.windows`` runs the same expressions
+under ``readStream`` + watermark (rows checked by the streaming tests
+— the logical plan is identical, which is the point of Structured
+Streaming's unified batch/stream model).
+
+Scale posture: a tumbling/sliding window agg is just a hash agg keyed
+by (window, keys) — partial aggregation happens map-side, the shuffle
+carries one row per (window × key × partition). Session windows
+shuffle on the user key and sort within partitions (Spark plans
+UpdatingSessionsExec); skewed users are the AQE skew-join analog —
+salt or cap per-user event counts upstream if one user dominates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from f1_realtime_data_pipeline_spark.operators.aggregations import (
+    decimal_sum,
+    decimal_sum_sql,
+)
+from f1_realtime_data_pipeline_spark.sources.parquet import read_events
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def _register(name, fn, sql):
+    QUERIES[name] = fn
+    if sql is not None:
+        ORACLE[name] = sql
+
+
+def w_tumbling(spark, sf_dir):
+    """1-hour tumbling windows × event_type: count + exact value sum."""
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            decimal_sum("value", "sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_register(
+    "w_tumbling",
+    w_tumbling,
+    f"""SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {decimal_sum_sql("value", "sum_value")}
+FROM events
+GROUP BY 1, 2, 3""",
+)
+
+
+def w_sliding(spark, sf_dir):
+    """1-hour windows sliding every 30 min — every event lands in two
+    overlapping windows (starts aligned to the slide)."""
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+        )
+    )
+
+
+_register(
+    "w_sliding",
+    w_sliding,
+    """WITH trunc30 AS (
+  SELECT date_trunc('hour', ts)
+         + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END
+         AS slide_start
+  FROM events
+), starts AS (
+  SELECT slide_start AS window_start FROM trunc30
+  UNION ALL
+  SELECT slide_start - INTERVAL 30 MINUTE AS window_start FROM trunc30
+)
+SELECT window_start,
+       window_start + INTERVAL 1 HOUR AS window_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM starts
+GROUP BY window_start""",
+)
+
+
+def w_session(spark, sf_dir):
+    """Per-user session windows with a 30-minute inactivity gap.
+
+    Spark semantics: an event at t extends the session to t + gap; a
+    new session opens when the next event's t >= current end (i.e. gap
+    or more after the previous event). The oracle reproduces exactly
+    that with lag + cumulative-sum sessionization.
+    """
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            decimal_sum("value", "sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_register(
+    "w_session",
+    w_session,
+    f"""WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), sessions AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {decimal_sum_sql("value", "sum_value")}
+FROM sessions
+GROUP BY user_id, sid""",
+)
+
+
+def w_sessionize_lag(spark, sf_dir):
+    """The batch sessionization idiom itself (lag + gap + cumsum) as a
+    first-class operator — session ids attached to raw events, for
+    pipelines that need per-event session context rather than the
+    collapsed session rows of :func:`w_session`."""
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    new_sess = F.when(gap.isNull() | (gap >= 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .withColumn(
+            "session_seq",
+            F.sum("new_sess")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("int"),
+        )
+        .select("event_id", "user_id", "ts", "session_seq")
+    )
+
+
+_register(
+    "w_sessionize_lag",
+    w_sessionize_lag,
+    """SELECT event_id, user_id, ts,
+       CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_seq
+FROM (
+  SELECT event_id, user_id, ts,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)""",
+)

@@ -1,0 +1,37 @@
+"""File-based replay source — the broker-less stand-in for the Kafka
+topic (SURVEY.md §3.2 semantics: re-runs re-emit everything; pacing is
+a trigger concern, not a source concern).
+
+A directory of text files plays the role of the topic: each line is
+one raw JSON payload (the ``value`` column a Kafka source would
+deliver), each file is a unit the stream picks up per trigger
+(``maxFilesPerTrigger=1`` ≈ one producer flush). Tests write fixture
+batches here and drive the identical transform/sink pipeline that a
+Kafka deployment would run.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_replay_batch(directory: str, lines: list[str], batch_no: int) -> str:
+    """Append one batch file of raw payloads to the replay directory."""
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, f"batch-{batch_no:05d}.txt")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return path
+
+
+def raw_value_stream(
+    spark: SparkSession, directory: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Streaming DataFrame with a single ``value`` string column —
+    shape-compatible with a Kafka source after CAST(value AS STRING)."""
+    return (
+        spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
+        .text(directory)
+    )

@@ -1,0 +1,73 @@
+"""The Q0 streaming pipeline end-to-end (SURVEY.md §3.1, re-expressed).
+
+Reference lifecycle (spark_ingestion.py:80-136): Kafka source → cast →
+from_json → flatten → points CASE → to_timestamp → not-null filter →
+foreachBatch JDBC append, checkpointed, append mode. Here the same
+transform (``plans.contract_f1.transform_stream`` — literally the
+batch function) runs over either source and lands in the idempotent
+sink, upgrading delivery from at-least-once to effectively-exactly-once
+(§2.8 T5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from f1_realtime_data_pipeline_spark.plans.contract_f1 import transform_stream
+from f1_realtime_data_pipeline_spark.sources.kafka import kafka_stream_reader
+from f1_realtime_data_pipeline_spark.sources.replay import raw_value_stream
+from f1_realtime_data_pipeline_spark.streaming.sinks import idempotent_parquet_sink
+
+#: the idempotency key for race results (§3.4 duplicate amplification)
+RESULT_KEYS = ("session_key", "driver_number")
+
+
+def start_replay_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    sink_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    """Broker-less pipeline: replay directory → Q0 transform →
+    idempotent parquet sink. ``availableNow`` drains the backlog in
+    bounded micro-batches then stops — the test/replay trigger; a live
+    deployment would use the default or a processingTime trigger."""
+    raw = raw_value_stream(spark, source_dir, max_files_per_trigger)
+    transformed = transform_stream(raw, value_col="value")
+    return (
+        transformed.writeStream.outputMode("append")
+        .foreachBatch(
+            idempotent_parquet_sink(
+                sink_path, RESULT_KEYS, order_cols=["date", "grand_prix"]
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def start_kafka_pipeline(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    sink_path: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """The production wiring (needs the Kafka connector jar): identical
+    transform and sink, Kafka source (spark_ingestion.py:80-88
+    semantics — earliest offsets, failOnDataLoss=false)."""
+    raw = kafka_stream_reader(spark, bootstrap_servers, topic).load()
+    transformed = transform_stream(raw, value_col="value")
+    return (
+        transformed.writeStream.outputMode("append")
+        .foreachBatch(
+            idempotent_parquet_sink(
+                sink_path, RESULT_KEYS, order_cols=["date", "grand_prix"]
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

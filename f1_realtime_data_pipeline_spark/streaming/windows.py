@@ -1,0 +1,77 @@
+"""Watermarked event-time windows + streaming dedup (T6/T7/T8-lite).
+
+Same expressions as the oracle-checked batch plans in
+``plans.windows_star``; the streaming additions are the watermark
+(bounds state: windows older than max_event_time - delay are finalized
+and their state dropped) and ``dropDuplicatesWithinWatermark`` (§2.8
+T8 — the streaming form of the idempotency repair, state bounded by
+the same watermark instead of growing forever).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from f1_realtime_data_pipeline_spark.operators.aggregations import decimal_sum
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming tumbling-window agg per event_type."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            decimal_sum("value", "sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming session windows per user (gap-based merge state)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy("user_id", F.session_window(ts_col, gap).alias("w"))
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(
+    stream: DataFrame,
+    keys: Sequence[str],
+    watermark: str = "1 hour",
+    ts_col: str = "date",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state: duplicates arriving
+    within the watermark horizon are dropped; state for keys older than
+    the horizon is reclaimed. The unbounded-state batch equivalent is
+    ``operators.aggregations.dedup_first_wins``."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

@@ -1,0 +1,168 @@
+"""Structured Streaming tests — broker-less (file replay + memory
+sink), per SURVEY.md §5.4: replay-twice-assert-once idempotency, window
+parity with the batch plans, bounded-state dedup, custom stateful op.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from f1_realtime_data_pipeline_spark import fixtures
+from f1_realtime_data_pipeline_spark.sources.kafka import (
+    kafka_source_options,
+    to_kafka_payload,
+)
+from f1_realtime_data_pipeline_spark.sources.parquet import read_events
+from f1_realtime_data_pipeline_spark.sources.replay import (
+    raw_value_stream,
+    write_replay_batch,
+)
+from f1_realtime_data_pipeline_spark.streaming import state as st
+from f1_realtime_data_pipeline_spark.streaming import windows as sw
+from f1_realtime_data_pipeline_spark.streaming.pipeline import start_replay_pipeline
+
+
+@pytest.fixture
+def tmpdirs(tmp_path):
+    d = {
+        "source": str(tmp_path / "source"),
+        "sink": str(tmp_path / "sink"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+    yield d
+    shutil.rmtree(tmp_path, ignore_errors=True)
+
+
+def _raw_lines(spark):
+    return [r.value for r in fixtures.raw_messages(spark).collect()]
+
+
+def test_replay_pipeline_end_to_end_and_idempotent(spark, tmpdirs):
+    lines = _raw_lines(spark)
+    # two "producer flushes": split the payload stream across files
+    write_replay_batch(tmpdirs["source"], lines[:6], 0)
+    write_replay_batch(tmpdirs["source"], lines[6:], 1)
+
+    q = start_replay_pipeline(
+        spark, tmpdirs["source"], tmpdirs["sink"], tmpdirs["ckpt"]
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(tmpdirs["sink"])
+    # 11 well-formed finished rows, minus the replayed (s2, "1") dup
+    assert out.count() == 10
+    assert out.filter(F.col("position").isNull()).count() == 0
+
+    # full replay with a FRESH checkpoint (the reference's data-loss
+    # scenario, §2.8 T5): sink must not grow
+    q2 = start_replay_pipeline(
+        spark, tmpdirs["source"], tmpdirs["sink"], tmpdirs["ckpt"] + "2"
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(tmpdirs["sink"]).count() == 10
+
+
+def test_streaming_tumbling_matches_batch(spark, tmp_path):
+    # stream a normalized copy of events; complete-mode memory sink
+    ev = read_events(spark, "/root/testdata/sf0.001")
+    src = str(tmp_path / "events_parquet")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    agg = sw.tumbling_counts(stream)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tumbling_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT CAST(SUM(n_events) AS BIGINT) AS n FROM tumbling_out"
+    ).collect()[0].n
+    assert got == ev.count()
+    # spot-parity with the batch plan on one window
+    from f1_realtime_data_pipeline_spark.plans.windows_star import w_tumbling
+
+    batch = w_tumbling(spark, "/root/testdata/sf0.001")
+    b0 = batch.orderBy("window_start", "event_type").first()
+    s0 = (
+        spark.sql("SELECT * FROM tumbling_out")
+        .orderBy("window_start", "event_type")
+        .first()
+    )
+    assert (b0.window_start, b0.event_type, b0.n_events) == (
+        s0.window_start,
+        s0.event_type,
+        s0.n_events,
+    )
+
+
+def test_dedup_within_watermark(spark, tmpdirs):
+    lines = _raw_lines(spark)
+    write_replay_batch(tmpdirs["source"], lines, 0)
+    raw = raw_value_stream(spark, tmpdirs["source"], max_files_per_trigger=10)
+    from f1_realtime_data_pipeline_spark.plans.contract_f1 import transform_stream
+
+    deduped = sw.dedup_within_watermark(
+        transform_stream(raw), keys=["session_key", "driver_number"]
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT session_key, driver_number FROM dedup_out").collect()
+    keys = [(r.session_key, r.driver_number) for r in rows]
+    assert len(keys) == len(set(keys)) == 10
+
+
+def test_running_user_totals_state(spark, tmp_path):
+    ev = read_events(spark, "/root/testdata/sf0.001").select("user_id", "ts", "value")
+    src = str(tmp_path / "ev2")
+    # two files → two micro-batches with maxFilesPerTrigger=1
+    half = ev.limit(500)
+    rest = ev.subtract(half)
+    half.coalesce(1).write.parquet(src)
+    rest.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(half.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        st.running_user_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("totals_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # last emitted total per user must equal the batch aggregate
+    final = spark.sql(
+        """SELECT user_id, n_events FROM (
+             SELECT user_id, n_events,
+                    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+             FROM totals_out) WHERE rn = 1"""
+    )
+    expected = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    joined = final.join(expected, "user_id")
+    assert joined.filter(F.col("n_events") != F.col("n")).count() == 0
+    assert joined.count() == expected.count()
+
+
+def test_kafka_builders_config_only(spark):
+    opts = kafka_source_options("broker:9092", "race_results_topic")
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["failOnDataLoss"] == "false"
+    payload = to_kafka_payload(fixtures.race_results(spark), "driver_number")
+    row = payload.first()
+    assert set(payload.columns) == {"key", "value"}
+    assert row.key is not None and row.value.startswith("{")
