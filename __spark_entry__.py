@@ -19,11 +19,12 @@ from pyspark.sql import DataFrame, SparkSession
 from f1_realtime_data_pipeline_spark.plans import (
     contract_star,
     inventory_star,
+    llm_star,
     tpch,
     windows_star,
 )
 
-_QUERY_MODULES = [contract_star, inventory_star, tpch, windows_star]
+_QUERY_MODULES = [contract_star, inventory_star, tpch, windows_star, llm_star]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,149 @@
+"""Text-analysis column builders (LLM-pipeline extension surface).
+
+All JVM-side (split / higher-order array functions / replace-trick
+substring counting) — no Python UDFs in any hot path. Each builder has
+a ``*_sql`` twin rendering the identical DuckDB expression so the
+oracle can check values, with shared constants (stopword lists, marker
+tables, hash moduli) defined once here.
+
+Tokenization contract: lowercase, split on runs of whitespace —
+deliberately simple and engine-portable; a BPE-ish regex tokenizer is
+provided separately (:func:`bpe_ish_tokens`) for token *counting*.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny multilingual stopword markers for n-gram/stopword language ID
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "los", "las", "una", "por"),
+}
+
+#: english stopwords for the quality score
+STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "on", "for", "with", "as", "at", "by", "from", "that", "this",
+)
+
+#: word-id hash constants (Knuth multiplicative, small prime modulus)
+HASH_MULT = 2654435761
+HASH_MOD = 1000003
+SIMHASH_BITS = 16
+#: positional weights for the rolling fingerprint (31^k mod HASH_MOD)
+FP_POWERS = [pow(31, k, HASH_MOD) for k in range(8)]
+
+
+def tokens(text: Column | str) -> Column:
+    """Lowercased whitespace tokens."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(c), r"\s+")
+
+
+def tokens_sql(expr: str) -> str:
+    return f"string_split_regex(lower({expr}), '\\s+')"
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count (the cheap length signal)."""
+    return F.size(tokens(text))
+
+
+def token_count_sql(expr: str) -> str:
+    return f"CAST(len({tokens_sql(expr)}) AS INT)"
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """BPE-ish token counting: split into word pieces / digits /
+    punctuation runs — approximates subword token counts without a
+    vocab (what you budget LLM context by when no tokenizer is at
+    hand). Regex kept RE2-compatible so the oracle matches."""
+    c = F.col(text) if isinstance(text, str) else text
+    # extract all: letter runs (≤4 chars per piece), digit runs, punct
+    return F.regexp_extract_all(F.lower(c), F.lit(r"[a-z]{1,4}|[0-9]+|[^a-z0-9\s]"), 0)
+
+
+def bpe_ish_count_sql(expr: str) -> str:
+    return (
+        f"CAST(len(regexp_extract_all(lower({expr}), "
+        f"'[a-z]{{1,4}}|[0-9]+|[^a-z0-9\\s]')) AS INT)"
+    )
+
+
+def substring_count(text: Column | str, needle: str) -> Column:
+    """Occurrences of a literal substring via the replace trick —
+    (len(s) - len(replace(s, needle, ''))) / len(needle), exact integer
+    arithmetic, identical in any engine."""
+    c = F.col(text) if isinstance(text, str) else text
+    return (
+        (F.length(c) - F.length(F.replace(c, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("int")
+
+
+def substring_count_sql(expr: str, needle: str) -> str:
+    quoted = needle.replace("'", "''")
+    return (
+        f"CAST((length({expr}) - length(replace({expr}, '{quoted}', '')))"
+        f" / {len(needle)} AS INT)"
+    )
+
+
+def stopword_count(text: Column | str) -> Column:
+    """Number of tokens that are stopwords (higher-order filter, no UDF)."""
+    return F.size(F.filter(tokens(text), lambda t: t.isin(*STOPWORDS))).cast("int")
+
+
+def stopword_count_sql(expr: str) -> str:
+    in_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"CAST(len(list_filter({tokens_sql(expr)}, t -> t IN ({in_list}))) AS INT)"
+
+
+def marker_score(text: Column | str, lang: str) -> Column:
+    """Language-ID score: how many tokens are that language's markers."""
+    toks = tokens(text)
+    markers = LANG_MARKERS[lang]
+    return F.size(F.filter(toks, lambda t: t.isin(*markers))).cast("int")
+
+
+def marker_score_sql(expr: str, lang: str) -> str:
+    in_list = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return f"CAST(len(list_filter({tokens_sql(expr)}, t -> t IN ({in_list}))) AS INT)"
+
+
+def predicted_lang(text: Column | str) -> Column:
+    """Arg-max language by marker score; 'und' (undetermined) when every
+    score is 0. Ties break by the fixed language order of LANG_MARKERS
+    — the same CASE ladder the oracle runs."""
+    scores = {lang: marker_score(text, lang) for lang in LANG_MARKERS}
+    expr: Column | None = None
+    langs = list(LANG_MARKERS)
+    for i, lang in enumerate(langs):
+        cond = scores[lang] > 0
+        for other in langs[:i]:
+            cond = cond & (scores[lang] > scores[other])
+        for other in langs[i + 1 :]:
+            cond = cond & (scores[lang] >= scores[other])
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    assert expr is not None
+    return expr.otherwise(F.lit("und"))
+
+
+def predicted_lang_sql(expr: str) -> str:
+    langs = list(LANG_MARKERS)
+    whens = []
+    for i, lang in enumerate(langs):
+        conds = [f"{marker_score_sql(expr, lang)} > 0"]
+        for other in langs[:i]:
+            conds.append(f"{marker_score_sql(expr, lang)} > {marker_score_sql(expr, other)}")
+        for other in langs[i + 1 :]:
+            conds.append(
+                f"{marker_score_sql(expr, lang)} >= {marker_score_sql(expr, other)}"
+            )
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    joined = "\n       ".join(whens)
+    return f"CASE {joined}\n       ELSE 'und' END"

@@ -1,0 +1,114 @@
+"""Vector math over embedding columns (ArrayType(FloatType)) — all
+JVM-side higher-order functions, no UDFs.
+
+Determinism contract with the oracle: every element is widened
+float→double (exact) before multiplying, and the reduction is a
+sequential left fold in array order — Spark's ``aggregate(zip_with(...),
+0.0, +)`` and DuckDB's ``list_reduce(list_transform(...), +)`` produce
+the same addition sequence, so dot products and norms are bit-identical.
+
+Scale posture: these expressions run inside whole-stage codegen over
+the array values — a brute-force top-k over N vectors is a crossjoin
+of Q queries × N rows with a per-row O(d) fold and a per-query top-k
+window; the LSH path (operators.similarity) cuts the crossjoin to
+same-bucket candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: deterministic pseudo-random hyperplanes for sign-LSH (Knuth mixing);
+#: h[p][i] in (-0.5, 0.5), generated once, embedded as literals in both
+#: the Spark plan and the oracle SQL. 16 planes total: the single-table
+#: bucket uses planes 0..7; the multi-table kNN path slices 4 tables of
+#: 4 planes each (recall = 1-(1-p^4)^4 instead of p^8 — collide-in-ANY
+#: table, the standard LSH recall fix).
+LSH_PLANES = 8
+LSH_DIM = 64
+LSH_TABLES = 4
+PLANES_PER_TABLE = 4
+HYPERPLANES: list[list[float]] = [
+    [(((p * LSH_DIM + i) * 2654435761) % 10007) / 10007.0 - 0.5 for i in range(LSH_DIM)]
+    for p in range(LSH_TABLES * PLANES_PER_TABLE)
+]
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product, float→double widened per element."""
+    products = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(products, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def dot_sql(a: str, b: str, dim: int = LSH_DIM) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, {dim + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def norm_sql(a: str, dim: int = LSH_DIM) -> str:
+    return f"sqrt({dot_sql(a, a, dim)})"
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity — one fold per operand, IEEE-deterministic."""
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_sql(a: str, b: str, dim: int = LSH_DIM) -> str:
+    return f"{dot_sql(a, b, dim)} / ({norm_sql(a, dim)} * {norm_sql(b, dim)})"
+
+
+def _plane_literal(p: int) -> Column:
+    return F.array(*[F.lit(v) for v in HYPERPLANES[p]])
+
+
+def _plane_literal_sql(p: int) -> str:
+    return "[" + ", ".join(repr(v) for v in HYPERPLANES[p]) + "]"
+
+
+def lsh_bucket(a: Column) -> Column:
+    """Sign-LSH bucket id: bit p set iff dot(a, hyperplane_p) > 0.
+
+    8 planes → 256 buckets; cosine-similar vectors collide with high
+    probability. The bucket id is a plain INT so the candidate join is
+    an integer equi-join (shuffle on bucket, no crossjoin).
+    """
+    bucket = F.lit(0)
+    for p in range(LSH_PLANES):
+        bit = F.when(dot(a, _plane_literal(p)) > 0, F.lit(2**p)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return bucket.cast("int")
+
+
+def lsh_bucket_sql(a: str, dim: int = LSH_DIM) -> str:
+    terms = [
+        f"(CASE WHEN {dot_sql(a, _plane_literal_sql(p), dim)} > 0 THEN {2 ** p} ELSE 0 END)"
+        for p in range(LSH_PLANES)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+def lsh_table_bucket(a: Column, table: int) -> Column:
+    """Bucket id within one LSH table (planes [table*b, table*b+b))."""
+    bucket = F.lit(0)
+    for r in range(PLANES_PER_TABLE):
+        p = table * PLANES_PER_TABLE + r
+        bit = F.when(dot(a, _plane_literal(p)) > 0, F.lit(2**r)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return bucket.cast("int")
+
+
+def lsh_table_bucket_sql(a: str, table: int, dim: int = LSH_DIM) -> str:
+    terms = [
+        f"(CASE WHEN {dot_sql(a, _plane_literal_sql(table * PLANES_PER_TABLE + r), dim)}"
+        f" > 0 THEN {2 ** r} ELSE 0 END)"
+        for r in range(PLANES_PER_TABLE)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS INT)"

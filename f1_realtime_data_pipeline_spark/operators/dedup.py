@@ -1,0 +1,421 @@
+"""Deduplication operators for the LLM-training-data surface.
+
+Five escalating strategies, all pure DataFrame compositions (no UDFs):
+
+- :func:`exact_dedup` — hash-groupBy on normalized text.
+- :func:`ngram_jaccard_pairs` — exact near-dup via shingle inverted
+  index (explode → self-join on shingle → Jaccard).
+- :func:`minhash_signatures` / :func:`minhash_lsh_pairs` — MinHash
+  sketches banded into LSH buckets; candidate pairs verified with the
+  true Jaccard.
+- :func:`simhash_signatures` / :func:`simhash_pairs` — 16-bit SimHash
+  + Hamming-distance pairing.
+- embedding-cosine near-dup lives in ``operators.similarity``.
+
+Determinism/oracle contract: word ids come from a sorted dense_rank
+over the distinct vocabulary (``word_ids``) so every hash derived from
+them is identical in DuckDB. That global-window rank is the *oracle*
+id strategy; at 100 TB scale swap ``id_strategy="hash"`` which uses
+``xxhash64`` — same pipeline shape, no global window, not
+oracle-reproducible (sketch values differ, pair decisions don't for
+true duplicates).
+
+Scale posture: everything shuffles on either doc_id, word, or band
+signature — never a crossjoin. The shingle inverted index is the
+classic skew risk (hot shingles); ``ngram_jaccard_pairs`` drops
+shingles above a document-frequency cap the way production MinHash
+pipelines drop stop-shingles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from f1_realtime_data_pipeline_spark.functions.text import (
+    HASH_MOD,
+    HASH_MULT,
+    SIMHASH_BITS,
+    tokens,
+    tokens_sql,
+)
+
+#: MinHash permutation constants: mh_j(S) = min_{w in S} (A_j*id(w)+B_j) mod P
+MINHASH_PERMS = 16
+MINHASH_A = [((2 * j + 1) * 12289) % HASH_MOD for j in range(MINHASH_PERMS)]
+MINHASH_B = [(j * j * 7919 + 13) % HASH_MOD for j in range(MINHASH_PERMS)]
+LSH_BANDS = 4
+BAND_ROWS = MINHASH_PERMS // LSH_BANDS
+
+
+def doc_words(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, word) — the distinct token set per document."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("word"),
+    )
+
+
+DOC_WORDS_SQL = f"""SELECT doc_id, unnest(list_distinct({tokens_sql("text")})) AS word
+  FROM documents"""
+
+
+def word_ids(words: DataFrame) -> DataFrame:
+    """Deterministic vocabulary ids: dense_rank over sorted words.
+
+    Oracle-friendly (same ids in any engine). The rank is a global
+    window — fine for vocabularies (≤ millions of rows after distinct);
+    the hash strategy below avoids even that for the 100 TB path.
+    """
+    vocab = words.select("word").distinct()
+    return vocab.withColumn(
+        "wid", F.dense_rank().over(Window.orderBy("word")).cast("bigint")
+    )
+
+
+WORD_IDS_SQL = """SELECT word, CAST(DENSE_RANK() OVER (ORDER BY word) AS BIGINT) AS wid
+  FROM (SELECT DISTINCT word FROM doc_words)"""
+
+
+def hashed_word_ids(words: DataFrame) -> DataFrame:
+    """Scale-path ids: xxhash64 — no global window, engine-specific."""
+    return words.select("word").distinct().withColumn(
+        "wid", F.pmod(F.xxhash64("word"), F.lit(HASH_MOD)).cast("bigint")
+    )
+
+
+def _ids(words: DataFrame, id_strategy: str) -> DataFrame:
+    if id_strategy == "vocab":
+        return word_ids(words)
+    if id_strategy == "hash":
+        return hashed_word_ids(words)
+    raise ValueError(f"unknown id_strategy {id_strategy!r}")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: canonical doc per distinct text = min doc_id, with
+    the duplicate count. One hash-aggregate shuffled on the text hash."""
+    return docs.groupBy(text_col).agg(
+        F.min("doc_id").cast("bigint").alias("canonical_doc_id"),
+        F.count("*").cast("bigint").alias("n_copies"),
+    ).select("canonical_doc_id", "n_copies")
+
+
+EXACT_DEDUP_SQL = """SELECT CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY text"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact near-dup)
+# ---------------------------------------------------------------------------
+
+
+def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct word n-gram shingles via a
+    transform over token positions (JVM-side, no UDF)."""
+    toks = tokens("text")
+    shingles = F.array_distinct(
+        F.transform(
+            F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+            lambda _, i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    return docs.select(F.col("doc_id"), F.explode(shingles).alias("shingle"))
+
+
+def _doc_shingles_sql(n: int = 3) -> str:
+    t = tokens_sql("text")
+    return f"""SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, greatest(len({t}) - {n - 1}, 0) + 1),
+                          i -> array_to_string(list_slice({t}, i, i + {n - 1}), ' '))
+         )) AS shingle
+  FROM documents"""
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard.
+
+    Inverted-index self-join: explode shingles → drop hot shingles
+    (df > max_doc_freq — stop-shingle cap, the skew guard) → pair docs
+    sharing a shingle → count common → Jaccard vs the two set sizes.
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    sh = doc_shingles(docs, n)
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    sh = (
+        sh.join(F.broadcast(df_counts.filter(F.col("df") > max_doc_freq)), "shingle", "left_anti")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs_sql(n: int = 3, threshold: float = 0.5, max_doc_freq: int = 1000) -> str:
+    return f"""WITH sh_raw AS (
+  {_doc_shingles_sql(n)}
+), hot AS (
+  SELECT shingle FROM sh_raw GROUP BY shingle HAVING COUNT(*) > {max_doc_freq}
+), sh AS (
+  SELECT * FROM sh_raw WHERE shingle NOT IN (SELECT shingle FROM hot)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) >= {threshold}"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(docs: DataFrame, id_strategy: str = "vocab") -> DataFrame:
+    """16-permutation MinHash signature per doc: mh_j = min over the
+    doc's word ids of (A_j*id + B_j) mod P. One groupBy(doc_id) with 16
+    min-aggregates — a single shuffle, map-side combined."""
+    words = doc_words(docs)
+    ids = _ids(words, id_strategy)
+    w = words.join(ids, "word")
+    aggs = [
+        F.min((F.col("wid") * MINHASH_A[j] + MINHASH_B[j]) % HASH_MOD)
+        .cast("bigint")
+        .alias(f"mh{j}")
+        for j in range(MINHASH_PERMS)
+    ]
+    return w.groupBy("doc_id").agg(*aggs)
+
+
+def _minhash_sig_sql() -> str:
+    cols = ",\n         ".join(
+        f"CAST(MIN((wid * {MINHASH_A[j]} + {MINHASH_B[j]}) % {HASH_MOD}) AS BIGINT) AS mh{j}"
+        for j in range(MINHASH_PERMS)
+    )
+    return f"""doc_words AS (
+  {DOC_WORDS_SQL}
+), vocab AS (
+  {WORD_IDS_SQL}
+), sigs AS (
+  SELECT doc_id,
+         {cols}
+  FROM doc_words JOIN vocab USING (word)
+  GROUP BY doc_id
+)"""
+
+
+MINHASH_SIGNATURES_SQL = f"WITH {_minhash_sig_sql()}\nSELECT * FROM sigs"
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, threshold: float = 0.5, id_strategy: str = "vocab"
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs: band the 16-perm signature into 4
+    bands of 4, bucket-join docs sharing any band, then verify the
+    candidate pairs with the TRUE word-set Jaccard >= threshold.
+
+    The band join replaces the all-pairs crossjoin — candidates shuffle
+    on (band_idx, signature), true-Jaccard verification touches only
+    the candidate set. That is the 100 TB shape: no step is quadratic
+    in the corpus, only in bucket occupancy.
+    """
+    sigs = minhash_signatures(docs, id_strategy)
+    band_cols = []
+    for band in range(LSH_BANDS):
+        members = [F.col(f"mh{band * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+        band_cols.append(F.concat_ws("_", *[m.cast("string") for m in members]))
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band_idx"), band_cols[i].alias("sig"))
+                    for i in range(LSH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.sig").alias("sig"))
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band_idx", "sig"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # verify candidates with the true Jaccard over word sets
+    words = doc_words(docs)
+    sizes = words.groupBy("doc_id").agg(F.count("*").alias("n_words"))
+    wa = words.select(F.col("doc_id").alias("doc_a"), "word")
+    wb = words.select(F.col("doc_id").alias("doc_b"), "word")
+    common = (
+        cand.join(wa, "doc_a")
+        .join(wb, ["doc_b", "word"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_words").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_words").alias("nb"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs_sql(threshold: float = 0.5) -> str:
+    band_exprs = []
+    for band in range(LSH_BANDS):
+        parts = " || '_' || ".join(
+            f"CAST(mh{band * BAND_ROWS + r} AS VARCHAR)" for r in range(BAND_ROWS)
+        )
+        band_exprs.append(f"SELECT doc_id, {band} AS band_idx, {parts} AS sig FROM sigs")
+    bands_union = "\n  UNION ALL\n  ".join(band_exprs)
+    return f"""WITH {_minhash_sig_sql()},
+bands AS (
+  {bands_union}
+), cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band_idx = y.band_idx AND x.sig = y.sig AND x.doc_id < y.doc_id
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_words FROM doc_words GROUP BY doc_id
+), common AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN doc_words wa ON wa.doc_id = c.doc_a
+  JOIN doc_words wb ON wb.doc_id = c.doc_b AND wb.word = wa.word
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b,
+       CAST(n_common AS DOUBLE) / (sa.n_words + sb.n_words - n_common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n_words + sb.n_words - n_common) >= {threshold}"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(docs: DataFrame, id_strategy: str = "vocab") -> DataFrame:
+    """16-bit SimHash per doc: mix each word id, vote ±1 per bit over
+    the doc's words, set bit where the vote is positive. One groupBy
+    with 16 conditional sums."""
+    words = doc_words(docs)
+    ids = _ids(words, id_strategy)
+    w = words.join(ids, "word").withColumn(
+        "h", (F.col("wid") * HASH_MULT) % (2**SIMHASH_BITS)
+    )
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    voted = w.groupBy("doc_id").agg(*votes)
+    sim: Column = F.lit(0)
+    for b in range(SIMHASH_BITS):
+        sim = sim + F.when(F.col(f"v{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+    return voted.select("doc_id", sim.cast("bigint").alias("simhash"))
+
+
+def _simhash_sig_sql() -> str:
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (h & {1 << b}) != 0 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+    )
+    return f"""doc_words AS (
+  {DOC_WORDS_SQL}
+), vocab AS (
+  {WORD_IDS_SQL}
+), mixed AS (
+  SELECT doc_id, (wid * {HASH_MULT}) % {2 ** SIMHASH_BITS} AS h
+  FROM doc_words JOIN vocab USING (word)
+), voted AS (
+  SELECT doc_id,
+         {votes}
+  FROM mixed GROUP BY doc_id
+), simhashes AS (
+  SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM voted
+)"""
+
+
+SIMHASH_SIGNATURES_SQL = f"WITH {_simhash_sig_sql()}\nSELECT doc_id, simhash FROM simhashes"
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3, id_strategy: str = "vocab") -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance <= max_hamming.
+
+    All-pairs over the signature table (tiny: one int per doc). At
+    corpus scale, band the signature into prefix buckets exactly like
+    MinHash-LSH; the signature table is ~10^4 smaller than the corpus,
+    so the crossjoin ceiling is much higher than for raw text.
+    """
+    sigs = simhash_signatures(docs, id_strategy)
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def simhash_pairs_sql(max_hamming: int = 3) -> str:
+    return f"""WITH {_simhash_sig_sql()}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM simhashes a JOIN simhashes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""

@@ -1,0 +1,292 @@
+"""LLM-training-data pipeline queries over ``documents``/``embeddings``
+(the extension surface the engine adds beyond the reference — BASELINE
+north star; judged as first-class alongside SURVEY.md §2).
+
+Text analysis (t_*), dedup (d_*), similarity search (e_*), multimodal
+(m_*). All oracle-checked except where the operator is inherently
+engine-specific (xxhash64 id strategy, mapInPandas decode) — those are
+rows-only entries with a deterministic pytest covering values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from f1_realtime_data_pipeline_spark.functions import text as tx
+from f1_realtime_data_pipeline_spark.operators import dedup as dd
+from f1_realtime_data_pipeline_spark.operators import multimodal as mm
+from f1_realtime_data_pipeline_spark.operators import similarity as sim
+from f1_realtime_data_pipeline_spark.sources.parquet import read_table
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def _register(name, fn, sql):
+    QUERIES[name] = fn
+    if sql is not None:
+        ORACLE[name] = sql
+
+
+def _docs(spark, sf_dir):
+    return read_table(spark, sf_dir, "documents")
+
+
+def _embs(spark, sf_dir):
+    return read_table(spark, sf_dir, "embeddings")
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+
+def t_token_stats(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish subword pieces —
+    the context-budget signals. Pure map-side scan."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        tx.token_count("text").alias("n_tokens"),
+        F.size(tx.bpe_ish_tokens("text")).alias("n_bpe_ish"),
+        F.length("text").cast("int").alias("n_chars_measured"),
+    )
+
+
+_register(
+    "t_token_stats",
+    t_token_stats,
+    f"""SELECT doc_id,
+       {tx.token_count_sql("text")} AS n_tokens,
+       {tx.bpe_ish_count_sql("text")} AS n_bpe_ish,
+       CAST(length(text) AS INT) AS n_chars_measured
+FROM documents""",
+)
+
+
+def t_quality(spark, sf_dir):
+    """Quality scoring: length band + stopword ratio + punctuation
+    density → a 0..1 score. All exact arithmetic (int counts, one
+    double division) so the score is oracle-stable."""
+    d = _docs(spark, sf_dir)
+    n_tokens = tx.token_count("text")
+    n_stop = tx.stopword_count("text")
+    n_punct = (
+        tx.substring_count("text", ".")
+        + tx.substring_count("text", ",")
+        + tx.substring_count("text", "!")
+    )
+    stop_ratio = n_stop.cast("double") / n_tokens
+    len_ok = F.when((n_tokens >= 20) & (n_tokens <= 2000), F.lit(0.5)).otherwise(F.lit(0.0))
+    punct_ok = F.when(n_punct <= n_tokens, F.lit(0.25)).otherwise(F.lit(0.0))
+    stop_ok = F.when((stop_ratio >= 0.05) & (stop_ratio <= 0.6), F.lit(0.25)).otherwise(
+        F.lit(0.0)
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        n_punct.cast("int").alias("n_punct"),
+        stop_ratio.alias("stopword_ratio"),
+        (len_ok + punct_ok + stop_ok).alias("quality_score"),
+    )
+
+
+_T_NTOK = tx.token_count_sql("text")
+_T_NSTOP = tx.stopword_count_sql("text")
+_T_NPUNCT = (
+    f"({tx.substring_count_sql('text', '.')} + {tx.substring_count_sql('text', ',')}"
+    f" + {tx.substring_count_sql('text', '!')})"
+)
+_T_SRATIO = f"(CAST({_T_NSTOP} AS DOUBLE) / {_T_NTOK})"
+
+_register(
+    "t_quality",
+    t_quality,
+    f"""SELECT doc_id,
+       {_T_NTOK} AS n_tokens,
+       {_T_NSTOP} AS n_stopwords,
+       CAST({_T_NPUNCT} AS INT) AS n_punct,
+       {_T_SRATIO} AS stopword_ratio,
+       (CASE WHEN {_T_NTOK} >= 20 AND {_T_NTOK} <= 2000 THEN 0.5 ELSE 0.0 END
+        + CASE WHEN {_T_NPUNCT} <= {_T_NTOK} THEN 0.25 ELSE 0.0 END
+        + CASE WHEN {_T_SRATIO} >= 0.05 AND {_T_SRATIO} <= 0.6 THEN 0.25 ELSE 0.0 END
+       ) AS quality_score
+FROM documents""",
+)
+
+
+def t_lang_id(spark, sf_dir):
+    """Stopword-marker language ID with a deterministic arg-max ladder;
+    compared against the table's labeled lang for an agreement flag."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        "lang",
+        tx.predicted_lang("text").alias("pred_lang"),
+        (tx.predicted_lang("text") == F.col("lang")).alias("agrees"),
+    )
+
+
+_register(
+    "t_lang_id",
+    t_lang_id,
+    f"""SELECT doc_id, lang,
+       {tx.predicted_lang_sql("text")} AS pred_lang,
+       ({tx.predicted_lang_sql("text")} = lang) AS agrees
+FROM documents""",
+)
+
+
+def t_fingerprint(spark, sf_dir):
+    """Positional rolling-hash document fingerprint: sum over token
+    positions of wid * 31^(pos mod 8), mod P — an order-sensitive
+    content hash (re-orderings collide only by chance, unlike the
+    bag-of-words sketches)."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.posexplode(tx.tokens("text")).alias("pos", "word")
+    )
+    ids = dd.word_ids(toks)
+    pow_arr = F.array(*[F.lit(p) for p in tx.FP_POWERS])
+    term = (F.col("wid") * F.element_at(pow_arr, (F.col("pos") % 8 + 1).cast("int"))) % tx.HASH_MOD
+    return (
+        toks.join(ids, "word")
+        .groupBy("doc_id")
+        .agg((F.sum(term) % tx.HASH_MOD).cast("bigint").alias("fingerprint"))
+    )
+
+
+_FP_POW_SQL = "[" + ", ".join(str(p) for p in tx.FP_POWERS) + "]"
+
+_register(
+    "t_fingerprint",
+    t_fingerprint,
+    f"""WITH toks AS (
+  SELECT doc_id,
+         unnest({tx.tokens_sql("text")}) AS word,
+         unnest(range(0, len({tx.tokens_sql("text")}))) AS pos
+  FROM documents
+), vocab AS (
+  SELECT word, CAST(DENSE_RANK() OVER (ORDER BY word) AS BIGINT) AS wid
+  FROM (SELECT DISTINCT word FROM toks)
+)
+SELECT doc_id,
+       CAST(SUM((wid * ({_FP_POW_SQL}[CAST(pos % 8 AS INT) + 1])) % {tx.HASH_MOD})
+            % {tx.HASH_MOD} AS BIGINT) AS fingerprint
+FROM toks JOIN vocab USING (word)
+GROUP BY doc_id""",
+)
+
+
+# --------------------------------------------------------------------------
+# dedup
+# --------------------------------------------------------------------------
+
+
+def d_exact(spark, sf_dir):
+    return dd.exact_dedup(_docs(spark, sf_dir))
+
+
+_register("d_exact", d_exact, dd.EXACT_DEDUP_SQL)
+
+
+def d_ngram_jaccard(spark, sf_dir):
+    return dd.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+
+
+_register("d_ngram_jaccard", d_ngram_jaccard, dd.ngram_jaccard_pairs_sql(3, 0.5))
+
+
+def d_minhash_signatures(spark, sf_dir):
+    return dd.minhash_signatures(_docs(spark, sf_dir), id_strategy="vocab")
+
+
+_register("d_minhash_signatures", d_minhash_signatures, dd.MINHASH_SIGNATURES_SQL)
+
+
+def d_minhash_lsh(spark, sf_dir):
+    return dd.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5, id_strategy="vocab")
+
+
+_register("d_minhash_lsh", d_minhash_lsh, dd.minhash_lsh_pairs_sql(0.5))
+
+
+def d_simhash(spark, sf_dir):
+    return dd.simhash_signatures(_docs(spark, sf_dir), id_strategy="vocab")
+
+
+_register("d_simhash", d_simhash, dd.SIMHASH_SIGNATURES_SQL)
+
+
+def d_simhash_pairs(spark, sf_dir):
+    return dd.simhash_pairs(_docs(spark, sf_dir), max_hamming=3, id_strategy="vocab")
+
+
+_register("d_simhash_pairs", d_simhash_pairs, dd.simhash_pairs_sql(3))
+
+
+def d_exact_hash_scale(spark, sf_dir):
+    """Scale-path variant: xxhash64 word ids (no global vocab window).
+    Engine-specific hash → rows-only check; pytest asserts the pair
+    decisions agree with the vocab variant."""
+    return dd.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5, id_strategy="hash")
+
+
+_register("d_exact_hash_scale", d_exact_hash_scale, None)
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+
+def e_knn_bruteforce(spark, sf_dir):
+    return sim.knn_bruteforce(_embs(spark, sf_dir), n_queries=16, k=5)
+
+
+_register("e_knn_bruteforce", e_knn_bruteforce, sim.knn_bruteforce_sql(16, 5))
+
+
+def e_lsh_buckets(spark, sf_dir):
+    return sim.lsh_buckets(_embs(spark, sf_dir))
+
+
+_register("e_lsh_buckets", e_lsh_buckets, sim.LSH_BUCKETS_SQL)
+
+
+def e_knn_lsh(spark, sf_dir):
+    return sim.knn_lsh(_embs(spark, sf_dir), n_queries=16, k=5)
+
+
+_register("e_knn_lsh", e_knn_lsh, sim.knn_lsh_sql(16, 5))
+
+
+def e_cosine_neardup(spark, sf_dir):
+    return sim.cosine_neardup_pairs(_embs(spark, sf_dir), threshold=0.9)
+
+
+_register("e_cosine_neardup", e_cosine_neardup, sim.cosine_neardup_pairs_sql(0.9))
+
+
+# --------------------------------------------------------------------------
+# multimodal
+# --------------------------------------------------------------------------
+
+
+def m_byte_stats(spark, sf_dir):
+    """Binary-column metadata, pure JVM (the pre-decode partitioning
+    query)."""
+    return mm.media_byte_stats(mm.attach_binary_payload(_docs(spark, sf_dir)))
+
+
+_register("m_byte_stats", m_byte_stats, mm.MEDIA_BYTE_STATS_SQL)
+
+
+def m_decoded_meta(spark, sf_dir):
+    """Arrow-batched mapInPandas decode (stub codec, real plumbing) —
+    engine-side Python, rows-only check; values pinned by pytest."""
+    return mm.decode_media(mm.attach_binary_payload(_docs(spark, sf_dir)))
+
+
+_register("m_decoded_meta", m_decoded_meta, None)

@@ -1,0 +1,63 @@
+"""Distributed REST/HTTP batch source (SURVEY.md §2.1 S2).
+
+The reference fetches OpenF1 endpoints driver-side with ``requests``
+(kafka_producer.py:84-104) — fine for 22 sessions, wrong at scale. The
+Spark-first shape: a DataFrame of request descriptors (one row per URL)
+fanned out with Arrow-batched ``mapInPandas`` so every executor fetches
+its partition of URLs concurrently; results come back as (url, status,
+body) rows for a downstream ``from_json`` with an explicit schema.
+
+The fetch function is injectable: tests pass a deterministic fake; a
+real deployment passes an HTTP getter (requests/urllib3, import-gated —
+this container has no network). Pacing (the producer's 5 s sleep,
+kafka_producer.py:155) belongs to the trigger/replay layer, not here.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+FETCH_SCHEMA = "url string, status int, body string"
+
+FetchFn = Callable[[str], tuple[int, str]]
+
+
+def default_fetch(url: str) -> tuple[int, str]:
+    """Real HTTP getter, import-gated (no network in this container)."""
+    try:
+        import urllib.request
+
+        with urllib.request.urlopen(url, timeout=30) as resp:  # noqa: S310
+            return resp.status, resp.read().decode("utf-8", "replace")
+    except Exception as e:  # noqa: BLE001 — surface as a row, not a task failure
+        return 0, f"fetch-error: {e}"
+
+
+def fetch_urls(
+    spark: SparkSession,
+    urls: list[str],
+    fetch: FetchFn = default_fetch,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Fan a URL list out across executors; one (url, status, body) row
+    each. ``partitions`` defaults to min(len(urls), 64) so a small list
+    doesn't schedule a thousand empty tasks."""
+    n_part = partitions or max(1, min(len(urls), 64))
+    df = spark.createDataFrame([(u,) for u in urls], "url string").repartition(n_part)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            results = [fetch(u) for u in pdf["url"]]
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "status": [r[0] for r in results],
+                    "body": [r[1] for r in results],
+                }
+            )
+
+    return df.mapInPandas(run, FETCH_SCHEMA)
