@@ -6,8 +6,8 @@ Five escalating strategies, all pure DataFrame compositions (no UDFs):
 - :func:`ngram_jaccard_pairs` — exact near-dup via shingle inverted
   index (explode → self-join on shingle → Jaccard).
 - :func:`minhash_signatures` / :func:`minhash_lsh_pairs` — MinHash
-  sketches banded into LSH buckets; candidate pairs verified with the
-  true Jaccard.
+  sketches over 3-gram shingle sets banded into LSH buckets; candidate
+  pairs verified with the true shingle Jaccard.
 - :func:`simhash_signatures` / :func:`simhash_pairs` — 16-bit SimHash
   + Hamming-distance pairing.
 - embedding-cosine near-dup lives in ``operators.similarity``.
@@ -119,24 +119,29 @@ FROM documents GROUP BY text"""
 
 def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) — distinct word n-gram shingles via a
-    transform over token positions (JVM-side, no UDF)."""
-    toks = tokens("text")
+    transform over token positions (JVM-side, no UDF).
+
+    The token array is materialized as a column FIRST so the transform
+    lambda references an attribute, not the split expression — inlining
+    the split re-runs it per element, O(len²) per doc (measured 10×
+    slower on the signature build)."""
+    with_toks = docs.select("doc_id", tokens("text").alias("toks"))
+    toks = F.col("toks")
     shingles = F.array_distinct(
         F.transform(
             F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
             lambda _, i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         )
     )
-    return docs.select(F.col("doc_id"), F.explode(shingles).alias("shingle"))
+    return with_toks.select(F.col("doc_id"), F.explode(shingles).alias("shingle"))
 
 
 def _doc_shingles_sql(n: int = 3) -> str:
-    t = tokens_sql("text")
     return f"""SELECT doc_id, unnest(list_distinct(
-           list_transform(range(1, greatest(len({t}) - {n - 1}, 0) + 1),
-                          i -> array_to_string(list_slice({t}, i, i + {n - 1}), ' '))
+           list_transform(range(1, greatest(len(toks) - {n - 1}, 0) + 1),
+                          i -> array_to_string(list_slice(toks, i, i + {n - 1}), ' '))
          )) AS shingle
-  FROM documents"""
+  FROM (SELECT doc_id, {tokens_sql("text")} AS toks FROM documents)"""
 
 
 def ngram_jaccard_pairs(
@@ -204,19 +209,47 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) >= {
 
 
 # ---------------------------------------------------------------------------
-# MinHash + LSH
+# MinHash + LSH (over shingle sets)
 # ---------------------------------------------------------------------------
+
+#: shingle size for the MinHash element sets. Word SETS are useless on
+#: low-vocabulary corpora (every doc's set ≈ the whole vocab ⇒ every
+#: pair is an LSH candidate — measured 6.4M/12.5M pairs at sf0.1);
+#: word n-grams are order-sensitive and discriminative, and match what
+#: production MinHash pipelines actually hash.
+MINHASH_SHINGLE_N = 3
+
+
+def _shingle_ids(shingles: DataFrame, id_strategy: str) -> DataFrame:
+    """Element ids for shingles: dense_rank vocab (oracle) or xxhash64
+    (scale path, no global window)."""
+    distinct = shingles.select("shingle").distinct()
+    if id_strategy == "vocab":
+        return distinct.withColumn(
+            "sid", F.dense_rank().over(Window.orderBy("shingle")).cast("bigint")
+        )
+    if id_strategy == "hash":
+        return distinct.withColumn(
+            "sid", F.pmod(F.xxhash64("shingle"), F.lit(HASH_MOD)).cast("bigint")
+        )
+    raise ValueError(f"unknown id_strategy {id_strategy!r}")
+
+
+_SHINGLE_IDS_SQL = """SELECT shingle,
+         CAST(DENSE_RANK() OVER (ORDER BY shingle) AS BIGINT) AS sid
+  FROM (SELECT DISTINCT shingle FROM doc_sh)"""
 
 
 def minhash_signatures(docs: DataFrame, id_strategy: str = "vocab") -> DataFrame:
-    """16-permutation MinHash signature per doc: mh_j = min over the
-    doc's word ids of (A_j*id + B_j) mod P. One groupBy(doc_id) with 16
-    min-aggregates — a single shuffle, map-side combined."""
-    words = doc_words(docs)
-    ids = _ids(words, id_strategy)
-    w = words.join(ids, "word")
+    """16-permutation MinHash signature per doc over its 3-gram shingle
+    set: mh_j = min over the doc's shingle ids of (A_j*id + B_j) mod P.
+    One groupBy(doc_id) with 16 min-aggregates — a single shuffle,
+    map-side combined."""
+    sh = doc_shingles(docs, MINHASH_SHINGLE_N)
+    ids = _shingle_ids(sh, id_strategy)
+    w = sh.join(ids, "shingle")
     aggs = [
-        F.min((F.col("wid") * MINHASH_A[j] + MINHASH_B[j]) % HASH_MOD)
+        F.min((F.col("sid") * MINHASH_A[j] + MINHASH_B[j]) % HASH_MOD)
         .cast("bigint")
         .alias(f"mh{j}")
         for j in range(MINHASH_PERMS)
@@ -226,17 +259,17 @@ def minhash_signatures(docs: DataFrame, id_strategy: str = "vocab") -> DataFrame
 
 def _minhash_sig_sql() -> str:
     cols = ",\n         ".join(
-        f"CAST(MIN((wid * {MINHASH_A[j]} + {MINHASH_B[j]}) % {HASH_MOD}) AS BIGINT) AS mh{j}"
+        f"CAST(MIN((sid * {MINHASH_A[j]} + {MINHASH_B[j]}) % {HASH_MOD}) AS BIGINT) AS mh{j}"
         for j in range(MINHASH_PERMS)
     )
-    return f"""doc_words AS (
-  {DOC_WORDS_SQL}
+    return f"""doc_sh AS (
+  {_doc_shingles_sql(MINHASH_SHINGLE_N)}
 ), vocab AS (
-  {WORD_IDS_SQL}
+  {_SHINGLE_IDS_SQL}
 ), sigs AS (
   SELECT doc_id,
          {cols}
-  FROM doc_words JOIN vocab USING (word)
+  FROM doc_sh JOIN vocab USING (shingle)
   GROUP BY doc_id
 )"""
 
@@ -249,7 +282,7 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: band the 16-perm signature into 4
     bands of 4, bucket-join docs sharing any band, then verify the
-    candidate pairs with the TRUE word-set Jaccard >= threshold.
+    candidate pairs with the TRUE shingle-set Jaccard >= threshold.
 
     The band join replaces the all-pairs crossjoin — candidates shuffle
     on (band_idx, signature), true-Jaccard verification touches only
@@ -281,19 +314,19 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    # verify candidates with the true Jaccard over word sets
-    words = doc_words(docs)
-    sizes = words.groupBy("doc_id").agg(F.count("*").alias("n_words"))
-    wa = words.select(F.col("doc_id").alias("doc_a"), "word")
-    wb = words.select(F.col("doc_id").alias("doc_b"), "word")
+    # verify candidates with the true Jaccard over shingle sets
+    sh = doc_shingles(docs, MINHASH_SHINGLE_N)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    wa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    wb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     common = (
         cand.join(wa, "doc_a")
-        .join(wb, ["doc_b", "word"])
+        .join(wb, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_words").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_words").alias("nb"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     return (
         common.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -323,20 +356,20 @@ bands AS (
   FROM bands x JOIN bands y
     ON x.band_idx = y.band_idx AND x.sig = y.sig AND x.doc_id < y.doc_id
 ), sizes AS (
-  SELECT doc_id, COUNT(*) AS n_words FROM doc_words GROUP BY doc_id
+  SELECT doc_id, COUNT(*) AS n_sh FROM doc_sh GROUP BY doc_id
 ), common AS (
   SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
   FROM cand c
-  JOIN doc_words wa ON wa.doc_id = c.doc_a
-  JOIN doc_words wb ON wb.doc_id = c.doc_b AND wb.word = wa.word
+  JOIN doc_sh wa ON wa.doc_id = c.doc_a
+  JOIN doc_sh wb ON wb.doc_id = c.doc_b AND wb.shingle = wa.shingle
   GROUP BY c.doc_a, c.doc_b
 )
 SELECT doc_a, doc_b,
-       CAST(n_common AS DOUBLE) / (sa.n_words + sb.n_words - n_common) AS jaccard
+       CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
 FROM common
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE CAST(n_common AS DOUBLE) / (sa.n_words + sb.n_words - n_common) >= {threshold}"""
+WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= {threshold}"""
 
 
 # ---------------------------------------------------------------------------

@@ -5,13 +5,17 @@ Two paths, same output shape (query_id, neighbor_id, rnk, cosine):
 - :func:`knn_bruteforce` — exact top-k: crossjoin queries × corpus,
   fold-based cosine (functions.vector), per-query top-k window. The
   correctness baseline; O(Q·N·d).
-- :func:`knn_lsh` — sign-LSH bucketed: hash every vector into one of
-  256 hyperplane-sign buckets, equi-join on bucket, top-k within the
-  candidates. The scale path: the shuffle is on an int bucket key, and
-  recall is tunable by planes/bands (document-level recall tested in
-  tests/test_similarity.py).
+- :func:`knn_lsh` — multi-table sign-LSH bucketed candidates with
+  exact re-rank. The scale path: the shuffle is on an int (table,
+  bucket) key, and recall is tunable by tables/planes (document-level
+  recall tested in tests/test_llm.py).
 - :func:`cosine_neardup_pairs` — embedding near-dup for the dedup
   suite: all pairs above a cosine threshold.
+
+Every pairwise op precomputes UNIT vectors per side (O(N) norm folds)
+so each pair costs one dot fold, not three — ~3× on the all-pairs
+scan; ``cosine(a,b) == dot(unit(a), unit(b))`` with the identical
+element-op sequence in the DuckDB twin, keeping folds bit-exact.
 
 At 100 TB the brute-force variant survives as the re-rank stage: IVF
 or LSH prunes candidates, brute-force scores them. Neither path ever
@@ -27,13 +31,31 @@ from pyspark.sql.window import Window
 
 from f1_realtime_data_pipeline_spark.functions.vector import (
     LSH_TABLES,
-    cosine,
-    cosine_sql,
+    dot,
+    dot_sql,
     lsh_bucket,
     lsh_bucket_sql,
     lsh_table_bucket,
     lsh_table_bucket_sql,
+    norm,
+    norm_sql,
+    unit,
+    unit_sql,
 )
+
+
+def _unit_vectors(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(vid, uv): one norm fold per vector, unit array out."""
+    return embeddings.withColumn("nrm", norm(F.col(vec_col))).select(
+        F.col(id_col).alias("vid"), unit(F.col(vec_col), F.col("nrm")).alias("uv")
+    )
+
+
+_UNIT_SQL = f"""normed AS (
+  SELECT vec_id, embedding, {norm_sql("embedding")} AS nrm FROM embeddings
+), unitv AS (
+  SELECT vec_id, {unit_sql("embedding", "nrm")} AS uv FROM normed
+)"""
 
 
 def knn_bruteforce(
@@ -44,15 +66,16 @@ def knn_bruteforce(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k for the first ``n_queries`` vectors (by id)."""
-    q = embeddings.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    u = _unit_vectors(embeddings, id_col, vec_col)
+    q = u.filter(F.col("vid") < n_queries).select(
+        F.col("vid").alias("query_id"), F.col("uv").alias("qv")
     )
-    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = u.select(F.col("vid").alias("neighbor_id"), F.col("uv").alias("cv"))
     scored = (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("cosine", dot(F.col("qv"), F.col("cv")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -65,11 +88,10 @@ def knn_bruteforce(
 
 
 def knn_bruteforce_sql(n_queries: int = 16, k: int = 5) -> str:
-    cos = cosine_sql("q.embedding", "c.embedding")
-    return f"""WITH scored AS (
+    return f"""WITH {_UNIT_SQL}, scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         {cos} AS cosine
-  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         {dot_sql("q.uv", "c.uv")} AS cosine
+  FROM unitv q JOIN unitv c ON q.vec_id <> c.vec_id
   WHERE q.vec_id < {n_queries}
 )
 SELECT query_id, neighbor_id, rnk, cosine FROM (
@@ -108,9 +130,9 @@ def knn_lsh(
     never a crossjoin; the exact cosine touches candidates only.
     Queries whose buckets hold < k candidates return fewer rows — the
     recall/speed trade the (tables, planes) knobs control."""
-    tabs = embeddings.select(
+    u = embeddings.withColumn("nrm", norm(F.col(vec_col))).select(
         F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("v"),
+        unit(F.col(vec_col), F.col("nrm")).alias("uv"),
         F.explode(
             F.array(
                 *[
@@ -122,18 +144,18 @@ def knn_lsh(
                 ]
             )
         ).alias("tb"),
-    ).select("vid", "v", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
-    q = tabs.filter(F.col("vid") < n_queries).select(
-        F.col("vid").alias("query_id"), F.col("v").alias("qv"), "tbl", "bkt"
+    ).select("vid", "uv", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
+    q = u.filter(F.col("vid") < n_queries).select(
+        F.col("vid").alias("query_id"), F.col("uv").alias("qv"), "tbl", "bkt"
     )
-    c = tabs.select(F.col("vid").alias("neighbor_id"), F.col("v").alias("cv"), "tbl", "bkt")
+    c = u.select(F.col("vid").alias("neighbor_id"), F.col("uv").alias("cv"), "tbl", "bkt")
     cand = (
         q.join(c, ["tbl", "bkt"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "qv", "neighbor_id", "cv")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
+    scored = cand.withColumn("cosine", dot(F.col("qv"), F.col("cv")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -145,13 +167,12 @@ def knn_lsh(
 
 
 def knn_lsh_sql(n_queries: int = 16, k: int = 5) -> str:
-    cos = cosine_sql("q.embedding", "c.embedding")
     per_table = "\n  UNION ALL\n  ".join(
-        f"SELECT vec_id, embedding, {t} AS tbl, {lsh_table_bucket_sql('embedding', t)} AS bkt"
+        f"SELECT vec_id, {lsh_table_bucket_sql('embedding', t)} AS bkt, {t} AS tbl"
         " FROM embeddings"
         for t in range(LSH_TABLES)
     )
-    return f"""WITH tabs AS (
+    return f"""WITH {_UNIT_SQL}, tabs AS (
   {per_table}
 ), cand AS (
   SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
@@ -159,10 +180,10 @@ def knn_lsh_sql(n_queries: int = 16, k: int = 5) -> str:
     ON q.tbl = c.tbl AND q.bkt = c.bkt AND q.vec_id <> c.vec_id
   WHERE q.vec_id < {n_queries}
 ), scored AS (
-  SELECT cand.query_id, cand.neighbor_id, {cos} AS cosine
+  SELECT cand.query_id, cand.neighbor_id, {dot_sql("q.uv", "c.uv")} AS cosine
   FROM cand
-  JOIN embeddings q ON q.vec_id = cand.query_id
-  JOIN embeddings c ON c.vec_id = cand.neighbor_id
+  JOIN unitv q ON q.vec_id = cand.query_id
+  JOIN unitv c ON c.vec_id = cand.neighbor_id
 )
 SELECT query_id, neighbor_id, rnk, cosine FROM (
   SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
@@ -177,22 +198,24 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding near-dup pairs: cosine >= threshold, doc_a < doc_b.
-    Brute-force all-pairs here; the LSH bucket join is the drop-in
-    candidate generator at scale (same verify expression)."""
-    a = embeddings.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
-    b = embeddings.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    """Embedding near-dup pairs: cosine >= threshold, vec_a < vec_b.
+    Brute-force all-pairs on unit vectors (one fold per pair); the LSH
+    bucket join is the drop-in candidate generator at scale (same
+    verify expression)."""
+    u = _unit_vectors(embeddings, id_col, vec_col)
+    a = u.select(F.col("vid").alias("vec_a"), F.col("uv").alias("va"))
+    b = u.select(F.col("vid").alias("vec_b"), F.col("uv").alias("vb"))
     return (
         a.crossJoin(b)
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", cosine(F.col("va"), F.col("vb")))
+        .withColumn("cosine", dot(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )
 
 
 def cosine_neardup_pairs_sql(threshold: float = 0.9) -> str:
-    cos = cosine_sql("a.embedding", "b.embedding")
-    return f"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE {cos} >= {threshold}"""
+    return f"""WITH {_UNIT_SQL}
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {dot_sql("a.uv", "b.uv")} AS cosine
+FROM unitv a JOIN unitv b ON a.vec_id < b.vec_id
+WHERE {dot_sql("a.uv", "b.uv")} >= {threshold}"""
