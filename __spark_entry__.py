@@ -21,10 +21,11 @@ from f1_realtime_data_pipeline_spark.plans import (
     inventory_star,
     llm_star,
     tpch,
+    tpch_ext,
     windows_star,
 )
 
-_QUERY_MODULES = [contract_star, inventory_star, tpch, windows_star, llm_star]
+_QUERY_MODULES = [contract_star, inventory_star, tpch, tpch_ext, windows_star, llm_star]
 
 
 def entry(spark: SparkSession) -> DataFrame:
