@@ -219,3 +219,126 @@ def cosine_neardup_pairs_sql(threshold: float = 0.9) -> str:
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {dot_sql("a.uv", "b.uv")} AS cosine
 FROM unitv a JOIN unitv b ON a.vec_id < b.vec_id
 WHERE {dot_sql("a.uv", "b.uv")} >= {threshold}"""
+
+
+# ---------------------------------------------------------------------------
+# IVF-lite: inverted-file ANN with deterministic centroids
+# ---------------------------------------------------------------------------
+
+#: IVF parameters: first IVF_C vectors (by id) act as centroids —
+#: deterministic, so the oracle can reproduce the partitioning; a real
+#: deployment would k-means them (same query shape, different centroid
+#: table). nprobe=2 cells searched per query.
+IVF_C = 16
+IVF_NPROBE = 2
+
+
+def ivf_cells(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Every vector's IVF cell: argmax over centroids of the unit-dot,
+    ties to the lowest centroid id. N×C dots (linear in N), one
+    row_number window partitioned by vector — no global shuffle."""
+    u = _unit_vectors(embeddings, id_col, vec_col)
+    cents = u.filter(F.col("vid") < IVF_C).select(
+        F.col("vid").alias("cell"), F.col("uv").alias("cv")
+    )
+    scored = u.crossJoin(F.broadcast(cents)).withColumn(
+        "aff", dot(F.col("uv"), F.col("cv"))
+    )
+    w = Window.partitionBy("vid").orderBy(F.col("aff").desc(), F.col("cell").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col("vid").alias("vec_id"), "cell")
+    )
+
+
+IVF_CELLS_SQL = f"""WITH {_UNIT_SQL}, cents AS (
+  SELECT vec_id AS cell, uv AS cv FROM unitv WHERE vec_id < {IVF_C}
+), scored AS (
+  SELECT u.vec_id, cents.cell, {dot_sql("u.uv", "cents.cv")} AS aff
+  FROM unitv u CROSS JOIN cents
+)
+SELECT vec_id, cell FROM (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY aff DESC, cell ASC) AS rn
+  FROM scored
+) WHERE rn = 1"""
+
+
+def knn_ivf(
+    embeddings: DataFrame,
+    n_queries: int = 16,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: each query probes its ``IVF_NPROBE`` nearest cells and
+    exact-ranks the vectors assigned there. Candidates shuffle on the
+    int cell key; with C cells the candidate set is ~nprobe/C of the
+    corpus — the knob that holds at 100 TB (bigger C, same shape).
+    Queries probing sparse cells return < k rows (recall/speed trade).
+    """
+    u = _unit_vectors(embeddings, id_col, vec_col)
+    cents = u.filter(F.col("vid") < IVF_C).select(
+        F.col("vid").alias("cell"), F.col("uv").alias("cv")
+    )
+    scored = u.crossJoin(F.broadcast(cents)).withColumn(
+        "aff", dot(F.col("uv"), F.col("cv"))
+    )
+    w_assign = Window.partitionBy("vid").orderBy(F.col("aff").desc(), F.col("cell").asc())
+    ranked = scored.withColumn("__rn", F.row_number().over(w_assign))
+    assignments = ranked.filter(F.col("__rn") == 1).select(
+        F.col("vid").alias("neighbor_id"), F.col("uv").alias("cv2"), "cell"
+    )
+    probes = ranked.filter(
+        (F.col("vid") < n_queries) & (F.col("__rn") <= IVF_NPROBE)
+    ).select(F.col("vid").alias("query_id"), F.col("uv").alias("qv"), "cell")
+    cand = (
+        probes.join(assignments, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qv", "neighbor_id", F.col("cv2").alias("cv"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored2 = cand.withColumn("cosine", dot(F.col("qv"), F.col("cv")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored2.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", "cosine")
+    )
+
+
+def knn_ivf_sql(n_queries: int = 16, k: int = 5) -> str:
+    return f"""WITH {_UNIT_SQL}, cents AS (
+  SELECT vec_id AS cell, uv AS cv FROM unitv WHERE vec_id < {IVF_C}
+), ranked AS (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY aff DESC, cell ASC) AS rn
+  FROM (
+    SELECT u.vec_id, cents.cell, {dot_sql("u.uv", "cents.cv")} AS aff
+    FROM unitv u CROSS JOIN cents
+  )
+), assignments AS (
+  SELECT vec_id AS neighbor_id, cell FROM ranked WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, cell FROM ranked
+  WHERE vec_id < {n_queries} AND rn <= {IVF_NPROBE}
+), cand AS (
+  SELECT DISTINCT query_id, neighbor_id
+  FROM probes JOIN assignments USING (cell)
+  WHERE query_id <> neighbor_id
+), scored AS (
+  SELECT query_id, neighbor_id, {dot_sql("q.uv", "c.uv")} AS cosine
+  FROM cand
+  JOIN unitv q ON q.vec_id = query_id
+  JOIN unitv c ON c.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, rnk, cosine FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rnk
+  FROM scored
+) WHERE rnk <= {k}"""

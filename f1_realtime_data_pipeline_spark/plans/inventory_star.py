@@ -783,3 +783,33 @@ SELECT nationkey, FALSE AS has_supplier FROM (
   SELECT s_nationkey AS nationkey FROM supplier
 )""",
 )
+
+
+def s7_upsert_dim(spark, sf_dir):
+    """S7 dimension upsert (ON CONFLICT DO UPDATE,
+    kafka_producer.py:42-48) as a pure-DataFrame MERGE: an updates
+    batch (+1000.0 balance for suppkey < 50) replaces same-key rows,
+    the rest pass through. Union + row_number over source precedence —
+    one shuffle on the key."""
+    from f1_realtime_data_pipeline_spark.sources.tables import upsert_last_wins
+
+    s = _t(spark, sf_dir, "supplier")
+    updates = s.filter(F.col("s_suppkey") < 50).withColumn(
+        "s_acctbal", F.col("s_acctbal") + F.lit(1000.0)
+    )
+    return upsert_last_wins(s, updates, ["s_suppkey"])
+
+
+_register(
+    "s7_upsert_dim",
+    s7_upsert_dim,
+    """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY s_suppkey ORDER BY __src DESC) AS __rn
+  FROM (
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal, 0 AS __src FROM supplier
+    UNION ALL
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal + 1000.0 AS s_acctbal, 1 AS __src
+    FROM supplier WHERE s_suppkey < 50
+  )
+) WHERE __rn = 1""",
+)

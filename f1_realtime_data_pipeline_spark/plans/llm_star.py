@@ -279,6 +279,24 @@ def e_cosine_neardup(spark, sf_dir):
 _register("e_cosine_neardup", e_cosine_neardup, sim.cosine_neardup_pairs_sql(0.9))
 
 
+
+
+def e_ivf_cells(spark, sf_dir):
+    """IVF cell assignment (deterministic first-C centroids)."""
+    return sim.ivf_cells(_embs(spark, sf_dir))
+
+
+_register("e_ivf_cells", e_ivf_cells, sim.IVF_CELLS_SQL)
+
+
+def e_knn_ivf(spark, sf_dir):
+    """IVF ANN top-k: probe the 2 nearest of 16 cells, exact re-rank."""
+    return sim.knn_ivf(_embs(spark, sf_dir), n_queries=16, k=5)
+
+
+_register("e_knn_ivf", e_knn_ivf, sim.knn_ivf_sql(16, 5))
+
+
 # --------------------------------------------------------------------------
 # multimodal
 # --------------------------------------------------------------------------

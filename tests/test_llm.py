@@ -128,6 +128,18 @@ def test_knn_lsh_recall(spark, sf_dir):
     assert all(-1.0 <= r.cosine <= 1.0 + 1e-12 for r in top1)
 
 
+def test_knn_ivf_recall_and_cells(spark, sf_dir):
+    embs = read_table(spark, sf_dir, "embeddings")
+    cells = sim.ivf_cells(embs)
+    n = embs.count()
+    assert cells.count() == n  # every vector assigned exactly one cell
+    assert cells.select("cell").distinct().count() <= sim.IVF_C
+    exact = {(r.query_id, r.neighbor_id) for r in sim.knn_bruteforce(embs, n_queries=8, k=3).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in sim.knn_ivf(embs, n_queries=8, k=3).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+
+
 def test_cosine_identity(spark):
     df = spark.createDataFrame(
         [Row(a=[1.0, 0.0, 2.0], b=[1.0, 0.0, 2.0]), Row(a=[1.0, 0.0, 0.0], b=[0.0, 1.0, 0.0])],
