@@ -29,6 +29,7 @@ pipelines drop stop-shingles.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -289,7 +290,21 @@ def minhash_lsh_pairs(
     the candidate set. That is the 100 TB shape: no step is quadratic
     in the corpus, only in bucket occupancy.
     """
-    sigs = minhash_signatures(docs, id_strategy)
+    # The shingle relation feeds four branches (signatures, sizes, and
+    # both sides of the verify join); without materialization Spark
+    # re-scans the corpus and re-explodes shingles per branch — at
+    # 100 TB that is 4 extra full scans. MEMORY_AND_DISK so wide
+    # corpora spill instead of evicting.
+    sh = doc_shingles(docs, MINHASH_SHINGLE_N).persist(StorageLevel.MEMORY_AND_DISK)
+    ids = _shingle_ids(sh, id_strategy)
+    w = sh.join(ids, "shingle")
+    aggs = [
+        F.min((F.col("sid") * MINHASH_A[j] + MINHASH_B[j]) % HASH_MOD)
+        .cast("bigint")
+        .alias(f"mh{j}")
+        for j in range(MINHASH_PERMS)
+    ]
+    sigs = w.groupBy("doc_id").agg(*aggs)
     band_cols = []
     for band in range(LSH_BANDS):
         members = [F.col(f"mh{band * BAND_ROWS + r}") for r in range(BAND_ROWS)]
@@ -314,8 +329,8 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    # verify candidates with the true Jaccard over shingle sets
-    sh = doc_shingles(docs, MINHASH_SHINGLE_N)
+    # verify candidates with the true Jaccard over the SAME persisted
+    # shingle relation
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     wa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     wb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
