@@ -467,3 +467,86 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
 FROM simhashes a JOIN simhashes b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
+
+
+# ---------------------------------------------------------------------------
+# duplicate clustering (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def dup_clusters(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_strategy: str = "vocab",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Canonicalize near-duplicates: connected components over the
+    MinHash-LSH pair graph via iterative min-label propagation.
+    Output (doc_id, cluster_id) for every doc in some pair; cluster_id
+    = the smallest doc_id reachable through near-dup edges — the
+    canonical representative a 100 TB dedup keeps.
+
+    Each iteration is one shuffle (join labels to edges + min-agg);
+    labels are localCheckpoint()ed so lineage doesn't grow with the
+    iteration count. Convergence is an aggregated count (a scalar to
+    the driver, not the data). Diameter of dup clusters is tiny in
+    practice (near-dup graphs are cliques-ish), so this converges in
+    2-4 iterations; ``max_iters`` bounds adversarial chains.
+    """
+    pairs = minhash_lsh_pairs(docs, threshold, id_strategy).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dup_clusters_sql(threshold: float = 0.5) -> str:
+    """DuckDB twin: transitive closure by recursive CTE (UNION dedups,
+    so it terminates), then min reachable id per node."""
+    return f"""WITH RECURSIVE pairs AS (
+  {minhash_lsh_pairs_sql(threshold)}
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id,
+       LEAST(src, MIN(dst)) AS cluster_id
+FROM reach GROUP BY src"""

@@ -246,6 +246,141 @@ def d_exact_hash_scale(spark, sf_dir):
 _register("d_exact_hash_scale", d_exact_hash_scale, None)
 
 
+
+
+def d_dup_clusters(spark, sf_dir):
+    """Near-dup canonicalization: connected components (iterative
+    min-label propagation) over the MinHash-LSH pair graph — the step
+    a 100 TB dedup runs after pair detection. Oracle = recursive-CTE
+    transitive closure."""
+    return dd.dup_clusters(_docs(spark, sf_dir), threshold=0.5)
+
+
+_register("d_dup_clusters", d_dup_clusters, dd.dup_clusters_sql(0.5))
+
+
+# --------------------------------------------------------------------------
+# training-set mechanics: split / packing / distinctive terms
+# --------------------------------------------------------------------------
+
+#: deterministic split: multiplicative hash of doc_id into 1000 buckets
+_SPLIT_MULT = 2654435761
+_SPLIT_BUCKETS = 1000
+_TRAIN_LT, _VAL_LT = 800, 900
+#: context-window token budget for sequence packing
+_PACK_BUDGET = 2048
+
+
+def t_train_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by multiplicative hash
+    of doc_id — reproducible in any engine (pure bigint arithmetic),
+    stable under re-runs and corpus growth (a doc's split never
+    changes). 80/10/10."""
+    d = _docs(spark, sf_dir)
+    bucket = F.pmod(F.col("doc_id") * F.lit(_SPLIT_MULT), F.lit(_SPLIT_BUCKETS))
+    return d.select(
+        "doc_id",
+        bucket.cast("int").alias("bucket"),
+        F.when(bucket < _TRAIN_LT, "train")
+        .when(bucket < _VAL_LT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+_register(
+    "t_train_split",
+    t_train_split,
+    f"""SELECT doc_id,
+       CAST((doc_id * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} AS INT) AS bucket,
+       CASE WHEN (doc_id * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} < {_TRAIN_LT} THEN 'train'
+            WHEN (doc_id * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} < {_VAL_LT} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents""",
+)
+
+
+def t_pack_sequences(spark, sf_dir):
+    """Sequence packing: assign docs (in doc_id order) to context
+    windows of {_PACK_BUDGET} tokens via an exclusive running token
+    count — the standard pre-tokenization chunking for LLM training.
+
+    The global window is the oracle form; at 100 TB pack within
+    partitions instead (seq key = (partition_id, local_seq)) — same
+    expression over a partitioned window, no total order needed."""
+    d = _docs(spark, sf_dir)
+    counts = d.select("doc_id", tx.token_count("text").alias("n_tokens"))
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = F.sum("n_tokens").over(w)
+    return counts.select(
+        "doc_id",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / F.lit(_PACK_BUDGET))
+        .cast("bigint")
+        .alias("seq_id"),
+    )
+
+
+_register(
+    "t_pack_sequences",
+    t_pack_sequences,
+    f"""SELECT doc_id, n_tokens,
+       CAST(FLOOR((SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+            / {_PACK_BUDGET}) AS BIGINT) AS seq_id
+FROM (SELECT doc_id, {tx.token_count_sql("text")} AS n_tokens FROM documents)""",
+)
+
+
+def t_top_terms(spark, sf_dir):
+    """Top-3 distinctive terms per doc: rank terms by tf desc, df asc
+    (rarer-is-more-distinctive), term asc — the TF-IDF ordering without
+    the log (integer-only, so the rank is bit-stable in any engine)."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(tx.tokens("text")).alias("word"))
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = (
+        toks.select("doc_id", "word")
+        .distinct()
+        .groupBy("word")
+        .agg(F.count("*").alias("df"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("word").asc()
+    )
+    return (
+        tf.join(df, "word")
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "word", F.col("tf").cast("bigint").alias("tf"),
+                F.col("df").cast("bigint").alias("df"), "rnk")
+    )
+
+
+_register(
+    "t_top_terms",
+    t_top_terms,
+    f"""WITH toks AS (
+  SELECT doc_id, unnest({tx.tokens_sql("text")}) AS word FROM documents
+), tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY doc_id, word
+), df AS (
+  SELECT word, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, word FROM toks)
+  GROUP BY word
+)
+SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, rnk FROM (
+  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+         CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+              ORDER BY tf.tf DESC, df.df ASC, tf.word ASC) AS INT) AS rnk
+  FROM tf JOIN df USING (word)
+) WHERE rnk <= 3""",
+)
+
+
 # --------------------------------------------------------------------------
 # similarity search
 # --------------------------------------------------------------------------

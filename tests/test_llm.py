@@ -108,6 +108,21 @@ def test_simhash_near_for_near_dups(docs_small):
     assert sigs[2] == sigs[4]  # identical text, identical signature
 
 
+def test_dup_clusters_chain(spark):
+    # docs 0~1 and 1~2 are near-dups (transitively 0~2 even though the
+    # direct pair may be under threshold); 3 is unrelated and paired
+    # with nothing -> absent from the output; 4 duplicates 3 exactly.
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    mid = base.replace("alpha", "alpha2")
+    far = mid.replace("mu", "mu2")
+    other = "totally different words about query planners and shuffles here now"
+    docs = _docs(spark, [base, mid, far, other, other])
+    out = {r.doc_id: r.cluster_id for r in dd.dup_clusters(docs, threshold=0.5).collect()}
+    assert out[0] == 0 and out[1] == 0 and out[2] == 0  # one chain component
+    assert out[3] == 3 and out[4] == 3  # exact dup pair
+    assert set(out) == {0, 1, 2, 3, 4}
+
+
 # ---------------------------------------------------------------------------
 # similarity: LSH recall vs brute-force on real embeddings
 # ---------------------------------------------------------------------------
