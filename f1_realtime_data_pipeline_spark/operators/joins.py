@@ -59,3 +59,33 @@ def semi(left: DataFrame, right: DataFrame, on: str | Sequence[str]) -> DataFram
 def anti(left: DataFrame, right: DataFrame, on: str | Sequence[str]) -> DataFrame:
     """NOT EXISTS — rows of ``left`` with no match in ``right``."""
     return left.join(right, on, "left_anti")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: explode the hot-key shuffle across
+    ``salt`` sub-partitions.
+
+    The left (skewed) side gets a deterministic salt from its key
+    (pmod of xxhash64 — any spread works, it only affects placement,
+    never the result); the right side is replicated ``salt`` times
+    with every salt value. The join key becomes (key, salt), so one
+    hot key's rows land on ``salt`` reducers instead of one. Result
+    set is identical to ``left.join(right, on, how)`` — registered as
+    an oracle-checked query against the plain-join SQL.
+
+    Use when AQE's skew-join split isn't available (e.g. the skewed
+    side feeds a window) or the skew is known up front; costs a
+    ``salt``× replication of the right side, so keep the right side
+    the smaller input.
+    """
+    salted_left = left.withColumn("__salt", F.pmod(F.xxhash64(F.col(on)), F.lit(salt)))
+    salts = F.array(*[F.lit(i) for i in range(salt)])
+    salted_right = right.withColumn("__salt", F.explode(salts))
+    out = salted_left.join(salted_right, [on, "__salt"], how)
+    return out.drop("__salt")

@@ -813,3 +813,67 @@ _register(
   )
 ) WHERE __rn = 1""",
 )
+
+def j_salted(spark, sf_dir):
+    """Skew-guard join: salted equi-join of lineitem (skew side) to
+    orders — result identical to the plain join, shuffle spread over
+    16 salt sub-keys. Oracle = the unsalted join."""
+    from f1_realtime_data_pipeline_spark.operators.joins import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity", "l_linenumber")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    return salted_join(li, o, "l_orderkey", salt=16)
+
+
+_register(
+    "j_salted",
+    j_salted,
+    """SELECT l_orderkey, l_quantity, l_linenumber, o_orderpriority
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
+)
+
+
+def p_profile(spark, sf_dir):
+    """Column profiling (per-column rows: count / nulls / distinct /
+    min / max over lineitem's measures) — the scan you run before
+    choosing partition and bucket keys. One pass per column, unioned;
+    doubles compared exactly (min/max are selections, not sums)."""
+    li = _t(spark, sf_dir, "lineitem")
+    parts = []
+    for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax"):
+        parts.append(
+            li.agg(
+                F.lit(c).alias("col_name"),
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_null"),
+                F.countDistinct(c).cast("bigint").alias("n_distinct"),
+                F.min(c).cast("double").alias("min_v"),
+                F.max(c).cast("double").alias("max_v"),
+            )
+        )
+    out = parts[0]
+    for p2 in parts[1:]:
+        out = out.unionAll(p2)
+    return out
+
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_register(
+    "p_profile",
+    p_profile,
+    "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS col_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(MIN({c}) AS DOUBLE) AS min_v,
+       CAST(MAX({c}) AS DOUBLE) AS max_v
+FROM lineitem"""
+        for c in _PROFILE_COLS
+    ),
+)
+

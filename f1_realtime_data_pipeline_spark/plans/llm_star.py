@@ -381,6 +381,100 @@ SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, rnk FRO
 )
 
 
+
+
+def t_normalize(spark, sf_dir):
+    """Text normalization for dedup/tokenization: lowercase, strip
+    non-alphanumerics, collapse whitespace runs, trim. Pure JVM regex
+    (patterns restricted to the RE2 ∩ Java dialect so the oracle
+    agrees); Spark regexp_replace is global, DuckDB needs the 'g'
+    flag."""
+    d = _docs(spark, sf_dir)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        (norm != F.col("text")).alias("changed"),
+    )
+
+
+_register(
+    "t_normalize",
+    t_normalize,
+    r"""SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                           '\s+', ' ', 'g')) AS norm_text,
+       (trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                            '\s+', ' ', 'g')) != text) AS changed
+FROM documents""",
+)
+
+
+def t_redact(spark, sf_dir):
+    """PII-style scrubbing: mask emails then digit runs (order matters
+    — emails may contain digits). Values pinned by pytest on literal
+    texts; the corpus pass is oracle-checked for engine agreement."""
+    d = _docs(spark, sf_dir)
+    red = F.regexp_replace(
+        F.regexp_replace(F.col("text"), r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+", "<EMAIL>"),
+        r"[0-9]+",
+        "<NUM>",
+    )
+    return d.select("doc_id", red.alias("redacted"))
+
+
+_register(
+    "t_redact",
+    t_redact,
+    """SELECT doc_id,
+       regexp_replace(regexp_replace(text,
+           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
+           '[0-9]+', '<NUM>', 'g') AS redacted
+FROM documents""",
+)
+
+
+def t_stratified_sample(spark, sf_dir):
+    """Exact 10% stratified sample per language: rank docs within each
+    lang by a deterministic hash of doc_id (tie-break id) and keep
+    rank <= ceil(0.1 * stratum size). Reproducible in any engine, no
+    RNG; one shuffle on the stratum key."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    hashed = d.select(
+        "doc_id",
+        "lang",
+        F.pmod(F.col("doc_id") * F.lit(_SPLIT_MULT), F.lit(_SPLIT_BUCKETS)).alias("h"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("h").asc(), F.col("doc_id").asc())
+    return (
+        hashed.withColumn("rnk", F.row_number().over(w))
+        .withColumn("n_stratum", F.count("*").over(Window.partitionBy("lang")))
+        .filter(F.col("rnk") <= F.ceil(F.col("n_stratum") * F.lit(0.1)))
+        .select("doc_id", "lang", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+_register(
+    "t_stratified_sample",
+    t_stratified_sample,
+    f"""SELECT doc_id, lang, CAST(rnk AS INT) AS rnk FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+             ORDER BY (doc_id * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} ASC, doc_id ASC) AS rnk,
+         COUNT(*) OVER (PARTITION BY lang) AS n_stratum
+  FROM documents
+) WHERE rnk <= CEIL(n_stratum * CAST(0.1 AS DOUBLE))""",
+)
+
+
 # --------------------------------------------------------------------------
 # similarity search
 # --------------------------------------------------------------------------

@@ -189,6 +189,58 @@ def test_media_byte_stats_matches_payload(spark):
     assert out[1].byte_len == 6  # é is 2 bytes in utf-8
 
 
+def test_redact_pinned(spark):
+    from pyspark.sql import functions as F2
+
+    docs = _docs(
+        spark,
+        [
+            "contact bob.smith+x@example-mail.com or call 555 1234",
+            "no pii here",
+        ],
+    )
+    # same column logic as llm_star.t_redact, on a literal frame
+    red = F2.regexp_replace(
+        F2.regexp_replace(
+            F2.col("text"), r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+", "<EMAIL>"
+        ),
+        r"[0-9]+",
+        "<NUM>",
+    )
+    got = [r.r for r in docs.select(red.alias("r")).collect()]
+    assert got[0] == "contact <EMAIL> or call <NUM> <NUM>"
+    assert got[1] == "no pii here"
+
+
+def test_normalize_pinned(spark):
+    from pyspark.sql import functions as F2
+
+    docs = _docs(spark, ["  Hello,   WORLD!! 42  ", "already clean"])
+    norm = F2.trim(
+        F2.regexp_replace(
+            F2.regexp_replace(F2.lower(F2.col("text")), r"[^a-z0-9\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    got = [r.n for r in docs.select(norm.alias("n")).collect()]
+    assert got == ["hello world 42", "already clean"]
+
+
+def test_stratified_sample_fractions(spark, sf_dir):
+    from f1_realtime_data_pipeline_spark.plans.llm_star import t_stratified_sample
+    from f1_realtime_data_pipeline_spark.sources.parquet import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    strata = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    sampled = t_stratified_sample(spark, sf_dir)
+    got = {r.lang: r.n for r in sampled.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    import math
+
+    for lang, n in strata.items():
+        assert got.get(lang, 0) == math.ceil(0.1 * n), (lang, n, got.get(lang))
+
+
 # ---------------------------------------------------------------------------
 # REST source: injectable fetch fans out over executors
 # ---------------------------------------------------------------------------
