@@ -1,0 +1,118 @@
+"""Plan-shape regression tests: the performance properties SCALE.md
+promises, asserted on the optimized plans so a refactor can't silently
+lose them.
+"""
+
+from __future__ import annotations
+
+import io
+import contextlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from f1_realtime_data_pipeline_spark.sources.parquet import read_table
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_and_pruning(spark, sf_dir):
+    from f1_realtime_data_pipeline_spark.plans.tpch import tpch_q3
+
+    p = _plan(tpch_q3(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in p
+    # lineitem scan reads only the 4 needed of 11 columns
+    assert (
+        "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,"
+        "l_discount:double,l_shipdate:timestamp_ntz>" in p
+    )
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    from f1_realtime_data_pipeline_spark.plans.contract_star import q1_standings
+
+    p = _plan(q1_standings(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p  # dims are broadcast at test scale
+
+
+def test_no_python_udf_in_relational_plans(spark, sf_dir):
+    # the relational + text surface stays JVM-side (BatchEvalPython /
+    # ArrowEvalPython nodes would mean a Python UDF crept in)
+    from f1_realtime_data_pipeline_spark.plans.llm_star import t_quality
+    from f1_realtime_data_pipeline_spark.plans.tpch import tpch_q1
+
+    for df in (tpch_q1(spark, sf_dir), t_quality(spark, sf_dir)):
+        p = _plan(df)
+        assert "EvalPython" not in p
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """Co-located join: bucketing both sides on the join key removes
+    the Exchange entirely — the 100 TB fact⋈fact strategy (SCALE.md).
+    """
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    # a dropped-in-another-session table leaves its managed location
+    # behind; clear it so saveAsTable can't hit LOCATION_ALREADY_EXISTS
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_orders", "b_lineitem"):
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("b_lineitem")
+    # broadcast would beat bucketing at this tiny scale (and disable
+    # it); turn it off to exercise the large-large strategy the
+    # buckets exist for
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bo = spark.table("b_orders")
+        bl = spark.table("b_lineitem")
+        joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey)
+        p = _plan(joined)
+        assert "Exchange" not in p, "bucketed join should not shuffle"
+        # and it still returns the right row count
+        plain = li.join(o, li.l_orderkey == o.o_orderkey)
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_stream_static_broadcast_join(spark, tmp_path):
+    """T9: streaming fact enriched by a static broadcast dimension —
+    the in-stream form of the serving join (J1)."""
+    from f1_realtime_data_pipeline_spark import fixtures
+
+    results = fixtures.race_results(spark)
+    src_dir = str(tmp_path / "src")
+    results.write.parquet(src_dir)
+    stream = spark.readStream.schema(results.schema).parquet(src_dir)
+    dim = fixtures.drivers(spark)
+    enriched = stream.join(F.broadcast(dim), "driver_number", "left")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("t9_enriched")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql("SELECT * FROM t9_enriched")
+        assert out.count() == results.count()
+        # unknown driver (99) survives the left join with null name
+        unknown = out.filter(F.col("driver_number") == "99").collect()
+        assert len(unknown) == 1 and unknown[0].driver_name is None
+    finally:
+        q.stop()
