@@ -75,3 +75,45 @@ def dedup_within_watermark(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def interval_self_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    max_gap: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval bound —
+    pair each left event with right events for the same key within
+    ``max_gap`` AFTER it (e.g. click→conversion attribution).
+
+    Both sides carry watermarks and the join has a time-range
+    condition, so the state store can discard rows older than
+    watermark + gap — the requirement for an unbounded stream-stream
+    join to run with bounded state. Output columns: key, l_ts, r_ts,
+    gap_seconds.
+    """
+    lt = left.withWatermark(ts_col, watermark).select(
+        F.col(key).alias("k"), F.col(ts_col).alias("l_ts")
+    )
+    rt = right.withWatermark(ts_col, watermark).select(
+        F.col(key).alias("k2"), F.col(ts_col).alias("r_ts")
+    )
+    cond = (
+        (F.col("k") == F.col("k2"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_gap}"))
+    )
+    return (
+        lt.join(rt, cond)
+        .select(
+            F.col("k").alias(key),
+            "l_ts",
+            "r_ts",
+            (F.unix_timestamp("r_ts") - F.unix_timestamp("l_ts"))
+            .cast("bigint")
+            .alias("gap_seconds"),
+        )
+    )

@@ -166,3 +166,44 @@ def test_kafka_builders_config_only(spark):
     row = payload.first()
     assert set(payload.columns) == {"key", "value"}
     assert row.key is not None and row.value.startswith("{")
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    # two event streams keyed by user: every pair (l, r) with r within
+    # 1 hour after l must appear; streaming result == batch join.
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        Row(user_id="u1", ts=t0),
+        Row(user_id="u1", ts=t0 + dt.timedelta(minutes=30)),   # joins with t0
+        Row(user_id="u1", ts=t0 + dt.timedelta(hours=3)),      # too late for t0
+        Row(user_id="u2", ts=t0 + dt.timedelta(minutes=10)),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    src = str(tmp_path / "ss_src")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    joined = sw.interval_self_join(stream, stream, key="user_id", max_gap="1 hour")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.gap_seconds)
+        for r in spark.sql("SELECT * FROM ss_join_out").collect()
+    }
+    batch = {
+        (r.user_id, r.gap_seconds)
+        for r in sw.interval_self_join(df, df, key="user_id", max_gap="1 hour").collect()
+    }
+    assert got == batch
+    assert ("u1", 1800) in got           # the 30-minute pair
+    assert ("u1", 0) in got              # self-pairs (r_ts >= l_ts)
+    assert not any(g > 3600 for _, g in got)
