@@ -89,3 +89,74 @@ def salted_join(
     salted_right = right.withColumn("__salt", F.explode(salts))
     out = salted_left.join(salted_right, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str,
+    value_cols: Sequence[str],
+    right_ts_alias: str = "matched_ts",
+) -> DataFrame:
+    """Backward as-of join: attach to each left row the latest right
+    row with the same key and ``right.ts <= left.ts`` (left-outer —
+    unmatched left rows keep nulls). The time-series operator Spark
+    has no native form of (SURVEY.md §2.3 notes its absence in the
+    reference; DuckDB's native ASOF LEFT JOIN is the oracle).
+
+    Implementation is the scalable union trick, NOT a range join:
+    tag both sides, union, and carry the last non-null right payload
+    forward with ``last(col, ignorenulls) OVER (PARTITION BY key
+    ORDER BY ts, side ROWS UNBOUNDED PRECEDING)`` — right rows sort
+    before left rows at equal ts so exact-tie matches are visible.
+    One shuffle on the key, state linear in rows; at 100 TB this is
+    a single sort-within-partitions pass, no candidate blow-up.
+    """
+    lcols = left.columns
+    l = left.withColumn("__side", F.lit(1))
+    for c in value_cols:
+        l = l.withColumn(f"__rv_{c}", F.lit(None).cast(dict(right.dtypes)[c]))
+    l = l.withColumn("__rts", F.lit(None).cast(dict(right.dtypes)[ts_col]))
+    r = right.select(
+        F.col(on),
+        F.col(ts_col),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__rv_{c}") for c in value_cols],
+        F.col(ts_col).alias("__rts"),
+    )
+    for c in lcols:
+        if c not in (on, ts_col):
+            r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    unioned = l.select(
+        on, ts_col, "__side", *[c for c in lcols if c not in (on, ts_col)],
+        *[f"__rv_{c}" for c in value_cols], "__rts",
+    ).unionByName(
+        r.select(
+            on, ts_col, "__side", *[c for c in lcols if c not in (on, ts_col)],
+            *[f"__rv_{c}" for c in value_cols], "__rts",
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"__rv_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
+            for c in value_cols
+        ],
+        F.last("__rts", ignorenulls=True).over(w).alias("__m_ts"),
+    )
+    return (
+        carried.filter(F.col("__side") == 1)
+        .select(
+            *lcols,
+            *[F.col(f"__m_{c}").alias(c) for c in value_cols],
+            F.col("__m_ts").alias(right_ts_alias),
+        )
+    )

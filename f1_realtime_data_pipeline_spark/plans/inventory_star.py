@@ -877,3 +877,47 @@ FROM lineitem"""
     ),
 )
 
+def a_cube(spark, sf_dir):
+    """CUBE with grouping_id: order counts across all subsets of
+    (status, priority) — the full grouping-sets lattice."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+
+_register(
+    "a_cube",
+    a_cube,
+    """SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+)
+
+
+def a_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (median/p90) of order totals per
+    status — Spark ``percentile`` and DuckDB ``quantile_cont`` both
+    use linear interpolation on the sorted set."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+        F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
+    )
+
+
+_register(
+    "a_percentiles",
+    a_percentiles,
+    """SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.9) AS p90
+FROM orders GROUP BY o_orderstatus""",
+)
+

@@ -189,3 +189,41 @@ FROM (
   FROM events
 )""",
 )
+
+def w_asof_attribution(spark, sf_dir):
+    """As-of join over the event stream: each purchase attributed to
+    the user's most recent click at-or-before it (left-outer; null
+    when the user never clicked before). Spark side = union +
+    carry-forward window (operators.joins.asof_join); oracle = native
+    DuckDB ASOF LEFT JOIN — two independent formulations of the same
+    semantics."""
+    from f1_realtime_data_pipeline_spark.operators.joins import asof_join
+
+    ev = read_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", ts_col="ts",
+        value_cols=["click_value"], right_ts_alias="click_ts",
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "click_ts", "click_value",
+    )
+
+
+_register(
+    "w_asof_attribution",
+    w_asof_attribution,
+    """SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+       c.ts AS click_ts, c.value AS click_value
+FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts""",
+)
+

@@ -255,3 +255,39 @@ def test_fetch_urls_fake(spark):
     out = {r.url: (r.status, r.body) for r in fetch_urls(spark, urls, fetch=fake).collect()}
     assert len(out) == 10
     assert out["https://example.test/item/7"] == (200, "body-of-7")
+
+
+# ---------------------------------------------------------------------------
+# as-of join edge cases (operator lives in operators.joins)
+# ---------------------------------------------------------------------------
+
+
+def test_asof_join_edges(spark):
+    import datetime as dt
+
+    from pyspark.sql import Row
+    from f1_realtime_data_pipeline_spark.operators.joins import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 12, m, 0)
+    left = spark.createDataFrame(
+        [
+            Row(k=1, ts=t(10), tag="a"),   # matches right at :05
+            Row(k=1, ts=t(5), tag="b"),    # exact tie with right :05 -> matches it
+            Row(k=1, ts=t(1), tag="c"),    # before any right -> null
+            Row(k=2, ts=t(30), tag="d"),   # key with no right rows -> null
+        ],
+        "k bigint, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, ts=t(5), v=50.0), Row(k=1, ts=t(8), v=80.0)],
+        "k bigint, ts timestamp, v double",
+    )
+    out = {
+        r.tag: (r.v, r.matched_ts)
+        for r in asof_join(left, right, on="k", ts_col="ts", value_cols=["v"]).collect()
+    }
+    assert out["a"] == (80.0, t(8))   # latest at-or-before :10
+    assert out["b"] == (50.0, t(5))   # exact tie is a match
+    assert out["c"] == (None, None)
+    assert out["d"] == (None, None)
+    assert len(out) == 4              # left-outer: all left rows kept
