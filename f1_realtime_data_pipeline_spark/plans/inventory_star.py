@@ -921,3 +921,35 @@ _register(
 FROM orders GROUP BY o_orderstatus""",
 )
 
+def p_array_funcs(spark, sf_dir):
+    """Array/collection surface: collect per-customer order-priority
+    lists (sorted for determinism — bare collect_list is
+    partition-order-dependent), plus size/contains/distinct ops."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.sort_array(F.collect_list("o_orderpriority")).alias("prios"))
+        .select(
+            "o_custkey",
+            F.size("prios").cast("int").alias("n_orders"),
+            F.array_contains("prios", "1-URGENT").alias("has_urgent"),
+            F.size(F.array_distinct("prios")).cast("int").alias("n_distinct_prios"),
+            F.element_at("prios", 1).alias("first_prio"),
+        )
+    )
+
+
+_register(
+    "p_array_funcs",
+    p_array_funcs,
+    """SELECT o_custkey,
+       CAST(len(prios) AS INT) AS n_orders,
+       list_contains(prios, '1-URGENT') AS has_urgent,
+       CAST(len(list_distinct(prios)) AS INT) AS n_distinct_prios,
+       prios[1] AS first_prio
+FROM (
+  SELECT o_custkey, list_sort(list(o_orderpriority)) AS prios
+  FROM orders GROUP BY o_custkey
+)""",
+)
+

@@ -227,3 +227,49 @@ ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click'
   ON p.user_id = c.user_id AND p.ts >= c.ts""",
 )
 
+def w_interval_join(spark, sf_dir):
+    """Batch form of the stream-stream interval join (attribution
+    shape): every (click, purchase) pair per user with the purchase
+    inside the hour after the click. Equi-join on user_id with a
+    range post-filter — per-key candidate sets, never a global range
+    scan; the streaming twin (streaming.windows.interval_self_join)
+    runs the same condition with watermark-bounded state."""
+    ev = read_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("ts").alias("purchase_ts")
+    )
+    return (
+        clicks.join(purchases, "user_id")
+        .filter(
+            (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .select(
+            "user_id",
+            "click_ts",
+            "purchase_ts",
+            # microsecond difference floor-divided: truncating each
+            # endpoint to seconds first (unix_timestamp) disagrees with
+            # engines that keep fractions (epoch() in DuckDB)
+            F.expr(
+                "(unix_micros(purchase_ts) - unix_micros(click_ts)) DIV 1000000"
+            ).alias("gap_seconds"),
+        )
+    )
+
+
+_register(
+    "w_interval_join",
+    w_interval_join,
+    """SELECT c.user_id, c.ts AS click_ts, p.ts AS purchase_ts,
+       (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_seconds
+FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 1 HOUR"""
+)
+

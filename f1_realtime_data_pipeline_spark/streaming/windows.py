@@ -112,8 +112,10 @@ def interval_self_join(
             F.col("k").alias(key),
             "l_ts",
             "r_ts",
-            (F.unix_timestamp("r_ts") - F.unix_timestamp("l_ts"))
-            .cast("bigint")
-            .alias("gap_seconds"),
+            # true floored gap: endpoint truncation (unix_timestamp)
+            # over-/under-counts when fractions straddle a second
+            F.expr("(unix_micros(r_ts) - unix_micros(l_ts)) DIV 1000000").alias(
+                "gap_seconds"
+            ),
         )
     )
