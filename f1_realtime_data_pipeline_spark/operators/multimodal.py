@@ -90,3 +90,57 @@ MEDIA_BYTE_STATS_SQL = """SELECT doc_id,
        CAST(octet_length(encode(text)) AS INT) AS byte_len,
        'application/octet-stream' AS mime
 FROM documents"""
+
+
+#: resize target: fit into a 224x224 box preserving aspect ratio
+RESIZE_BOX = 224
+
+
+def resize_plan(decoded: DataFrame) -> DataFrame:
+    """Resize planning: target dimensions fitting each image into a
+    RESIZE_BOX² box preserving aspect ratio — pure integer/JVM
+    arithmetic over the decoded metadata (the actual pixel resample
+    would ride the same mapInPandas as the decoder; planning dims is
+    the engine's job and is oracle-checkable).
+
+    target = (dim * BOX) DIV max(w, h) — INTEGER division, not a
+    float scale then cast (double→int casts truncate in Spark but
+    round in DuckDB — the same trap as simhash bit extraction).
+    """
+    longest = F.greatest(F.col("width"), F.col("height"))
+    tw = F.expr(f"CAST((width * {RESIZE_BOX}) DIV greatest(width, height) AS INT)")
+    th = F.expr(f"CAST((height * {RESIZE_BOX}) DIV greatest(width, height) AS INT)")
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        tw.alias("target_w"),
+        th.alias("target_h"),
+        ((F.col("width") > RESIZE_BOX) | (F.col("height") > RESIZE_BOX)).alias(
+            "downscaled"
+        ),
+    )
+
+
+def frame_sample(media: DataFrame, every_k: int = 2) -> DataFrame:
+    """Frame sampling plumbing: one output row per kept frame index
+    (every ``every_k``-th of n_frames), via the same Arrow-batched
+    mapInPandas path a real video decoder would use. Output is narrow
+    (doc_id, frame_idx, frame_bytes-placeholder-length) — the binary
+    never shuffles."""
+    import pandas as pd
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame_len": []}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = 1 + len(payload) % 3  # n_frames, same fake as decode
+                for idx in range(0, n, every_k):
+                    rows["doc_id"].append(did)
+                    rows["frame_idx"].append(idx)
+                    rows["frame_len"].append(len(payload) // n)
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        sample, "doc_id bigint, frame_idx int, frame_len int"
+    )

@@ -547,3 +547,47 @@ def m_decoded_meta(spark, sf_dir):
 
 
 _register("m_decoded_meta", m_decoded_meta, None)
+
+def m_resize_plan(spark, sf_dir):
+    """Resize planning over decoded dims: fit every image into a
+    224x224 box with integer-exact target dimensions. Dims here come
+    from the stub decoder's deterministic formula expressed JVM-side
+    (width = 64 + len%64, height = 64 + (len//64)%64 — identical to
+    multimodal.fake_decode_image), so the whole plan is
+    oracle-checkable; with a real codec the dims column comes from
+    decode_media and the planning stage is unchanged."""
+    media = mm.attach_binary_payload(_docs(spark, sf_dir))
+    decoded = media.select(
+        "doc_id",
+        (F.lit(64) + F.length("payload") % 64).cast("int").alias("width"),
+        (F.lit(64) + (F.expr("length(payload) DIV 64")) % 64).cast("int").alias("height"),
+    )
+    return mm.resize_plan(decoded)
+
+
+_register(
+    "m_resize_plan",
+    m_resize_plan,
+    f"""WITH decoded AS (
+  SELECT doc_id,
+         CAST(64 + octet_length(encode(text)) % 64 AS INT) AS width,
+         CAST(64 + (octet_length(encode(text)) // 64) % 64 AS INT) AS height
+  FROM documents
+)
+SELECT doc_id, width, height,
+       CAST((width * {mm.RESIZE_BOX}) // greatest(width, height) AS INT) AS target_w,
+       CAST((height * {mm.RESIZE_BOX}) // greatest(width, height) AS INT) AS target_h,
+       (width > {mm.RESIZE_BOX} OR height > {mm.RESIZE_BOX}) AS downscaled
+FROM decoded""",
+)
+
+
+def m_frame_sample(spark, sf_dir):
+    """Frame-sampling plumbing (every 2nd frame) through the Arrow
+    mapInPandas path — engine-side Python, rows-only; values pinned by
+    pytest."""
+    return mm.frame_sample(mm.attach_binary_payload(_docs(spark, sf_dir)), every_k=2)
+
+
+_register("m_frame_sample", m_frame_sample, None)
+

@@ -273,3 +273,55 @@ JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
  AND p.ts <= c.ts + INTERVAL 1 HOUR"""
 )
 
+def w_funnel(spark, sf_dir):
+    """Ordered conversion funnel signup → click → purchase: a user
+    counts at each stage only if the stage events happen in order
+    (first signup <= first subsequent click <= first subsequent
+    purchase). One pivot of min-timestamps per user (single shuffle),
+    stage predicates as conditional counts."""
+    ev = read_events(spark, sf_dir)
+    per_user = (
+        ev.filter(F.col("event_type").isin("signup", "click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+            F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+                "t_purchase"
+            ),
+        )
+    )
+    s1 = F.col("t_signup").isNotNull()
+    s2 = s1 & F.col("t_click").isNotNull() & (F.col("t_click") >= F.col("t_signup"))
+    s3 = s2 & F.col("t_purchase").isNotNull() & (F.col("t_purchase") >= F.col("t_click"))
+    return per_user.agg(
+        F.sum(s1.cast("int")).cast("bigint").alias("n_signup"),
+        F.sum(s2.cast("int")).cast("bigint").alias("n_signup_click"),
+        F.sum(s3.cast("int")).cast("bigint").alias("n_full_funnel"),
+    )
+
+
+_register(
+    "w_funnel",
+    w_funnel,
+    """WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events
+  WHERE event_type IN ('signup', 'click', 'purchase')
+  GROUP BY user_id
+)
+SELECT CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_signup,
+       CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click IS NOT NULL
+                      AND t_click >= t_signup THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_signup_click,
+       CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click IS NOT NULL
+                      AND t_click >= t_signup AND t_purchase IS NOT NULL
+                      AND t_purchase >= t_click THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_full_funnel
+FROM per_user""",
+)
+

@@ -291,3 +291,14 @@ def test_asof_join_edges(spark):
     assert out["c"] == (None, None)
     assert out["d"] == (None, None)
     assert len(out) == 4              # left-outer: all left rows kept
+
+
+def test_frame_sample_pinned(spark):
+    docs = _docs(spark, ["abcdefg", "xy"])  # len 7 -> n_frames 2; len 2 -> 3
+    out = sorted(
+        (r.doc_id, r.frame_idx, r.frame_len)
+        for r in mm.frame_sample(mm.attach_binary_payload(docs), every_k=2).collect()
+    )
+    # doc 0: frames {0,1}, keep idx 0; frame_len 7//2=3
+    # doc 1: frames {0,1,2}, keep idx 0 and 2; frame_len 2//3=0
+    assert out == [(0, 0, 3), (1, 0, 0), (1, 2, 0)]
