@@ -158,14 +158,23 @@ def ngram_jaccard_pairs(
     sharing a shingle → count common → Jaccard vs the two set sizes.
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
-    sh = doc_shingles(docs, n)
-    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    sh = (
-        sh.join(F.broadcast(df_counts.filter(F.col("df") > max_doc_freq)), "shingle", "left_anti")
+    # the shingle relation feeds four branches (df counts, sizes, both
+    # self-join sides) — persist so the corpus is scanned/exploded once
+    sh_raw = doc_shingles(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
+    df_counts = sh_raw.groupBy("shingle").agg(F.count("*").alias("df"))
+    sh = sh_raw.join(
+        F.broadcast(df_counts.filter(F.col("df") > max_doc_freq)), "shingle", "left_anti"
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # df=1 shingles cannot produce a pair — keep them in `sizes` (they
+    # count toward the union) but drop them from the self-join input
+    pairable = sh.join(
+        F.broadcast(df_counts.filter((F.col("df") >= 2) & (F.col("df") <= max_doc_freq))),
+        "shingle",
+        "left_semi",
+    )
+    a = pairable.alias("a")
+    b = pairable.alias("b")
     common = (
         a.join(b, "shingle")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
