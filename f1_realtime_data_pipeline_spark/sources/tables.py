@@ -83,3 +83,24 @@ def drop_all_user_tables(spark: SparkSession, database: str | None = None) -> li
     for name in names:
         spark.sql(f"DROP TABLE IF EXISTS {prefix}{name}")
     return names
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: Sequence[str], mode: str = "overwrite"
+) -> None:
+    """Hive-style partitioned parquet layout — the 100 TB fact-table
+    shape (SCALE.md): scans with a predicate on a partition column
+    read only matching directories (partition pruning, visible as
+    PartitionFilters in the scan node)."""
+    df.write.partitionBy(*partition_cols).mode(mode).parquet(path)
+
+
+def compact(df: DataFrame, target_rows_per_file: int = 1_000_000) -> DataFrame:
+    """Small-files compaction: coalesce to ceil(rows/target) output
+    partitions before a write. Uses a cheap count (metadata-only on
+    parquet sources); at 100 TB drive this from table statistics
+    instead. `coalesce` (not repartition) — no shuffle, just merges
+    read splits."""
+    n = df.count()
+    n_files = max(1, -(-n // target_rows_per_file))
+    return df.coalesce(n_files)

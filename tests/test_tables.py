@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from f1_realtime_data_pipeline_spark.sources.tables import (
     create_table_if_not_exists,
@@ -41,3 +42,40 @@ def test_ddl_catalog_roundtrip(spark):
     dropped = drop_all_user_tables(spark)
     assert {"t_life", "t_life2"} <= set(dropped)
     assert list_user_tables(spark) == []
+
+
+def test_partition_pruning(spark, sf_dir, tmp_path):
+    import contextlib
+    import io
+
+    from f1_realtime_data_pipeline_spark.sources.parquet import read_events
+    from f1_realtime_data_pipeline_spark.sources.tables import write_partitioned
+
+    ev = read_events(spark, sf_dir)
+    path = str(tmp_path / "events_part")
+    write_partitioned(ev, path, ["event_type"])
+    pruned = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1].split("\n")[0]
+    # pruning is semantic too: the filtered read equals the base filter
+    assert pruned.count() == ev.filter(F.col("event_type") == "click").count()
+
+
+def test_compact_file_count(spark, sf_dir, tmp_path):
+    from f1_realtime_data_pipeline_spark.sources.tables import compact
+    from f1_realtime_data_pipeline_spark.sources.parquet import read_table
+
+    # simulate the small-files problem: 32 splits of 6000 rows, then
+    # compact to ceil(6000/2000) = 3 files (coalesce merges splits,
+    # it cannot split — exactly the compaction direction)
+    li = read_table(spark, sf_dir, "lineitem").repartition(32)
+    out = str(tmp_path / "compacted")
+    compact(li, target_rows_per_file=2000).write.parquet(out)
+    import glob
+
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert len(files) == 3
+    assert spark.read.parquet(out).count() == 6000
