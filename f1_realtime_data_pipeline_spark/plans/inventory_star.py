@@ -953,3 +953,34 @@ FROM (
 )""",
 )
 
+def p_key_skew(spark, sf_dir):
+    """Join-key skew diagnostic: the 10 hottest lineitem order keys
+    with their share of all rows — the query you run before deciding
+    whether a join needs salting (operators.joins.salted_join) or AQE
+    skew handling. Share is one double divide over exact counts."""
+    li = _t(spark, sf_dir, "lineitem")
+    total = li.agg(F.count("*").alias("__total"))
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .crossJoin(F.broadcast(total))
+        .withColumn("share", F.col("n").cast("double") / F.col("__total").cast("double"))
+        .drop("__total")
+    )
+
+
+_register(
+    "p_key_skew",
+    p_key_skew,
+    """SELECT l_orderkey, n,
+       CAST(n AS DOUBLE) / CAST((SELECT COUNT(*) FROM lineitem) AS DOUBLE) AS share
+FROM (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY l_orderkey
+)
+ORDER BY n DESC, l_orderkey ASC
+LIMIT 10""",
+)
+

@@ -325,3 +325,35 @@ SELECT CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
 FROM per_user""",
 )
 
+def w_json_props(spark, sf_dir):
+    """Typed JSON-property extraction from the event payload
+    (schema-on-read: props is a JSON string column) aggregated per
+    event_type — get_json_object path navigation + cast, all JVM."""
+    ev = read_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").cast("bigint").alias("n_with_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("int").alias("min_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_register(
+    "w_json_props",
+    w_json_props,
+    """SELECT event_type,
+       CAST(COUNT(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS n_with_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type""",
+)
+
