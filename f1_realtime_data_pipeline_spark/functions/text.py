@@ -38,14 +38,22 @@ SIMHASH_BITS = 16
 FP_POWERS = [pow(31, k, HASH_MOD) for k in range(8)]
 
 
+#: whitespace as an EXPLICIT class — `\s` is engine-dependent at the
+#: edges (Java adds \x0B, Python adds \x1c-\x1f, RE2 has neither), so
+#: a doc containing those chars would silently break oracle parity.
+#: The explicit class means the same five chars in Java, RE2, and the
+#: Python model used by the property tests.
+WHITESPACE_CLASS = r"[ \t\n\x0B\f\r]"
+
+
 def tokens(text: Column | str) -> Column:
-    """Lowercased whitespace tokens."""
+    """Lowercased whitespace tokens (explicit whitespace class)."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.split(F.lower(c), r"\s+")
+    return F.split(F.lower(c), WHITESPACE_CLASS + "+")
 
 
 def tokens_sql(expr: str) -> str:
-    return f"string_split_regex(lower({expr}), '\\s+')"
+    return f"string_split_regex(lower({expr}), '{WHITESPACE_CLASS}+')"
 
 
 def token_count(text: Column | str) -> Column:
@@ -64,13 +72,15 @@ def bpe_ish_tokens(text: Column | str) -> Column:
     hand). Regex kept RE2-compatible so the oracle matches."""
     c = F.col(text) if isinstance(text, str) else text
     # extract all: letter runs (≤4 chars per piece), digit runs, punct
-    return F.regexp_extract_all(F.lower(c), F.lit(r"[a-z]{1,4}|[0-9]+|[^a-z0-9\s]"), 0)
+    # (explicit whitespace class — see WHITESPACE_CLASS)
+    pat = r"[a-z]{1,4}|[0-9]+|[^a-z0-9 \t\n\x0B\f\r]"
+    return F.regexp_extract_all(F.lower(c), F.lit(pat), 0)
 
 
 def bpe_ish_count_sql(expr: str) -> str:
     return (
         f"CAST(len(regexp_extract_all(lower({expr}), "
-        f"'[a-z]{{1,4}}|[0-9]+|[^a-z0-9\\s]')) AS INT)"
+        f"'[a-z]{{1,4}}|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]')) AS INT)"
     )
 
 

@@ -392,8 +392,10 @@ def t_normalize(spark, sf_dir):
     d = _docs(spark, sf_dir)
     norm = F.trim(
         F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),
-            r"\s+",
+            F.regexp_replace(
+                F.lower(F.col("text")), r"[^a-z0-9 \t\n\x0B\f\r]", ""
+            ),
+            r"[ \t\n\x0B\f\r]+",
             " ",
         )
     )
@@ -408,10 +410,10 @@ _register(
     "t_normalize",
     t_normalize,
     r"""SELECT doc_id,
-       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
-                           '\s+', ' ', 'g')) AS norm_text,
-       (trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
-                            '\s+', ' ', 'g')) != text) AS changed
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 \t\n\x0B\f\r]', '', 'g'),
+                           '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm_text,
+       (trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 \t\n\x0B\f\r]', '', 'g'),
+                            '[ \t\n\x0B\f\r]+', ' ', 'g')) != text) AS changed
 FROM documents""",
 )
 

@@ -20,3 +20,10 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_SMOKE
+
+
+@pytest.fixture(scope="session")
+def spark_prop(spark):
+    """Alias fixture for property tests (hypothesis manages examples;
+    the session-scoped SparkSession is reused across them)."""
+    return spark

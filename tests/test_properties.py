@@ -1,0 +1,91 @@
+"""Property-based tests (hypothesis) for the determinism contracts the
+oracle depends on. Each property runs few examples (a Spark job per
+example) but generates adversarial shapes a hand-written fixture
+wouldn't — duplicate keys, empty inputs, boundary decimals, unicode.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from f1_realtime_data_pipeline_spark.functions.text import token_count
+from f1_realtime_data_pipeline_spark.operators.aggregations import cents
+from f1_realtime_data_pipeline_spark.operators.joins import salted_join
+from f1_realtime_data_pipeline_spark.sources.tables import upsert_last_wins
+
+_SETTINGS = dict(max_examples=5, deadline=None)
+
+_key = st.integers(min_value=0, max_value=9)
+_val = st.text(alphabet="abcxyz", min_size=1, max_size=4)
+
+
+@settings(**_SETTINGS)
+@given(
+    base=st.lists(st.tuples(_key, _val), max_size=12, unique_by=lambda t: t[0]),
+    updates=st.lists(st.tuples(_key, _val), max_size=12, unique_by=lambda t: t[0]),
+)
+def test_upsert_is_dict_merge(spark_prop, base, updates):
+    schema = "k bigint, v string"
+    b = spark_prop.createDataFrame([Row(k=k, v=v) for k, v in base], schema)
+    u = spark_prop.createDataFrame([Row(k=k, v=v) for k, v in updates], schema)
+    got = {r.k: r.v for r in upsert_last_wins(b, u, ["k"]).collect()}
+    assert got == {**dict(base), **dict(updates)}
+
+
+@settings(**_SETTINGS)
+@given(
+    vals=st.lists(
+        st.decimals(
+            min_value=-10**6, max_value=10**6, places=2, allow_nan=False
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_cents_exact_on_two_decimal_values(spark_prop, vals):
+    # every 2-decimal value scales to its exact integer cents through
+    # the double round-trip (the oracle-exact money contract)
+    df = spark_prop.createDataFrame([Row(x=float(v)) for v in vals], "x double")
+    got = [r.c for r in df.select(cents("x").alias("c")).collect()]
+    assert got == [int(v * 100) for v in vals]
+
+
+@settings(**_SETTINGS)
+@given(
+    left=st.lists(st.tuples(_key, st.integers(0, 100)), max_size=15),
+    right=st.lists(st.tuples(_key, _val), max_size=10, unique_by=lambda t: t[0]),
+)
+def test_salted_join_equals_plain_join(spark_prop, left, right):
+    l = spark_prop.createDataFrame(
+        [Row(k=k, n=n) for k, n in left], "k bigint, n bigint"
+    )
+    r = spark_prop.createDataFrame(
+        [Row(k=k, v=v) for k, v in right], "k bigint, v string"
+    )
+    salted = {(t.k, t.n, t.v) for t in salted_join(l, r, "k", salt=4).collect()}
+    plain = {(t.k, t.n, t.v) for t in l.join(r, "k").collect()}
+    assert salted == plain
+
+
+@settings(**_SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+                min_size=1, max_size=30),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_token_count_matches_python_split(spark_prop, texts):
+    # the tokenizer contract: count == split on the engine-portable
+    # explicit whitespace class (bare \s differs between Java, RE2,
+    # and Python at the edges — \x0B, \x1c-\x1f)
+    import re
+
+    df = spark_prop.createDataFrame([Row(t=t) for t in texts], "t string")
+    got = [r.n for r in df.select(token_count("t").alias("n")).collect()]
+    expected = [len(re.split(r"[ \t\n\x0B\f\r]+", t.lower())) for t in texts]
+    assert got == expected
