@@ -357,3 +357,53 @@ GROUP BY event_type
 ORDER BY event_type""",
 )
 
+def w_lateness_audit(spark, sf_dir):
+    """Watermark lateness audit: which events would a 30-minute
+    watermark have dropped? Using event_id as the arrival-order proxy
+    (the generator emits in arrival order), an event is late when its
+    event time sits more than the delay behind the running max event
+    time at its arrival. The observability query you run BEFORE
+    choosing a watermark delay (T6) — per-type late counts + share."""
+    ev = read_events(spark, sf_dir)
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_wm = ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.max("ts").over(w).alias("max_seen"),
+    )
+    late = F.col("ts") < F.col("max_seen") - F.expr("INTERVAL 30 MINUTES")
+    return (
+        with_wm.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(late.cast("int")).cast("bigint").alias("n_late"),
+        )
+        .withColumn(
+            "late_share",
+            F.col("n_late").cast("double") / F.col("n_events").cast("double"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_register(
+    "w_lateness_audit",
+    w_lateness_audit,
+    """WITH with_wm AS (
+  SELECT event_id, event_type, ts,
+         MAX(ts) OVER (ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS max_seen
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN ts < max_seen - INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_late,
+       CAST(SUM(CASE WHEN ts < max_seen - INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS late_share
+FROM with_wm
+GROUP BY event_type
+ORDER BY event_type""",
+)
+
