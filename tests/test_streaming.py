@@ -207,3 +207,26 @@ def test_stream_stream_interval_join(spark, tmp_path):
     assert ("u1", 1800) in got           # the 30-minute pair
     assert ("u1", 0) in got              # self-pairs (r_ts >= l_ts)
     assert not any(g > 3600 for _, g in got)
+
+
+def test_checkpoint_resume_processes_only_new_data(spark, tmpdirs):
+    # T3/T4: restart with the SAME checkpoint — committed offsets are
+    # honored, only newly-arrived files are processed (vs the fresh-
+    # checkpoint full replay in test_replay_pipeline_end_to_end).
+    lines = _raw_lines(spark)
+    write_replay_batch(tmpdirs["source"], lines[:6], 0)
+    q = start_replay_pipeline(spark, tmpdirs["source"], tmpdirs["sink"], tmpdirs["ckpt"])
+    q.awaitTermination(120)
+    n_first = spark.read.parquet(tmpdirs["sink"]).count()
+    assert n_first > 0
+
+    # new producer flush arrives while the query is down
+    write_replay_batch(tmpdirs["source"], lines[6:], 1)
+    q2 = start_replay_pipeline(spark, tmpdirs["source"], tmpdirs["sink"], tmpdirs["ckpt"])
+    q2.awaitTermination(120)
+    out = spark.read.parquet(tmpdirs["sink"])
+    # all 10 unique keys present exactly once — batch 0 was not
+    # reprocessed (idempotent sink would hide dup rows, but offset
+    # reuse is observable through Spark's streaming progress)
+    assert out.count() == 10
+    assert q2.lastProgress is None or q2.lastProgress["numInputRows"] <= len(lines[6:])
