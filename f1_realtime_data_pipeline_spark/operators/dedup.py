@@ -559,3 +559,138 @@ def dup_clusters_sql(threshold: float = 0.5) -> str:
 SELECT src AS doc_id,
        LEAST(src, MIN(dst)) AS cluster_id
 FROM reach GROUP BY src"""
+
+
+# ---------------------------------------------------------------------------
+# span-level exact dedup (C4/RefinedWeb-style line dedup, token-window form)
+# ---------------------------------------------------------------------------
+
+#: tokens per span for span-level dedup (the corpus has no newlines or
+#: sentence punctuation, so fixed token windows stand in for "lines")
+SPAN_TOKENS = 8
+
+
+def doc_spans(docs: DataFrame, span_tokens: int = SPAN_TOKENS) -> DataFrame:
+    """(doc_id, span_pos, span) — consecutive ``span_tokens``-token
+    windows of each document, tail partial span included.
+
+    JVM-side only: the token array is materialized first (a lambda
+    that inlines split() re-runs it per element), span count is exact
+    integer math ``(len + k - 1) DIV k``, and the span text is an
+    array_join over a slice. Map-only — no shuffle.
+    """
+    k = span_tokens
+    with_toks = docs.select("doc_id", tokens("text").alias("toks"))
+    toks = F.col("toks")
+    n_spans = F.expr(f"(size(toks) + {k - 1}) DIV {k}").cast("int")
+    spans = F.when(n_spans > 0, F.sequence(F.lit(0), n_spans - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return with_toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(spans, lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "))
+        ).alias("span_pos", "span"),
+    ).select("doc_id", F.col("span_pos").cast("int").alias("span_pos"), "span")
+
+
+def span_dedup(docs: DataFrame, span_tokens: int = SPAN_TOKENS) -> DataFrame:
+    """Span-level exact dedup: every span of every doc, flagged
+    ``keep`` iff it is the corpus-wide first occurrence of that exact
+    span text (first = smallest (doc_id, span_pos)).
+
+    This is C4/RefinedWeb line-dedup re-expressed over token windows:
+    one shuffle on the span text (the window partition key); the
+    downstream "rebuild the cleaned document" step is a groupBy(doc_id)
+    over kept spans. Hot spans (boilerplate) are bounded: each
+    partition holds one span string's occurrences, and the window
+    computes only row_number — no cross-occurrence blow-up.
+    """
+    w = Window.partitionBy("span").orderBy(F.col("doc_id").asc(), F.col("span_pos").asc())
+    return doc_spans(docs, span_tokens).select(
+        "doc_id",
+        "span_pos",
+        "span",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
+def span_dedup_sql(span_tokens: int = SPAN_TOKENS) -> str:
+    k = span_tokens
+    return f"""WITH t AS (
+  SELECT doc_id, {tokens_sql("text")} AS toks FROM documents
+), spans AS (
+  SELECT doc_id,
+         CAST(unnest(range(0, (len(toks) + {k - 1}) // {k})) AS INT) AS span_pos,
+         toks
+  FROM t
+)
+SELECT doc_id, span_pos,
+       array_to_string(list_slice(toks, span_pos * {k} + 1, span_pos * {k} + {k}), ' ') AS span,
+       (ROW_NUMBER() OVER (
+          PARTITION BY array_to_string(list_slice(toks, span_pos * {k} + 1, span_pos * {k} + {k}), ' ')
+          ORDER BY doc_id ASC, span_pos ASC) = 1) AS keep
+FROM spans"""
+
+
+# ---------------------------------------------------------------------------
+# test-set decontamination (train↔test n-gram overlap)
+# ---------------------------------------------------------------------------
+
+#: the train/test assignment must match plans.llm_star.t_train_split
+_SPLIT_MULT = 2654435761
+_SPLIT_BUCKETS = 1000
+_TRAIN_LT, _TEST_GE = 800, 900
+
+
+def contamination(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Test-set decontamination scan: for every *train* document, how
+    many of its distinct word ``n``-gram shingles also occur in any
+    *test* document (split = the deterministic t_train_split hash).
+
+    Scale shape: the test split is ~10% of the corpus and its distinct
+    shingle set is the small side — broadcast it, so the scan over
+    train shingles is map-side (no shuffle on the join). The only
+    shuffle is the final groupBy(doc_id) partial-agg rollup. At 100 TB
+    the broadcast becomes a bucketed/bloom-filter semi-join, same
+    plan shape.
+
+    Output: (doc_id, n_shingles, n_contaminated, contamination_ratio)
+    for each train doc with at least one shingle (≥ n tokens).
+    """
+    bucket = F.pmod(F.col("doc_id") * F.lit(_SPLIT_MULT), F.lit(_SPLIT_BUCKETS))
+    sh = doc_shingles(docs, n).withColumn("bucket", bucket)
+    train_sh = sh.filter(F.col("bucket") < _TRAIN_LT).drop("bucket")
+    test_sh = (
+        sh.filter(F.col("bucket") >= _TEST_GE)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        train_sh.join(F.broadcast(test_sh), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.count("hit").cast("bigint").alias("n_contaminated"),
+            (F.count("hit").cast("double") / F.count("*")).alias("contamination_ratio"),
+        )
+    )
+
+
+def contamination_sql(n: int = 3) -> str:
+    return f"""WITH sh AS (
+  {_doc_shingles_sql(n)}
+), train_sh AS (
+  SELECT doc_id, shingle FROM sh
+  WHERE (doc_id * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} < {_TRAIN_LT}
+), test_sh AS (
+  SELECT DISTINCT shingle FROM sh
+  WHERE (doc_id * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} >= {_TEST_GE}
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(COUNT(x.shingle) AS BIGINT) AS n_contaminated,
+       (CAST(COUNT(x.shingle) AS DOUBLE) / COUNT(*)) AS contamination_ratio
+FROM train_sh t LEFT JOIN test_sh x ON t.shingle = x.shingle
+GROUP BY t.doc_id"""

@@ -593,3 +593,93 @@ def m_frame_sample(spark, sf_dir):
 
 _register("m_frame_sample", m_frame_sample, None)
 
+
+# --------------------------------------------------------------------------
+# corpus hygiene: span dedup, decontamination, repetition
+# --------------------------------------------------------------------------
+
+
+def d_span_dedup(spark, sf_dir):
+    """C4/RefinedWeb-style line dedup over fixed 8-token spans: every
+    span flagged keep iff it's the corpus-wide first occurrence. One
+    shuffle on the span text."""
+    return dd.span_dedup(_docs(spark, sf_dir))
+
+
+_register("d_span_dedup", d_span_dedup, dd.span_dedup_sql())
+
+
+def t_contamination(spark, sf_dir):
+    """Train↔test decontamination: distinct 3-gram overlap of every
+    train doc against the broadcast test-split shingle set."""
+    return dd.contamination(_docs(spark, sf_dir), n=3)
+
+
+_register("t_contamination", t_contamination, dd.contamination_sql(3))
+
+
+def t_repetition(spark, sf_dir):
+    """Within-document repetition signal (Gopher-style quality filter):
+    duplicated-n-gram fraction for n=2,3. The n-gram arrays are
+    materialized as columns first (an inlined transform re-evaluates
+    split() per reference), then one map-only projection computes
+    sizes — no shuffle, no UDF."""
+    d = _docs(spark, sf_dir)
+    with_toks = d.select("doc_id", tx.tokens("text").alias("toks"))
+    toks = F.col("toks")
+
+    def grams(n):
+        return F.transform(
+            F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+            lambda _, i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+
+    arrs = with_toks.select("doc_id", grams(2).alias("g2"), grams(3).alias("g3"))
+
+    def dup_frac(col, dcol):
+        n = F.col(col)
+        return (
+            F.when(n > 0, (n - F.col(dcol)).cast("double") / n)
+            .otherwise(F.lit(0.0))
+        )
+
+    sized = arrs.select(
+        "doc_id",
+        F.size("g2").cast("int").alias("n_2grams"),
+        F.size(F.array_distinct("g2")).cast("int").alias("d2"),
+        F.size("g3").cast("int").alias("n_3grams"),
+        F.size(F.array_distinct("g3")).cast("int").alias("d3"),
+    )
+    return sized.select(
+        "doc_id",
+        "n_2grams",
+        dup_frac("n_2grams", "d2").alias("dup_2gram_frac"),
+        "n_3grams",
+        dup_frac("n_3grams", "d3").alias("dup_3gram_frac"),
+    )
+
+
+_register(
+    "t_repetition",
+    t_repetition,
+    f"""WITH t AS (
+  SELECT doc_id, {tx.tokens_sql("text")} AS toks FROM documents
+), a AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                        i -> array_to_string(list_slice(toks, i, i + 1), ' ')) AS g2,
+         list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                        i -> array_to_string(list_slice(toks, i, i + 2), ' ')) AS g3
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(g2) AS INT) AS n_2grams,
+       CASE WHEN len(g2) > 0
+            THEN CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2)
+            ELSE CAST(0.0 AS DOUBLE) END AS dup_2gram_frac,
+       CAST(len(g3) AS INT) AS n_3grams,
+       CASE WHEN len(g3) > 0
+            THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
+            ELSE CAST(0.0 AS DOUBLE) END AS dup_3gram_frac
+FROM a""",
+)

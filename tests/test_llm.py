@@ -302,3 +302,61 @@ def test_frame_sample_pinned(spark):
     # doc 0: frames {0,1}, keep idx 0; frame_len 7//2=3
     # doc 1: frames {0,1,2}, keep idx 0 and 2; frame_len 2//3=0
     assert out == [(0, 0, 3), (1, 0, 0), (1, 2, 0)]
+
+
+# ---------------------------------------------------------------------------
+# span dedup / contamination / repetition
+# ---------------------------------------------------------------------------
+
+
+def test_span_dedup_first_occurrence(spark):
+    # 8-token spans: doc0 = two identical spans; doc1 repeats doc0's span.
+    span = "a b c d e f g h"
+    df = _docs(spark, [span + " " + span, span + " tail words here", "unrelated text"])
+    out = {
+        (r.doc_id, r.span_pos): (r.span, r.keep)
+        for r in dd.span_dedup(df).collect()
+    }
+    assert out[(0, 0)] == (span, True)       # first occurrence corpus-wide
+    assert out[(0, 1)] == (span, False)      # repeat within the same doc
+    assert out[(1, 0)] == (span, False)      # repeat in a later doc
+    assert out[(1, 1)][1] is True            # partial tail span kept
+    assert out[(1, 1)][0] == "tail words here"
+    assert out[(2, 0)] == ("unrelated text", True)
+
+
+def test_contamination_overlap(spark):
+    # doc_id * 2654435761 % 1000: pick ids landing in train (<800) and
+    # test (>=900) buckets.  id=1 -> 761 (train), id=3 -> 283 (train),
+    # id=7 -> 327 (train), id=13 -> 893... verify dynamically instead.
+    mult, buckets = 2654435761, 1000
+    train_ids = [i for i in range(50) if (i * mult) % buckets < 800]
+    test_ids = [i for i in range(50) if (i * mult) % buckets >= 900]
+    a, b = train_ids[0], test_ids[0]
+    shared = "alpha beta gamma delta"          # 2 shared 3-gram shingles
+    rows = [
+        Row(doc_id=a, text=shared + " unique tail words"),
+        Row(doc_id=b, text=shared + " other ending entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in dd.contamination(df, n=3).collect()}
+    assert set(out) == {a}                     # only train docs reported
+    r = out[a]
+    # train doc has 5 shingles (7 tokens), 2 of them in the test doc
+    assert (r.n_shingles, r.n_contaminated) == (5, 2)
+    assert abs(r.contamination_ratio - 2 / 5) < 1e-12
+
+
+def test_repetition_fracs(spark):
+    from f1_realtime_data_pipeline_spark.plans.llm_star import t_repetition
+
+    df = _docs(spark, ["x y x y x", "a b c d"])
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {r.doc_id: r for r in t_repetition(spark, d).collect()}
+    # "x y x y x": 2-grams = [x y, y x, x y, y x] -> 4 total, 2 distinct
+    assert out[0].n_2grams == 4 and abs(out[0].dup_2gram_frac - 0.5) < 1e-12
+    # 3-grams = [x y x, y x y, x y x] -> 3 total, 2 distinct
+    assert out[0].n_3grams == 3 and abs(out[0].dup_3gram_frac - 1 / 3) < 1e-12
+    assert out[1].dup_2gram_frac == 0.0 and out[1].dup_3gram_frac == 0.0
