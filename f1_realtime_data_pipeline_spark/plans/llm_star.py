@@ -683,3 +683,125 @@ SELECT doc_id,
             ELSE CAST(0.0 AS DOUBLE) END AS dup_3gram_frac
 FROM a""",
 )
+
+# --------------------------------------------------------------------------
+# data-mixture planning, quantization, cleaned-corpus stats
+# --------------------------------------------------------------------------
+
+
+def t_source_mix(spark, sf_dir):
+    """Data-mixture planning: per-source doc count, token total, and
+    token share of the corpus — the table a training run's mixture
+    weights are derived from. Two tiny shuffles: groupBy(source)
+    (partial-agg first), then a window over the 20-row aggregate for
+    the global total (negligible at any scale — cardinality is the
+    number of SOURCES, not documents)."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    per_src = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(tx.token_count("text")).cast("bigint").alias("n_tokens"),
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / total).alias("token_share"),
+    )
+
+
+_register(
+    "t_source_mix",
+    t_source_mix,
+    f"""WITH per_src AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM({tx.token_count_sql("text")}) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       (CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER ()) AS token_share
+FROM per_src""",
+)
+
+
+def d_span_dedup_stats(spark, sf_dir):
+    """Cleaned-corpus accounting after span dedup: per doc, the number
+    of spans kept vs total and the kept fraction — the rebuild step's
+    size report. One extra groupBy(doc_id) over the span_dedup
+    output."""
+    spans = dd.span_dedup(_docs(spark, sf_dir))
+    return spans.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        (
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("double") / F.count("*")
+        ).alias("kept_frac"),
+    )
+
+
+_register(
+    "d_span_dedup_stats",
+    d_span_dedup_stats,
+    f"""WITH flagged AS (
+  {dd.span_dedup_sql()}
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       (CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)) AS kept_frac
+FROM flagged GROUP BY doc_id""",
+)
+
+
+#: scalar-quantization grid: q = floor(x * 64) clamped to [-128, 127]
+_QUANT_SCALE = 64
+
+
+def e_quantize(spark, sf_dir):
+    """Int8-style scalar quantization of the embedding column — the
+    4× memory compression an ANN serving tier applies. Per dim:
+    q = clamp(floor(x * 64), -128, 127); also reports the max
+    per-vector reconstruction error |x - q/64|.
+
+    Determinism: every element is cast float→double (exact) before
+    the multiply so both engines do the same IEEE double ops; floor
+    and the integer clamp are exact. Map-only, no shuffle. The
+    quantized vector is emitted comma-joined (the compare layer sorts
+    rows by value, and array cells don't sort — same convention as
+    the other vector-valued queries)."""
+    e = _embs(spark, sf_dir)
+    with_q = e.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        F.transform(F.col("embedding"), lambda c: F.greatest(
+            F.lit(-128),
+            F.least(F.lit(127), F.floor(c.cast("double") * _QUANT_SCALE)),
+        ).cast("int")).alias("q"),
+    )
+    err = F.array_max(
+        F.zip_with(
+            "v",
+            "q",
+            lambda a, b: F.abs(a.cast("double") - b.cast("double") / _QUANT_SCALE),
+        )
+    )
+    return with_q.select(
+        "vec_id", F.array_join("q", ",").alias("q_str"), err.alias("max_err")
+    )
+
+
+_register(
+    "e_quantize",
+    e_quantize,
+    f"""SELECT vec_id,
+       array_to_string(list_transform(embedding,
+           x -> CAST(GREATEST(-128, LEAST(127, FLOOR(CAST(x AS DOUBLE) * {_QUANT_SCALE}))) AS INT)), ',') AS q_str,
+       list_max(list_transform(embedding,
+           x -> abs(CAST(x AS DOUBLE)
+                    - CAST(GREATEST(-128, LEAST(127, FLOOR(CAST(x AS DOUBLE) * {_QUANT_SCALE}))) AS DOUBLE)
+                      / {_QUANT_SCALE}))) AS max_err
+FROM embeddings""",
+)

@@ -360,3 +360,39 @@ def test_repetition_fracs(spark):
     # 3-grams = [x y x, y x y, x y x] -> 3 total, 2 distinct
     assert out[0].n_3grams == 3 and abs(out[0].dup_3gram_frac - 1 / 3) < 1e-12
     assert out[1].dup_2gram_frac == 0.0 and out[1].dup_3gram_frac == 0.0
+
+
+def test_quantize_bounds_and_error(spark, sf_dir):
+    from f1_realtime_data_pipeline_spark.plans.llm_star import e_quantize, _QUANT_SCALE
+
+    out = e_quantize(spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out[:50]:
+        qs = [int(s) for s in r.q_str.split(",")]
+        assert all(-128 <= q <= 127 for q in qs)
+        # floor-grid reconstruction error is bounded by one grid step
+        assert 0.0 <= r.max_err <= 1.0 / _QUANT_SCALE + 1e-12
+
+
+def test_source_mix_shares_sum_to_one(spark, sf_dir):
+    from f1_realtime_data_pipeline_spark.plans.llm_star import t_source_mix
+
+    rows = t_source_mix(spark, sf_dir).collect()
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-9
+    assert all(r.n_docs > 0 and r.n_tokens > 0 for r in rows)
+
+
+def test_span_dedup_stats_consistency(spark):
+    span = "a b c d e f g h"
+    df = _docs(spark, [span + " " + span, span])
+    from f1_realtime_data_pipeline_spark.operators.dedup import span_dedup
+
+    flagged = span_dedup(df)
+    agg = (
+        flagged.groupBy("doc_id")
+        .agg(F.count("*").alias("n"), F.sum(F.col("keep").cast("int")).alias("k"))
+        .collect()
+    )
+    by_id = {r.doc_id: (r.n, r.k) for r in agg}
+    assert by_id[0] == (2, 1)   # two identical spans, first kept
+    assert by_id[1] == (1, 0)   # whole doc is a dup of doc0's span
