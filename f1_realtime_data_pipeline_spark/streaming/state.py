@@ -52,3 +52,87 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 stateful API): streaming exact dedup
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+DEDUP_OUTPUT_SCHEMA = "dedup_key bigint, doc_id bigint, n_dropped bigint"
+
+
+class FirstSeenDedupProcessor(StatefulProcessor):
+    """Streaming exact dedup, first-occurrence-wins across micro-batches.
+
+    Per dedup key (a content hash), a ValueState cell remembers whether
+    the key has been emitted and how many later copies were dropped.
+    Unlike ``dropDuplicatesWithinWatermark`` the state is explicit and
+    unbounded-by-default — pass ``ttl_ms`` to bound it (RocksDB-backed
+    state store TTL), which is the 100 TB posture: dedup horizon =
+    state TTL, state sharded by the grouping key across executors.
+    """
+
+    def __init__(self, ttl_ms: int | None = None) -> None:
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._seen = handle.getValueState(
+            "seen", "doc_id bigint, n_dropped bigint", ttlDurationMs=self._ttl_ms
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        prev = self._seen.get() if self._seen.exists() else None
+        n_in = 0
+        first_doc = None
+        for pdf in rows:
+            if len(pdf) and first_doc is None:
+                first_doc = int(pdf["doc_id"].iloc[0])
+            n_in += len(pdf)
+        if prev is None:
+            # first time this content is seen: emit it, count the rest
+            # of this batch's copies as dropped
+            self._seen.update((first_doc, n_in - 1))
+            yield pd.DataFrame(
+                {"dedup_key": [key[0]], "doc_id": [first_doc], "n_dropped": [n_in - 1]}
+            )
+        else:
+            # already emitted in an earlier batch: drop silently, keep count
+            self._seen.update((prev[0], prev[1] + n_in))
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_first_seen_dedup(
+    docs: DataFrame, ttl_ms: int | None = None
+) -> DataFrame:
+    """Exact streaming dedup of a document stream by content hash.
+
+    Input needs columns (doc_id, text); the dedup key is xxhash64 of
+    the text (the scale-path id — no vocabulary, shuffle only on the
+    hash). Emits one row per distinct content, in append mode, the
+    first time it is seen.
+
+    Runtime requirements: the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``) and a Python
+    environment with ``google.protobuf`` (the transformWithState
+    state-server protocol) — the pytest skips itself where protobuf
+    is absent; ``applyInPandasWithState`` (:func:`running_user_totals`)
+    is the dependency-free fallback with the same state sharding.
+    """
+    from pyspark.sql import functions as F
+
+    keyed = docs.select(
+        F.xxhash64("text").alias("dedup_key"), "doc_id"
+    )
+    return keyed.groupBy("dedup_key").transformWithStateInPandas(
+        statefulProcessor=FirstSeenDedupProcessor(ttl_ms),
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )

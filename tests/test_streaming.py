@@ -230,3 +230,53 @@ def test_checkpoint_resume_processes_only_new_data(spark, tmpdirs):
     # reuse is observable through Spark's streaming progress)
     assert out.count() == 10
     assert q2.lastProgress is None or q2.lastProgress["numInputRows"] <= len(lines[6:])
+
+
+def _has_protobuf() -> bool:
+    # transformWithState's state-server protocol needs protobuf; this
+    # container doesn't ship it (and installs are out of scope), so the
+    # TWS path is exercised only where the dependency exists.
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _has_protobuf(), reason="google.protobuf unavailable (TWS state server requires it)")
+def test_transform_with_state_first_seen_dedup(spark, tmp_path):
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    # doc stream with exact duplicates split across two micro-batches
+    rows1 = [(0, "alpha beta"), (1, "gamma delta"), (2, "alpha beta")]
+    rows2 = [(3, "alpha beta"), (4, "epsilon zeta"), (5, "gamma delta")]
+    src = str(tmp_path / "docs")
+    df1 = spark.createDataFrame(rows1, "doc_id bigint, text string")
+    df2 = spark.createDataFrame(rows2, "doc_id bigint, text string")
+    df1.coalesce(1).write.parquet(src)
+    df2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(df1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        st.streaming_first_seen_dedup(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("tws_dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.sql("SELECT * FROM tws_dedup_out").collect()
+    # 3 distinct texts -> 3 emitted rows, each the FIRST doc_id seen
+    emitted = {r.doc_id for r in out}
+    assert len(out) == 3
+    # "alpha beta" first appears as doc 0, "gamma delta" as doc 1,
+    # "epsilon zeta" as doc 4 (file order == batch order via
+    # maxFilesPerTrigger=1 and availableNow)
+    assert emitted == {0, 1, 4}
