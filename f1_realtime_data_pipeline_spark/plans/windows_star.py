@@ -407,3 +407,71 @@ GROUP BY event_type
 ORDER BY event_type""",
 )
 
+
+
+def w_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-active day, activity
+    counted at each day offset — the engagement table every analytics
+    serving layer derives. Shuffles: distinct (user, day), the
+    per-user min (both partial-agg first), one broadcast-able join of
+    activity to the per-user cohort relation (at 100 TB: co-partition
+    both sides on user_id — same key, one shuffle reused)."""
+    ev = read_events(spark, sf_dir)
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    cohort = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(cohort, "user_id")
+        .groupBy(
+            "cohort_day", F.datediff("day", "cohort_day").cast("int").alias("offset_days")
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
+    )
+
+
+_register(
+    "w_retention",
+    w_retention,
+    """WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), cohort AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id
+)
+SELECT cohort_day,
+       CAST(date_diff('day', cohort_day, day) AS INT) AS offset_days,
+       CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS n_active
+FROM days d JOIN cohort USING (user_id)
+GROUP BY 1, 2""",
+)
+
+
+def w_type_transitions(spark, sf_dir):
+    """Per-user event-type transition counts (the Markov-chain edge
+    table): lag over (user, time) then count (prev, next) pairs. Tie
+    order pinned by event_id so the lag is deterministic in any
+    engine. One shuffle on user_id for the window sort, one partial
+    agg on the pair."""
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seq = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").cast("bigint").alias("n_transitions"))
+    )
+
+
+_register(
+    "w_type_transitions",
+    w_type_transitions,
+    """WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY 1, 2""",
+)

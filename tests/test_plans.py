@@ -116,3 +116,28 @@ def test_stream_static_broadcast_join(spark, tmp_path):
         assert len(unknown) == 1 and unknown[0].driver_name is None
     finally:
         q.stop()
+
+
+def test_retention_day0_counts_all_users(spark, sf_dir):
+    from f1_realtime_data_pipeline_spark.plans.windows_star import w_retention
+    from f1_realtime_data_pipeline_spark.sources.parquet import read_events
+
+    rows = w_retention(spark, sf_dir).collect()
+    # every user is active on their cohort day: sum of offset-0 actives
+    # == total distinct users
+    day0 = sum(r.n_active for r in rows if r.offset_days == 0)
+    n_users = read_events(spark, sf_dir).select("user_id").distinct().count()
+    assert day0 == n_users
+    assert all(r.offset_days >= 0 for r in rows)
+
+
+def test_type_transitions_conservation(spark, sf_dir):
+    from f1_realtime_data_pipeline_spark.plans.windows_star import w_type_transitions
+    from f1_realtime_data_pipeline_spark.sources.parquet import read_events
+
+    rows = w_type_transitions(spark, sf_dir).collect()
+    ev = read_events(spark, sf_dir)
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    # each user contributes (n_i - 1) transitions; total = N - U
+    assert sum(r.n_transitions for r in rows) == n_events - n_users
