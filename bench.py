@@ -45,6 +45,7 @@ HEADLINE = [
     "d_ngram_jaccard",
     "d_minhash_lsh",
     "e_knn_lsh",
+    "pipeline_corpus",
 ]
 
 

@@ -805,3 +805,118 @@ _register(
                       / {_QUANT_SCALE}))) AS max_err
 FROM embeddings""",
 )
+
+# --------------------------------------------------------------------------
+# end-to-end corpus preparation (the flagship composition)
+# --------------------------------------------------------------------------
+
+#: minimum quality score for the corpus-pipeline filter
+_PIPE_MIN_QUALITY = 0.75
+
+
+def pipeline_corpus(spark, sf_dir):
+    """The whole training-data preparation pipeline as ONE declarative
+    plan: normalize → exact-dedup (first doc_id wins per normalized
+    text) → quality-filter → deterministic split → per-(split, source)
+    mixture accounting. This is the composition a user actually runs;
+    every stage is the already-tested operator expression, fused by
+    Catalyst into: one scan, one window shuffle on the normalized
+    text, one final partial-agg rollup.
+
+    At 100 TB the dedup window (partition by norm_text) is the hash
+    shuffle that dominates; it carries only (norm_text hash, doc_id)
+    — columns the filter needs are re-derived post-dedup from the
+    surviving rows, not carried through the shuffle."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 \t\n\x0B\f\r]", ""),
+            r"[ \t\n\x0B\f\r]+",
+            " ",
+        )
+    )
+    normed = d.select("doc_id", "source", "text", norm.alias("norm_text"))
+    w = Window.partitionBy("norm_text").orderBy(F.col("doc_id").asc())
+    canon = normed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+
+    counts = canon.select(
+        "doc_id",
+        "source",
+        tx.token_count("text").alias("n_tokens"),
+        tx.stopword_count("text").alias("n_stopwords"),
+        (
+            tx.substring_count("text", ".")
+            + tx.substring_count("text", ",")
+            + tx.substring_count("text", "!")
+        )
+        .cast("int")
+        .alias("n_punct"),
+    )
+    n_tokens = F.col("n_tokens")
+    stop_ratio = F.col("n_stopwords").cast("double") / n_tokens
+    score = (
+        F.when((n_tokens >= 20) & (n_tokens <= 2000), F.lit(0.5)).otherwise(F.lit(0.0))
+        + F.when(F.col("n_punct") <= n_tokens, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when((stop_ratio >= 0.05) & (stop_ratio <= 0.6), F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    kept = counts.withColumn("quality_score", score).filter(
+        F.col("quality_score") >= _PIPE_MIN_QUALITY
+    )
+    bucket = F.pmod(F.col("doc_id") * F.lit(_SPLIT_MULT), F.lit(_SPLIT_BUCKETS))
+    split = (
+        F.when(bucket < _TRAIN_LT, "train")
+        .when(bucket < _VAL_LT, "val")
+        .otherwise("test")
+    )
+    return (
+        kept.withColumn("split", split)
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+_register(
+    "pipeline_corpus",
+    pipeline_corpus,
+    rf"""WITH normed AS (
+  SELECT doc_id, source, text,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 \t\n\x0B\f\r]', '', 'g'),
+                             '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm_text
+  FROM documents
+), canon AS (
+  SELECT * FROM (
+    SELECT doc_id, source, text,
+           ROW_NUMBER() OVER (PARTITION BY norm_text ORDER BY doc_id ASC) AS rn
+    FROM normed
+  ) WHERE rn = 1
+), counts AS (
+  SELECT doc_id, source,
+         {tx.token_count_sql("text")} AS n_tokens,
+         {tx.stopword_count_sql("text")} AS n_stopwords,
+         CAST(({tx.substring_count_sql('text', '.')} + {tx.substring_count_sql('text', ',')}
+               + {tx.substring_count_sql('text', '!')}) AS INT) AS n_punct
+  FROM canon
+), scored AS (
+  SELECT doc_id, source, n_tokens,
+         (CASE WHEN n_tokens >= 20 AND n_tokens <= 2000 THEN 0.5 ELSE 0.0 END
+          + CASE WHEN n_punct <= n_tokens THEN 0.25 ELSE 0.0 END
+          + CASE WHEN (CAST(n_stopwords AS DOUBLE) / n_tokens) >= 0.05
+                  AND (CAST(n_stopwords AS DOUBLE) / n_tokens) <= 0.6 THEN 0.25 ELSE 0.0 END
+         ) AS quality_score
+  FROM counts
+)
+SELECT CASE WHEN (doc_id * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} < {_TRAIN_LT} THEN 'train'
+            WHEN (doc_id * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} < {_VAL_LT} THEN 'val'
+            ELSE 'test' END AS split,
+       source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM scored
+WHERE quality_score >= {_PIPE_MIN_QUALITY}
+GROUP BY 1, 2""",
+)
