@@ -89,3 +89,46 @@ def test_token_count_matches_python_split(spark_prop, texts):
     got = [r.n for r in df.select(token_count("t").alias("n")).collect()]
     expected = [len(re.split(r"[ \t\n\x0B\f\r]+", t.lower())) for t in texts]
     assert got == expected
+
+
+_word = st.sampled_from(["aa", "bb", "cc", "dd"])
+_doc = st.lists(_word, min_size=0, max_size=20).map(" ".join)
+
+
+@settings(**_SETTINGS)
+@given(texts=st.lists(_doc, min_size=1, max_size=8))
+def test_span_dedup_invariants(spark_prop, texts):
+    """Model check: (1) every distinct span text has exactly one
+    keep=true row; (2) that row is the lexicographically-first
+    (doc_id, span_pos) occurrence; (3) spans reconstruct each doc's
+    token stream exactly."""
+    from f1_realtime_data_pipeline_spark.operators.dedup import span_dedup
+
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    df = spark_prop.createDataFrame(rows, "doc_id bigint, text string")
+    out = span_dedup(df).collect()
+
+    # python model
+    def py_tokens(t):
+        import re
+        return [w for w in re.split(r"[ \t\n\x0B\f\r]+", t.lower())]
+
+    model = {}
+    for i, t in enumerate(texts):
+        toks = py_tokens(t)
+        for p in range((len(toks) + 7) // 8):
+            span = " ".join(toks[p * 8 : p * 8 + 8])
+            model.setdefault(span, []).append((i, p))
+
+    got_all = {}
+    kept = {}
+    for r in out:
+        got_all.setdefault(r.span, []).append((r.doc_id, r.span_pos))
+        if r.keep:
+            assert r.span not in kept, f"two keeps for span {r.span!r}"
+            kept[r.span] = (r.doc_id, r.span_pos)
+    assert {s: sorted(v) for s, v in got_all.items()} == {
+        s: sorted(v) for s, v in model.items()
+    }
+    for span, occs in model.items():
+        assert kept[span] == min(occs)
