@@ -1,0 +1,93 @@
+"""CSV / JSON-lines file sources (batch + streaming-capable).
+
+The reference ingests only Kafka JSON (spark_ingestion.py:88-95) and
+CSV-ish season data via its producer (kafka_producer.py:40-60); a
+standalone engine needs first-class file readers too. Conventions
+shared with the rest of the engine:
+
+- **Explicit schemas, never inference** — inference is a full extra
+  pass over the data at 100 TB and is non-deterministic under schema
+  drift. Callers pass a DDL string or StructType.
+- **PERMISSIVE parsing with a visible corrupt-record column** — bad
+  rows land in ``_corrupt_record`` instead of killing the job; the
+  caller decides whether to route them to a quarantine sink (the
+  same policy the streaming layer uses for malformed Kafka JSON).
+- Both readers work unchanged under ``spark.readStream`` (pass
+  ``streaming=True``) — file sources are Structured Streaming's
+  replay-friendly source, which the tests use in place of a broker.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def _with_corrupt_col(schema: StructType | str) -> StructType:
+    from pyspark.sql.types import StringType, StructField
+
+    st = (
+        schema
+        if isinstance(schema, StructType)
+        else StructType.fromDDL(schema)
+    )
+    if CORRUPT_COL not in st.fieldNames():
+        st = st.add(StructField(CORRUPT_COL, StringType(), True))
+    return st
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    header: bool = True,
+    delimiter: str = ",",
+    streaming: bool = False,
+) -> DataFrame:
+    """CSV scan with an explicit schema and quarantine column."""
+    reader = spark.readStream if streaming else spark.read
+    return (
+        reader.schema(_with_corrupt_col(schema))
+        .option("header", header)
+        .option("sep", delimiter)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .csv(path)
+    )
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    streaming: bool = False,
+) -> DataFrame:
+    """JSON-lines scan with an explicit schema and quarantine column."""
+    reader = spark.readStream if streaming else spark.read
+    return (
+        reader.schema(_with_corrupt_col(schema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+
+
+def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good rows without the quarantine column, quarantined rows).
+
+    Spark refuses queries over raw JSON/CSV sources that reference
+    ONLY the corrupt-record column (QUERY_ONLY_CORRUPT_RECORD_COLUMN),
+    so the parsed frame is persisted once and both sides read the
+    cache — one scan total. At 100 TB the equivalent posture is to
+    land the parsed frame to parquet first (one pass) and split from
+    there; the restriction is raw-file-source-only.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
+    return good, bad
