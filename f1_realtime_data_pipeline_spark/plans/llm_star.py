@@ -920,3 +920,44 @@ FROM scored
 WHERE quality_score >= {_PIPE_MIN_QUALITY}
 GROUP BY 1, 2""",
 )
+
+#: uniform target mixture: every source gets an equal token share
+_MIX_KEEP_PER_SOURCE = 10
+
+
+def t_mixture_resample(spark, sf_dir):
+    """Mixture resampling toward a target: keep a fixed per-source doc
+    budget (uniform target mixture here; production passes a weight
+    table and budget = round(weight × total)), choosing docs by a
+    deterministic hash rank so the sample is reproducible and
+    rerun-stable. One shuffle on source for the rank window; the
+    window's partition is a single source's docs — at 100 TB sources
+    are coarse (20-1000 of them), so salt the rank by pre-bucketing
+    (rank within (source, bucket), keep budget/buckets each) if one
+    source dominates."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    hashed = d.select(
+        "doc_id",
+        "source",
+        F.pmod(F.col("doc_id") * F.lit(_SPLIT_MULT), F.lit(_SPLIT_BUCKETS)).alias("h"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("h").asc(), F.col("doc_id").asc())
+    return (
+        hashed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _MIX_KEEP_PER_SOURCE)
+        .select("doc_id", "source", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+_register(
+    "t_mixture_resample",
+    t_mixture_resample,
+    f"""SELECT doc_id, source, CAST(rnk AS INT) AS rnk FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY (doc_id * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} ASC, doc_id ASC) AS rnk
+  FROM documents
+) WHERE rnk <= {_MIX_KEEP_PER_SOURCE}""",
+)

@@ -426,3 +426,22 @@ def test_pipeline_corpus_accounting(spark, sf_dir):
         .count()
     )
     assert sum(r.n_docs for r in mix) == expected
+
+
+def test_mixture_resample_budget_and_determinism(spark, sf_dir):
+    from f1_realtime_data_pipeline_spark.plans.llm_star import (
+        t_mixture_resample,
+        _MIX_KEEP_PER_SOURCE,
+    )
+
+    a = t_mixture_resample(spark, sf_dir).collect()
+    b = t_mixture_resample(spark, sf_dir).collect()
+    # deterministic across runs
+    assert sorted((r.doc_id, r.source, r.rnk) for r in a) == sorted(
+        (r.doc_id, r.source, r.rnk) for r in b
+    )
+    from collections import Counter
+
+    per_src = Counter(r.source for r in a)
+    assert all(n <= _MIX_KEEP_PER_SOURCE for n in per_src.values())
+    assert all(1 <= r.rnk <= _MIX_KEEP_PER_SOURCE for r in a)
