@@ -141,3 +141,27 @@ def test_type_transitions_conservation(spark, sf_dir):
     n_users = ev.select("user_id").distinct().count()
     # each user contributes (n_i - 1) transitions; total = N - U
     assert sum(r.n_transitions for r in rows) == n_events - n_users
+
+
+def test_contamination_broadcasts_test_set(spark, sf_dir):
+    from f1_realtime_data_pipeline_spark.plans.llm_star import t_contamination
+
+    p = _plan(t_contamination(spark, sf_dir))
+    # the distinct test-split shingle set is the explicitly-broadcast
+    # small side; the train-shingle scan must not sort-merge against it
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_pipeline_corpus_single_scan(spark, sf_dir):
+    from f1_realtime_data_pipeline_spark.plans.llm_star import pipeline_corpus
+
+    import re
+
+    p = _plan(pipeline_corpus(spark, sf_dir))
+    # normalize -> dedup -> filter -> split -> mixture must fuse into
+    # ONE parquet scan of documents (no re-read per stage); formatted
+    # explain prints each node once in the tree and once in the detail
+    # section, so count the numbered detail entries
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
