@@ -503,6 +503,17 @@ def dup_clusters(
     2-4 iterations; ``max_iters`` bounds adversarial chains.
     """
     pairs = minhash_lsh_pairs(docs, threshold, id_strategy).select("doc_a", "doc_b")
+    return connected_components(pairs, max_iters)
+
+
+def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over an undirected pair list
+    (columns ``doc_a``, ``doc_b``) by iterative min-label propagation —
+    the generic canonicalization step shared by every near-dup
+    detector (shingle MinHash, SimHash, embedding cosine). Output
+    (doc_id, cluster_id), cluster_id = min reachable id. See
+    :func:`dup_clusters` for the scaling discussion."""
+    pairs = pairs.select("doc_a", "doc_b")
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))

@@ -961,3 +961,40 @@ _register(
   FROM documents
 ) WHERE rnk <= {_MIX_KEEP_PER_SOURCE}""",
 )
+
+
+def e_neardup_clusters(spark, sf_dir):
+    """Embedding-space canonicalization: connected components over the
+    cosine near-dup pair graph — the same min-label propagation loop
+    as d_dup_clusters, fed by the vector detector instead of the
+    shingle one (the canonicalizer is detector-agnostic). Threshold
+    0.35 here: the synthetic embeddings top out at cosine ~0.51, and
+    a threshold that yields real multi-node components is what
+    exercises the propagation (production uses ~0.9 on model
+    embeddings — only the pair feed changes)."""
+    pairs = sim.cosine_neardup_pairs(_embs(spark, sf_dir), threshold=0.35).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    return dd.connected_components(pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+
+
+_register(
+    "e_neardup_clusters",
+    e_neardup_clusters,
+    f"""WITH RECURSIVE pairs AS (
+  {sim.cosine_neardup_pairs_sql(0.35)}
+), edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION
+  SELECT vec_b AS src, vec_a AS dst FROM pairs
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS vec_id,
+       LEAST(src, MIN(dst)) AS cluster_id
+FROM reach GROUP BY src""",
+)

@@ -445,3 +445,20 @@ def test_mixture_resample_budget_and_determinism(spark, sf_dir):
     per_src = Counter(r.source for r in a)
     assert all(n <= _MIX_KEEP_PER_SOURCE for n in per_src.values())
     assert all(1 <= r.rnk <= _MIX_KEEP_PER_SOURCE for r in a)
+
+
+def test_embedding_cluster_invariants(spark, sf_dir):
+    from f1_realtime_data_pipeline_spark.plans.llm_star import e_neardup_clusters
+    from f1_realtime_data_pipeline_spark.operators.similarity import (
+        cosine_neardup_pairs,
+    )
+
+    labels = {r.vec_id: r.cluster_id for r in e_neardup_clusters(spark, sf_dir).collect()}
+    assert labels, "threshold should produce a non-empty pair graph"
+    # canonical representative is never larger than the member id
+    assert all(c <= v for v, c in labels.items())
+    # every edge endpoint got a label, and both endpoints agree
+    embs = read_table(spark, sf_dir, "embeddings")
+    pairs = cosine_neardup_pairs(embs, threshold=0.35).collect()
+    for p in pairs:
+        assert labels[p.vec_a] == labels[p.vec_b]
