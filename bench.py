@@ -44,8 +44,14 @@ HEADLINE = [
     "t_quality",
     "d_ngram_jaccard",
     "d_minhash_lsh",
+    "d_simhash_pairs",
     "e_knn_lsh",
+    "e_cosine_neardup",
     "pipeline_corpus",
+    # the iterative connected-components canonicalizers (VERDICT r1
+    # #10): regressions in the CC loop must be visible round-over-round
+    "d_dup_clusters",
+    "e_neardup_clusters",
 ]
 
 

@@ -38,6 +38,28 @@ SIMHASH_BITS = 16
 FP_POWERS = [pow(31, k, HASH_MOD) for k in range(8)]
 
 
+def md5_id(col: Column | str) -> Column:
+    """Engine-portable element id: the first 15 hex chars of md5 (60
+    bits, positive bigint) mod HASH_MOD.
+
+    This is the id strategy that kills the global dense_rank vocab
+    window WITHOUT giving up the oracle: md5 over UTF-8 bytes is
+    bit-identical in Spark and DuckDB, so the id is computed inline
+    per row — no distinct, no join, no window — and the DuckDB twin
+    (:func:`md5_id_sql`) reproduces it exactly. Collisions mod
+    HASH_MOD are possible but identical in both engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint") % HASH_MOD
+    )
+
+
+def md5_id_sql(expr: str) -> str:
+    """DuckDB twin of :func:`md5_id` (hex-literal cast, verified
+    bit-equal against Spark's conv())."""
+    return f"(CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT) % {HASH_MOD})"
+
+
 #: whitespace as an EXPLICIT class — `\s` is engine-dependent at the
 #: edges (Java adds \x0B, Python adds \x1c-\x1f, RE2 has neither), so
 #: a doc containing those chars would silently break oracle parity.

@@ -12,19 +12,25 @@ Five escalating strategies, all pure DataFrame compositions (no UDFs):
   + Hamming-distance pairing.
 - embedding-cosine near-dup lives in ``operators.similarity``.
 
-Determinism/oracle contract: word ids come from a sorted dense_rank
-over the distinct vocabulary (``word_ids``) so every hash derived from
-them is identical in DuckDB. That global-window rank is the *oracle*
-id strategy; at 100 TB scale swap ``id_strategy="hash"`` which uses
-``xxhash64`` — same pipeline shape, no global window, not
-oracle-reproducible (sketch values differ, pair decisions don't for
-true duplicates).
+Determinism/oracle contract — three element-id strategies:
 
-Scale posture: everything shuffles on either doc_id, word, or band
-signature — never a crossjoin. The shingle inverted index is the
-classic skew risk (hot shingles); ``ngram_jaccard_pairs`` drops
-shingles above a document-frequency cap the way production MinHash
-pipelines drop stop-shingles.
+- ``md5`` (DEFAULT): id computed inline per row from the first 15 hex
+  chars of md5 — bit-identical in Spark and DuckDB, so it is BOTH the
+  scale path (no distinct, no join, no global window) and fully
+  oracle-checkable. This is what every registered query runs.
+- ``vocab``: sorted dense_rank over the distinct vocabulary — the
+  legacy oracle strategy; kept for the pytest equivalence pins. Its
+  global window is a scale-killer, never the registered default.
+- ``hash``: ``xxhash64`` — engine-specific (rows-only checkable);
+  kept to pin hash≡md5≡vocab pair-decision agreement in pytest.
+
+Scale posture: everything shuffles on either doc_id, a 64-bit shingle
+hash, or a band signature — never a crossjoin (simhash pairs band the
+signature; banding is pigeonhole-exact for the Hamming radius). The
+shingle inverted index is the classic skew risk (hot shingles);
+``ngram_jaccard_pairs`` drops shingles above a document-frequency cap
+the way production MinHash pipelines drop stop-shingles, and joins on
+``xxhash64(shingle)`` so the shuffle carries 8-byte keys, not text.
 """
 
 from __future__ import annotations
@@ -38,6 +44,8 @@ from f1_realtime_data_pipeline_spark.functions.text import (
     HASH_MOD,
     HASH_MULT,
     SIMHASH_BITS,
+    md5_id,
+    md5_id_sql,
     tokens,
     tokens_sql,
 )
@@ -94,6 +102,31 @@ def _ids(words: DataFrame, id_strategy: str) -> DataFrame:
     raise ValueError(f"unknown id_strategy {id_strategy!r}")
 
 
+def _with_element_ids(
+    rel: DataFrame, col: str, out: str, id_strategy: str
+) -> DataFrame:
+    """Attach an element id column ``out`` for string column ``col``.
+
+    ``md5`` computes the id inline (map-only — the 100 TB path, and
+    oracle-exact via :func:`~...functions.text.md5_id`); ``vocab`` /
+    ``hash`` build a distinct-id relation and join it back (vocab's
+    dense_rank is a global window — legacy oracle strategy only)."""
+    if id_strategy == "md5":
+        return rel.withColumn(out, md5_id(col))
+    distinct = rel.select(col).distinct()
+    if id_strategy == "vocab":
+        ids = distinct.withColumn(
+            out, F.dense_rank().over(Window.orderBy(col)).cast("bigint")
+        )
+    elif id_strategy == "hash":
+        ids = distinct.withColumn(
+            out, F.pmod(F.xxhash64(col), F.lit(HASH_MOD)).cast("bigint")
+        )
+    else:
+        raise ValueError(f"unknown id_strategy {id_strategy!r}")
+    return rel.join(ids, col)
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -101,8 +134,16 @@ def _ids(words: DataFrame, id_strategy: str) -> DataFrame:
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup: canonical doc per distinct text = min doc_id, with
-    the duplicate count. One hash-aggregate shuffled on the text hash."""
-    return docs.groupBy(text_col).agg(
+    the duplicate count.
+
+    One hash-aggregate shuffled on ``xxhash64(text)`` — the shuffle
+    row is 8 bytes + ids instead of the full document text, which at
+    100 TB is the difference between shuffling the corpus and shuffling
+    ~1% of it. The oracle groups by the text itself; results agree
+    unless two distinct documents collide in 64 bits (~N²/2⁶⁵ — at a
+    billion docs, odds ≈ 3%·ε; add the text to the key if that ever
+    matters)."""
+    return docs.groupBy(F.xxhash64(text_col).alias("__tkey")).agg(
         F.min("doc_id").cast("bigint").alias("canonical_doc_id"),
         F.count("*").cast("bigint").alias("n_copies"),
     ).select("canonical_doc_id", "n_copies")
@@ -157,26 +198,36 @@ def ngram_jaccard_pairs(
     (df > max_doc_freq — stop-shingle cap, the skew guard) → pair docs
     sharing a shingle → count common → Jaccard vs the two set sizes.
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    The shingle STRING never shuffles: it is hashed to a 64-bit key at
+    the map side (``xxhash64``), so every downstream exchange carries
+    (8-byte key, doc_id) rows. Two distinct shingles colliding in 64
+    bits would merge their postings — ~|shingles|²/2⁶⁵, negligible and
+    engine-local (the oracle joins on the string itself).
     """
     # the shingle relation feeds four branches (df counts, sizes, both
     # self-join sides) — persist so the corpus is scanned/exploded once
-    sh_raw = doc_shingles(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
-    df_counts = sh_raw.groupBy("shingle").agg(F.count("*").alias("df"))
+    sh_raw = (
+        doc_shingles(docs, n)
+        .select("doc_id", F.xxhash64("shingle").alias("shk"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    df_counts = sh_raw.groupBy("shk").agg(F.count("*").alias("df"))
     sh = sh_raw.join(
-        F.broadcast(df_counts.filter(F.col("df") > max_doc_freq)), "shingle", "left_anti"
+        F.broadcast(df_counts.filter(F.col("df") > max_doc_freq)), "shk", "left_anti"
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     # df=1 shingles cannot produce a pair — keep them in `sizes` (they
     # count toward the union) but drop them from the self-join input
     pairable = sh.join(
         F.broadcast(df_counts.filter((F.col("df") >= 2) & (F.col("df") <= max_doc_freq))),
-        "shingle",
+        "shk",
         "left_semi",
     )
     a = pairable.alias("a")
     b = pairable.alias("b")
     common = (
-        a.join(b, "shingle")
+        a.join(b, "shk")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_common"))
@@ -250,14 +301,15 @@ _SHINGLE_IDS_SQL = """SELECT shingle,
   FROM (SELECT DISTINCT shingle FROM doc_sh)"""
 
 
-def minhash_signatures(docs: DataFrame, id_strategy: str = "vocab") -> DataFrame:
+def minhash_signatures(docs: DataFrame, id_strategy: str = "md5") -> DataFrame:
     """16-permutation MinHash signature per doc over its 3-gram shingle
     set: mh_j = min over the doc's shingle ids of (A_j*id + B_j) mod P.
     One groupBy(doc_id) with 16 min-aggregates — a single shuffle,
-    map-side combined."""
+    map-side combined. The default ``md5`` id strategy computes the
+    shingle id inline (map-only, oracle-exact); no vocab relation, no
+    global window, no join."""
     sh = doc_shingles(docs, MINHASH_SHINGLE_N)
-    ids = _shingle_ids(sh, id_strategy)
-    w = sh.join(ids, "shingle")
+    w = _with_element_ids(sh, "shingle", "sid", id_strategy)
     aggs = [
         F.min((F.col("sid") * MINHASH_A[j] + MINHASH_B[j]) % HASH_MOD)
         .cast("bigint")
@@ -267,11 +319,20 @@ def minhash_signatures(docs: DataFrame, id_strategy: str = "vocab") -> DataFrame
     return w.groupBy("doc_id").agg(*aggs)
 
 
-def _minhash_sig_sql() -> str:
+def _minhash_sig_sql(id_strategy: str = "md5") -> str:
     cols = ",\n         ".join(
         f"CAST(MIN((sid * {MINHASH_A[j]} + {MINHASH_B[j]}) % {HASH_MOD}) AS BIGINT) AS mh{j}"
         for j in range(MINHASH_PERMS)
     )
+    if id_strategy == "md5":
+        return f"""doc_sh AS (
+  {_doc_shingles_sql(MINHASH_SHINGLE_N)}
+), sigs AS (
+  SELECT doc_id,
+         {cols}
+  FROM (SELECT doc_id, shingle, {md5_id_sql("shingle")} AS sid FROM doc_sh)
+  GROUP BY doc_id
+)"""
     return f"""doc_sh AS (
   {_doc_shingles_sql(MINHASH_SHINGLE_N)}
 ), vocab AS (
@@ -288,7 +349,7 @@ MINHASH_SIGNATURES_SQL = f"WITH {_minhash_sig_sql()}\nSELECT * FROM sigs"
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, threshold: float = 0.5, id_strategy: str = "vocab"
+    docs: DataFrame, threshold: float = 0.5, id_strategy: str = "md5"
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: band the 16-perm signature into 4
     bands of 4, bucket-join docs sharing any band, then verify the
@@ -297,16 +358,18 @@ def minhash_lsh_pairs(
     The band join replaces the all-pairs crossjoin — candidates shuffle
     on (band_idx, signature), true-Jaccard verification touches only
     the candidate set. That is the 100 TB shape: no step is quadratic
-    in the corpus, only in bucket occupancy.
+    in the corpus, only in bucket occupancy. With the default ``md5``
+    strategy shingle ids are inline (no vocab join/window), and the
+    verify join shuffles ``xxhash64(shingle)`` keys, never the string.
     """
     # The shingle relation feeds four branches (signatures, sizes, and
     # both sides of the verify join); without materialization Spark
     # re-scans the corpus and re-explodes shingles per branch — at
     # 100 TB that is 4 extra full scans. MEMORY_AND_DISK so wide
-    # corpora spill instead of evicting.
+    # corpora spill instead of evicting. Persist the 8-byte shingle key
+    # alongside (the string is still needed for the md5 sid).
     sh = doc_shingles(docs, MINHASH_SHINGLE_N).persist(StorageLevel.MEMORY_AND_DISK)
-    ids = _shingle_ids(sh, id_strategy)
-    w = sh.join(ids, "shingle")
+    w = _with_element_ids(sh, "shingle", "sid", id_strategy)
     aggs = [
         F.min((F.col("sid") * MINHASH_A[j] + MINHASH_B[j]) % HASH_MOD)
         .cast("bigint")
@@ -339,13 +402,14 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # verify candidates with the true Jaccard over the SAME persisted
-    # shingle relation
+    # shingle relation; the join key is the 64-bit shingle hash so the
+    # verify shuffle carries (8-byte key, ids), not shingle text
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    wa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    wb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    wa = sh.select(F.col("doc_id").alias("doc_a"), F.xxhash64("shingle").alias("shk"))
+    wb = sh.select(F.col("doc_id").alias("doc_b"), F.xxhash64("shingle").alias("shk"))
     common = (
         cand.join(wa, "doc_a")
-        .join(wb, ["doc_b", "shingle"])
+        .join(wb, ["doc_b", "shk"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
     )
@@ -364,7 +428,7 @@ def minhash_lsh_pairs(
     )
 
 
-def minhash_lsh_pairs_sql(threshold: float = 0.5) -> str:
+def minhash_lsh_pairs_sql(threshold: float = 0.5, id_strategy: str = "md5") -> str:
     band_exprs = []
     for band in range(LSH_BANDS):
         parts = " || '_' || ".join(
@@ -372,7 +436,7 @@ def minhash_lsh_pairs_sql(threshold: float = 0.5) -> str:
         )
         band_exprs.append(f"SELECT doc_id, {band} AS band_idx, {parts} AS sig FROM sigs")
     bands_union = "\n  UNION ALL\n  ".join(band_exprs)
-    return f"""WITH {_minhash_sig_sql()},
+    return f"""WITH {_minhash_sig_sql(id_strategy)},
 bands AS (
   {bands_union}
 ), cand AS (
@@ -401,13 +465,13 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= {threshold}""
 # ---------------------------------------------------------------------------
 
 
-def simhash_signatures(docs: DataFrame, id_strategy: str = "vocab") -> DataFrame:
+def simhash_signatures(docs: DataFrame, id_strategy: str = "md5") -> DataFrame:
     """16-bit SimHash per doc: mix each word id, vote ±1 per bit over
     the doc's words, set bit where the vote is positive. One groupBy
-    with 16 conditional sums."""
+    with 16 conditional sums. Default ``md5`` ids are inline — the
+    whole plan is scan → project → partial-agg, no join, no window."""
     words = doc_words(docs)
-    ids = _ids(words, id_strategy)
-    w = words.join(ids, "word").withColumn(
+    w = _with_element_ids(words, "word", "wid", id_strategy).withColumn(
         "h", (F.col("wid") * HASH_MULT) % (2**SIMHASH_BITS)
     )
     votes = [
@@ -423,7 +487,7 @@ def simhash_signatures(docs: DataFrame, id_strategy: str = "vocab") -> DataFrame
     return voted.select("doc_id", sim.cast("bigint").alias("simhash"))
 
 
-def _simhash_sig_sql() -> str:
+def _simhash_sig_sql(id_strategy: str = "md5") -> str:
     votes = ",\n         ".join(
         f"SUM(CASE WHEN (h & {1 << b}) != 0 THEN 1 ELSE -1 END) AS v{b}"
         for b in range(SIMHASH_BITS)
@@ -431,14 +495,21 @@ def _simhash_sig_sql() -> str:
     bits = " + ".join(
         f"(CASE WHEN v{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(SIMHASH_BITS)
     )
-    return f"""doc_words AS (
-  {DOC_WORDS_SQL}
-), vocab AS (
+    if id_strategy == "md5":
+        mixed = f"""mixed AS (
+  SELECT doc_id, (({md5_id_sql("word")}) * {HASH_MULT}) % {2 ** SIMHASH_BITS} AS h
+  FROM doc_words
+)"""
+    else:
+        mixed = f"""vocab AS (
   {WORD_IDS_SQL}
 ), mixed AS (
   SELECT doc_id, (wid * {HASH_MULT}) % {2 ** SIMHASH_BITS} AS h
   FROM doc_words JOIN vocab USING (word)
-), voted AS (
+)"""
+    return f"""doc_words AS (
+  {DOC_WORDS_SQL}
+), {mixed}, voted AS (
   SELECT doc_id,
          {votes}
   FROM mixed GROUP BY doc_id
@@ -450,29 +521,66 @@ def _simhash_sig_sql() -> str:
 SIMHASH_SIGNATURES_SQL = f"WITH {_simhash_sig_sql()}\nSELECT doc_id, simhash FROM simhashes"
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 3, id_strategy: str = "vocab") -> DataFrame:
-    """Near-dup pairs with SimHash Hamming distance <= max_hamming.
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3, id_strategy: str = "md5") -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance <= max_hamming,
+    via pigeonhole banding — NO crossjoin, and still EXACT.
 
-    All-pairs over the signature table (tiny: one int per doc). At
-    corpus scale, band the signature into prefix buckets exactly like
-    MinHash-LSH; the signature table is ~10^4 smaller than the corpus,
-    so the crossjoin ceiling is much higher than for raw text.
+    The 16-bit signature is split into ``max_hamming + 1`` bit bands;
+    two signatures within Hamming ``max_hamming`` must agree exactly on
+    at least one band (pigeonhole), so an equi-join on
+    (band_idx, band_bits) generates every qualifying pair. Candidates
+    are then verified with ``bit_count(xor)``. The shuffle key is a
+    pair of small ints; band-bucket occupancy (docs per 4-bit value)
+    bounds the per-bucket fan-out — at 100 TB widen the signature
+    (32/64 bits) to keep buckets sparse, same plan shape.
     """
+    n_bands = max_hamming + 1
+    width = (SIMHASH_BITS + n_bands - 1) // n_bands
     sigs = simhash_signatures(docs, id_strategy)
-    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
-    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("band_bits"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(
+        "doc_id", "simhash", F.col("b.band_idx").alias("band_idx"),
+        F.col("b.band_bits").alias("band_bits"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
     return (
-        a.crossJoin(b)
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int"))
+        a.join(b, ["band_idx", "band_bits"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("int")
+            .alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 
-def simhash_pairs_sql(max_hamming: int = 3) -> str:
-    return f"""WITH {_simhash_sig_sql()}
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+def simhash_pairs_sql(max_hamming: int = 3, id_strategy: str = "md5") -> str:
+    """Oracle twin: the all-pairs formulation. Banding is exact for
+    the Hamming radius (pigeonhole), so the banded Spark plan and this
+    quadratic SQL agree row-for-row — the oracle states the SEMANTICS,
+    the engine picks the scalable plan."""
+    return f"""WITH {_simhash_sig_sql(id_strategy)}
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
 FROM simhashes a JOIN simhashes b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
@@ -486,7 +594,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
 def dup_clusters(
     docs: DataFrame,
     threshold: float = 0.5,
-    id_strategy: str = "vocab",
+    id_strategy: str = "md5",
     max_iters: int = 20,
 ) -> DataFrame:
     """Canonicalize near-duplicates: connected components over the
@@ -508,11 +616,23 @@ def dup_clusters(
 
 def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     """Connected components over an undirected pair list
-    (columns ``doc_a``, ``doc_b``) by iterative min-label propagation —
-    the generic canonicalization step shared by every near-dup
-    detector (shingle MinHash, SimHash, embedding cosine). Output
-    (doc_id, cluster_id), cluster_id = min reachable id. See
-    :func:`dup_clusters` for the scaling discussion."""
+    (columns ``doc_a``, ``doc_b``) by iterative min-label propagation
+    WITH pointer jumping — the generic canonicalization step shared by
+    every near-dup detector (shingle MinHash, SimHash, embedding
+    cosine). Output (doc_id, cluster_id), cluster_id = min reachable id.
+
+    Each iteration does two label improvements before the convergence
+    check: (1) neighbor-min over the edge list (one shuffle on dst),
+    and (2) pointer jumping — replace my label with my LABEL's label
+    (one self-join of the label table). Jumping doubles how far a
+    label has traveled per round, so convergence is O(log diameter)
+    instead of O(diameter): a 1000-hop chain converges in ~10 rounds,
+    not 1000. If ``max_iters`` still isn't enough, a warning is
+    emitted (silent truncation would diverge from the oracle's full
+    transitive closure). See :func:`dup_clusters` for the rest of the
+    scaling discussion."""
+    import warnings
+
     pairs = pairs.select("doc_a", "doc_b")
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -525,18 +645,33 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .withColumn("cluster_id", F.col("doc_id"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        stepped = labels.join(
+            neighbor_min, labels.doc_id == neighbor_min.src, "left"
+        ).select(
+            "doc_id",
+            F.least(
+                F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+            ).alias("cluster_id"),
+        )
+        # pointer jumping: label ← label-of-label. The join's right side
+        # is the same label table keyed by doc_id — one extra shuffle on
+        # a table of (id, id) rows, halving the remaining distance.
+        parent = stepped.select(
+            F.col("doc_id").alias("p_id"), F.col("cluster_id").alias("p_label")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            stepped.join(parent, stepped.cluster_id == parent.p_id, "left")
             .select(
                 "doc_id",
                 F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                    F.col("cluster_id"), F.coalesce(F.col("p_label"), F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
             .localCheckpoint()
@@ -549,15 +684,24 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        warnings.warn(
+            f"connected_components: not converged after {max_iters} iterations; "
+            "cluster ids may split long chains (oracle computes full closure). "
+            "Raise max_iters.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 
-def dup_clusters_sql(threshold: float = 0.5) -> str:
+def dup_clusters_sql(threshold: float = 0.5, id_strategy: str = "md5") -> str:
     """DuckDB twin: transitive closure by recursive CTE (UNION dedups,
     so it terminates), then min reachable id per node."""
     return f"""WITH RECURSIVE pairs AS (
-  {minhash_lsh_pairs_sql(threshold)}
+  {minhash_lsh_pairs_sql(threshold, id_strategy)}
 ), edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION

@@ -192,16 +192,84 @@ SELECT query_id, neighbor_id, rnk, cosine FROM (
 ) WHERE rnk <= {k}"""
 
 
+def cosine_neardup_lsh_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs via multi-table sign-LSH candidates +
+    exact unit-dot verify — the registered/default detector.
+
+    A pair is a candidate iff it collides in ANY of the ``LSH_TABLES``
+    4-plane tables; candidates equi-join on the int (table, bucket)
+    key (never a crossjoin), then the exact cosine filters to
+    >= threshold. Approximate by construction: recall per pair is
+    1-(1-p^4)^L with p = 1 - angle/π, so distant thresholds lose
+    candidates — the oracle twin reproduces the SAME candidate
+    generation (deterministic hyperplanes), making the approximate
+    algorithm itself oracle-checkable; recall vs the exact detector is
+    pinned separately in pytest. At 100 TB bucket occupancy (not N²)
+    bounds the join fan-out; add planes to keep buckets sparse."""
+    u = embeddings.withColumn("nrm", norm(F.col(vec_col))).select(
+        F.col(id_col).alias("vid"),
+        unit(F.col(vec_col), F.col("nrm")).alias("uv"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        lsh_table_bucket(F.col(vec_col), t).alias("bkt"),
+                    )
+                    for t in range(LSH_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vid", "uv", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
+    a = u.select(F.col("vid").alias("vec_a"), F.col("uv").alias("va"), "tbl", "bkt")
+    b = u.select(F.col("vid").alias("vec_b"), F.col("uv").alias("vb"), "tbl", "bkt")
+    return (
+        a.join(b, ["tbl", "bkt"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "va", "vec_b", "vb")
+        .dropDuplicates(["vec_a", "vec_b"])
+        .withColumn("cosine", dot(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def cosine_neardup_lsh_pairs_sql(threshold: float = 0.9) -> str:
+    per_table = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {lsh_table_bucket_sql('embedding', t)} AS bkt, {t} AS tbl"
+        " FROM embeddings"
+        for t in range(LSH_TABLES)
+    )
+    return f"""WITH {_UNIT_SQL}, tabs AS (
+  {per_table}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM tabs a JOIN tabs b
+    ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, {dot_sql("ua.uv", "ub.uv")} AS cosine
+FROM cand
+JOIN unitv ua ON ua.vec_id = vec_a
+JOIN unitv ub ON ub.vec_id = vec_b
+WHERE {dot_sql("ua.uv", "ub.uv")} >= {threshold}"""
+
+
 def cosine_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding near-dup pairs: cosine >= threshold, vec_a < vec_b.
-    Brute-force all-pairs on unit vectors (one fold per pair); the LSH
-    bucket join is the drop-in candidate generator at scale (same
-    verify expression)."""
+    """EXACT embedding near-dup pairs: cosine >= threshold,
+    vec_a < vec_b. Brute-force all-pairs on unit vectors (one fold per
+    pair) — the recall-1 baseline the LSH detector
+    (:func:`cosine_neardup_lsh_pairs`, the registered default) is
+    measured against; at scale it survives only as the verify stage."""
     u = _unit_vectors(embeddings, id_col, vec_col)
     a = u.select(F.col("vid").alias("vec_a"), F.col("uv").alias("va"))
     b = u.select(F.col("vid").alias("vec_b"), F.col("uv").alias("vb"))

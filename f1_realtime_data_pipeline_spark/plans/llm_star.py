@@ -152,17 +152,17 @@ def t_fingerprint(spark, sf_dir):
     """Positional rolling-hash document fingerprint: sum over token
     positions of wid * 31^(pos mod 8), mod P — an order-sensitive
     content hash (re-orderings collide only by chance, unlike the
-    bag-of-words sketches)."""
+    bag-of-words sketches). Word ids are inline md5 (engine-portable),
+    so the whole plan is scan → posexplode → partial-agg: one shuffle
+    on doc_id, no vocab relation, no join, no global window."""
     d = _docs(spark, sf_dir)
     toks = d.select(
         "doc_id", F.posexplode(tx.tokens("text")).alias("pos", "word")
-    )
-    ids = dd.word_ids(toks)
+    ).withColumn("wid", tx.md5_id("word"))
     pow_arr = F.array(*[F.lit(p) for p in tx.FP_POWERS])
     term = (F.col("wid") * F.element_at(pow_arr, (F.col("pos") % 8 + 1).cast("int"))) % tx.HASH_MOD
     return (
-        toks.join(ids, "word")
-        .groupBy("doc_id")
+        toks.groupBy("doc_id")
         .agg((F.sum(term) % tx.HASH_MOD).cast("bigint").alias("fingerprint"))
     )
 
@@ -177,14 +177,11 @@ _register(
          unnest({tx.tokens_sql("text")}) AS word,
          unnest(range(0, len({tx.tokens_sql("text")}))) AS pos
   FROM documents
-), vocab AS (
-  SELECT word, CAST(DENSE_RANK() OVER (ORDER BY word) AS BIGINT) AS wid
-  FROM (SELECT DISTINCT word FROM toks)
 )
 SELECT doc_id,
-       CAST(SUM((wid * ({_FP_POW_SQL}[CAST(pos % 8 AS INT) + 1])) % {tx.HASH_MOD})
+       CAST(SUM((({tx.md5_id_sql("word")}) * ({_FP_POW_SQL}[CAST(pos % 8 AS INT) + 1])) % {tx.HASH_MOD})
             % {tx.HASH_MOD} AS BIGINT) AS fingerprint
-FROM toks JOIN vocab USING (word)
+FROM toks
 GROUP BY doc_id""",
 )
 
@@ -209,43 +206,36 @@ _register("d_ngram_jaccard", d_ngram_jaccard, dd.ngram_jaccard_pairs_sql(3, 0.5)
 
 
 def d_minhash_signatures(spark, sf_dir):
-    return dd.minhash_signatures(_docs(spark, sf_dir), id_strategy="vocab")
+    """Registered default = md5 inline ids: map-only id derivation
+    (no vocab window/join) AND oracle-exact — the 100 TB path is the
+    checked path. vocab/hash strategies pinned equivalent in pytest."""
+    return dd.minhash_signatures(_docs(spark, sf_dir), id_strategy="md5")
 
 
 _register("d_minhash_signatures", d_minhash_signatures, dd.MINHASH_SIGNATURES_SQL)
 
 
 def d_minhash_lsh(spark, sf_dir):
-    return dd.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5, id_strategy="vocab")
+    return dd.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5, id_strategy="md5")
 
 
 _register("d_minhash_lsh", d_minhash_lsh, dd.minhash_lsh_pairs_sql(0.5))
 
 
 def d_simhash(spark, sf_dir):
-    return dd.simhash_signatures(_docs(spark, sf_dir), id_strategy="vocab")
+    return dd.simhash_signatures(_docs(spark, sf_dir), id_strategy="md5")
 
 
 _register("d_simhash", d_simhash, dd.SIMHASH_SIGNATURES_SQL)
 
 
 def d_simhash_pairs(spark, sf_dir):
-    return dd.simhash_pairs(_docs(spark, sf_dir), max_hamming=3, id_strategy="vocab")
+    """Banded (pigeonhole-exact) SimHash pairing — crossjoin-free; the
+    quadratic formulation survives only as the oracle's semantics."""
+    return dd.simhash_pairs(_docs(spark, sf_dir), max_hamming=3, id_strategy="md5")
 
 
 _register("d_simhash_pairs", d_simhash_pairs, dd.simhash_pairs_sql(3))
-
-
-def d_exact_hash_scale(spark, sf_dir):
-    """Scale-path variant: xxhash64 word ids (no global vocab window).
-    Engine-specific hash → rows-only check; pytest asserts the pair
-    decisions agree with the vocab variant."""
-    return dd.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5, id_strategy="hash")
-
-
-_register("d_exact_hash_scale", d_exact_hash_scale, None)
-
-
 
 
 def d_dup_clusters(spark, sf_dir):
@@ -331,6 +321,60 @@ _register(
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
             / {_PACK_BUDGET}) AS BIGINT) AS seq_id
 FROM (SELECT doc_id, {tx.token_count_sql("text")} AS n_tokens FROM documents)""",
+)
+
+
+#: shard count for distributed sequence packing — at 100 TB set to
+#: ~(corpus tokens / (budget × target sequences per task))
+_PACK_SHARDS = 8
+
+
+def t_pack_sequences_dist(spark, sf_dir):
+    """Distributed sequence packing: the scale form of
+    ``t_pack_sequences``. Docs are sharded by a deterministic hash
+    (shard = doc_id·MULT mod SHARDS) and packed WITHIN each shard —
+    the running-sum window is partitioned by shard, so no global
+    total order and no single-partition window; sequences are keyed
+    (shard, local_seq). Packing within shards wastes at most one
+    partial window per shard — negligible against per-shard token
+    mass — and is exactly what a 1000-executor packing job does.
+    Deterministic in any engine, hence fully oracle-checked."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    counts = d.select(
+        "doc_id",
+        tx.token_count("text").alias("n_tokens"),
+        F.pmod(F.col("doc_id") * F.lit(_SPLIT_MULT), F.lit(_PACK_SHARDS))
+        .cast("int")
+        .alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return counts.select(
+        "doc_id",
+        "n_tokens",
+        "shard",
+        F.floor((cum - F.col("n_tokens")) / F.lit(_PACK_BUDGET))
+        .cast("bigint")
+        .alias("local_seq"),
+    )
+
+
+_register(
+    "t_pack_sequences_dist",
+    t_pack_sequences_dist,
+    f"""SELECT doc_id, n_tokens, shard,
+       CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+            / {_PACK_BUDGET}) AS BIGINT) AS local_seq
+FROM (SELECT doc_id, {tx.token_count_sql("text")} AS n_tokens,
+             CAST((doc_id * {_SPLIT_MULT}) % {_PACK_SHARDS} AS INT) AS shard
+      FROM documents)""",
 )
 
 
@@ -503,11 +547,38 @@ def e_knn_lsh(spark, sf_dir):
 _register("e_knn_lsh", e_knn_lsh, sim.knn_lsh_sql(16, 5))
 
 
+#: cosine threshold for the near-dup detectors. The synthetic
+#: embeddings top out around cosine ~0.5, so 0.35 is what yields a
+#: non-empty pair set to actually check (an empty result proves
+#: nothing); production uses ~0.9 on model embeddings — only the
+#: constant changes.
+_NEARDUP_COS = 0.35
+
+
 def e_cosine_neardup(spark, sf_dir):
-    return sim.cosine_neardup_pairs(_embs(spark, sf_dir), threshold=0.9)
+    """Registered default = LSH-bucketed candidates + exact unit-dot
+    verify (crossjoin-free). The oracle reproduces the same candidate
+    generation, so the approximate algorithm is value-checked; recall
+    vs the exact detector is pinned in pytest."""
+    return sim.cosine_neardup_lsh_pairs(_embs(spark, sf_dir), threshold=_NEARDUP_COS)
 
 
-_register("e_cosine_neardup", e_cosine_neardup, sim.cosine_neardup_pairs_sql(0.9))
+_register(
+    "e_cosine_neardup", e_cosine_neardup, sim.cosine_neardup_lsh_pairs_sql(_NEARDUP_COS)
+)
+
+
+def e_cosine_neardup_exact(spark, sf_dir):
+    """Recall-1 brute-force baseline (all-pairs; at scale this shape
+    survives only as the verify stage — see cosine_neardup_pairs)."""
+    return sim.cosine_neardup_pairs(_embs(spark, sf_dir), threshold=_NEARDUP_COS)
+
+
+_register(
+    "e_cosine_neardup_exact",
+    e_cosine_neardup_exact,
+    sim.cosine_neardup_pairs_sql(_NEARDUP_COS),
+)
 
 
 
@@ -967,12 +1038,11 @@ def e_neardup_clusters(spark, sf_dir):
     """Embedding-space canonicalization: connected components over the
     cosine near-dup pair graph — the same min-label propagation loop
     as d_dup_clusters, fed by the vector detector instead of the
-    shingle one (the canonicalizer is detector-agnostic). Threshold
-    0.35 here: the synthetic embeddings top out at cosine ~0.51, and
-    a threshold that yields real multi-node components is what
-    exercises the propagation (production uses ~0.9 on model
-    embeddings — only the pair feed changes)."""
-    pairs = sim.cosine_neardup_pairs(_embs(spark, sf_dir), threshold=0.35).select(
+    shingle one (the canonicalizer is detector-agnostic). The pair
+    feed is the LSH-bucketed detector (crossjoin-free, the registered
+    default); the oracle's recursive closure runs over the same
+    LSH-candidate pair SQL."""
+    pairs = sim.cosine_neardup_lsh_pairs(_embs(spark, sf_dir), threshold=_NEARDUP_COS).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
     return dd.connected_components(pairs).select(
@@ -984,7 +1054,7 @@ _register(
     "e_neardup_clusters",
     e_neardup_clusters,
     f"""WITH RECURSIVE pairs AS (
-  {sim.cosine_neardup_pairs_sql(0.35)}
+  {sim.cosine_neardup_lsh_pairs_sql(_NEARDUP_COS)}
 ), edges AS (
   SELECT vec_a AS src, vec_b AS dst FROM pairs
   UNION
