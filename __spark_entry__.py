@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from f1_realtime_data_pipeline_spark.plans import (
     contract_star,
     inventory_star,
+    llm_ext,
     llm_star,
     tpch,
     tpch_ext,
@@ -30,10 +31,21 @@ from f1_realtime_data_pipeline_spark.plans import (
 # contract_star + inventory_star + tpch + the head of tpch_ext
 # (CORRECTNESS_r01.json: 49/50 green); this round leads with the
 # LLM-data surface (llm_star) and event-time windows (windows_star) —
-# the families round 1's window missed — followed by the reference
-# contract. Families already driver-green in a prior round's
-# CORRECTNESS file rotate to the back.
-_QUERY_MODULES = [llm_star, windows_star, contract_star, tpch, tpch_ext, inventory_star]
+# the families round 1's window missed — followed by the round-2
+# extension ops (llm_ext: substring dedup, SemDeDup, k-means, Gopher
+# filter; the first rides in this round's window, the rest plus the
+# 15 tpch_ext queries outside round 1's window head round 3's).
+# Families already driver-green in a prior round's CORRECTNESS file
+# rotate to the back.
+_QUERY_MODULES = [
+    llm_star,
+    windows_star,
+    llm_ext,
+    contract_star,
+    tpch,
+    tpch_ext,
+    inventory_star,
+]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -849,3 +849,113 @@ SELECT t.doc_id,
        (CAST(COUNT(x.shingle) AS DOUBLE) / COUNT(*)) AS contamination_ratio
 FROM train_sh t LEFT JOIN test_sh x ON t.shingle = x.shingle
 GROUP BY t.doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# exact substring dedup (rolling k-token windows, Lee et al. 2021-style)
+# ---------------------------------------------------------------------------
+
+#: tokens per rolling window. Lee et al. ("Deduplicating Training Data
+#: Makes Language Models Better") use 50 BPE tokens; the synthetic docs
+#: are ~54 words, so 8 keeps multiple windows per doc at test SF. The
+#: operator shape is k-independent.
+SUBSTRING_TOKENS = 8
+
+
+def doc_token_windows(
+    docs: DataFrame, k: int = SUBSTRING_TOKENS
+) -> DataFrame:
+    """(doc_id, win_pos, win_hash) — every OVERLAPPING ``k``-token
+    window of each document, hashed.
+
+    Unlike :func:`doc_spans` (disjoint windows — the C4 "line" stand-in)
+    this is the rolling-window relation exact-substring dedup needs: a
+    duplicated passage is caught at every alignment, not only when it
+    lands on a span boundary.
+
+    Scale shape: map-only; the token array is materialized once per
+    row (an inlined split() re-runs per window — measured ~10× on the
+    shingle path), and only the 8-byte ``xxhash64`` of the window text
+    leaves the map stage — the window STRINGS never shuffle. Suffix
+    arrays solve this with less duplication of text bytes, but don't
+    distribute; rolling hashes are how dedup pipelines shard this at
+    corpus scale.
+    """
+    with_toks = docs.select("doc_id", tokens("text").alias("toks"))
+    toks = F.col("toks")
+    n_wins = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
+    starts = F.when(n_wins > 0, F.sequence(F.lit(1), n_wins)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return with_toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(starts, lambda i: F.array_join(F.slice(toks, i, k), " "))
+        ).alias("win_pos", "win"),
+    ).select(
+        "doc_id",
+        F.col("win_pos").cast("int").alias("win_pos"),
+        F.xxhash64("win").alias("win_hash"),
+    )
+
+
+def substring_dedup_stats(
+    docs: DataFrame, k: int = SUBSTRING_TOKENS
+) -> DataFrame:
+    """Exact-substring duplication profile per document: of the doc's
+    overlapping ``k``-token windows, how many also occur (verbatim) in
+    at least one OTHER document.
+
+    Output (doc_id, n_windows, n_dup_windows, dup_frac) — the signal a
+    training pipeline thresholds to drop boilerplate-heavy docs, or
+    feeds to a span-removal pass.
+
+    Two consumers read the window relation (the cross-doc duplicate
+    set and the per-doc rollup), so it is persisted — one corpus scan,
+    as with the shingle relation in :func:`ngram_jaccard_pairs`. Both
+    shuffles key on the 8-byte window hash / doc_id; like
+    :func:`exact_dedup`, the Spark plan groups on ``xxhash64`` while
+    the oracle groups on window text (identical decisions absent a
+    64-bit collision).
+    """
+    wins = doc_token_windows(docs, k).persist(StorageLevel.MEMORY_AND_DISK)
+    dup = (
+        wins.groupBy("win_hash")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("win_hash")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        wins.join(dup, "win_hash", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_windows"),
+            F.count("hit").cast("bigint").alias("n_dup_windows"),
+            (F.count("hit").cast("double") / F.count("*")).alias("dup_frac"),
+        )
+    )
+
+
+def substring_dedup_stats_sql(k: int = SUBSTRING_TOKENS) -> str:
+    """DuckDB twin of :func:`substring_dedup_stats` (text-keyed)."""
+    return f"""WITH t AS (
+  SELECT doc_id, {tokens_sql("text")} AS toks FROM documents
+), starts AS (
+  SELECT doc_id,
+         CAST(unnest(range(1, GREATEST(len(toks) - {k - 1}, 0) + 1)) AS INT) AS win_pos,
+         toks
+  FROM t
+), wins AS (
+  SELECT doc_id, win_pos,
+         array_to_string(list_slice(toks, win_pos, win_pos + {k - 1}), ' ') AS win
+  FROM starts
+), dupw AS (
+  SELECT win FROM wins GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT w.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(COUNT(d.win) AS BIGINT) AS n_dup_windows,
+       (CAST(COUNT(d.win) AS DOUBLE) / COUNT(*)) AS dup_frac
+FROM wins w LEFT JOIN dupw d ON w.win = d.win
+GROUP BY w.doc_id"""

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from f1_realtime_data_pipeline_spark.functions.vector import (
+    LSH_DIM,
     LSH_TABLES,
     dot,
     dot_sql,
@@ -410,3 +411,222 @@ SELECT query_id, neighbor_id, rnk, cosine FROM (
             ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rnk
   FROM scored
 ) WHERE rnk <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup = cluster, then prune inside each cluster
+# ---------------------------------------------------------------------------
+
+#: within-cluster cosine above this ⇒ semantic duplicates (the corpus'
+#: max pairwise cosine is ≈0.51, so 0.35 exercises real prune decisions
+#: at test SF; production corpora use ~0.95+ on real embeddings).
+SEMDEDUP_EPS = 0.35
+
+
+def semdedup(
+    embeddings: DataFrame,
+    threshold: float = SEMDEDUP_EPS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): assign every vector to a cluster
+    (the deterministic IVF cells), then inside each cluster drop any
+    vector that has a LOWER-id clustermate with cosine ≥ ``threshold``
+    (min-id = the kept representative — a deterministic stand-in for
+    the paper's keep-one-per-ε-ball rule).
+
+    Output (vec_id, cell, keep) for every vector.
+
+    Scale shape: the pairwise scan is confined to clusters — the
+    self-join keys on the int cell id, so cost is Σ|cell|², not N²;
+    with C≈√N cells that is ~N per cell-balanced corpus, and C is the
+    knob. No crossjoin, no global window; one row_number per vector
+    (cell assignment) + one int-keyed self-join + one left anti-style
+    flag join.
+    """
+    u = _unit_vectors(embeddings, id_col, vec_col)
+    members = ivf_cells(embeddings, id_col, vec_col).join(
+        u.select(F.col("vid").alias("vec_id"), "uv"), "vec_id"
+    )
+    a = members.select(
+        "cell", F.col("vec_id").alias("va"), F.col("uv").alias("ua")
+    )
+    b = members.select(
+        "cell", F.col("vec_id").alias("vb"), F.col("uv").alias("ub")
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("va") < F.col("vb"))
+        .withColumn("cosine", dot(F.col("ua"), F.col("ub")))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("vb").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(1))
+    )
+    return (
+        members.join(dropped, "vec_id", "left")
+        .select("vec_id", "cell", F.col("dropped").isNull().alias("keep"))
+    )
+
+
+def semdedup_sql(threshold: float = SEMDEDUP_EPS) -> str:
+    """DuckDB twin of :func:`semdedup` (same cells, same prune rule)."""
+    return f"""WITH {_UNIT_SQL}, cents AS (
+  SELECT vec_id AS cell, uv AS cv FROM unitv WHERE vec_id < {IVF_C}
+), cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY aff DESC, cell ASC) AS rn
+    FROM (
+      SELECT u.vec_id, cents.cell, {dot_sql("u.uv", "cents.cv")} AS aff
+      FROM unitv u CROSS JOIN cents
+    )
+  ) WHERE rn = 1
+), members AS (
+  SELECT c.vec_id, c.cell, u.uv FROM cells c JOIN unitv u USING (vec_id)
+), dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM members a JOIN members b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {dot_sql("a.uv", "b.uv")} >= {threshold}
+)
+SELECT m.vec_id, m.cell, (d.vec_id IS NULL) AS keep
+FROM members m LEFT JOIN dropped d ON m.vec_id = d.vec_id"""
+
+
+# ---------------------------------------------------------------------------
+# k-means (Lloyd's iterations) — the centroid trainer for IVF/SemDeDup
+# ---------------------------------------------------------------------------
+
+#: k-means defaults: C clusters seeded from the first C vectors (same
+#: deterministic init as the IVF cells), one Lloyd iteration.
+KMEANS_C = 8
+
+#: fixed-point scale for the centroid accumulation: unit elements are
+#: rounded to 1e-9 and summed as exact integer decimals, so the sum is
+#: order-free (any partitioning) AND engine-portable. A double→decimal
+#: cast at scale 18 would NOT be: Spark casts via the shortest string
+#: repr, DuckDB via the exact binary expansion — they disagree in the
+#: 17th-18th digit. Integerizing first sidesteps the rounding-mode gap
+#: (ulp at 1e9 ≈ 2.4e-7 ≪ the 0.5 rounding boundary).
+KMEANS_FP = 1_000_000_000
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    n_clusters: int = KMEANS_C,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means on unit vectors (spherical k-means): seed the
+    first ``n_clusters`` vectors (by id) as centroids, then ``iters``
+    rounds of [assign to max-cosine centroid → recompute centroid as
+    the normalized element-wise sum of members]. Output (vec_id, cell)
+    — the final assignment.
+
+    This is the trainer the IVF index docstring defers to ("a real
+    deployment would k-means the centroids — same query shape,
+    different centroid table"): feed its centroids to the same
+    cell-probe kNN.
+
+    Scale shape per iteration: one broadcast-crossjoin assign (N×C
+    dots, C is small by construction), one posexplode + (cell, pos)
+    partial-agg — shuffle rows = C×dim, shuffle key ints — and one
+    C-row collect_list to rebuild centroid arrays. No global window,
+    no driver collect; N never pairwise-joins itself. The sums use
+    fixed-point integer decimals (see :data:`KMEANS_FP`), so any
+    partitioning produces bit-identical centroids.
+    """
+    from pyspark import StorageLevel
+
+    u = _unit_vectors(embeddings, id_col, vec_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        scored = u.crossJoin(F.broadcast(cents)).withColumn(
+            "aff", dot(F.col("uv"), F.col("cv"))
+        )
+        w = Window.partitionBy("vid").orderBy(
+            F.col("aff").desc(), F.col("cell").asc()
+        )
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("vid", "cell")
+        )
+
+    cents = u.filter(F.col("vid") < n_clusters).select(
+        F.col("vid").alias("cell"), F.col("uv").alias("cv")
+    )
+    for _ in range(iters):
+        members = assign(cents).join(u, "vid")
+        exploded = members.select(
+            "cell", F.posexplode("uv").alias("pos", "v")
+        )
+        sums = exploded.groupBy("cell", "pos").agg(
+            (
+                F.sum(
+                    F.round(F.col("v") * F.lit(float(KMEANS_FP))).cast(
+                        "decimal(28,0)"
+                    )
+                ).cast("double")
+                / F.lit(float(KMEANS_FP))
+            ).alias("s")
+        )
+        sv = sums.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                lambda t: t["s"],
+            ).alias("sv")
+        )
+        cents = sv.withColumn("nrm", norm(F.col("sv"))).select(
+            "cell", unit(F.col("sv"), F.col("nrm")).alias("cv")
+        )
+    return assign(cents).select(F.col("vid").alias("vec_id"), "cell")
+
+
+def kmeans_assign_sql(
+    n_clusters: int = KMEANS_C, iters: int = 1, dim: int = LSH_DIM
+) -> str:
+    """DuckDB twin of :func:`kmeans_assign` — the iterations unroll
+    into one CTE chain per round (assign → fixed-point sums → centroid
+    list), ending with the final assignment."""
+
+    def assign_cte(name: str, cents: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY aff DESC, cell ASC) AS rn
+    FROM (
+      SELECT u.vec_id, c.cell, {dot_sql("u.uv", "c.cv", dim)} AS aff
+      FROM unitv u CROSS JOIN {cents} c
+    )
+  ) WHERE rn = 1
+)"""
+
+    parts = [
+        f"cents0 AS (SELECT vec_id AS cell, uv AS cv FROM unitv WHERE vec_id < {n_clusters})"
+    ]
+    for i in range(iters):
+        parts.append(assign_cte(f"assign{i}", f"cents{i}"))
+        parts.append(
+            f"""sums{i} AS (
+  SELECT a.cell, g.pos,
+         CAST(SUM(CAST(round(u.uv[g.pos] * {float(KMEANS_FP)}) AS DECIMAL(28,0))) AS DOUBLE)
+           / {float(KMEANS_FP)} AS s
+  FROM assign{i} a JOIN unitv u USING (vec_id),
+       unnest(range(1, {dim + 1})) AS g(pos)
+  GROUP BY a.cell, g.pos
+), sv{i} AS (
+  SELECT cell, list(s ORDER BY pos) AS sv FROM sums{i} GROUP BY cell
+), cents{i + 1} AS (
+  SELECT cell, {unit_sql("sv", norm_sql("sv", dim))} AS cv FROM sv{i}
+)"""
+        )
+    parts.append(assign_cte("final_assign", f"cents{iters}"))
+    joined = ",\n".join(parts)
+    return (
+        f"WITH {_UNIT_SQL},\n{joined}\n"
+        "SELECT vec_id, cell FROM final_assign"
+    )

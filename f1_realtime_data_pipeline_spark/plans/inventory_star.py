@@ -376,9 +376,21 @@ WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
 
 
 def j_anti(spark, sf_dir):
-    """Left-anti (NOT EXISTS): customers with no orders."""
+    """Left-anti (NOT EXISTS): customers with no URGENT order.
+
+    The anti-join runs against a *filtered* orders subset: in the
+    synthetic data every customer has at least one order, so the
+    unfiltered form returns 0 rows — an empty oracle check proves
+    nothing. Filtering the right side keeps the operator shape (filter
+    pushes below the anti-join's shuffle) and yields a non-trivial
+    result at every SF.
+    """
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
     return anti(c, o, "c_custkey").select("c_custkey", "c_name")
 
 
@@ -386,7 +398,9 @@ _register(
     "j_anti",
     j_anti,
     """SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')""",
 )
 
 

@@ -1,0 +1,157 @@
+"""Tests for the round-2 LLM-data extension operators: exact
+substring dedup (rolling windows), SemDeDup, k-means, and the
+Gopher-rule quality filter — semantic edge cases on tiny literal
+frames (the sf0.01 oracle checks cover the corpus-scale behavior).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from f1_realtime_data_pipeline_spark.operators import dedup as dd
+from f1_realtime_data_pipeline_spark.operators import similarity as sim
+from f1_realtime_data_pipeline_spark.plans import llm_ext
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(rows)], "doc_id bigint, text string"
+    )
+
+
+def _embs(spark, vecs):
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<float>",
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact substring dedup
+# ---------------------------------------------------------------------------
+
+
+def test_substring_dedup_catches_unaligned_duplicates(spark):
+    # The shared 8-token passage starts at offset 0 in doc0 but offset 2
+    # in doc1 — disjoint span dedup (doc_spans) misses this alignment;
+    # rolling windows must catch it in BOTH docs.
+    passage = "alpha beta gamma delta epsilon zeta eta theta"
+    df = _docs(
+        spark,
+        [
+            passage + " tail1 tail2 tail3",
+            "pre1 pre2 " + passage + " other tokens here",
+            "fully unique words nothing shared at all among docs",
+        ],
+    )
+    out = {
+        r.doc_id: r
+        for r in dd.substring_dedup_stats(df, k=8).collect()
+    }
+    assert out[0].n_dup_windows >= 1
+    assert out[1].n_dup_windows >= 1
+    assert out[2].n_dup_windows == 0
+    # window counts: len(tokens) - k + 1
+    assert out[0].n_windows == 11 - 8 + 1
+    assert out[2].dup_frac == 0.0
+
+
+def test_substring_dedup_short_docs_have_no_windows(spark):
+    df = _docs(spark, ["only three words", "a longer document with exactly eight tokens right here"])
+    rows = {r.doc_id: r for r in dd.substring_dedup_stats(df, k=8).collect()}
+    assert 0 not in rows  # < k tokens -> no windows -> absent
+    assert rows[1].n_windows == 9 - 8 + 1
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup
+# ---------------------------------------------------------------------------
+
+
+def test_semdedup_drops_higher_id_twin(spark):
+    # 17 vectors so ids 0..15 are the IVF centroids; vec 16 duplicates
+    # vec 0 exactly -> same cell, cosine 1.0 -> 16 dropped, 0 kept.
+    base = [[0.0] * 64 for _ in range(16)]
+    for i, v in enumerate(base):
+        v[i] = 1.0
+    vecs = base + [[1.0 if j == 0 else 0.0 for j in range(64)]]
+    out = {r.vec_id: r for r in sim.semdedup(_embs(spark, vecs), threshold=0.9).collect()}
+    assert out[0].keep is True
+    assert out[16].keep is False
+    assert out[16].cell == out[0].cell
+
+
+def test_semdedup_keeps_distinct_vectors(spark):
+    vecs = [[0.0] * 64 for _ in range(17)]
+    for i in range(16):
+        vecs[i][i] = 1.0
+    vecs[16][16] = 1.0  # orthogonal to everything
+    out = sim.semdedup(_embs(spark, vecs), threshold=0.9).collect()
+    assert all(r.keep for r in out)
+
+
+# ---------------------------------------------------------------------------
+# k-means
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_separates_two_blobs(spark):
+    # Two tight blobs on orthogonal axes; seeds (ids 0 and 1) land one
+    # in each blob, so one Lloyd iteration must classify every member
+    # with its blob's seed.
+    blob_a = [[1.0, 0.05 * i] + [0.0] * 62 for i in range(5)]
+    blob_b = [[0.05 * i, 1.0] + [0.0] * 62 for i in range(5)]
+    # interleave so seeds 0,1 are one from each blob
+    vecs = [blob_a[0], blob_b[0]] + blob_a[1:] + blob_b[1:]
+    out = sim.kmeans_assign(_embs(spark, vecs), n_clusters=2, iters=2).collect()
+    cells = {r.vec_id: r.cell for r in out}
+    a_ids = [0] + list(range(2, 6))
+    b_ids = [1] + list(range(6, 10))
+    assert len({cells[i] for i in a_ids}) == 1
+    assert len({cells[i] for i in b_ids}) == 1
+    assert cells[0] != cells[1]
+
+
+def test_kmeans_fixed_point_sums_are_partition_invariant(spark):
+    # Same data, 1 vs 32 shuffle partitions -> bit-identical assignment
+    # (the fixed-point decimal accumulation is order-free).
+    vecs = [[float((i * 7 + j * 3) % 11) / 11.0 for j in range(64)] for i in range(40)]
+    df = _embs(spark, vecs)
+    a = sorted((r.vec_id, r.cell) for r in sim.kmeans_assign(df, 4, iters=1).collect())
+    b = sorted(
+        (r.vec_id, r.cell)
+        for r in sim.kmeans_assign(df.repartition(32), 4, iters=1).collect()
+    )
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality filter
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_rules_fire_individually(spark):
+    long_doc = (
+        " ".join(f"word{i:03d}" for i in range(60)) + " the of"
+    )  # 62 words, mwl 7, 2 stopwords, fully diverse — passes every rule
+    short_doc = "tiny doc with the and of stop words"  # fails words_ok only-ish
+    no_stop = " ".join(f"unique{i}" for i in range(60))  # fails stop_ok
+    repetitive = "the " + " ".join(["spam"] * 60) + " of"  # fails rep/ttr
+    df = _docs(spark, [long_doc, short_doc, no_stop, repetitive])
+    assert "t_quality_gopher" in llm_ext.QUERIES
+    out = {r.doc_id: r for r in _gopher_on(df).collect()}
+    assert out[0].keep is True
+    assert out[1].words_ok is False and out[1].keep is False
+    assert out[2].stop_ok is False and out[2].keep is False
+    assert out[3].rep_ok is False and out[3].ttr_ok is False and out[3].keep is False
+
+
+def _gopher_on(docs_df):
+    """Run the Gopher filter plan over a literal docs frame (the
+    registered query binds to parquet; the logic is identical)."""
+    from unittest import mock
+
+    from f1_realtime_data_pipeline_spark.plans import llm_ext as m
+
+    with mock.patch.object(m, "_docs", lambda spark, sf_dir: docs_df):
+        return m.t_quality_gopher(None, None)
