@@ -44,6 +44,7 @@ from f1_realtime_data_pipeline_spark.functions.text import (
     HASH_MOD,
     HASH_MULT,
     SIMHASH_BITS,
+    SIMHASH_MULT2,
     md5_id,
     md5_id_sql,
     tokens,
@@ -466,13 +467,19 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= {threshold}""
 
 
 def simhash_signatures(docs: DataFrame, id_strategy: str = "md5") -> DataFrame:
-    """16-bit SimHash per doc: mix each word id, vote ±1 per bit over
-    the doc's words, set bit where the vote is positive. One groupBy
-    with 16 conditional sums. Default ``md5`` ids are inline — the
-    whole plan is scan → project → partial-agg, no join, no window."""
+    """62-bit SimHash per doc: mix each word id into a 62-bit pattern
+    (two independent 31-bit multiplicative mixes packed side by side —
+    see ``functions.text.SIMHASH_BITS`` for why 62 and not 64), vote
+    ±1 per bit over the doc's words, set bit where the vote is
+    positive. One groupBy with 62 conditional sums. Default ``md5``
+    ids are inline — the whole plan is scan → project → partial-agg,
+    no join, no window."""
     words = doc_words(docs)
     w = _with_element_ids(words, "word", "wid", id_strategy).withColumn(
-        "h", (F.col("wid") * HASH_MULT) % (2**SIMHASH_BITS)
+        "h",
+        ((F.col("wid") * HASH_MULT) % F.lit(2**31)).bitwiseOR(
+            F.shiftleft((F.col("wid") * SIMHASH_MULT2 + 12345) % F.lit(2**31), 31)
+        ),
     )
     votes = [
         F.sum(
@@ -495,16 +502,21 @@ def _simhash_sig_sql(id_strategy: str = "md5") -> str:
     bits = " + ".join(
         f"(CASE WHEN v{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(SIMHASH_BITS)
     )
+    mix = (
+        f"(((wid * {HASH_MULT}) % {2 ** 31})"
+        f" | (((wid * {SIMHASH_MULT2} + 12345) % {2 ** 31}) << 31))"
+    )
     if id_strategy == "md5":
-        mixed = f"""mixed AS (
-  SELECT doc_id, (({md5_id_sql("word")}) * {HASH_MULT}) % {2 ** SIMHASH_BITS} AS h
-  FROM doc_words
+        mixed = f"""ids AS (
+  SELECT doc_id, ({md5_id_sql("word")}) AS wid FROM doc_words
+), mixed AS (
+  SELECT doc_id, {mix} AS h FROM ids
 )"""
     else:
         mixed = f"""vocab AS (
   {WORD_IDS_SQL}
 ), mixed AS (
-  SELECT doc_id, (wid * {HASH_MULT}) % {2 ** SIMHASH_BITS} AS h
+  SELECT doc_id, {mix} AS h
   FROM doc_words JOIN vocab USING (word)
 )"""
     return f"""doc_words AS (
@@ -525,14 +537,15 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, id_strategy: str = "md5
     """Near-dup pairs with SimHash Hamming distance <= max_hamming,
     via pigeonhole banding — NO crossjoin, and still EXACT.
 
-    The 16-bit signature is split into ``max_hamming + 1`` bit bands;
-    two signatures within Hamming ``max_hamming`` must agree exactly on
-    at least one band (pigeonhole), so an equi-join on
-    (band_idx, band_bits) generates every qualifying pair. Candidates
-    are then verified with ``bit_count(xor)``. The shuffle key is a
-    pair of small ints; band-bucket occupancy (docs per 4-bit value)
-    bounds the per-bucket fan-out — at 100 TB widen the signature
-    (32/64 bits) to keep buckets sparse, same plan shape.
+    The 62-bit signature is split into ``max_hamming + 1`` bit bands
+    (~15 bits each at the default radius); two signatures within
+    Hamming ``max_hamming`` must agree exactly on at least one band
+    (pigeonhole), so an equi-join on (band_idx, band_bits) generates
+    every qualifying pair. Candidates are then verified with
+    ``bit_count(xor)``. The shuffle key is a pair of small ints, and
+    band-bucket occupancy (docs per ~15-bit value) bounds the
+    per-bucket fan-out — sparse buckets are exactly what the wide
+    signature buys (see ``functions.text.SIMHASH_BITS``).
     """
     n_bands = max_hamming + 1
     width = (SIMHASH_BITS + n_bands - 1) // n_bands
@@ -652,12 +665,17 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        stepped = labels.join(
-            neighbor_min, labels.doc_id == neighbor_min.src, "left"
-        ).select(
+        # the PRE-round label rides along as old_label so convergence
+        # is a filter-count on the round's own output — no extra
+        # old-vs-new join, and (with the lazy checkpoint below) the
+        # whole round is ONE Spark job.
+        stepped = labels.select(
+            "doc_id", F.col("cluster_id").alias("old_label")
+        ).join(neighbor_min, F.col("doc_id") == F.col("src"), "left").select(
             "doc_id",
+            "old_label",
             F.least(
-                F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                F.col("old_label"), F.coalesce(F.col("nbr_min"), F.col("old_label"))
             ).alias("cluster_id"),
         )
         # pointer jumping: label ← label-of-label. The join's right side
@@ -670,19 +688,16 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             stepped.join(parent, stepped.cluster_id == parent.p_id, "left")
             .select(
                 "doc_id",
+                "old_label",
                 F.least(
                     F.col("cluster_id"), F.coalesce(F.col("p_label"), F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
+        # materializes the checkpoint AND checks convergence in one job
+        changed = new_labels.filter(F.col("cluster_id") != F.col("old_label")).count()
+        labels = new_labels.select("doc_id", "cluster_id")
         if changed == 0:
             converged = True
             break

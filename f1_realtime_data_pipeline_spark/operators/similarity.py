@@ -211,10 +211,16 @@ def cosine_neardup_lsh_pairs(
     generation (deterministic hyperplanes), making the approximate
     algorithm itself oracle-checkable; recall vs the exact detector is
     pinned separately in pytest. At 100 TB bucket occupancy (not N²)
-    bounds the join fan-out; add planes to keep buckets sparse."""
-    u = embeddings.withColumn("nrm", norm(F.col(vec_col))).select(
+    bounds the join fan-out; add planes to keep buckets sparse.
+
+    Shuffle discipline: the (table, bucket) candidate join and the
+    pair dedup move bare 16-byte id pairs — the ~0.5 KB unit vectors
+    are fetched only AFTER the distinct, via two vec_id joins against
+    the N-row unit relation (AQE turns those into broadcasts while
+    the relation is small; at scale they are hash joins proportional
+    to surviving candidates, not raw collisions)."""
+    tb = embeddings.select(
         F.col(id_col).alias("vid"),
-        unit(F.col(vec_col), F.col("nrm")).alias("uv"),
         F.explode(
             F.array(
                 *[
@@ -226,14 +232,20 @@ def cosine_neardup_lsh_pairs(
                 ]
             )
         ).alias("tb"),
-    ).select("vid", "uv", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
-    a = u.select(F.col("vid").alias("vec_a"), F.col("uv").alias("va"), "tbl", "bkt")
-    b = u.select(F.col("vid").alias("vec_b"), F.col("uv").alias("vb"), "tbl", "bkt")
-    return (
-        a.join(b, ["tbl", "bkt"])
+    ).select("vid", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
+    cand = (
+        tb.select(F.col("vid").alias("vec_a"), "tbl", "bkt")
+        .join(tb.select(F.col("vid").alias("vec_b"), "tbl", "bkt"), ["tbl", "bkt"])
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "va", "vec_b", "vb")
+        .select("vec_a", "vec_b")
         .dropDuplicates(["vec_a", "vec_b"])
+    )
+    u = _unit_vectors(embeddings, id_col, vec_col)
+    return (
+        cand.join(
+            u.select(F.col("vid").alias("vec_a"), F.col("uv").alias("va")), "vec_a"
+        )
+        .join(u.select(F.col("vid").alias("vec_b"), F.col("uv").alias("vb")), "vec_b")
         .withColumn("cosine", dot(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")

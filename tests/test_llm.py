@@ -109,8 +109,9 @@ def test_simhash_near_for_near_dups(docs_small):
     sigs = {r.doc_id: r.simhash for r in dd.simhash_signatures(docs_small).collect()}
     ham_near = bin(sigs[0] ^ sigs[1]).count("1")
     ham_far = bin(sigs[0] ^ sigs[2]).count("1")
-    # one-word swap flips few bits; an unrelated doc flips ~half the 16
-    assert ham_near <= 6
+    # one-word swap flips a minority of the 62 bits; an unrelated doc
+    # flips ~half (31)
+    assert ham_near <= 20
     assert ham_near < ham_far
     assert sigs[2] == sigs[4]  # identical text, identical signature
 
