@@ -29,9 +29,20 @@ LSH_PLANES = 8
 LSH_DIM = 64
 LSH_TABLES = 4
 PLANES_PER_TABLE = 4
+#: near-dup detector config: 4 tables × 8 planes (256 buckets/table).
+#: Near-dup thresholds are HIGH cosine (≥ ~0.9 ⇒ per-plane collision
+#: p = 1 - angle/π ≳ 0.85), so 8-plane tables keep per-table recall
+#: usable (p^8 ≈ 0.29; collide-in-ANY-of-4 ≈ 0.75; exact copies
+#: collide always) while cutting bucket occupancy ~16× vs 4-plane
+#: tables — the candidate set, and with it the exact-verify fold
+#: cost, shrinks by the same factor. The kNN path keeps the 4-plane
+#: tables: its working cosines are much lower, where 8 planes would
+#: collapse recall.
+NEARDUP_TABLES = 4
+NEARDUP_PLANES_PER_TABLE = 8
 HYPERPLANES: list[list[float]] = [
     [(((p * LSH_DIM + i) * 2654435761) % 10007) / 10007.0 - 0.5 for i in range(LSH_DIM)]
-    for p in range(LSH_TABLES * PLANES_PER_TABLE)
+    for p in range(NEARDUP_TABLES * NEARDUP_PLANES_PER_TABLE)
 ]
 
 
@@ -111,20 +122,24 @@ def lsh_bucket_sql(a: str, dim: int = LSH_DIM) -> str:
     return "CAST(" + " + ".join(terms) + " AS INT)"
 
 
-def lsh_table_bucket(a: Column, table: int) -> Column:
+def lsh_table_bucket(
+    a: Column, table: int, planes_per_table: int = PLANES_PER_TABLE
+) -> Column:
     """Bucket id within one LSH table (planes [table*b, table*b+b))."""
     bucket = F.lit(0)
-    for r in range(PLANES_PER_TABLE):
-        p = table * PLANES_PER_TABLE + r
+    for r in range(planes_per_table):
+        p = table * planes_per_table + r
         bit = F.when(dot(a, _plane_literal(p)) > 0, F.lit(2**r)).otherwise(F.lit(0))
         bucket = bucket + bit
     return bucket.cast("int")
 
 
-def lsh_table_bucket_sql(a: str, table: int, dim: int = LSH_DIM) -> str:
+def lsh_table_bucket_sql(
+    a: str, table: int, dim: int = LSH_DIM, planes_per_table: int = PLANES_PER_TABLE
+) -> str:
     terms = [
-        f"(CASE WHEN {dot_sql(a, _plane_literal_sql(table * PLANES_PER_TABLE + r), dim)}"
+        f"(CASE WHEN {dot_sql(a, _plane_literal_sql(table * planes_per_table + r), dim)}"
         f" > 0 THEN {2 ** r} ELSE 0 END)"
-        for r in range(PLANES_PER_TABLE)
+        for r in range(planes_per_table)
     ]
     return "CAST(" + " + ".join(terms) + " AS INT)"

@@ -627,31 +627,138 @@ def dup_clusters(
     return connected_components(pairs, max_iters)
 
 
-def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
-    """Connected components over an undirected pair list
-    (columns ``doc_a``, ``doc_b``) by iterative min-label propagation
-    WITH pointer jumping — the generic canonicalization step shared by
-    every near-dup detector (shingle MinHash, SimHash, embedding
-    cosine). Output (doc_id, cluster_id), cluster_id = min reachable id.
+#: edge-count gate for the single-task union-find strategy (~80 MB of
+#: id pairs in the one task that runs it)
+SMALL_GRAPH_EDGES = 5_000_000
 
-    Each iteration does two label improvements before the convergence
-    check: (1) neighbor-min over the edge list (one shuffle on dst),
-    and (2) pointer jumping — replace my label with my LABEL's label
-    (one self-join of the label table). Jumping doubles how far a
-    label has traveled per round, so convergence is O(log diameter)
-    instead of O(diameter): a 1000-hop chain converges in ~10 rounds,
-    not 1000. If ``max_iters`` still isn't enough, a warning is
-    emitted (silent truncation would diverge from the oracle's full
-    transitive closure). See :func:`dup_clusters` for the rest of the
-    scaling discussion."""
+
+def connected_components(
+    pairs: DataFrame, max_iters: int = 20, small_graph_edges: int = SMALL_GRAPH_EDGES
+) -> DataFrame:
+    """Connected components over an undirected pair list
+    (columns ``doc_a``, ``doc_b``) — the generic canonicalization step
+    shared by every near-dup detector (shingle MinHash, SimHash,
+    embedding cosine). Output (doc_id, cluster_id), cluster_id = min
+    reachable id.
+
+    The pair graph of a dedup run is orders of magnitude smaller than
+    its corpus (only sparse near-dup edges survive the detector), so
+    the operator is count-gated into two physical strategies:
+
+    - ``n_edges <= small_graph_edges``: the whole edge list flows
+      through ONE union-find task (Arrow ``mapInPandas`` over
+      ``repartition(1)``) — exact, one pass, no rounds. A 5M-edge
+      list is ~80 MB in the one task that runs it, and the output
+      (node → min id) is the only thing shuffled back.
+    - larger graphs (boilerplate-heavy corpora can push the pair
+      graph into the billions): iterative min-label propagation with
+      pointer jumping. Each round does (1) neighbor-min over the edge
+      list (one shuffle on dst) and (2) TWO pointer jumps — replace
+      my label with my LABEL's label (self-joins of the label table).
+      Each jump doubles how far a label has traveled, so convergence
+      is O(log diameter) instead of O(diameter). If ``max_iters``
+      isn't enough, a warning is emitted (silent truncation would
+      diverge from the oracle's full transitive closure).
+
+    Iterative-loop shuffle discipline: ``pairs`` is persisted BEFORE
+    the both-directions union (the union's two branches would
+    otherwise recompute the detector plan twice); the loop's shuffles
+    and the edge cache are sized to the GRAPH (~1M edges/partition,
+    capped at the session setting) because an iterative loop pays
+    per-round *scheduler* cost proportional to partition count; and
+    broadcast joins are disabled inside the loop — every relation is
+    already at loop width, so AQE's broadcast re-plans buy nothing
+    and their driver round-trips dominate kilobyte-scale rounds.
+    """
     import warnings
 
-    pairs = pairs.select("doc_a", "doc_b")
+    spark = pairs.sparkSession
+    pairs = pairs.select("doc_a", "doc_b").persist(StorageLevel.MEMORY_AND_DISK)
+    n_edges = pairs.count()
+    if n_edges <= small_graph_edges:
+        # eager checkpoint: materializes the union-find once so the
+        # detector cache can be dropped before returning
+        out = _cc_union_find(pairs).localCheckpoint()
+        pairs.unpersist()
+        return out
+    sess_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    sess_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    loop_parts = max(1, min(int(sess_parts), (2 * n_edges) // 1_000_000 + 1))
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .repartition(loop_parts, "dst")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        labels, converged = _cc_loop(edges, max_iters)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", sess_parts)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", sess_bcast)
+        edges.unpersist()
+        pairs.unpersist()
+    if not converged:
+        warnings.warn(
+            f"connected_components: not converged after {max_iters} iterations; "
+            "cluster ids may split long chains (oracle computes full closure). "
+            "Raise max_iters.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return labels
+
+
+def _cc_union_find(pairs: DataFrame) -> DataFrame:
+    """Exact connected components of a small-enough edge list in one
+    union-find pass (path compression + union-by-min, so each root IS
+    its component's min id). The single task sees every edge via the
+    Arrow batch iterator; only (node, min-reachable-id) rows leave it.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    id_type = pairs.schema["doc_a"].dataType
+    out_schema = T.StructType(
+        [T.StructField("doc_id", id_type), T.StructField("cluster_id", id_type)]
+    )
+
+    def run(batches):
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for a, b in zip(pdf["doc_a"], pdf["doc_b"]):
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+        nodes = list(parent)
+        for i in range(0, len(nodes), 1_000_000):
+            chunk = nodes[i : i + 1_000_000]
+            yield pd.DataFrame(
+                {"doc_id": chunk, "cluster_id": [find(n) for n in chunk]}
+            )
+
+    return pairs.repartition(1).mapInPandas(run, schema=out_schema)
+
+
+def _cc_loop(edges: DataFrame, max_iters: int) -> tuple[DataFrame, bool]:
+    """The min-label + pointer-jump rounds; every round's labels are
+    materialized (checkpoint + convergence count), so the caller may
+    unpersist ``edges`` once this returns."""
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
@@ -678,38 +785,33 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                 F.col("old_label"), F.coalesce(F.col("nbr_min"), F.col("old_label"))
             ).alias("cluster_id"),
         )
-        # pointer jumping: label ← label-of-label. The join's right side
-        # is the same label table keyed by doc_id — one extra shuffle on
-        # a table of (id, id) rows, halving the remaining distance.
-        parent = stepped.select(
-            F.col("doc_id").alias("p_id"), F.col("cluster_id").alias("p_label")
-        )
-        new_labels = (
-            stepped.join(parent, stepped.cluster_id == parent.p_id, "left")
-            .select(
+        # pointer jumping, twice: label ← label-of-label. Each jump is
+        # a self-join of the (id, id) label table — cheap at loop
+        # width — and doubles how far a label has traveled, so two
+        # jumps make the per-round reach ~4× and long chains converge
+        # in roughly half the rounds of a single-jump loop (rounds are
+        # the expensive unit here: each one is a full job + checkpoint).
+        for _jump in range(2):
+            parent = stepped.select(
+                F.col("doc_id").alias("p_id"), F.col("cluster_id").alias("p_label")
+            )
+            stepped = stepped.join(
+                parent, stepped.cluster_id == parent.p_id, "left"
+            ).select(
                 "doc_id",
                 "old_label",
                 F.least(
                     F.col("cluster_id"), F.coalesce(F.col("p_label"), F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
-            .localCheckpoint(eager=False)
-        )
+        new_labels = stepped.localCheckpoint(eager=False)
         # materializes the checkpoint AND checks convergence in one job
         changed = new_labels.filter(F.col("cluster_id") != F.col("old_label")).count()
         labels = new_labels.select("doc_id", "cluster_id")
         if changed == 0:
             converged = True
             break
-    if not converged:
-        warnings.warn(
-            f"connected_components: not converged after {max_iters} iterations; "
-            "cluster ids may split long chains (oracle computes full closure). "
-            "Raise max_iters.",
-            RuntimeWarning,
-            stacklevel=2,
-        )
-    return labels
+    return labels, converged
 
 
 def dup_clusters_sql(threshold: float = 0.5, id_strategy: str = "md5") -> str:

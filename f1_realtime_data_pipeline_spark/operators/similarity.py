@@ -32,6 +32,8 @@ from pyspark.sql.window import Window
 from f1_realtime_data_pipeline_spark.functions.vector import (
     LSH_DIM,
     LSH_TABLES,
+    NEARDUP_PLANES_PER_TABLE,
+    NEARDUP_TABLES,
     dot,
     dot_sql,
     lsh_bucket,
@@ -52,11 +54,18 @@ def _unit_vectors(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame
     )
 
 
-_UNIT_SQL = f"""normed AS (
-  SELECT vec_id, embedding, {norm_sql("embedding")} AS nrm FROM embeddings
+def _unit_sql(src: str = "embeddings") -> str:
+    """The unit-vector CTE pair; ``src`` may be a table name or a
+    parenthesized subquery (e.g. a fixture that plants near-dup
+    copies)."""
+    return f"""normed AS (
+  SELECT vec_id, embedding, {norm_sql("embedding")} AS nrm FROM {src}
 ), unitv AS (
   SELECT vec_id, {unit_sql("embedding", "nrm")} AS uv FROM normed
 )"""
+
+
+_UNIT_SQL = _unit_sql()
 
 
 def knn_bruteforce(
@@ -202,16 +211,20 @@ def cosine_neardup_lsh_pairs(
     """Embedding near-dup pairs via multi-table sign-LSH candidates +
     exact unit-dot verify — the registered/default detector.
 
-    A pair is a candidate iff it collides in ANY of the ``LSH_TABLES``
-    4-plane tables; candidates equi-join on the int (table, bucket)
-    key (never a crossjoin), then the exact cosine filters to
-    >= threshold. Approximate by construction: recall per pair is
-    1-(1-p^4)^L with p = 1 - angle/π, so distant thresholds lose
-    candidates — the oracle twin reproduces the SAME candidate
-    generation (deterministic hyperplanes), making the approximate
-    algorithm itself oracle-checkable; recall vs the exact detector is
-    pinned separately in pytest. At 100 TB bucket occupancy (not N²)
-    bounds the join fan-out; add planes to keep buckets sparse.
+    A pair is a candidate iff it collides in ANY of the
+    ``NEARDUP_TABLES`` 8-plane tables; candidates equi-join on the int
+    (table, bucket) key (never a crossjoin), then the exact cosine
+    filters to >= threshold. 8 planes per table (vs the kNN path's 4)
+    because near-dup thresholds are high-cosine: per-plane collision
+    p ≳ 0.85 at cos 0.9 keeps any-of-4-tables recall ~0.75 (exact
+    copies collide always), while bucket occupancy — and with it the
+    exact-verify fold cost, the detector's real expense — drops ~16×.
+    Approximate by construction: the oracle twin reproduces the SAME
+    candidate generation (deterministic hyperplanes), making the
+    approximate algorithm itself oracle-checkable; recall vs the
+    exact detector is pinned separately in pytest. At 100 TB bucket
+    occupancy (not N²) bounds the join fan-out; add planes to keep
+    buckets sparse.
 
     Shuffle discipline: the (table, bucket) candidate join and the
     pair dedup move bare 16-byte id pairs — the ~0.5 KB unit vectors
@@ -226,9 +239,11 @@ def cosine_neardup_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(t).alias("tbl"),
-                        lsh_table_bucket(F.col(vec_col), t).alias("bkt"),
+                        lsh_table_bucket(
+                            F.col(vec_col), t, NEARDUP_PLANES_PER_TABLE
+                        ).alias("bkt"),
                     )
-                    for t in range(LSH_TABLES)
+                    for t in range(NEARDUP_TABLES)
                 ]
             )
         ).alias("tb"),
@@ -252,13 +267,14 @@ def cosine_neardup_lsh_pairs(
     )
 
 
-def cosine_neardup_lsh_pairs_sql(threshold: float = 0.9) -> str:
+def cosine_neardup_lsh_pairs_sql(threshold: float = 0.9, src: str = "embeddings") -> str:
     per_table = "\n  UNION ALL\n  ".join(
-        f"SELECT vec_id, {lsh_table_bucket_sql('embedding', t)} AS bkt, {t} AS tbl"
-        " FROM embeddings"
-        for t in range(LSH_TABLES)
+        f"SELECT vec_id, "
+        f"{lsh_table_bucket_sql('embedding', t, planes_per_table=NEARDUP_PLANES_PER_TABLE)}"
+        f" AS bkt, {t} AS tbl FROM {src}"
+        for t in range(NEARDUP_TABLES)
     )
-    return f"""WITH {_UNIT_SQL}, tabs AS (
+    return f"""WITH {_unit_sql(src)}, tabs AS (
   {per_table}
 ), cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -295,8 +311,8 @@ def cosine_neardup_pairs(
     )
 
 
-def cosine_neardup_pairs_sql(threshold: float = 0.9) -> str:
-    return f"""WITH {_UNIT_SQL}
+def cosine_neardup_pairs_sql(threshold: float = 0.9, src: str = "embeddings") -> str:
+    return f"""WITH {_unit_sql(src)}
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {dot_sql("a.uv", "b.uv")} AS cosine
 FROM unitv a JOIN unitv b ON a.vec_id < b.vec_id
 WHERE {dot_sql("a.uv", "b.uv")} >= {threshold}"""

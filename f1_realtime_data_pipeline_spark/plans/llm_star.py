@@ -547,37 +547,78 @@ def e_knn_lsh(spark, sf_dir):
 _register("e_knn_lsh", e_knn_lsh, sim.knn_lsh_sql(16, 5))
 
 
-#: cosine threshold for the near-dup detectors. The synthetic
-#: embeddings top out around cosine ~0.5, so 0.35 is what yields a
-#: non-empty pair set to actually check (an empty result proves
-#: nothing); production uses ~0.9 on model embeddings — only the
-#: constant changes.
-_NEARDUP_COS = 0.35
+#: cosine threshold for the near-dup detectors — the production value
+#: for model embeddings. The synthetic embeddings top out around
+#: cosine ~0.5 (no natural near-dups), so the near-dup queries run on
+#: a fixture that PLANTS deterministic duplicate copies (below): every
+#: 40th vector gets one copy, every 80th a second — yielding 2- and
+#: 3-member clusters with known ids, a non-trivial result at the
+#: realistic threshold. (The earlier alternative — dropping the
+#: threshold to 0.35 to catch natural pairs — made the pair graph a
+#: long-chain quadratic-density mess that no production near-dup run
+#: resembles, and pushed the LSH detector into its low-cosine regime
+#: where candidate buckets are dense and the exact-verify stage does
+#: ~600k folds for ~4k true pairs.)
+_NEARDUP_COS = 0.9
+#: planted-copy id offsets / strides (ids stay disjoint from the base
+#: table's vec_ids at every scale factor)
+_PLANT_STRIDE1, _PLANT_OFF1 = 40, 1_000_000
+_PLANT_STRIDE2, _PLANT_OFF2 = 80, 2_000_000
+
+
+def _embs_neardup(spark, sf_dir):
+    """Embeddings plus planted near-dup copies (exact duplicates, so
+    cosine 1.0 — above any realistic threshold, and the LSH tables
+    bucket them identically, i.e. planted recall is exactly 1)."""
+    e = _embs(spark, sf_dir).select("vec_id", "embedding")
+    c1 = e.filter(F.col("vec_id") % _PLANT_STRIDE1 == 0).select(
+        (F.col("vec_id") + _PLANT_OFF1).alias("vec_id"), "embedding"
+    )
+    c2 = e.filter(F.col("vec_id") % _PLANT_STRIDE2 == 0).select(
+        (F.col("vec_id") + _PLANT_OFF2).alias("vec_id"), "embedding"
+    )
+    return e.unionAll(c1).unionAll(c2)
+
+
+#: DuckDB twin of the planted fixture — a parenthesized derived table,
+#: usable anywhere the similarity SQL builders take a ``src``
+_EMBS_NEARDUP_SQL = f"""(
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_PLANT_OFF1}, embedding FROM embeddings
+  WHERE vec_id % {_PLANT_STRIDE1} = 0
+  UNION ALL
+  SELECT vec_id + {_PLANT_OFF2}, embedding FROM embeddings
+  WHERE vec_id % {_PLANT_STRIDE2} = 0
+)"""
 
 
 def e_cosine_neardup(spark, sf_dir):
     """Registered default = LSH-bucketed candidates + exact unit-dot
-    verify (crossjoin-free). The oracle reproduces the same candidate
+    verify (crossjoin-free), on the planted-copy fixture at the
+    production threshold. The oracle reproduces the same candidate
     generation, so the approximate algorithm is value-checked; recall
     vs the exact detector is pinned in pytest."""
-    return sim.cosine_neardup_lsh_pairs(_embs(spark, sf_dir), threshold=_NEARDUP_COS)
+    return sim.cosine_neardup_lsh_pairs(_embs_neardup(spark, sf_dir), threshold=_NEARDUP_COS)
 
 
 _register(
-    "e_cosine_neardup", e_cosine_neardup, sim.cosine_neardup_lsh_pairs_sql(_NEARDUP_COS)
+    "e_cosine_neardup",
+    e_cosine_neardup,
+    sim.cosine_neardup_lsh_pairs_sql(_NEARDUP_COS, src=_EMBS_NEARDUP_SQL),
 )
 
 
 def e_cosine_neardup_exact(spark, sf_dir):
     """Recall-1 brute-force baseline (all-pairs; at scale this shape
     survives only as the verify stage — see cosine_neardup_pairs)."""
-    return sim.cosine_neardup_pairs(_embs(spark, sf_dir), threshold=_NEARDUP_COS)
+    return sim.cosine_neardup_pairs(_embs_neardup(spark, sf_dir), threshold=_NEARDUP_COS)
 
 
 _register(
     "e_cosine_neardup_exact",
     e_cosine_neardup_exact,
-    sim.cosine_neardup_pairs_sql(_NEARDUP_COS),
+    sim.cosine_neardup_pairs_sql(_NEARDUP_COS, src=_EMBS_NEARDUP_SQL),
 )
 
 
@@ -1036,15 +1077,17 @@ _register(
 
 def e_neardup_clusters(spark, sf_dir):
     """Embedding-space canonicalization: connected components over the
-    cosine near-dup pair graph — the same min-label propagation loop
-    as d_dup_clusters, fed by the vector detector instead of the
-    shingle one (the canonicalizer is detector-agnostic). The pair
-    feed is the LSH-bucketed detector (crossjoin-free, the registered
-    default); the oracle's recursive closure runs over the same
-    LSH-candidate pair SQL."""
-    pairs = sim.cosine_neardup_lsh_pairs(_embs(spark, sf_dir), threshold=_NEARDUP_COS).select(
-        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
-    )
+    cosine near-dup pair graph — the same count-gated CC operator as
+    d_dup_clusters, fed by the vector detector instead of the shingle
+    one (the canonicalizer is detector-agnostic). Runs on the
+    planted-copy fixture: every 80th vector forms a 3-member clique
+    (base + two identical copies), the other planted 40th-stride rows
+    2-member pairs — the expected clusters are known by construction.
+    The oracle's recursive closure runs over the same LSH-candidate
+    pair SQL."""
+    pairs = sim.cosine_neardup_lsh_pairs(
+        _embs_neardup(spark, sf_dir), threshold=_NEARDUP_COS
+    ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
     return dd.connected_components(pairs).select(
         F.col("doc_id").alias("vec_id"), "cluster_id"
     )
@@ -1054,7 +1097,7 @@ _register(
     "e_neardup_clusters",
     e_neardup_clusters,
     f"""WITH RECURSIVE pairs AS (
-  {sim.cosine_neardup_lsh_pairs_sql(_NEARDUP_COS)}
+  {sim.cosine_neardup_lsh_pairs_sql(_NEARDUP_COS, src=_EMBS_NEARDUP_SQL)}
 ), edges AS (
   SELECT vec_a AS src, vec_b AS dst FROM pairs
   UNION

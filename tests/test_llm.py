@@ -131,6 +131,23 @@ def test_dup_clusters_chain(spark):
     assert set(out) == {0, 1, 2, 3, 4}
 
 
+def test_connected_components_both_strategies_agree(spark):
+    # a 40-hop chain plus a separate triangle: long-diameter input that
+    # forces multiple pointer-jump rounds on the iterative path
+    chain = [(i, i + 1) for i in range(40)]
+    tri = [(100, 101), (101, 102), (100, 102)]
+    pairs = spark.createDataFrame(chain + tri, "doc_a long, doc_b long")
+    small = {r.doc_id: r.cluster_id for r in dd.connected_components(pairs).collect()}
+    # small_graph_edges=0 forces the iterative min-label/pointer-jump path
+    big = {
+        r.doc_id: r.cluster_id
+        for r in dd.connected_components(pairs, small_graph_edges=0).collect()
+    }
+    expect = {i: 0 for i in range(41)} | {100: 100, 101: 100, 102: 100}
+    assert small == expect
+    assert big == expect
+
+
 # ---------------------------------------------------------------------------
 # similarity: LSH recall vs brute-force on real embeddings
 # ---------------------------------------------------------------------------
@@ -458,6 +475,11 @@ def test_mixture_resample_budget_and_determinism(spark, sf_dir):
 def test_embedding_cluster_invariants(spark, sf_dir):
     from f1_realtime_data_pipeline_spark.plans.llm_star import (
         _NEARDUP_COS,
+        _PLANT_OFF1,
+        _PLANT_OFF2,
+        _PLANT_STRIDE1,
+        _PLANT_STRIDE2,
+        _embs_neardup,
         e_neardup_clusters,
     )
     from f1_realtime_data_pipeline_spark.operators.similarity import (
@@ -465,36 +487,49 @@ def test_embedding_cluster_invariants(spark, sf_dir):
     )
 
     labels = {r.vec_id: r.cluster_id for r in e_neardup_clusters(spark, sf_dir).collect()}
-    assert labels, "threshold should produce a non-empty pair graph"
+    assert labels, "planted fixture should produce a non-empty pair graph"
     # canonical representative is never larger than the member id
     assert all(c <= v for v, c in labels.items())
-    # every edge endpoint of the feeding detector (LSH pairs — same
-    # feed the clusterer ran on) got a label, and both endpoints agree
-    embs = read_table(spark, sf_dir, "embeddings")
-    pairs = cosine_neardup_lsh_pairs(embs, threshold=_NEARDUP_COS).collect()
-    assert pairs, "LSH detector should produce candidate pairs at this threshold"
+    # the planted clusters come out exactly as constructed: base id is
+    # the canonical representative of its copies (planted recall is 1
+    # — identical vectors share every LSH bucket)
+    n = read_table(spark, sf_dir, "embeddings").count()
+    for base in range(0, n, _PLANT_STRIDE1):
+        assert labels[base] == base
+        assert labels[base + _PLANT_OFF1] == base
+        if base % _PLANT_STRIDE2 == 0:
+            assert labels[base + _PLANT_OFF2] == base
+    # every edge endpoint of the feeding detector got a label, and
+    # both endpoints agree
+    pairs = cosine_neardup_lsh_pairs(
+        _embs_neardup(spark, sf_dir), threshold=_NEARDUP_COS
+    ).collect()
+    assert pairs, "LSH detector should find the planted pairs"
     for p in pairs:
         assert labels[p.vec_a] == labels[p.vec_b]
 
 
 def test_cosine_neardup_lsh_recall(spark, sf_dir):
     """LSH pairs ⊆ exact pairs (the verify dot is exact, so no false
-    positives), with usable recall at the registered threshold."""
-    from f1_realtime_data_pipeline_spark.plans.llm_star import _NEARDUP_COS
+    positives), with recall 1 on the planted copies (identical
+    vectors share every LSH bucket)."""
+    from f1_realtime_data_pipeline_spark.plans.llm_star import (
+        _NEARDUP_COS,
+        _embs_neardup,
+    )
     from f1_realtime_data_pipeline_spark.operators.similarity import (
         cosine_neardup_lsh_pairs,
         cosine_neardup_pairs,
     )
 
-    embs = read_table(spark, sf_dir, "embeddings")
+    embs = _embs_neardup(spark, sf_dir)
     exact = {(r.vec_a, r.vec_b) for r in cosine_neardup_pairs(embs, _NEARDUP_COS).collect()}
     approx = {
         (r.vec_a, r.vec_b) for r in cosine_neardup_lsh_pairs(embs, _NEARDUP_COS).collect()
     }
     assert approx <= exact
     assert exact, "fixture must produce a non-empty exact pair set"
-    recall = len(approx) / len(exact)
-    # 4 tables x 4 planes at cosine ~0.35-0.5 gives per-pair collision
-    # ~0.3-0.6; assert a floor well below the expectation so the test
-    # pins "the candidate generator works" without being flaky
-    assert recall >= 0.2, f"LSH recall {recall:.2f} collapsed"
+    # the exact set at threshold 0.9 is exactly the planted pairs
+    # (identical copies, cosine 1.0), and identical vectors collide in
+    # every LSH table — so the detector finds all of them
+    assert approx == exact
