@@ -627,9 +627,13 @@ def dup_clusters(
     return connected_components(pairs, max_iters)
 
 
-#: edge-count gate for the single-task union-find strategy (~80 MB of
-#: id pairs in the one task that runs it)
-SMALL_GRAPH_EDGES = 5_000_000
+#: edge-count gate for the single-task union-find strategy. Budgeted by
+#: the PYTHON cost of the one task that runs it, not raw id bytes: the
+#: dict-based union-find holds up to 2 int keys per edge at ~100 B/entry
+#: object overhead (~200 MB RSS at 1M edges) plus a pure-Python pass
+#: over the edge list (~2-4 s) — keep both bounded so the task can
+#: never become an executor-OOM or straggler.
+SMALL_GRAPH_EDGES = 1_000_000
 
 
 def connected_components(
@@ -662,13 +666,17 @@ def connected_components(
 
     Iterative-loop shuffle discipline: ``pairs`` is persisted BEFORE
     the both-directions union (the union's two branches would
-    otherwise recompute the detector plan twice); the loop's shuffles
-    and the edge cache are sized to the GRAPH (~1M edges/partition,
-    capped at the session setting) because an iterative loop pays
-    per-round *scheduler* cost proportional to partition count; and
-    broadcast joins are disabled inside the loop — every relation is
-    already at loop width, so AQE's broadcast re-plans buy nothing
-    and their driver round-trips dominate kilobyte-scale rounds.
+    otherwise recompute the detector plan twice); the loop's explicit
+    shuffles and the edge cache are sized to the GRAPH (~1M
+    edges/partition, capped at the session setting) because an
+    iterative loop pays per-round *scheduler* cost proportional to
+    partition count; and every join in the loop carries a
+    ``shuffle_hash`` hint — all relations are already at loop width,
+    so AQE's broadcast re-plans buy nothing and their driver
+    round-trips dominate kilobyte-scale rounds. All of this tuning is
+    scoped to the loop's own DataFrames (hints + repartition), never
+    session confs — a concurrently planned query in the same session
+    (a streaming micro-batch, a parallel job) is unaffected.
     """
     import warnings
 
@@ -681,22 +689,17 @@ def connected_components(
         out = _cc_union_find(pairs).localCheckpoint()
         pairs.unpersist()
         return out
-    sess_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    sess_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    loop_parts = max(1, min(int(sess_parts), (2 * n_edges) // 1_000_000 + 1))
+    sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    loop_parts = max(1, min(sess_parts, (2 * n_edges) // 1_000_000 + 1))
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .repartition(loop_parts, "dst")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        labels, converged = _cc_loop(edges, max_iters)
+        labels, converged = _cc_loop(edges, max_iters, loop_parts)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", sess_parts)
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", sess_bcast)
         edges.unpersist()
         pairs.unpersist()
     if not converged:
@@ -755,10 +758,17 @@ def _cc_union_find(pairs: DataFrame) -> DataFrame:
     return pairs.repartition(1).mapInPandas(run, schema=out_schema)
 
 
-def _cc_loop(edges: DataFrame, max_iters: int) -> tuple[DataFrame, bool]:
+def _cc_loop(
+    edges: DataFrame, max_iters: int, loop_parts: int
+) -> tuple[DataFrame, bool]:
     """The min-label + pointer-jump rounds; every round's labels are
     materialized (checkpoint + convergence count), so the caller may
-    unpersist ``edges`` once this returns."""
+    unpersist ``edges`` once this returns. ``shuffle_hash`` hints keep
+    AQE from re-planning the kilobyte-scale per-round joins as
+    broadcasts (driver round-trips would dominate), and the one
+    explicit ``repartition(loop_parts)`` per round keeps the
+    aggregation at graph width — both scoped to these DataFrames, no
+    session confs touched."""
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
@@ -768,7 +778,8 @@ def _cc_loop(edges: DataFrame, max_iters: int) -> tuple[DataFrame, bool]:
     converged = False
     for _ in range(max_iters):
         neighbor_min = (
-            edges.join(labels, edges.dst == labels.doc_id)
+            edges.join(labels.hint("shuffle_hash"), edges.dst == labels.doc_id)
+            .repartition(loop_parts, "src")
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
@@ -778,7 +789,11 @@ def _cc_loop(edges: DataFrame, max_iters: int) -> tuple[DataFrame, bool]:
         # whole round is ONE Spark job.
         stepped = labels.select(
             "doc_id", F.col("cluster_id").alias("old_label")
-        ).join(neighbor_min, F.col("doc_id") == F.col("src"), "left").select(
+        ).join(
+            neighbor_min.hint("shuffle_hash"),
+            F.col("doc_id") == F.col("src"),
+            "left",
+        ).select(
             "doc_id",
             "old_label",
             F.least(
@@ -796,7 +811,7 @@ def _cc_loop(edges: DataFrame, max_iters: int) -> tuple[DataFrame, bool]:
                 F.col("doc_id").alias("p_id"), F.col("cluster_id").alias("p_label")
             )
             stepped = stepped.join(
-                parent, stepped.cluster_id == parent.p_id, "left"
+                parent.hint("shuffle_hash"), stepped.cluster_id == parent.p_id, "left"
             ).select(
                 "doc_id",
                 "old_label",
@@ -1011,7 +1026,10 @@ def doc_token_windows(
         ).alias("win_pos", "win"),
     ).select(
         "doc_id",
-        F.col("win_pos").cast("int").alias("win_pos"),
+        # posexplode is 0-based; +1 matches the 1-based window start the
+        # DuckDB twin emits (range(1, ...)), keeping the window relation
+        # itself engine-identical for any row-level consumer.
+        (F.col("win_pos") + 1).cast("int").alias("win_pos"),
         F.xxhash64("win").alias("win_hash"),
     )
 

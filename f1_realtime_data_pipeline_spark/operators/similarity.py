@@ -322,24 +322,49 @@ WHERE {dot_sql("a.uv", "b.uv")} >= {threshold}"""
 # IVF-lite: inverted-file ANN with deterministic centroids
 # ---------------------------------------------------------------------------
 
-#: IVF parameters: first IVF_C vectors (by id) act as centroids —
-#: deterministic, so the oracle can reproduce the partitioning; a real
-#: deployment would k-means them (same query shape, different centroid
-#: table). nprobe=2 cells searched per query.
-IVF_C = 16
+#: nprobe cells searched per query.
 IVF_NPROBE = 2
 
 
-def ivf_cells(
-    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
-) -> DataFrame:
-    """Every vector's IVF cell: argmax over centroids of the unit-dot,
-    ties to the lowest centroid id. N×C dots (linear in N), one
-    row_number window partitioned by vector — no global shuffle."""
-    u = _unit_vectors(embeddings, id_col, vec_col)
-    cents = u.filter(F.col("vid") < IVF_C).select(
-        F.col("vid").alias("cell"), F.col("uv").alias("cv")
-    )
+def _n_cells_scalar(u: DataFrame) -> DataFrame:
+    """One-row (``__c``) relation: C = ceil(sqrt(N)) — the cell-count
+    default that keeps the within-cell pairwise cost Σ|cell|² ≈ N·√N
+    for a balanced clustering (vs N²/C for any FIXED C). Computed
+    lazily inside the plan (a 1-row aggregate broadcast into the seed
+    filter), so no driver-side count; both engines derive the same C
+    from the same corpus (IEEE sqrt is correctly rounded, ceil exact).
+    """
+    return u.agg(F.ceil(F.sqrt(F.count(F.lit(1)))).cast("bigint").alias("__c"))
+
+
+def _seed_centroids(u: DataFrame, n_cells: int | None) -> DataFrame:
+    """(cell, cv): the first ``n_cells`` unit vectors by id act as
+    centroids — deterministic, so the oracle reproduces the
+    partitioning. ``n_cells=None`` (the default everywhere) derives
+    C = ceil(sqrt(N)) from the corpus itself."""
+    if n_cells is None:
+        seeds = u.crossJoin(F.broadcast(_n_cells_scalar(u))).filter(
+            F.col("vid") < F.col("__c")
+        )
+    else:
+        seeds = u.filter(F.col("vid") < F.lit(n_cells))
+    return seeds.select(F.col("vid").alias("cell"), F.col("uv").alias("cv"))
+
+
+def _seed_pred_sql(n_cells: int | None) -> str:
+    """SQL twin of the seed predicate RHS (scalar subquery when C is
+    corpus-derived)."""
+    if n_cells is None:
+        return "(SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM unitv)"
+    return str(n_cells)
+
+
+def _assign_cells(u: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vid, cell): argmax over centroids of the unit-dot, ties to the
+    lowest centroid id. N×C dots (linear in N), one row_number window
+    partitioned by vector — no global shuffle. The centroid side is
+    broadcast: at C=√N even a 10⁹-vector corpus broadcasts ~16 MB
+    (√10⁹ × 0.5 KB)."""
     scored = u.crossJoin(F.broadcast(cents)).withColumn(
         "aff", dot(F.col("uv"), F.col("cv"))
     )
@@ -347,12 +372,29 @@ def ivf_cells(
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .select(F.col("vid").alias("vec_id"), "cell")
+        .select("vid", "cell")
     )
 
 
-IVF_CELLS_SQL = f"""WITH {_UNIT_SQL}, cents AS (
-  SELECT vec_id AS cell, uv AS cv FROM unitv WHERE vec_id < {IVF_C}
+def ivf_cells(
+    embeddings: DataFrame,
+    n_cells: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Every vector's IVF cell (seed centroids = first C by id;
+    C defaults to ceil(sqrt(N)) — the scale knob, see
+    :func:`_n_cells_scalar`). A real deployment feeds k-means-trained
+    centroids instead (:func:`kmeans_assign` / :func:`semdedup` do)."""
+    u = _unit_vectors(embeddings, id_col, vec_col)
+    return _assign_cells(u, _seed_centroids(u, n_cells)).select(
+        F.col("vid").alias("vec_id"), "cell"
+    )
+
+
+def ivf_cells_sql(n_cells: int | None = None) -> str:
+    return f"""WITH {_UNIT_SQL}, cents AS (
+  SELECT vec_id AS cell, uv AS cv FROM unitv WHERE vec_id < {_seed_pred_sql(n_cells)}
 ), scored AS (
   SELECT u.vec_id, cents.cell, {dot_sql("u.uv", "cents.cv")} AS aff
   FROM unitv u CROSS JOIN cents
@@ -364,23 +406,26 @@ SELECT vec_id, cell FROM (
 ) WHERE rn = 1"""
 
 
+IVF_CELLS_SQL = ivf_cells_sql()
+
+
 def knn_ivf(
     embeddings: DataFrame,
     n_queries: int = 16,
     k: int = 5,
+    n_cells: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF ANN: each query probes its ``IVF_NPROBE`` nearest cells and
     exact-ranks the vectors assigned there. Candidates shuffle on the
     int cell key; with C cells the candidate set is ~nprobe/C of the
-    corpus — the knob that holds at 100 TB (bigger C, same shape).
+    corpus — C defaults to ceil(sqrt(N)) so the candidate fraction
+    SHRINKS as the corpus grows (the knob that holds at 100 TB).
     Queries probing sparse cells return < k rows (recall/speed trade).
     """
     u = _unit_vectors(embeddings, id_col, vec_col)
-    cents = u.filter(F.col("vid") < IVF_C).select(
-        F.col("vid").alias("cell"), F.col("uv").alias("cv")
-    )
+    cents = _seed_centroids(u, n_cells)
     scored = u.crossJoin(F.broadcast(cents)).withColumn(
         "aff", dot(F.col("uv"), F.col("cv"))
     )
@@ -409,9 +454,9 @@ def knn_ivf(
     )
 
 
-def knn_ivf_sql(n_queries: int = 16, k: int = 5) -> str:
+def knn_ivf_sql(n_queries: int = 16, k: int = 5, n_cells: int | None = None) -> str:
     return f"""WITH {_UNIT_SQL}, cents AS (
-  SELECT vec_id AS cell, uv AS cv FROM unitv WHERE vec_id < {IVF_C}
+  SELECT vec_id AS cell, uv AS cv FROM unitv WHERE vec_id < {_seed_pred_sql(n_cells)}
 ), ranked AS (
   SELECT vec_id, cell,
          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY aff DESC, cell ASC) AS rn
@@ -454,27 +499,40 @@ SEMDEDUP_EPS = 0.35
 def semdedup(
     embeddings: DataFrame,
     threshold: float = SEMDEDUP_EPS,
+    n_cells: int | None = None,
+    iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023): assign every vector to a cluster
-    (the deterministic IVF cells), then inside each cluster drop any
-    vector that has a LOWER-id clustermate with cosine ≥ ``threshold``
-    (min-id = the kept representative — a deterministic stand-in for
-    the paper's keep-one-per-ε-ball rule).
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the corpus, then
+    inside each cluster drop any vector that has a LOWER-id clustermate
+    with cosine ≥ ``threshold`` (min-id = the kept representative — a
+    deterministic stand-in for the paper's keep-one-per-ε-ball rule).
+    Clusters come from the spherical k-means trainer
+    (:func:`kmeans_assign`'s centroids: deterministic first-C seed +
+    ``iters`` Lloyd rounds), matching the paper's k-means-then-prune
+    recipe.
 
     Output (vec_id, cell, keep) for every vector.
 
     Scale shape: the pairwise scan is confined to clusters — the
-    self-join keys on the int cell id, so cost is Σ|cell|², not N²;
-    with C≈√N cells that is ~N per cell-balanced corpus, and C is the
-    knob. No crossjoin, no global window; one row_number per vector
-    (cell assignment) + one int-keyed self-join + one left anti-style
-    flag join.
+    self-join keys on the int cell id, so cost is Σ|cell|², not N².
+    ``n_cells`` defaults to ceil(sqrt(N)) (derived lazily from the
+    corpus itself, same scalar in the oracle twin), so a balanced
+    clustering costs ~N^1.5 total pair-dots and the per-cell working
+    set stays √N-bounded; pass a bigger C to tighten further. No
+    crossjoin, no global window; one row_number per vector (cell
+    assignment) + one int-keyed self-join + one left anti-style flag
+    join.
     """
-    u = _unit_vectors(embeddings, id_col, vec_col)
-    members = ivf_cells(embeddings, id_col, vec_col).join(
-        u.select(F.col("vid").alias("vec_id"), "uv"), "vec_id"
+    from pyspark import StorageLevel
+
+    u = _unit_vectors(embeddings, id_col, vec_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cents = _kmeans_centroids(u, n_cells, iters)
+    members = _assign_cells(u, cents).join(u, "vid").select(
+        F.col("vid").alias("vec_id"), "cell", "uv"
     )
     a = members.select(
         "cell", F.col("vec_id").alias("va"), F.col("uv").alias("ua")
@@ -497,25 +555,22 @@ def semdedup(
     )
 
 
-def semdedup_sql(threshold: float = SEMDEDUP_EPS) -> str:
-    """DuckDB twin of :func:`semdedup` (same cells, same prune rule)."""
-    return f"""WITH {_UNIT_SQL}, cents AS (
-  SELECT vec_id AS cell, uv AS cv FROM unitv WHERE vec_id < {IVF_C}
-), cells AS (
-  SELECT vec_id, cell FROM (
-    SELECT vec_id, cell,
-           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY aff DESC, cell ASC) AS rn
-    FROM (
-      SELECT u.vec_id, cents.cell, {dot_sql("u.uv", "cents.cv")} AS aff
-      FROM unitv u CROSS JOIN cents
-    )
-  ) WHERE rn = 1
-), members AS (
-  SELECT c.vec_id, c.cell, u.uv FROM cells c JOIN unitv u USING (vec_id)
+def semdedup_sql(
+    threshold: float = SEMDEDUP_EPS,
+    n_cells: int | None = None,
+    iters: int = 1,
+    dim: int = LSH_DIM,
+) -> str:
+    """DuckDB twin of :func:`semdedup` (same k-means cells, same prune
+    rule — the trained-centroid CTE chain is shared with
+    :func:`kmeans_assign_sql`)."""
+    return f"""WITH {_UNIT_SQL},
+{_kmeans_ctes(n_cells, iters, dim)}, members AS (
+  SELECT c.vec_id, c.cell, u.uv FROM final_assign c JOIN unitv u USING (vec_id)
 ), dropped AS (
   SELECT DISTINCT b.vec_id
   FROM members a JOIN members b ON a.cell = b.cell AND a.vec_id < b.vec_id
-  WHERE {dot_sql("a.uv", "b.uv")} >= {threshold}
+  WHERE {dot_sql("a.uv", "b.uv", dim)} >= {threshold}
 )
 SELECT m.vec_id, m.cell, (d.vec_id IS NULL) AS keep
 FROM members m LEFT JOIN dropped d ON m.vec_id = d.vec_id"""
@@ -539,56 +594,19 @@ KMEANS_C = 8
 KMEANS_FP = 1_000_000_000
 
 
-def kmeans_assign(
-    embeddings: DataFrame,
-    n_clusters: int = KMEANS_C,
-    iters: int = 1,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+def _kmeans_centroids(
+    u: DataFrame, n_clusters: int | None, iters: int
 ) -> DataFrame:
-    """Lloyd's k-means on unit vectors (spherical k-means): seed the
-    first ``n_clusters`` vectors (by id) as centroids, then ``iters``
-    rounds of [assign to max-cosine centroid → recompute centroid as
-    the normalized element-wise sum of members]. Output (vec_id, cell)
-    — the final assignment.
-
-    This is the trainer the IVF index docstring defers to ("a real
-    deployment would k-means the centroids — same query shape,
-    different centroid table"): feed its centroids to the same
-    cell-probe kNN.
-
-    Scale shape per iteration: one broadcast-crossjoin assign (N×C
-    dots, C is small by construction), one posexplode + (cell, pos)
-    partial-agg — shuffle rows = C×dim, shuffle key ints — and one
-    C-row collect_list to rebuild centroid arrays. No global window,
-    no driver collect; N never pairwise-joins itself. The sums use
-    fixed-point integer decimals (see :data:`KMEANS_FP`), so any
-    partitioning produces bit-identical centroids.
-    """
-    from pyspark import StorageLevel
-
-    u = _unit_vectors(embeddings, id_col, vec_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-
-    def assign(cents: DataFrame) -> DataFrame:
-        scored = u.crossJoin(F.broadcast(cents)).withColumn(
-            "aff", dot(F.col("uv"), F.col("cv"))
-        )
-        w = Window.partitionBy("vid").orderBy(
-            F.col("aff").desc(), F.col("cell").asc()
-        )
-        return (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("vid", "cell")
-        )
-
-    cents = u.filter(F.col("vid") < n_clusters).select(
-        F.col("vid").alias("cell"), F.col("uv").alias("cv")
-    )
+    """Trained (cell, cv) centroids: seed the first ``n_clusters`` unit
+    vectors by id (None → ceil(sqrt(N))), then ``iters`` Lloyd rounds
+    of [assign to max-cosine centroid → recompute centroid as the
+    normalized element-wise sum of members]. The sums use fixed-point
+    integer decimals (see :data:`KMEANS_FP`), so any partitioning
+    produces bit-identical centroids. ``u`` should be persisted by the
+    caller (it is scanned once per round)."""
+    cents = _seed_centroids(u, n_clusters)
     for _ in range(iters):
-        members = assign(cents).join(u, "vid")
+        members = _assign_cells(u, cents).join(u, "vid")
         exploded = members.select(
             "cell", F.posexplode("uv").alias("pos", "v")
         )
@@ -611,15 +629,46 @@ def kmeans_assign(
         cents = sv.withColumn("nrm", norm(F.col("sv"))).select(
             "cell", unit(F.col("sv"), F.col("nrm")).alias("cv")
         )
-    return assign(cents).select(F.col("vid").alias("vec_id"), "cell")
+    return cents
 
 
-def kmeans_assign_sql(
-    n_clusters: int = KMEANS_C, iters: int = 1, dim: int = LSH_DIM
-) -> str:
-    """DuckDB twin of :func:`kmeans_assign` — the iterations unroll
-    into one CTE chain per round (assign → fixed-point sums → centroid
-    list), ending with the final assignment."""
+def kmeans_assign(
+    embeddings: DataFrame,
+    n_clusters: int | None = KMEANS_C,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means on unit vectors (spherical k-means): train
+    centroids via :func:`_kmeans_centroids`, output (vec_id, cell) —
+    the final assignment.
+
+    This is the trainer the IVF index docstring defers to ("a real
+    deployment would k-means the centroids — same query shape,
+    different centroid table"): :func:`semdedup` consumes its
+    centroids, and the cell-probe kNN can.
+
+    Scale shape per iteration: one broadcast-crossjoin assign (N×C
+    dots, C is small by construction), one posexplode + (cell, pos)
+    partial-agg — shuffle rows = C×dim, shuffle key ints — and one
+    C-row collect_list to rebuild centroid arrays. No global window,
+    no driver collect; N never pairwise-joins itself.
+    """
+    from pyspark import StorageLevel
+
+    u = _unit_vectors(embeddings, id_col, vec_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cents = _kmeans_centroids(u, n_clusters, iters)
+    return _assign_cells(u, cents).select(F.col("vid").alias("vec_id"), "cell")
+
+
+def _kmeans_ctes(n_clusters: int | None, iters: int, dim: int) -> str:
+    """The trained-centroid CTE chain (assign → fixed-point sums →
+    centroid list per round), ending in ``final_assign (vec_id, cell)``.
+    Appended after the unit CTEs by :func:`kmeans_assign_sql` and
+    :func:`semdedup_sql` so both engines share one centroid
+    definition."""
 
     def assign_cte(name: str, cents: str) -> str:
         return f"""{name} AS (
@@ -634,7 +683,8 @@ def kmeans_assign_sql(
 )"""
 
     parts = [
-        f"cents0 AS (SELECT vec_id AS cell, uv AS cv FROM unitv WHERE vec_id < {n_clusters})"
+        f"cents0 AS (SELECT vec_id AS cell, uv AS cv FROM unitv"
+        f" WHERE vec_id < {_seed_pred_sql(n_clusters)})"
     ]
     for i in range(iters):
         parts.append(assign_cte(f"assign{i}", f"cents{i}"))
@@ -653,8 +703,15 @@ def kmeans_assign_sql(
 )"""
         )
     parts.append(assign_cte("final_assign", f"cents{iters}"))
-    joined = ",\n".join(parts)
+    return ",\n".join(parts)
+
+
+def kmeans_assign_sql(
+    n_clusters: int | None = KMEANS_C, iters: int = 1, dim: int = LSH_DIM
+) -> str:
+    """DuckDB twin of :func:`kmeans_assign` — the iterations unroll
+    into one CTE chain per round, ending with the final assignment."""
     return (
-        f"WITH {_UNIT_SQL},\n{joined}\n"
+        f"WITH {_UNIT_SQL},\n{_kmeans_ctes(n_clusters, iters, dim)}\n"
         "SELECT vec_id, cell FROM final_assign"
     )

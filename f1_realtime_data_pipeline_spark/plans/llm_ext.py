@@ -79,8 +79,9 @@ FROM ({dd.substring_dedup_stats_sql()})""",
 
 
 def e_semdedup(spark, sf_dir):
-    """SemDeDup over the embedding table: IVF-cell clustering, then
-    min-id-wins prune of within-cluster cosine-near pairs."""
+    """SemDeDup over the embedding table: spherical-k-means
+    clustering (C = ceil(sqrt(N)) trained centroids), then min-id-wins
+    prune of within-cluster cosine-near pairs."""
     return sim.semdedup(_embs(spark, sf_dir))
 
 

@@ -625,7 +625,7 @@ _register(
 
 
 def e_ivf_cells(spark, sf_dir):
-    """IVF cell assignment (deterministic first-C centroids)."""
+    """IVF cell assignment (deterministic seed centroids, C = ceil(sqrt(N)))."""
     return sim.ivf_cells(_embs(spark, sf_dir))
 
 
@@ -633,7 +633,7 @@ _register("e_ivf_cells", e_ivf_cells, sim.IVF_CELLS_SQL)
 
 
 def e_knn_ivf(spark, sf_dir):
-    """IVF ANN top-k: probe the 2 nearest of 16 cells, exact re-rank."""
+    """IVF ANN top-k: probe the 2 nearest of ceil(sqrt(N)) cells, exact re-rank."""
     return sim.knn_ivf(_embs(spark, sf_dir), n_queries=16, k=5)
 
 

@@ -25,9 +25,23 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``events`` with ``ts`` as a proper microsecond TimestampType."""
+    """``events`` with ``ts`` as a proper microsecond TimestampType.
+
+    Normalizes whatever physical type the generator wrote:
+
+    - TIMESTAMP(NANOS): read as raw int64 (the conf above) and rebuilt
+      via integer division;
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+      TIMESTAMP_NTZ — cast to TimestampType, value-preserving because
+      the session timezone is pinned to UTC (session.py) and the
+      DuckDB oracle reads the same column as a naive timestamp;
+    - TIMESTAMP(MICROS, adjusted): already TimestampType, no-op.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df

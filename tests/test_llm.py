@@ -6,6 +6,8 @@ recall) plus semantic edge cases on tiny literal frames.
 
 from __future__ import annotations
 
+import math
+
 import pytest
 
 from pyspark.sql import Row
@@ -173,7 +175,8 @@ def test_knn_ivf_recall_and_cells(spark, sf_dir):
     cells = sim.ivf_cells(embs)
     n = embs.count()
     assert cells.count() == n  # every vector assigned exactly one cell
-    assert cells.select("cell").distinct().count() <= sim.IVF_C
+    # default cell count is corpus-derived: C = ceil(sqrt(N))
+    assert cells.select("cell").distinct().count() <= math.ceil(math.sqrt(n))
     exact = {(r.query_id, r.neighbor_id) for r in sim.knn_bruteforce(embs, n_queries=8, k=3).collect()}
     approx = {(r.query_id, r.neighbor_id) for r in sim.knn_ivf(embs, n_queries=8, k=3).collect()}
     recall = len(exact & approx) / len(exact)

@@ -81,6 +81,33 @@ def test_semdedup_drops_higher_id_twin(spark):
     assert out[16].cell == out[0].cell
 
 
+def test_semdedup_cell_cost_scales_subquadratically(spark, sf_dir):
+    # The within-cluster pairwise scan is the operator's entire cost at
+    # scale: Σ|cell|² pair-dots. With the corpus-derived C = ceil(√N)
+    # (and the k-means-trained centroids balancing the cells) that cost
+    # must track ~N^1.5, not the N²/C of any fixed cell count.
+    # Measured on this corpus: N=200 → 2782 (N^1.5=2828), N=500 →
+    # 11402 (N^1.5=11180) — the 2× bound leaves headroom for data
+    # drift, and the growth-rate check pins the exponent.
+    from pyspark.sql import functions as F
+
+    from f1_realtime_data_pipeline_spark.sources.parquet import read_table
+
+    embs = read_table(spark, sf_dir, "embeddings")
+    costs = {}
+    for n in (200, 500):
+        out = sim.semdedup(embs.filter(F.col("vec_id") < n))
+        costs[n] = (
+            out.groupBy("cell")
+            .count()
+            .agg(F.sum(F.col("count") * F.col("count")))
+            .collect()[0][0]
+        )
+        assert costs[n] <= 2 * n**1.5, f"N={n}: pair cost {costs[n]} not ~N^1.5"
+    growth = costs[500] / costs[200]
+    assert growth < (500 / 200) ** 2 * 0.8, f"pair cost growing quadratically: {growth}"
+
+
 def test_semdedup_keeps_distinct_vectors(spark):
     vecs = [[0.0] * 64 for _ in range(17)]
     for i in range(16):
