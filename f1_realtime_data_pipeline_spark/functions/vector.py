@@ -29,20 +29,58 @@ LSH_PLANES = 8
 LSH_DIM = 64
 LSH_TABLES = 4
 PLANES_PER_TABLE = 4
-#: near-dup detector config: 4 tables × 8 planes (256 buckets/table).
-#: Near-dup thresholds are HIGH cosine (≥ ~0.9 ⇒ per-plane collision
-#: p = 1 - angle/π ≳ 0.85), so 8-plane tables keep per-table recall
-#: usable (p^8 ≈ 0.29; collide-in-ANY-of-4 ≈ 0.75; exact copies
-#: collide always) while cutting bucket occupancy ~16× vs 4-plane
-#: tables — the candidate set, and with it the exact-verify fold
-#: cost, shrinks by the same factor. The kNN path keeps the 4-plane
-#: tables: its working cosines are much lower, where 8 planes would
+#: near-dup detector config: 4 tables × ≥8 planes. Near-dup thresholds
+#: are HIGH cosine (≥ ~0.9 ⇒ per-plane collision p = 1 - angle/π
+#: ≳ 0.85), so 8-plane tables keep per-table recall usable (p^8 ≈
+#: 0.29; collide-in-ANY-of-4 ≈ 0.75; exact copies collide always)
+#: while cutting bucket occupancy ~16× vs 4-plane tables. 8 is the
+#: FLOOR: :func:`neardup_planes_for` grows the plane count with
+#: log₂(N) so expected bucket occupancy — which bounds the candidate
+#: join fan-out and the exact-verify fold cost, the detector's real
+#: expense — stays ≈ NEARDUP_TARGET_OCCUPANCY instead of growing
+#: linearly with the corpus. The kNN path keeps the 4-plane tables:
+#: its working cosines are much lower, where more planes would
 #: collapse recall.
 NEARDUP_TABLES = 4
 NEARDUP_PLANES_PER_TABLE = 8
+#: expected vectors per bucket the N-derived plane count aims for
+NEARDUP_TARGET_OCCUPANCY = 4
+
+
+def neardup_planes_for(n_vectors: int) -> int:
+    """Planes per near-dup LSH table for an ``n_vectors`` corpus:
+    ceil(log₂(N / target_occupancy)), floored at
+    :data:`NEARDUP_PLANES_PER_TABLE`. Expected occupancy N/2^planes
+    then stays ≤ ~NEARDUP_TARGET_OCCUPANCY, so candidate-pair cost per
+    bucket (~occupancy²) is corpus-size-independent; per-table recall
+    at cos 0.9 decays only geometrically (p^planes, p ≳ 0.85 — e.g.
+    0.29 at 8 planes / N≈10³, 0.14 at 13 planes / N≈3×10⁴) while
+    exact copies always collide, and the any-of-4-tables union keeps
+    true near-dups recoverable."""
+    import math
+
+    return max(
+        NEARDUP_PLANES_PER_TABLE,
+        math.ceil(math.log2(max(n_vectors, 2) / NEARDUP_TARGET_OCCUPANCY)),
+    )
+
+
+def hyperplane(p: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane ``p`` (Knuth mixing),
+    h[i] in (-0.5, 0.5) — generated on demand so any plane count is
+    available; embedded as literals in both the Spark plan and the
+    oracle SQL."""
+    return [
+        (((p * LSH_DIM + i) * 2654435761) % 10007) / 10007.0 - 0.5
+        for i in range(LSH_DIM)
+    ]
+
+
+#: the fixed plane table used by the 8/16-plane kNN + single-table
+#: paths (kept as a list for those call sites; near-dup banding above
+#: this range generates planes via :func:`hyperplane`)
 HYPERPLANES: list[list[float]] = [
-    [(((p * LSH_DIM + i) * 2654435761) % 10007) / 10007.0 - 0.5 for i in range(LSH_DIM)]
-    for p in range(NEARDUP_TABLES * NEARDUP_PLANES_PER_TABLE)
+    hyperplane(p) for p in range(NEARDUP_TABLES * NEARDUP_PLANES_PER_TABLE)
 ]
 
 
@@ -93,11 +131,11 @@ def unit_sql(a: str, nrm: str) -> str:
 
 
 def _plane_literal(p: int) -> Column:
-    return F.array(*[F.lit(v) for v in HYPERPLANES[p]])
+    return F.array(*[F.lit(v) for v in hyperplane(p)])
 
 
 def _plane_literal_sql(p: int) -> str:
-    return "[" + ", ".join(repr(v) for v in HYPERPLANES[p]) + "]"
+    return "[" + ", ".join(repr(v) for v in hyperplane(p)) + "]"
 
 
 def lsh_bucket(a: Column) -> Column:

@@ -40,6 +40,7 @@ from f1_realtime_data_pipeline_spark.functions.vector import (
     lsh_bucket_sql,
     lsh_table_bucket,
     lsh_table_bucket_sql,
+    neardup_planes_for,
     norm,
     norm_sql,
     unit,
@@ -205,6 +206,7 @@ SELECT query_id, neighbor_id, rnk, cosine FROM (
 def cosine_neardup_lsh_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,
+    planes_per_table: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -212,19 +214,24 @@ def cosine_neardup_lsh_pairs(
     exact unit-dot verify — the registered/default detector.
 
     A pair is a candidate iff it collides in ANY of the
-    ``NEARDUP_TABLES`` 8-plane tables; candidates equi-join on the int
+    ``NEARDUP_TABLES`` tables; candidates equi-join on the int
     (table, bucket) key (never a crossjoin), then the exact cosine
-    filters to >= threshold. 8 planes per table (vs the kNN path's 4)
-    because near-dup thresholds are high-cosine: per-plane collision
-    p ≳ 0.85 at cos 0.9 keeps any-of-4-tables recall ~0.75 (exact
-    copies collide always), while bucket occupancy — and with it the
-    exact-verify fold cost, the detector's real expense — drops ~16×.
+    filters to >= threshold. ``planes_per_table`` defaults to
+    :func:`~f1_realtime_data_pipeline_spark.functions.vector.
+    neardup_planes_for` (N) — ceil(log₂(N/target_occupancy)), floored
+    at 8 — so expected bucket occupancy, which bounds the candidate
+    join fan-out and the exact-verify fold cost (the detector's real
+    expense, ~occupancy² pairs per bucket), stays constant as the
+    corpus grows instead of linear-in-N; the plane-count choice costs
+    one count() at plan-build time (the plane literals are part of
+    the plan, so they cannot be data-dependent lazily). ≥8 planes per
+    table because near-dup thresholds are high-cosine: per-plane
+    collision p ≳ 0.85 at cos 0.9 keeps any-of-4-tables recall ~0.75
+    at the 8-plane floor (exact copies collide always).
     Approximate by construction: the oracle twin reproduces the SAME
     candidate generation (deterministic hyperplanes), making the
     approximate algorithm itself oracle-checkable; recall vs the
-    exact detector is pinned separately in pytest. At 100 TB bucket
-    occupancy (not N²) bounds the join fan-out; add planes to keep
-    buckets sparse.
+    exact detector is pinned separately in pytest.
 
     Shuffle discipline: the (table, bucket) candidate join and the
     pair dedup move bare 16-byte id pairs — the ~0.5 KB unit vectors
@@ -232,6 +239,8 @@ def cosine_neardup_lsh_pairs(
     the N-row unit relation (AQE turns those into broadcasts while
     the relation is small; at scale they are hash joins proportional
     to surviving candidates, not raw collisions)."""
+    if planes_per_table is None:
+        planes_per_table = neardup_planes_for(embeddings.count())
     tb = embeddings.select(
         F.col(id_col).alias("vid"),
         F.explode(
@@ -240,7 +249,7 @@ def cosine_neardup_lsh_pairs(
                     F.struct(
                         F.lit(t).alias("tbl"),
                         lsh_table_bucket(
-                            F.col(vec_col), t, NEARDUP_PLANES_PER_TABLE
+                            F.col(vec_col), t, planes_per_table
                         ).alias("bkt"),
                     )
                     for t in range(NEARDUP_TABLES)
@@ -267,10 +276,14 @@ def cosine_neardup_lsh_pairs(
     )
 
 
-def cosine_neardup_lsh_pairs_sql(threshold: float = 0.9, src: str = "embeddings") -> str:
+def cosine_neardup_lsh_pairs_sql(
+    threshold: float = 0.9,
+    src: str = "embeddings",
+    planes_per_table: int = NEARDUP_PLANES_PER_TABLE,
+) -> str:
     per_table = "\n  UNION ALL\n  ".join(
         f"SELECT vec_id, "
-        f"{lsh_table_bucket_sql('embedding', t, planes_per_table=NEARDUP_PLANES_PER_TABLE)}"
+        f"{lsh_table_bucket_sql('embedding', t, planes_per_table=planes_per_table)}"
         f" AS bkt, {t} AS tbl FROM {src}"
         for t in range(NEARDUP_TABLES)
     )

@@ -118,6 +118,52 @@ def test_semdedup_keeps_distinct_vectors(spark):
 
 
 # ---------------------------------------------------------------------------
+# near-dup LSH plane scaling
+# ---------------------------------------------------------------------------
+
+
+def test_neardup_lsh_plane_count_scales_and_matches_oracle(spark):
+    # The N-derived planes-per-table differs across scale factors
+    # (floor 8 at the ~520-vector sf0.001 fixture, 10 at sf0.1's
+    # ~2075) and the DuckDB twin built with the same count matches
+    # the Spark detector pair-for-pair at BOTH — i.e. the occupancy
+    # knob scales without breaking oracle-exactness.
+    import duckdb
+
+    from f1_realtime_data_pipeline_spark.functions.vector import neardup_planes_for
+    from f1_realtime_data_pipeline_spark.plans.llm_star import (
+        _EMBS_NEARDUP_SQL,
+        _embs_neardup,
+    )
+
+    planes_seen = []
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.1"):
+        fixture = _embs_neardup(spark, sf_dir)
+        planes = neardup_planes_for(fixture.count())
+        planes_seen.append(planes)
+        got = {
+            (r.vec_a, r.vec_b, round(r.cosine, 9))
+            for r in sim.cosine_neardup_lsh_pairs(fixture, threshold=0.9).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet')"
+        )
+        sql = sim.cosine_neardup_lsh_pairs_sql(
+            0.9, src=_EMBS_NEARDUP_SQL, planes_per_table=planes
+        )
+        want = {
+            (a, b, round(c, 9)) for a, b, c in con.execute(sql).fetchall()
+        }
+        assert got == want, f"{sf_dir}: {len(got)} spark vs {len(want)} oracle pairs"
+        assert got, f"{sf_dir}: planted copies must produce pairs"
+    assert planes_seen[0] != planes_seen[1], (
+        f"plane counts should differ across sf: {planes_seen}"
+    )
+
+
+# ---------------------------------------------------------------------------
 # k-means
 # ---------------------------------------------------------------------------
 
