@@ -77,14 +77,16 @@ def main() -> int:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").agg({"*": "count"}).collect()
     run_to_completion(qs[names[0]](spark, sf_dir))
 
-    # best-of-2 per query: the first execution of a plan pays one-time
-    # whole-stage-codegen compilation (10s+ for the wide LSH/fold
-    # expressions); the min reflects steady-state throughput, which is
-    # what scales.
+    # best-of-N (default 3) per query: the first execution of a plan
+    # pays one-time whole-stage-codegen compilation; the min reflects
+    # steady-state throughput, which is what scales, and n>=3 damps
+    # the box-contention noise that made round-over-round deltas on
+    # this 32-way box untrustworthy at best-of-2.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(runs):
             t0 = time.time()
             run_to_completion(qs[name](spark, sf_dir))
             best = min(best, time.time() - t0)

@@ -145,11 +145,14 @@ def lsh_bucket(a: Column) -> Column:
     probability. The bucket id is a plain INT so the candidate join is
     an integer equi-join (shuffle on bucket, no crossjoin).
     """
-    bucket = F.lit(0)
-    for p in range(LSH_PLANES):
-        bit = F.when(dot(a, _plane_literal(p)) > 0, F.lit(2**p)).otherwise(F.lit(0))
-        bucket = bucket + bit
-    return bucket.cast("int")
+    planes = F.array(*[_plane_literal(p) for p in range(LSH_PLANES)])
+    bits = F.transform(
+        planes,
+        lambda pl, p: F.when(
+            dot(a, pl) > 0, F.pow(F.lit(2.0), p).cast("int")
+        ).otherwise(F.lit(0)),
+    )
+    return F.aggregate(bits, F.lit(0), lambda acc, v: acc + v).cast("int")
 
 
 def lsh_bucket_sql(a: str, dim: int = LSH_DIM) -> str:
@@ -163,13 +166,30 @@ def lsh_bucket_sql(a: str, dim: int = LSH_DIM) -> str:
 def lsh_table_bucket(
     a: Column, table: int, planes_per_table: int = PLANES_PER_TABLE
 ) -> Column:
-    """Bucket id within one LSH table (planes [table*b, table*b+b))."""
-    bucket = F.lit(0)
-    for r in range(planes_per_table):
-        p = table * planes_per_table + r
-        bit = F.when(dot(a, _plane_literal(p)) > 0, F.lit(2**r)).otherwise(F.lit(0))
-        bucket = bucket + bit
-    return bucket.cast("int")
+    """Bucket id within one LSH table (planes [table*b, table*b+b)).
+
+    The planes ride along as ONE 2-D array literal and the bit-fold is
+    a higher-order ``transform`` + ``aggregate`` over it, not
+    ``planes_per_table`` unrolled fold expressions: generated code
+    stays constant-size as the N-derived plane count grows (the
+    unrolled form put 30+ 64-element folds into one projection —
+    whole-stage-codegen compile time was the dominant COLD cost of
+    the near-dup queries). Arithmetic is element-for-element the same
+    sequence as the unrolled form, so values — and the oracle twin —
+    are unchanged."""
+    planes = F.array(
+        *[
+            _plane_literal(table * planes_per_table + r)
+            for r in range(planes_per_table)
+        ]
+    )
+    bits = F.transform(
+        planes,
+        lambda pl, r: F.when(
+            dot(a, pl) > 0, F.pow(F.lit(2.0), r).cast("int")
+        ).otherwise(F.lit(0)),
+    )
+    return F.aggregate(bits, F.lit(0), lambda acc, v: acc + v).cast("int")
 
 
 def lsh_table_bucket_sql(
