@@ -216,3 +216,174 @@ SELECT m.doc_id, m.n_words, m.mean_word_len, m.n_stop, m.ttr, top.top_term_frac,
         AND m.ttr >= {GOPHER_MIN_TTR}) AS keep
 FROM metrics m JOIN top USING (doc_id)""",
 )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keywords + rare-token importance scoring (round 3)
+# ---------------------------------------------------------------------------
+
+#: keywords kept per document
+TFIDF_TOP_K = 5
+#: keep threshold for the commonness score (mean corpus doc-frequency
+#: ratio of the doc's tokens): below this the doc is mostly tokens the
+#: corpus has never seen elsewhere — the importance-filter drop rule
+RARE_COMMONNESS_MIN = 0.05
+
+
+def t_tfidf_keywords(spark, sf_dir):
+    """Top-``TFIDF_TOP_K`` TF-IDF keywords per document.
+
+    idf is the RATIONAL variant (N+1)/(df+1) — same monotonicity as
+    log-idf for ranking within a document (log is monotone), chosen
+    because ln() is not correctly-rounded-guaranteed and differs
+    between JVM and C libm in the last ulp, which would break the
+    bit-exact oracle hash; every arithmetic op here (int counts, one
+    multiply, one divide) is IEEE-exact in both engines.
+
+    Scale shape: explode -> two partial-agg groupBys keyed on
+    (doc_id, term) / term, a broadcast-size 1-row count, a term-keyed
+    join back, and a per-doc top-k window (partitioned, never global).
+    All shuffles carry (hashable-string, int) pairs only.
+    """
+    d = _docs(spark, sf_dir).select("doc_id", tokens("text").alias("toks"))
+    tf = (
+        d.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            (F.col("tf").cast("double") * (F.col("__n") + F.lit(1)).cast("double"))
+            / (F.col("df") + F.lit(1)).cast("double"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", "score", "rnk")
+    )
+
+
+_register(
+    "t_tfidf_keywords",
+    t_tfidf_keywords,
+    f"""WITH t AS (
+  SELECT doc_id, {tokens_sql("text")} AS toks FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+  GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t
+)
+SELECT doc_id, term, tf, df, score, rnk FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         (CAST(tf.tf AS DOUBLE) * CAST(n.n + 1 AS DOUBLE))
+           / CAST(dfreq.df + 1 AS DOUBLE) AS score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY (CAST(tf.tf AS DOUBLE) * CAST(n.n + 1 AS DOUBLE))
+                      / CAST(dfreq.df + 1 AS DOUBLE) DESC,
+                    tf.term ASC) AS INT) AS rnk
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+) WHERE rnk <= {TFIDF_TOP_K}""",
+)
+
+
+def t_rare_tokens(spark, sf_dir):
+    """Importance/commonness score per document (the CCNet-style
+    "how typical of the corpus is this doc" signal, log-free): the
+    mean over the doc's token OCCURRENCES of that token's corpus
+    document-frequency ratio df/N, plus the hapax fraction (tokens
+    appearing in no other document).
+
+    FP determinism: the per-doc numerator is an exact BIGINT sum of
+    df counts (order-free under any partitioning — the same trick as
+    the fixed-point k-means sums), divided once: commonness =
+    sum_df / (n_tokens * N). No transcendentals, no float
+    accumulation.
+
+    Scale shape: explode -> (doc_id, term) tf agg -> term-keyed df
+    join -> doc-keyed integer agg. The df relation is vocabulary-sized
+    (zipf-bounded); everything else shuffles integers.
+    """
+    d = _docs(spark, sf_dir).select("doc_id", tokens("text").alias("toks"))
+    tf = (
+        d.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    per_doc = (
+        tf.join(dfreq, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("df")).cast("bigint").alias("sum_df"),
+            F.sum(F.when(F.col("df") == 1, F.col("tf")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("n_hapax"),
+        )
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "commonness",
+            F.col("sum_df").cast("double")
+            / (F.col("n_tokens") * F.col("__n")).cast("double"),
+        )
+        .withColumn(
+            "hapax_frac",
+            F.col("n_hapax").cast("double") / F.col("n_tokens").cast("double"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_df",
+            "n_hapax",
+            "commonness",
+            "hapax_frac",
+            (F.col("commonness") >= RARE_COMMONNESS_MIN).alias("keep"),
+        )
+    )
+
+
+_register(
+    "t_rare_tokens",
+    t_rare_tokens,
+    f"""WITH t AS (
+  SELECT doc_id, {tokens_sql("text")} AS toks FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+  GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t
+), per_doc AS (
+  SELECT tf.doc_id,
+         CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+         CAST(SUM(tf.tf * dfreq.df) AS BIGINT) AS sum_df,
+         CAST(SUM(CASE WHEN dfreq.df = 1 THEN tf.tf ELSE 0 END) AS BIGINT) AS n_hapax
+  FROM tf JOIN dfreq USING (term)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, n_tokens, sum_df, n_hapax,
+       CAST(sum_df AS DOUBLE) / CAST(n_tokens * n.n AS DOUBLE) AS commonness,
+       CAST(n_hapax AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS hapax_frac,
+       (CAST(sum_df AS DOUBLE) / CAST(n_tokens * n.n AS DOUBLE)
+          >= {RARE_COMMONNESS_MIN}) AS keep
+FROM per_doc CROSS JOIN n""",
+)

@@ -228,3 +228,42 @@ def _gopher_on(docs_df):
 
     with mock.patch.object(m, "_docs", lambda spark, sf_dir: docs_df):
         return m.t_quality_gopher(None, None)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keywords + rare-token scoring
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_ranks_distinctive_term_first(spark, monkeypatch):
+    # "zebra" appears 3x in doc0 and nowhere else; "shared" is in every
+    # doc. The distinctive term must outrank the ubiquitous one.
+    docs = _docs(
+        spark,
+        [
+            "zebra zebra zebra shared filler one",
+            "shared other words here",
+            "shared more words there",
+        ],
+    )
+    monkeypatch.setattr(llm_ext, "_docs", lambda spark, sf_dir: docs)
+    out = llm_ext.t_tfidf_keywords(spark, "unused")
+    top = {r.doc_id: r.term for r in out.collect() if r.rnk == 1}
+    assert top[0] == "zebra"
+    # rnk is dense per doc and capped
+    per_doc = [r for r in out.collect() if r.doc_id == 0]
+    assert sorted(r.rnk for r in per_doc) == list(range(1, len(per_doc) + 1))
+    assert len(per_doc) <= llm_ext.TFIDF_TOP_K
+
+
+def test_rare_tokens_scores_are_exact(spark, monkeypatch):
+    # doc0: every token corpus-unique (hapax) -> sum_df = n_tokens,
+    # commonness = 1/N, hapax_frac = 1. doc1/doc2 share all tokens ->
+    # df=2 each, commonness = 2/N, hapax_frac = 0.
+    docs = _docs(spark, ["aa bb cc", "dd ee", "dd ee"])
+    monkeypatch.setattr(llm_ext, "_docs", lambda spark, sf_dir: docs)
+    out = {r.doc_id: r for r in llm_ext.t_rare_tokens(spark, "unused").collect()}
+    assert out[0].n_tokens == 3 and out[0].sum_df == 3 and out[0].n_hapax == 3
+    assert out[0].commonness == 1.0 / 3.0 and out[0].hapax_frac == 1.0
+    assert out[1].sum_df == 4 and out[1].n_hapax == 0
+    assert out[1].commonness == 2.0 / 3.0 and out[1].hapax_frac == 0.0
