@@ -984,6 +984,121 @@ GROUP BY t.doc_id"""
 
 
 # ---------------------------------------------------------------------------
+# bloom-filter decontamination (the 100 TB shape of the scan above)
+# ---------------------------------------------------------------------------
+
+#: bloom geometry: 62-bit words (the widest power-of-two mask both
+#: engines build exactly — 2^bit is an exact double up to 2^62 and
+#: DuckDB's BIGINT << errors on sign overflow at 63), 256 words ≈ 16 K
+#: bits; k=3 positions per shingle via Kirsch–Mitzenmacher double
+#: hashing over two disjoint 60-bit md5 segments.
+BLOOM_WORD_BITS = 62
+BLOOM_WORDS = 256
+BLOOM_M_BITS = BLOOM_WORD_BITS * BLOOM_WORDS
+BLOOM_K = 3
+
+
+def contamination_bloom(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Test-set decontamination via a REAL bloom filter — the shape
+    :func:`contamination`'s docstring defers to at 100 TB, where the
+    test split's distinct-shingle set is too large to broadcast as
+    rows but its bloom bits (m/62 words, constant size) always fit.
+
+    Build: distinct test shingles → k md5-derived bit positions each
+    (h1 + j·h2 mod m, both 60-bit md5 segments — engine-portable, no
+    JVM hash) → ``bit_or`` per word. Probe: every train (doc, shingle)
+    checks its k bits against the broadcast word table; a shingle is
+    flagged iff ALL k bits are set — a superset of true contamination
+    (false-positive rate (1-e^{-kn/m})^k, ~5% at test SF), and
+    DETERMINISTIC, so the DuckDB twin reproduces the same flags and
+    the approximate structure itself is value-checked.
+
+    Output: (doc_id, n_shingles, n_flagged, flagged_ratio) per train
+    doc. Scale: the only shuffles are the word-table bit_or (≤256
+    rows) and the final doc rollup; the probe join is broadcast,
+    m is the knob (size it ~1.44·k·|test shingles| bits for a target
+    FP rate).
+    """
+    md5 = F.md5(F.col("shingle"))
+    h1 = F.conv(F.substring(md5, 1, 15), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(md5, 16, 15), 16, 10).cast("bigint")
+    j = F.explode(F.array(*[F.lit(i) for i in range(BLOOM_K)])).alias("j")
+    pos = (h1 + F.col("j") * h2) % F.lit(BLOOM_M_BITS)
+    word_idx = (F.col("pos") / F.lit(BLOOM_WORD_BITS)).cast("int")
+    mask = F.pow(F.lit(2.0), F.col("pos") % F.lit(BLOOM_WORD_BITS)).cast("bigint")
+
+    bucket = F.pmod(F.col("doc_id") * F.lit(_SPLIT_MULT), F.lit(_SPLIT_BUCKETS))
+    sh = doc_shingles(docs, n).withColumn("bucket", bucket)
+    test_pos = (
+        sh.filter(F.col("bucket") >= _TEST_GE)
+        .select("shingle")
+        .distinct()
+        .select("shingle", j)
+        .withColumn("pos", pos)
+    )
+    bloom = (
+        test_pos.select(word_idx.alias("word_idx"), mask.alias("mask"))
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("w"))
+    )
+    probe = (
+        sh.filter(F.col("bucket") < _TRAIN_LT)
+        .select("doc_id", "shingle", j)
+        .withColumn("pos", pos)
+        .select("doc_id", "shingle", word_idx.alias("word_idx"), mask.alias("mask"))
+        .join(F.broadcast(bloom), "word_idx", "left")
+        .withColumn(
+            "bit_set",
+            F.when(
+                F.col("w").isNotNull()
+                & (F.col("w").bitwiseAND(F.col("mask")) == F.col("mask")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .groupBy("doc_id", "shingle")
+        .agg(F.min("bit_set").alias("all_set"))
+    )
+    return probe.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_shingles"),
+        F.sum("all_set").cast("bigint").alias("n_flagged"),
+        (F.sum("all_set").cast("double") / F.count("*")).alias("flagged_ratio"),
+    )
+
+
+def contamination_bloom_sql(n: int = 3) -> str:
+    h1 = "CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)"
+    h2 = "CAST('0x' || substr(md5(shingle), 16, 15) AS BIGINT)"
+    pos = f"(({h1} + g.j * {h2}) % {BLOOM_M_BITS})"
+    return f"""WITH sh AS (
+  {_doc_shingles_sql(n)}
+), test_pos AS (
+  SELECT CAST({pos} // {BLOOM_WORD_BITS} AS INT) AS word_idx,
+         CAST(POWER(2.0, {pos} % {BLOOM_WORD_BITS}) AS BIGINT) AS mask
+  FROM (SELECT DISTINCT shingle FROM sh
+        WHERE (doc_id * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} >= {_TEST_GE}),
+       unnest(range(0, {BLOOM_K})) AS g(j)
+), bloom AS (
+  SELECT word_idx, BIT_OR(mask) AS w FROM test_pos GROUP BY word_idx
+), probe AS (
+  SELECT t.doc_id, t.shingle,
+         MIN(CASE WHEN b.w IS NOT NULL AND (b.w & m.mask) = m.mask
+                  THEN 1 ELSE 0 END) AS all_set
+  FROM (SELECT doc_id, shingle FROM sh
+        WHERE (doc_id * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} < {_TRAIN_LT}) t,
+       LATERAL (SELECT CAST({pos} // {BLOOM_WORD_BITS} AS INT) AS word_idx,
+                       CAST(POWER(2.0, {pos} % {BLOOM_WORD_BITS}) AS BIGINT) AS mask
+                FROM unnest(range(0, {BLOOM_K})) AS g(j)) m
+       LEFT JOIN bloom b ON b.word_idx = m.word_idx
+  GROUP BY t.doc_id, t.shingle
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(all_set) AS BIGINT) AS n_flagged,
+       (CAST(SUM(all_set) AS DOUBLE) / COUNT(*)) AS flagged_ratio
+FROM probe GROUP BY doc_id"""
+
+
+# ---------------------------------------------------------------------------
 # exact substring dedup (rolling k-token windows, Lee et al. 2021-style)
 # ---------------------------------------------------------------------------
 

@@ -387,3 +387,20 @@ SELECT doc_id, n_tokens, sum_df, n_hapax,
           >= {RARE_COMMONNESS_MIN}) AS keep
 FROM per_doc CROSS JOIN n""",
 )
+
+
+# ---------------------------------------------------------------------------
+# bloom-filter decontamination
+# ---------------------------------------------------------------------------
+
+
+def t_contamination_bloom(spark, sf_dir):
+    """Train-vs-test decontamination through a real bloom filter (the
+    constant-size structure the broadcast-set variant t_contamination
+    defers to at 100 TB); flags are a deterministic superset of true
+    overlap, value-checked against the DuckDB twin building the same
+    bits."""
+    return dd.contamination_bloom(_docs(spark, sf_dir), n=3)
+
+
+_register("t_contamination_bloom", t_contamination_bloom, dd.contamination_bloom_sql(3))

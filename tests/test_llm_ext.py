@@ -267,3 +267,26 @@ def test_rare_tokens_scores_are_exact(spark, monkeypatch):
     assert out[0].commonness == 1.0 / 3.0 and out[0].hapax_frac == 1.0
     assert out[1].sum_df == 4 and out[1].n_hapax == 0
     assert out[1].commonness == 2.0 / 3.0 and out[1].hapax_frac == 0.0
+
+
+# ---------------------------------------------------------------------------
+# bloom decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_contamination_is_superset_of_exact(spark, sf_dir):
+    # A bloom filter can false-positive but NEVER false-negative:
+    # per train doc, every exactly-contaminated shingle must be
+    # flagged, so n_flagged >= n_contaminated with equal n_shingles —
+    # and somewhere the corpus must show real contamination.
+    from f1_realtime_data_pipeline_spark.sources.parquet import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    exact = {r.doc_id: r for r in dd.contamination(docs, n=3).collect()}
+    bloom = {r.doc_id: r for r in dd.contamination_bloom(docs, n=3).collect()}
+    assert set(exact) == set(bloom)
+    assert any(r.n_contaminated > 0 for r in exact.values())
+    for doc_id, e in exact.items():
+        b = bloom[doc_id]
+        assert b.n_shingles == e.n_shingles
+        assert b.n_flagged >= e.n_contaminated, f"false negative in doc {doc_id}"
