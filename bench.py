@@ -52,6 +52,10 @@ HEADLINE = [
     # #10): regressions in the CC loop must be visible round-over-round
     "d_dup_clusters",
     "e_neardup_clusters",
+    # round-2 perf-weak finding, fixed in round 3 (corpus-derived cell
+    # count + k-means centroids): tracked so the N^1.5 claim has a
+    # round-over-round number behind it
+    "e_semdedup",
 ]
 
 
