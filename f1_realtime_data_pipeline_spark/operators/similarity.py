@@ -422,23 +422,12 @@ SELECT vec_id, cell FROM (
 IVF_CELLS_SQL = ivf_cells_sql()
 
 
-def knn_ivf(
-    embeddings: DataFrame,
-    n_queries: int = 16,
-    k: int = 5,
-    n_cells: int | None = None,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """IVF ANN: each query probes its ``IVF_NPROBE`` nearest cells and
-    exact-ranks the vectors assigned there. Candidates shuffle on the
-    int cell key; with C cells the candidate set is ~nprobe/C of the
-    corpus — C defaults to ceil(sqrt(N)) so the candidate fraction
-    SHRINKS as the corpus grows (the knob that holds at 100 TB).
-    Queries probing sparse cells return < k rows (recall/speed trade).
-    """
-    u = _unit_vectors(embeddings, id_col, vec_col)
-    cents = _seed_centroids(u, n_cells)
+def _knn_probe(u: DataFrame, cents: DataFrame, n_queries: int, k: int) -> DataFrame:
+    """The IVF probe shared by the seed- and trained-centroid indexes:
+    rank every vector's cells by affinity, assign each to its top cell,
+    probe the ``IVF_NPROBE`` nearest cells for the query vectors, and
+    exact-rank the candidates. Candidates shuffle on the int cell key;
+    with C cells the candidate set is ~nprobe/C of the corpus."""
     scored = u.crossJoin(F.broadcast(cents)).withColumn(
         "aff", dot(F.col("uv"), F.col("cv"))
     )
@@ -467,15 +456,58 @@ def knn_ivf(
     )
 
 
-def knn_ivf_sql(n_queries: int = 16, k: int = 5, n_cells: int | None = None) -> str:
-    return f"""WITH {_UNIT_SQL}, cents AS (
-  SELECT vec_id AS cell, uv AS cv FROM unitv WHERE vec_id < {_seed_pred_sql(n_cells)}
-), ranked AS (
+def knn_ivf(
+    embeddings: DataFrame,
+    n_queries: int = 16,
+    k: int = 5,
+    n_cells: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: each query probes its ``IVF_NPROBE`` nearest cells and
+    exact-ranks the vectors assigned there (seed centroids — first C
+    by id). C defaults to ceil(sqrt(N)) so the candidate fraction
+    SHRINKS as the corpus grows (the knob that holds at 100 TB).
+    Queries probing sparse cells return < k rows (recall/speed trade).
+    """
+    u = _unit_vectors(embeddings, id_col, vec_col)
+    return _knn_probe(u, _seed_centroids(u, n_cells), n_queries, k)
+
+
+def knn_ivf_trained(
+    embeddings: DataFrame,
+    n_queries: int = 16,
+    k: int = 5,
+    n_cells: int | None = None,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN over TRAINED centroids: the k-means trainer
+    (:func:`_kmeans_centroids`) supplies the cell table and the same
+    probe runs against it — the production IVF layout (cells follow
+    the data's density, so occupancy is balanced and recall-per-probe
+    is higher than the seed index at the same C). Identical plan
+    shape; only the ≤C-row centroid relation changes."""
+    from pyspark import StorageLevel
+
+    u = _unit_vectors(embeddings, id_col, vec_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cents = _kmeans_centroids(u, n_cells, iters)
+    return _knn_probe(u, cents, n_queries, k)
+
+
+def _knn_probe_sql(cents: str, n_queries: int, k: int) -> str:
+    """Trailing CTEs + final select of the IVF probe, against the
+    centroid CTE named ``cents`` (appended after a WITH chain that
+    defines it and ``unitv``)."""
+    return f""", ranked AS (
   SELECT vec_id, cell,
          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY aff DESC, cell ASC) AS rn
   FROM (
-    SELECT u.vec_id, cents.cell, {dot_sql("u.uv", "cents.cv")} AS aff
-    FROM unitv u CROSS JOIN cents
+    SELECT u.vec_id, c.cell, {dot_sql("u.uv", "c.cv")} AS aff
+    FROM unitv u CROSS JOIN {cents} c
   )
 ), assignments AS (
   SELECT vec_id AS neighbor_id, cell FROM ranked WHERE rn = 1
@@ -497,6 +529,30 @@ SELECT query_id, neighbor_id, rnk, cosine FROM (
             ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rnk
   FROM scored
 ) WHERE rnk <= {k}"""
+
+
+def knn_ivf_sql(n_queries: int = 16, k: int = 5, n_cells: int | None = None) -> str:
+    return (
+        f"""WITH {_UNIT_SQL}, cents AS (
+  SELECT vec_id AS cell, uv AS cv FROM unitv WHERE vec_id < {_seed_pred_sql(n_cells)}
+)"""
+        + _knn_probe_sql("cents", n_queries, k)
+    )
+
+
+def knn_ivf_trained_sql(
+    n_queries: int = 16,
+    k: int = 5,
+    n_cells: int | None = None,
+    iters: int = 1,
+    dim: int = LSH_DIM,
+) -> str:
+    """DuckDB twin of :func:`knn_ivf_trained` — the k-means CTE chain
+    (shared with :func:`kmeans_assign_sql`) feeds the probe."""
+    return (
+        f"WITH {_UNIT_SQL},\n{_kmeans_ctes(n_cells, iters, dim)}"
+        + _knn_probe_sql(f"cents{iters}", n_queries, k)
+    )
 
 
 # ---------------------------------------------------------------------------

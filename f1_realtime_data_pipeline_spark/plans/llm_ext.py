@@ -404,3 +404,14 @@ def t_contamination_bloom(spark, sf_dir):
 
 
 _register("t_contamination_bloom", t_contamination_bloom, dd.contamination_bloom_sql(3))
+
+
+def e_knn_ivf_trained(spark, sf_dir):
+    """IVF ANN top-k probing the k-means-TRAINED centroid table (the
+    production index layout; seed-centroid e_knn_ivf is the
+    deterministic baseline). Same probe plan, different ≤C-row
+    centroid relation."""
+    return sim.knn_ivf_trained(_embs(spark, sf_dir), n_queries=16, k=5)
+
+
+_register("e_knn_ivf_trained", e_knn_ivf_trained, sim.knn_ivf_trained_sql(16, 5))

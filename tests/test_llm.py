@@ -536,3 +536,14 @@ def test_cosine_neardup_lsh_recall(spark, sf_dir):
     # (identical copies, cosine 1.0), and identical vectors collide in
     # every LSH table — so the detector finds all of them
     assert approx == exact
+
+
+def test_knn_ivf_trained_recall(spark, sf_dir):
+    # the k-means-trained index must keep recall in the same band as
+    # the seed index (cells follow density, so per-probe recall is
+    # usually better; 0.3 is the family floor)
+    embs = read_table(spark, sf_dir, "embeddings")
+    exact = {(r.query_id, r.neighbor_id) for r in sim.knn_bruteforce(embs, n_queries=8, k=3).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in sim.knn_ivf_trained(embs, n_queries=8, k=3).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"trained-IVF recall collapsed: {recall}"
