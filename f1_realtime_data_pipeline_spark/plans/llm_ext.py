@@ -415,3 +415,120 @@ def e_knn_ivf_trained(spark, sf_dir):
 
 
 _register("e_knn_ivf_trained", e_knn_ivf_trained, sim.knn_ivf_trained_sql(16, 5))
+
+
+# ---------------------------------------------------------------------------
+# overlapping chunking (RAG/window prep) + incremental-batch dedup
+# ---------------------------------------------------------------------------
+
+#: chunk geometry: 32-token chunks every 24 tokens (8-token overlap) —
+#: the standard retrieval prep; both knobs are parameters of the shape,
+#: not the plan
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+def t_chunk_overlap(spark, sf_dir):
+    """Overlapping fixed-token chunks per document (retrieval /
+    context-window prep): starts at 1, 1+stride, ... while <= n_tokens.
+
+    Scale shape: map-only — one sequence + posexplode per doc, the
+    token array materialized once; chunk_idx is derived arithmetically
+    from the start offset so both engines emit the identical relation
+    with no window function at all.
+    """
+    d = _docs(spark, sf_dir).select("doc_id", tokens("text").alias("toks"))
+    toks = F.col("toks")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), n, F.lit(CHUNK_STRIDE))
+    return (
+        d.select("doc_id", "toks", F.explode(starts).alias("chunk_start"))
+        .select(
+            "doc_id",
+            ((F.col("chunk_start") - 1) / F.lit(CHUNK_STRIDE) + 1)
+            .cast("int")
+            .alias("chunk_idx"),
+            F.col("chunk_start").cast("int").alias("chunk_start"),
+            F.least(
+                F.lit(CHUNK_TOKENS), F.size("toks") - F.col("chunk_start") + 1
+            )
+            .cast("int")
+            .alias("n_chunk_tokens"),
+            F.array_join(
+                F.slice(F.col("toks"), F.col("chunk_start"), CHUNK_TOKENS), " "
+            ).alias("chunk_text"),
+        )
+    )
+
+
+_register(
+    "t_chunk_overlap",
+    t_chunk_overlap,
+    f"""WITH t AS (
+  SELECT doc_id, {tokens_sql("text")} AS toks FROM documents
+)
+SELECT doc_id,
+       CAST((chunk_start - 1) // {CHUNK_STRIDE} + 1 AS INT) AS chunk_idx,
+       CAST(chunk_start AS INT) AS chunk_start,
+       CAST(LEAST({CHUNK_TOKENS}, len(toks) - chunk_start + 1) AS INT) AS n_chunk_tokens,
+       array_to_string(list_slice(toks, chunk_start, chunk_start + {CHUNK_TOKENS - 1}), ' ') AS chunk_text
+FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, {CHUNK_STRIDE})) AS chunk_start FROM t)""",
+)
+
+
+def d_incremental_dedup(spark, sf_dir):
+    """Incremental-ingest dedup: the ~10% "new batch" (same
+    deterministic hash split as the test set) checked against the
+    existing corpus — a new doc is novel iff its exact text occurs in
+    no existing doc. The continuously-ingesting pipeline's admission
+    gate: only the batch (not the corpus) is rescanned per ingest.
+
+    Scale shape: the join key is ``xxhash64(text)`` — 8-byte shuffle
+    rows, the text never leaves the map side (the oracle joins on the
+    text itself, identical decisions absent a 64-bit collision, the
+    same contract as d_exact). The batch side is small by construction
+    so AQE broadcasts it; the corpus side stays a pruned scan.
+    """
+    from f1_realtime_data_pipeline_spark.operators.dedup import (
+        _SPLIT_BUCKETS,
+        _SPLIT_MULT,
+        _TEST_GE,
+    )
+
+    docs = _docs(spark, sf_dir)
+    bucket = F.pmod(F.col("doc_id") * F.lit(_SPLIT_MULT), F.lit(_SPLIT_BUCKETS))
+    with_b = docs.select("doc_id", "text", bucket.alias("bucket"))
+    batch = with_b.filter(F.col("bucket") >= _TEST_GE).select(
+        "doc_id", F.xxhash64("text").alias("h")
+    )
+    existing = (
+        with_b.filter(F.col("bucket") < _TEST_GE)
+        .select(F.xxhash64("text").alias("h"))
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    return (
+        batch.join(existing, "h", "left")
+        .select("doc_id", F.col("seen").isNull().alias("is_novel"))
+    )
+
+
+def _incremental_dedup_sql() -> str:
+    from f1_realtime_data_pipeline_spark.operators.dedup import (
+        _SPLIT_BUCKETS,
+        _SPLIT_MULT,
+        _TEST_GE,
+    )
+
+    return f"""WITH batch AS (
+  SELECT doc_id, text FROM documents
+  WHERE (doc_id * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} >= {_TEST_GE}
+), existing AS (
+  SELECT DISTINCT text FROM documents
+  WHERE (doc_id * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} < {_TEST_GE}
+)
+SELECT b.doc_id, (e.text IS NULL) AS is_novel
+FROM batch b LEFT JOIN existing e ON b.text = e.text"""
+
+
+_register("d_incremental_dedup", d_incremental_dedup, _incremental_dedup_sql())

@@ -290,3 +290,55 @@ def test_bloom_contamination_is_superset_of_exact(spark, sf_dir):
         b = bloom[doc_id]
         assert b.n_shingles == e.n_shingles
         assert b.n_flagged >= e.n_contaminated, f"false negative in doc {doc_id}"
+
+
+# ---------------------------------------------------------------------------
+# chunking + incremental dedup
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_overlap_geometry(spark, monkeypatch):
+    # 50 tokens, chunk=32, stride=24 -> starts 1, 25, 49: full chunk,
+    # 26-token chunk, 2-token tail. Overlap region must repeat verbatim.
+    words = [f"w{i:02d}" for i in range(50)]
+    docs = _docs(spark, [" ".join(words)])
+    monkeypatch.setattr(llm_ext, "_docs", lambda spark, sf_dir: docs)
+    out = sorted(
+        llm_ext.t_chunk_overlap(spark, "unused").collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    assert [(r.chunk_idx, r.chunk_start, r.n_chunk_tokens) for r in out] == [
+        (1, 1, 32),
+        (2, 25, 26),
+        (3, 49, 2),
+    ]
+    assert out[0].chunk_text.split()[24:] == out[1].chunk_text.split()[:8]
+    assert out[2].chunk_text == "w48 w49"
+
+
+def test_incremental_dedup_flags_repeats(spark, monkeypatch):
+    # pick doc_ids so the split hash puts exactly docs 4 and 13 in the
+    # new batch (bucket >= 900); doc 4's text already exists in the
+    # corpus, doc 13's does not.
+    from f1_realtime_data_pipeline_spark.operators.dedup import (
+        _SPLIT_BUCKETS,
+        _SPLIT_MULT,
+        _TEST_GE,
+    )
+    from pyspark.sql import Row
+
+    batch_ids = [i for i in range(40) if (i * _SPLIT_MULT) % _SPLIT_BUCKETS >= _TEST_GE]
+    assert len(batch_ids) >= 2
+    dup_id, novel_id = batch_ids[0], batch_ids[1]
+    existing_id = next(
+        i for i in range(40) if (i * _SPLIT_MULT) % _SPLIT_BUCKETS < _TEST_GE
+    )
+    rows = [
+        Row(doc_id=existing_id, text="shared corpus text"),
+        Row(doc_id=dup_id, text="shared corpus text"),
+        Row(doc_id=novel_id, text="genuinely new content"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    monkeypatch.setattr(llm_ext, "_docs", lambda spark, sf_dir: docs)
+    out = {r.doc_id: r.is_novel for r in llm_ext.d_incremental_dedup(spark, "unused").collect()}
+    assert out == {dup_id: False, novel_id: True}
