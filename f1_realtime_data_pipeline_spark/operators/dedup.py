@@ -627,13 +627,14 @@ def dup_clusters(
     return connected_components(pairs, max_iters)
 
 
-#: edge-count gate for the single-task union-find strategy. Budgeted by
-#: the PYTHON cost of the one task that runs it, not raw id bytes: the
-#: dict-based union-find holds up to 2 int keys per edge at ~100 B/entry
-#: object overhead (~200 MB RSS at 1M edges) plus a pure-Python pass
-#: over the edge list (~2-4 s) — keep both bounded so the task can
-#: never become an executor-OOM or straggler.
-SMALL_GRAPH_EDGES = 1_000_000
+#: edge-count gate for the single-task strategy. Budgeted by the cost
+#: of the one task that runs it: the numpy min-label solver below holds
+#: a handful of int64 arrays (≤ ~80 MB of raw edge ids at 5M edges,
+#: a few × that in working arrays) and does O(log diameter) C-speed
+#: passes — no Python dict (the earlier dict-based union-find carried
+#: ~100 B/entry object overhead and a pure-Python edge loop, which
+#: would have made this gate an executor-OOM/straggler risk).
+SMALL_GRAPH_EDGES = 5_000_000
 
 
 def connected_components(
@@ -715,10 +716,16 @@ def connected_components(
 
 def _cc_union_find(pairs: DataFrame) -> DataFrame:
     """Exact connected components of a small-enough edge list in one
-    union-find pass (path compression + union-by-min, so each root IS
-    its component's min id). The single task sees every edge via the
-    Arrow batch iterator; only (node, min-reachable-id) rows leave it.
+    task: numpy-vectorized min-label propagation with pointer jumping
+    (densify ids → per-round ``minimum.at`` scatter over both edge
+    directions → ``label = label[label]`` until fixpoint). Every pass
+    is C-speed over flat int64 arrays — 5M edges converge in a few
+    hundred ms over O(log diameter) rounds, with none of the object
+    overhead a dict-based union-find would carry. The single task sees
+    every edge via the Arrow batch iterator; only
+    (node, min-reachable-id) rows leave it.
     """
+    import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -728,32 +735,33 @@ def _cc_union_find(pairs: DataFrame) -> DataFrame:
     )
 
     def run(batches):
-        parent: dict = {}
-
-        def find(x):
-            root = x
-            while parent[root] != root:
-                root = parent[root]
-            while parent[x] != root:
-                parent[x], x = root, parent[x]
-            return root
-
+        a_parts, b_parts = [], []
         for pdf in batches:
-            for a, b in zip(pdf["doc_a"], pdf["doc_b"]):
-                if a not in parent:
-                    parent[a] = a
-                if b not in parent:
-                    parent[b] = b
-                ra, rb = find(a), find(b)
-                if ra != rb:
-                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                    parent[hi] = lo
-        nodes = list(parent)
-        for i in range(0, len(nodes), 1_000_000):
-            chunk = nodes[i : i + 1_000_000]
-            yield pd.DataFrame(
-                {"doc_id": chunk, "cluster_id": [find(n) for n in chunk]}
-            )
+            a_parts.append(pdf["doc_a"].to_numpy(dtype=np.int64))
+            b_parts.append(pdf["doc_b"].to_numpy(dtype=np.int64))
+        if not a_parts:
+            return
+        a = np.concatenate(a_parts)
+        b = np.concatenate(b_parts)
+        ids = np.unique(np.concatenate([a, b]))
+        ia = np.searchsorted(ids, a)
+        ib = np.searchsorted(ids, b)
+        label = np.arange(len(ids), dtype=np.int64)
+        while True:
+            before = label
+            m = np.minimum(label[ia], label[ib])
+            label = label.copy()
+            np.minimum.at(label, ia, m)
+            np.minimum.at(label, ib, m)
+            label = label[label]  # pointer jump: halve remaining depth
+            if np.array_equal(label, before):
+                break
+        # labels are dense indices; ids[label] is each node's min
+        # reachable ORIGINAL id (label propagation preserves min-id
+        # ordering because dense ranks are monotone in original ids)
+        out = pd.DataFrame({"doc_id": ids, "cluster_id": ids[label]})
+        for i in range(0, len(out), 1_000_000):
+            yield out.iloc[i : i + 1_000_000]
 
     return pairs.repartition(1).mapInPandas(run, schema=out_schema)
 
