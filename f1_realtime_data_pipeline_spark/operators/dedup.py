@@ -719,11 +719,11 @@ def _cc_union_find(pairs: DataFrame) -> DataFrame:
     task: numpy-vectorized min-label propagation with pointer jumping
     (densify ids → per-round ``minimum.at`` scatter over both edge
     directions → ``label = label[label]`` until fixpoint). Every pass
-    is C-speed over flat int64 arrays — 5M edges converge in a few
-    hundred ms over O(log diameter) rounds, with none of the object
-    overhead a dict-based union-find would carry. The single task sees
-    every edge via the Arrow batch iterator; only
-    (node, min-reachable-id) rows leave it.
+    is C-speed over flat int64 arrays — a 5M-edge random graph
+    converges in ~10 s (measured, ~8 rounds; a sort+reduceat variant
+    measured slower), with none of the object overhead a dict-based
+    union-find would carry. The single task sees every edge via the
+    Arrow batch iterator; only (node, min-reachable-id) rows leave it.
     """
     import numpy as np
     import pandas as pd
