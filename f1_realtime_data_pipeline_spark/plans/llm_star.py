@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from f1_realtime_data_pipeline_spark.functions import text as tx
+from f1_realtime_data_pipeline_spark.functions import vector as vec
 from f1_realtime_data_pipeline_spark.operators import dedup as dd
 from f1_realtime_data_pipeline_spark.operators import multimodal as mm
 from f1_realtime_data_pipeline_spark.operators import similarity as sim
@@ -598,8 +599,20 @@ def e_cosine_neardup(spark, sf_dir):
     verify (crossjoin-free), on the planted-copy fixture at the
     production threshold. The oracle reproduces the same candidate
     generation, so the approximate algorithm is value-checked; recall
-    vs the exact detector is pinned in pytest."""
-    return sim.cosine_neardup_lsh_pairs(_embs_neardup(spark, sf_dir), threshold=_NEARDUP_COS)
+    vs the exact detector is pinned in pytest.
+
+    Planes are pinned to the floor here (not the N-derived operator
+    default) because the plane literals are part of the PLAN — the
+    static oracle string cannot re-derive them per scale factor the
+    way the subquery-based cell counts do, and this query must stay
+    oracle-green at ANY sf the harness runs. The derived count is
+    exercised against a matching oracle at two sf in
+    tests/test_llm_ext.py::test_neardup_lsh_plane_count_scales_and_matches_oracle."""
+    return sim.cosine_neardup_lsh_pairs(
+        _embs_neardup(spark, sf_dir),
+        threshold=_NEARDUP_COS,
+        planes_per_table=vec.NEARDUP_PLANES_PER_TABLE,
+    )
 
 
 _register(
@@ -1086,7 +1099,11 @@ def e_neardup_clusters(spark, sf_dir):
     The oracle's recursive closure runs over the same LSH-candidate
     pair SQL."""
     pairs = sim.cosine_neardup_lsh_pairs(
-        _embs_neardup(spark, sf_dir), threshold=_NEARDUP_COS
+        _embs_neardup(spark, sf_dir),
+        threshold=_NEARDUP_COS,
+        # floor-pinned like e_cosine_neardup: plan-literal planes must
+        # match the static oracle at any sf (see that docstring)
+        planes_per_table=vec.NEARDUP_PLANES_PER_TABLE,
     ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
     return dd.connected_components(pairs).select(
         F.col("doc_id").alias("vec_id"), "cluster_id"
