@@ -547,3 +547,23 @@ def test_knn_ivf_trained_recall(spark, sf_dir):
     approx = {(r.query_id, r.neighbor_id) for r in sim.knn_ivf_trained(embs, n_queries=8, k=3).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, f"trained-IVF recall collapsed: {recall}"
+
+
+def test_connected_components_never_mutates_session_confs(spark, monkeypatch):
+    # ADVICE r2: the iterative CC loop used to flip session-global
+    # shuffle/broadcast confs, silently degrading any query planned
+    # concurrently in the same session. The tuning must be scoped to
+    # the loop's DataFrames (hints + repartition) — assert no
+    # spark.sql.* conf is touched on either strategy path.
+    calls = []
+    orig = spark.conf.set
+    monkeypatch.setattr(
+        spark.conf, "set", lambda k, v: (calls.append(k), orig(k, v))
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "doc_a long, doc_b long"
+    )
+    dd.connected_components(pairs).collect()
+    dd.connected_components(pairs, small_graph_edges=0).collect()
+    touched = [k for k in calls if k.startswith("spark.sql.")]
+    assert not touched, f"CC mutated session confs: {touched}"
