@@ -76,12 +76,6 @@ def hyperplane(p: int) -> list[float]:
     ]
 
 
-#: the fixed plane table used by the 8/16-plane kNN + single-table
-#: paths (kept as a list for those call sites; near-dup banding above
-#: this range generates planes via :func:`hyperplane`)
-HYPERPLANES: list[list[float]] = [
-    hyperplane(p) for p in range(NEARDUP_TABLES * NEARDUP_PLANES_PER_TABLE)
-]
 
 
 def dot(a: Column, b: Column) -> Column:
