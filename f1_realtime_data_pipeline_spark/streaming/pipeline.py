@@ -71,3 +71,45 @@ def start_kafka_pipeline(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def start_admission_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    corpus_hashes,
+    sink_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    """Streaming corpus ingestion behind the incremental-dedup
+    admission gate — the streaming twin of the batch
+    ``d_incremental_dedup`` query: new documents arrive as JSON lines
+    ``{doc_id, text}``; each micro-batch drops docs whose exact text
+    already exists in the static corpus (stream-static LEFT ANTI join
+    on the 8-byte ``xxhash64(text)`` — ``corpus_hashes`` is a static
+    one-column (``h``) relation), then appends through the idempotent
+    sink keyed on the same hash, which also dedups duplicates WITHIN
+    the stream and across replays (exactly-once under checkpoint
+    loss, §2.8 T5 semantics).
+
+    At 100 TB the static side is the corpus' hash index — bucketed on
+    ``h`` so the per-batch anti-join prunes to matching buckets; the
+    streamed batch is always the small side.
+    """
+    from pyspark.sql import functions as F
+
+    raw = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+    admitted = raw.withColumn("h", F.xxhash64("text")).join(
+        F.broadcast(corpus_hashes), "h", "left_anti"
+    )
+    return (
+        admitted.writeStream.outputMode("append")
+        .foreachBatch(idempotent_parquet_sink(sink_path, ["h"]))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -327,3 +327,50 @@ def test_idempotent_sink_first_wins_is_deterministic(spark, tmp_path):
     write(dup, 0)
     got = {r.k: r.v for r in spark.read.parquet(sink).collect()}
     assert got == {1: "a", 2: "y"}
+
+
+def test_admission_pipeline_streams_only_novel_docs(spark, tmp_path):
+    # streaming twin of d_incremental_dedup: corpus-known text is
+    # rejected at the gate; a replayed/duplicated novel doc lands
+    # exactly once (idempotent sink keyed on the text hash)
+    import json as js
+
+    from f1_realtime_data_pipeline_spark.streaming.pipeline import (
+        start_admission_pipeline,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "existing doc one"), (2, "existing doc two")],
+        "doc_id bigint, text string",
+    )
+    corpus_hashes = corpus.select(F.xxhash64("text").alias("h")).distinct()
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        "\n".join(
+            [
+                js.dumps({"doc_id": 10, "text": "existing doc one"}),
+                js.dumps({"doc_id": 11, "text": "brand new doc"}),
+            ]
+        )
+    )
+    (src / "b1.json").write_text(
+        "\n".join(
+            [
+                js.dumps({"doc_id": 12, "text": "brand new doc"}),
+                js.dumps({"doc_id": 13, "text": "another novel doc"}),
+            ]
+        )
+    )
+    q = start_admission_pipeline(
+        spark, str(src), corpus_hashes, str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "sink"))
+    texts = sorted(r.text for r in out.collect())
+    assert texts == ["another novel doc", "brand new doc"]
+    # exactly ONE of the two copies of the replayed novel text
+    # survives (same-mtime source files may process in either order,
+    # so which doc_id wins is unspecified — the invariant is one row)
+    ids = {r.doc_id for r in out.collect()}
+    assert 13 in ids and len(ids & {11, 12}) == 1
