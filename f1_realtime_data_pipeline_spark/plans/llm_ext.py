@@ -532,3 +532,134 @@ FROM batch b LEFT JOIN existing e ON b.text = e.text"""
 
 
 _register("d_incremental_dedup", d_incremental_dedup, _incremental_dedup_sql())
+
+
+# ---------------------------------------------------------------------------
+# pipeline_corpus_v2: the full modern prep pipeline in one plan
+# ---------------------------------------------------------------------------
+
+#: keep a train doc only when less than half its shingles leak test text
+PIPE2_MAX_CONTAM = 0.5
+
+
+def pipeline_corpus_v2(spark, sf_dir):
+    """The round-3 end-to-end corpus pipeline: normalize → exact-dedup
+    (first doc_id wins per normalized text) → Gopher-rule quality gate
+    → exact-substring-dup drop → test-set decontamination (train side)
+    → deterministic split → per-(split, source) mixture accounting.
+    The composition a current-generation pretraining prep actually
+    runs, with every stage the already-oracle-checked operator.
+
+    Scale shape: each signal stage (Gopher, substring stats,
+    contamination) is an independent doc_id-keyed relation joined back
+    onto the deduped spine — the pattern a production pipeline uses
+    when it materializes per-stage signal tables; the joins all key on
+    the 8-byte doc_id, the spine's dedup window carries (norm_text,
+    doc_id) only, and the final rollup aggregates to the (split,
+    source) domain. Absent signal rows (docs too short for substring
+    windows; non-train docs with no contamination row) default to
+    keep, so the LEFT joins never drop the spine.
+    """
+    d = _docs(spark, sf_dir)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 \t\n\x0B\f\r]", ""),
+            r"[ \t\n\x0B\f\r]+",
+            " ",
+        )
+    )
+    normed = d.select("doc_id", "source", "text", norm.alias("norm_text"))
+    w = Window.partitionBy("norm_text").orderBy(F.col("doc_id").asc())
+    canon = (
+        normed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "text")
+    )
+    g = t_quality_gopher(spark, sf_dir).select("doc_id", F.col("keep").alias("g_keep"))
+    s = d_substring_dedup(spark, sf_dir).select("doc_id", F.col("keep").alias("s_keep"))
+    c = dd.contamination(_docs(spark, sf_dir), n=3).select(
+        "doc_id",
+        (F.col("contamination_ratio") < PIPE2_MAX_CONTAM).alias("c_keep"),
+    )
+    from f1_realtime_data_pipeline_spark.operators.dedup import (
+        _SPLIT_BUCKETS,
+        _SPLIT_MULT,
+        _TEST_GE,
+        _TRAIN_LT,
+    )
+
+    kept = (
+        canon.join(g, "doc_id")
+        .join(s, "doc_id", "left")
+        .join(c, "doc_id", "left")
+        .filter(
+            F.col("g_keep")
+            & F.coalesce(F.col("s_keep"), F.lit(True))
+            & F.coalesce(F.col("c_keep"), F.lit(True))
+        )
+    )
+    bucket = F.pmod(F.col("doc_id") * F.lit(_SPLIT_MULT), F.lit(_SPLIT_BUCKETS))
+    split = (
+        F.when(bucket < _TRAIN_LT, "train")
+        .when(bucket < _TEST_GE, "val")
+        .otherwise("test")
+    )
+    from f1_realtime_data_pipeline_spark.functions.text import token_count
+
+    return (
+        kept.withColumn("split", split)
+        .withColumn("n_tok", token_count("text"))
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+def _pipeline_v2_sql() -> str:
+    from f1_realtime_data_pipeline_spark.functions.text import token_count_sql
+    from f1_realtime_data_pipeline_spark.operators.dedup import (
+        _SPLIT_BUCKETS,
+        _SPLIT_MULT,
+        _TEST_GE,
+        _TRAIN_LT,
+    )
+
+    return rf"""WITH normed AS (
+  SELECT doc_id, source, text,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 \t\n\x0B\f\r]', '', 'g'),
+                             '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm_text
+  FROM documents
+), canon AS (
+  SELECT doc_id, source, text FROM (
+    SELECT doc_id, source, text,
+           ROW_NUMBER() OVER (PARTITION BY norm_text ORDER BY doc_id ASC) AS rn
+    FROM normed
+  ) WHERE rn = 1
+), gopher AS (
+  SELECT doc_id, keep AS g_keep FROM ({ORACLE["t_quality_gopher"]})
+), sub AS (
+  SELECT doc_id, keep AS s_keep FROM ({ORACLE["d_substring_dedup"]})
+), contam AS (
+  SELECT doc_id, (contamination_ratio < {PIPE2_MAX_CONTAM}) AS c_keep
+  FROM ({dd.contamination_sql(3)})
+), kept AS (
+  SELECT c.doc_id, c.source, c.text
+  FROM canon c
+  JOIN gopher g USING (doc_id)
+  LEFT JOIN sub s USING (doc_id)
+  LEFT JOIN contam t USING (doc_id)
+  WHERE g.g_keep AND COALESCE(s.s_keep, TRUE) AND COALESCE(t.c_keep, TRUE)
+)
+SELECT CASE WHEN (doc_id * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} < {_TRAIN_LT} THEN 'train'
+            WHEN (doc_id * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} < {_TEST_GE} THEN 'val'
+            ELSE 'test' END AS split,
+       source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM({token_count_sql("text")}) AS BIGINT) AS n_tokens
+FROM kept
+GROUP BY 1, 2"""
+
+
+_register("pipeline_corpus_v2", pipeline_corpus_v2, _pipeline_v2_sql())
