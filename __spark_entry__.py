@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from f1_realtime_data_pipeline_spark.plans import (
     contract_star,
     inventory_star,
+    layout_ext,
     llm_ext,
     llm_star,
     tpch,
@@ -39,6 +40,7 @@ from f1_realtime_data_pipeline_spark.plans import (
 # round rotate to the back.
 _QUERY_MODULES = [
     llm_ext,
+    layout_ext,
     tpch_ext,
     tpch,
     contract_star,
