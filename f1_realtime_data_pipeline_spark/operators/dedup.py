@@ -928,6 +928,42 @@ SELECT doc_id, span_pos,
 FROM spans"""
 
 
+def span_splice(docs: DataFrame, span_tokens: int = SPAN_TOKENS) -> DataFrame:
+    """Rebuild each document with its corpus-duplicated spans REMOVED —
+    the splice step :func:`span_dedup`'s docstring defers (C4 removes
+    the repeated lines, it doesn't just flag them). Output
+    (doc_id, n_spans, n_removed, clean_text); a doc whose every span
+    was seen earlier rebuilds to the empty string.
+
+    Scale shape: the span-text shuffle from :func:`span_dedup` plus
+    ONE doc-keyed agg — collect the kept spans as (pos, text) structs,
+    array_sort restores document order (sorting a per-doc array, not
+    a window), array_join rebuilds. The per-doc array is bounded by
+    the document length, never the corpus.
+    """
+    flagged = span_dedup(docs, span_tokens)
+    kept_struct = F.when(F.col("keep"), F.struct("span_pos", "span"))
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_spans"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).cast("int").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda t: t["span"]
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
+def span_splice_sql(span_tokens: int = SPAN_TOKENS) -> str:
+    return f"""SELECT doc_id,
+       CAST(COUNT(*) AS INT) AS n_spans,
+       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS INT) AS n_removed,
+       COALESCE(string_agg(span, ' ' ORDER BY span_pos) FILTER (WHERE keep), '') AS clean_text
+FROM ({span_dedup_sql(span_tokens)})
+GROUP BY doc_id"""
+
+
 # ---------------------------------------------------------------------------
 # test-set decontamination (train↔test n-gram overlap)
 # ---------------------------------------------------------------------------

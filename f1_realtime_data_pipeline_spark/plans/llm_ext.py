@@ -663,3 +663,12 @@ GROUP BY 1, 2"""
 
 
 _register("pipeline_corpus_v2", pipeline_corpus_v2, _pipeline_v2_sql())
+
+
+def d_span_splice(spark, sf_dir):
+    """C4-style splice: rebuild every document with corpus-duplicated
+    spans removed (the flag-only d_span_dedup's downstream step)."""
+    return dd.span_splice(_docs(spark, sf_dir))
+
+
+_register("d_span_splice", d_span_splice, dd.span_splice_sql())

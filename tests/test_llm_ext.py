@@ -342,3 +342,27 @@ def test_incremental_dedup_flags_repeats(spark, monkeypatch):
     monkeypatch.setattr(llm_ext, "_docs", lambda spark, sf_dir: docs)
     out = {r.doc_id: r.is_novel for r in llm_ext.d_incremental_dedup(spark, "unused").collect()}
     assert out == {dup_id: False, novel_id: True}
+
+
+# ---------------------------------------------------------------------------
+# span splice
+# ---------------------------------------------------------------------------
+
+
+def test_span_splice_removes_repeated_spans(spark):
+    # doc1 repeats doc0's first 8-token span; the splice must remove it
+    # from doc1 (first occurrence wins) and keep doc1's own tail.
+    span = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = _docs(spark, [span + " tail0a tail0b", span + " own1a own1b"])
+    out = {r.doc_id: r for r in dd.span_splice(docs, span_tokens=8).collect()}
+    assert out[0].n_removed == 0
+    assert out[0].clean_text == span + " tail0a tail0b"
+    assert out[1].n_removed == 1
+    assert out[1].clean_text == "own1a own1b"
+
+
+def test_span_splice_fully_duplicated_doc_rebuilds_empty(spark):
+    text = "one two three four five six seven eight"
+    out = {r.doc_id: r for r in dd.span_splice(_docs(spark, [text, text]), span_tokens=8).collect()}
+    assert out[0].clean_text == text
+    assert out[1].clean_text == "" and out[1].n_removed == out[1].n_spans
