@@ -33,11 +33,15 @@ from f1_realtime_data_pipeline_spark.plans import (
 # (CORRECTNESS_r01.json: 49/50); round 2 verified llm_star +
 # windows_star + d_substring_dedup (CORRECTNESS_r02.json: 48/50, the
 # 2 non-green are rows-only multimodal stubs by design). Round 3 leads
-# with the 18 queries that have never had a driver row — the rest of
-# llm_ext (e_semdedup, e_kmeans, t_quality_gopher) and the 15 tpch_ext
-# queries outside round 1's window — closing the full registered
-# surface to driver-verified. Families already driver-green in a prior
-# round rotate to the back.
+# with the 18 queries that had never had a driver row — the rest of
+# the round-2 llm_ext ops (e_semdedup, e_kmeans, t_quality_gopher) and
+# the 15 tpch_ext queries outside round 1's window — closing the full
+# registered surface to driver-verified, plus every round-3 addition
+# (TF-IDF/rare-token scoring, bloom decontamination, trained-IVF kNN,
+# chunking, incremental dedup, span splice, pipeline v2, Z-order
+# layout audit, skew profile), all registered inside the window so no
+# new operator ships without a driver row. Families already
+# driver-green in a prior round rotate to the back.
 _QUERY_MODULES = [
     llm_ext,
     layout_ext,
