@@ -672,3 +672,66 @@ def d_span_splice(spark, sf_dir):
 
 
 _register("d_span_splice", d_span_splice, dd.span_splice_sql())
+
+
+# ---------------------------------------------------------------------------
+# edit-distance near-dup verify (fuzzy dedup, BigCode/RefinedWeb-style)
+# ---------------------------------------------------------------------------
+
+#: normalized edit similarity at or above this ⇒ fuzzy duplicates
+EDITSIM_MIN = 0.8
+
+
+def d_editdist_neardup(spark, sf_dir):
+    """Edit-distance verification of the MinHash-LSH candidate pairs:
+    the fuzzy-dedup second stage (set-similarity candidates, then a
+    character-level check that token-bag sketches can't express —
+    re-orderings and near-anagram docs pass Jaccard but fail here).
+
+    edit_sim = 1 - levenshtein/greatest(len_a, len_b); both engines
+    compute Levenshtein with the same exact integer DP, so the stage
+    is value-checked. Scale shape: the O(len²)-per-pair DP runs ONLY
+    on the LSH candidate set (bounded by band-bucket occupancy, never
+    the corpus); texts are late-fetched onto the bare id pairs by two
+    doc_id joins, so the candidate generation itself never shuffles a
+    document body.
+    """
+    docs = _docs(spark, sf_dir)
+    cand = dd.minhash_lsh_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    t = docs.select("doc_id", "text")
+    paired = (
+        cand.join(t.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta")), "doc_a")
+        .join(t.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb")), "doc_b")
+    )
+    lev = F.levenshtein("ta", "tb")
+    edit_sim = F.lit(1.0) - lev.cast("double") / F.greatest(
+        F.length("ta"), F.length("tb")
+    ).cast("double")
+    return (
+        paired.select(
+            "doc_a",
+            "doc_b",
+            lev.cast("int").alias("lev"),
+            edit_sim.alias("edit_sim"),
+        )
+        .withColumn("is_fuzzy_dup", F.col("edit_sim") >= EDITSIM_MIN)
+    )
+
+
+_register(
+    "d_editdist_neardup",
+    d_editdist_neardup,
+    f"""WITH cand AS (
+  SELECT doc_a, doc_b FROM ({dd.minhash_lsh_pairs_sql(0.5)})
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(levenshtein(a.text, b.text) AS INT) AS lev,
+       (1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+            / CAST(GREATEST(length(a.text), length(b.text)) AS DOUBLE)) AS edit_sim,
+       ((1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+            / CAST(GREATEST(length(a.text), length(b.text)) AS DOUBLE))
+        >= {EDITSIM_MIN}) AS is_fuzzy_dup
+FROM cand c
+JOIN documents a ON a.doc_id = c.doc_a
+JOIN documents b ON b.doc_id = c.doc_b""",
+)

@@ -366,3 +366,24 @@ def test_span_splice_fully_duplicated_doc_rebuilds_empty(spark):
     out = {r.doc_id: r for r in dd.span_splice(_docs(spark, [text, text]), span_tokens=8).collect()}
     assert out[0].clean_text == text
     assert out[1].clean_text == "" and out[1].n_removed == out[1].n_spans
+
+
+# ---------------------------------------------------------------------------
+# edit-distance fuzzy-dup verify
+# ---------------------------------------------------------------------------
+
+
+def test_editdist_separates_reorder_from_near_copy(spark, monkeypatch):
+    # Both pairs are LSH candidates (same token bag / one-word delta),
+    # but only the near-copy is a character-level duplicate: the
+    # re-ordered doc shares every shingle-bag signal yet needs many
+    # character edits, which is exactly what this stage detects.
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    near = base.replace("today", "tonight")
+    docs = _docs(spark, [base, near, " ".join(reversed(base.split()))])
+    monkeypatch.setattr(llm_ext, "_docs", lambda spark, sf_dir: docs)
+    out = {(r.doc_a, r.doc_b): r for r in llm_ext.d_editdist_neardup(spark, "x").collect()}
+    assert (0, 1) in out and out[(0, 1)].is_fuzzy_dup
+    for (a, b), r in out.items():
+        if 2 in (a, b):
+            assert not r.is_fuzzy_dup, f"re-ordered doc passed as fuzzy dup: {r}"
