@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from f1_realtime_data_pipeline_spark.functions import text as tx
 from f1_realtime_data_pipeline_spark.functions.text import (
     STOPWORDS,
     tokens,
@@ -734,4 +735,82 @@ SELECT c.doc_a, c.doc_b,
 FROM cand c
 JOIN documents a ON a.doc_id = c.doc_a
 JOIN documents b ON b.doc_id = c.doc_b""",
+)
+
+
+# ---------------------------------------------------------------------------
+# training order + epoch expansion (mixture mechanics)
+# ---------------------------------------------------------------------------
+
+#: per-source repeat factors for epoch expansion (upsample scarce,
+#: high-quality sources — the standard mixture trick); unlisted
+#: sources default to 1. src0/src1 are the synthetic corpus' source
+#: labels (TESTDATA.md) so the repeat path is genuinely exercised.
+EPOCH_REPEATS: dict[str, int] = {"src0": 3, "src1": 2}
+
+
+def t_shuffle_order(spark, sf_dir):
+    """Deterministic training-order shuffle: every doc gets a
+    pseudo-random but reproducible rank from the md5 of its id (the
+    seeded-permutation every trainer needs — data order matters, and
+    a re-run must produce the identical order). Map-only except the
+    rank window, which at scale becomes a sort on the shuffle key —
+    exactly the global sort a training-shard writer performs anyway.
+    """
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    key = tx.md5_id(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string")))
+    w = Window.orderBy(F.col("shuffle_key").asc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("shuffle_key", key)
+        .withColumn("train_pos", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "source", "shuffle_key", "train_pos")
+    )
+
+
+_register(
+    "t_shuffle_order",
+    t_shuffle_order,
+    f"""SELECT doc_id, source, shuffle_key,
+       CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key ASC, doc_id ASC) AS BIGINT) AS train_pos
+FROM (
+  SELECT doc_id, source,
+         {tx.md5_id_sql("('shuffle:' || CAST(doc_id AS VARCHAR))")} AS shuffle_key
+  FROM documents
+)""",
+)
+
+
+def t_epoch_expand(spark, sf_dir):
+    """Epoch expansion: repeat each doc ``EPOCH_REPEATS[source]``
+    times (default 1) with an explicit copy index — how a mixture
+    upsamples scarce high-quality sources without weighted samplers.
+    Map-only (sequence + explode); output size is Σ r_s·|source_s|,
+    the training token budget made explicit.
+    """
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    r = F.lit(1)
+    for src, n in sorted(EPOCH_REPEATS.items()):
+        r = F.when(F.col("source") == src, F.lit(n)).otherwise(r)
+    return (
+        d.withColumn("n_copies", r.cast("int"))
+        .select(
+            "doc_id",
+            "source",
+            "n_copies",
+            F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy_idx"),
+        )
+        .select("doc_id", "source", "n_copies", F.col("copy_idx").cast("int").alias("copy_idx"))
+    )
+
+
+_EPOCH_CASE = "CASE " + " ".join(
+    f"WHEN source = '{s}' THEN {n}" for s, n in sorted(EPOCH_REPEATS.items())
+) + " ELSE 1 END"
+
+_register(
+    "t_epoch_expand",
+    t_epoch_expand,
+    f"""SELECT doc_id, source, CAST(n_copies AS INT) AS n_copies,
+       CAST(unnest(range(1, n_copies + 1)) AS INT) AS copy_idx
+FROM (SELECT doc_id, source, {_EPOCH_CASE} AS n_copies FROM documents)""",
 )
