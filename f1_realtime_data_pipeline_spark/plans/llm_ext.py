@@ -814,3 +814,16 @@ _register(
        CAST(unnest(range(1, n_copies + 1)) AS INT) AS copy_idx
 FROM (SELECT doc_id, source, {_EPOCH_CASE} AS n_copies FROM documents)""",
 )
+
+
+def t_shard_assign(spark, sf_dir):
+    """Deterministic doc→shard mapping for training-shard export (the
+    pure-expression core of sources.export.write_training_shards)."""
+    from f1_realtime_data_pipeline_spark.sources.export import shard_assign
+
+    return shard_assign(_docs(spark, sf_dir))
+
+
+from f1_realtime_data_pipeline_spark.sources.export import shard_assign_sql as _sas
+
+_register("t_shard_assign", t_shard_assign, _sas())

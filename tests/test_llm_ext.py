@@ -387,3 +387,32 @@ def test_editdist_separates_reorder_from_near_copy(spark, monkeypatch):
     for (a, b), r in out.items():
         if 2 in (a, b):
             assert not r.is_fuzzy_dup, f"re-ordered doc passed as fuzzy dup: {r}"
+
+
+# ---------------------------------------------------------------------------
+# training-shard export
+# ---------------------------------------------------------------------------
+
+
+def test_write_training_shards_roundtrip(spark, sf_dir, tmp_path):
+    # the export materializes every doc exactly once, under its
+    # deterministic shard, and a re-export replaces shard-for-shard
+    from f1_realtime_data_pipeline_spark.sources.export import (
+        shard_assign,
+        write_training_shards,
+    )
+    from f1_realtime_data_pipeline_spark.sources.parquet import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, n_shards=4)
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert back.select("shard").distinct().count() == 4
+    expect = {r.doc_id: r.shard for r in shard_assign(docs, 4).collect()}
+    got = {r.doc_id: r.shard for r in back.select("doc_id", "shard").collect()}
+    assert got == expect
+    # re-export is byte-stable at the row-set level
+    write_training_shards(docs, out, n_shards=4)
+    again = {r.doc_id: r.shard for r in spark.read.parquet(out).select("doc_id", "shard").collect()}
+    assert again == expect
