@@ -1,6 +1,13 @@
-"""LLM-data extension surface, round 2: exact substring dedup,
-semantic dedup (SemDeDup), k-means centroid training, and a
-Gopher-rule quality filter.
+"""LLM-data extension surface, rounds 2-3.
+
+Round 2: exact substring dedup (Lee et al.), semantic dedup
+(SemDeDup), k-means centroid training, Gopher-rule quality filter.
+Round 3: TF-IDF keywords, rare-token importance scoring, bloom-filter
+decontamination, trained-centroid IVF kNN, overlapping chunking,
+incremental-batch admission dedup, the full pipeline_corpus_v2
+composition, C4-style span splice, edit-distance fuzzy-dup verify,
+seeded training order, epoch expansion, and deterministic shard
+assignment.
 
 Same contract as ``plans.llm_star``: every query has a DuckDB oracle
 twin with identical column aliases, exact arithmetic wherever a
