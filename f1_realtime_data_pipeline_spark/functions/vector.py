@@ -45,6 +45,11 @@ NEARDUP_TABLES = 4
 NEARDUP_PLANES_PER_TABLE = 8
 #: expected vectors per bucket the N-derived plane count aims for
 NEARDUP_TARGET_OCCUPANCY = 4
+#: hard cap on planes per table: bucket ids accumulate as BIGINT
+#: (bit r contributes 2^r, every power of two ≤ 2^62 is an exact
+#: double), so 62 planes is the last safe width — and the N-derived
+#: count only reaches it at N ≈ 2^64 vectors, far past any corpus.
+MAX_PLANES_PER_TABLE = 62
 
 
 def neardup_planes_for(n_vectors: int) -> int:
@@ -59,9 +64,12 @@ def neardup_planes_for(n_vectors: int) -> int:
     true near-dups recoverable."""
     import math
 
-    return max(
-        NEARDUP_PLANES_PER_TABLE,
-        math.ceil(math.log2(max(n_vectors, 2) / NEARDUP_TARGET_OCCUPANCY)),
+    return min(
+        MAX_PLANES_PER_TABLE,
+        max(
+            NEARDUP_PLANES_PER_TABLE,
+            math.ceil(math.log2(max(n_vectors, 2) / NEARDUP_TARGET_OCCUPANCY)),
+        ),
     )
 
 
@@ -170,7 +178,17 @@ def lsh_table_bucket(
     whole-stage-codegen compile time was the dominant COLD cost of
     the near-dup queries). Arithmetic is element-for-element the same
     sequence as the unrolled form, so values — and the oracle twin —
-    are unchanged."""
+    are unchanged.
+
+    Bucket ids accumulate as BIGINT (bit r contributes 2^r — exact as
+    a double through r=62), so the id cannot wrap however large the
+    N-derived plane count grows; :data:`MAX_PLANES_PER_TABLE` guards
+    the one width where even BIGINT would."""
+    if planes_per_table > MAX_PLANES_PER_TABLE:
+        raise ValueError(
+            f"planes_per_table={planes_per_table} exceeds the BIGINT-safe "
+            f"bucket width ({MAX_PLANES_PER_TABLE})"
+        )
     planes = F.array(
         *[
             _plane_literal(table * planes_per_table + r)
@@ -180,18 +198,25 @@ def lsh_table_bucket(
     bits = F.transform(
         planes,
         lambda pl, r: F.when(
-            dot(a, pl) > 0, F.pow(F.lit(2.0), r).cast("int")
-        ).otherwise(F.lit(0)),
+            dot(a, pl) > 0, F.pow(F.lit(2.0), r).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint")),
     )
-    return F.aggregate(bits, F.lit(0), lambda acc, v: acc + v).cast("int")
+    return F.aggregate(
+        bits, F.lit(0).cast("bigint"), lambda acc, v: acc + v
+    ).cast("bigint")
 
 
 def lsh_table_bucket_sql(
     a: str, table: int, dim: int = LSH_DIM, planes_per_table: int = PLANES_PER_TABLE
 ) -> str:
+    if planes_per_table > MAX_PLANES_PER_TABLE:
+        raise ValueError(
+            f"planes_per_table={planes_per_table} exceeds the BIGINT-safe "
+            f"bucket width ({MAX_PLANES_PER_TABLE})"
+        )
     terms = [
         f"(CASE WHEN {dot_sql(a, _plane_literal_sql(table * planes_per_table + r), dim)}"
         f" > 0 THEN {2 ** r} ELSE 0 END)"
         for r in range(planes_per_table)
     ]
-    return "CAST(" + " + ".join(terms) + " AS INT)"
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"

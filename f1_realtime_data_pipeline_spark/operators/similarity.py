@@ -238,18 +238,40 @@ def cosine_neardup_lsh_pairs(
     are fetched only AFTER the distinct, via two vec_id joins against
     the N-row unit relation (AQE turns those into broadcasts while
     the relation is small; at scale they are hash joins proportional
-    to surviving candidates, not raw collisions)."""
+    to surviving candidates, not raw collisions).
+
+    Scan discipline: the (vid, raw-vector, unit-vector) relation is
+    materialized ONCE via an eager ``localCheckpoint`` and every
+    downstream reference (both bucket-table sides, both unit-vector
+    fetch sides, the plane-count N) reads the checkpoint — the source
+    is scanned exactly once per call regardless of how many relations
+    the plan references it in (the registered planted-copy fixture is
+    a 3-way union, so the naive plan re-scanned the corpus 12×).
+    Checkpoint blocks are dropped by the ContextCleaner when the
+    returned plan is garbage-collected (no session-lifetime cache
+    leak); buckets hash the RAW vector column so the checkpointed
+    values are bit-identical to the oracle twin's, which cannot see
+    the unit normalization order."""
+    rel = (
+        embeddings.withColumn("nrm", norm(F.col(vec_col)))
+        .select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("emb"),
+            unit(F.col(vec_col), F.col("nrm")).alias("uv"),
+        )
+        .localCheckpoint(eager=True)
+    )
     if planes_per_table is None:
-        planes_per_table = neardup_planes_for(embeddings.count())
-    tb = embeddings.select(
-        F.col(id_col).alias("vid"),
+        planes_per_table = neardup_planes_for(rel.count())
+    tb = rel.select(
+        "vid",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(t).alias("tbl"),
                         lsh_table_bucket(
-                            F.col(vec_col), t, planes_per_table
+                            F.col("emb"), t, planes_per_table
                         ).alias("bkt"),
                     )
                     for t in range(NEARDUP_TABLES)
@@ -264,7 +286,7 @@ def cosine_neardup_lsh_pairs(
         .select("vec_a", "vec_b")
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    u = _unit_vectors(embeddings, id_col, vec_col)
+    u = rel.select("vid", "uv")
     return (
         cand.join(
             u.select(F.col("vid").alias("vec_a"), F.col("uv").alias("va")), "vec_a"
@@ -277,10 +299,18 @@ def cosine_neardup_lsh_pairs(
 
 
 def cosine_neardup_lsh_pairs_sql(
-    threshold: float = 0.9,
-    src: str = "embeddings",
-    planes_per_table: int = NEARDUP_PLANES_PER_TABLE,
+    threshold: float,
+    src: str,
+    planes_per_table: int,
 ) -> str:
+    """DuckDB twin of :func:`cosine_neardup_lsh_pairs`.
+
+    ``planes_per_table`` is REQUIRED (no default): the Spark side
+    defaults to the N-derived :func:`neardup_planes_for`, which a
+    static SQL string cannot re-derive — a defaulted twin would
+    silently diverge from the Spark default once N pushes the derived
+    count past the floor. Callers must pin the same explicit count on
+    both sides (the registered queries pin the floor)."""
     per_table = "\n  UNION ALL\n  ".join(
         f"SELECT vec_id, "
         f"{lsh_table_bucket_sql('embedding', t, planes_per_table=planes_per_table)}"
@@ -489,11 +519,7 @@ def knn_ivf_trained(
     the data's density, so occupancy is balanced and recall-per-probe
     is higher than the seed index at the same C). Identical plan
     shape; only the ≤C-row centroid relation changes."""
-    from pyspark import StorageLevel
-
-    u = _unit_vectors(embeddings, id_col, vec_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    u = _unit_vectors(embeddings, id_col, vec_col).localCheckpoint(eager=True)
     cents = _kmeans_centroids(u, n_cells, iters)
     return _knn_probe(u, cents, n_queries, k)
 
@@ -594,11 +620,7 @@ def semdedup(
     assignment) + one int-keyed self-join + one left anti-style flag
     join.
     """
-    from pyspark import StorageLevel
-
-    u = _unit_vectors(embeddings, id_col, vec_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    u = _unit_vectors(embeddings, id_col, vec_col).localCheckpoint(eager=True)
     cents = _kmeans_centroids(u, n_cells, iters)
     members = _assign_cells(u, cents).join(u, "vid").select(
         F.col("vid").alias("vec_id"), "cell", "uv"
@@ -671,8 +693,10 @@ def _kmeans_centroids(
     of [assign to max-cosine centroid → recompute centroid as the
     normalized element-wise sum of members]. The sums use fixed-point
     integer decimals (see :data:`KMEANS_FP`), so any partitioning
-    produces bit-identical centroids. ``u`` should be persisted by the
-    caller (it is scanned once per round)."""
+    produces bit-identical centroids. ``u`` should be materialized by
+    the caller (an eager ``localCheckpoint`` — it is scanned once per
+    round, and checkpoint blocks are ContextCleaner-collected when the
+    plan is dropped, unlike a ``persist`` which outlives the call)."""
     cents = _seed_centroids(u, n_clusters)
     for _ in range(iters):
         members = _assign_cells(u, cents).join(u, "vid")
@@ -723,11 +747,7 @@ def kmeans_assign(
     C-row collect_list to rebuild centroid arrays. No global window,
     no driver collect; N never pairwise-joins itself.
     """
-    from pyspark import StorageLevel
-
-    u = _unit_vectors(embeddings, id_col, vec_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    u = _unit_vectors(embeddings, id_col, vec_col).localCheckpoint(eager=True)
     cents = _kmeans_centroids(u, n_clusters, iters)
     return _assign_cells(u, cents).select(F.col("vid").alias("vec_id"), "cell")
 

@@ -29,11 +29,13 @@ DuckDB's rounding of doubles may disagree at exact .005 boundaries,
 which would be a false oracle mismatch.
 
 Scale posture (100 TB): the fact derivation is a pure map-side
-projection; the aggregations are partial+final hash aggs shuffled on
-``driver_number``; the dim and wins sides of the joins are aggregates
-far smaller than the fact and are broadcast; the one global scalar
-(total_gps) is a 1-row broadcast-nested-loop cross join, not a
-driver-side collect.
+projection; the fact is scanned ONCE into a (driver, grand_prix)
+partial+final hash aggregate (conditional count_if folds the wins
+branch into the same pass), and everything downstream — the per-driver
+rollup, the global season length, the broadcast dim join, the 1-row
+total_gps cross join — runs over that checkpointed
+|drivers|×|months|-row aggregate, never the fact again; no driver-side
+collect anywhere.
 """
 
 from __future__ import annotations
@@ -106,17 +108,37 @@ scored AS (
 
 
 def _standings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q1 core: standings + wins-with-default + season length + win rate."""
-    scored = scored_fact(spark, sf_dir)
-    standings = scored.groupBy("driver_number").agg(
-        F.sum("points").cast("bigint").alias("points")
+    """Q1 core: standings + wins-with-default + season length + win rate.
+
+    Single-pass form: ONE scan of the fact feeds a
+    (driver, grand_prix) partial aggregate — conditional ``count_if``
+    folds the wins branch in, so the reference's LEFT JOIN +
+    COALESCE(wins, 0) (J3, streamlit-app.py:41-60) collapses to a
+    conditional count with identical values (0 when a driver never won;
+    the join form itself stays exercised by ``plans.contract_f1`` and
+    ``j_left_enrich``/``j_lookup_default``). The partial aggregate —
+    |drivers|×|months| rows, orders of magnitude below the fact at any
+    scale — is materialized via eager ``localCheckpoint`` because both
+    the per-driver rollup and the global season-length distinct read
+    it; without the checkpoint each branch would re-run the fact scan
+    (the round-3 plan scanned the fact 4×). Checkpoint blocks are
+    ContextCleaner-collected with the plan."""
+    g = (
+        scored_fact(spark, sf_dir)
+        .groupBy("driver_number", "grand_prix")
+        .agg(
+            F.sum("points").cast("bigint").alias("pts"),
+            F.count(F.when(F.col("position") == 1, F.lit(1)))
+            .cast("bigint")
+            .alias("wns"),
+        )
+        .localCheckpoint(eager=True)
     )
-    wins = (
-        scored.filter(F.col("position") == 1)
-        .groupBy("driver_number")
-        .agg(F.count("*").cast("bigint").alias("wins"))
+    standings = g.groupBy("driver_number").agg(
+        F.sum("pts").cast("bigint").alias("points"),
+        F.sum("wns").cast("bigint").alias("wins"),
     )
-    totals = scored.agg(
+    totals = g.agg(
         F.countDistinct("grand_prix").cast("bigint").alias("total_gps")
     )
     dim = _customer(spark, sf_dir).select(
@@ -124,8 +146,6 @@ def _standings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         standings.join(F.broadcast(dim), "driver_number", "left")
-        .join(F.broadcast(wins), "driver_number", "left")
-        .withColumn("wins", F.coalesce(F.col("wins"), F.lit(0).cast("bigint")))
         .crossJoin(F.broadcast(totals))
         .withColumn("win_rate", F.col("wins") * F.lit(100.0) / F.col("total_gps"))
     )

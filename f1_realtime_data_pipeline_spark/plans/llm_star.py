@@ -618,7 +618,11 @@ def e_cosine_neardup(spark, sf_dir):
 _register(
     "e_cosine_neardup",
     e_cosine_neardup,
-    sim.cosine_neardup_lsh_pairs_sql(_NEARDUP_COS, src=_EMBS_NEARDUP_SQL),
+    sim.cosine_neardup_lsh_pairs_sql(
+        _NEARDUP_COS,
+        src=_EMBS_NEARDUP_SQL,
+        planes_per_table=vec.NEARDUP_PLANES_PER_TABLE,
+    ),
 )
 
 
@@ -1114,7 +1118,7 @@ _register(
     "e_neardup_clusters",
     e_neardup_clusters,
     f"""WITH RECURSIVE pairs AS (
-  {sim.cosine_neardup_lsh_pairs_sql(_NEARDUP_COS, src=_EMBS_NEARDUP_SQL)}
+  {sim.cosine_neardup_lsh_pairs_sql(_NEARDUP_COS, src=_EMBS_NEARDUP_SQL, planes_per_table=vec.NEARDUP_PLANES_PER_TABLE)}
 ), edges AS (
   SELECT vec_a AS src, vec_b AS dst FROM pairs
   UNION

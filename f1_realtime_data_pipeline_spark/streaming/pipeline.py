@@ -93,8 +93,13 @@ def start_admission_pipeline(
     loss, §2.8 T5 semantics).
 
     At 100 TB the static side is the corpus' hash index — bucketed on
-    ``h`` so the per-batch anti-join prunes to matching buckets; the
-    streamed batch is always the small side.
+    ``h`` so the per-batch anti-join prunes to matching buckets. No
+    broadcast hint: an anti-join can only broadcast the STATIC (build)
+    side, and pinning that would cap the corpus index at
+    broadcast size — the planner is left free to broadcast while the
+    index is small and switch to a bucket-pruned hash join as it
+    grows (the streamed micro-batch stays the small probe side either
+    way).
     """
     from pyspark.sql import functions as F
 
@@ -104,7 +109,7 @@ def start_admission_pipeline(
         .json(source_dir)
     )
     admitted = raw.withColumn("h", F.xxhash64("text")).join(
-        F.broadcast(corpus_hashes), "h", "left_anti"
+        corpus_hashes, "h", "left_anti"
     )
     return (
         admitted.writeStream.outputMode("append")

@@ -58,6 +58,45 @@ AUDIT = [
 ]
 
 
+#: queries whose plan is ALLOWED a global (unpartitioned) window: the
+#: global-shuffle-order assignment is a total order by construction —
+#: its scale form is the keyed t_shard_assign / t_pack_sequences_dist
+#: pair, and the docstring says so. Everything else flagging
+#: global_window is a smell.
+GLOBAL_WINDOW_OK = {"t_shuffle_order"}
+
+
+def _has_global_window(plan: str) -> bool:
+    """True iff any windowspecdefinition has an EMPTY partition spec.
+
+    explainString never prints the executor-side "No Partition
+    Defined" warning, so detect it structurally: split the
+    windowspecdefinition argument list at the top paren level —
+    partition columns come first, then `expr ASC/DESC NULLS ...` sort
+    specs, then the specifiedwindowframe. If the FIRST argument is
+    already a sort spec (or the frame), no partition columns exist."""
+    for m in re.finditer(r"windowspecdefinition\(", plan):
+        i, depth, cur = m.end(), 1, []
+        while i < len(plan) and depth:
+            ch = plan[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if not depth:
+                    break
+            elif ch == "," and depth == 1:
+                break
+            cur.append(ch)
+            i += 1
+        first = "".join(cur).strip()
+        if first.startswith("specifiedwindowframe") or re.search(
+            r"\b(ASC|DESC)\b", first
+        ):
+            return True
+    return False
+
+
 def vitals(plan: str) -> dict[str, object]:
     return {
         "parquet_scans": len(re.findall(r"\(\d+\) Scan parquet", plan)),
@@ -75,10 +114,7 @@ def vitals(plan: str) -> dict[str, object]:
         "arrow_map": "MapInPandas" in plan,
         "pushed_filters": "PushedFilters: [" in plan
         and not re.search(r"PushedFilters: \[\]", plan),
-        "global_window": bool(
-            re.search(r"Window .*\bwindowspecdefinition\(", plan)
-            and "No Partition Defined" in plan
-        ),
+        "global_window": _has_global_window(plan),
         "codegen_stages": len(set(re.findall(r"codegen id : (\d+)", plan))),
     }
 
@@ -132,7 +168,7 @@ def main() -> int:
         n
         for n, v in rows
         if v["cartesian"]
-        or v["global_window"]
+        or (v["global_window"] and n not in GLOBAL_WINDOW_OK)
         or (v["python_eval"] and not v["arrow_map"])
     ]
     if bad:
