@@ -28,29 +28,51 @@ from f1_realtime_data_pipeline_spark.plans import (
 )
 
 # Registration order is part of the verification contract: the driver
-# checks the FIRST 50 registered queries each round. Round 1 verified
-# contract_star + inventory_star + tpch + the head of tpch_ext
-# (CORRECTNESS_r01.json: 49/50); round 2 verified llm_star +
-# windows_star + d_substring_dedup (CORRECTNESS_r02.json: 48/50, the
-# 2 non-green are rows-only multimodal stubs by design). Round 3 leads
-# with the 18 queries that had never had a driver row — the rest of
-# the round-2 llm_ext ops (e_semdedup, e_kmeans, t_quality_gopher) and
-# the 15 tpch_ext queries outside round 1's window — closing the full
-# registered surface to driver-verified, plus every round-3 addition
-# (TF-IDF/rare-token scoring, bloom decontamination, trained-IVF kNN,
-# chunking, incremental dedup, span splice, pipeline v2, Z-order
-# layout audit, skew profile), all registered inside the window so no
-# new operator ships without a driver row. Families already
-# driver-green in a prior round rotate to the back.
+# checks the FIRST 50 registered queries each round. Rounds 1-3
+# covered all 132 registered queries at least once (r1: contract/
+# inventory/tpch head; r2: llm_star + windows_star; r3: llm_ext +
+# tpch_ext tail). Round 4 leads with _WINDOW_HEAD: every query whose
+# plan or oracle changed this round — the round-3 stale trio
+# (j_anti, e_cosine_neardup, e_neardup_clusters — edited after their
+# last driver row), the single-scan LSH/standings rewrites, the
+# localCheckpoint'd k-means family, the real-codec multimodal queries
+# (now fully oracle-checked instead of rows-only), the new
+# forced-iterative CC variant, and the one permanently-approximate
+# rows-only entry (a_approx_distinct) so its rows row stays fresh.
+# The remaining window slots fill from the families whose last driver
+# check is oldest (round 1: inventory_star → tpch → tpch_ext).
 _QUERY_MODULES = [
+    inventory_star,
+    tpch,
+    tpch_ext,
+    contract_star,
+    windows_star,
     llm_ext,
     layout_ext,
-    tpch_ext,
-    tpch,
-    contract_star,
-    inventory_star,
-    windows_star,
     llm_star,
+]
+
+#: queries pulled to the head of the driver's 50-query window this
+#: round (KeyError at import if a name disappears — the rotation list
+#: cannot silently go stale).
+_WINDOW_HEAD = [
+    "j_anti",
+    "e_cosine_neardup",
+    "e_neardup_clusters",
+    "e_cosine_neardup_exact",
+    "e_knn_lsh",
+    "e_semdedup",
+    "e_kmeans",
+    "e_knn_ivf_trained",
+    "q1_standings",
+    "q2_champion",
+    "q4_podium",
+    "m_byte_stats",
+    "m_decoded_meta",
+    "m_resize_plan",
+    "m_frame_sample",
+    "d_dup_clusters_iter",
+    "a_approx_distinct",
 ]
 
 
@@ -59,17 +81,23 @@ def entry(spark: SparkSession) -> DataFrame:
     return contract_star.q1_standings(spark, "/root/testdata/sf0.001")
 
 
+def _ordered(field: str) -> dict:
+    merged: dict = {}
+    for mod in _QUERY_MODULES:
+        merged.update(getattr(mod, field))
+    out = {name: merged.pop(name) for name in _WINDOW_HEAD if name in merged}
+    missing = [n for n in _WINDOW_HEAD if n not in out and field == "QUERIES"]
+    if missing:
+        raise KeyError(f"_WINDOW_HEAD names not registered: {missing}")
+    out.update(merged)
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in _QUERY_MODULES:
-        out.update(mod.QUERIES)
-    return out
+    return _ordered("QUERIES")
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each oracle-checkable query."""
-    out: dict[str, str] = {}
-    for mod in _QUERY_MODULES:
-        out.update(mod.ORACLE)
-    return out
+    return _ordered("ORACLE")

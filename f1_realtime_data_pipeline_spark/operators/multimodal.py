@@ -1,14 +1,20 @@
 """Multimodal column plumbing (images/audio/video as opaque binary).
 
-The Spark-side contract is real and tested: media rides in a
-``binary`` column with typed metadata beside it; decode / feature
-extraction runs as Arrow-batched ``mapInPandas`` over partitions of
-(id, payload) — the only part that is stubbed is the codec itself,
-because no image/audio library ships in this container. The stub is a
-deterministic fake (documented below) behind the same function
-signature a real decoder would have, so swapping in Pillow/torchaudio
-changes one inner function, not the plumbing, schema, partitioning, or
-batch shape.
+Media rides in a ``binary`` column with typed metadata beside it;
+decode / feature extraction runs as Arrow-batched ``mapInPandas`` over
+partitions of (id, payload). The codec is REAL: :func:`decode_image`
+parses PNG (incl. the APNG ``acTL`` frame count), GIF (logical screen
+descriptor + a full block walk counting image descriptors), and 24-bit
+BMP — pure stdlib (``struct``/``zlib``), no imaging dependency.
+
+The test fixture (:func:`attach_media_payload`) generates genuinely
+valid encoded files — PNG with level-0 zlib IDAT and correct CRCs,
+animated GIF with a fixed-width LZW stream, bottom-up padded BMP —
+whose dimensions/frame counts derive deterministically from
+``doc_id``. That is what makes the decode ORACLE-CHECKABLE: DuckDB
+computes the expected metadata from the ``doc_id`` formulas while
+Spark must recover the same numbers by parsing the actual bytes, so a
+value match proves the codec, not just the plumbing.
 
 Scale posture: payloads never pass through Python row-at-a-time —
 mapInPandas streams Arrow record batches; partition sizing is by bytes
@@ -19,6 +25,8 @@ features) — project the binary away before any shuffle.
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -26,13 +34,208 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-DECODED_SCHEMA = "doc_id bigint, byte_len int, width int, height int, n_frames int"
+DECODED_SCHEMA = "doc_id bigint, fmt string, width int, height int, n_frames int"
+
+# ---------------------------------------------------------------------------
+# fixture formulas — the deterministic doc_id → media-shape contract.
+# Spark recovers these values by DECODING real bytes; the oracle
+# recomputes them arithmetically. Keep the two in lockstep.
+# ---------------------------------------------------------------------------
+
+#: doc_id % 3 → container format
+MEDIA_FMTS = ("png", "gif", "bmp")
+MEDIA_MIMES = {"png": "image/png", "gif": "image/gif", "bmp": "image/bmp"}
+
+MEDIA_FMT_SQL = "CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'bmp' END"
+MEDIA_W_SQL = "CAST(1 + (doc_id * 7) % 16 AS INT)"
+MEDIA_H_SQL = "CAST(1 + (doc_id * 13) % 16 AS INT)"
+MEDIA_FRAMES_SQL = (
+    "CAST(CASE WHEN doc_id % 3 = 1 THEN 1 + (doc_id // 3) % 3 ELSE 1 END AS INT)"
+)
+
+
+def media_meta_for(doc_id: int) -> tuple[str, int, int, int]:
+    """(fmt, width, height, n_frames) the fixture encodes for a doc —
+    the Python twin of the ``MEDIA_*_SQL`` formulas."""
+    fmt = MEDIA_FMTS[doc_id % 3]
+    w = 1 + (doc_id * 7) % 16
+    h = 1 + (doc_id * 13) % 16
+    frames = 1 + (doc_id // 3) % 3 if fmt == "gif" else 1
+    return fmt, w, h, frames
+
+
+# ---------------------------------------------------------------------------
+# encoders (fixture side): tiny but VALID files
+# ---------------------------------------------------------------------------
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(w: int, h: int, rgb: tuple[int, int, int]) -> bytes:
+    """Valid 8-bit RGB PNG, one solid color; IDAT is level-0 (stored)
+    zlib so the byte size is a closed formula too."""
+    raw = b"".join(b"\x00" + bytes(rgb) * w for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(raw, 0))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _lzw_fixed(pixels: list[int], min_code: int = 2) -> bytes:
+    """GIF LZW stream at a FIXED code width: a clear code before every
+    pixel keeps the dictionary empty, so codes stay ``min_code+1`` bits
+    — byte-count-predictable, and valid input to any LZW decoder
+    (redundant clears are legal)."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    codes = [clear]
+    for p in pixels:
+        codes.extend((p, clear))
+    codes[-1] = end
+    width = min_code + 1
+    out, acc, nbits = bytearray(), 0, 0
+    for c in codes:
+        acc |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(w: int, h: int, n_frames: int, rgb: tuple[int, int, int]) -> bytes:
+    """Valid GIF89a, ``n_frames`` identical solid-color frames (2-entry
+    global color table, graphic-control extension per frame)."""
+    lzw = _lzw_fixed([0] * (w * h))
+    sub = b"".join(
+        bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255]
+        for i in range(0, len(lzw), 255)
+    ) + b"\x00"
+    frame = (
+        b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE: no disposal, 0 delay
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        + bytes([2])  # LZW min code size
+        + sub
+    )
+    return (
+        b"GIF89a"
+        + struct.pack("<HH", w, h)
+        + bytes([0x90, 0, 0])  # GCT present, 2 entries
+        + bytes(rgb) + b"\xff\xff\xff"
+        + frame * n_frames
+        + b"\x3b"
+    )
+
+
+def encode_bmp(w: int, h: int, rgb: tuple[int, int, int]) -> bytes:
+    """Valid 24-bit bottom-up BMP (rows padded to 4 bytes)."""
+    row = bytes(rgb[::-1]) * w
+    row += b"\x00" * ((-len(row)) % 4)
+    data = row * h
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+        + data
+    )
+
+
+def media_payload_for(doc_id: int) -> bytes:
+    """The fixture's encoded bytes for a doc (format/dims/frames per
+    :func:`media_meta_for`, solid fill color mixed from the id)."""
+    fmt, w, h, frames = media_meta_for(doc_id)
+    rgb = ((doc_id * 37) % 256, (doc_id * 59) % 256, (doc_id * 83) % 256)
+    if fmt == "png":
+        return encode_png(w, h, rgb)
+    if fmt == "gif":
+        return encode_gif(w, h, frames, rgb)
+    return encode_bmp(w, h, rgb)
+
+
+# ---------------------------------------------------------------------------
+# the decoder (engine side)
+# ---------------------------------------------------------------------------
+
+
+def decode_image(payload: bytes) -> tuple[str, int, int, int]:
+    """Parse (fmt, width, height, n_frames) out of real PNG / GIF /
+    BMP bytes. PNG: IHDR dims, APNG ``acTL`` frame count when present.
+    GIF: logical-screen dims, then a full block walk (extensions
+    skipped sub-block by sub-block, local color tables sized from the
+    descriptor flags) counting image descriptors. BMP:
+    BITMAPINFOHEADER dims (top-down negative height normalized).
+    Raises ``ValueError`` on an unrecognized container."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        if payload[12:16] != b"IHDR":
+            raise ValueError("PNG without leading IHDR")
+        w, h = struct.unpack(">II", payload[16:24])
+        n, pos = 1, 8
+        while pos + 8 <= len(payload):
+            (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+            typ = payload[pos + 4 : pos + 8]
+            if typ == b"acTL":
+                (n,) = struct.unpack(">I", payload[pos + 8 : pos + 12])
+                break
+            if typ == b"IEND":
+                break
+            pos += 12 + ln
+        return ("png", w, h, max(n, 1))
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        packed, pos = payload[10], 13
+        if packed & 0x80:
+            pos += 6 << (packed & 0x07)  # global color table
+        frames = 0
+        while pos < len(payload):
+            b0 = payload[pos]
+            pos += 1
+            if b0 == 0x3B:  # trailer
+                break
+            if b0 == 0x21:  # extension: label + sub-blocks
+                pos += 1
+                while payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+            elif b0 == 0x2C:  # image descriptor
+                frames += 1
+                ipacked = payload[pos + 8]
+                pos += 9
+                if ipacked & 0x80:
+                    pos += 6 << (ipacked & 0x07)  # local color table
+                pos += 1  # LZW min code size
+                while payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+            else:
+                raise ValueError(f"bad GIF block 0x{b0:02x}")
+        return ("gif", w, h, max(frames, 1))
+    if payload[:2] == b"BM":
+        w, h = struct.unpack("<ii", payload[18:26])
+        return ("bmp", w, abs(h), 1)
+    raise ValueError("unknown image container")
+
+
+# ---------------------------------------------------------------------------
+# Spark plumbing
+# ---------------------------------------------------------------------------
 
 
 def attach_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Fixture adapter: materialize an opaque binary payload column
-    (UTF-8 bytes of the text) + media-style metadata. On a real corpus
-    this column comes from the lakehouse (parquet BINARY / blob refs)."""
+    """Opaque-binary fixture adapter (UTF-8 bytes of the text) — the
+    pure-JVM payload used by the byte-stats/partition-planning path.
+    On a real corpus this column comes from the lakehouse (parquet
+    BINARY / blob refs)."""
     return docs.select(
         "doc_id",
         F.encode(F.col(text_col), "utf-8").alias("payload"),
@@ -40,35 +243,59 @@ def attach_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def fake_decode_image(payload: bytes) -> tuple[int, int, int]:
-    """STUB CODEC — deterministic fake standing in for a real image
-    decoder (no imaging libs in this container). Derives (width,
-    height, n_frames) from payload length so tests are reproducible.
-    Replace with e.g. PIL.Image.open for real media; raise
-    NotImplementedError semantics live here, not in the plumbing.
-    """
-    n = len(payload)
-    return (64 + n % 64, 64 + (n // 64) % 64, 1 + n % 3)
+def attach_media_payload(docs: DataFrame) -> DataFrame:
+    """Real-media fixture adapter: (doc_id, payload, mime) where
+    ``payload`` is a genuinely decodable PNG/GIF/BMP built per
+    :func:`media_payload_for`. Arrow-batched (mapInPandas), binary
+    column out — the same shape a lakehouse media scan produces."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [media_payload_for(int(i)) for i in ids],
+                    "mime": [MEDIA_MIMES[MEDIA_FMTS[int(i) % 3]] for i in ids],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        build, "doc_id bigint, payload binary, mime string"
+    )
+
+
+def declared_media_meta(docs: DataFrame) -> DataFrame:
+    """The typed metadata columns that travel BESIDE the binary in a
+    production lakehouse (declared at ingest, no decode needed) —
+    pure-JVM expressions of the fixture formulas. Planning-stage
+    queries (resize targets, partition sizing) should read these, not
+    decode."""
+    return docs.select(
+        "doc_id",
+        F.expr(MEDIA_FMT_SQL.replace("//", "DIV")).alias("fmt"),
+        F.expr(MEDIA_W_SQL.replace("//", "DIV")).alias("width"),
+        F.expr(MEDIA_H_SQL.replace("//", "DIV")).alias("height"),
+        F.expr(MEDIA_FRAMES_SQL.replace("//", "DIV")).alias("n_frames"),
+    )
 
 
 def decode_media(media: DataFrame) -> DataFrame:
-    """Arrow-batched decode: mapInPandas over (doc_id, payload).
-
-    Batch shape: each pandas DataFrame chunk carries the binary column
-    as Python bytes; output rows are narrow typed features. This is
-    the real production plumbing — only ``fake_decode_image`` is a stub.
-    """
+    """Arrow-batched decode: mapInPandas over (doc_id, payload), real
+    :func:`decode_image` per payload, narrow typed rows out
+    (``DECODED_SCHEMA``). The binary never survives past this operator
+    — project features, then shuffle."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [fake_decode_image(p) for p in pdf["payload"]]
+            decoded = [decode_image(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
-                    "byte_len": [len(p) for p in pdf["payload"]],
-                    "width": [d[0] for d in decoded],
-                    "height": [d[1] for d in decoded],
-                    "n_frames": [d[2] for d in decoded],
+                    "fmt": [d[0] for d in decoded],
+                    "width": [d[1] for d in decoded],
+                    "height": [d[2] for d in decoded],
+                    "n_frames": [d[3] for d in decoded],
                 }
             )
 
@@ -99,15 +326,15 @@ RESIZE_BOX = 224
 def resize_plan(decoded: DataFrame) -> DataFrame:
     """Resize planning: target dimensions fitting each image into a
     RESIZE_BOX² box preserving aspect ratio — pure integer/JVM
-    arithmetic over the decoded metadata (the actual pixel resample
-    would ride the same mapInPandas as the decoder; planning dims is
-    the engine's job and is oracle-checkable).
+    arithmetic over (width, height) metadata (declared or decoded; the
+    actual pixel resample would ride the same mapInPandas as the
+    decoder — planning dims is the engine's job and is
+    oracle-checkable).
 
     target = (dim * BOX) DIV max(w, h) — INTEGER division, not a
     float scale then cast (double→int casts truncate in Spark but
     round in DuckDB — the same trap as simhash bit extraction).
     """
-    longest = F.greatest(F.col("width"), F.col("height"))
     tw = F.expr(f"CAST((width * {RESIZE_BOX}) DIV greatest(width, height) AS INT)")
     th = F.expr(f"CAST((height * {RESIZE_BOX}) DIV greatest(width, height) AS INT)")
     return decoded.select(
@@ -123,24 +350,22 @@ def resize_plan(decoded: DataFrame) -> DataFrame:
 
 
 def frame_sample(media: DataFrame, every_k: int = 2) -> DataFrame:
-    """Frame sampling plumbing: one output row per kept frame index
-    (every ``every_k``-th of n_frames), via the same Arrow-batched
-    mapInPandas path a real video decoder would use. Output is narrow
-    (doc_id, frame_idx, frame_bytes-placeholder-length) — the binary
-    never shuffles."""
-    import pandas as pd
+    """Frame sampling: one output row per kept frame index (every
+    ``every_k``-th of the REAL decoded frame count), via the same
+    Arrow-batched mapInPandas path a full video decoder would use.
+    Output is narrow (doc_id, frame_idx) — the binary never
+    shuffles."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = {"doc_id": [], "frame_idx": [], "frame_len": []}
+            rows: dict[str, list[int]] = {"doc_id": [], "frame_idx": []}
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
-                n = 1 + len(payload) % 3  # n_frames, same fake as decode
+                n = decode_image(payload)[3]
                 for idx in range(0, n, every_k):
                     rows["doc_id"].append(did)
                     rows["frame_idx"].append(idx)
-                    rows["frame_len"].append(len(payload) // n)
             yield pd.DataFrame(rows)
 
     return media.select("doc_id", "payload").mapInPandas(
-        sample, "doc_id bigint, frame_idx int, frame_len int"
+        sample, "doc_id bigint, frame_idx int"
     )

@@ -250,6 +250,23 @@ def d_dup_clusters(spark, sf_dir):
 _register("d_dup_clusters", d_dup_clusters, dd.dup_clusters_sql(0.5))
 
 
+def d_dup_clusters_iter(spark, sf_dir):
+    """The LARGE-graph branch of the canonicalizer, driver-checked:
+    same MinHash-LSH pair graph and the same recursive-CTE oracle as
+    d_dup_clusters, but with the single-task union-find gate forced
+    off (``small_graph_edges=0``) so the distributed iterative
+    min-label + pointer-jumping loop (operators/dedup.py:_cc_loop) —
+    the code path a 100 TB pair graph actually takes — produces the
+    verified answer, not just a plan-shape test."""
+    pairs = dd.minhash_lsh_pairs(_docs(spark, sf_dir), 0.5, "md5").select(
+        "doc_a", "doc_b"
+    )
+    return dd.connected_components(pairs, small_graph_edges=0)
+
+
+_register("d_dup_clusters_iter", d_dup_clusters_iter, dd.dup_clusters_sql(0.5))
+
+
 # --------------------------------------------------------------------------
 # training-set mechanics: split / packing / distinctive terms
 # --------------------------------------------------------------------------
@@ -672,26 +689,35 @@ _register("m_byte_stats", m_byte_stats, mm.MEDIA_BYTE_STATS_SQL)
 
 
 def m_decoded_meta(spark, sf_dir):
-    """Arrow-batched mapInPandas decode (stub codec, real plumbing) —
-    engine-side Python, rows-only check; values pinned by pytest."""
-    return mm.decode_media(mm.attach_binary_payload(_docs(spark, sf_dir)))
+    """Arrow-batched mapInPandas decode with the REAL codec
+    (multimodal.decode_image: PNG/GIF/BMP container parse). The
+    fixture payloads are genuinely valid encoded files whose
+    dims/frames derive from doc_id, so the oracle recomputes the
+    expected metadata arithmetically while Spark must parse the actual
+    bytes — a value match proves the decoder."""
+    return mm.decode_media(mm.attach_media_payload(_docs(spark, sf_dir)))
 
 
-_register("m_decoded_meta", m_decoded_meta, None)
+_register(
+    "m_decoded_meta",
+    m_decoded_meta,
+    f"""SELECT doc_id,
+       {mm.MEDIA_FMT_SQL} AS fmt,
+       {mm.MEDIA_W_SQL} AS width,
+       {mm.MEDIA_H_SQL} AS height,
+       {mm.MEDIA_FRAMES_SQL} AS n_frames
+FROM documents""",
+)
 
 def m_resize_plan(spark, sf_dir):
-    """Resize planning over decoded dims: fit every image into a
-    224x224 box with integer-exact target dimensions. Dims here come
-    from the stub decoder's deterministic formula expressed JVM-side
-    (width = 64 + len%64, height = 64 + (len//64)%64 — identical to
-    multimodal.fake_decode_image), so the whole plan is
-    oracle-checkable; with a real codec the dims column comes from
-    decode_media and the planning stage is unchanged."""
-    media = mm.attach_binary_payload(_docs(spark, sf_dir))
-    decoded = media.select(
-        "doc_id",
-        (F.lit(64) + F.length("payload") % 64).cast("int").alias("width"),
-        (F.lit(64) + (F.expr("length(payload) DIV 64")) % 64).cast("int").alias("height"),
+    """Resize planning over the DECLARED media metadata (the typed
+    width/height columns that travel beside the binary in a lakehouse
+    — no decode in the planning path, pure JVM): fit every image into
+    a 224x224 box with integer-exact target dimensions. The decoded
+    twin of these dims is value-checked by m_decoded_meta; pytest pins
+    decode_media == declared_media_meta row-for-row."""
+    decoded = mm.declared_media_meta(_docs(spark, sf_dir)).select(
+        "doc_id", "width", "height"
     )
     return mm.resize_plan(decoded)
 
@@ -700,9 +726,7 @@ _register(
     "m_resize_plan",
     m_resize_plan,
     f"""WITH decoded AS (
-  SELECT doc_id,
-         CAST(64 + octet_length(encode(text)) % 64 AS INT) AS width,
-         CAST(64 + (octet_length(encode(text)) // 64) % 64 AS INT) AS height
+  SELECT doc_id, {mm.MEDIA_W_SQL} AS width, {mm.MEDIA_H_SQL} AS height
   FROM documents
 )
 SELECT doc_id, width, height,
@@ -714,13 +738,22 @@ FROM decoded""",
 
 
 def m_frame_sample(spark, sf_dir):
-    """Frame-sampling plumbing (every 2nd frame) through the Arrow
-    mapInPandas path — engine-side Python, rows-only; values pinned by
-    pytest."""
-    return mm.frame_sample(mm.attach_binary_payload(_docs(spark, sf_dir)), every_k=2)
+    """Frame sampling (every 2nd frame) through the Arrow mapInPandas
+    path — the frame count comes from REALLY decoding each payload
+    (GIF image-descriptor walk), and the oracle expands the same
+    doc_id-derived count arithmetically."""
+    return mm.frame_sample(mm.attach_media_payload(_docs(spark, sf_dir)), every_k=2)
 
 
-_register("m_frame_sample", m_frame_sample, None)
+_register(
+    "m_frame_sample",
+    m_frame_sample,
+    f"""WITH meta AS (
+  SELECT doc_id, {mm.MEDIA_FRAMES_SQL} AS n FROM documents
+)
+SELECT doc_id, CAST(f AS INT) AS frame_idx
+FROM meta, unnest(range(0, n, 2)) AS t(f)""",
+)
 
 
 # --------------------------------------------------------------------------

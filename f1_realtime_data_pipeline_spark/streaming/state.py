@@ -55,7 +55,7 @@ def running_user_totals(events: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# transformWithStateInPandas (Spark 4 stateful API): streaming exact dedup
+# streaming exact dedup, first-occurrence-wins across micro-batches
 # ---------------------------------------------------------------------------
 
 from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
@@ -64,6 +64,73 @@ from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
 )
 
 DEDUP_OUTPUT_SCHEMA = "dedup_key bigint, doc_id bigint, n_dropped bigint"
+DEDUP_STATE_SCHEMA = "doc_id bigint, n_dropped bigint"
+
+
+def _first_seen_update(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        # TTL expiry: forget the content hash — the dedup horizon is
+        # the state TTL (100 TB posture: state cannot grow forever)
+        state.remove()
+        return
+    prev = state.get if state.exists else None
+    n_in, first_doc = 0, None
+    for pdf in pdfs:
+        if len(pdf) and first_doc is None:
+            first_doc = int(pdf["doc_id"].iloc[0])
+        n_in += len(pdf)
+    if prev is None:
+        state.update((first_doc, n_in - 1))
+        yield pd.DataFrame(
+            {"dedup_key": [key[0]], "doc_id": [first_doc], "n_dropped": [n_in - 1]}
+        )
+    else:
+        # already emitted in an earlier batch: drop silently, keep count
+        state.update((prev[0], prev[1] + n_in))
+
+
+def streaming_first_seen_dedup(
+    docs: DataFrame, ttl_ms: int | None = None
+) -> DataFrame:
+    """Exact streaming dedup of a document stream by content hash —
+    ``applyInPandasWithState`` form (dependency-free: runs on the
+    classic state-store protocol, no protobuf server needed).
+
+    Input needs columns (doc_id, text); the dedup key is xxhash64 of
+    the text (the scale-path id — no vocabulary, shuffle only on the
+    8-byte hash, state sharded by the key across executors). Emits one
+    row per distinct content, append mode, the first time it is seen.
+    ``ttl_ms`` bounds state via a processing-time timeout (expired
+    hashes are forgotten — the dedup horizon).
+
+    :func:`streaming_first_seen_dedup_tws` is the same operator on the
+    Spark-4 ``transformWithStateInPandas`` API (finer state typing +
+    native per-cell TTL) for environments that ship its protobuf
+    state-server dependency.
+    """
+    from pyspark.sql import functions as F
+
+    def update_with_ttl(key, pdfs, state):
+        if ttl_ms is not None and not state.hasTimedOut:
+            state.setTimeoutDuration(ttl_ms)
+        yield from _first_seen_update(key, pdfs, state)
+
+    keyed = docs.select(F.xxhash64("text").alias("dedup_key"), "doc_id")
+    return keyed.groupBy("dedup_key").applyInPandasWithState(
+        update_with_ttl,
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
 
 
 class FirstSeenDedupProcessor(StatefulProcessor):
@@ -108,22 +175,20 @@ class FirstSeenDedupProcessor(StatefulProcessor):
         pass
 
 
-def streaming_first_seen_dedup(
+def streaming_first_seen_dedup_tws(
     docs: DataFrame, ttl_ms: int | None = None
 ) -> DataFrame:
-    """Exact streaming dedup of a document stream by content hash.
-
-    Input needs columns (doc_id, text); the dedup key is xxhash64 of
-    the text (the scale-path id — no vocabulary, shuffle only on the
-    hash). Emits one row per distinct content, in append mode, the
-    first time it is seen.
+    """:func:`streaming_first_seen_dedup` on the Spark-4
+    ``transformWithStateInPandas`` API (typed ValueState + native
+    per-cell TTL instead of a whole-group timeout).
 
     Runtime requirements: the RocksDB state store provider
     (``spark.sql.streaming.stateStore.providerClass``) and a Python
     environment with ``google.protobuf`` (the transformWithState
-    state-server protocol) — the pytest skips itself where protobuf
-    is absent; ``applyInPandasWithState`` (:func:`running_user_totals`)
-    is the dependency-free fallback with the same state sharding.
+    state-server protocol). The processor's batch logic is pure
+    Python and unit-tested without a stream (tests/test_streaming.py);
+    the default ``applyInPandasWithState`` form is the replay-tested
+    path in this container.
     """
     from pyspark.sql import functions as F
 

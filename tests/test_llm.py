@@ -194,20 +194,56 @@ def test_cosine_identity(spark):
 
 
 # ---------------------------------------------------------------------------
-# multimodal: pinned decode values (stub codec is deterministic)
+# multimodal: real codec — encode then decode, golden-pinned
 # ---------------------------------------------------------------------------
 
 
-def test_decode_media_pinned(spark):
-    docs = _docs(spark, ["abc", "x" * 100])
-    out = {
-        r.doc_id: r
-        for r in mm.decode_media(mm.attach_binary_payload(docs)).collect()
+def test_decode_image_golden_bytes():
+    """Pin exact fixture bytes + decode tuples for one doc per format
+    (doc 0 png, 1 gif, 2 bmp) so neither side can drift silently."""
+    png = mm.media_payload_for(0)  # 1x1 png
+    assert png.startswith(b"\x89PNG\r\n\x1a\n") and png.endswith(
+        b"IEND\xaeB`\x82"
+    )
+    assert mm.decode_image(png) == ("png", 1, 1, 1)
+
+    gif = mm.media_payload_for(1)  # 8x14 gif, 1 frame (1//3 % 3 = 0)
+    assert gif.startswith(b"GIF89a") and gif.endswith(b"\x3b")
+    assert mm.decode_image(gif) == ("gif", 8, 14, 1)
+
+    bmp = mm.media_payload_for(2)  # 15x11 bmp
+    assert bmp.startswith(b"BM")
+    assert mm.decode_image(bmp) == ("bmp", 15, 11, 1)
+
+    # animated gif: doc 7 -> gif, frames = 1 + (7//3) % 3 = 3
+    assert mm.decode_image(mm.media_payload_for(7))[3] == 3
+
+    # well-known external golden: the classic minimal 1x1 transparent GIF
+    classic = (
+        b"GIF89a\x01\x00\x01\x00\x80\x00\x00\x00\x00\x00\xff\xff\xff"
+        b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+        b"\x2c\x00\x00\x00\x00\x01\x00\x01\x00\x00\x02\x02\x44\x01\x00\x3b"
+    )
+    assert mm.decode_image(classic) == ("gif", 1, 1, 1)
+
+    with pytest.raises(ValueError):
+        mm.decode_image(b"not an image at all")
+
+
+def test_decode_media_matches_declared_meta(spark):
+    """End-to-end: Spark decodes the real payload bytes and must
+    reproduce the declared (lakehouse-style) metadata columns exactly,
+    for every format and frame count in the first 60 ids."""
+    docs = _docs(spark, ["t"] * 60)
+    decoded = {
+        r.doc_id: (r.fmt, r.width, r.height, r.n_frames)
+        for r in mm.decode_media(mm.attach_media_payload(docs)).collect()
     }
-    assert out[0].byte_len == 3
-    assert (out[0].width, out[0].height, out[0].n_frames) == (64 + 3, 64, 1 + 3 % 3)
-    assert out[1].byte_len == 100
-    assert (out[1].width, out[1].height, out[1].n_frames) == (64 + 100 % 64, 64 + 1, 1 + 100 % 3)
+    declared = {
+        r.doc_id: (r.fmt, r.width, r.height, r.n_frames)
+        for r in mm.declared_media_meta(docs).collect()
+    }
+    assert decoded == declared and len(decoded) == 60
 
 
 def test_media_byte_stats_matches_payload(spark):
@@ -322,14 +358,18 @@ def test_asof_join_edges(spark):
 
 
 def test_frame_sample_pinned(spark):
-    docs = _docs(spark, ["abcdefg", "xy"])  # len 7 -> n_frames 2; len 2 -> 3
+    # ids 0..9: gifs are ids 1,4,7 with frames 1+(id//3)%3 = 1, 2, 3;
+    # png/bmp are single-frame. every_k=2 keeps idx {0} except 3-frame
+    # gifs which keep {0, 2}.
+    docs = _docs(spark, ["t"] * 10)
     out = sorted(
-        (r.doc_id, r.frame_idx, r.frame_len)
-        for r in mm.frame_sample(mm.attach_binary_payload(docs), every_k=2).collect()
+        (r.doc_id, r.frame_idx)
+        for r in mm.frame_sample(mm.attach_media_payload(docs), every_k=2).collect()
     )
-    # doc 0: frames {0,1}, keep idx 0; frame_len 7//2=3
-    # doc 1: frames {0,1,2}, keep idx 0 and 2; frame_len 2//3=0
-    assert out == [(0, 0, 3), (1, 0, 0), (1, 2, 0)]
+    expected = sorted(
+        [(i, 0) for i in range(10)] + [(7, 2)]  # doc 7 is the 3-frame gif
+    )
+    assert out == expected
 
 
 # ---------------------------------------------------------------------------

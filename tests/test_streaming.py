@@ -232,23 +232,7 @@ def test_checkpoint_resume_processes_only_new_data(spark, tmpdirs):
     assert q2.lastProgress is None or q2.lastProgress["numInputRows"] <= len(lines[6:])
 
 
-def _has_protobuf() -> bool:
-    # transformWithState's state-server protocol needs protobuf; this
-    # container doesn't ship it (and installs are out of scope), so the
-    # TWS path is exercised only where the dependency exists.
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-        return True
-    except ImportError:
-        return False
-
-
-@pytest.mark.skipif(not _has_protobuf(), reason="google.protobuf unavailable (TWS state server requires it)")
-def test_transform_with_state_first_seen_dedup(spark, tmp_path):
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
+def test_first_seen_dedup_stream(spark, tmp_path):
     # doc stream with exact duplicates split across two micro-batches
     rows1 = [(0, "alpha beta"), (1, "gamma delta"), (2, "alpha beta")]
     rows2 = [(3, "alpha beta"), (4, "epsilon zeta"), (5, "gamma delta")]
@@ -280,6 +264,50 @@ def test_transform_with_state_first_seen_dedup(spark, tmp_path):
     # "epsilon zeta" as doc 4 (file order == batch order via
     # maxFilesPerTrigger=1 and availableNow)
     assert emitted == {0, 1, 4}
+
+
+class _FakeValueState:
+    """Minimal stand-in for the TWS ValueState cell, so the Spark-4
+    transformWithState processor's batch logic runs as pure Python
+    (its state-server protocol needs protobuf, absent here — the
+    streaming execution of the SAME logic is covered by
+    test_first_seen_dedup_stream via applyInPandasWithState)."""
+
+    def __init__(self):
+        self.value = None
+
+    def exists(self):
+        return self.value is not None
+
+    def get(self):
+        return self.value
+
+    def update(self, v):
+        self.value = v
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.states.setdefault(name, _FakeValueState())
+
+
+def test_tws_processor_logic_first_seen():
+    import pandas as pd
+
+    proc = st.FirstSeenDedupProcessor()
+    proc.init(_FakeHandle())
+    b1 = [pd.DataFrame({"dedup_key": [7, 7], "doc_id": [0, 2]})]
+    out1 = list(proc.handleInputRows((7,), iter(b1), None))
+    assert len(out1) == 1
+    assert out1[0].iloc[0].to_dict() == {"dedup_key": 7, "doc_id": 0, "n_dropped": 1}
+    # same key in a later batch: nothing emitted, drop count accrues
+    b2 = [pd.DataFrame({"dedup_key": [7], "doc_id": [3]})]
+    out2 = list(proc.handleInputRows((7,), iter(b2), None))
+    assert out2 == []
+    assert proc._seen.get() == (0, 2)
 
 
 def test_idempotent_sink_partition_pruned_read(spark, tmp_path):
