@@ -73,6 +73,7 @@ _WINDOW_HEAD = [
     "m_frame_sample",
     "d_dup_clusters_iter",
     "a_approx_distinct",
+    "p_skew_profile",
 ]
 
 

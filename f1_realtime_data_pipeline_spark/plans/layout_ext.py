@@ -165,9 +165,12 @@ def p_skew_profile(spark, sf_dir):
     division only; the heavy-hitter rank breaks count ties on the key
     so the relation is deterministic.
 
-    Scale shape: one partial-agg groupBy on the key, then a top-k over
-    the KEY-DOMAIN-sized relation (not the fact table) — the same two
-    shuffles at any corpus size.
+    Scale shape: one partial-agg groupBy on the key; the heavy-hitter
+    pick is ``orderBy().limit(K)`` — Spark's TakeOrderedAndProject,
+    a per-partition top-K merged at the driver, so the KEY-DOMAIN
+    relation (billions of distinct keys on a real fact) is never
+    globally sorted or moved to one partition. The rank window runs
+    AFTER the limit, over exactly K rows.
     """
     li = read_table(spark, sf_dir, "lineitem")
     per_key = li.groupBy("l_orderkey").agg(F.count("*").cast("bigint").alias("cnt"))
@@ -178,8 +181,9 @@ def p_skew_profile(spark, sf_dir):
     )
     w = Window.orderBy(F.col("cnt").desc(), F.col("l_orderkey").asc())
     top = (
-        per_key.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rnk") <= SKEW_TOP_K)
+        per_key.orderBy(F.col("cnt").desc(), F.col("l_orderkey").asc())
+        .limit(SKEW_TOP_K)
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
     )
     return (
         top.crossJoin(F.broadcast(totals))
