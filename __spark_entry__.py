@@ -74,6 +74,7 @@ _WINDOW_HEAD = [
     "d_dup_clusters_iter",
     "a_approx_distinct",
     "p_skew_profile",
+    "d_containment",
 ]
 
 

@@ -96,6 +96,37 @@ def main() -> int:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
+    # idempotent-sink epoch probes (BASELINE.md's only latency figure is
+    # the reference's ~0.6-0.7 s micro-batch): one foreachBatch epoch of
+    # the keyed sink — within-batch dedup + bucket-pruned anti-join +
+    # partitioned parquet append — over the full q0 transform output
+    # (~1000x the reference's batch rows at sf0.1). "first" = empty
+    # sink; "replay" = the SAME batch again (every key already written:
+    # the anti-join drops all rows — the exactly-once replay cost).
+    import shutil
+    import tempfile
+
+    from f1_realtime_data_pipeline_spark.streaming.sinks import (
+        idempotent_parquet_sink,
+    )
+
+    batch = qs["q0_stream_transform"](spark, sf_dir)
+    best_first, best_replay = float("inf"), float("inf")
+    for _ in range(runs):
+        sink_dir = tempfile.mkdtemp(prefix="bench_sink_") + "/sink"
+        write = idempotent_parquet_sink(
+            sink_dir, keys=["event_id"], order_cols=["event_time"]
+        )
+        t0 = time.time()
+        write(batch, 0)
+        best_first = min(best_first, time.time() - t0)
+        t0 = time.time()
+        write(batch, 1)
+        best_replay = min(best_replay, time.time() - t0)
+        shutil.rmtree(os.path.dirname(sink_dir), ignore_errors=True)
+    timings["sink_epoch_first"] = round(best_first, 3)
+    timings["sink_epoch_replay"] = round(best_replay, 3)
+
     print(
         json.dumps(
             {

@@ -270,6 +270,95 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) >= {threshold}"""
 
 
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int = 1000,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by n-gram CONTAINMENT:
+    C(A→B) = |Sa ∩ Sb| / |Sa| (Broder's containment measure — the
+    quote/subset detector). A short document pasted inside a long one
+    has containment ≈ 1 while its Jaccard ≈ |Sa|/|Sb| can be
+    arbitrarily low, so a Jaccard-threshold dedup never sees it; a
+    containment pass is what corpus pipelines run to catch nested and
+    quoted duplication.
+
+    Output: (doc_a, doc_b, containment_a, containment_b) for doc_a <
+    doc_b where EITHER direction reaches ``threshold``
+    (containment_a = the fraction of a's shingles inside b).
+
+    Same inverted-index shape (and skew guards) as
+    :func:`ngram_jaccard_pairs`: stop-shingle df cap, 8-byte
+    map-side-hashed shingle keys, df≥2 pruning of the self-join side —
+    nothing quadratic in the corpus, pair cost bounded by posting-list
+    sizes. One extra map-side column (both containments come from the
+    same (n_common, na, nb) row) — no extra shuffle vs the Jaccard
+    detector.
+    """
+    sh_raw = (
+        doc_shingles(docs, n)
+        .select("doc_id", F.xxhash64("shingle").alias("shk"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    df_counts = sh_raw.groupBy("shk").agg(F.count("*").alias("df"))
+    sh = sh_raw.join(
+        F.broadcast(df_counts.filter(F.col("df") > max_doc_freq)), "shk", "left_anti"
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    pairable = sh.join(
+        F.broadcast(df_counts.filter((F.col("df") >= 2) & (F.col("df") <= max_doc_freq))),
+        "shk",
+        "left_semi",
+    )
+    a = pairable.alias("a")
+    b = pairable.alias("b")
+    common = (
+        a.join(b, "shk")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    ca = F.col("n_common").cast("double") / F.col("na")
+    cb = F.col("n_common").cast("double") / F.col("nb")
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("containment_a", ca)
+        .withColumn("containment_b", cb)
+        .filter(F.greatest(F.col("containment_a"), F.col("containment_b")) >= threshold)
+        .select("doc_a", "doc_b", "containment_a", "containment_b")
+    )
+
+
+def containment_pairs_sql(
+    n: int = 3, threshold: float = 0.8, max_doc_freq: int = 1000
+) -> str:
+    return f"""WITH sh_raw AS (
+  {_doc_shingles_sql(n)}
+), hot AS (
+  SELECT shingle FROM sh_raw GROUP BY shingle HAVING COUNT(*) > {max_doc_freq}
+), sh AS (
+  SELECT * FROM sh_raw WHERE shingle NOT IN (SELECT shingle FROM hot)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(n_common AS DOUBLE) / sa.n_shingles AS containment_a,
+       CAST(n_common AS DOUBLE) / sb.n_shingles AS containment_b
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE greatest(CAST(n_common AS DOUBLE) / sa.n_shingles,
+               CAST(n_common AS DOUBLE) / sb.n_shingles) >= {threshold}"""
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (over shingle sets)
 # ---------------------------------------------------------------------------

@@ -240,45 +240,47 @@ def cosine_neardup_lsh_pairs(
     the relation is small; at scale they are hash joins proportional
     to surviving candidates, not raw collisions).
 
-    Scan discipline: the (vid, raw-vector, unit-vector) relation is
-    materialized ONCE via an eager ``localCheckpoint`` and every
-    downstream reference (both bucket-table sides, both unit-vector
-    fetch sides, the plane-count N) reads the checkpoint — the source
-    is scanned exactly once per call regardless of how many relations
-    the plan references it in (the registered planted-copy fixture is
-    a 3-way union, so the naive plan re-scanned the corpus 12×).
-    Checkpoint blocks are dropped by the ContextCleaner when the
-    returned plan is garbage-collected (no session-lifetime cache
-    leak); buckets hash the RAW vector column so the checkpointed
-    values are bit-identical to the oracle twin's, which cannot see
-    the unit normalization order."""
+    Scan discipline: one eager ``localCheckpoint`` materializes
+    (vid, per-table buckets, unit-vector) and every downstream
+    reference — both candidate-join sides, both unit-vector fetch
+    sides — reads the checkpoint, so the source is scanned exactly
+    once per call regardless of how many relations the plan references
+    it in (the registered planted-copy fixture is a 3-way union, so
+    the naive plan re-scanned the corpus 12×). The LSH bit-folds (the
+    detector's per-vector arithmetic: tables × planes × dim multiplies)
+    are computed INSIDE the checkpoint — once per vector, not once per
+    self-join side — and store ~8 bytes per (table, bucket) in place
+    of the raw vector. Checkpoint blocks are dropped by the
+    ContextCleaner when the returned plan is garbage-collected (no
+    session-lifetime cache leak); buckets hash the RAW vector column,
+    exactly what the oracle twin (which cannot see the normalization)
+    hashes. When ``planes_per_table`` is None the plane count needs N
+    before the fold expressions exist, costing one extra count() scan;
+    registered queries pin the count, so their plans scan once."""
+    if planes_per_table is None:
+        planes_per_table = neardup_planes_for(embeddings.count())
     rel = (
         embeddings.withColumn("nrm", norm(F.col(vec_col)))
         .select(
             F.col(id_col).alias("vid"),
-            F.col(vec_col).alias("emb"),
-            unit(F.col(vec_col), F.col("nrm")).alias("uv"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    if planes_per_table is None:
-        planes_per_table = neardup_planes_for(rel.count())
-    tb = rel.select(
-        "vid",
-        F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(t).alias("tbl"),
                         lsh_table_bucket(
-                            F.col("emb"), t, planes_per_table
+                            F.col(vec_col), t, planes_per_table
                         ).alias("bkt"),
                     )
                     for t in range(NEARDUP_TABLES)
                 ]
-            )
-        ).alias("tb"),
-    ).select("vid", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
+            ).alias("tbs"),
+            unit(F.col(vec_col), F.col("nrm")).alias("uv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tb = rel.select("vid", F.explode("tbs").alias("tb")).select(
+        "vid", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt")
+    )
     cand = (
         tb.select(F.col("vid").alias("vec_a"), "tbl", "bkt")
         .join(tb.select(F.col("vid").alias("vec_b"), "tbl", "bkt"), ["tbl", "bkt"])

@@ -206,6 +206,15 @@ def d_ngram_jaccard(spark, sf_dir):
 _register("d_ngram_jaccard", d_ngram_jaccard, dd.ngram_jaccard_pairs_sql(3, 0.5))
 
 
+def d_containment(spark, sf_dir):
+    """Asymmetric containment near-dup (|Sa∩Sb|/|Sa| — Broder): the
+    quote/subset detector a Jaccard threshold is blind to."""
+    return dd.containment_pairs(_docs(spark, sf_dir), n=3, threshold=0.6)
+
+
+_register("d_containment", d_containment, dd.containment_pairs_sql(3, 0.6))
+
+
 def d_minhash_signatures(spark, sf_dir):
     """Registered default = md5 inline ids: map-only id derivation
     (no vocab window/join) AND oracle-exact — the 100 TB path is the

@@ -1,0 +1,152 @@
+"""Scale sweep: measure the most expensive operators a decade past sf0.1.
+
+Round-3's sweeps were run from throwaway scripts; this checks the
+harness in. It tiles the sf0.1 ``documents``/``embeddings`` tables K×
+into /tmp (sf0.1 × 10 ≈ sf1: 50k docs / 20k vectors), then times the
+five most expensive registered operators at each K and prints one JSON
+line per K — the numbers behind SCALE.md's measured-scaling claims.
+
+Tiling is NOT plain copying — a verbatim copy would make every doc a
+near-duplicate of its K-1 clones, turning the pair graph quadratic in
+K and measuring an artificial blowup instead of corpus growth:
+
+- documents: every copy (including copy 0, so all scales are
+  comparable) re-joins its tokens with a copy-specific salt token
+  between every pair. Within-copy similarity structure is preserved
+  (shared trigrams map to shared salted trigrams); across copies no
+  shingle survives, so duplicate DENSITY stays constant as the corpus
+  grows — the honest scaling setup.
+- embeddings: copy c rotates each vector by c positions — norm
+  preserved, cosine to the original decorrelated, deterministic.
+
+The LSH near-dup detector runs with its N-DERIVED plane count (the
+operator default) — at 50k vectors that is 14 planes/table, the knob
+SCALE.md documents; the registered floor-pinned variant exists only so
+a static oracle string can match at any sf.
+
+Usage: python tools/scale_sweep.py [--copies 1 3 10] [--runs 2]
+       [--base /root/testdata/sf0.1] [--out /tmp/spark_graft_sweep]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from f1_realtime_data_pipeline_spark.operators import similarity as sim  # noqa: E402
+from f1_realtime_data_pipeline_spark.plans import llm_star  # noqa: E402
+from f1_realtime_data_pipeline_spark.session import get_spark  # noqa: E402
+
+#: id offset per copy — far above the planted-copy offsets (1M/2M) so
+#: tiled ids and planted ids never collide at any K
+COPY_OFF = 10_000_000
+
+
+def build_scaled(spark, base: str, out: str, k: int) -> str:
+    dst = f"{out}/k{k}"
+    if os.path.exists(f"{dst}/_OK"):
+        return dst
+    docs = spark.read.parquet(f"{base}/documents.parquet")
+    embs = spark.read.parquet(f"{base}/embeddings.parquet")
+    doc_parts = []
+    emb_parts = []
+    for c in range(k):
+        doc_parts.append(
+            docs.select(
+                (F.col("doc_id") + c * COPY_OFF).alias("doc_id"),
+                F.concat_ws(f" zz{c}qq ", F.split("text", " ")).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+        dim = 64
+        rot = c % dim
+        rotated = (
+            F.concat(
+                F.slice("embedding", rot + 1, dim - rot),
+                F.slice("embedding", 1, rot),
+            )
+            if rot
+            else F.col("embedding")
+        )
+        emb_parts.append(
+            embs.select(
+                (F.col("vec_id") + c * COPY_OFF).alias("vec_id"),
+                rotated.alias("embedding"),
+                "label",
+            )
+        )
+    d = doc_parts[0]
+    for p in doc_parts[1:]:
+        d = d.unionAll(p)
+    e = emb_parts[0]
+    for p in emb_parts[1:]:
+        e = e.unionAll(p)
+    d.write.mode("overwrite").parquet(f"{dst}/documents.parquet")
+    e.write.mode("overwrite").parquet(f"{dst}/embeddings.parquet")
+    open(f"{dst}/_OK", "w").close()
+    return dst
+
+
+def sweep_queries(spark, sf_dir: str):
+    """(name, thunk) pairs for the five most expensive operators.
+    e_cosine_neardup uses the operator-default derived plane count
+    (the scale knob), on the same planted-copy fixture the registered
+    query uses."""
+    return [
+        ("d_ngram_jaccard", lambda: llm_star.QUERIES["d_ngram_jaccard"](spark, sf_dir)),
+        ("d_simhash_pairs", lambda: llm_star.QUERIES["d_simhash_pairs"](spark, sf_dir)),
+        ("d_dup_clusters", lambda: llm_star.QUERIES["d_dup_clusters"](spark, sf_dir)),
+        (
+            "e_cosine_neardup_derived",
+            lambda: sim.cosine_neardup_lsh_pairs(
+                llm_star._embs_neardup(spark, sf_dir), threshold=0.9
+            ),
+        ),
+        ("e_semdedup", lambda: llm_star.QUERIES["e_semdedup"](spark, sf_dir)),
+    ]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--copies", nargs="*", type=int, default=[1, 3, 10])
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/tmp/spark_graft_sweep")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    spark = get_spark("scale_sweep")
+    for k in args.copies:
+        sf_dir = build_scaled(spark, args.base, args.out, k)
+        n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+        timings = {}
+        for name, thunk in sweep_queries(spark, sf_dir):
+            if args.names and name not in args.names:
+                continue
+            best = float("inf")
+            for _ in range(args.runs):
+                t0 = time.time()
+                thunk().write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            timings[name] = round(best, 2)
+        print(
+            json.dumps(
+                {"k": k, "n_docs": n_docs, "n_vecs": n_vecs, "queries": timings}
+            ),
+            flush=True,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
