@@ -75,6 +75,8 @@ _WINDOW_HEAD = [
     "a_approx_distinct",
     "p_skew_profile",
     "d_containment",
+    "e_knn_join",
+    "m_audio_meta",
 ]
 
 

@@ -163,6 +163,124 @@ def media_payload_for(doc_id: int) -> bytes:
     return encode_bmp(w, h, rgb)
 
 
+#: audio fixture formulas (doc_id → WAV shape); 8 kHz mono/stereo PCM
+AUDIO_RATE_SQL = "CAST(8000 * (1 + doc_id % 3) AS INT)"
+AUDIO_CHANNELS_SQL = "CAST(1 + doc_id % 2 AS INT)"
+AUDIO_SAMPLES_SQL = "CAST(16 + (doc_id * 11) % 64 AS INT)"
+
+
+def audio_meta_for(doc_id: int) -> tuple[int, int, int]:
+    """(sample_rate, n_channels, n_samples) the audio fixture encodes —
+    Python twin of the ``AUDIO_*_SQL`` formulas."""
+    return 8000 * (1 + doc_id % 3), 1 + doc_id % 2, 16 + (doc_id * 11) % 64
+
+
+def encode_wav(
+    sample_rate: int, n_channels: int, n_samples: int, seed: int = 0
+) -> bytes:
+    """Valid 16-bit PCM WAV (RIFF): canonical 44-byte header + a
+    deterministic sawtooth payload."""
+    frame = 2 * n_channels
+    data = bytes(
+        (seed * 31 + i) % 256 for i in range(n_samples * frame)
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack(
+            "<IHHIIHH",
+            16,  # PCM fmt chunk size
+            1,  # PCM
+            n_channels,
+            sample_rate,
+            sample_rate * frame,  # byte rate
+            frame,  # block align
+            16,  # bits per sample
+        )
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def audio_payload_for(doc_id: int) -> bytes:
+    rate, ch, n = audio_meta_for(doc_id)
+    return encode_wav(rate, ch, n, seed=doc_id)
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, int]:
+    """(sample_rate, n_channels, bits_per_sample, n_samples) from real
+    RIFF/WAVE bytes — full chunk walk (fmt may not be the first chunk;
+    sample count derives from the data chunk size / block align).
+    Raises ``ValueError`` on a non-WAV container."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos, rate, ch, bits, data_len, block = 12, None, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if cid == b"fmt ":
+            _, ch, rate, _, block, bits = struct.unpack(
+                "<HHIIHH", payload[pos + 8 : pos + 24]
+            )
+        elif cid == b"data":
+            data_len = ln
+        pos += 8 + ln + (ln & 1)  # RIFF chunks are word-aligned
+    if rate is None or data_len is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    return (rate, ch, bits, data_len // block)
+
+
+def attach_audio_payload(docs: DataFrame) -> DataFrame:
+    """Real-audio fixture adapter: (doc_id, payload, mime) with
+    genuinely decodable PCM WAV bytes (Arrow-batched, like
+    :func:`attach_media_payload`)."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [audio_payload_for(int(i)) for i in ids],
+                    "mime": ["audio/wav"] * len(ids),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        build, "doc_id bigint, payload binary, mime string"
+    )
+
+
+AUDIO_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_channels int, bits int, n_samples int,"
+    " duration_ms int"
+)
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """Arrow-batched WAV decode → narrow typed rows (``AUDIO_SCHEMA``);
+    duration_ms = n_samples * 1000 DIV rate (integer — float division
+    then cast would round differently across engines)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decode_wav(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "sample_rate": [d[0] for d in decoded],
+                    "n_channels": [d[1] for d in decoded],
+                    "bits": [d[2] for d in decoded],
+                    "n_samples": [d[3] for d in decoded],
+                    "duration_ms": [d[3] * 1000 // d[0] for d in decoded],
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(decode, AUDIO_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # the decoder (engine side)
 # ---------------------------------------------------------------------------

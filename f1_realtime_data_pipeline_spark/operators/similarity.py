@@ -127,7 +127,7 @@ FROM embeddings"""
 
 def knn_lsh(
     embeddings: DataFrame,
-    n_queries: int = 16,
+    n_queries: int | None = 16,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -140,7 +140,14 @@ def knn_lsh(
     Candidates equi-join on (table, bucket) — an int-pair shuffle key,
     never a crossjoin; the exact cosine touches candidates only.
     Queries whose buckets hold < k candidates return fewer rows — the
-    recall/speed trade the (tables, planes) knobs control."""
+    recall/speed trade the (tables, planes) knobs control.
+
+    ``n_queries=None`` = the batch SIMILARITY JOIN: top-k neighbors
+    for EVERY vector (retrieval-augmentation / graph-construction
+    shape). Same plan — the query side just skips its id filter —
+    so cost is bucket-occupancy-bounded on both sides: candidates
+    ≈ N · occupancy · tables, linear in the corpus at the derived
+    plane counts, never N²."""
     u = embeddings.withColumn("nrm", norm(F.col(vec_col))).select(
         F.col(id_col).alias("vid"),
         unit(F.col(vec_col), F.col("nrm")).alias("uv"),
@@ -156,7 +163,8 @@ def knn_lsh(
             )
         ).alias("tb"),
     ).select("vid", "uv", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
-    q = u.filter(F.col("vid") < n_queries).select(
+    qside = u if n_queries is None else u.filter(F.col("vid") < n_queries)
+    q = qside.select(
         F.col("vid").alias("query_id"), F.col("uv").alias("qv"), "tbl", "bkt"
     )
     c = u.select(F.col("vid").alias("neighbor_id"), F.col("uv").alias("cv"), "tbl", "bkt")
@@ -177,19 +185,19 @@ def knn_lsh(
     )
 
 
-def knn_lsh_sql(n_queries: int = 16, k: int = 5) -> str:
+def knn_lsh_sql(n_queries: int | None = 16, k: int = 5) -> str:
     per_table = "\n  UNION ALL\n  ".join(
         f"SELECT vec_id, {lsh_table_bucket_sql('embedding', t)} AS bkt, {t} AS tbl"
         " FROM embeddings"
         for t in range(LSH_TABLES)
     )
+    qfilter = "" if n_queries is None else f"\n  WHERE q.vec_id < {n_queries}"
     return f"""WITH {_UNIT_SQL}, tabs AS (
   {per_table}
 ), cand AS (
   SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
   FROM tabs q JOIN tabs c
-    ON q.tbl = c.tbl AND q.bkt = c.bkt AND q.vec_id <> c.vec_id
-  WHERE q.vec_id < {n_queries}
+    ON q.tbl = c.tbl AND q.bkt = c.bkt AND q.vec_id <> c.vec_id{qfilter}
 ), scored AS (
   SELECT cand.query_id, cand.neighbor_id, {dot_sql("q.uv", "c.uv")} AS cosine
   FROM cand

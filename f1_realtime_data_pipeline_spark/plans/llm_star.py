@@ -574,6 +574,17 @@ def e_knn_lsh(spark, sf_dir):
 _register("e_knn_lsh", e_knn_lsh, sim.knn_lsh_sql(16, 5))
 
 
+def e_knn_join(spark, sf_dir):
+    """Batch similarity JOIN: approximate top-3 neighbors for EVERY
+    vector (the retrieval-augmentation / kNN-graph construction shape)
+    — same LSH candidate plan as e_knn_lsh with the query-side filter
+    dropped; cost stays bucket-occupancy-bounded, never N²."""
+    return sim.knn_lsh(_embs(spark, sf_dir), n_queries=None, k=3)
+
+
+_register("e_knn_join", e_knn_join, sim.knn_lsh_sql(None, 3))
+
+
 #: cosine threshold for the near-dup detectors — the production value
 #: for model embeddings. The synthetic embeddings top out around
 #: cosine ~0.5 (no natural near-dups), so the near-dup queries run on
@@ -743,6 +754,26 @@ SELECT doc_id, width, height,
        CAST((height * {mm.RESIZE_BOX}) // greatest(width, height) AS INT) AS target_h,
        (width > {mm.RESIZE_BOX} OR height > {mm.RESIZE_BOX}) AS downscaled
 FROM decoded""",
+)
+
+
+def m_audio_meta(spark, sf_dir):
+    """Audio twin of m_decoded_meta: real PCM-WAV fixture payloads
+    (RIFF chunk walk in multimodal.decode_wav) vs the oracle's
+    doc_id-formula recomputation; duration is integer-exact ms."""
+    return mm.decode_audio(mm.attach_audio_payload(_docs(spark, sf_dir)))
+
+
+_register(
+    "m_audio_meta",
+    m_audio_meta,
+    f"""SELECT doc_id,
+       {mm.AUDIO_RATE_SQL} AS sample_rate,
+       {mm.AUDIO_CHANNELS_SQL} AS n_channels,
+       CAST(16 AS INT) AS bits,
+       {mm.AUDIO_SAMPLES_SQL} AS n_samples,
+       CAST(({mm.AUDIO_SAMPLES_SQL} * 1000) // {mm.AUDIO_RATE_SQL} AS INT) AS duration_ms
+FROM documents""",
 )
 
 

@@ -230,6 +230,19 @@ def test_decode_image_golden_bytes():
         mm.decode_image(b"not an image at all")
 
 
+def test_decode_wav_golden():
+    wav = mm.audio_payload_for(5)  # rate 8000*(1+5%3)=24000, 2ch, 16+55%64=71
+    assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+    assert mm.decode_wav(wav) == (24000, 2, 16, 71)
+    # canonical header offsets: PCM fmt tag at 20, data id at 36
+    assert wav[20:22] == b"\x01\x00" and wav[36:40] == b"data"
+    # fmt not first / extra chunk: decoder must chunk-walk, not assume
+    exotic = wav[:12] + b"LIST\x04\x00\x00\x00abcd" + wav[12:]
+    assert mm.decode_wav(exotic) == (24000, 2, 16, 71)
+    with pytest.raises(ValueError):
+        mm.decode_wav(b"RIFFxxxxAVI LIST")
+
+
 def test_decode_media_matches_declared_meta(spark):
     """End-to-end: Spark decodes the real payload bytes and must
     reproduce the declared (lakehouse-style) metadata columns exactly,

@@ -11,11 +11,15 @@ near-duplicate of its K-1 clones, turning the pair graph quadratic in
 K and measuring an artificial blowup instead of corpus growth:
 
 - documents: every copy (including copy 0, so all scales are
-  comparable) re-joins its tokens with a copy-specific salt token
-  between every pair. Within-copy similarity structure is preserved
-  (shared trigrams map to shared salted trigrams); across copies no
-  shingle survives, so duplicate DENSITY stays constant as the corpus
-  grows — the honest scaling setup.
+  comparable) RELABELS its vocabulary — each token gets a
+  copy-specific suffix. A per-copy bijection on the vocabulary leaves
+  every within-copy statistic (shingle sets, document frequencies,
+  Jaccard/containment structure) exactly isomorphic to the original
+  corpus while no shingle matches across copies, so duplicate DENSITY
+  stays constant as the corpus grows — the honest scaling setup. (An
+  earlier interleaved-salt design was wrong: `salt w salt` shingles
+  inherit WORD-level document frequencies, densifying the inverted
+  index ~8× at identical corpus size.)
 - embeddings: copy c rotates each vector by c positions — norm
   preserved, cosine to the original decorrelated, deterministic.
 
@@ -61,7 +65,12 @@ def build_scaled(spark, base: str, out: str, k: int) -> str:
         doc_parts.append(
             docs.select(
                 (F.col("doc_id") + c * COPY_OFF).alias("doc_id"),
-                F.concat_ws(f" zz{c}qq ", F.split("text", " ")).alias("text"),
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.split("text", " "), lambda x: F.concat(x, F.lit(f"c{c}"))
+                    ),
+                ).alias("text"),
                 "lang",
                 "source",
                 "n_chars",
@@ -101,17 +110,20 @@ def sweep_queries(spark, sf_dir: str):
     e_cosine_neardup uses the operator-default derived plane count
     (the scale knob), on the same planted-copy fixture the registered
     query uses."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
     return [
-        ("d_ngram_jaccard", lambda: llm_star.QUERIES["d_ngram_jaccard"](spark, sf_dir)),
-        ("d_simhash_pairs", lambda: llm_star.QUERIES["d_simhash_pairs"](spark, sf_dir)),
-        ("d_dup_clusters", lambda: llm_star.QUERIES["d_dup_clusters"](spark, sf_dir)),
+        ("d_ngram_jaccard", lambda: qs["d_ngram_jaccard"](spark, sf_dir)),
+        ("d_simhash_pairs", lambda: qs["d_simhash_pairs"](spark, sf_dir)),
+        ("d_dup_clusters", lambda: qs["d_dup_clusters"](spark, sf_dir)),
         (
             "e_cosine_neardup_derived",
             lambda: sim.cosine_neardup_lsh_pairs(
                 llm_star._embs_neardup(spark, sf_dir), threshold=0.9
             ),
         ),
-        ("e_semdedup", lambda: llm_star.QUERIES["e_semdedup"](spark, sf_dir)),
+        ("e_semdedup", lambda: qs["e_semdedup"](spark, sf_dir)),
     ]
 
 
