@@ -43,9 +43,11 @@ HEADLINE = [
     "tpch_q21",
     "t_quality",
     "d_ngram_jaccard",
+    "d_containment",
     "d_minhash_lsh",
     "d_simhash_pairs",
     "e_knn_lsh",
+    "e_knn_join",
     "e_cosine_neardup",
     "pipeline_corpus",
     # the iterative connected-components canonicalizers (VERDICT r1

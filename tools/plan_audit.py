@@ -37,11 +37,13 @@ AUDIT = [
     "t_contamination_bloom",
     "d_exact",
     "d_ngram_jaccard",
+    "d_containment",
     "d_minhash_lsh",
     "d_simhash_pairs",
     "d_substring_dedup",
     "d_incremental_dedup",
     "e_knn_lsh",
+    "e_knn_join",
     "e_knn_ivf",
     "e_knn_ivf_trained",
     "e_cosine_neardup",
