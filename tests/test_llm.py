@@ -230,6 +230,42 @@ def test_decode_image_golden_bytes():
         mm.decode_image(b"not an image at all")
 
 
+def test_codec_roundtrip_property():
+    """Hypothesis: encode→decode is identity on (dims, frames) for
+    every container the codec claims, not just the fixture's sizes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 300),
+        h=st.integers(1, 300),
+        frames=st.integers(1, 4),
+        rgb=st.tuples(
+            st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)
+        ),
+    )
+    def roundtrip(w, h, frames, rgb):
+        assert mm.decode_image(mm.encode_png(w, h, rgb)) == ("png", w, h, 1)
+        assert mm.decode_image(mm.encode_gif(w, h, frames, rgb)) == (
+            "gif", w, h, frames,
+        )
+        assert mm.decode_image(mm.encode_bmp(w, h, rgb)) == ("bmp", w, h, 1)
+
+    roundtrip()
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        rate=st.integers(8000, 48000),
+        ch=st.integers(1, 2),
+        n=st.integers(1, 4096),
+    )
+    def wav_roundtrip(rate, ch, n):
+        assert mm.decode_wav(mm.encode_wav(rate, ch, n)) == (rate, ch, 16, n)
+
+    wav_roundtrip()
+
+
 def test_decode_wav_golden():
     wav = mm.audio_payload_for(5)  # rate 8000*(1+5%3)=24000, 2ch, 16+55%64=71
     assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
