@@ -34,6 +34,7 @@ from f1_realtime_data_pipeline_spark.functions.vector import (
     LSH_TABLES,
     NEARDUP_PLANES_PER_TABLE,
     NEARDUP_TABLES,
+    PLANES_PER_TABLE,
     dot,
     dot_sql,
     lsh_bucket,
@@ -131,6 +132,7 @@ def knn_lsh(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes_per_table: int = PLANES_PER_TABLE,
 ) -> DataFrame:
     """Approximate top-k: multi-table sign-LSH candidates, exact re-rank.
 
@@ -144,10 +146,14 @@ def knn_lsh(
 
     ``n_queries=None`` = the batch SIMILARITY JOIN: top-k neighbors
     for EVERY vector (retrieval-augmentation / graph-construction
-    shape). Same plan — the query side just skips its id filter —
-    so cost is bucket-occupancy-bounded on both sides: candidates
-    ≈ N · occupancy · tables, linear in the corpus at the derived
-    plane counts, never N²."""
+    shape). Same plan — the query side just skips its id filter — so
+    candidates ≈ N · occupancy · tables. With a FIXED plane count,
+    occupancy ∝ N, so the batch form must widen its tables as the
+    corpus grows: pass ``planes_per_table`` (the registered join pins
+    6; at 100 TB derive it like the near-dup detector's
+    ``neardup_planes_for`` and add tables to buy the recall back —
+    plane literals are part of the plan, so a static oracle twin
+    needs a pinned count)."""
     u = embeddings.withColumn("nrm", norm(F.col(vec_col))).select(
         F.col(id_col).alias("vid"),
         unit(F.col(vec_col), F.col("nrm")).alias("uv"),
@@ -156,7 +162,9 @@ def knn_lsh(
                 *[
                     F.struct(
                         F.lit(t).alias("tbl"),
-                        lsh_table_bucket(F.col(vec_col), t).alias("bkt"),
+                        lsh_table_bucket(
+                            F.col(vec_col), t, planes_per_table
+                        ).alias("bkt"),
                     )
                     for t in range(LSH_TABLES)
                 ]
@@ -185,10 +193,15 @@ def knn_lsh(
     )
 
 
-def knn_lsh_sql(n_queries: int | None = 16, k: int = 5) -> str:
+def knn_lsh_sql(
+    n_queries: int | None = 16,
+    k: int = 5,
+    planes_per_table: int = PLANES_PER_TABLE,
+) -> str:
     per_table = "\n  UNION ALL\n  ".join(
-        f"SELECT vec_id, {lsh_table_bucket_sql('embedding', t)} AS bkt, {t} AS tbl"
-        " FROM embeddings"
+        f"SELECT vec_id, "
+        f"{lsh_table_bucket_sql('embedding', t, planes_per_table=planes_per_table)}"
+        f" AS bkt, {t} AS tbl FROM embeddings"
         for t in range(LSH_TABLES)
     )
     qfilter = "" if n_queries is None else f"\n  WHERE q.vec_id < {n_queries}"

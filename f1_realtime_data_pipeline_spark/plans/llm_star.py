@@ -578,11 +578,14 @@ def e_knn_join(spark, sf_dir):
     """Batch similarity JOIN: approximate top-3 neighbors for EVERY
     vector (the retrieval-augmentation / kNN-graph construction shape)
     — same LSH candidate plan as e_knn_lsh with the query-side filter
-    dropped; cost stays bucket-occupancy-bounded, never N²."""
-    return sim.knn_lsh(_embs(spark, sf_dir), n_queries=None, k=3)
+    dropped and WIDER tables (6 planes → 64 buckets: with every vector
+    a query, candidate volume is N·occupancy·tables, so the batch form
+    trades per-table recall for occupancy; at 100 TB derive the count
+    like the near-dup detector). Never N²."""
+    return sim.knn_lsh(_embs(spark, sf_dir), n_queries=None, k=3, planes_per_table=6)
 
 
-_register("e_knn_join", e_knn_join, sim.knn_lsh_sql(None, 3))
+_register("e_knn_join", e_knn_join, sim.knn_lsh_sql(None, 3, planes_per_table=6))
 
 
 #: cosine threshold for the near-dup detectors — the production value
