@@ -77,6 +77,7 @@ _WINDOW_HEAD = [
     "d_containment",
     "e_knn_join",
     "m_audio_meta",
+    "o_compaction_plan",
 ]
 
 

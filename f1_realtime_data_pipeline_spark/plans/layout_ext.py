@@ -219,3 +219,60 @@ SELECT rnk, l_orderkey AS heavy_key, cnt, total_rows, n_keys, max_group,
 FROM top CROSS JOIN totals
 WHERE rnk <= {SKEW_TOP_K}""",
 )
+
+
+#: compaction planning: target bytes per output file (toy-scale value;
+#: a lakehouse uses 128 MB-1 GB — the arithmetic is identical)
+COMPACT_TARGET_BYTES = 64 * 1024
+
+
+def o_compaction_plan(spark, sf_dir):
+    """Small-file compaction planner over ``documents`` by source —
+    the query a lakehouse OPTIMIZE runs before rewriting: per source,
+    total bytes (n_chars as the byte proxy the fixture carries), row
+    count, the file count needed at COMPACT_TARGET_BYTES per file
+    (ceil via integer arithmetic — (b + t - 1) DIV t, never a float
+    cast), and rows per file. Aggregates to the source domain, one
+    partial+final hash agg — nothing corpus-sized leaves the scan."""
+    docs = read_table(spark, sf_dir, "documents")
+    t = COMPACT_TARGET_BYTES
+    agg = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("bigint").alias("total_bytes"),
+        F.count("*").cast("bigint").alias("n_rows"),
+    )
+    planned = agg.withColumn(
+        "n_files",
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.expr(f"CAST((total_bytes + {t - 1}) DIV {t} AS BIGINT)"),
+        ),
+    )
+    return planned.select(
+        "source",
+        "total_bytes",
+        "n_rows",
+        "n_files",
+        F.expr("CAST((n_rows + n_files - 1) DIV n_files AS BIGINT)").alias(
+            "rows_per_file"
+        ),
+    )
+
+
+_register(
+    "o_compaction_plan",
+    o_compaction_plan,
+    f"""WITH agg AS (
+  SELECT source,
+         CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM documents GROUP BY source
+), planned AS (
+  SELECT source, total_bytes, n_rows,
+         greatest(1, (total_bytes + {COMPACT_TARGET_BYTES - 1}) // {COMPACT_TARGET_BYTES}) AS n_files
+  FROM agg
+)
+SELECT source, total_bytes, n_rows,
+       CAST(n_files AS BIGINT) AS n_files,
+       CAST((n_rows + n_files - 1) // n_files AS BIGINT) AS rows_per_file
+FROM planned""",
+)
