@@ -638,6 +638,32 @@ def test_knn_ivf_trained_recall(spark, sf_dir):
     assert recall >= 0.3, f"trained-IVF recall collapsed: {recall}"
 
 
+def test_knn_join_covers_corpus_with_recall(spark, sf_dir):
+    # the batch similarity join returns a neighbor list for (nearly)
+    # every vector — sparse buckets may miss isolated vectors — and
+    # its pairs overlap the exact top-3 graph at the family floor
+    embs = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.knn_bruteforce(embs, n_queries=200, k=3).collect()
+    }
+    joined = sim.knn_lsh(embs, n_queries=None, k=3, planes_per_table=6).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in joined}
+    covered = {q for q, _ in approx}
+    assert len(covered) >= 0.9 * 200, "batch join lost too many query vectors"
+    # 6-plane tables over a 200-vector subset are occupancy ~3 — the
+    # wide-table trade runs recall lower than the 16-query kNN's
+    # 4-plane tables (fewer planes / more tables buys it back); 0.2 is
+    # the collapse floor, not the operating point
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"batch-join recall collapsed: {recall}"
+    # per-query cap respected
+    from collections import Counter
+
+    per_q = Counter(q for q, _ in approx)
+    assert max(per_q.values()) <= 3
+
+
 def test_connected_components_never_mutates_session_confs(spark, monkeypatch):
     # ADVICE r2: the iterative CC loop used to flip session-global
     # shuffle/broadcast confs, silently degrading any query planned
