@@ -78,6 +78,7 @@ _WINDOW_HEAD = [
     "e_knn_join",
     "m_audio_meta",
     "o_compaction_plan",
+    "e_pq_codes",
 ]
 
 

@@ -385,8 +385,150 @@ WHERE {dot_sql("a.uv", "b.uv")} >= {threshold}"""
 
 
 # ---------------------------------------------------------------------------
-# IVF-lite: inverted-file ANN with deterministic centroids
+# Product quantization: subspace codebooks (the ANN memory compressor)
 # ---------------------------------------------------------------------------
+
+#: PQ layout: 4 subspaces × 16 dims, 16 codewords per subspace (a toy
+#: M=4 / k=16 of the production M=8..64 / k=256; the arithmetic and
+#: plan shape are identical — only the literals grow)
+PQ_SUB = 4
+PQ_SUBDIM = LSH_DIM // PQ_SUB
+PQ_CODES = 16
+
+
+def _l2(a, b):
+    """Sequential-fold squared-L2 between two equal-length arrays,
+    float→double widened per element (same determinism contract as
+    :func:`~...functions.vector.dot`)."""
+    diffs = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _l2_sql(a: str, b: str, dim: int) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, {dim + 1}), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        f" * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))), (x, y) -> x + y)"
+    )
+
+
+def pq_codes(
+    embeddings: DataFrame,
+    n_codes: int = PQ_CODES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantize the corpus: split each vector into ``PQ_SUB``
+    subvectors, assign each to its nearest codeword (squared-L2, ties
+    to the lowest code id) from a per-subspace codebook seeded by the
+    first ``n_codes`` vectors — deterministic, so the oracle reproduces
+    the codes exactly; a production index trains the codebooks with
+    per-subspace k-means (the trainer exists: ``_kmeans_centroids``
+    runs unchanged on subvector relations).
+
+    Output: (vec_id, code_0..code_{M-1}, recon_err) — the PQ code word
+    per subspace plus the total quantization distortion, summed in a
+    FIXED subspace order (d0+d1+d2+d3; a ``SUM()`` over the subspace
+    rows would be association-order-dependent and diverge from the
+    oracle in the last ulp).
+
+    Scale shape: N×M×k distance folds — linear in N, the M×k codebook
+    broadcasts (a production 64×256 book of 16-dim floats is ~1 MB);
+    one row_number window partitioned by (vector, subspace); the
+    output row is M bytes of codes in place of d floats — the whole
+    point (16× compression at these literals, 64-512× in production
+    layouts)."""
+    subs = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col(vec_col), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+                    for s in range(PQ_SUB)
+                ]
+            )
+        ).alias("sub", "sv"),
+    )
+    cb = embeddings.filter(F.col(id_col) < n_codes).select(
+        F.col(id_col).alias("code"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col(vec_col), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+                    for s in range(PQ_SUB)
+                ]
+            )
+        ).alias("sub", "cw"),
+    )
+    scored = subs.join(F.broadcast(cb), "sub").withColumn(
+        "dist", _l2(F.col("sv"), F.col("cw"))
+    )
+    w = Window.partitionBy("vid", "sub").orderBy(F.col("dist").asc(), F.col("code").asc())
+    best = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vid", "sub", "code", "dist")
+    )
+    picked = best.groupBy("vid").agg(
+        *[
+            F.max(F.when(F.col("sub") == s, F.col("code")))
+            .cast("int")
+            .alias(f"code_{s}")
+            for s in range(PQ_SUB)
+        ],
+        *[
+            F.max(F.when(F.col("sub") == s, F.col("dist"))).alias(f"__d{s}")
+            for s in range(PQ_SUB)
+        ],
+    )
+    err = F.col("__d0")
+    for s in range(1, PQ_SUB):
+        err = err + F.col(f"__d{s}")
+    return picked.select(
+        F.col("vid").alias("vec_id"),
+        *[f"code_{s}" for s in range(PQ_SUB)],
+        err.alias("recon_err"),
+    )
+
+
+def pq_codes_sql(n_codes: int = PQ_CODES) -> str:
+    """DuckDB twin of :func:`pq_codes` — same seeds, same fold order,
+    same fixed-order error addition."""
+    code_cols = ",\n       ".join(
+        f"CAST(MAX(CASE WHEN sub = {s} THEN code END) AS INT) AS code_{s}"
+        for s in range(PQ_SUB)
+    )
+    err_terms = " + ".join(
+        f"MAX(CASE WHEN sub = {s} THEN dist END)" for s in range(PQ_SUB)
+    )
+    return f"""WITH subs AS (
+  SELECT vec_id AS vid, s.sub,
+         list_slice(embedding, s.sub * {PQ_SUBDIM} + 1, (s.sub + 1) * {PQ_SUBDIM}) AS sv
+  FROM embeddings, (SELECT unnest(range(0, {PQ_SUB})) AS sub) s
+), cb AS (
+  SELECT vec_id AS code, s.sub,
+         list_slice(embedding, s.sub * {PQ_SUBDIM} + 1, (s.sub + 1) * {PQ_SUBDIM}) AS cw
+  FROM embeddings, (SELECT unnest(range(0, {PQ_SUB})) AS sub) s
+  WHERE vec_id < {n_codes}
+), scored AS (
+  SELECT vid, sub, code, {_l2_sql("sv", "cw", PQ_SUBDIM)} AS dist
+  FROM subs JOIN cb USING (sub)
+), best AS (
+  SELECT vid, sub, code, dist FROM (
+    SELECT vid, sub, code, dist,
+           ROW_NUMBER() OVER (PARTITION BY vid, sub ORDER BY dist ASC, code ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT vid AS vec_id,
+       {code_cols},
+       {err_terms} AS recon_err
+FROM best GROUP BY vid"""
 
 #: nprobe cells searched per query.
 IVF_NPROBE = 2

@@ -1011,6 +1011,16 @@ _register(
 FROM embeddings""",
 )
 
+
+def e_pq_codes(spark, sf_dir):
+    """Product quantization: per-subspace nearest-codeword codes + the
+    fixed-order reconstruction distortion (operators.similarity.pq_codes
+    — the ANN memory compressor; M bytes of codes replace d floats)."""
+    return sim.pq_codes(_embs(spark, sf_dir))
+
+
+_register("e_pq_codes", e_pq_codes, sim.pq_codes_sql())
+
 # --------------------------------------------------------------------------
 # end-to-end corpus preparation (the flagship composition)
 # --------------------------------------------------------------------------

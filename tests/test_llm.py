@@ -638,6 +638,27 @@ def test_knn_ivf_trained_recall(spark, sf_dir):
     assert recall >= 0.3, f"trained-IVF recall collapsed: {recall}"
 
 
+def test_pq_codes_seed_identity_and_bounds(spark, sf_dir):
+    from f1_realtime_data_pipeline_spark.operators.similarity import (
+        PQ_CODES,
+        PQ_SUB,
+        pq_codes,
+    )
+
+    embs = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    out = {r.vec_id: r for r in pq_codes(embs).collect()}
+    assert len(out) == 100
+    for vid, r in out.items():
+        codes = [r[f"code_{s}"] for s in range(PQ_SUB)]
+        assert all(0 <= c < PQ_CODES for c in codes)
+        assert r.recon_err >= 0.0
+        if vid < PQ_CODES:
+            # a seed vector's own subvectors are in every codebook:
+            # it must quantize to itself, exactly
+            assert codes == [vid] * PQ_SUB
+            assert r.recon_err == 0.0
+
+
 def test_knn_join_covers_corpus_with_recall(spark, sf_dir):
     # the batch similarity join returns a neighbor list for (nearly)
     # every vector — sparse buckets may miss isolated vectors — and
