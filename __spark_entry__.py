@@ -79,6 +79,7 @@ _WINDOW_HEAD = [
     "m_audio_meta",
     "o_compaction_plan",
     "e_pq_codes",
+    "e_knn_pq",
 ]
 
 

@@ -417,6 +417,72 @@ def _l2_sql(a: str, b: str, dim: int) -> str:
     )
 
 
+def _pq_scored_best(
+    embeddings: DataFrame, n_codes: int, id_col: str, vec_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(scored, best): every (vid, sub, code, dist) pair, and each
+    (vid, sub)'s argmin codeword. ``scored`` doubles as the ADC
+    distance table (restricted to the query ids)."""
+    subs = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col(vec_col), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+                    for s in range(PQ_SUB)
+                ]
+            )
+        ).alias("sub", "sv"),
+    )
+    cb = embeddings.filter(F.col(id_col) < n_codes).select(
+        F.col(id_col).alias("code"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col(vec_col), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+                    for s in range(PQ_SUB)
+                ]
+            )
+        ).alias("sub", "cw"),
+    )
+    scored = subs.join(F.broadcast(cb), "sub").withColumn(
+        "dist", _l2(F.col("sv"), F.col("cw"))
+    )
+    w = Window.partitionBy("vid", "sub").orderBy(
+        F.col("dist").asc(), F.col("code").asc()
+    )
+    best = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vid", "sub", "code", "dist")
+    )
+    return scored, best
+
+
+#: shared CTE chain: every (vid, sub, code, dist) + the per-(vid, sub)
+#: argmin — the prologue of both pq_codes_sql and knn_pq_sql
+def _pq_ctes_sql(n_codes: int) -> str:
+    return f"""subs AS (
+  SELECT vec_id AS vid, s.sub,
+         list_slice(embedding, s.sub * {PQ_SUBDIM} + 1, (s.sub + 1) * {PQ_SUBDIM}) AS sv
+  FROM embeddings, (SELECT unnest(range(0, {PQ_SUB})) AS sub) s
+), cb AS (
+  SELECT vec_id AS code, s.sub,
+         list_slice(embedding, s.sub * {PQ_SUBDIM} + 1, (s.sub + 1) * {PQ_SUBDIM}) AS cw
+  FROM embeddings, (SELECT unnest(range(0, {PQ_SUB})) AS sub) s
+  WHERE vec_id < {n_codes}
+), scored AS (
+  SELECT vid, sub, code, {_l2_sql("sv", "cw", PQ_SUBDIM)} AS dist
+  FROM subs JOIN cb USING (sub)
+), best AS (
+  SELECT vid, sub, code, dist FROM (
+    SELECT vid, sub, code, dist,
+           ROW_NUMBER() OVER (PARTITION BY vid, sub ORDER BY dist ASC, code ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)"""
+
+
 def pq_codes(
     embeddings: DataFrame,
     n_codes: int = PQ_CODES,
@@ -443,37 +509,7 @@ def pq_codes(
     output row is M bytes of codes in place of d floats — the whole
     point (16× compression at these literals, 64-512× in production
     layouts)."""
-    subs = embeddings.select(
-        F.col(id_col).alias("vid"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.slice(F.col(vec_col), s * PQ_SUBDIM + 1, PQ_SUBDIM)
-                    for s in range(PQ_SUB)
-                ]
-            )
-        ).alias("sub", "sv"),
-    )
-    cb = embeddings.filter(F.col(id_col) < n_codes).select(
-        F.col(id_col).alias("code"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.slice(F.col(vec_col), s * PQ_SUBDIM + 1, PQ_SUBDIM)
-                    for s in range(PQ_SUB)
-                ]
-            )
-        ).alias("sub", "cw"),
-    )
-    scored = subs.join(F.broadcast(cb), "sub").withColumn(
-        "dist", _l2(F.col("sv"), F.col("cw"))
-    )
-    w = Window.partitionBy("vid", "sub").orderBy(F.col("dist").asc(), F.col("code").asc())
-    best = (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("vid", "sub", "code", "dist")
-    )
+    _, best = _pq_scored_best(embeddings, n_codes, id_col, vec_col)
     picked = best.groupBy("vid").agg(
         *[
             F.max(F.when(F.col("sub") == s, F.col("code")))
@@ -506,29 +542,82 @@ def pq_codes_sql(n_codes: int = PQ_CODES) -> str:
     err_terms = " + ".join(
         f"MAX(CASE WHEN sub = {s} THEN dist END)" for s in range(PQ_SUB)
     )
-    return f"""WITH subs AS (
-  SELECT vec_id AS vid, s.sub,
-         list_slice(embedding, s.sub * {PQ_SUBDIM} + 1, (s.sub + 1) * {PQ_SUBDIM}) AS sv
-  FROM embeddings, (SELECT unnest(range(0, {PQ_SUB})) AS sub) s
-), cb AS (
-  SELECT vec_id AS code, s.sub,
-         list_slice(embedding, s.sub * {PQ_SUBDIM} + 1, (s.sub + 1) * {PQ_SUBDIM}) AS cw
-  FROM embeddings, (SELECT unnest(range(0, {PQ_SUB})) AS sub) s
-  WHERE vec_id < {n_codes}
-), scored AS (
-  SELECT vid, sub, code, {_l2_sql("sv", "cw", PQ_SUBDIM)} AS dist
-  FROM subs JOIN cb USING (sub)
-), best AS (
-  SELECT vid, sub, code, dist FROM (
-    SELECT vid, sub, code, dist,
-           ROW_NUMBER() OVER (PARTITION BY vid, sub ORDER BY dist ASC, code ASC) AS rn
-    FROM scored
-  ) WHERE rn = 1
-)
+    return f"""WITH {_pq_ctes_sql(n_codes)}
 SELECT vid AS vec_id,
        {code_cols},
        {err_terms} AS recon_err
 FROM best GROUP BY vid"""
+
+
+def knn_pq(
+    embeddings: DataFrame,
+    n_queries: int = 16,
+    k: int = 5,
+    n_codes: int = PQ_CODES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-ADC kNN: the query path product quantization exists for.
+    Each query builds a per-subspace DISTANCE TABLE (its squared-L2 to
+    every codeword — M×k doubles); a candidate's approximate distance
+    is then M table LOOKUPS summed in fixed subspace order — no
+    per-pair vector arithmetic at all. Output (query_id, neighbor_id,
+    rnk, adc_dist), ties to the lower neighbor id.
+
+    Scale shape: the corpus side is the CODES relation (M small ints
+    per vector — the compressed index, not the vectors); the
+    queries' distance tables broadcast (Q×M×k doubles); the per-pair
+    work is a hash join on (sub, code) + a fixed-width pivot — linear
+    in N·Q. Production stacks compose this with IVF cell pruning so Q
+    pairs only against its probed cells; the ADC arithmetic is
+    identical."""
+    scored, best = _pq_scored_best(embeddings, n_codes, id_col, vec_col)
+    dt = scored.filter(F.col("vid") < n_queries).select(
+        F.col("vid").alias("query_id"), "sub", "code", F.col("dist").alias("d")
+    )
+    pairs = best.select(F.col("vid").alias("neighbor_id"), "sub", "code").join(
+        F.broadcast(dt), ["sub", "code"]
+    )
+    per_pair = pairs.groupBy("query_id", "neighbor_id").agg(
+        *[
+            F.max(F.when(F.col("sub") == s, F.col("d"))).alias(f"__d{s}")
+            for s in range(PQ_SUB)
+        ]
+    )
+    adc = F.col("__d0")
+    for s in range(1, PQ_SUB):
+        adc = adc + F.col(f"__d{s}")
+    ranked = per_pair.filter(F.col("query_id") != F.col("neighbor_id")).withColumn(
+        "adc_dist", adc
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        ranked.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", "adc_dist")
+    )
+
+
+def knn_pq_sql(n_queries: int = 16, k: int = 5, n_codes: int = PQ_CODES) -> str:
+    adc_terms = " + ".join(
+        f"MAX(CASE WHEN b.sub = {s} THEN d END)" for s in range(PQ_SUB)
+    )
+    return f"""WITH {_pq_ctes_sql(n_codes)}, dt AS (
+  SELECT vid AS query_id, sub, code, dist AS d
+  FROM scored WHERE vid < {n_queries}
+), per_pair AS (
+  SELECT dt.query_id, b.vid AS neighbor_id, {adc_terms} AS adc_dist
+  FROM best b JOIN dt ON b.sub = dt.sub AND b.code = dt.code
+  GROUP BY dt.query_id, b.vid
+)
+SELECT query_id, neighbor_id, rnk, adc_dist FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY adc_dist ASC, neighbor_id ASC) AS INT) AS rnk
+  FROM per_pair WHERE query_id <> neighbor_id
+) WHERE rnk <= {k}"""
 
 #: nprobe cells searched per query.
 IVF_NPROBE = 2

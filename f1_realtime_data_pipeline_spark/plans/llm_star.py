@@ -1021,6 +1021,16 @@ def e_pq_codes(spark, sf_dir):
 
 _register("e_pq_codes", e_pq_codes, sim.pq_codes_sql())
 
+
+def e_knn_pq(spark, sf_dir):
+    """PQ-ADC kNN: per-query codeword distance tables, M lookups per
+    candidate summed in fixed order — the compressed-index query path
+    (pairs with e_pq_codes the way e_knn_ivf pairs with e_ivf_cells)."""
+    return sim.knn_pq(_embs(spark, sf_dir), n_queries=16, k=5)
+
+
+_register("e_knn_pq", e_knn_pq, sim.knn_pq_sql(16, 5))
+
 # --------------------------------------------------------------------------
 # end-to-end corpus preparation (the flagship composition)
 # --------------------------------------------------------------------------

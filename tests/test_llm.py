@@ -659,6 +659,26 @@ def test_pq_codes_seed_identity_and_bounds(spark, sf_dir):
             assert r.recon_err == 0.0
 
 
+def test_knn_pq_adc_recall(spark, sf_dir):
+    # ADC over 4x16-codeword SEED books on unclustered random vectors
+    # is PQ's worst case (no structure for the codebook to exploit;
+    # production books are k-means-trained 8-64 subspaces x 256 codes
+    # on real, clustered embeddings). The floor guards collapse-to-
+    # chance: random top-3 of ~200 would land ~0.015 recall; measured
+    # is ~0.17 at sf0.001 / ~0.29 at sf0.01.
+    embs = read_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.knn_bruteforce(embs, n_queries=8, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.knn_pq(embs, n_queries=8, k=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.1, f"PQ-ADC recall collapsed: {recall}"
+
+
 def test_knn_join_covers_corpus_with_recall(spark, sf_dir):
     # the batch similarity join returns a neighbor list for (nearly)
     # every vector — sparse buckets may miss isolated vectors — and
