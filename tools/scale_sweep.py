@@ -115,6 +115,7 @@ def sweep_queries(spark, sf_dir: str):
     qs = entrymod.queries()
     return [
         ("d_ngram_jaccard", lambda: qs["d_ngram_jaccard"](spark, sf_dir)),
+        ("d_containment", lambda: qs["d_containment"](spark, sf_dir)),
         ("d_simhash_pairs", lambda: qs["d_simhash_pairs"](spark, sf_dir)),
         ("d_dup_clusters", lambda: qs["d_dup_clusters"](spark, sf_dir)),
         (
