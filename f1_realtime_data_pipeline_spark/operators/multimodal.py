@@ -213,7 +213,10 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int]:
     """(sample_rate, n_channels, bits_per_sample, n_samples) from real
     RIFF/WAVE bytes — full chunk walk (fmt may not be the first chunk;
     sample count derives from the data chunk size / block align).
-    Raises ``ValueError`` on a non-WAV container."""
+    Raises ``ValueError`` on a non-WAV container or a malformed one
+    (truncated fmt chunk, zero block align, data size past the buffer)
+    — workers must surface a typed error, not ZeroDivisionError or
+    struct.error, so bad blobs are filterable upstream."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE container")
     pos, rate, ch, bits, data_len, block = 12, None, None, None, None, None
@@ -221,14 +224,20 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int]:
         cid = payload[pos : pos + 4]
         (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
         if cid == b"fmt ":
+            if pos + 24 > len(payload):
+                raise ValueError("truncated WAV fmt chunk")
             _, ch, rate, _, block, bits = struct.unpack(
                 "<HHIIHH", payload[pos + 8 : pos + 24]
             )
         elif cid == b"data":
-            data_len = ln
+            # a declared size past the buffer is untrustworthy: clamp to
+            # the bytes actually present
+            data_len = min(ln, max(len(payload) - (pos + 8), 0))
         pos += 8 + ln + (ln & 1)  # RIFF chunks are word-aligned
     if rate is None or data_len is None:
         raise ValueError("WAV missing fmt or data chunk")
+    if not block or ch is None or bits is None:
+        raise ValueError("malformed WAV fmt chunk (zero/missing block align)")
     return (rate, ch, bits, data_len // block)
 
 
@@ -315,26 +324,34 @@ def decode_image(payload: bytes) -> tuple[str, int, int, int]:
         if packed & 0x80:
             pos += 6 << (packed & 0x07)  # global color table
         frames = 0
+
+        def skip_subblocks(p: int) -> int:
+            # sub-block chain: [len][bytes]... until a 0 terminator; every
+            # index is bounds-checked so corrupt/truncated bytes raise the
+            # documented ValueError, not IndexError from a worker
+            while True:
+                if p >= len(payload):
+                    raise ValueError("truncated GIF (unterminated sub-blocks)")
+                if payload[p] == 0:
+                    return p + 1
+                p += 1 + payload[p]
+
         while pos < len(payload):
             b0 = payload[pos]
             pos += 1
             if b0 == 0x3B:  # trailer
                 break
             if b0 == 0x21:  # extension: label + sub-blocks
-                pos += 1
-                while payload[pos] != 0:
-                    pos += 1 + payload[pos]
-                pos += 1
+                pos = skip_subblocks(pos + 1)
             elif b0 == 0x2C:  # image descriptor
                 frames += 1
+                if pos + 9 > len(payload):
+                    raise ValueError("truncated GIF image descriptor")
                 ipacked = payload[pos + 8]
                 pos += 9
                 if ipacked & 0x80:
                     pos += 6 << (ipacked & 0x07)  # local color table
-                pos += 1  # LZW min code size
-                while payload[pos] != 0:
-                    pos += 1 + payload[pos]
-                pos += 1
+                pos = skip_subblocks(pos + 1)  # LZW min code size, then data
             else:
                 raise ValueError(f"bad GIF block 0x{b0:02x}")
         return ("gif", w, h, max(frames, 1))

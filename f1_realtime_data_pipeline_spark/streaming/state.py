@@ -80,8 +80,12 @@ def _first_seen_update(
     prev = state.get if state.exists else None
     n_in, first_doc = 0, None
     for pdf in pdfs:
-        if len(pdf) and first_doc is None:
-            first_doc = int(pdf["doc_id"].iloc[0])
+        if len(pdf):
+            # deterministic winner: min doc_id across ALL chunks — within a
+            # micro-batch the post-shuffle row order of a group is not
+            # guaranteed, so "row 0 of chunk 0" would be nondeterministic
+            batch_min = int(pdf["doc_id"].min())
+            first_doc = batch_min if first_doc is None else min(first_doc, batch_min)
         n_in += len(pdf)
     if prev is None:
         state.update((first_doc, n_in - 1))
@@ -157,8 +161,13 @@ class FirstSeenDedupProcessor(StatefulProcessor):
         n_in = 0
         first_doc = None
         for pdf in rows:
-            if len(pdf) and first_doc is None:
-                first_doc = int(pdf["doc_id"].iloc[0])
+            if len(pdf):
+                # deterministic winner: min doc_id across all chunks (group
+                # row order within a micro-batch is shuffle-dependent)
+                batch_min = int(pdf["doc_id"].min())
+                first_doc = (
+                    batch_min if first_doc is None else min(first_doc, batch_min)
+                )
             n_in += len(pdf)
         if prev is None:
             # first time this content is seen: emit it, count the rest

@@ -7,6 +7,7 @@ recall) plus semantic edge cases on tiny literal frames.
 from __future__ import annotations
 
 import math
+import struct
 
 import pytest
 
@@ -228,6 +229,34 @@ def test_decode_image_golden_bytes():
 
     with pytest.raises(ValueError):
         mm.decode_image(b"not an image at all")
+
+
+def test_decode_malformed_raises_valueerror_not_indexerror():
+    """ADVICE r4: corrupt/truncated media must raise the documented
+    ValueError (a typed, filterable worker error) — never IndexError /
+    ZeroDivisionError / struct.error leaking from the parser."""
+    gif = mm.media_payload_for(1)
+    # truncate mid-stream: sub-block walk runs off the end
+    with pytest.raises(ValueError):
+        mm.decode_image(gif[:-5])
+    # image descriptor header itself truncated
+    ide = gif.find(b"\x2c")
+    assert ide > 0
+    with pytest.raises(ValueError):
+        mm.decode_image(gif[: ide + 4])
+
+    wav = mm.audio_payload_for(5)
+    # zero block-align in the fmt chunk (offset 32 in the canonical header)
+    bad_block = wav[:32] + b"\x00\x00" + wav[34:]
+    with pytest.raises(ValueError):
+        mm.decode_wav(bad_block)
+    # fmt chunk truncated before its 16 payload bytes
+    with pytest.raises(ValueError):
+        mm.decode_wav(wav[:20])
+    # data chunk size beyond the buffer: clamp, don't trust the header
+    r, c, b, n = mm.decode_wav(wav)
+    overdecl = wav[:40] + struct.pack("<I", 1 << 30) + wav[44:]
+    assert mm.decode_wav(overdecl) == (r, c, b, n)
 
 
 def test_codec_roundtrip_property():
