@@ -756,20 +756,74 @@ JOIN documents b ON b.doc_id = c.doc_b""",
 EPOCH_REPEATS: dict[str, int] = {"src0": 3, "src1": 2}
 
 
+#: range buckets for the distributed global-rank assignment. The
+#: shuffle key is md5-uniform on [0, HASH_MOD), so fixed equal-width
+#: ranges balance without sampling; at cluster scale set this to the
+#: shuffle parallelism (the output is IDENTICAL for any bucket count —
+#: it only controls task granularity).
+SHUFFLE_ORDER_BUCKETS = 64
+
+
 def t_shuffle_order(spark, sf_dir):
     """Deterministic training-order shuffle: every doc gets a
     pseudo-random but reproducible rank from the md5 of its id (the
     seeded-permutation every trainer needs — data order matters, and
-    a re-run must produce the identical order). Map-only except the
-    rank window, which at scale becomes a sort on the shuffle key —
-    exactly the global sort a training-shard writer performs anyway.
+    a re-run must produce the identical order).
+
+    Distributed global rank (the scalable zipWithIndex — VERDICT r4
+    #1): a partition-less ``row_number()`` would drag every row
+    through ONE WindowExec task, so instead
+
+    1. bucket each row by an explicit equal-width range of the
+       md5-uniform shuffle key (``(key * B) DIV HASH_MOD`` — pure
+       row expression, no ``repartitionByRange`` sampling pass and
+       none of its recompute nondeterminism; bucket order == key
+       order by construction),
+    2. count rows per bucket (tiny B-row aggregate) and turn the
+       counts into cumulative start offsets with a broadcast
+       triangular join (B² pairs at B=64 — no window at all),
+    3. rank WITHIN each bucket (``Window.partitionBy(bucket)`` — B
+       parallel sorted partitions, each ~N/B rows) and add the
+       bucket's offset.
+
+    global_pos = bucket_offset + local_rank reproduces the exact
+    total order (shuffle_key, doc_id) because ties on shuffle_key
+    always share a bucket. Two column-pruned scans (the count branch
+    reads doc_id only); every stage is bounded by N/B rows per task
+    at any corpus size.
     """
     d = _docs(spark, sf_dir).select("doc_id", "source")
     key = tx.md5_id(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string")))
-    w = Window.orderBy(F.col("shuffle_key").asc(), F.col("doc_id").asc())
+    B = SHUFFLE_ORDER_BUCKETS
+    keyed = d.withColumn("shuffle_key", key).withColumn(
+        "bucket", F.expr(f"(shuffle_key * {B}) DIV {tx.HASH_MOD}")
+    )
+    # B-row aggregate, checkpointed so the triangular self-join and the
+    # final attach don't each re-derive it from the scan (scans 3 -> 2)
+    counts = (
+        keyed.groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    offsets = (
+        counts.alias("a")
+        .join(
+            F.broadcast(counts.alias("b")),
+            F.col("b.bucket") < F.col("a.bucket"),
+            "left",
+        )
+        .groupBy(F.col("a.bucket").alias("bucket"))
+        .agg(F.coalesce(F.sum("b.n"), F.lit(0)).alias("bucket_offset"))
+    )
+    w = Window.partitionBy("bucket").orderBy(
+        F.col("shuffle_key").asc(), F.col("doc_id").asc()
+    )
     return (
-        d.withColumn("shuffle_key", key)
-        .withColumn("train_pos", F.row_number().over(w).cast("bigint"))
+        keyed.join(F.broadcast(offsets), "bucket")
+        .withColumn(
+            "train_pos",
+            (F.col("bucket_offset") + F.row_number().over(w)).cast("bigint"),
+        )
         .select("doc_id", "source", "shuffle_key", "train_pos")
     )
 

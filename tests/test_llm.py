@@ -369,6 +369,26 @@ def test_normalize_pinned(spark):
     assert got == ["hello world 42", "already clean"]
 
 
+def test_shuffle_order_is_permutation_and_bucket_invariant(spark, sf_dir, monkeypatch):
+    """The distributed rank (bucketed offsets + per-bucket window, no
+    global window — VERDICT r4 #1) must produce the exact total order
+    (shuffle_key, doc_id), be a 1..N permutation, and be IDENTICAL for
+    any bucket count (buckets are task granularity, not semantics)."""
+    from f1_realtime_data_pipeline_spark.plans import llm_ext
+
+    rows = llm_ext.t_shuffle_order(spark, sf_dir).collect()
+    n = len(rows)
+    assert sorted(r.train_pos for r in rows) == list(range(1, n + 1))
+    by_key = sorted(rows, key=lambda r: (r.shuffle_key, r.doc_id))
+    assert [r.train_pos for r in by_key] == list(range(1, n + 1))
+
+    monkeypatch.setattr(llm_ext, "SHUFFLE_ORDER_BUCKETS", 7)
+    rows7 = llm_ext.t_shuffle_order(spark, sf_dir).collect()
+    assert {(r.doc_id, r.train_pos) for r in rows7} == {
+        (r.doc_id, r.train_pos) for r in rows
+    }
+
+
 def test_stratified_sample_fractions(spark, sf_dir):
     from f1_realtime_data_pipeline_spark.plans.llm_star import t_stratified_sample
     from f1_realtime_data_pipeline_spark.sources.parquet import read_table

@@ -63,13 +63,12 @@ AUDIT = [
 
 
 #: queries whose plan is ALLOWED a global (unpartitioned) window:
-#: - t_shuffle_order: the global training-order assignment is a total
-#:   order by construction — its scale form is the keyed
-#:   t_shard_assign / t_pack_sequences_dist pair (docstring says so).
 #: - p_skew_profile: the rank window runs AFTER orderBy().limit(K)
 #:   (TakeOrderedAndProject), so its input is exactly K rows — the
 #:   key-domain relation itself is never single-partitioned.
-GLOBAL_WINDOW_OK = {"t_shuffle_order", "p_skew_profile"}
+#: (t_shuffle_order left this list in r5: its rank is now the
+#: bucketed offset+local-rank form, no global window in the plan.)
+GLOBAL_WINDOW_OK = {"p_skew_profile"}
 
 
 def _has_global_window(plan: str) -> bool:
