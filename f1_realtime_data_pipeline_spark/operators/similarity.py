@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from f1_realtime_data_pipeline_spark.operators.materialize import materialize
 from f1_realtime_data_pipeline_spark.functions.vector import (
     LSH_DIM,
     LSH_TABLES,
@@ -154,23 +155,30 @@ def knn_lsh(
     ``neardup_planes_for`` and add tables to buy the recall back —
     plane literals are part of the plan, so a static oracle twin
     needs a pinned count)."""
-    u = embeddings.withColumn("nrm", norm(F.col(vec_col))).select(
+    rel = embeddings.withColumn("nrm", norm(F.col(vec_col))).select(
         F.col(id_col).alias("vid"),
         unit(F.col(vec_col), F.col("nrm")).alias("uv"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        lsh_table_bucket(
-                            F.col(vec_col), t, planes_per_table
-                        ).alias("bkt"),
-                    )
-                    for t in range(LSH_TABLES)
-                ]
-            )
-        ).alias("tb"),
-    ).select("vid", "uv", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    lsh_table_bucket(
+                        F.col(vec_col), t, planes_per_table
+                    ).alias("bkt"),
+                )
+                for t in range(LSH_TABLES)
+            ]
+        ).alias("tbs"),
+    )
+    if n_queries is None:
+        # batch similarity join: BOTH join sides read this relation, so
+        # without materialization the scan + tables×planes×dim LSH folds
+        # run twice (ADVICE r4). Materialized pre-explode (one uv copy
+        # per vector, not per table), durable: corpus-sized at scale.
+        rel = materialize(rel, durable=True)
+    u = rel.select("vid", "uv", F.explode("tbs").alias("tb")).select(
+        "vid", "uv", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt")
+    )
     qside = u if n_queries is None else u.filter(F.col("vid") < n_queries)
     q = qside.select(
         F.col("vid").alias("query_id"), F.col("uv").alias("qv"), "tbl", "bkt"
@@ -261,7 +269,10 @@ def cosine_neardup_lsh_pairs(
     the relation is small; at scale they are hash joins proportional
     to surviving candidates, not raw collisions).
 
-    Scan discipline: one eager ``localCheckpoint`` materializes
+    Scan discipline: one eager materialization (reliable checkpoint —
+    see :mod:`~f1_realtime_data_pipeline_spark.operators.materialize`;
+    the relation is corpus-sized, so its blocks must survive executor
+    loss) stores
     (vid, per-table buckets, unit-vector) and every downstream
     reference — both candidate-join sides, both unit-vector fetch
     sides — reads the checkpoint, so the source is scanned exactly
@@ -271,9 +282,9 @@ def cosine_neardup_lsh_pairs(
     detector's per-vector arithmetic: tables × planes × dim multiplies)
     are computed INSIDE the checkpoint — once per vector, not once per
     self-join side — and store ~8 bytes per (table, bucket) in place
-    of the raw vector. Checkpoint blocks are dropped by the
-    ContextCleaner when the returned plan is garbage-collected (no
-    session-lifetime cache leak); buckets hash the RAW vector column,
+    of the raw vector. Checkpoint files are reference-tracked and
+    deleted when the returned plan is garbage-collected (no
+    session-lifetime leak); buckets hash the RAW vector column,
     exactly what the oracle twin (which cannot see the normalization)
     hashes. When ``planes_per_table`` is None the plane count needs N
     before the fold expressions exist, costing one extra count() scan;
@@ -297,8 +308,8 @@ def cosine_neardup_lsh_pairs(
             ).alias("tbs"),
             unit(F.col(vec_col), F.col("nrm")).alias("uv"),
         )
-        .localCheckpoint(eager=True)
     )
+    rel = materialize(rel, durable=True)
     tb = rel.select("vid", F.explode("tbs").alias("tb")).select(
         "vid", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt")
     )
@@ -773,7 +784,7 @@ def knn_ivf_trained(
     the data's density, so occupancy is balanced and recall-per-probe
     is higher than the seed index at the same C). Identical plan
     shape; only the ≤C-row centroid relation changes."""
-    u = _unit_vectors(embeddings, id_col, vec_col).localCheckpoint(eager=True)
+    u = materialize(_unit_vectors(embeddings, id_col, vec_col), durable=True)
     cents = _kmeans_centroids(u, n_cells, iters)
     return _knn_probe(u, cents, n_queries, k)
 
@@ -874,7 +885,7 @@ def semdedup(
     assignment) + one int-keyed self-join + one left anti-style flag
     join.
     """
-    u = _unit_vectors(embeddings, id_col, vec_col).localCheckpoint(eager=True)
+    u = materialize(_unit_vectors(embeddings, id_col, vec_col), durable=True)
     cents = _kmeans_centroids(u, n_cells, iters)
     members = _assign_cells(u, cents).join(u, "vid").select(
         F.col("vid").alias("vec_id"), "cell", "uv"
@@ -948,9 +959,11 @@ def _kmeans_centroids(
     normalized element-wise sum of members]. The sums use fixed-point
     integer decimals (see :data:`KMEANS_FP`), so any partitioning
     produces bit-identical centroids. ``u`` should be materialized by
-    the caller (an eager ``localCheckpoint`` — it is scanned once per
-    round, and checkpoint blocks are ContextCleaner-collected when the
-    plan is dropped, unlike a ``persist`` which outlives the call)."""
+    the caller (``materialize(..., durable=True)`` — it is scanned
+    once per round and is corpus-sized, so its blocks must be
+    replayable on executor loss; files are reference-tracked and
+    cleaned when the plan is dropped, unlike a ``persist`` which
+    outlives the call)."""
     cents = _seed_centroids(u, n_clusters)
     for _ in range(iters):
         members = _assign_cells(u, cents).join(u, "vid")
@@ -1001,7 +1014,7 @@ def kmeans_assign(
     C-row collect_list to rebuild centroid arrays. No global window,
     no driver collect; N never pairwise-joins itself.
     """
-    u = _unit_vectors(embeddings, id_col, vec_col).localCheckpoint(eager=True)
+    u = materialize(_unit_vectors(embeddings, id_col, vec_col), durable=True)
     cents = _kmeans_centroids(u, n_clusters, iters)
     return _assign_cells(u, cents).select(F.col("vid").alias("vec_id"), "cell")
 
