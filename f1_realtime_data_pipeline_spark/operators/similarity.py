@@ -630,6 +630,243 @@ SELECT query_id, neighbor_id, rnk, adc_dist FROM (
   FROM per_pair WHERE query_id <> neighbor_id
 ) WHERE rnk <= {k}"""
 
+#: ADC-shortlist width for the batch similarity join: per query, only
+#: the ``PQ_JOIN_SHORTLIST`` lowest-ADC candidates are exact-verified
+#: (>10× headroom over the k=3 the registered join returns; raise it
+#: to buy recall with more verify folds. 32 holds the toy 4×16 seed
+#: books at ~0.95 overlap with the unfiltered join on unclustered
+#: random vectors — SDC's worst case; trained production books rank
+#: far tighter, so production would run a smaller multiple of k).
+PQ_JOIN_SHORTLIST = 32
+
+
+def knn_join_adc(
+    embeddings: DataFrame,
+    k: int = 3,
+    planes_per_table: int = PLANES_PER_TABLE,
+    n_codes: int = PQ_CODES,
+    shortlist: int = PQ_JOIN_SHORTLIST,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch similarity join with a PQ prefilter (VERDICT r4 #3): the
+    LSH candidate set is ranked by SYMMETRIC PQ distance (SDC) and
+    only each query's ``shortlist`` best candidates reach the exact
+    cosine verify — the expensive stage of the plain batch join, whose
+    cost was (candidates × d) fold multiplies plus two ~0.5 KB-vector
+    fetch joins over the FULL candidate set.
+
+    SDC, not ADC-with-query-tables: with every vector a query, the
+    asymmetric form's per-query distance tables are a corpus-sized
+    (N × M × k) relation, but the symmetric approximation
+    dist(q, n) ≈ Σ_s sdc[s][code_q_s][code_n_s] needs only the
+    codeword-PAIR table — M × k² rows (4×256 here; 64×65536 ≈ 4 MB at
+    production M=64/k=256), broadcastable at ANY corpus size. Ranking
+    candidates costs M int-keyed broadcast lookups each, no vector
+    arithmetic; the codes relation (M small ints per vector) is the
+    only corpus-sized state the prefilter touches.
+
+    Approximate-by-construction and oracle-checkable: codebooks are
+    the deterministic first-``n_codes`` seeds, shortlist ties break on
+    (adc, neighbor_id), and the DuckDB twin reproduces the identical
+    candidate → SDC-shortlist → verify pipeline, so results match
+    bit-for-bit even where the shortlist drops a true neighbor (recall
+    vs brute force is pinned separately in pytest).
+
+    Scale shape: one durable-checkpointed scan stores (vid, uv,
+    buckets, subvectors); candidates equi-join on int (table, bucket)
+    keys; the SDC rank moves (pair, 2×M codes) rows; exact folds and
+    unit-vector fetches touch shortlist×N pairs, not candidate×N.
+    """
+    base = embeddings.withColumn("nrm", norm(F.col(vec_col))).select(
+        F.col(id_col).alias("vid"),
+        unit(F.col(vec_col), F.col("nrm")).alias("uv"),
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    lsh_table_bucket(
+                        F.col(vec_col), t, planes_per_table
+                    ).alias("bkt"),
+                )
+                for t in range(LSH_TABLES)
+            ]
+        ).alias("tbs"),
+        F.array(
+            *[
+                F.slice(F.col(vec_col), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+                for s in range(PQ_SUB)
+            ]
+        ).alias("svs"),
+    )
+    base = materialize(base, durable=True)
+
+    # per-subspace codebooks (n_codes seed rows -> M×k codewords, tiny)
+    cb = base.filter(F.col("vid") < n_codes).select(
+        F.col("vid").alias("code"), F.posexplode("svs").alias("sub", "cw")
+    )
+    # corpus codes: nearest codeword per (vector, subspace), pivoted wide
+    scored = (
+        base.select("vid", F.posexplode("svs").alias("sub", "sv"))
+        .join(F.broadcast(cb), "sub")
+        .withColumn("dist", _l2(F.col("sv"), F.col("cw")))
+    )
+    w_best = Window.partitionBy("vid", "sub").orderBy(
+        F.col("dist").asc(), F.col("code").asc()
+    )
+    codes = (
+        scored.withColumn("__rn", F.row_number().over(w_best))
+        .filter(F.col("__rn") == 1)
+        .groupBy("vid")
+        .agg(
+            *[
+                F.max(F.when(F.col("sub") == s, F.col("code")))
+                .cast("int")
+                .alias(f"c{s}")
+                for s in range(PQ_SUB)
+            ]
+        )
+    )
+    # both the query and neighbor side of the rank join read this
+    codes = materialize(codes, durable=True)
+
+    # symmetric codeword-pair distance table (M×k² rows, broadcast)
+    sdc = (
+        cb.select("sub", F.col("code").alias("ca"), F.col("cw").alias("cwa"))
+        .join(
+            cb.select("sub", F.col("code").alias("cb"), F.col("cw").alias("cwb")),
+            "sub",
+        )
+        .withColumn("d", _l2(F.col("cwa"), F.col("cwb")))
+        .select("sub", "ca", "cb", "d")
+    )
+
+    tb = base.select("vid", F.explode("tbs").alias("tb")).select(
+        "vid", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt")
+    )
+    cand = (
+        tb.select(F.col("vid").alias("query_id"), "tbl", "bkt")
+        .join(tb.select(F.col("vid").alias("neighbor_id"), "tbl", "bkt"), ["tbl", "bkt"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+
+    ranked = cand.join(
+        codes.select(
+            F.col("vid").alias("query_id"),
+            *[F.col(f"c{s}").alias(f"qc{s}") for s in range(PQ_SUB)],
+        ),
+        "query_id",
+    ).join(
+        codes.select(
+            F.col("vid").alias("neighbor_id"),
+            *[F.col(f"c{s}").alias(f"nc{s}") for s in range(PQ_SUB)],
+        ),
+        "neighbor_id",
+    )
+    for s in range(PQ_SUB):
+        sd = sdc.filter(F.col("sub") == s).select(
+            F.col("ca").alias(f"__a{s}"),
+            F.col("cb").alias(f"__b{s}"),
+            F.col("d").alias(f"__d{s}"),
+        )
+        ranked = ranked.join(
+            F.broadcast(sd),
+            (F.col(f"qc{s}") == F.col(f"__a{s}"))
+            & (F.col(f"nc{s}") == F.col(f"__b{s}")),
+        )
+    adc = F.col("__d0")
+    for s in range(1, PQ_SUB):
+        adc = adc + F.col(f"__d{s}")  # fixed subspace order (oracle parity)
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        ranked.withColumn("adc_dist", adc)
+        .withColumn("__srn", F.row_number().over(w_short))
+        .filter(F.col("__srn") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+
+    u = base.select("vid", "uv")
+    verified = (
+        short.join(
+            u.select(F.col("vid").alias("query_id"), F.col("uv").alias("qv")),
+            "query_id",
+        )
+        .join(
+            u.select(F.col("vid").alias("neighbor_id"), F.col("uv").alias("cv")),
+            "neighbor_id",
+        )
+        .withColumn("cosine", dot(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        verified.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", "cosine")
+    )
+
+
+def knn_join_adc_sql(
+    k: int = 3,
+    planes_per_table: int = PLANES_PER_TABLE,
+    n_codes: int = PQ_CODES,
+    shortlist: int = PQ_JOIN_SHORTLIST,
+) -> str:
+    """DuckDB twin of :func:`knn_join_adc` — same candidate
+    generation, same seed codebooks, same fixed-order SDC sum, same
+    shortlist tie-break, same verify."""
+    per_table = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, "
+        f"{lsh_table_bucket_sql('embedding', t, planes_per_table=planes_per_table)}"
+        f" AS bkt, {t} AS tbl FROM embeddings"
+        for t in range(LSH_TABLES)
+    )
+    code_cols = ",\n         ".join(
+        f"MAX(CASE WHEN sub = {s} THEN code END) AS c{s}" for s in range(PQ_SUB)
+    )
+    sdc_joins = "\n  ".join(
+        f"JOIN sdc s{s} ON s{s}.sub = {s} AND s{s}.ca = cq.c{s} AND s{s}.cb = cn.c{s}"
+        for s in range(PQ_SUB)
+    )
+    adc_sum = " + ".join(f"s{s}.d" for s in range(PQ_SUB))
+    return f"""WITH {_UNIT_SQL}, tabs AS (
+  {per_table}
+), cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM tabs q JOIN tabs c
+    ON q.tbl = c.tbl AND q.bkt = c.bkt AND q.vec_id <> c.vec_id
+), {_pq_ctes_sql(n_codes)}, codes AS (
+  SELECT vid, {code_cols} FROM best GROUP BY vid
+), sdc AS (
+  SELECT a.sub, a.code AS ca, b.code AS cb, {_l2_sql("a.cw", "b.cw", PQ_SUBDIM)} AS d
+  FROM cb a JOIN cb b ON a.sub = b.sub
+), short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT c.query_id, c.neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY c.query_id
+               ORDER BY {adc_sum} ASC, c.neighbor_id ASC) AS srn
+    FROM cand c
+    JOIN codes cq ON cq.vid = c.query_id
+    JOIN codes cn ON cn.vid = c.neighbor_id
+    {sdc_joins}
+  ) WHERE srn <= {shortlist}
+)
+SELECT query_id, neighbor_id, rnk, cosine FROM (
+  SELECT query_id, neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY {dot_sql("q.uv", "n.uv")} DESC, neighbor_id ASC) AS INT) AS rnk,
+         {dot_sql("q.uv", "n.uv")} AS cosine
+  FROM short
+  JOIN unitv q ON q.vec_id = query_id
+  JOIN unitv n ON n.vec_id = neighbor_id
+) WHERE rnk <= {k}"""
+
+
 #: nprobe cells searched per query.
 IVF_NPROBE = 2
 

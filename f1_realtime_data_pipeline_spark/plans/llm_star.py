@@ -577,15 +577,19 @@ _register("e_knn_lsh", e_knn_lsh, sim.knn_lsh_sql(16, 5))
 def e_knn_join(spark, sf_dir):
     """Batch similarity JOIN: approximate top-3 neighbors for EVERY
     vector (the retrieval-augmentation / kNN-graph construction shape)
-    — same LSH candidate plan as e_knn_lsh with the query-side filter
-    dropped and WIDER tables (6 planes → 64 buckets: with every vector
-    a query, candidate volume is N·occupancy·tables, so the batch form
-    trades per-table recall for occupancy; at 100 TB derive the count
-    like the near-dup detector). Never N²."""
-    return sim.knn_lsh(_embs(spark, sf_dir), n_queries=None, k=3, planes_per_table=6)
+    — LSH candidates (WIDER 6-plane tables: with every vector a query,
+    candidate volume is N·occupancy·tables, so the batch form trades
+    per-table recall for occupancy; at 100 TB derive the count like
+    the near-dup detector), then a symmetric-PQ (SDC) prefilter ranks
+    candidates by M broadcast table lookups and only each query's
+    shortlist reaches the exact cosine verify — the d-wide folds and
+    ~0.5 KB vector fetches that dominated the plain batch join now
+    touch shortlist×N pairs, not candidate×N (r5; plain path:
+    ``sim.knn_lsh(n_queries=None)``). Never N²."""
+    return sim.knn_join_adc(_embs(spark, sf_dir), k=3, planes_per_table=6)
 
 
-_register("e_knn_join", e_knn_join, sim.knn_lsh_sql(None, 3, planes_per_table=6))
+_register("e_knn_join", e_knn_join, sim.knn_join_adc_sql(3, planes_per_table=6))
 
 
 #: cosine threshold for the near-dup detectors — the production value

@@ -753,6 +753,19 @@ def test_knn_join_covers_corpus_with_recall(spark, sf_dir):
     per_q = Counter(q for q, _ in approx)
     assert max(per_q.values()) <= 3
 
+    # the registered join is the SDC-prefiltered form (r5): same LSH
+    # candidates, PQ shortlist before the exact verify. The shortlist
+    # (32 per query) must not collapse recall below the family floor,
+    # and the per-query cap holds.
+    adc = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.knn_join_adc(embs, k=3, planes_per_table=6).collect()
+    }
+    adc_recall = len(exact & adc) / len(exact)
+    assert adc_recall >= 0.2, f"ADC-join recall collapsed: {adc_recall}"
+    per_q_adc = Counter(q for q, _ in adc)
+    assert max(per_q_adc.values()) <= 3
+
 
 def test_connected_components_never_mutates_session_confs(spark, monkeypatch):
     # ADVICE r2: the iterative CC loop used to flip session-global
