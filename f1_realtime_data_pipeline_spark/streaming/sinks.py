@@ -10,22 +10,28 @@ replays and overlapping batches are no-ops.
 Scale posture: on a real deployment this is Delta ``MERGE INTO`` keyed
 on (session_key, driver_number) — transactional, concurrent-writer
 safe, and the anti-join is a metadata-pruned merge instead of a full
-key scan. Delta isn't on this container's classpath, so the parquet
-variant implements the same contract for a single streaming writer
-(which is exactly Structured Streaming's execution model — one query,
-serial epochs). A JDBC mirror (S5) stays available via
-``jdbc_append_writer`` for reference parity.
+key scan. Delta isn't on this container's classpath, so two variants
+implement the contract here: :func:`idempotent_parquet_sink` (plain
+partitioned parquet, single streaming writer — exactly Structured
+Streaming's execution model) and :func:`transactional_parquet_sink`
+(r5), the same semantics on the atomic-manifest format
+(:mod:`~f1_realtime_data_pipeline_spark.sources.manifest`) so
+concurrent READERS get snapshot isolation and the anti-join prunes by
+commit metadata instead of directory listing. A JDBC mirror (S5)
+stays available via ``jdbc_append_writer`` for reference parity.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable, Sequence
+from uuid import uuid4
 
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from f1_realtime_data_pipeline_spark.operators.aggregations import dedup_first_wins
+from f1_realtime_data_pipeline_spark.sources import manifest
 
 #: key-hash partition count for the idempotent sink. Each micro-batch
 #: anti-joins only against the sink partitions its own keys hash into,
@@ -93,14 +99,20 @@ def idempotent_parquet_sink(
                 r[0] for r in deduped.select(_BUCKET_COL).distinct().collect()
             ]
             batch = deduped
-            try:
-                existing = pruned_sink_keys(
-                    batch_df.sparkSession, sink_path, keys, batch_buckets
-                )
-                batch = batch.join(existing, keys, "left_anti")
-            except AnalysisException:
-                # no sink yet (or no readable footers): first-epoch append
-                pass
+            # first-epoch probe via the Hadoop FileSystem API — an
+            # exists() check, not a speculative read whose
+            # AnalysisException stack lands in every first-epoch log
+            fs, root = manifest.fs_for(batch_df.sparkSession, sink_path)
+            if fs.exists(root):
+                try:
+                    existing = pruned_sink_keys(
+                        batch_df.sparkSession, sink_path, keys, batch_buckets
+                    )
+                    batch = batch.join(existing, keys, "left_anti")
+                except AnalysisException:
+                    # dir exists but holds no readable footers (a
+                    # partially failed first epoch): plain append
+                    pass
             batch.write.mode("append").partitionBy(_BUCKET_COL).parquet(sink_path)
         finally:
             deduped.unpersist()
@@ -122,6 +134,114 @@ def pruned_sink_keys(
         .filter(F.col(_BUCKET_COL).isin(list(buckets)))
         .select(*keys)
     )
+
+
+def transactional_parquet_sink(
+    sink_path: str,
+    keys: Sequence[str],
+    order_cols: Sequence[str] | None = None,
+    n_buckets: int = SINK_BUCKETS,
+) -> Callable[[DataFrame, int], None]:
+    """:func:`idempotent_parquet_sink` semantics on the atomic-manifest
+    table format (:mod:`~f1_realtime_data_pipeline_spark.sources.
+    manifest`) — the transactional upgrade SCALE.md promised for the
+    lakehouse call site.
+
+    Per epoch: dedup first-wins within the batch, anti-join against
+    the keys of the CURRENT COMMITTED SNAPSHOT (pruned by the
+    manifest's bucket metadata to the batch's own buckets — no file
+    listing of the rest of the sink), write survivors to an immutable
+    ``data/epoch-<id>/`` directory laid out by key bucket, then commit
+    snapshot v+1 by exclusive manifest creation. Readers
+    (:func:`read_sink_snapshot`) resolve a committed manifest and read
+    only its files, so a reader concurrent with a commit sees either
+    all of the epoch or none of it — never a half-written directory,
+    which the plain-parquet sink cannot guarantee (its readers list
+    the directory tree live).
+
+    Replay story: every attempt writes an ATTEMPT-UNIQUE directory
+    (``epoch-<id>-<nonce>``) — committed directories are immutable and
+    never rewritten (a replay must not overwrite data an earlier
+    attempt committed, even with "the same" epoch id: after a
+    checkpoint loss epoch numbering restarts, so an id does not
+    identify a batch). A replay after a successful commit anti-joins
+    to zero rows and skips the commit, leaving only an empty orphan
+    attempt dir; a crash between data write and commit leaves a full
+    orphan and the replay commits its own attempt. Orphans are
+    invisible to readers (no manifest references them) and
+    :func:`~f1_realtime_data_pipeline_spark.sources.manifest.vacuum`
+    reclaims them. Single serial writer (Structured Streaming's model): a
+    lost commit race means another writer — raise instead of silently
+    dropping an epoch (multi-writer deployments re-read and retry the
+    conflict, the Delta protocol)."""
+    keys = list(keys)
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if order_cols is not None:
+            order = [F.col(c).asc() for c in order_cols]
+        else:
+            non_key = sorted(c for c in batch_df.columns if c not in keys)
+            order = [F.col(c).asc() for c in (non_key or keys)]
+        deduped = dedup_first_wins(batch_df, keys, order).withColumn(
+            _BUCKET_COL, _key_bucket(keys, n_buckets)
+        )
+        deduped.persist()
+        try:
+            batch_buckets = [
+                r[0] for r in deduped.select(_BUCKET_COL).distinct().collect()
+            ]
+            version, entries = manifest.resolve_snapshot(spark, sink_path)
+            batch = deduped
+            existing = manifest.read_snapshot(
+                spark, sink_path, buckets=batch_buckets
+            )
+            if existing is not None:
+                batch = batch.join(existing.select(*keys), keys, "left_anti")
+            epoch_rel = f"data/epoch-{epoch_id:012d}-{uuid4().hex[:8]}"
+            batch.write.partitionBy(_BUCKET_COL).parquet(
+                f"{sink_path}/{epoch_rel}"
+            )
+            # enumerate what the write actually produced: an all-dup
+            # epoch yields no bucket dirs -> nothing to commit (replay)
+            fs, edir = manifest.fs_for(spark, f"{sink_path}/{epoch_rel}")
+            new_entries = sorted(
+                (
+                    {
+                        "path": f"{epoch_rel}/{name}",
+                        "bucket": int(name.split("=", 1)[1]),
+                    }
+                    for st in fs.listStatus(edir)
+                    if (name := st.getPath().getName()).startswith(
+                        f"{_BUCKET_COL}="
+                    )
+                ),
+                key=lambda e: e["path"],
+            )
+            if not new_entries:
+                return
+            if not manifest.commit_snapshot(
+                spark, sink_path, version + 1, entries + new_entries
+            ):
+                raise RuntimeError(
+                    f"lost commit race for {sink_path} v{version + 1}: "
+                    "another writer is active on a single-writer sink"
+                )
+        finally:
+            deduped.unpersist()
+
+    return write
+
+
+def read_sink_snapshot(spark, sink_path: str) -> DataFrame:
+    """Consistent read of a :func:`transactional_parquet_sink` table:
+    the latest committed snapshot's files, resolved at call time —
+    immutable under concurrent commits. Raises ``ValueError`` before
+    the first commit."""
+    df = manifest.read_snapshot(spark, sink_path)
+    if df is None:
+        raise ValueError(f"no committed snapshot at {sink_path}")
+    return df
 
 
 def jdbc_append_writer(
