@@ -784,6 +784,35 @@ FROM documents""",
 )
 
 
+def m_jpeg_meta(spark, sf_dir):
+    """JPEG twin of m_decoded_meta (r5, VERDICT #5): every doc gets a
+    genuinely valid grayscale JFIF payload — even ids baseline SOF0,
+    odd progressive SOF2 — and Spark recovers mode/width/height by
+    walking the real marker stream (multimodal.decode_jpeg) while the
+    oracle recomputes them from the doc_id formulas. size_bytes pins
+    encoder and decoder against each other: Spark measures the actual
+    bytes, the oracle evaluates the closed header+entropy formula."""
+    return mm.decode_jpeg_meta(mm.attach_jpeg_payload(_docs(spark, sf_dir)))
+
+
+_register(
+    "m_jpeg_meta",
+    m_jpeg_meta,
+    f"""SELECT doc_id, 'jpeg' AS fmt,
+       {mm.JPEG_MODE_SQL} AS mode,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(nm AS INT) AS n_mcu,
+       CAST(CASE WHEN doc_id % 2 = 0
+                 THEN {mm.JPEG_HEADER_BASELINE} + (2 * nm + 7) // 8
+                 ELSE {mm.JPEG_HEADER_PROGRESSIVE} + (nm + 7) // 8
+            END AS INT) AS size_bytes
+FROM (
+  SELECT doc_id, w, h, ((w + 7) // 8) * ((h + 7) // 8) AS nm
+  FROM (SELECT doc_id, {mm.JPEG_W_SQL} AS w, {mm.JPEG_H_SQL} AS h FROM documents)
+)""",
+)
+
+
 def m_frame_sample(spark, sf_dir):
     """Frame sampling (every 2nd frame) through the Arrow mapInPandas
     path — the frame count comes from REALLY decoding each payload

@@ -231,6 +231,46 @@ def test_decode_image_golden_bytes():
         mm.decode_image(b"not an image at all")
 
 
+def test_jpeg_codec_roundtrip_and_golden():
+    """r5 JPEG support: the fixture encoder emits structurally valid
+    JFIF (SOI/JFIF-APP0/DQT/SOF/DHT/SOS/entropy/EOI) and the marker
+    walk recovers mode+dims; size matches the closed formula the
+    oracle uses; truncated/corrupt streams raise ValueError."""
+    jb = mm.encode_jpeg(20, 10, progressive=False)
+    assert jb[:2] == b"\xff\xd8" and jb[-2:] == b"\xff\xd9"
+    assert jb[2:4] == b"\xff\xe0" and jb[6:11] == b"JFIF\x00"
+    assert mm.decode_jpeg(jb) == ("baseline", 20, 10)
+    assert mm.decode_image(jb) == ("jpeg", 20, 10, 1)
+    jp = mm.encode_jpeg(20, 10, progressive=True)
+    assert mm.decode_jpeg(jp) == ("progressive", 20, 10)
+
+    # closed size formula (what m_jpeg_meta's oracle evaluates)
+    for w, h, prog, hdr, bpm in [
+        (20, 10, False, mm.JPEG_HEADER_BASELINE, 2),
+        (20, 10, True, mm.JPEG_HEADER_PROGRESSIVE, 1),
+        (199, 149, False, mm.JPEG_HEADER_BASELINE, 2),
+        (1, 1, True, mm.JPEG_HEADER_PROGRESSIVE, 1),
+    ]:
+        nmcu = ((w + 7) // 8) * ((h + 7) // 8)
+        assert len(mm.encode_jpeg(w, h, prog)) == hdr + (bpm * nmcu + 7) // 8
+
+    # roundtrip across the fixture's whole shape domain
+    for doc_id in range(0, 600, 7):
+        mode, w, h = mm.jpeg_meta_for(doc_id)
+        assert mm.decode_jpeg(
+            mm.encode_jpeg(w, h, progressive=mode == "progressive")
+        ) == (mode, w, h)
+
+    with pytest.raises(ValueError):
+        mm.decode_jpeg(b"\xff\xd8\xff\xe0\x00")  # truncated segment header
+    with pytest.raises(ValueError):
+        mm.decode_jpeg(jb[:20])  # truncated mid-segment
+    with pytest.raises(ValueError):
+        mm.decode_jpeg(b"\xff\xd8" + b"\x00" * 8)  # bad marker stream
+    with pytest.raises(ValueError):
+        mm.decode_jpeg(b"\xff\xd8\xff\xd9")  # EOI before any SOF
+
+
 def test_decode_malformed_raises_valueerror_not_indexerror():
     """ADVICE r4: corrupt/truncated media must raise the documented
     ValueError (a typed, filterable worker error) — never IndexError /
