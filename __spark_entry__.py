@@ -28,19 +28,20 @@ from f1_realtime_data_pipeline_spark.plans import (
 )
 
 # Registration order is part of the verification contract: the driver
-# checks the FIRST 50 registered queries each round. Rounds 1-3
-# covered all 132 registered queries at least once (r1: contract/
-# inventory/tpch head; r2: llm_star + windows_star; r3: llm_ext +
-# tpch_ext tail). Round 4 leads with _WINDOW_HEAD: every query whose
-# plan or oracle changed this round — the round-3 stale trio
-# (j_anti, e_cosine_neardup, e_neardup_clusters — edited after their
-# last driver row), the single-scan LSH/standings rewrites, the
-# localCheckpoint'd k-means family, the real-codec multimodal queries
-# (now fully oracle-checked instead of rows-only), the new
-# forced-iterative CC variant, and the one permanently-approximate
-# rows-only entry (a_approx_distinct) so its rows row stays fresh.
-# The remaining window slots fill from the families whose last driver
-# check is oldest (round 1: inventory_star → tpch → tpch_ext).
+# checks the FIRST 50 registered queries each round. Rounds 1-4
+# covered all 139 previously-registered queries at least once.
+# Round 5 leads with _WINDOW_HEAD: every query whose plan or oracle
+# changed this round — the distributed-rank rewrite
+# (t_shuffle_order), the SDC-prefiltered batch kNN join (e_knn_join,
+# new plan AND new oracle), the new JPEG codec query (m_jpeg_meta),
+# every similarity query rerouted through the durable materialize()
+# helper (e_knn_lsh, e_cosine_neardup, e_neardup_clusters,
+# e_semdedup, e_kmeans, e_knn_ivf_trained), the hardened media
+# decoders (m_decoded_meta, m_frame_sample, m_audio_meta), and the
+# one permanently-approximate rows-only entry (a_approx_distinct) so
+# its rows row stays fresh. The remaining ~36 window slots backfill
+# from the families whose last driver check is oldest (round 1:
+# inventory_star → tpch head).
 _QUERY_MODULES = [
     inventory_star,
     tpch,
@@ -56,30 +57,19 @@ _QUERY_MODULES = [
 #: round (KeyError at import if a name disappears — the rotation list
 #: cannot silently go stale).
 _WINDOW_HEAD = [
-    "j_anti",
+    "t_shuffle_order",
+    "e_knn_join",
+    "m_jpeg_meta",
+    "e_knn_lsh",
     "e_cosine_neardup",
     "e_neardup_clusters",
-    "e_cosine_neardup_exact",
-    "e_knn_lsh",
     "e_semdedup",
     "e_kmeans",
     "e_knn_ivf_trained",
-    "q1_standings",
-    "q2_champion",
-    "q4_podium",
-    "m_byte_stats",
     "m_decoded_meta",
-    "m_resize_plan",
     "m_frame_sample",
-    "d_dup_clusters_iter",
-    "a_approx_distinct",
-    "p_skew_profile",
-    "d_containment",
-    "e_knn_join",
     "m_audio_meta",
-    "o_compaction_plan",
-    "e_pq_codes",
-    "e_knn_pq",
+    "a_approx_distinct",
 ]
 
 
