@@ -12,8 +12,11 @@ walks ``information_schema`` and cascade-drops everything non-system
   is Delta ``MERGE INTO``; the DataFrame form is the engine-portable
   semantics and the oracle-checkable one.
 - S8 → :func:`create_table_if_not_exists`: catalog DDL via spark.sql.
-- S9 → :func:`list_user_tables` / :func:`drop_all_user_tables`:
-  ``spark.catalog`` introspection instead of information_schema.
+- S9 → :func:`list_user_tables` / :func:`drop_all_user_tables` /
+  :func:`drop_cascade`: ``spark.catalog`` introspection instead of
+  information_schema; CASCADE dependency semantics (Postgres's
+  pg_depend walk) recovered from ANALYZED Catalyst plans — the
+  resolver itself names every relation a view reads.
 
 Scale posture: upsert shuffles once on the key; the updates side of a
 dimension upsert is usually tiny → broadcastable, and the window
@@ -75,14 +78,121 @@ def list_user_tables(spark: SparkSession, database: str | None = None) -> list[s
 
 def drop_all_user_tables(spark: SparkSession, database: str | None = None) -> list[str]:
     """S9b: cascade-drop every user table (reset_postgres.py:35-45).
-    Returns the dropped names, newest-created last-dropped order not
-    guaranteed (matches the reference, which iterates a catalog query).
+    Views drop first (a view is the only catalog object that can
+    depend on a table here), then tables — so no intermediate state
+    has a dangling view. Returns the dropped names in drop order.
+
+    For a whole-database reset Spark has the native statement —
+    ``DROP DATABASE db CASCADE`` — which this mirrors for the default
+    database (not droppable itself).
     """
-    names = list_user_tables(spark, database)
     prefix = f"{database}." if database else ""
-    for name in names:
+    tables = [
+        t
+        for t in spark.catalog.listTables(database)
+        if not t.isTemporary
+    ]
+    views = [t.name for t in tables if t.tableType == "VIEW"]
+    plain = [t.name for t in tables if t.tableType != "VIEW"]
+    for name in views:
+        spark.sql(f"DROP VIEW IF EXISTS {prefix}{name}")
+    for name in plain:
         spark.sql(f"DROP TABLE IF EXISTS {prefix}{name}")
-    return names
+    return views + plain
+
+
+def _walk_plan(node):
+    """Depth-first walk of a Catalyst TreeNode via py4j."""
+    yield node
+    children = node.children()
+    for i in range(children.size()):
+        yield from _walk_plan(children.apply(i))
+
+
+def _norm_ident(ident: str) -> str:
+    """``spark_catalog``.``default``.``t`` → spark_catalog.default.t"""
+    return ident.replace("`", "")
+
+
+def relation_dependencies(spark: SparkSession, name: str) -> set[str]:
+    """Every catalog relation (table or view, qualified) the ANALYZED
+    plan of ``name`` reads. Resolution-accurate by construction — the
+    same resolver that would run the view runs here, so quoting,
+    current-database, CTE shadowing etc. are all handled; no SQL-text
+    regexes (the reference's information_schema walk gets this from
+    Postgres's pg_depend, reset_postgres.py:22-45). Analyzed plans
+    inline views, so TRANSITIVE dependencies appear directly.
+    """
+    # the view's own View node is in its plan, so `name` itself
+    # appears in the result — harmless for the cascade check, which
+    # excludes the target from the candidate list
+    plan = spark.table(name)._jdf.queryExecution().analyzed()
+    deps: set[str] = set()
+    for n in _walk_plan(plan):
+        cls = n.getClass().getSimpleName()
+        if cls == "View":
+            deps.add(_norm_ident(n.desc().identifier().toString()))
+        elif cls == "LogicalRelation":
+            ct = n.catalogTable()
+            if ct.isDefined():
+                deps.add(_norm_ident(ct.get().identifier().toString()))
+        elif cls == "HiveTableRelation":
+            deps.add(_norm_ident(n.tableMeta().identifier().toString()))
+    return deps
+
+
+def drop_cascade(spark: SparkSession, name: str) -> list[str]:
+    """``DROP ... CASCADE``: drop every view (temp or persistent, any
+    database) whose plan reads ``name`` — directly or transitively —
+    then ``name`` itself. Returns qualified names in drop order.
+
+    Spark's own ``DROP TABLE`` leaves dependent views dangling (they
+    fail at next resolution); Postgres CASCADE removes them — this
+    restores that contract on the Spark catalog. Views that ALREADY
+    fail analysis (dangling from an earlier non-cascade drop) cannot
+    be attributed to ``name`` and are left alone. Catalog-only
+    operation: cost is one analysis per view, no job runs.
+    """
+    cur_db = spark.catalog.currentDatabase()
+    target = name if "." in name else f"{cur_db}.{name}"
+    target_q = f"spark_catalog.{target}"
+    candidates: list[tuple[str, str, bool]] = []  # (qualified, ref, temp)
+    for db in [d.name for d in spark.catalog.listDatabases()]:
+        for t in spark.catalog.listTables(db):
+            if t.isTemporary and t.database is None:
+                continue  # global temp listing dups per-db; handled below
+            if t.tableType == "VIEW":
+                q = f"{t.database}.{t.name}"
+                candidates.append((q, q, False))
+    for t in spark.catalog.listTables():  # temp views, database=None
+        if t.isTemporary:
+            candidates.append((t.name, t.name, True))
+    # resolve EVERY candidate's dependency set BEFORE the first drop:
+    # dropping pv1 mid-walk would make pv2 (a view over pv1) fail
+    # analysis and silently dodge the cascade
+    to_drop: list[tuple[str, str]] = []
+    for qualified, ref, temp in candidates:
+        if qualified in (target, target_q):
+            continue
+        try:
+            deps = relation_dependencies(spark, ref)
+        except Exception:  # noqa: BLE001 — dangling view, not ours
+            continue
+        if target_q in deps or target in deps or (temp and name in deps):
+            to_drop.append((qualified, ref))
+    dropped: list[str] = []
+    for qualified, ref in to_drop:
+        spark.sql(f"DROP VIEW IF EXISTS {ref}")
+        dropped.append(qualified)
+    is_view = any(
+        t.name == target.split(".")[-1] and t.tableType == "VIEW"
+        for t in spark.catalog.listTables(target.rsplit(".", 1)[0])
+    )
+    spark.sql(
+        f"DROP {'VIEW' if is_view else 'TABLE'} IF EXISTS {target}"
+    )
+    dropped.append(target)
+    return dropped
 
 
 def write_partitioned(
