@@ -105,6 +105,56 @@ def build_scaled(spark, base: str, out: str, k: int) -> str:
     return dst
 
 
+#: fact tables tiled K× with per-copy key offsets; every key column
+#: that participates in a join gets the SAME +c*COPY_OFF shift, so
+#: each copy is a self-contained, referentially-intact TPC-H instance.
+#: nation/region are NOT tiled — dimension tables stay fixed-size as a
+#: warehouse scales (that is how TPC-H itself defines SF growth), so
+#: fact→dim join fan-in grows 10× per dim key, the honest skew shape.
+_FACT_KEYS = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "events": ["event_id", "user_id"],
+}
+
+
+def build_scaled_relational(spark, base: str, out: str, k: int) -> str:
+    """Tile the TPC-H facts + events K× into the same k{K} dir.
+
+    events.parquet is read through read_events (the generator writes
+    TIMESTAMP(NANOS); the reader normalizes to micros TimestampType)
+    and re-written with plain micros — read_events handles both
+    physical types, so downstream plans are unchanged.
+    """
+    from f1_realtime_data_pipeline_spark.sources.parquet import read_table
+
+    dst = f"{out}/k{k}"
+    os.makedirs(dst, exist_ok=True)
+    if os.path.exists(f"{dst}/_OK_REL"):
+        return dst
+    for tbl, keys in _FACT_KEYS.items():
+        src = read_table(spark, base, tbl)
+        parts = []
+        for c in range(k):
+            p = src
+            for key in keys:
+                p = p.withColumn(key, F.col(key) + F.lit(c * COPY_OFF))
+            parts.append(p)
+        tiled = parts[0]
+        for p in parts[1:]:
+            tiled = tiled.unionAll(p)
+        tiled.write.mode("overwrite").parquet(f"{dst}/{tbl}.parquet")
+    for tbl in ("nation", "region"):
+        spark.read.parquet(f"{base}/{tbl}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{dst}/{tbl}.parquet")
+    open(f"{dst}/_OK_REL", "w").close()
+    return dst
+
+
 def sweep_queries(spark, sf_dir: str):
     """(name, thunk) pairs for the five most expensive operators.
     e_cosine_neardup uses the operator-default derived plane count
@@ -134,10 +184,41 @@ def main() -> int:
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/tmp/spark_graft_sweep")
+    ap.add_argument(
+        "--bench",
+        action="store_true",
+        help="after tiling ALL tables (facts + docs/embs), run the full "
+        "bench.py HEADLINE at each K in a fresh process (one JSON line "
+        "per K, same shape as BENCH_r{N}) — the decade point for the "
+        "entire suite, not just the dedup/similarity sweep set",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
     spark = get_spark("scale_sweep")
+    if args.bench:
+        import subprocess
+
+        for k in args.copies:
+            sf_dir = build_scaled(spark, args.base, args.out, k)
+            build_scaled_relational(spark, args.base, args.out, k)
+            env = dict(
+                os.environ,
+                SPARK_GRAFT_SF_DIR=sf_dir,
+                SPARK_GRAFT_BENCH_RUNS=os.environ.get(
+                    "SPARK_GRAFT_BENCH_RUNS", "1"
+                ),
+            )
+            proc = subprocess.run(
+                [sys.executable, "/root/repo/bench.py"],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            line = proc.stdout.strip().splitlines()[-1]
+            print(json.dumps({"k": k, **json.loads(line)}), flush=True)
+        return 0
     for k in args.copies:
         sf_dir = build_scaled(spark, args.base, args.out, k)
         n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
