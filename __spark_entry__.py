@@ -60,6 +60,7 @@ _WINDOW_HEAD = [
     "t_shuffle_order",
     "e_knn_join",
     "m_jpeg_meta",
+    "m_video_meta",
     "e_knn_lsh",
     "e_cosine_neardup",
     "e_neardup_clusters",

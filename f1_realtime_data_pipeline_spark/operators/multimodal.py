@@ -468,6 +468,300 @@ JPEG_HEADER_PROGRESSIVE = len(encode_jpeg(1, 1, progressive=True)) - 1
 
 
 # ---------------------------------------------------------------------------
+# MP4 / ISO BMFF video (r5): fixture encoder + box-walk decode. The
+# container every video training corpus ingests; the box walk below
+# (size/type headers, container recursion, mvhd/tkhd/stts/stsz sample
+# tables) is the identical traversal mp4box/ffprobe perform for
+# metadata. The CONTAINER structure is fully valid — every box size
+# correct, sample tables mutually consistent with the mdat payload —
+# while the codec-config payload (avcC) is a minimal stub, same
+# contract as the JPEG fixtures' all-zero entropy stream.
+# ---------------------------------------------------------------------------
+
+#: video fixture formulas (doc_id → MP4 shape), the oracle's side of
+#: the contract. Dims are multiples of 16 (whole macroblocks);
+#: timescale ∈ {1000, 2000, 3000} (all divisible by 8, so the fixed
+#: 8 fps frame delta is exact in timescale units).
+VIDEO_W_SQL = "CAST(16 * (1 + (doc_id * 3) % 20) AS INT)"
+VIDEO_H_SQL = "CAST(16 * (1 + (doc_id * 7) % 15) AS INT)"
+VIDEO_TIMESCALE_SQL = "CAST(1000 * (1 + doc_id % 3) AS INT)"
+VIDEO_FRAMES_SQL = "CAST(8 + (doc_id * 13) % 56 AS INT)"
+
+#: fixed stsz sample size → the mdat payload has the closed size
+#: formula MP4_HEADER_BYTES + VIDEO_SAMPLE_BYTES·n_frames
+VIDEO_SAMPLE_BYTES = 16
+
+
+def video_meta_for(doc_id: int) -> tuple[int, int, int, int]:
+    """(width, height, timescale, n_frames) the MP4 fixture encodes —
+    Python twin of the ``VIDEO_*_SQL`` formulas."""
+    return (
+        16 * (1 + (doc_id * 3) % 20),
+        16 * (1 + (doc_id * 7) % 15),
+        1000 * (1 + doc_id % 3),
+        8 + (doc_id * 13) % 56,
+    )
+
+
+def _box(typ: bytes, payload: bytes) -> bytes:
+    """ISO BMFF box: 32-bit size (incl. 8-byte header) + fourcc."""
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+_MVHD_MATRIX = struct.pack(
+    ">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+)
+
+
+def _avc1_entry(w: int, h: int) -> bytes:
+    """Visual sample entry (avc1) with a minimal avcC config stub."""
+    avcc = _box(
+        b"avcC",
+        bytes([1, 0x42, 0x00, 0x1E, 0xFF, 0xE0, 0x00]),  # ver/profile/level, 0 SPS/PPS
+    )
+    return _box(
+        b"avc1",
+        b"\x00" * 6  # reserved
+        + struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 16  # predefined/reserved
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x480000, 0x480000)  # 72 dpi
+        + b"\x00" * 4
+        + struct.pack(">H", 1)  # frame count per sample
+        + b"\x00" * 32  # compressor name
+        + struct.pack(">Hh", 24, -1)  # depth, predefined
+        + avcc,
+    )
+
+
+def encode_mp4(
+    w: int, h: int, timescale: int, n_frames: int, seed: int = 0
+) -> bytes:
+    """Structurally valid single-video-track MP4 (isom brand).
+
+    One chunk holds all samples at a fixed 8 fps frame delta and a
+    fixed per-sample byte size, so stts/stsc/stsz are single-entry
+    tables and the total size is a closed formula. The stco chunk
+    offset is the ABSOLUTE file offset of the mdat payload — computed
+    by assembling moov once with 0 (its length is constant), then
+    rebuilding with the real offset, the standard two-pass layout."""
+    delta = timescale // 8
+    duration = n_frames * delta
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
+
+    def moov(chunk_off: int) -> bytes:
+        mvhd = _box(
+            b"mvhd",
+            struct.pack(">I", 0)  # version 0 + flags
+            + struct.pack(">IIII", 0, 0, timescale, duration)
+            + struct.pack(">IHH", 0x10000, 0x100, 0)  # rate, volume, rsvd
+            + b"\x00" * 8
+            + _MVHD_MATRIX
+            + b"\x00" * 24
+            + struct.pack(">I", 2),  # next track id
+        )
+        tkhd = _box(
+            b"tkhd",
+            struct.pack(">I", 3)  # version 0, flags: enabled|in-movie
+            + struct.pack(">IIIII", 0, 0, 1, 0, duration)
+            + b"\x00" * 8
+            + struct.pack(">HHHH", 0, 0, 0, 0)  # layer/group/volume/rsvd
+            + _MVHD_MATRIX
+            + struct.pack(">II", w << 16, h << 16),  # 16.16 fixed
+        )
+        mdhd = _box(
+            b"mdhd",
+            struct.pack(">I", 0)
+            + struct.pack(">IIII", 0, 0, timescale, duration)
+            + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+        )
+        hdlr = _box(
+            b"hdlr",
+            struct.pack(">II", 0, 0) + b"vide" + b"\x00" * 12 + b"VideoHandler\x00",
+        )
+        stbl = _box(
+            b"stbl",
+            _box(b"stsd", struct.pack(">II", 0, 1) + _avc1_entry(w, h))
+            + _box(b"stts", struct.pack(">IIII", 0, 1, n_frames, delta))
+            + _box(b"stsc", struct.pack(">IIIII", 0, 1, 1, n_frames, 1))
+            + _box(b"stsz", struct.pack(">III", 0, VIDEO_SAMPLE_BYTES, n_frames))
+            + _box(b"stco", struct.pack(">III", 0, 1, chunk_off)),
+        )
+        minf = _box(
+            b"minf",
+            _box(b"vmhd", struct.pack(">IHHHH", 1, 0, 0, 0, 0))
+            + _box(
+                b"dinf",
+                _box(b"dref", struct.pack(">II", 0, 1) + _box(b"url ", struct.pack(">I", 1))),
+            )
+            + stbl,
+        )
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        trak = _box(b"trak", tkhd + mdia)
+        return _box(b"moov", mvhd + trak)
+
+    moov_len = len(moov(0))
+    body = moov(len(ftyp) + moov_len + 8)
+    data = bytes(
+        (seed * 31 + i) % 256 for i in range(n_frames * VIDEO_SAMPLE_BYTES)
+    )
+    return ftyp + body + _box(b"mdat", data)
+
+
+def video_payload_for(doc_id: int) -> bytes:
+    w, h, ts, nf = video_meta_for(doc_id)
+    return encode_mp4(w, h, ts, nf, seed=doc_id)
+
+
+#: boxes that contain other boxes (recursion set for the walk)
+_BMFF_CONTAINERS = frozenset(
+    {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"dinf", b"edts", b"udta"}
+)
+
+
+def _bmff_boxes(payload: bytes, start: int, end: int, path: tuple = ()):
+    """Yield (path, fourcc, body_start, body_end) for every box,
+    recursing into containers. Bounds-checked: a size running past the
+    buffer or below the header size raises ``ValueError`` (typed
+    worker error, same contract as the other decoders)."""
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("truncated MP4 box header")
+        (size,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                raise ValueError("truncated MP4 largesize box")
+            (size,) = struct.unpack(">Q", payload[pos + 8 : pos + 16])
+            body = pos + 16
+        elif size == 0:  # to end of enclosing scope
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            raise ValueError("MP4 box size out of bounds")
+        yield path, typ, body, pos + size
+        if typ in _BMFF_CONTAINERS:
+            yield from _bmff_boxes(payload, body, pos + size, path + (typ,))
+        pos += size
+
+
+def decode_mp4(payload: bytes) -> tuple[int, int, int, int, int]:
+    """(width, height, timescale, n_frames, duration_ms) from real ISO
+    BMFF bytes — the ffprobe/mp4box metadata traversal: top-level box
+    walk to moov, mvhd for timescale/duration (version 0 and 1
+    layouts), the VIDEO track's tkhd for 16.16 dimensions (selected by
+    its mdia/hdlr handler — an audio or hint track never wins), stts
+    sample-count sum for the frame count. Raises ``ValueError`` on a
+    non-BMFF or truncated/corrupt container."""
+    if len(payload) < 8 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF file (no ftyp)")
+    ts = dur = None
+    w = h = None
+    n_frames = 0
+    cur_tkhd: tuple[int, int] | None = None  # last tkhd dims in this trak
+    trak_frames = 0
+    in_video_trak = False
+
+    def close_trak():
+        nonlocal w, h, n_frames, cur_tkhd, trak_frames, in_video_trak
+        if in_video_trak and cur_tkhd is not None and w is None:
+            w, h = cur_tkhd
+            n_frames = trak_frames
+        cur_tkhd, trak_frames, in_video_trak = None, 0, False
+
+    for path, typ, b0, b1 in _bmff_boxes(payload, 0, len(payload)):
+        if typ == b"trak":
+            close_trak()
+        elif typ == b"mvhd":
+            ver = payload[b0]
+            if ver == 1:
+                ts, dur = struct.unpack(">IQ", payload[b0 + 20 : b0 + 32])
+            else:
+                ts, dur = struct.unpack(">II", payload[b0 + 12 : b0 + 20])
+        elif typ == b"tkhd" and path[-1:] == (b"trak",):
+            off = b1 - 8  # width/height are the LAST 8 bytes either version
+            tw, th = struct.unpack(">II", payload[off : off + 8])
+            cur_tkhd = (tw >> 16, th >> 16)
+        elif typ == b"hdlr" and path[-1:] == (b"mdia",):
+            if payload[b0 + 8 : b0 + 12] == b"vide":
+                in_video_trak = True
+        elif typ == b"stts":
+            (n_entries,) = struct.unpack(">I", payload[b0 + 4 : b0 + 8])
+            if b0 + 8 + 8 * n_entries > b1:
+                raise ValueError("truncated stts table")
+            trak_frames = sum(
+                struct.unpack(">I", payload[b0 + 8 + 8 * i : b0 + 12 + 8 * i])[0]
+                for i in range(n_entries)
+            )
+    close_trak()
+    if ts is None or dur is None:
+        raise ValueError("MP4 missing mvhd")
+    if w is None:
+        raise ValueError("MP4 has no video track")
+    return (w, h, ts, n_frames, dur * 1000 // ts)
+
+
+def attach_video_payload(docs: DataFrame) -> DataFrame:
+    """Video fixture adapter: (doc_id, payload, mime) with genuinely
+    box-walkable MP4 bytes per :func:`video_meta_for` (Arrow-batched,
+    like the other fixture adapters)."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [video_payload_for(int(i)) for i in ids],
+                    "mime": ["video/mp4"] * len(ids),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        build, "doc_id bigint, payload binary, mime string"
+    )
+
+
+VIDEO_SCHEMA = (
+    "doc_id bigint, fmt string, width int, height int, timescale int,"
+    " n_frames int, duration_ms int, size_bytes int"
+)
+
+
+def decode_video_meta(media: DataFrame) -> DataFrame:
+    """Arrow-batched MP4 metadata decode → ``VIDEO_SCHEMA``. Dims /
+    timescale / frame count come from walking the actual box tree;
+    size_bytes measures the real payload (the oracle recomputes it
+    from the closed header+mdat formula, pinning encoder and decoder
+    against each other)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decode_mp4(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "fmt": ["mp4"] * len(decoded),
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "timescale": [d[2] for d in decoded],
+                    "n_frames": [d[3] for d in decoded],
+                    "duration_ms": [d[4] for d in decoded],
+                    "size_bytes": [len(p) for p in pdf["payload"]],
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(decode, VIDEO_SCHEMA)
+
+
+#: everything except the mdat payload bytes — constant across shapes
+#: (single-entry sample tables), exposed for the oracle's closed size
+#: formula: size_bytes = MP4_HEADER_BYTES + VIDEO_SAMPLE_BYTES·n_frames
+MP4_HEADER_BYTES = len(encode_mp4(16, 16, 1000, 0))
+
+
+# ---------------------------------------------------------------------------
 # the decoder (engine side)
 # ---------------------------------------------------------------------------
 

@@ -813,6 +813,35 @@ FROM (
 )
 
 
+def m_video_meta(spark, sf_dir):
+    """Video twin of m_decoded_meta (r5): every doc gets a
+    structurally valid single-track MP4 and Spark recovers dims /
+    timescale / frame count / duration by walking the real ISO-BMFF
+    box tree (multimodal.decode_mp4 — mvhd, the video trak's tkhd
+    selected via its hdlr, the stts sample-count sum) while the oracle
+    recomputes them from the doc_id formulas. size_bytes pins encoder
+    and decoder: Spark measures the actual bytes, the oracle evaluates
+    the closed header+mdat formula."""
+    return mm.decode_video_meta(mm.attach_video_payload(_docs(spark, sf_dir)))
+
+
+_register(
+    "m_video_meta",
+    m_video_meta,
+    f"""SELECT doc_id, 'mp4' AS fmt,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(ts AS INT) AS timescale,
+       CAST(nf AS INT) AS n_frames,
+       CAST((nf * (ts // 8)) * 1000 // ts AS INT) AS duration_ms,
+       CAST({mm.MP4_HEADER_BYTES} + {mm.VIDEO_SAMPLE_BYTES} * nf AS INT) AS size_bytes
+FROM (
+  SELECT doc_id, {mm.VIDEO_W_SQL} AS w, {mm.VIDEO_H_SQL} AS h,
+         {mm.VIDEO_TIMESCALE_SQL} AS ts, {mm.VIDEO_FRAMES_SQL} AS nf
+  FROM documents
+)""",
+)
+
+
 def m_frame_sample(spark, sf_dir):
     """Frame sampling (every 2nd frame) through the Arrow mapInPandas
     path — the frame count comes from REALLY decoding each payload

@@ -825,3 +825,74 @@ def test_connected_components_never_mutates_session_confs(spark, monkeypatch):
     dd.connected_components(pairs, small_graph_edges=0).collect()
     touched = [k for k in calls if k.startswith("spark.sql.")]
     assert not touched, f"CC mutated session confs: {touched}"
+
+
+def test_mp4_codec_roundtrip_and_golden():
+    """r5 MP4/ISO-BMFF support: the fixture encoder emits a
+    structurally valid single-video-track container (ftyp/moov with
+    consistent mvhd/tkhd/stts/stsz/stco tables + matching mdat) and
+    the box walk recovers dims/timescale/frames/duration; size matches
+    the closed formula the oracle uses; truncated/corrupt containers
+    raise ValueError."""
+    p = mm.encode_mp4(320, 240, 2000, 24)
+    assert p[4:8] == b"ftyp" and p[8:12] == b"isom"
+    assert mm.decode_mp4(p) == (320, 240, 2000, 24, 24 * (2000 // 8) * 1000 // 2000)
+
+    # closed size formula (what m_video_meta's oracle evaluates)
+    for w, h, ts, nf in [(16, 16, 1000, 0), (320, 240, 3000, 63), (160, 96, 2000, 8)]:
+        assert len(mm.encode_mp4(w, h, ts, nf)) == (
+            mm.MP4_HEADER_BYTES + mm.VIDEO_SAMPLE_BYTES * nf
+        )
+
+    # roundtrip across the fixture's whole shape domain
+    for doc_id in range(0, 600, 7):
+        w, h, ts, nf = mm.video_meta_for(doc_id)
+        assert mm.decode_mp4(mm.video_payload_for(doc_id)) == (
+            w, h, ts, nf, nf * (ts // 8) * 1000 // ts,
+        )
+
+    # stco holds the ABSOLUTE mdat payload offset (two-pass layout)
+    co_pos = p.find(b"stco")
+    (chunk_off,) = struct.unpack(">I", p[co_pos + 12 : co_pos + 16])
+    assert p[chunk_off - 8 : chunk_off - 4][-4:] != b""  # in bounds
+    assert p[chunk_off - 4 : chunk_off] == b"mdat"
+
+    # a 64-bit largesize box parses (size==1 + largesize field)
+    mdat_start = chunk_off - 8
+    data = p[chunk_off:]
+    large = p[:mdat_start] + struct.pack(">I", 1) + b"mdat" + struct.pack(
+        ">Q", 16 + len(data)
+    ) + data
+    assert mm.decode_mp4(large)[:4] == (320, 240, 2000, 24)
+
+    # error contract: typed ValueError, never struct.error/IndexError
+    with pytest.raises(ValueError):
+        mm.decode_mp4(b"not a video")
+    with pytest.raises(ValueError):
+        mm.decode_mp4(p[:40])  # truncated inside moov
+    with pytest.raises(ValueError):
+        mm.decode_mp4(p[:-3])  # mdat size runs past the buffer
+    with pytest.raises(ValueError):
+        # valid ftyp, then a box whose size overruns the file
+        mm.decode_mp4(p[:24] + struct.pack(">I", 1 << 30) + b"moov")
+    with pytest.raises(ValueError):
+        # no video track: hdlr says 'soun' -> dims must not be taken
+        mm.decode_mp4(p.replace(b"vide", b"soun"))
+
+
+def test_mp4_codec_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 4096),
+        h=st.integers(1, 4096),
+        ts=st.sampled_from([1000, 2000, 3000, 8, 90000]),
+        nf=st.integers(0, 200),
+    )
+    def mp4_roundtrip(w, h, ts, nf):
+        dur_ms = nf * (ts // 8) * 1000 // ts
+        assert mm.decode_mp4(mm.encode_mp4(w, h, ts, nf)) == (w, h, ts, nf, dur_ms)
+
+    mp4_roundtrip()
