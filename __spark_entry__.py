@@ -61,6 +61,7 @@ _WINDOW_HEAD = [
     "e_knn_join",
     "m_jpeg_meta",
     "m_video_meta",
+    "t_pii_redact",
     "e_knn_lsh",
     "e_cosine_neardup",
     "e_neardup_clusters",

@@ -888,3 +888,106 @@ def t_shard_assign(spark, sf_dir):
 from f1_realtime_data_pipeline_spark.sources.export import shard_assign_sql as _sas
 
 _register("t_shard_assign", t_shard_assign, _sas())
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (r5): the anonymization pass every released training
+# corpus runs (CCNet/Dolma/FineWeb all ship one) — regex-detect
+# emails / phone numbers / IPv4 addresses, replace with typed
+# placeholder tokens, and count what was removed (the redaction-rate
+# signal privacy review audits).
+#
+# The synthetic corpus has no PII, so the fixture INJECTS it
+# deterministically from doc_id — pure JVM concat, same
+# fixture-adapter scheme as the multimodal payloads — and the oracle
+# rebuilds the identical dirty text in SQL. Patterns stay in the
+# Java-regex ∩ RE2 common dialect so both engines match identically.
+#
+# Scale shape: map-only single scan, every expression whole-stage
+# codegen (regexp_replace / regexp_count are JVM built-ins — no
+# Python anywhere); at 100 TB this is the cheapest kind of pass there
+# is, and composes into pipeline_corpus-style fused single-scan runs.
+# ---------------------------------------------------------------------------
+
+#: Java-regex ∩ RE2 common-dialect patterns (no lookaround, no \b
+#: differences in play: placements are space-delimited)
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE_RE = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+PII_IP_RE = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+
+def _pii_dirty(d: DataFrame) -> DataFrame:
+    """Inject one email, one phone, one IPv4 per doc (deterministic
+    from doc_id, pure JVM concat — no UDF)."""
+    return d.withColumn(
+        "dirty",
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("user"), F.col("doc_id").cast("string"),
+                     F.lit("@ex"), (F.col("doc_id") % 7).cast("string"),
+                     F.lit(".com")),
+            F.col("text"),
+            F.lit("call"),
+            F.concat(F.lit("+1-555-"),
+                     F.format_string("%04d", (F.col("doc_id") % 10000).cast("int"))),
+            F.lit("from"),
+            F.concat_ws(".", F.lit("10"), (F.col("doc_id") % 256).cast("string"),
+                        ((F.col("doc_id") * 3) % 256).cast("string"),
+                        ((F.col("doc_id") * 7) % 256).cast("string")),
+        ),
+    )
+
+
+def t_pii_redact(spark, sf_dir):
+    """Count + redact PII: emails → <EMAIL>, phones → <PHONE>, IPv4 →
+    <IP>. Counts come from the DIRTY text (what privacy review audits:
+    how much was found), the redacted text from the replace chain —
+    order matters and is pinned: email first (its local part may
+    contain digits/dots an IP pattern could nibble), then phone, then
+    IP."""
+    d = _pii_dirty(_docs(spark, sf_dir).select("doc_id", "text"))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("dirty"), PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        PII_IP_RE,
+        "<IP>",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("dirty"), F.lit(PII_EMAIL_RE)).cast("int").alias("n_email"),
+        F.regexp_count(F.col("dirty"), F.lit(PII_PHONE_RE)).cast("int").alias("n_phone"),
+        F.regexp_count(F.col("dirty"), F.lit(PII_IP_RE)).cast("int").alias("n_ip"),
+        red.alias("redacted"),
+        F.length(red).cast("int").alias("redacted_len"),
+    )
+
+
+_PII_DIRTY_SQL = (
+    "'user' || CAST(doc_id AS VARCHAR) || '@ex' || CAST(doc_id % 7 AS VARCHAR)"
+    " || '.com ' || text || ' call +1-555-' || printf('%04d', doc_id % 10000)"
+    " || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'"
+    " || CAST((doc_id * 3) % 256 AS VARCHAR) || '.'"
+    " || CAST((doc_id * 7) % 256 AS VARCHAR)"
+)
+
+_register(
+    "t_pii_redact",
+    t_pii_redact,
+    f"""SELECT doc_id,
+       CAST(len(regexp_extract_all(dirty, '{PII_EMAIL_RE}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(dirty, '{PII_PHONE_RE}')) AS INT) AS n_phone,
+       CAST(len(regexp_extract_all(dirty, '{PII_IP_RE}')) AS INT) AS n_ip,
+       redacted,
+       CAST(length(redacted) AS INT) AS redacted_len
+FROM (
+  SELECT doc_id, dirty,
+         regexp_replace(regexp_replace(regexp_replace(
+           dirty, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{PII_PHONE_RE}', '<PHONE>', 'g'),
+           '{PII_IP_RE}', '<IP>', 'g') AS redacted
+  FROM (SELECT doc_id, {_PII_DIRTY_SQL} AS dirty FROM documents)
+)""",
+)

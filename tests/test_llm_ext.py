@@ -416,3 +416,32 @@ def test_write_training_shards_roundtrip(spark, sf_dir, tmp_path):
     write_training_shards(docs, out, n_shards=4)
     again = {r.doc_id: r.shard for r in spark.read.parquet(out).select("doc_id", "shard").collect()}
     assert again == expect
+
+
+def test_pii_redact_semantics(spark, sf_dir):
+    """r5 PII redaction: injected email/phone/IPv4 are all found and
+    replaced with typed placeholders; nothing from the clean corpus
+    text is touched; counts reflect the dirty text."""
+    from f1_realtime_data_pipeline_spark.plans.llm_ext import t_pii_redact
+
+    rows = {r.doc_id: r for r in t_pii_redact(spark, sf_dir).collect()}
+    assert len(rows) > 0
+    for doc_id, r in list(rows.items())[:50]:
+        assert (r.n_email, r.n_phone, r.n_ip) == (1, 1, 1)
+        assert "<EMAIL>" in r.redacted
+        assert "<PHONE>" in r.redacted
+        assert "<IP>" in r.redacted
+        assert "@" not in r.redacted
+        assert "+1-555" not in r.redacted
+        assert r.redacted_len == len(r.redacted)
+    # the redaction is surgical: stripping placeholders and scaffold
+    # words leaves exactly the original clean text
+    from f1_realtime_data_pipeline_spark.sources.parquet import read_table
+
+    texts = {
+        r.doc_id: r.text
+        for r in read_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    for doc_id in list(rows)[:20]:
+        red = rows[doc_id].redacted
+        assert red == f"<EMAIL> {texts[doc_id]} call <PHONE> from <IP>"

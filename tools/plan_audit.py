@@ -56,6 +56,7 @@ AUDIT = [
     "d_span_splice",
     "d_editdist_neardup",
     "t_shuffle_order",
+    "t_pii_redact",
     "t_epoch_expand",
     "o_zorder_layout",
     "p_skew_profile",
