@@ -44,6 +44,7 @@ sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from f1_realtime_data_pipeline_spark.functions import vector as vec  # noqa: E402
 from f1_realtime_data_pipeline_spark.operators import similarity as sim  # noqa: E402
 from f1_realtime_data_pipeline_spark.plans import llm_star  # noqa: E402
 from f1_realtime_data_pipeline_spark.session import get_spark  # noqa: E402
@@ -175,6 +176,19 @@ def sweep_queries(spark, sf_dir: str):
             ),
         ),
         ("e_semdedup", lambda: qs["e_semdedup"](spark, sf_dir)),
+        # the batch kNN join with CORPUS-DERIVED planes — the 100 TB
+        # form. The registered query pins planes_per_table=6 for its
+        # static oracle, so its bucket occupancy (and candidate
+        # volume) grows linearly with N; the derived count keeps
+        # occupancy constant, which is what a production run uses.
+        (
+            "e_knn_join_derived",
+            lambda: (lambda embs: sim.knn_join_adc(
+                embs,
+                k=3,
+                planes_per_table=vec.neardup_planes_for(embs.count()),
+            ))(spark.read.parquet(f"{sf_dir}/embeddings.parquet")),
+        ),
     ]
 
 
