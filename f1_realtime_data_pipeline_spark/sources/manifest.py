@@ -83,26 +83,44 @@ def _create_exclusive(spark: SparkSession, path_str: str, text: str) -> bool:
     return True
 
 
-def resolve_snapshot(
-    spark: SparkSession, table_path: str
-) -> tuple[int, list[dict[str, Any]]]:
-    """(version, entries) of the highest committed manifest; (0, [])
-    when nothing has ever been committed. Entries are
-    ``{"path": "data/epoch-N/__kb=B", "bucket": B}`` relative dirs."""
+def snapshot_versions(spark: SparkSession, table_path: str) -> list[int]:
+    """All committed snapshot versions, ascending (the table history —
+    what ``DESCRIBE HISTORY`` surfaces on a lakehouse table)."""
     fs, mdir = fs_for(spark, f"{table_path}/{MANIFEST_DIR}")
     if not fs.exists(mdir):
-        return 0, []
-    best = 0
+        return []
+    out = []
     for st in fs.listStatus(mdir):
         m = _NAME_RE.fullmatch(st.getPath().getName())
         if m:
-            best = max(best, int(m.group(1)))
-    if best == 0:
-        return 0, []
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def resolve_snapshot(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> tuple[int, list[dict[str, Any]]]:
+    """(version, entries) of the highest committed manifest — or of
+    the EXPLICIT ``version`` (time travel; raises ``ValueError`` when
+    that version was never committed). (0, []) when nothing has ever
+    been committed and no explicit version was asked for. Entries are
+    ``{"path": "data/epoch-N/__kb=B", "bucket": B}`` relative dirs."""
+    versions = snapshot_versions(spark, table_path)
+    if version is None:
+        if not versions:
+            return 0, []
+        version = versions[-1]
+    elif version not in versions:
+        raise ValueError(
+            f"snapshot v{version} not committed at {table_path} "
+            f"(history: {versions or 'empty'})"
+        )
     doc = json.loads(
-        _read_text(spark, f"{table_path}/{MANIFEST_DIR}/manifest-{best:012d}.json")
+        _read_text(
+            spark, f"{table_path}/{MANIFEST_DIR}/manifest-{version:012d}.json"
+        )
     )
-    return best, doc["entries"]
+    return version, doc["entries"]
 
 
 def commit_snapshot(
@@ -123,14 +141,18 @@ def read_snapshot(
     spark: SparkSession,
     table_path: str,
     buckets: list[int] | None = None,
+    version: int | None = None,
 ) -> DataFrame | None:
     """DataFrame over the latest committed snapshot (optionally pruned
     to ``buckets`` — manifest-metadata skipping, no file listing of
     unrelated buckets). None when the snapshot is empty. The file list
     is resolved NOW: a commit racing this read does not change what
     this DataFrame reads (immutable files), so concurrent readers see
-    a consistent snapshot."""
-    _, entries = resolve_snapshot(spark, table_path)
+    a consistent snapshot. ``version`` time-travels to an older
+    committed snapshot — valid until :func:`vacuum` reclaims the data
+    directories the LATEST snapshot no longer references (Delta's
+    retention-bounded time travel, same trade)."""
+    _, entries = resolve_snapshot(spark, table_path, version)
     want = None if buckets is None else set(buckets)
     paths = [
         f"{table_path}/{e['path']}"
@@ -140,6 +162,78 @@ def read_snapshot(
     if not paths:
         return None
     return spark.read.parquet(*paths)
+
+
+def compact_snapshot(spark: SparkSession, table_path: str) -> int:
+    """Small-files maintenance as an ATOMIC snapshot transition: every
+    bucket whose data is spread across 2+ epoch directories is
+    rewritten into one directory, and the rewrite becomes visible only
+    through the v+1 manifest commit — readers concurrent with a
+    compaction keep resolving v and its (immutable, still-present)
+    files, the same OCC protocol as the sink's epoch commits. Rows are
+    REWRITTEN byte-for-byte, never re-deduped: the sink already
+    guaranteed key uniqueness at write time, so compaction is pure
+    layout. Returns the committed version (unchanged when every bucket
+    is already a single directory).
+
+    This is the maintenance pass ``o_compaction_plan`` plans, wired to
+    the table format: OPTIMIZE on Delta, rewrite_data_files on
+    Iceberg. One Spark job: the multi-directory buckets' scans union
+    (each tagged with its manifest bucket id — partition ids are
+    directory-encoded, not stored in the files), hash-repartition on
+    the bucket id so each bucket lands in one task, one partitioned
+    write. Old directories are left for :func:`vacuum` (keeping them
+    referenced by OLDER manifests preserves bounded time travel).
+    Crash before commit leaves an orphan compact dir — invisible,
+    vacuumed. Single-writer maintenance op: a lost commit race raises,
+    like the sink."""
+    from uuid import uuid4
+
+    from pyspark.sql import functions as F
+
+    version, entries = resolve_snapshot(spark, table_path)
+    per_bucket: dict[int, list[str]] = {}
+    for e in entries:
+        per_bucket.setdefault(e["bucket"], []).append(e["path"])
+    multi = {b for b, ps in per_bucket.items() if len(ps) > 1}
+    if not multi:
+        return version
+    keep = [e for e in entries if e["bucket"] not in multi]
+    parts = [
+        spark.read.parquet(f"{table_path}/{e['path']}").withColumn(
+            "__kb", F.lit(e["bucket"])
+        )
+        for e in entries
+        if e["bucket"] in multi
+    ]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    compact_rel = f"data/compact-{version + 1:012d}-{uuid4().hex[:8]}"
+    merged.repartition(len(multi), "__kb").write.partitionBy("__kb").parquet(
+        f"{table_path}/{compact_rel}"
+    )
+    fs, cdir = fs_for(spark, f"{table_path}/{compact_rel}")
+    new_entries = sorted(
+        (
+            {
+                "path": f"{compact_rel}/{name}",
+                "bucket": int(name.split("=", 1)[1]),
+            }
+            for st in fs.listStatus(cdir)
+            if (name := st.getPath().getName()).startswith("__kb=")
+        ),
+        key=lambda e: e["path"],
+    )
+    if not commit_snapshot(
+        spark, table_path, version + 1, sorted(
+            keep + new_entries, key=lambda e: e["path"]
+        )
+    ):
+        raise RuntimeError(
+            f"lost compaction commit race for {table_path} v{version + 1}"
+        )
+    return version + 1
 
 
 def vacuum(spark: SparkSession, table_path: str) -> list[str]:

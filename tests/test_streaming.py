@@ -506,3 +506,66 @@ def test_admission_pipeline_streams_only_novel_docs(spark, tmp_path):
     # so which doc_id wins is unspecified — the invariant is one row)
     ids = {r.doc_id for r in out.collect()}
     assert 13 in ids and len(ids & {11, 12}) == 1
+
+
+def test_snapshot_time_travel_and_compaction(spark, tmp_path):
+    """r5: version history + time travel on the manifest table, and
+    compaction as an atomic snapshot transition — contents identical
+    before/after, one directory per bucket afterwards, old versions
+    readable until vacuum reclaims what the latest snapshot dropped."""
+    import pytest as _pytest
+
+    from f1_realtime_data_pipeline_spark.sources import manifest as mf
+    from f1_realtime_data_pipeline_spark.streaming.sinks import (
+        read_sink_snapshot,
+        transactional_parquet_sink,
+    )
+
+    sink = str(tmp_path / "txn_compact")
+    write = transactional_parquet_sink(sink, keys=["k"], order_cols=["v"])
+    for ep in range(3):
+        write(
+            spark.createDataFrame(
+                [(ep * 20 + i, f"v{ep}_{i}") for i in range(20)], ["k", "v"]
+            ),
+            ep,
+        )
+    assert mf.snapshot_versions(spark, sink) == [1, 2, 3]
+    before = {(r.k, r.v) for r in read_sink_snapshot(spark, sink).collect()}
+    v1 = {(r.k, r.v) for r in mf.read_snapshot(spark, sink, version=1).collect()}
+    assert len(v1) == 20 and v1 < before
+    with _pytest.raises(ValueError):
+        mf.resolve_snapshot(spark, sink, version=9)
+
+    # every bucket seen in >=2 epochs collapses to ONE directory
+    _, entries = mf.resolve_snapshot(spark, sink)
+    from collections import Counter
+
+    pre_counts = Counter(e["bucket"] for e in entries)
+    assert max(pre_counts.values()) > 1
+    new_v = mf.compact_snapshot(spark, sink)
+    assert new_v == 4
+    _, entries4 = mf.resolve_snapshot(spark, sink)
+    post_counts = Counter(e["bucket"] for e in entries4)
+    assert set(post_counts) == set(pre_counts)  # same bucket coverage
+    assert max(post_counts.values()) == 1
+    after = {(r.k, r.v) for r in read_sink_snapshot(spark, sink).collect()}
+    assert after == before  # pure layout change, rows untouched
+
+    # compacting an already-compact table is a no-op (version stays)
+    assert mf.compact_snapshot(spark, sink) == 4
+
+    # time travel still works pre-vacuum (old dirs still on disk) ...
+    assert {
+        (r.k, r.v) for r in mf.read_snapshot(spark, sink, version=3).collect()
+    } == before
+    # ... and vacuum reclaims the epoch dirs the LATEST snapshot no
+    # longer references (retention-bounded time travel, the Delta trade)
+    removed = mf.vacuum(spark, sink)
+    assert len(removed) == 3 and all(n.startswith("epoch-") for n in removed)
+    assert {(r.k, r.v) for r in read_sink_snapshot(spark, sink).collect()} == before
+
+    # the sink keeps writing correctly on top of the compacted snapshot
+    write(spark.createDataFrame([(999, "zz")], ["k", "v"]), 7)
+    assert read_sink_snapshot(spark, sink).count() == 61
+    assert mf.snapshot_versions(spark, sink)[-1] == 5
