@@ -105,10 +105,20 @@ def resolve_snapshot(
     that version was never committed). (0, []) when nothing has ever
     been committed and no explicit version was asked for. Entries are
     ``{"path": "data/epoch-N/__kb=B", "bucket": B}`` relative dirs."""
+    v, entries, _ = resolve_snapshot_full(spark, table_path, version)
+    return v, entries
+
+
+def resolve_snapshot_full(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> tuple[int, list[dict[str, Any]], dict | None]:
+    """(version, entries, schema) — schema is the committed snapshot's
+    DATA schema as a Spark StructType JSON dict, or None on manifests
+    committed before schema tracking (read as plain parquet)."""
     versions = snapshot_versions(spark, table_path)
     if version is None:
         if not versions:
-            return 0, []
+            return 0, [], None
         version = versions[-1]
     elif version not in versions:
         raise ValueError(
@@ -120,7 +130,7 @@ def resolve_snapshot(
             spark, f"{table_path}/{MANIFEST_DIR}/manifest-{version:012d}.json"
         )
     )
-    return version, doc["entries"]
+    return version, doc["entries"], doc.get("schema")
 
 
 def commit_snapshot(
@@ -128,13 +138,44 @@ def commit_snapshot(
     table_path: str,
     version: int,
     entries: list[dict[str, Any]],
+    schema: dict | None = None,
 ) -> bool:
     """Commit ``entries`` as snapshot ``version`` via exclusive
-    manifest creation. False = lost the race for this version."""
-    doc = json.dumps({"version": version, "entries": entries}, sort_keys=True)
+    manifest creation; ``schema`` (StructType JSON dict) records the
+    snapshot's data schema for evolved reads. False = lost the race
+    for this version."""
+    body: dict[str, Any] = {"version": version, "entries": entries}
+    if schema is not None:
+        body["schema"] = schema
+    doc = json.dumps(body, sort_keys=True)
     return _create_exclusive(
         spark, f"{table_path}/{MANIFEST_DIR}/manifest-{version:012d}.json", doc
     )
+
+
+def merge_schemas(prev: dict | None, batch: dict) -> dict:
+    """Additive schema evolution (the Delta ``mergeSchema`` rule): the
+    merged schema is prev's fields in order, then batch's NEW fields
+    appended in batch order. A field present in both with a different
+    type raises ``ValueError`` — silent type widening would corrupt
+    whichever side the reader casts away. Dropping a column never
+    happens at commit (old files keep it; readers see nulls only on
+    files written before the column existed)."""
+    if prev is None:
+        return batch
+    prev_types = {f["name"]: f["type"] for f in prev["fields"]}
+    for f in batch["fields"]:
+        if f["name"] in prev_types and prev_types[f["name"]] != f["type"]:
+            raise ValueError(
+                f"schema conflict on column '{f['name']}': committed "
+                f"{prev_types[f['name']]!r} vs batch {f['type']!r}"
+            )
+    known = set(prev_types)
+    return {
+        **prev,
+        "fields": list(prev["fields"])
+        + [f for f in batch["fields"] if f["name"] not in known],
+    }
 
 
 def read_snapshot(
@@ -151,8 +192,14 @@ def read_snapshot(
     a consistent snapshot. ``version`` time-travels to an older
     committed snapshot — valid until :func:`vacuum` reclaims the data
     directories the LATEST snapshot no longer references (Delta's
-    retention-bounded time travel, same trade)."""
-    _, entries = resolve_snapshot(spark, table_path, version)
+    retention-bounded time travel, same trade).
+
+    When the manifest carries a schema (r5 evolution), the read is
+    PINNED to it: files written before a column existed return nulls
+    for it — per-file schema drift can never leak into the result, and
+    no schema-merging file-footer sweep is needed (the manifest is the
+    source of truth, like a lakehouse table's log)."""
+    _, entries, schema = resolve_snapshot_full(spark, table_path, version)
     want = None if buckets is None else set(buckets)
     paths = [
         f"{table_path}/{e['path']}"
@@ -161,7 +208,12 @@ def read_snapshot(
     ]
     if not paths:
         return None
-    return spark.read.parquet(*paths)
+    reader = spark.read
+    if schema is not None:
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(schema))
+    return reader.parquet(*paths)
 
 
 def compact_snapshot(spark: SparkSession, table_path: str) -> int:
@@ -191,7 +243,7 @@ def compact_snapshot(spark: SparkSession, table_path: str) -> int:
 
     from pyspark.sql import functions as F
 
-    version, entries = resolve_snapshot(spark, table_path)
+    version, entries, schema = resolve_snapshot_full(spark, table_path)
     per_bucket: dict[int, list[str]] = {}
     for e in entries:
         per_bucket.setdefault(e["bucket"], []).append(e["path"])
@@ -199,8 +251,16 @@ def compact_snapshot(spark: SparkSession, table_path: str) -> int:
     if not multi:
         return version
     keep = [e for e in entries if e["bucket"] not in multi]
+    reader = spark.read
+    if schema is not None:
+        from pyspark.sql.types import StructType
+
+        # schema-pinned reads: pre-evolution files align to the full
+        # committed schema (nulls), so the compacted files carry every
+        # column and the union below never sees drift
+        reader = reader.schema(StructType.fromJson(schema))
     parts = [
-        spark.read.parquet(f"{table_path}/{e['path']}").withColumn(
+        reader.parquet(f"{table_path}/{e['path']}").withColumn(
             "__kb", F.lit(e["bucket"])
         )
         for e in entries
@@ -228,7 +288,8 @@ def compact_snapshot(spark: SparkSession, table_path: str) -> int:
     if not commit_snapshot(
         spark, table_path, version + 1, sorted(
             keep + new_entries, key=lambda e: e["path"]
-        )
+        ),
+        schema=schema,
     ):
         raise RuntimeError(
             f"lost compaction commit race for {table_path} v{version + 1}"

@@ -23,6 +23,7 @@ stays available via ``jdbc_append_writer`` for reference parity.
 
 from __future__ import annotations
 
+import json
 from collections.abc import Callable, Sequence
 from uuid import uuid4
 
@@ -191,7 +192,17 @@ def transactional_parquet_sink(
             batch_buckets = [
                 r[0] for r in deduped.select(_BUCKET_COL).distinct().collect()
             ]
-            version, entries = manifest.resolve_snapshot(spark, sink_path)
+            version, entries, prev_schema = manifest.resolve_snapshot_full(
+                spark, sink_path
+            )
+            # additive schema evolution (r5): the commit records the
+            # union of every epoch's columns; a type conflict raises
+            # BEFORE any data is written. The DATA schema excludes the
+            # bucket column (directory-encoded, not in the files).
+            batch_schema = json.loads(
+                deduped.drop(_BUCKET_COL).schema.json()
+            )
+            merged_schema = manifest.merge_schemas(prev_schema, batch_schema)
             batch = deduped
             existing = manifest.read_snapshot(
                 spark, sink_path, buckets=batch_buckets
@@ -221,7 +232,8 @@ def transactional_parquet_sink(
             if not new_entries:
                 return
             if not manifest.commit_snapshot(
-                spark, sink_path, version + 1, entries + new_entries
+                spark, sink_path, version + 1, entries + new_entries,
+                schema=merged_schema,
             ):
                 raise RuntimeError(
                     f"lost commit race for {sink_path} v{version + 1}: "

@@ -569,3 +569,52 @@ def test_snapshot_time_travel_and_compaction(spark, tmp_path):
     write(spark.createDataFrame([(999, "zz")], ["k", "v"]), 7)
     assert read_sink_snapshot(spark, sink).count() == 61
     assert mf.snapshot_versions(spark, sink)[-1] == 5
+
+
+def test_transactional_sink_schema_evolution(spark, tmp_path):
+    """r5: additive schema evolution through the manifest — a later
+    epoch may add columns (earlier files read as null), the committed
+    schema is the union, reads are pinned to the manifest schema (no
+    file-footer merging), compaction carries evolved columns, and a
+    type conflict raises before any data lands."""
+    import pytest as _pytest
+
+    from f1_realtime_data_pipeline_spark.sources import manifest as mf
+    from f1_realtime_data_pipeline_spark.streaming.sinks import (
+        read_sink_snapshot,
+        transactional_parquet_sink,
+    )
+
+    sink = str(tmp_path / "txn_evolve")
+    write = transactional_parquet_sink(sink, keys=["k"], order_cols=["v"])
+    write(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]), 0)
+    # epoch 1 adds a column
+    write(
+        spark.createDataFrame([(3, "c", 30), (4, "d", 40)], ["k", "v", "score"]),
+        1,
+    )
+    out = read_sink_snapshot(spark, sink)
+    assert set(out.columns) == {"k", "v", "score"}
+    rows = {r.k: (r.v, r.score) for r in out.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 30), 4: ("d", 40)}
+
+    # a later epoch MISSING the evolved column still reads as null
+    write(spark.createDataFrame([(5, "e")], ["k", "v"]), 2)
+    rows = {r.k: r.score for r in read_sink_snapshot(spark, sink).collect()}
+    assert rows[5] is None and rows[3] == 30
+
+    # compaction preserves the evolved schema and the null semantics
+    v = mf.compact_snapshot(spark, sink)
+    rows = {
+        r.k: (r.v, r.score)
+        for r in mf.read_snapshot(spark, sink, version=v).collect()
+    }
+    assert rows == {
+        1: ("a", None), 2: ("b", None), 3: ("c", 30), 4: ("d", 40), 5: ("e", None),
+    }
+
+    # type conflict on an existing column: typed failure, nothing lands
+    before = mf.snapshot_versions(spark, sink)
+    with _pytest.raises(ValueError, match="schema conflict"):
+        write(spark.createDataFrame([(9, 123)], "k long, v long"), 3)
+    assert mf.snapshot_versions(spark, sink) == before
