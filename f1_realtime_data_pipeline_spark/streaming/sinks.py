@@ -30,6 +30,7 @@ from uuid import uuid4
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from f1_realtime_data_pipeline_spark.operators.aggregations import dedup_first_wins
 from f1_realtime_data_pipeline_spark.sources import manifest
@@ -254,6 +255,133 @@ def read_sink_snapshot(spark, sink_path: str) -> DataFrame:
     if df is None:
         raise ValueError(f"no committed snapshot at {sink_path}")
     return df
+
+
+def _align_to_schema(df: DataFrame, schema_fields: list[dict]) -> DataFrame:
+    """Project ``df`` onto the merged-schema column list: missing
+    columns become typed nulls, order follows the schema (so the two
+    MERGE sides union positionally clean)."""
+    from pyspark.sql.types import StructType
+
+    have = set(df.columns)
+    cols = []
+    for f in schema_fields:
+        if f["name"] in have:
+            cols.append(F.col(f["name"]))
+        else:
+            dt = StructType.fromJson(
+                {"type": "struct", "fields": [f]}
+            ).fields[0].dataType
+            cols.append(F.lit(None).cast(dt).alias(f["name"]))
+    return df.select(*cols)
+
+
+def transactional_merge(
+    updates: DataFrame,
+    sink_path: str,
+    keys: Sequence[str],
+    order_cols: Sequence[str] | None = None,
+    n_buckets: int = SINK_BUCKETS,
+) -> int:
+    """MERGE INTO on the manifest table — the Delta call site SCALE.md
+    maps :func:`~f1_realtime_data_pipeline_spark.sources.tables.
+    upsert_last_wins` to, now real: same-key rows are REPLACED by the
+    update (unmatched updates insert, unmatched base rows pass
+    through), as one copy-on-write snapshot transition.
+
+    Copy-on-write at BUCKET granularity, the manifest's pruning unit:
+    only buckets the update keys hash into are read (manifest-metadata
+    pruning, no listing of the rest) and rewritten; every other
+    bucket's entries carry over to the v+1 manifest untouched — the
+    same bounded write a lakehouse MERGE achieves with file-level
+    statistics. Readers concurrent with the merge keep their resolved
+    snapshot (immutable files + atomic manifest commit), time travel
+    keeps the pre-merge image until vacuum. Updates may carry NEW
+    columns (additive evolution, same rule as the sink commit); both
+    sides are aligned to the merged schema before the union so the
+    precedence window sees one shape. Within ``updates``, duplicate
+    keys resolve first-wins under ``order_cols`` — the idempotent-sink
+    convention. Returns the committed version. Single-writer: a lost
+    commit race raises."""
+    spark = updates.sparkSession
+    keys = list(keys)
+    if order_cols is not None:
+        order = [F.col(c).asc() for c in order_cols]
+    else:
+        non_key = sorted(c for c in updates.columns if c not in keys)
+        order = [F.col(c).asc() for c in (non_key or keys)]
+    up = dedup_first_wins(updates, keys, order).withColumn(
+        _BUCKET_COL, _key_bucket(keys, n_buckets)
+    )
+    up.persist()
+    try:
+        version, entries, prev_schema = manifest.resolve_snapshot_full(
+            spark, sink_path
+        )
+        batch_schema = json.loads(up.drop(_BUCKET_COL).schema.json())
+        merged_schema = manifest.merge_schemas(prev_schema, batch_schema)
+        touched = {
+            r[0] for r in up.select(_BUCKET_COL).distinct().collect()
+        }
+        keep = [e for e in entries if e["bucket"] not in touched]
+        affected = [e for e in entries if e["bucket"] in touched]
+        fields = merged_schema["fields"]
+        side_up = _align_to_schema(up, fields).withColumn(
+            "__src", F.lit(1)
+        ).withColumn(_BUCKET_COL, _key_bucket(keys, n_buckets))
+        if affected:
+            from pyspark.sql.types import StructType
+
+            reader = spark.read
+            if prev_schema is not None:
+                reader = reader.schema(StructType.fromJson(prev_schema))
+            parts = [
+                _align_to_schema(
+                    reader.parquet(f"{sink_path}/{e['path']}"), fields
+                )
+                .withColumn("__src", F.lit(0))
+                .withColumn(_BUCKET_COL, F.lit(e["bucket"]))
+                for e in affected
+            ]
+            both = side_up
+            for p in parts:
+                both = both.unionByName(p)
+        else:
+            both = side_up
+        # updates beat base; within a side the explicit order decides
+        w = Window.partitionBy(*keys).orderBy(F.col("__src").desc(), *order)
+        merged = (
+            both.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__src")
+        )
+        merge_rel = f"data/merge-{version + 1:012d}-{uuid4().hex[:8]}"
+        merged.write.partitionBy(_BUCKET_COL).parquet(f"{sink_path}/{merge_rel}")
+        fs, mdir = manifest.fs_for(spark, f"{sink_path}/{merge_rel}")
+        new_entries = sorted(
+            (
+                {
+                    "path": f"{merge_rel}/{name}",
+                    "bucket": int(name.split("=", 1)[1]),
+                }
+                for st in fs.listStatus(mdir)
+                if (name := st.getPath().getName()).startswith(f"{_BUCKET_COL}=")
+            ),
+            key=lambda e: e["path"],
+        )
+        if not manifest.commit_snapshot(
+            spark,
+            sink_path,
+            version + 1,
+            sorted(keep + new_entries, key=lambda e: e["path"]),
+            schema=merged_schema,
+        ):
+            raise RuntimeError(
+                f"lost merge commit race for {sink_path} v{version + 1}"
+            )
+        return version + 1
+    finally:
+        up.unpersist()
 
 
 def jdbc_append_writer(

@@ -618,3 +618,67 @@ def test_transactional_sink_schema_evolution(spark, tmp_path):
     with _pytest.raises(ValueError, match="schema conflict"):
         write(spark.createDataFrame([(9, 123)], "k long, v long"), 3)
     assert mf.snapshot_versions(spark, sink) == before
+
+
+def test_transactional_merge_copy_on_write(spark, tmp_path):
+    """r5 MERGE INTO on the manifest table: same-key rows replaced,
+    new keys inserted, untouched rows intact — and untouched BUCKETS
+    are not rewritten (their manifest entries carry over verbatim:
+    bucket-granular copy-on-write). Pre-merge image stays time-
+    travelable; updates may evolve the schema."""
+    from f1_realtime_data_pipeline_spark.sources import manifest as mf
+    from f1_realtime_data_pipeline_spark.streaming.sinks import (
+        read_sink_snapshot,
+        transactional_merge,
+        transactional_parquet_sink,
+    )
+
+    sink = str(tmp_path / "txn_merge")
+    write = transactional_parquet_sink(sink, keys=["k"], order_cols=["v"])
+    write(spark.createDataFrame([(i, f"v{i}") for i in range(40)], ["k", "v"]), 0)
+    v_pre, entries_pre = mf.resolve_snapshot(spark, sink)
+
+    # update 3 existing keys + insert 2 new, with a NEW column; dup
+    # update keys resolve first-wins under order_cols
+    ups = spark.createDataFrame(
+        [
+            (3, "NEW3", 33), (3, "ZZZ3", 99),  # dup: 'NEW3' wins (v order)
+            (7, "NEW7", 77), (11, "NEW11", 1111),
+            (100, "ins100", 0), (101, "ins101", 1),
+        ],
+        ["k", "v", "score"],
+    )
+    v_post = transactional_merge(ups, sink, keys=["k"], order_cols=["v"])
+    assert v_post == v_pre + 1
+
+    out = {r.k: (r.v, r.score) for r in read_sink_snapshot(spark, sink).collect()}
+    assert len(out) == 42
+    assert out[3] == ("NEW3", 33) and out[7] == ("NEW7", 77)
+    assert out[11] == ("NEW11", 1111)
+    assert out[100] == ("ins100", 0) and out[101] == ("ins101", 1)
+    assert out[5] == ("v5", None)  # untouched row, evolved column null
+
+    # bucket-granular copy-on-write: entries for buckets the update
+    # keys do NOT hash into are carried over verbatim
+    from f1_realtime_data_pipeline_spark.streaming.sinks import (
+        _BUCKET_COL,
+        _key_bucket,
+    )
+
+    touched = {
+        r[0]
+        for r in ups.select(_key_bucket(["k"], 16).alias("b")).distinct().collect()
+    }
+    _, entries_post = mf.resolve_snapshot(spark, sink)
+    pre_by_path = {e["path"] for e in entries_pre if e["bucket"] not in touched}
+    post_kept = {e["path"] for e in entries_post if e["bucket"] not in touched}
+    assert pre_by_path == post_kept and len(pre_by_path) > 0
+    assert all(
+        e["path"].startswith("data/merge-")
+        for e in entries_post
+        if e["bucket"] in touched
+    )
+
+    # the pre-merge image is still readable (time travel)
+    old = {r.k: r.v for r in mf.read_snapshot(spark, sink, version=v_pre).collect()}
+    assert old[3] == "v3" and 100 not in old
