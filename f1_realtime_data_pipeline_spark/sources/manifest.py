@@ -68,10 +68,32 @@ def _read_text(spark: SparkSession, path_str: str) -> str:
 
 def _create_exclusive(spark: SparkSession, path_str: str, text: str) -> bool:
     """Atomically create ``path_str`` with ``text``; False if it
-    already exists (a concurrent committer won the race)."""
+    already exists (a concurrent committer won the race).
+
+    Per-filesystem dispatch, the LogStore pattern every manifest
+    format ends up with: Hadoop's LOCAL FileSystem implements
+    ``create(path, overwrite=false)`` as a check-then-create — NOT
+    atomic (a thread race test caught all racers "winning"), so local
+    paths go through POSIX ``O_CREAT|O_EXCL``, which the kernel
+    serializes. Cluster filesystems keep the Hadoop call: HDFS/ABFS
+    create is an atomic namespace operation; S3 needs the usual
+    commit-service/conditional-put story, same as Delta."""
     from py4j.protocol import Py4JJavaError
 
     fs, p = fs_for(spark, path_str)
+    uri = p.toUri()
+    if uri.getScheme() in (None, "file"):
+        import os as _os
+
+        local = uri.getPath()
+        _os.makedirs(_os.path.dirname(local), exist_ok=True)
+        try:
+            fd = _os.open(local, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with _os.fdopen(fd, "wb") as f:
+            f.write(text.encode("utf-8"))
+        return True
     try:
         out = fs.create(p, False)
     except Py4JJavaError:

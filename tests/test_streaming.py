@@ -682,3 +682,37 @@ def test_transactional_merge_copy_on_write(spark, tmp_path):
     # the pre-merge image is still readable (time travel)
     old = {r.k: r.v for r in mf.read_snapshot(spark, sink, version=v_pre).collect()}
     assert old[3] == "v3" and 100 not in old
+
+
+def test_manifest_commit_race_exactly_one_winner(spark, tmp_path):
+    """The OCC core under REAL concurrency: N threads racing to commit
+    the same next version — exclusive manifest creation lets exactly
+    one win; every loser sees False and the winning document is intact
+    (never interleaved writes)."""
+    import threading
+
+    from f1_realtime_data_pipeline_spark.sources import manifest as mf
+
+    table = str(tmp_path / "race_table")
+    results: list[bool] = [False] * 8
+    entries_by_thread = [
+        [{"path": f"data/epoch-t{t}/__kb=0", "bucket": 0}] for t in range(8)
+    ]
+    barrier = threading.Barrier(8)
+
+    def attempt(t: int) -> None:
+        barrier.wait()
+        results[t] = mf.commit_snapshot(spark, table, 1, entries_by_thread[t])
+
+    threads = [threading.Thread(target=attempt, args=(t,)) for t in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert sum(results) == 1
+    winner = results.index(True)
+    v, entries = mf.resolve_snapshot(spark, table)
+    assert v == 1 and entries == entries_by_thread[winner]
+    # the losers can retry at v+1 (the multi-writer protocol)
+    assert mf.commit_snapshot(spark, table, 2, entries_by_thread[0])
+    assert mf.snapshot_versions(spark, table) == [1, 2]
