@@ -60,6 +60,8 @@ AUDIT = [
     "t_epoch_expand",
     "o_zorder_layout",
     "p_skew_profile",
+    "m_video_meta",
+    "m_jpeg_meta",
 ]
 
 
