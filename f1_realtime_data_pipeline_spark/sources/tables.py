@@ -154,8 +154,17 @@ def drop_cascade(spark: SparkSession, name: str) -> list[str]:
     operation: cost is one analysis per view, no job runs.
     """
     cur_db = spark.catalog.currentDatabase()
-    target = name if "." in name else f"{cur_db}.{name}"
-    target_q = f"spark_catalog.{target}"
+    # a bare name may be a TEMP view (no database) — resolve that
+    # first; temp views shadow tables in SQL resolution, so the
+    # cascade follows the same precedence
+    target_is_temp = "." not in name and any(
+        t.name == name and t.isTemporary for t in spark.catalog.listTables()
+    )
+    if target_is_temp:
+        target = target_q = name
+    else:
+        target = name if "." in name else f"{cur_db}.{name}"
+        target_q = f"spark_catalog.{target}"
     candidates: list[tuple[str, str, bool]] = []  # (qualified, ref, temp)
     for db in [d.name for d in spark.catalog.listDatabases()]:
         for t in spark.catalog.listTables(db):
@@ -184,10 +193,13 @@ def drop_cascade(spark: SparkSession, name: str) -> list[str]:
     for qualified, ref in to_drop:
         spark.sql(f"DROP VIEW IF EXISTS {ref}")
         dropped.append(qualified)
-    is_view = any(
-        t.name == target.split(".")[-1] and t.tableType == "VIEW"
-        for t in spark.catalog.listTables(target.rsplit(".", 1)[0])
-    )
+    if target_is_temp:
+        is_view = True
+    else:
+        is_view = any(
+            t.name == target.split(".")[-1] and t.tableType == "VIEW"
+            for t in spark.catalog.listTables(target.rsplit(".", 1)[0])
+        )
     spark.sql(
         f"DROP {'VIEW' if is_view else 'TABLE'} IF EXISTS {target}"
     )

@@ -148,3 +148,16 @@ def test_drop_cascade_views(spark):
     dropped2 = drop_cascade(spark, "casc_pv3")
     assert set(dropped2) == {"casc_tv2", "default.casc_pv3"}
     drop_all_user_tables(spark)
+
+
+def test_drop_cascade_temp_view_target(spark):
+    # cascading a TEMP view target: its dependents drop, it drops via
+    # DROP VIEW (temp views shadow tables in resolution precedence)
+    from f1_realtime_data_pipeline_spark.sources.tables import drop_cascade
+
+    spark.sql("CREATE OR REPLACE TEMP VIEW casc_base AS SELECT 1 AS x")
+    spark.sql("CREATE OR REPLACE TEMP VIEW casc_dep AS SELECT * FROM casc_base")
+    dropped = drop_cascade(spark, "casc_base")
+    assert set(dropped) == {"casc_dep", "casc_base"}
+    temps = {t.name for t in spark.catalog.listTables() if t.isTemporary}
+    assert not temps & {"casc_base", "casc_dep"}
