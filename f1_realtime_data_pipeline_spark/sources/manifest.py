@@ -131,28 +131,38 @@ def resolve_snapshot(
     return v, entries
 
 
-def resolve_snapshot_full(
+def resolve_snapshot_doc(
     spark: SparkSession, table_path: str, version: int | None = None
-) -> tuple[int, list[dict[str, Any]], dict | None]:
-    """(version, entries, schema) — schema is the committed snapshot's
-    DATA schema as a Spark StructType JSON dict, or None on manifests
-    committed before schema tracking (read as plain parquet)."""
+) -> dict[str, Any]:
+    """The full manifest document of a committed snapshot (latest or
+    explicit ``version``): entries, schema, and any committer metadata
+    (e.g. the agg sink's applied-epoch ledger). ``{"version": 0,
+    "entries": []}`` when nothing was ever committed."""
     versions = snapshot_versions(spark, table_path)
     if version is None:
         if not versions:
-            return 0, [], None
+            return {"version": 0, "entries": []}
         version = versions[-1]
     elif version not in versions:
         raise ValueError(
             f"snapshot v{version} not committed at {table_path} "
             f"(history: {versions or 'empty'})"
         )
-    doc = json.loads(
+    return json.loads(
         _read_text(
             spark, f"{table_path}/{MANIFEST_DIR}/manifest-{version:012d}.json"
         )
     )
-    return version, doc["entries"], doc.get("schema")
+
+
+def resolve_snapshot_full(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> tuple[int, list[dict[str, Any]], dict | None]:
+    """(version, entries, schema) — schema is the committed snapshot's
+    DATA schema as a Spark StructType JSON dict, or None on manifests
+    committed before schema tracking (read as plain parquet)."""
+    doc = resolve_snapshot_doc(spark, table_path, version)
+    return doc["version"], doc["entries"], doc.get("schema")
 
 
 def commit_snapshot(
@@ -161,14 +171,21 @@ def commit_snapshot(
     version: int,
     entries: list[dict[str, Any]],
     schema: dict | None = None,
+    meta: dict[str, Any] | None = None,
 ) -> bool:
     """Commit ``entries`` as snapshot ``version`` via exclusive
     manifest creation; ``schema`` (StructType JSON dict) records the
-    snapshot's data schema for evolved reads. False = lost the race
-    for this version."""
+    snapshot's data schema for evolved reads; ``meta`` carries extra
+    committer keys into the document (e.g. an applied-epoch ledger).
+    False = lost the race for this version."""
     body: dict[str, Any] = {"version": version, "entries": entries}
     if schema is not None:
         body["schema"] = schema
+    if meta:
+        clash = meta.keys() & {"version", "entries", "schema"}
+        if clash:
+            raise ValueError(f"meta keys shadow manifest fields: {clash}")
+        body.update(meta)
     doc = json.dumps(body, sort_keys=True)
     return _create_exclusive(
         spark, f"{table_path}/{MANIFEST_DIR}/manifest-{version:012d}.json", doc

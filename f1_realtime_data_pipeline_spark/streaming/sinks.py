@@ -384,6 +384,125 @@ def transactional_merge(
         up.unpersist()
 
 
+#: replay window for the agg sink's applied-epoch ledger. Structured
+#: Streaming replays at most the epochs since the last successful
+#: checkpoint commit, so a bounded recent-ids list suffices; at this
+#: cap the ledger costs ~2 KB per manifest.
+AGG_APPLIED_CAP = 100
+
+
+def transactional_agg_sink(
+    sink_path: str,
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    n_buckets: int = SINK_BUCKETS,
+) -> Callable[[DataFrame, int], None]:
+    """Streaming MATERIALIZED VIEW: maintain a keyed aggregate table
+    (``sum(sum_cols)`` + an ``n_rows`` count per ``group_cols`` key)
+    incrementally, one atomic snapshot transition per micro-batch —
+    the continuous-aggregation shape (championship points as they
+    stream in) with EXACTLY-ONCE totals.
+
+    A row sink gets exactly-once from a key anti-join; an aggregate
+    sink cannot (a replayed batch would double-COUNT, not collide), so
+    this uses the other standard recipe: the epoch id is recorded IN
+    the atomic commit (an ``applied`` ledger in the manifest), and a
+    replayed epoch that already appears there is skipped before any
+    write. Commit and ledger update are one exclusive file creation —
+    there is no state where totals landed but the ledger missed it.
+    Additive measures only (sum/count — the re-mergeable class): merge
+    is ``SUM`` over (existing ∪ partial), associative at any replay
+    or compaction order.
+
+    Per epoch: map-side partial aggregate of the batch (the only
+    full-batch pass), bucket by key hash, read ONLY the touched
+    buckets of the current snapshot (manifest pruning), re-sum, rewrite
+    those buckets copy-on-write, commit v+1 — same bounded I/O as the
+    MERGE path. The ledger keeps the last ``AGG_APPLIED_CAP`` epoch
+    ids (Structured Streaming replays only back to the last checkpoint
+    commit); epoch ids identify batches only while the checkpoint
+    lineage lives, same caveat the row sink documents."""
+    group_cols = list(group_cols)
+    sum_cols = list(sum_cols)
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        doc = manifest.resolve_snapshot_doc(spark, sink_path)
+        version, entries = doc["version"], doc["entries"]
+        applied = list(doc.get("applied", []))
+        key = str(epoch_id)
+        if key in applied:
+            return
+        partial = (
+            batch_df.groupBy(*group_cols)
+            .agg(
+                *[F.sum(c).alias(c) for c in sum_cols],
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+            .withColumn(_BUCKET_COL, _key_bucket(group_cols, n_buckets))
+        )
+        partial.persist()
+        try:
+            touched = {
+                r[0] for r in partial.select(_BUCKET_COL).distinct().collect()
+            }
+            if not touched:  # empty batch: nothing to commit
+                return
+            keep = [e for e in entries if e["bucket"] not in touched]
+            affected = [e for e in entries if e["bucket"] in touched]
+            both = partial
+            if affected:
+                from pyspark.sql.types import StructType
+
+                reader = spark.read
+                if doc.get("schema") is not None:
+                    reader = reader.schema(StructType.fromJson(doc["schema"]))
+                for e in affected:
+                    both = both.unionByName(
+                        reader.parquet(f"{sink_path}/{e['path']}").withColumn(
+                            _BUCKET_COL, F.lit(e["bucket"])
+                        )
+                    )
+            merged = both.groupBy(*group_cols, _BUCKET_COL).agg(
+                *[F.sum(c).alias(c) for c in sum_cols],
+                F.sum("n_rows").alias("n_rows"),
+            )
+            agg_rel = f"data/agg-{version + 1:012d}-{uuid4().hex[:8]}"
+            merged.write.partitionBy(_BUCKET_COL).parquet(
+                f"{sink_path}/{agg_rel}"
+            )
+            fs, adir = manifest.fs_for(spark, f"{sink_path}/{agg_rel}")
+            new_entries = sorted(
+                (
+                    {
+                        "path": f"{agg_rel}/{name}",
+                        "bucket": int(name.split("=", 1)[1]),
+                    }
+                    for st in fs.listStatus(adir)
+                    if (name := st.getPath().getName()).startswith(
+                        f"{_BUCKET_COL}="
+                    )
+                ),
+                key=lambda e: e["path"],
+            )
+            schema = json.loads(merged.drop(_BUCKET_COL).schema.json())
+            if not manifest.commit_snapshot(
+                spark,
+                sink_path,
+                version + 1,
+                sorted(keep + new_entries, key=lambda e: e["path"]),
+                schema=manifest.merge_schemas(doc.get("schema"), schema),
+                meta={"applied": (applied + [key])[-AGG_APPLIED_CAP:]},
+            ):
+                raise RuntimeError(
+                    f"lost agg commit race for {sink_path} v{version + 1}"
+                )
+        finally:
+            partial.unpersist()
+
+    return write
+
+
 def jdbc_append_writer(
     url: str, table: str, properties: dict[str, str]
 ) -> Callable[[DataFrame, int], None]:

@@ -716,3 +716,114 @@ def test_manifest_commit_race_exactly_one_winner(spark, tmp_path):
     # the losers can retry at v+1 (the multi-writer protocol)
     assert mf.commit_snapshot(spark, table, 2, entries_by_thread[0])
     assert mf.snapshot_versions(spark, table) == [1, 2]
+
+
+def test_transactional_agg_sink_exactly_once(spark, tmp_path):
+    """r5 streaming materialized view: per-key running totals merge
+    across epochs, a REPLAYED epoch is skipped via the applied ledger
+    in the atomic commit (no double counting — the failure the
+    at-least-once reference has, SURVEY §3.4), untouched buckets carry
+    over verbatim, and compaction preserves the totals."""
+    from f1_realtime_data_pipeline_spark.sources import manifest as mf
+    from f1_realtime_data_pipeline_spark.streaming.sinks import (
+        read_sink_snapshot,
+        transactional_agg_sink,
+    )
+
+    sink = str(tmp_path / "agg_view")
+    write = transactional_agg_sink(sink, group_cols=["driver"], sum_cols=["pts"])
+    e0 = spark.createDataFrame(
+        [("VER", 25), ("HAM", 18), ("VER", 1)], ["driver", "pts"]
+    )
+    e1 = spark.createDataFrame(
+        [("VER", 25), ("NOR", 15), ("HAM", 0)], ["driver", "pts"]
+    )
+    write(e0, 0)
+    write(e1, 1)
+    out = {r.driver: (r.pts, r.n_rows) for r in read_sink_snapshot(spark, sink).collect()}
+    assert out == {"VER": (51, 3), "HAM": (18, 2), "NOR": (15, 1)}
+    v = mf.snapshot_versions(spark, sink)[-1]
+
+    # exactly-once: replaying BOTH epochs changes nothing at all
+    write(e0, 0)
+    write(e1, 1)
+    assert mf.snapshot_versions(spark, sink)[-1] == v
+    out2 = {r.driver: (r.pts, r.n_rows) for r in read_sink_snapshot(spark, sink).collect()}
+    assert out2 == out
+
+    # a new epoch still merges; an empty epoch commits nothing
+    write(spark.createDataFrame([("VER", 7)], ["driver", "pts"]), 2)
+    write(spark.createDataFrame([], "driver string, pts long"), 3)
+    out3 = {r.driver: r.pts for r in read_sink_snapshot(spark, sink).collect()}
+    assert out3["VER"] == 58 and len(out3) == 3
+
+    # maintenance composes: compaction keeps the totals bit-identical
+    mf.compact_snapshot(spark, sink)
+    out4 = {r.driver: r.pts for r in read_sink_snapshot(spark, sink).collect()}
+    assert out4 == out3
+
+
+def test_agg_sink_streaming_end_to_end(spark, tmpdirs):
+    """The materialized view under a REAL stream (file-replay source,
+    foreachBatch): per-driver points totals equal the batch groupBy of
+    the same input, and a resumed run from the same checkpoint adds
+    nothing (offsets + applied ledger compose to exactly-once)."""
+    from f1_realtime_data_pipeline_spark.streaming.pipeline import (
+        raw_value_stream,
+        transform_stream,
+    )
+    from f1_realtime_data_pipeline_spark.streaming.sinks import (
+        read_sink_snapshot,
+        transactional_agg_sink,
+    )
+
+    lines = _raw_lines(spark)
+    write_replay_batch(tmpdirs["source"], lines[:6], 0)
+    write_replay_batch(tmpdirs["source"], lines[6:], 1)
+    sink = tmpdirs["sink"] + "_aggview"
+
+    def run(ckpt):
+        raw = raw_value_stream(spark, tmpdirs["source"], 1)
+        q = (
+            transform_stream(raw, value_col="value")
+            .writeStream.outputMode("append")
+            .foreachBatch(
+                transactional_agg_sink(
+                    sink, group_cols=["driver_number"], sum_cols=["points"]
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    ckpt = tmpdirs["ckpt"] + "_aggview"
+    run(ckpt)
+    got = {
+        r.driver_number: r.pts
+        for r in read_sink_snapshot(spark, sink)
+        .selectExpr("driver_number", "points AS pts")
+        .collect()
+    }
+    # oracle: batch aggregation over the same raw lines
+    raw_batch = spark.createDataFrame([(v,) for v in lines], ["value"])
+    from f1_realtime_data_pipeline_spark.streaming.pipeline import transform_stream as _t
+
+    expect = {
+        r.driver_number: r.pts
+        for r in _t(raw_batch, value_col="value")
+        .groupBy("driver_number")
+        .agg(F.sum("points").alias("pts"))
+        .collect()
+    }
+    assert got == expect
+    # resume from the SAME checkpoint: no new data -> totals unchanged
+    run(ckpt)
+    again = {
+        r.driver_number: r.pts
+        for r in read_sink_snapshot(spark, sink)
+        .selectExpr("driver_number", "points AS pts")
+        .collect()
+    }
+    assert again == expect
