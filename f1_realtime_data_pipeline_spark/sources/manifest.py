@@ -217,11 +217,30 @@ def merge_schemas(prev: dict | None, batch: dict) -> dict:
     }
 
 
+def _stat_overlaps(entry: dict[str, Any], where: dict[str, tuple]) -> bool:
+    """Data-skipping predicate: keep ``entry`` unless its recorded
+    [lo, hi] stats range PROVABLY misses every requested range.
+    Entries without stats for a column are kept (can't prune what was
+    never measured — the safe default, same as lakehouse formats)."""
+    stats = entry.get("stats") or {}
+    for col, (lo, hi) in where.items():
+        rng = stats.get(col)
+        if rng is None:
+            continue
+        e_lo, e_hi = rng
+        if (hi is not None and e_lo is not None and e_lo > hi) or (
+            lo is not None and e_hi is not None and e_hi < lo
+        ):
+            return False
+    return True
+
+
 def read_snapshot(
     spark: SparkSession,
     table_path: str,
     buckets: list[int] | None = None,
     version: int | None = None,
+    where: dict[str, tuple] | None = None,
 ) -> DataFrame | None:
     """DataFrame over the latest committed snapshot (optionally pruned
     to ``buckets`` — manifest-metadata skipping, no file listing of
@@ -237,13 +256,21 @@ def read_snapshot(
     PINNED to it: files written before a column existed return nulls
     for it — per-file schema drift can never leak into the result, and
     no schema-merging file-footer sweep is needed (the manifest is the
-    source of truth, like a lakehouse table's log)."""
+    source of truth, like a lakehouse table's log).
+
+    ``where={col: (lo, hi)}`` is DATA SKIPPING off the commit-time
+    min/max stats entries may carry (sinks record them via
+    ``stats_cols``): directories whose range provably misses every
+    requested range are never listed or read — metadata pruning is a
+    NECESSARY filter, not sufficient, so apply the real predicate to
+    the returned frame too (exactly the lakehouse contract)."""
     _, entries, schema = resolve_snapshot_full(spark, table_path, version)
     want = None if buckets is None else set(buckets)
     paths = [
         f"{table_path}/{e['path']}"
         for e in entries
-        if want is None or e["bucket"] in want
+        if (want is None or e["bucket"] in want)
+        and (where is None or _stat_overlaps(e, where))
     ]
     if not paths:
         return None
@@ -334,6 +361,21 @@ def compact_snapshot(spark: SparkSession, table_path: str) -> int:
             f"lost compaction commit race for {table_path} v{version + 1}"
         )
     return version + 1
+
+
+def jsonable_stat(v: Any) -> Any:
+    """A min/max value as a JSON-storable, ORDER-PRESERVING scalar:
+    datetimes/dates become ISO-8601 strings (fixed-width UTC text
+    compares lexicographically in timestamp order), numerics/strings
+    pass through, anything else is refused — silently storing an
+    unorderable repr would turn pruning into wrong answers."""
+    import datetime as _dt
+
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    raise TypeError(f"stats column value not orderable as JSON: {type(v)}")
 
 
 def vacuum(spark: SparkSession, table_path: str) -> list[str]:

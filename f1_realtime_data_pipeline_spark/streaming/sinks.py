@@ -143,6 +143,7 @@ def transactional_parquet_sink(
     keys: Sequence[str],
     order_cols: Sequence[str] | None = None,
     n_buckets: int = SINK_BUCKETS,
+    stats_cols: Sequence[str] | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """:func:`idempotent_parquet_sink` semantics on the atomic-manifest
     table format (:mod:`~f1_realtime_data_pipeline_spark.sources.
@@ -232,6 +233,37 @@ def transactional_parquet_sink(
             )
             if not new_entries:
                 return
+            if stats_cols:
+                # commit-time data-skipping stats (min/max per bucket
+                # dir, read back from the just-written epoch — tiny,
+                # exact, and partition-column aware via basePath).
+                # The manifest doubles as the skipping index: a later
+                # read_snapshot(where=...) prunes directories whose
+                # range provably misses, before any file listing.
+                ep = f"{sink_path}/{epoch_rel}"
+                aggs = []
+                for i, c in enumerate(stats_cols):
+                    aggs += [
+                        F.min(c).alias(f"__lo{i}"),
+                        F.max(c).alias(f"__hi{i}"),
+                    ]
+                by_bucket = {
+                    r[_BUCKET_COL]: {
+                        c: [
+                            manifest.jsonable_stat(r[f"__lo{i}"]),
+                            manifest.jsonable_stat(r[f"__hi{i}"]),
+                        ]
+                        for i, c in enumerate(stats_cols)
+                    }
+                    for r in spark.read.option("basePath", ep)
+                    .parquet(ep)
+                    .groupBy(_BUCKET_COL)
+                    .agg(*aggs)
+                    .collect()
+                }
+                for e in new_entries:
+                    if e["bucket"] in by_bucket:
+                        e["stats"] = by_bucket[e["bucket"]]
             if not manifest.commit_snapshot(
                 spark, sink_path, version + 1, entries + new_entries,
                 schema=merged_schema,

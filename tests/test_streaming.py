@@ -827,3 +827,53 @@ def test_agg_sink_streaming_end_to_end(spark, tmpdirs):
         .collect()
     }
     assert again == expect
+
+
+def test_sink_stats_data_skipping(spark, tmp_path):
+    """r5 data skipping: the sink records per-bucket-dir min/max for
+    stats_cols at commit time, and read_snapshot(where=...) prunes
+    directories whose range provably misses — a NECESSARY filter (the
+    real predicate still applies on top), verified by comparing the
+    pruned read + predicate against the unpruned read + predicate."""
+    from f1_realtime_data_pipeline_spark.sources import manifest as mf
+    from f1_realtime_data_pipeline_spark.streaming.sinks import (
+        transactional_parquet_sink,
+    )
+
+    sink = str(tmp_path / "txn_stats")
+    write = transactional_parquet_sink(
+        sink, keys=["k"], order_cols=["v"], stats_cols=["score"]
+    )
+    # epoch 0: low scores; epoch 1: high scores (disjoint ranges)
+    write(
+        spark.createDataFrame(
+            [(i, f"v{i}", i % 100) for i in range(200)], ["k", "v", "score"]
+        ),
+        0,
+    )
+    write(
+        spark.createDataFrame(
+            [(1000 + i, f"w{i}", 500 + i % 100) for i in range(200)],
+            ["k", "v", "score"],
+        ),
+        1,
+    )
+    _, entries = mf.resolve_snapshot(spark, sink)
+    assert all("stats" in e and "score" in e["stats"] for e in entries)
+
+    # a range only the high epoch can satisfy: every low-epoch dir is
+    # pruned from the path list
+    full = mf.read_snapshot(spark, sink)
+    pruned = mf.read_snapshot(spark, sink, where={"score": (500, None)})
+    n_full = len(full.inputFiles())
+    n_pruned = len(pruned.inputFiles())
+    assert n_pruned < n_full
+    assert all("epoch-000000000001" in f for f in pruned.inputFiles())
+
+    # necessary-not-sufficient: predicate on top gives identical rows
+    got = {r.k for r in pruned.filter(F.col("score") >= 500).collect()}
+    want = {r.k for r in full.filter(F.col("score") >= 500).collect()}
+    assert got == want and len(want) == 200
+
+    # a range nothing satisfies prunes EVERYTHING (None frame)
+    assert mf.read_snapshot(spark, sink, where={"score": (10_000, None)}) is None
