@@ -113,3 +113,125 @@ class F1Engine:
         return start_kafka_pipeline(
             self.spark, bootstrap, topic, sink_dir, checkpoint_dir
         )
+
+    # -- lakehouse surface (r5) --------------------------------------------
+
+    @classmethod
+    def from_lakehouse(
+        cls, spark: SparkSession, fact_table: str, dim_path: str, **kw
+    ) -> "F1Engine":
+        """Serve from a manifest-table snapshot instead of a raw
+        parquet directory: consistent under concurrent ingest (a
+        committed snapshot, never a half-written epoch), so the
+        Streamlit-shaped reader and the streaming writer can share the
+        table — what the reference needs Postgres for."""
+        from f1_realtime_data_pipeline_spark.streaming.sinks import (
+            read_sink_snapshot,
+        )
+
+        return cls(
+            spark,
+            read_sink_snapshot(spark, fact_table),
+            spark.read.schema(DRIVERS).parquet(dim_path),
+            **kw,
+        )
+
+    def upsert_drivers(self, updates: DataFrame) -> "F1Engine":
+        """The reference's driver-dimension ``ON CONFLICT DO UPDATE``
+        (S7, kafka_producer.py:42-48) as last-wins MERGE semantics;
+        returns a new engine serving the updated dimension. The
+        reference's conflict clause SETs every column from the
+        incoming row, so a column absent from ``updates`` becomes NULL
+        on updated rows — partial updates are aligned to the dimension
+        schema with typed nulls, not column-merged."""
+        from pyspark.sql import functions as F
+
+        from f1_realtime_data_pipeline_spark.sources.tables import (
+            upsert_last_wins,
+        )
+
+        aligned = updates.select(
+            *[
+                F.col(f.name)
+                if f.name in updates.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in self.drivers.schema.fields
+            ]
+        )
+        return F1Engine(
+            self.spark,
+            self._raw_results,
+            upsert_last_wins(self.drivers, aligned, ["driver_number"]),
+            dedup=False,
+            season_total=self.season_total,
+        )
+
+    @staticmethod
+    def reset_catalog(spark: SparkSession) -> list[str]:
+        """The reference's ``reset_postgres.py`` (S9): cascade-drop
+        every user table and view in the session catalog."""
+        from f1_realtime_data_pipeline_spark.sources.tables import (
+            drop_all_user_tables,
+        )
+
+        return drop_all_user_tables(spark)
+
+    def start_points_view(
+        self, source_dir: str, view_path: str, checkpoint_dir: str
+    ) -> StreamingQuery:
+        """LIVE championship points as a streaming materialized view:
+        per-driver running totals maintained exactly-once
+        (transactional_agg_sink — replayed micro-batches cannot
+        double-count, the §3.4 hazard the reference's append sink
+        carries). Read it any time with :meth:`points_view`."""
+        from f1_realtime_data_pipeline_spark.streaming.pipeline import (
+            raw_value_stream,
+            transform_stream,
+        )
+        from f1_realtime_data_pipeline_spark.streaming.sinks import (
+            transactional_agg_sink,
+        )
+
+        raw = raw_value_stream(self.spark, source_dir, 1)
+        return (
+            transform_stream(raw, value_col="value")
+            .writeStream.outputMode("append")
+            .foreachBatch(
+                transactional_agg_sink(
+                    view_path, group_cols=["driver_number"], sum_cols=["points"]
+                )
+            )
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def points_view(self, view_path: str) -> DataFrame:
+        """The live points view joined to the driver dimension —
+        (driver_number, driver_name, total_points, n_results), ordered
+        like the standings board."""
+        from pyspark.sql import functions as F
+
+        from f1_realtime_data_pipeline_spark.streaming.sinks import (
+            read_sink_snapshot,
+        )
+
+        view = read_sink_snapshot(self.spark, view_path)
+        return (
+            view.join(
+                F.broadcast(
+                    self.drivers.select("driver_number", "driver_name")
+                ),
+                "driver_number",
+                "left",
+            )
+            .select(
+                "driver_number",
+                F.coalesce(F.col("driver_name"), F.lit("Unknown")).alias(
+                    "driver_name"
+                ),
+                F.col("points").alias("total_points"),
+                F.col("n_rows").alias("n_results"),
+            )
+            .orderBy(F.col("total_points").desc(), F.col("driver_number").asc())
+        )

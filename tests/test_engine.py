@@ -64,3 +64,65 @@ def test_engine_ingest_then_serve(spark, tmp_path):
     assert s.count() > 0
     # ingest filtered unfinished rows: every served row has a position
     assert eng.results.filter(F.col("position").isNull()).count() == 0
+
+
+def test_engine_lakehouse_points_view_and_upsert(spark, tmp_path):
+    """r5 facade surface: the live points materialized view end to end
+    (stream → exactly-once agg table → joined serving read, resumed
+    run adds nothing), from_lakehouse serving a snapshot table, and
+    the driver-dimension upsert."""
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "points_view")
+    ckpt = str(tmp_path / "ckpt_view")
+    dim_path = str(tmp_path / "dim")
+    fixtures.drivers(spark).write.parquet(dim_path)
+    lines = [r.value for r in fixtures.raw_messages(spark).collect()]
+    write_replay_batch(src, lines, 0)
+
+    eng = F1Engine(
+        spark, fixtures.race_results(spark).limit(0), fixtures.drivers(spark)
+    )
+    eng.start_points_view(src, view, ckpt).awaitTermination(120)
+    pv = eng.points_view(view).collect()
+    assert pv[0].total_points == pv[0].total_points  # materialized
+    got = {r.driver_number: r.total_points for r in pv}
+    # oracle: batch sum over the same transformed lines
+    from f1_realtime_data_pipeline_spark.streaming.pipeline import transform_stream
+
+    raw = spark.createDataFrame([(v,) for v in lines], ["value"])
+    want = {
+        r.driver_number: r.pts
+        for r in transform_stream(raw, value_col="value")
+        .groupBy("driver_number")
+        .agg(F.sum("points").alias("pts"))
+        .collect()
+    }
+    assert got == want
+    # the view is ordered like the board and dim-joined
+    assert pv[0].total_points == max(want.values())
+    assert all(r.driver_name is not None for r in pv)
+    # resume: no new data, totals unchanged (exactly-once)
+    eng.start_points_view(src, view, ckpt).awaitTermination(120)
+    assert {r.driver_number: r.total_points for r in eng.points_view(view).collect()} == want
+
+    # from_lakehouse: serve standings from a manifest fact table
+    from f1_realtime_data_pipeline_spark.streaming.sinks import (
+        transactional_parquet_sink,
+    )
+    from f1_realtime_data_pipeline_spark.streaming.pipeline import RESULT_KEYS
+
+    fact_table = str(tmp_path / "fact_table")
+    transactional_parquet_sink(
+        fact_table, RESULT_KEYS, order_cols=["date", "grand_prix"]
+    )(transform_stream(raw, value_col="value"), 0)
+    eng2 = F1Engine.from_lakehouse(spark, fact_table, dim_path)
+    assert eng2.standings().count() > 0
+
+    # driver-dim upsert: renamed driver serves under the new name
+    ups = spark.createDataFrame(
+        [("1", "M. VERSTAPPEN II", "Red Bull")],
+        ["driver_number", "driver_name", "team"],
+    )
+    eng3 = eng2.upsert_drivers(ups.select("driver_number", "driver_name"))
+    names = {r.driver_number: r.driver_name for r in eng3.standings().collect()}
+    assert names["1"] == "M. VERSTAPPEN II"
