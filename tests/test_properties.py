@@ -132,3 +132,44 @@ def test_span_dedup_invariants(spark_prop, texts):
     }
     for span, occs in model.items():
         assert kept[span] == min(occs)
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(_key, st.integers(min_value=-50, max_value=50)),
+        min_size=1,
+        max_size=14,
+    ),
+    cuts=st.lists(st.integers(min_value=0, max_value=14), max_size=3),
+)
+def test_agg_sink_epoch_partition_invariant(spark_prop, tmp_path_factory, rows, cuts):
+    """The materialized view's merge is associative: ANY partition of
+    the same rows into micro-batches (including empty ones) commits
+    the identical per-key totals the one-shot batch aggregate gives —
+    the property that makes incremental maintenance trustworthy."""
+    from f1_realtime_data_pipeline_spark.streaming.sinks import (
+        read_sink_snapshot,
+        transactional_agg_sink,
+    )
+
+    spark = spark_prop
+    sink = str(tmp_path_factory.mktemp("aggprop") / "view")
+    bounds = sorted({min(c, len(rows)) for c in cuts} | {0, len(rows)})
+    write = transactional_agg_sink(sink, group_cols=["k"], sum_cols=["v"])
+    for ep, (lo, hi) in enumerate(zip(bounds, bounds[1:] + [len(rows)])):
+        chunk = rows[lo:hi]
+        write(
+            spark.createDataFrame(chunk, "k long, v long")
+            if chunk
+            else spark.createDataFrame([], "k long, v long"),
+            ep,
+        )
+    got = {
+        r.k: (r.v, r.n_rows) for r in read_sink_snapshot(spark, sink).collect()
+    }
+    want: dict = {}
+    for k, v in rows:
+        s, n = want.get(k, (0, 0))
+        want[k] = (s + v, n + 1)
+    assert got == want
