@@ -10,15 +10,21 @@ replays and overlapping batches are no-ops.
 Scale posture: on a real deployment this is Delta ``MERGE INTO`` keyed
 on (session_key, driver_number) — transactional, concurrent-writer
 safe, and the anti-join is a metadata-pruned merge instead of a full
-key scan. Delta isn't on this container's classpath, so two variants
-implement the contract here: :func:`idempotent_parquet_sink` (plain
+key scan. Delta isn't on this container's classpath, so the contract
+is implemented here in grades: :func:`idempotent_parquet_sink` (plain
 partitioned parquet, single streaming writer — exactly Structured
-Streaming's execution model) and :func:`transactional_parquet_sink`
+Streaming's execution model); :func:`transactional_parquet_sink`
 (r5), the same semantics on the atomic-manifest format
 (:mod:`~f1_realtime_data_pipeline_spark.sources.manifest`) so
-concurrent READERS get snapshot isolation and the anti-join prunes by
-commit metadata instead of directory listing. A JDBC mirror (S5)
-stays available via ``jdbc_append_writer`` for reference parity.
+concurrent READERS get snapshot isolation, the anti-join prunes by
+commit metadata instead of directory listing, and commits can carry
+per-directory min/max stats for data-skipping reads;
+:func:`transactional_merge` (r5), batch MERGE INTO as bucket-granular
+copy-on-write; and :func:`transactional_agg_sink` (r5), the streaming
+materialized view — exactly-once AGGREGATION via an applied-epoch
+ledger inside the atomic commit (a key anti-join cannot protect an
+aggregate: replays double-count instead of colliding). A JDBC mirror
+(S5) stays available via ``jdbc_append_writer`` for reference parity.
 """
 
 from __future__ import annotations
