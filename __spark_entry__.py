@@ -62,6 +62,7 @@ _WINDOW_HEAD = [
     "m_jpeg_meta",
     "m_video_meta",
     "t_pii_redact",
+    "m_video_frame_plan",
     "e_knn_lsh",
     "e_cosine_neardup",
     "e_neardup_clusters",

@@ -761,6 +761,75 @@ def decode_video_meta(media: DataFrame) -> DataFrame:
 MP4_HEADER_BYTES = len(encode_mp4(16, 16, 1000, 0))
 
 
+def decode_mp4_chunk_offset(payload: bytes) -> int:
+    """The stco chunk offset — the absolute file position of the first
+    sample's bytes. What a byte-range fetcher seeks to; raises
+    ``ValueError`` on a container without a sample-chunk table."""
+    for _, typ, b0, b1 in _bmff_boxes(payload, 0, len(payload)):
+        if typ == b"stco":
+            (n,) = struct.unpack(">I", payload[b0 + 4 : b0 + 8])
+            if n < 1 or b0 + 12 > b1:
+                raise ValueError("empty/truncated stco")
+            return struct.unpack(">I", payload[b0 + 8 : b0 + 12])[0]
+    raise ValueError("MP4 without stco")
+
+
+FRAME_PLAN_SCHEMA = "doc_id bigint, n_frames int, chunk_off int"
+
+
+def video_frame_fetch_plan(media: DataFrame, every_k: int = 2) -> DataFrame:
+    """Byte-range plan for sampled frame fetches — the planning half
+    of a remote video pipeline: decode each container's sample tables
+    ONCE (Arrow mapInPandas: stts frame count + stco chunk offset),
+    then derive every k-th frame's (offset, length) with pure JVM
+    sequence/projection — the explode never re-reads the payload, so
+    the per-row work is bytes-proportional only in the decode stage.
+    Output: one row per sampled frame with the absolute byte range a
+    fetcher would request (fixed-size samples here; variable stsz
+    tables would carry per-sample sizes through the same plan)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [decode_mp4(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_frames": [m[3] for m in metas],
+                    "chunk_off": [
+                        decode_mp4_chunk_offset(p) for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    meta = media.select("doc_id", "payload").mapInPandas(
+        decode, FRAME_PLAN_SCHEMA
+    )
+    return (
+        meta.filter(F.col("n_frames") > 0)
+        .select(
+            "doc_id",
+            "n_frames",
+            "chunk_off",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.col("n_frames") - 1, F.lit(every_k)
+                )
+            ).alias("frame_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("frame_idx").cast("int").alias("frame_idx"),
+            (
+                F.col("chunk_off")
+                + F.col("frame_idx") * F.lit(VIDEO_SAMPLE_BYTES)
+            )
+            .cast("int")
+            .alias("byte_off"),
+            F.lit(VIDEO_SAMPLE_BYTES).cast("int").alias("byte_len"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # the decoder (engine side)
 # ---------------------------------------------------------------------------

@@ -788,9 +788,9 @@ def t_shuffle_order(spark, sf_dir):
 
     global_pos = bucket_offset + local_rank reproduces the exact
     total order (shuffle_key, doc_id) because ties on shuffle_key
-    always share a bucket. Two column-pruned scans (the count branch
-    reads doc_id only); every stage is bounded by N/B rows per task
-    at any corpus size.
+    always share a bucket. The checkpointed count branch leaves ONE
+    source scan in the final plan (PLANS.md); every stage is bounded
+    by N/B rows per task at any corpus size.
     """
     d = _docs(spark, sf_dir).select("doc_id", "source")
     key = tx.md5_id(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string")))

@@ -842,6 +842,32 @@ FROM (
 )
 
 
+def m_video_frame_plan(spark, sf_dir):
+    """Byte-range plan for sampled MP4 frame fetches (r5): the sample
+    tables are REALLY parsed per container (stts count + stco offset,
+    multimodal.video_frame_fetch_plan) while the oracle recomputes the
+    ranges from the doc_id formulas — chunk offset is the constant
+    header size by the fixture's two-pass layout, so a hash match
+    proves the stco walk returns exactly that."""
+    return mm.video_frame_fetch_plan(
+        mm.attach_video_payload(_docs(spark, sf_dir)), every_k=2
+    )
+
+
+_register(
+    "m_video_frame_plan",
+    m_video_frame_plan,
+    f"""SELECT doc_id,
+       CAST(i AS INT) AS frame_idx,
+       CAST({mm.MP4_HEADER_BYTES} + i * {mm.VIDEO_SAMPLE_BYTES} AS INT) AS byte_off,
+       CAST({mm.VIDEO_SAMPLE_BYTES} AS INT) AS byte_len
+FROM (
+  SELECT doc_id, unnest(range(0, {mm.VIDEO_FRAMES_SQL}, 2)) AS i
+  FROM documents
+)""",
+)
+
+
 def m_frame_sample(spark, sf_dir):
     """Frame sampling (every 2nd frame) through the Arrow mapInPandas
     path — the frame count comes from REALLY decoding each payload

@@ -896,3 +896,31 @@ def test_mp4_codec_roundtrip_property():
         assert mm.decode_mp4(mm.encode_mp4(w, h, ts, nf)) == (w, h, ts, nf, dur_ms)
 
     mp4_roundtrip()
+
+
+def test_mp4_frame_fetch_plan(spark, sf_dir):
+    """The byte-range plan matches the REAL payload: reading the
+    planned (offset, length) slice out of the encoded bytes yields
+    exactly that frame's mdat sample."""
+    from f1_realtime_data_pipeline_spark.sources.parquet import read_table
+
+    docs = read_table(spark, sf_dir, "documents").limit(20)
+    plan = mm.video_frame_fetch_plan(mm.attach_video_payload(docs), every_k=2)
+    rows = plan.collect()
+    assert rows
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rs in list(by_doc.items())[:5]:
+        payload = mm.video_payload_for(doc_id)
+        _, _, _, nf = mm.video_meta_for(doc_id)
+        assert [r.frame_idx for r in sorted(rs, key=lambda r: r.frame_idx)] == list(
+            range(0, nf, 2)
+        )
+        for r in rs:
+            sample = payload[r.byte_off : r.byte_off + r.byte_len]
+            # the encoder writes sample bytes (seed*31 + i) % 256
+            start = r.frame_idx * mm.VIDEO_SAMPLE_BYTES
+            assert sample == bytes(
+                (doc_id * 31 + start + j) % 256 for j in range(r.byte_len)
+            )
