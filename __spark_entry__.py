@@ -63,6 +63,7 @@ _WINDOW_HEAD = [
     "m_video_meta",
     "t_pii_redact",
     "m_video_frame_plan",
+    "t_bigram_quality",
     "e_knn_lsh",
     "e_cosine_neardup",
     "e_neardup_clusters",

@@ -991,3 +991,85 @@ FROM (
   FROM (SELECT doc_id, {_PII_DIRTY_SQL} AS dirty FROM documents)
 )""",
 )
+
+
+# ---------------------------------------------------------------------------
+# LM-quality scoring (r5): the perplexity-filter family (CCNet scores
+# docs with a KenLM; Gopher/FineWeb keep it as a core quality signal).
+# A 5-gram LM doesn't fit the oracle, but the SHAPE does: train a
+# bigram conditional-probability model on the corpus itself (two
+# count aggregations), then score each document by its mean bigram
+# probability — low-probability token sequences mark gibberish or
+# boilerplate exactly like high perplexity does (score ≈ 1/ppl proxy).
+#
+# Exact arithmetic: per-instance probabilities go through integer
+# fixed-point ((cnt_bg · 1e6) DIV cnt_prefix) BEFORE the group-sum, so
+# the aggregate is shuffle-order-independent and hash-matches DuckDB —
+# the same discipline every other scoring query here follows (a double
+# sum over a shuffle is partition-order-dependent).
+#
+# Scale shape: one scan explodes bigram instances; two count
+# aggregations (bigram table is vocab²-bounded, prefix table
+# vocab-bounded); instances join back on the bigram key — at 100 TB
+# swap the two string keys for xxhash64(w1||w2)/xxhash64(w1) like the
+# shingle index, making every shuffle row 8/16 bytes.
+# ---------------------------------------------------------------------------
+
+
+def t_bigram_quality(spark, sf_dir):
+    """Corpus-trained bigram LM quality score per document:
+    avg_prob_ppm = mean over bigram instances of
+    P(w2|w1) = count(w1 w2) / count(w1 ·), in parts-per-million."""
+    d = _docs(spark, sf_dir).select("doc_id", tokens("text").alias("toks"))
+    big = (
+        d.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                    F.slice(F.col("toks"), 2, F.size("toks") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    bgc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cbg"))
+    pfc = big.groupBy("w1").agg(F.count(F.lit(1)).alias("cw1"))
+    return (
+        big.join(bgc, ["w1", "w2"])
+        .join(pfc, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+            (
+                F.sum(F.expr("(cbg * 1000000) DIV cw1"))
+                / F.count(F.lit(1))
+            )
+            .cast("bigint")
+            .alias("avg_prob_ppm"),
+        )
+    )
+
+
+_register(
+    "t_bigram_quality",
+    t_bigram_quality,
+    f"""WITH toks AS (
+  SELECT doc_id, {tokens_sql('text')} AS t FROM documents
+), big AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+), bgc AS (
+  SELECT w1, w2, COUNT(*) AS cbg FROM big GROUP BY w1, w2
+), pfc AS (
+  SELECT w1, COUNT(*) AS cw1 FROM big GROUP BY w1
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS INT) AS n_bigrams,
+       CAST(SUM((cbg * 1000000) // cw1) // COUNT(*) AS BIGINT) AS avg_prob_ppm
+FROM big JOIN bgc USING (w1, w2) JOIN pfc USING (w1)
+GROUP BY doc_id""",
+)
