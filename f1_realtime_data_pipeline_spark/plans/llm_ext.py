@@ -1036,7 +1036,10 @@ def t_bigram_quality(spark, sf_dir):
         .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     )
     bgc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cbg"))
-    pfc = big.groupBy("w1").agg(F.count(F.lit(1)).alias("cw1"))
+    # prefix counts roll up from the bigram table (Σ_w2 cbg == count of
+    # w1-as-prefix instances) — vocab²-bounded input instead of a second
+    # corpus-wide aggregation over the exploded instances
+    pfc = bgc.groupBy("w1").agg(F.sum("cbg").alias("cw1"))
     return (
         big.join(bgc, ["w1", "w2"])
         .join(pfc, "w1")
@@ -1065,7 +1068,7 @@ _register(
 ), bgc AS (
   SELECT w1, w2, COUNT(*) AS cbg FROM big GROUP BY w1, w2
 ), pfc AS (
-  SELECT w1, COUNT(*) AS cw1 FROM big GROUP BY w1
+  SELECT w1, SUM(cbg) AS cw1 FROM bgc GROUP BY w1
 )
 SELECT doc_id,
        CAST(COUNT(*) AS INT) AS n_bigrams,

@@ -62,6 +62,8 @@ AUDIT = [
     "p_skew_profile",
     "m_video_meta",
     "m_jpeg_meta",
+    "m_video_frame_plan",
+    "t_bigram_quality",
 ]
 
 
