@@ -42,6 +42,9 @@ HEADLINE = [
     "tpch_q13",
     "tpch_q21",
     "t_quality",
+    # r5: the corpus-trained bigram-LM scorer — the heaviest text
+    # pipeline shape (explode + two count aggs + join-back)
+    "t_bigram_quality",
     "d_ngram_jaccard",
     "d_containment",
     "d_minhash_lsh",
