@@ -192,6 +192,16 @@ def commit_snapshot(
     )
 
 
+def doc_extras(doc: dict[str, Any]) -> dict[str, Any]:
+    """The committer-metadata keys of a manifest document (everything
+    beyond version/entries/schema) — maintenance commits MUST carry
+    these through or state like the agg sink's applied-epoch ledger
+    silently resets."""
+    return {
+        k: v for k, v in doc.items() if k not in ("version", "entries", "schema")
+    }
+
+
 def merge_schemas(prev: dict | None, batch: dict) -> dict:
     """Additive schema evolution (the Delta ``mergeSchema`` rule): the
     merged schema is prev's fields in order, then batch's NEW fields
@@ -309,7 +319,8 @@ def compact_snapshot(spark: SparkSession, table_path: str) -> int:
 
     from pyspark.sql import functions as F
 
-    version, entries, schema = resolve_snapshot_full(spark, table_path)
+    doc = resolve_snapshot_doc(spark, table_path)
+    version, entries, schema = doc["version"], doc["entries"], doc.get("schema")
     per_bucket: dict[int, list[str]] = {}
     for e in entries:
         per_bucket.setdefault(e["bucket"], []).append(e["path"])
@@ -356,6 +367,10 @@ def compact_snapshot(spark: SparkSession, table_path: str) -> int:
             keep + new_entries, key=lambda e: e["path"]
         ),
         schema=schema,
+        # carry every committer key through (e.g. the agg sink's
+        # applied-epoch ledger) — dropping it would let a replayed
+        # epoch re-apply after a compaction
+        meta=doc_extras(doc) or None,
     ):
         raise RuntimeError(
             f"lost compaction commit race for {table_path} v{version + 1}"

@@ -200,8 +200,11 @@ def transactional_parquet_sink(
             batch_buckets = [
                 r[0] for r in deduped.select(_BUCKET_COL).distinct().collect()
             ]
-            version, entries, prev_schema = manifest.resolve_snapshot_full(
-                spark, sink_path
+            snap_doc = manifest.resolve_snapshot_doc(spark, sink_path)
+            version, entries, prev_schema = (
+                snap_doc["version"],
+                snap_doc["entries"],
+                snap_doc.get("schema"),
             )
             # additive schema evolution (r5): the commit records the
             # union of every epoch's columns; a type conflict raises
@@ -273,6 +276,7 @@ def transactional_parquet_sink(
             if not manifest.commit_snapshot(
                 spark, sink_path, version + 1, entries + new_entries,
                 schema=merged_schema,
+                meta=manifest.doc_extras(snap_doc) or None,
             ):
                 raise RuntimeError(
                     f"lost commit race for {sink_path} v{version + 1}: "
@@ -353,8 +357,11 @@ def transactional_merge(
     )
     up.persist()
     try:
-        version, entries, prev_schema = manifest.resolve_snapshot_full(
-            spark, sink_path
+        snap_doc = manifest.resolve_snapshot_doc(spark, sink_path)
+        version, entries, prev_schema = (
+            snap_doc["version"],
+            snap_doc["entries"],
+            snap_doc.get("schema"),
         )
         batch_schema = json.loads(up.drop(_BUCKET_COL).schema.json())
         merged_schema = manifest.merge_schemas(prev_schema, batch_schema)
@@ -413,6 +420,7 @@ def transactional_merge(
             version + 1,
             sorted(keep + new_entries, key=lambda e: e["path"]),
             schema=merged_schema,
+            meta=manifest.doc_extras(snap_doc) or None,
         ):
             raise RuntimeError(
                 f"lost merge commit race for {sink_path} v{version + 1}"
@@ -530,7 +538,10 @@ def transactional_agg_sink(
                 version + 1,
                 sorted(keep + new_entries, key=lambda e: e["path"]),
                 schema=manifest.merge_schemas(doc.get("schema"), schema),
-                meta={"applied": (applied + [key])[-AGG_APPLIED_CAP:]},
+                meta={
+                    **manifest.doc_extras(doc),
+                    "applied": (applied + [key])[-AGG_APPLIED_CAP:],
+                },
             ):
                 raise RuntimeError(
                     f"lost agg commit race for {sink_path} v{version + 1}"

@@ -877,3 +877,28 @@ def test_sink_stats_data_skipping(spark, tmp_path):
 
     # a range nothing satisfies prunes EVERYTHING (None frame)
     assert mf.read_snapshot(spark, sink, where={"score": (10_000, None)}) is None
+
+
+def test_agg_sink_ledger_survives_compaction(spark, tmp_path):
+    """Maintenance commits must carry the committer metadata through:
+    compacting an agg-sink table keeps the applied-epoch ledger, so a
+    replayed epoch AFTER a compaction still cannot double-count."""
+    from f1_realtime_data_pipeline_spark.sources import manifest as mf
+    from f1_realtime_data_pipeline_spark.streaming.sinks import (
+        read_sink_snapshot,
+        transactional_agg_sink,
+    )
+
+    sink = str(tmp_path / "agg_ledger")
+    write = transactional_agg_sink(sink, group_cols=["k"], sum_cols=["v"])
+    e0 = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    e1 = spark.createDataFrame([(1, 5)], "k long, v long")
+    write(e0, 0)
+    write(e1, 1)
+    mf.compact_snapshot(spark, sink)
+    doc = mf.resolve_snapshot_doc(spark, sink)
+    assert doc.get("applied") == ["0", "1"]  # ledger carried through
+    write(e0, 0)  # replay after compaction: must be a no-op
+    write(e1, 1)
+    out = {r.k: r.v for r in read_sink_snapshot(spark, sink).collect()}
+    assert out == {1: 15, 2: 20}
