@@ -368,6 +368,8 @@ def transactional_merge(
         touched = {
             r[0] for r in up.select(_BUCKET_COL).distinct().collect()
         }
+        if not touched:  # empty update set: no snapshot transition
+            return version
         keep = [e for e in entries if e["bucket"] not in touched]
         affected = [e for e in entries if e["bucket"] in touched]
         fields = merged_schema["fields"]
