@@ -176,6 +176,10 @@ def sweep_queries(spark, sf_dir: str):
             ),
         ),
         ("e_semdedup", lambda: qs["e_semdedup"](spark, sf_dir)),
+        # r5: the bigram-LM scorer — per-copy vocabulary relabeling
+        # grows the bigram/prefix count tables ~K×, the honest test of
+        # its vocab-bounded aggregation claim
+        ("t_bigram_quality", lambda: qs["t_bigram_quality"](spark, sf_dir)),
         # the batch kNN join with CORPUS-DERIVED planes — the 100 TB
         # form. The registered query pins planes_per_table=6 for its
         # static oracle, so its bucket occupancy (and candidate
