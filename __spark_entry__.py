@@ -64,6 +64,8 @@ _WINDOW_HEAD = [
     "t_pii_redact",
     "m_video_frame_plan",
     "t_bigram_quality",
+    "t_interleave_sources",
+    "t_length_buckets",
     "e_knn_lsh",
     "e_cosine_neardup",
     "e_neardup_clusters",

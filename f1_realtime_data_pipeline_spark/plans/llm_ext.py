@@ -1076,3 +1076,133 @@ SELECT doc_id,
 FROM big JOIN bgc USING (w1, w2) JOIN pfc USING (w1)
 GROUP BY doc_id""",
 )
+
+
+# ---------------------------------------------------------------------------
+# training-order mechanics (r5): interleaving + length-bucketed
+# batching. Both are per-group window ranks + pure projection — no
+# global window anywhere (each window partitions on a bounded key),
+# the same discipline the distributed t_shuffle_order rank follows.
+# ---------------------------------------------------------------------------
+
+
+def t_interleave_sources(spark, sf_dir):
+    """Source-interleaved training order: sources round-robin through
+    the stream (position = within-source-rank · n_sources +
+    source_idx) so no source clumps — the mixing-order every
+    multi-corpus trainer applies after per-source shuffling. Ranks are
+    per-source windows (parallel, bounded by the largest source);
+    within a source the order is the seeded md5 shuffle. The source
+    index is alphabetic rank — a tiny sorted-distinct relation joined
+    broadcast. Sources differ in size, so tail positions thin out to
+    the surviving sources — positions stay unique and order-stable,
+    which is the property training ingestion needs (exact round-robin
+    density only holds while all sources have docs left)."""
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    srcs = (
+        d.select("source").distinct()
+        .withColumn(
+            "source_idx",
+            F.row_number()
+            .over(Window.orderBy("source"))
+            .cast("bigint"),
+        )
+        .withColumn("source_idx", F.col("source_idx") - 1)
+    )
+    n_src = srcs.count()
+    key = tx.md5_id(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(
+        F.col("shuffle_key").asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.withColumn("shuffle_key", key)
+        .withColumn("src_rank", F.row_number().over(w).cast("bigint") - 1)
+        .join(F.broadcast(srcs), "source")
+        .select(
+            "doc_id",
+            "source",
+            (F.col("src_rank") * F.lit(n_src) + F.col("source_idx"))
+            .cast("bigint")
+            .alias("train_pos"),
+        )
+    )
+
+
+_register(
+    "t_interleave_sources",
+    t_interleave_sources,
+    f"""WITH srcs AS (
+  SELECT source, ROW_NUMBER() OVER (ORDER BY source) - 1 AS source_idx
+  FROM (SELECT DISTINCT source FROM documents)
+), n AS (SELECT COUNT(*) AS n_src FROM srcs),
+ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY {tx.md5_id_sql("('shuffle:' || CAST(doc_id AS VARCHAR))")} ASC,
+                    doc_id ASC
+         ) - 1 AS src_rank
+  FROM documents
+)
+SELECT doc_id, ranked.source,
+       CAST(src_rank * n.n_src + srcs.source_idx AS BIGINT) AS train_pos
+FROM ranked JOIN srcs USING (source) CROSS JOIN n""",
+)
+
+
+#: length-bucketed batching knobs: bucket width in tokens, docs per batch
+LEN_BUCKET_WIDTH = 16
+LEN_BATCH_SIZE = 8
+
+
+def t_length_buckets(spark, sf_dir):
+    """Length-bucketed batching plan: group docs of similar token
+    length and number fixed-size batches within each bucket — the
+    dynamic-batching layout that minimizes padding waste (batch max
+    length ≈ every member's length). Bucket id is integer division of
+    the token count; batch id is the within-bucket seeded-shuffle rank
+    DIV batch size. One partitioned window per bucket (bounded
+    groups), everything else map-side arithmetic."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", tx.token_count("text").cast("bigint").alias("n_tokens")
+    )
+    key = tx.md5_id(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("len_bucket").orderBy(
+        F.col("shuffle_key").asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.withColumn(
+            "len_bucket", F.expr(f"n_tokens DIV {LEN_BUCKET_WIDTH}")
+        )
+        .withColumn("shuffle_key", key)
+        .withColumn("rnk", F.row_number().over(w).cast("bigint") - 1)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("len_bucket").cast("int").alias("len_bucket"),
+            F.expr(f"rnk DIV {LEN_BATCH_SIZE}").cast("int").alias("batch_idx"),
+            F.expr(f"rnk % {LEN_BATCH_SIZE}").cast("int").alias("batch_slot"),
+        )
+    )
+
+
+_register(
+    "t_length_buckets",
+    t_length_buckets,
+    f"""SELECT doc_id, n_tokens,
+       CAST(len_bucket AS INT) AS len_bucket,
+       CAST(rnk // {LEN_BATCH_SIZE} AS INT) AS batch_idx,
+       CAST(rnk % {LEN_BATCH_SIZE} AS INT) AS batch_slot
+FROM (
+  SELECT doc_id, n_tokens, n_tokens // {LEN_BUCKET_WIDTH} AS len_bucket,
+         ROW_NUMBER() OVER (
+           PARTITION BY n_tokens // {LEN_BUCKET_WIDTH}
+           ORDER BY {tx.md5_id_sql("('shuffle:' || CAST(doc_id AS VARCHAR))")} ASC,
+                    doc_id ASC
+         ) - 1 AS rnk
+  FROM (
+    SELECT doc_id, CAST(len({tokens_sql('text')}) AS BIGINT) AS n_tokens
+    FROM documents
+  )
+)""",
+)
