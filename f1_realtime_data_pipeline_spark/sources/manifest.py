@@ -394,18 +394,39 @@ def jsonable_stat(v: Any) -> Any:
 
 
 def vacuum(spark: SparkSession, table_path: str) -> list[str]:
-    """Delete data directories no manifest-referenced snapshot uses
-    (orphans of crashed commits). Returns the removed directory names.
-    Single-writer assumption: run it from the writer, not concurrently
-    with an in-flight (written-but-not-yet-committed) epoch."""
+    """Delete data the LATEST snapshot no longer references: whole
+    orphan directories (crashed commits) AND individual bucket subdirs
+    a copy-on-write rewrite (merge / delete / compaction) superseded —
+    entry-granular, because a rewrite replaces SOME buckets of an
+    epoch directory while the rest stay live, and the compliance
+    workflow (transactional_delete → vacuum) needs the superseded
+    bucket's bytes physically gone, not just unreferenced. Ends
+    time travel to pre-vacuum snapshots (the Delta retention trade).
+    Returns removed names. Single-writer assumption: run it from the
+    writer, not concurrently with an in-flight epoch."""
     _, entries = resolve_snapshot(spark, table_path)
-    referenced = {e["path"].split("/")[1] for e in entries}
+    referenced = {e["path"] for e in entries}  # data/<dir>/__kb=B
     fs, ddir = fs_for(spark, f"{table_path}/data")
     removed: list[str] = []
-    if fs.exists(ddir):
-        for st in fs.listStatus(ddir):
-            name = st.getPath().getName()
-            if name not in referenced:
-                fs.delete(st.getPath(), True)
+    if not fs.exists(ddir):
+        return removed
+    for top in fs.listStatus(ddir):
+        top_name = top.getPath().getName()
+        keep_any = False
+        stale = []
+        for sub in fs.listStatus(top.getPath()):
+            sub_name = sub.getPath().getName()
+            if not sub_name.startswith("__kb="):
+                continue  # _SUCCESS etc. live or die with the dir
+            if f"data/{top_name}/{sub_name}" in referenced:
+                keep_any = True
+            else:
+                stale.append((sub.getPath(), f"{top_name}/{sub_name}"))
+        if keep_any:
+            for path, name in stale:
+                fs.delete(path, True)
                 removed.append(name)
+        else:
+            fs.delete(top.getPath(), True)
+            removed.append(top_name)
     return sorted(removed)

@@ -432,6 +432,95 @@ def transactional_merge(
         up.unpersist()
 
 
+def transactional_delete(
+    delete_keys: DataFrame,
+    sink_path: str,
+    keys: Sequence[str],
+    n_buckets: int = SINK_BUCKETS,
+) -> int:
+    """DELETE on the manifest table — the remaining CRUD verb, and
+    the right-to-be-forgotten pass a compliant training-data corpus
+    must support: every row whose key appears in ``delete_keys`` is
+    removed as one atomic snapshot transition.
+
+    Copy-on-write at bucket granularity like :func:`transactional_
+    merge`: only buckets the delete keys hash into are read
+    (manifest-pruned) and rewritten via LEFT ANTI join; every other
+    bucket's entries carry over verbatim. A bucket whose rows are all
+    deleted simply has no rewritten directory. IMPORTANT compliance
+    caveat (same as Delta): the delete is logical-then-physical — old
+    snapshots still reference the pre-delete files for time travel, so
+    data is physically gone only after :func:`~f1_realtime_data_
+    pipeline_spark.sources.manifest.vacuum` reclaims them; run vacuum
+    as part of the erasure workflow. Returns the committed version
+    (unchanged when no bucket is touched). Single-writer: a lost
+    commit race raises."""
+    spark = delete_keys.sparkSession
+    keys = list(keys)
+    dk = (
+        delete_keys.select(*keys)
+        .dropDuplicates(keys)
+        .withColumn(_BUCKET_COL, _key_bucket(keys, n_buckets))
+    )
+    dk.persist()
+    try:
+        snap_doc = manifest.resolve_snapshot_doc(spark, sink_path)
+        version, entries = snap_doc["version"], snap_doc["entries"]
+        schema = snap_doc.get("schema")
+        touched = {r[0] for r in dk.select(_BUCKET_COL).distinct().collect()}
+        affected = [e for e in entries if e["bucket"] in touched]
+        if not affected:
+            return version
+        keep = [e for e in entries if e["bucket"] not in touched]
+        from pyspark.sql.types import StructType
+
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(StructType.fromJson(schema))
+        parts = [
+            reader.parquet(f"{sink_path}/{e['path']}").withColumn(
+                _BUCKET_COL, F.lit(e["bucket"])
+            )
+            for e in affected
+        ]
+        base = parts[0]
+        for p in parts[1:]:
+            base = base.unionByName(p)
+        survivors = base.join(
+            F.broadcast(dk.select(*keys)), keys, "left_anti"
+        )
+        del_rel = f"data/delete-{version + 1:012d}-{uuid4().hex[:8]}"
+        survivors.write.partitionBy(_BUCKET_COL).parquet(
+            f"{sink_path}/{del_rel}"
+        )
+        fs, ddir = manifest.fs_for(spark, f"{sink_path}/{del_rel}")
+        new_entries = sorted(
+            (
+                {
+                    "path": f"{del_rel}/{name}",
+                    "bucket": int(name.split("=", 1)[1]),
+                }
+                for st in fs.listStatus(ddir)
+                if (name := st.getPath().getName()).startswith(f"{_BUCKET_COL}=")
+            ),
+            key=lambda e: e["path"],
+        )
+        if not manifest.commit_snapshot(
+            spark,
+            sink_path,
+            version + 1,
+            sorted(keep + new_entries, key=lambda e: e["path"]),
+            schema=schema,
+            meta=manifest.doc_extras(snap_doc) or None,
+        ):
+            raise RuntimeError(
+                f"lost delete commit race for {sink_path} v{version + 1}"
+            )
+        return version + 1
+    finally:
+        dk.unpersist()
+
+
 #: replay window for the agg sink's applied-epoch ledger. Structured
 #: Streaming replays at most the epochs since the last successful
 #: checkpoint commit, so a bounded recent-ids list suffices; at this
