@@ -33,14 +33,16 @@ from f1_realtime_data_pipeline_spark.plans import (
 # Round 5 leads with _WINDOW_HEAD: every query whose plan or oracle
 # changed this round — the distributed-rank rewrite
 # (t_shuffle_order), the SDC-prefiltered batch kNN join (e_knn_join,
-# new plan AND new oracle), the new JPEG codec query (m_jpeg_meta),
-# every similarity query rerouted through the durable materialize()
-# helper (e_knn_lsh, e_cosine_neardup, e_neardup_clusters,
-# e_semdedup, e_kmeans, e_knn_ivf_trained), the hardened media
-# decoders (m_decoded_meta, m_frame_sample, m_audio_meta), and the
-# one permanently-approximate rows-only entry (a_approx_distinct) so
-# its rows row stays fresh. The remaining ~36 window slots backfill
-# from the families whose last driver check is oldest (round 1:
+# new plan AND new oracle), the seven NEW round-5 queries
+# (m_jpeg_meta, m_video_meta, m_video_frame_plan, t_pii_redact,
+# t_bigram_quality, t_interleave_sources, t_length_buckets), every
+# similarity query rerouted through the durable materialize() helper
+# (e_knn_lsh, e_cosine_neardup, e_neardup_clusters, e_semdedup,
+# e_kmeans, e_knn_ivf_trained), the hardened media decoders
+# (m_decoded_meta, m_frame_sample, m_audio_meta), and the one
+# permanently-approximate rows-only entry (a_approx_distinct) so its
+# rows row stays fresh. The remaining ~31 window slots backfill from
+# the families whose last driver check is oldest (round 1:
 # inventory_star → tpch head).
 _QUERY_MODULES = [
     inventory_star,
