@@ -64,6 +64,8 @@ AUDIT = [
     "m_jpeg_meta",
     "m_video_frame_plan",
     "t_bigram_quality",
+    "t_interleave_sources",
+    "t_length_buckets",
 ]
 
 
@@ -71,9 +73,13 @@ AUDIT = [
 #: - p_skew_profile: the rank window runs AFTER orderBy().limit(K)
 #:   (TakeOrderedAndProject), so its input is exactly K rows — the
 #:   key-domain relation itself is never single-partitioned.
+#: - t_interleave_sources: the source-index rank runs over the
+#:   DISTINCT-SOURCES relation — bounded by the number of corpus
+#:   sources (tens), never the corpus; the per-doc rank window is
+#:   partitioned by source.
 #: (t_shuffle_order left this list in r5: its rank is now the
 #: bucketed offset+local-rank form, no global window in the plan.)
-GLOBAL_WINDOW_OK = {"p_skew_profile"}
+GLOBAL_WINDOW_OK = {"p_skew_profile", "t_interleave_sources"}
 
 
 def _has_global_window(plan: str) -> bool:
