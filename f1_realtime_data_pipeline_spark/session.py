@@ -62,8 +62,14 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         # reliable checkpoints (operators.materialize durable=True) are
-        # reference-tracked: files are deleted when the plan is GC'd
+        # reference-tracked: files are deleted when the plan is GC'd.
+        # The driver-side GC that triggers that cleanup runs every
+        # 30 min by default — far longer than a bench/ETL session, so
+        # checkpoint dirs accumulate and compete for scratch I/O
+        # (measured as ~3× wall variance on checkpoint-heavy queries
+        # late in a long suite run); 5 min bounds the backlog.
         .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+        .config("spark.cleaner.periodicGC.interval", "5min")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
