@@ -378,6 +378,40 @@ def compact_snapshot(spark: SparkSession, table_path: str) -> int:
     return version + 1
 
 
+def expire_history(
+    spark: SparkSession, table_path: str, keep_last: int = 10
+) -> list[int]:
+    """Bound the version history: delete every manifest older than the
+    newest ``keep_last`` (Delta's log-retention analog — the manifest
+    dir otherwise grows one file per commit forever). Expired versions
+    stop being time-travelable; run BEFORE :func:`vacuum` so reclaim
+    sees only the retained snapshots. The LATEST manifest is never
+    deleted (``keep_last`` floors at 1). Returns expired versions."""
+    keep_last = max(1, keep_last)
+    versions = snapshot_versions(spark, table_path)
+    expired = versions[:-keep_last]
+    fs, _ = fs_for(spark, table_path)
+    for v in expired:
+        _, p = fs_for(
+            spark, f"{table_path}/{MANIFEST_DIR}/manifest-{v:012d}.json"
+        )
+        fs.delete(p, False)
+    return expired
+
+
+def register_snapshot_view(
+    spark: SparkSession, table_path: str, name: str, version: int | None = None
+) -> None:
+    """Expose a committed snapshot to the SQL surface as a temp view —
+    ``spark.sql(f"SELECT ... FROM {name}")`` then reads exactly that
+    snapshot's immutable files regardless of later commits (the
+    consistent-read property, now reachable from pure SQL)."""
+    df = read_snapshot(spark, table_path, version=version)
+    if df is None:
+        raise ValueError(f"no committed snapshot at {table_path}")
+    df.createOrReplaceTempView(name)
+
+
 def jsonable_stat(v: Any) -> Any:
     """A min/max value as a JSON-storable, ORDER-PRESERVING scalar:
     datetimes/dates become ISO-8601 strings (fixed-width UTC text

@@ -950,3 +950,44 @@ def test_transactional_delete_right_to_be_forgotten(spark, tmp_path):
     # (bucket may exist; rewrite is fine either way — just re-read)
     assert {r.k for r in read_sink_snapshot(spark, sink).collect()} == out
     assert v2 >= v_post
+
+
+def test_expire_history_and_sql_view(spark, tmp_path):
+    """r5 log retention + SQL surface: old manifests expire (bounded
+    history, latest always kept), expired versions stop time-traveling
+    while retained ones still do, and a snapshot registers as a temp
+    view queryable from pure SQL at a pinned version."""
+    import pytest as _pytest
+
+    from f1_realtime_data_pipeline_spark.sources import manifest as mf
+    from f1_realtime_data_pipeline_spark.streaming.sinks import (
+        transactional_parquet_sink,
+    )
+
+    sink = str(tmp_path / "txn_history")
+    write = transactional_parquet_sink(sink, keys=["k"], order_cols=["v"])
+    for ep in range(5):
+        write(
+            spark.createDataFrame([(ep * 10 + i, "x") for i in range(10)], ["k", "v"]),
+            ep,
+        )
+    assert mf.snapshot_versions(spark, sink) == [1, 2, 3, 4, 5]
+
+    mf.register_snapshot_view(spark, sink, "hist_v3", version=3)
+    assert spark.sql("SELECT COUNT(*) AS n FROM hist_v3").collect()[0].n == 30
+
+    expired = mf.expire_history(spark, sink, keep_last=2)
+    assert expired == [1, 2, 3]
+    assert mf.snapshot_versions(spark, sink) == [4, 5]
+    with _pytest.raises(ValueError):
+        mf.resolve_snapshot(spark, sink, version=3)
+    assert mf.read_snapshot(spark, sink, version=4).count() == 40
+    # the already-registered view still reads (files not vacuumed yet)
+    assert spark.sql("SELECT COUNT(*) AS n FROM hist_v3").collect()[0].n == 30
+    # vacuum after expiry reclaims nothing the retained snapshots use
+    mf.vacuum(spark, sink)
+    assert mf.read_snapshot(spark, sink).count() == 50
+    # keep_last floors at 1: the latest manifest survives any request
+    assert mf.expire_history(spark, sink, keep_last=0) == [4]
+    assert mf.snapshot_versions(spark, sink) == [5]
+    spark.catalog.dropTempView("hist_v3")
