@@ -126,3 +126,79 @@ def test_engine_lakehouse_points_view_and_upsert(spark, tmp_path):
     eng3 = eng2.upsert_drivers(ups.select("driver_number", "driver_name"))
     names = {r.driver_number: r.driver_name for r in eng3.standings().collect()}
     assert names["1"] == "M. VERSTAPPEN II"
+
+
+def test_corpus_lifecycle_end_to_end(spark, tmp_path, sf_dir):
+    """r5 integration: the full corpus lifecycle composed from the
+    engine's own pieces — transactional ingest (with planted dups),
+    exact dedup, quality gate, deterministic shard export, then
+    right-to-be-forgotten (DELETE + entry-granular vacuum) and a
+    re-export that no longer contains the erased docs."""
+    from f1_realtime_data_pipeline_spark.functions.text import (
+        stopword_count,
+        token_count,
+    )
+    from f1_realtime_data_pipeline_spark.operators.dedup import exact_dedup
+    from f1_realtime_data_pipeline_spark.sources import manifest as mf
+    from f1_realtime_data_pipeline_spark.sources.export import (
+        write_training_shards,
+    )
+    from f1_realtime_data_pipeline_spark.sources.parquet import read_table
+    from f1_realtime_data_pipeline_spark.streaming.sinks import (
+        read_sink_snapshot,
+        transactional_delete,
+        transactional_parquet_sink,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    # plant exact duplicates (re-crawled pages) at shifted ids
+    dups = docs.limit(25).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    table = str(tmp_path / "corpus_table")
+    ingest = transactional_parquet_sink(table, keys=["doc_id"], order_cols=["text"])
+    ingest(docs, 0)
+    ingest(dups, 1)
+    corpus = read_sink_snapshot(spark, table)
+    n_raw = corpus.count()
+    assert n_raw == docs.count() + 25
+
+    # dedup: keep each text's canonical (min doc_id) — planted copies lose
+    canon = exact_dedup(corpus)
+    deduped = corpus.join(
+        canon.withColumnRenamed("canonical_doc_id", "doc_id"), "doc_id", "left_semi"
+    )
+    assert deduped.count() == docs.count()
+
+    # quality gate: the cheap signals, then shard export
+    kept = deduped.filter(
+        (token_count("text") >= 10) & (stopword_count("text") >= 1)
+    )
+    n_kept = kept.count()
+    assert 0 < n_kept <= docs.count()
+    shards = str(tmp_path / "shards")
+    write_training_shards(kept, shards, n_shards=4)
+    exported = spark.read.parquet(shards)
+    assert exported.count() == n_kept
+
+    # right-to-be-forgotten: erase 5 docs from the TABLE, vacuum, re-export
+    forget = [r.doc_id for r in kept.limit(5).collect()]
+    dk = spark.createDataFrame([(k,) for k in forget], ["doc_id"])
+    transactional_delete(dk, table, keys=["doc_id"])
+    mf.vacuum(spark, table)
+    refreshed = read_sink_snapshot(spark, table)
+    assert refreshed.filter(F.col("doc_id").isin(forget)).count() == 0
+    re_kept = (
+        refreshed.join(
+            exact_dedup(refreshed).withColumnRenamed(
+                "canonical_doc_id", "doc_id"
+            ),
+            "doc_id",
+            "left_semi",
+        )
+        .filter((token_count("text") >= 10) & (stopword_count("text") >= 1))
+    )
+    write_training_shards(re_kept, shards, n_shards=4)
+    re_exported = spark.read.parquet(shards)
+    assert re_exported.filter(F.col("doc_id").isin(forget)).count() == 0
+    assert re_exported.count() == n_kept - len(forget)
