@@ -206,6 +206,31 @@ class F1Engine:
             .start()
         )
 
+    def erase_results(self, fact_table: str, driver_numbers: list[str]) -> int:
+        """Right-to-be-forgotten on a lakehouse fact table: remove
+        every result row of the given drivers as one atomic snapshot
+        transition (bucket-granular copy-on-write), then physically
+        reclaim the superseded bytes. Returns the committed version.
+        The reference has no erasure story at all (Postgres rows would
+        need manual DELETEs plus VACUUM FULL); here it is one call."""
+        from pyspark.sql import functions as F
+
+        from f1_realtime_data_pipeline_spark.sources.manifest import vacuum
+        from f1_realtime_data_pipeline_spark.streaming.pipeline import RESULT_KEYS
+        from f1_realtime_data_pipeline_spark.streaming.sinks import (
+            read_sink_snapshot,
+            transactional_delete,
+        )
+
+        doomed = (
+            read_sink_snapshot(self.spark, fact_table)
+            .filter(F.col("driver_number").isin(driver_numbers))
+            .select(*RESULT_KEYS)
+        )
+        version = transactional_delete(doomed, fact_table, keys=RESULT_KEYS)
+        vacuum(self.spark, fact_table)
+        return version
+
     def points_view(self, view_path: str) -> DataFrame:
         """The live points view joined to the driver dimension —
         (driver_number, driver_name, total_points, n_results), ordered

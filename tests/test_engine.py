@@ -202,3 +202,37 @@ def test_corpus_lifecycle_end_to_end(spark, tmp_path, sf_dir):
     re_exported = spark.read.parquet(shards)
     assert re_exported.filter(F.col("doc_id").isin(forget)).count() == 0
     assert re_exported.count() == n_kept - len(forget)
+
+
+def test_engine_erase_results(spark, tmp_path):
+    """Facade erasure: a driver's rows vanish from the lakehouse fact
+    table atomically, the standings served from it no longer contain
+    them, and other drivers are untouched."""
+    from f1_realtime_data_pipeline_spark.streaming.pipeline import (
+        RESULT_KEYS,
+        transform_stream,
+    )
+    from f1_realtime_data_pipeline_spark.streaming.sinks import (
+        read_sink_snapshot,
+        transactional_parquet_sink,
+    )
+
+    dim_path = str(tmp_path / "dim")
+    fixtures.drivers(spark).write.parquet(dim_path)
+    lines = [r.value for r in fixtures.raw_messages(spark).collect()]
+    raw = spark.createDataFrame([(v,) for v in lines], ["value"])
+    fact_table = str(tmp_path / "fact_table")
+    transactional_parquet_sink(
+        fact_table, RESULT_KEYS, order_cols=["date", "grand_prix"]
+    )(transform_stream(raw, value_col="value"), 0)
+
+    eng = F1Engine.from_lakehouse(spark, fact_table, dim_path)
+    before = {r.driver_number for r in eng.standings().collect()}
+    assert "44" in before
+
+    eng.erase_results(fact_table, ["44"])
+    refreshed = F1Engine.from_lakehouse(spark, fact_table, dim_path)
+    after = {r.driver_number for r in refreshed.standings().collect()}
+    assert "44" not in after and after == before - {"44"}
+    snap = read_sink_snapshot(spark, fact_table)
+    assert snap.filter(F.col("driver_number") == "44").count() == 0
