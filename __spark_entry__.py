@@ -68,6 +68,7 @@ _WINDOW_HEAD = [
     "t_bigram_quality",
     "t_interleave_sources",
     "t_length_buckets",
+    "p_dataset_card",
     "e_knn_lsh",
     "e_cosine_neardup",
     "e_neardup_clusters",

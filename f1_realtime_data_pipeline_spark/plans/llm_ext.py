@@ -1206,3 +1206,69 @@ FROM (
   )
 )""",
 )
+
+
+def p_dataset_card(spark, sf_dir):
+    """The per-source DATASET CARD: the statistics table every corpus
+    release publishes — document and token volumes, average length,
+    language breadth, and the exact-duplicate rate. One fused plan:
+    a text-count join flags duplicated docs, then a single per-source
+    rollup aggregates everything; all integer arithmetic (fixed-point
+    ppm for the rate) so the group-sums are shuffle-order-free.
+
+    Scale note: the duplicate flag groups by the text itself for
+    oracle parity; at 100 TB group on xxhash64(text) instead (8-byte
+    shuffle rows, the d_exact discipline) — same plan shape."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", "lang", "text",
+        tx.token_count("text").cast("bigint").alias("n_tokens"),
+    )
+    tc = d.groupBy("text").agg(F.count(F.lit(1)).alias("__c"))
+    flagged = d.join(tc, "text").withColumn(
+        "__dup", (F.col("__c") > 1).cast("bigint")
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.countDistinct("lang").cast("int").alias("n_langs"),
+            F.sum("__dup").cast("bigint").alias("n_dup_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.expr("total_tokens DIV n_docs").cast("bigint").alias("avg_tokens"),
+            "n_langs",
+            "n_dup_docs",
+            F.expr("(n_dup_docs * 1000000) DIV n_docs")
+            .cast("bigint")
+            .alias("dup_ppm"),
+        )
+    )
+
+
+_register(
+    "p_dataset_card",
+    p_dataset_card,
+    f"""WITH d AS (
+  SELECT doc_id, source, lang, text,
+         CAST(len({tokens_sql('text')}) AS BIGINT) AS n_tokens
+  FROM documents
+), tc AS (
+  SELECT text, COUNT(*) AS __c FROM d GROUP BY text
+), flagged AS (
+  SELECT d.*, CAST(tc.__c > 1 AS BIGINT) AS __dup
+  FROM d JOIN tc USING (text)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_tokens) // COUNT(*) AS BIGINT) AS avg_tokens,
+       CAST(COUNT(DISTINCT lang) AS INT) AS n_langs,
+       CAST(SUM(__dup) AS BIGINT) AS n_dup_docs,
+       CAST((SUM(__dup) * 1000000) // COUNT(*) AS BIGINT) AS dup_ppm
+FROM flagged
+GROUP BY source""",
+)
