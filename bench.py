@@ -115,6 +115,7 @@ def main() -> int:
 
     from f1_realtime_data_pipeline_spark.streaming.sinks import (
         idempotent_parquet_sink,
+        transactional_delete,
         transactional_merge,
         transactional_parquet_sink,
     )
@@ -122,6 +123,7 @@ def main() -> int:
     batch = qs["q0_stream_transform"](spark, sf_dir)
     best_first, best_replay = float("inf"), float("inf")
     best_txn, best_merge = float("inf"), float("inf")
+    best_delete = float("inf")
     for _ in range(runs):
         sink_dir = tempfile.mkdtemp(prefix="bench_sink_") + "/sink"
         write = idempotent_parquet_sink(
@@ -150,11 +152,19 @@ def main() -> int:
             ups, txn_dir, keys=["event_id"], order_cols=["event_time"]
         )
         best_merge = min(best_merge, time.time() - t0)
+        # DELETE epoch: erase the same 10% slice copy-on-write (the
+        # right-to-be-forgotten pass at the q0 batch scale)
+        t0 = time.time()
+        transactional_delete(
+            ups.select("event_id"), txn_dir, keys=["event_id"]
+        )
+        best_delete = min(best_delete, time.time() - t0)
         shutil.rmtree(os.path.dirname(sink_dir), ignore_errors=True)
     timings["sink_epoch_first"] = round(best_first, 3)
     timings["sink_epoch_replay"] = round(best_replay, 3)
     timings["sink_epoch_txn"] = round(best_txn, 3)
     timings["sink_epoch_merge"] = round(best_merge, 3)
+    timings["sink_epoch_delete"] = round(best_delete, 3)
 
     print(
         json.dumps(
