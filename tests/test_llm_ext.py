@@ -445,3 +445,53 @@ def test_pii_redact_semantics(spark, sf_dir):
     for doc_id in list(rows)[:20]:
         red = rows[doc_id].redacted
         assert red == f"<EMAIL> {texts[doc_id]} call <PHONE> from <IP>"
+
+
+def test_interleave_sources_no_clumping(spark, sf_dir):
+    """Semantics pin: positions are unique; while every source still
+    has docs left, consecutive positions come from different sources
+    (round-robin head); each source's positions are evenly strided."""
+    from f1_realtime_data_pipeline_spark.plans.llm_ext import (
+        t_interleave_sources,
+    )
+
+    rows = t_interleave_sources(spark, sf_dir).collect()
+    pos = {r.train_pos: r.source for r in rows}
+    assert len(pos) == len(rows)  # unique positions
+    n_src = len({r.source for r in rows})
+    per_src_min = min(
+        sum(1 for r in rows if r.source == s) for s in {r.source for r in rows}
+    )
+    # the head of the order (all sources still alive) never repeats a
+    # source within any n_src-wide stretch
+    head = [pos[p] for p in sorted(pos) if p < per_src_min * n_src]
+    for i in range(0, len(head) - n_src, n_src):
+        assert len(set(head[i : i + n_src])) == n_src
+    # per-source stride is exactly n_src in the alive region
+    for s in {r.source for r in rows}:
+        ps = sorted(p for p, src in pos.items() if src == s)[:per_src_min]
+        assert all(b - a == n_src for a, b in zip(ps, ps[1:]))
+
+
+def test_length_buckets_batch_invariants(spark, sf_dir):
+    """Semantics pin: batch membership is within one length bucket,
+    no batch exceeds the batch size, slots are 0..n-1 within a batch,
+    and batch members' token counts differ by < bucket width."""
+    from f1_realtime_data_pipeline_spark.plans.llm_ext import (
+        LEN_BATCH_SIZE,
+        LEN_BUCKET_WIDTH,
+        t_length_buckets,
+    )
+
+    rows = t_length_buckets(spark, sf_dir).collect()
+    from collections import defaultdict
+
+    batches = defaultdict(list)
+    for r in rows:
+        batches[(r.len_bucket, r.batch_idx)].append(r)
+    for (_, _), members in batches.items():
+        assert len(members) <= LEN_BATCH_SIZE
+        assert sorted(m.batch_slot for m in members) == list(range(len(members)))
+        lens = [m.n_tokens for m in members]
+        assert max(lens) - min(lens) < LEN_BUCKET_WIDTH
+        assert len({m.len_bucket for m in members}) == 1
