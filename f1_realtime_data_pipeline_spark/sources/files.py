@@ -91,3 +91,33 @@ def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
     return good, bad
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    streaming: bool = False,
+) -> DataFrame:
+    """ORC scan — the other columnar format Spark reads natively
+    (vectorized reader, predicate pushdown and column pruning reach
+    the scan exactly like parquet). Batch reads take the schema from
+    the ORC footers (no inference pass); STREAMING reads require an
+    explicit ``schema`` — Structured Streaming refuses footer
+    discovery because the directory's future files are unknown, the
+    same explicit-schema rule the CSV/JSONL readers enforce."""
+    if streaming:
+        if schema is None:
+            raise ValueError("streaming ORC requires an explicit schema")
+        return spark.readStream.schema(schema).orc(path)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC write — interop surface for warehouses standardized on ORC
+    (Hive-lineage stacks); engine-side everything downstream is
+    format-agnostic DataFrames."""
+    df.write.mode(mode).orc(path)

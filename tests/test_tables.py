@@ -161,3 +161,36 @@ def test_drop_cascade_temp_view_target(spark):
     assert set(dropped) == {"casc_dep", "casc_base"}
     temps = {t.name for t in spark.catalog.listTables() if t.isTemporary}
     assert not temps & {"casc_base", "casc_dep"}
+
+
+def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
+    """ORC interop (r5): write/read roundtrip preserves rows and
+    schema, and filters + column pruning reach the ORC scan exactly
+    like parquet (PushedFilters / narrow ReadSchema in the plan)."""
+    import contextlib
+    import io
+
+    from f1_realtime_data_pipeline_spark.sources.files import read_orc, write_orc
+    from f1_realtime_data_pipeline_spark.sources.parquet import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_orc")
+    write_orc(d, out)
+    back = read_orc(spark, out)
+    assert back.count() == d.count() and back.columns == d.columns
+    assert {r.doc_id for r in back.select("doc_id").collect()} == {
+        r.doc_id for r in d.select("doc_id").collect()
+    }
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.filter(F.col("doc_id") == 7).select("doc_id").explain("formatted")
+    plan = buf.getvalue()
+    assert "EqualTo(doc_id,7)" in plan.split("PushedFilters")[1].split("\n")[0]
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
+    # streaming mode: the same path is a file-replay source (explicit
+    # schema required — footer discovery is batch-only)
+    assert read_orc(spark, out, schema=back.schema, streaming=True).isStreaming
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_orc(spark, out, streaming=True)
