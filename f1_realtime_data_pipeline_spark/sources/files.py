@@ -121,3 +121,21 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     (Hive-lineage stacks); engine-side everything downstream is
     format-agnostic DataFrames."""
     df.write.mode(mode).orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, pattern: str | None = None
+) -> DataFrame:
+    """Binary-file source — the real ingestion path for multimodal
+    corpora: each file becomes a row of (path, modificationTime,
+    length, content BINARY), which feeds the Arrow decode operators
+    (operators.multimodal) directly. ``pattern`` filters by glob
+    (e.g. ``*.png``) AT THE LISTING, so non-matching files are never
+    opened. Spark parallelizes by file; at 100 TB pair this with the
+    small-files compaction story (millions of tiny blobs → archive
+    them into parquet BINARY columns via this reader + a write, after
+    which every downstream op is columnar)."""
+    reader = spark.read.format("binaryFile")
+    if pattern is not None:
+        reader = reader.option("pathGlobFilter", pattern)
+    return reader.load(path)
