@@ -66,6 +66,7 @@ AUDIT = [
     "t_bigram_quality",
     "t_interleave_sources",
     "t_length_buckets",
+    "p_dataset_card",
 ]
 
 
