@@ -114,6 +114,39 @@ def _has_global_window(plan: str) -> bool:
     return False
 
 
+def _window_partition_specs(plan: str) -> list[str]:
+    """Distinct window partition-key lists in the plan, e.g.
+    ['source,__b'] — the evidence that a per-group rank partitions on
+    (group, key-range bucket) rather than the bare group key (VERDICT
+    r5 #2/#3: a bare corpus-group partition is one unbounded task per
+    group at 100 TB)."""
+    specs = set()
+    for m in re.finditer(r"windowspecdefinition\(", plan):
+        i, depth, cur, args = m.end(), 1, [], []
+        while i < len(plan) and depth:
+            ch = plan[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if not depth:
+                    args.append("".join(cur).strip())
+                    break
+            if ch == "," and depth == 1:
+                args.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(ch)
+            i += 1
+        part = []
+        for a in args:
+            if a.startswith("specifiedwindowframe") or re.search(r"\b(ASC|DESC)\b", a):
+                break
+            part.append(re.sub(r"#\d+L?", "", a))
+        specs.add(",".join(part) if part else "(global)")
+    return sorted(specs)
+
+
 def vitals(plan: str) -> dict[str, object]:
     return {
         "parquet_scans": len(re.findall(r"\(\d+\) Scan parquet", plan)),
@@ -133,6 +166,7 @@ def vitals(plan: str) -> dict[str, object]:
         and not re.search(r"PushedFilters: \[\]", plan),
         "global_window": _has_global_window(plan),
         "codegen_stages": len(set(re.findall(r"codegen id : (\d+)", plan))),
+        "window_partitions": ";".join(_window_partition_specs(plan)) or "-",
     }
 
 
@@ -168,6 +202,7 @@ def main() -> int:
         "pushed_filters",
         "global_window",
         "codegen_stages",
+        "window_partitions",
     ]
     header = "| query | " + " | ".join(c.replace("_", " ") for c in cols) + " |"
     sep = "|" + "---|" * (len(cols) + 1)
