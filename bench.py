@@ -51,6 +51,7 @@ HEADLINE = [
     "d_simhash_pairs",
     "e_knn_lsh",
     "e_knn_join",
+    "e_knn_join_derived",
     "e_cosine_neardup",
     "pipeline_corpus",
     # the iterative connected-components canonicalizers (VERDICT r1

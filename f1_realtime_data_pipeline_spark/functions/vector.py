@@ -61,15 +61,37 @@ def neardup_planes_for(n_vectors: int) -> int:
     at cos 0.9 decays only geometrically (p^planes, p ≳ 0.85 — e.g.
     0.29 at 8 planes / N≈10³, 0.14 at 13 planes / N≈3×10⁴) while
     exact copies always collide, and the any-of-4-tables union keeps
-    true near-dups recoverable."""
-    import math
+    true near-dups recoverable.
 
-    return min(
-        MAX_PLANES_PER_TABLE,
-        max(
-            NEARDUP_PLANES_PER_TABLE,
-            math.ceil(math.log2(max(n_vectors, 2) / NEARDUP_TARGET_OCCUPANCY)),
-        ),
+    Implemented as pure integer arithmetic — smallest r with
+    (target << r) ≥ N, identical to the ceil-log₂ form for every
+    integer N — so :func:`neardup_planes_sql` can derive the SAME
+    count inside a SQL oracle without cross-engine log₂ rounding risk
+    (the r6 registered ``e_knn_join_derived``)."""
+    for r in range(MAX_PLANES_PER_TABLE + 1):
+        if (NEARDUP_TARGET_OCCUPANCY << r) >= max(n_vectors, 1):
+            return max(NEARDUP_PLANES_PER_TABLE, r)
+    return MAX_PLANES_PER_TABLE
+
+
+def neardup_planes_sql(n_expr: str) -> str:
+    """DuckDB twin of :func:`neardup_planes_for` with the corpus size
+    supplied as a SQL expression (typically a COUNT(*) scalar
+    subquery) — the plane count becomes part of the PLAN in both
+    engines, so one static oracle string stays exact at every scale
+    factor instead of pinning the floor."""
+    # (target << r) >= N  ⟺  (1 << r) >= ceil(N / target); the latter
+    # keeps the shift ≤ 2^62 for every probed r (DuckDB raises on
+    # BIGINT shift overflow rather than wrapping)
+    ceil_n = (
+        f"((GREATEST({n_expr}, 1) + {NEARDUP_TARGET_OCCUPANCY - 1}) "
+        f"// {NEARDUP_TARGET_OCCUPANCY})"
+    )
+    return (
+        f"GREATEST({NEARDUP_PLANES_PER_TABLE}, COALESCE((SELECT MIN(r) "
+        f"FROM range(0, {MAX_PLANES_PER_TABLE} + 1) t(r) "
+        f"WHERE (CAST(1 AS BIGINT) << r) >= {ceil_n}), "
+        f"{MAX_PLANES_PER_TABLE}))"
     )
 
 

@@ -811,16 +811,102 @@ def knn_join_adc(
     )
 
 
+def knn_join_adc_derived(
+    embeddings: DataFrame,
+    k: int = 3,
+    n_codes: int = PQ_CODES,
+    shortlist: int = PQ_JOIN_SHORTLIST,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`knn_join_adc` with the CORPUS-DERIVED plane count — the
+    100 TB form (VERDICT r5 #3). A pinned plane width keeps bucket
+    occupancy ∝ N, so the SDC-ranked candidate volume per query grows
+    with the corpus (measured 5.5× wall for 10× vectors in the r5
+    decade sweep vs 1.9× derived); ``neardup_planes_for`` grows planes
+    with log₂(N) so expected occupancy — and per-query candidate cost
+    — stays constant. The count is a driver-side scalar (parquet
+    row-count metadata, same class as the allowlisted source count in
+    t_interleave_sources); the SQL twin derives the identical count
+    in-plan (:func:`~..functions.vector.neardup_planes_sql`), so one
+    static oracle string is exact at every scale factor."""
+    planes = neardup_planes_for(embeddings.count())
+    return knn_join_adc(
+        embeddings,
+        k=k,
+        planes_per_table=planes,
+        n_codes=n_codes,
+        shortlist=shortlist,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
+def _derived_bucket_sql(table: int, vec: str = "embedding", pc: str = "pc") -> str:
+    """LSH table-bucket with the plane count as a SQL variable:
+    hyperplanes come from the same closed-form generator as
+    :func:`~..functions.vector.hyperplane` (identical integer mixing,
+    identical FP op sequence → bit-identical plane values), folded in
+    the same element order as the literal-plane twin."""
+    h = (
+        f"(CAST(((({table} * {pc} + r) * {LSH_DIM} + i) * 2654435761) "
+        f"% 10007 AS DOUBLE) / 10007.0 - 0.5)"
+    )
+    dotp = (
+        f"list_reduce(list_transform(range(0, {LSH_DIM}), i -> "
+        f"CAST({vec}[i + 1] AS DOUBLE) * {h}), (x, y) -> x + y)"
+    )
+    return (
+        f"CAST(list_reduce(list_transform(range(0, {pc}), r -> "
+        f"CASE WHEN {dotp} > 0 THEN (CAST(1 AS BIGINT) << r) "
+        f"ELSE CAST(0 AS BIGINT) END), (x, y) -> x + y) AS BIGINT)"
+    )
+
+
+def knn_join_adc_derived_sql(
+    k: int = 3,
+    n_codes: int = PQ_CODES,
+    shortlist: int = PQ_JOIN_SHORTLIST,
+) -> str:
+    """DuckDB twin of :func:`knn_join_adc_derived`: the plane count is
+    a scalar-subquery CTE (``p``) derived from COUNT(*) with the same
+    integer arithmetic as the Python side, and the per-table buckets
+    fold dynamically generated planes — one static string, exact at
+    any corpus size."""
+    from f1_realtime_data_pipeline_spark.functions.vector import neardup_planes_sql
+
+    prelude = (
+        f"p AS (SELECT {neardup_planes_sql('(SELECT COUNT(*) FROM embeddings)')}"
+        " AS pc), "
+    )
+    tabs_sql = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {_derived_bucket_sql(t)} AS bkt, {t} AS tbl "
+        f"FROM embeddings, p"
+        for t in range(LSH_TABLES)
+    )
+    return knn_join_adc_sql(
+        k=k,
+        n_codes=n_codes,
+        shortlist=shortlist,
+        tabs_sql=tabs_sql,
+        prelude=prelude,
+    )
+
+
 def knn_join_adc_sql(
     k: int = 3,
     planes_per_table: int = PLANES_PER_TABLE,
     n_codes: int = PQ_CODES,
     shortlist: int = PQ_JOIN_SHORTLIST,
+    tabs_sql: str | None = None,
+    prelude: str = "",
 ) -> str:
     """DuckDB twin of :func:`knn_join_adc` — same candidate
     generation, same seed codebooks, same fixed-order SDC sum, same
-    shortlist tie-break, same verify."""
-    per_table = "\n  UNION ALL\n  ".join(
+    shortlist tie-break, same verify. ``tabs_sql``/``prelude`` let the
+    derived-plane twin swap in its dynamic bucket CTE while sharing
+    the whole SDC/verify tail."""
+    per_table = tabs_sql or "\n  UNION ALL\n  ".join(
         f"SELECT vec_id, "
         f"{lsh_table_bucket_sql('embedding', t, planes_per_table=planes_per_table)}"
         f" AS bkt, {t} AS tbl FROM embeddings"
@@ -834,7 +920,7 @@ def knn_join_adc_sql(
         for s in range(PQ_SUB)
     )
     adc_sum = " + ".join(f"s{s}.d" for s in range(PQ_SUB))
-    return f"""WITH {_UNIT_SQL}, tabs AS (
+    return f"""WITH {prelude}{_UNIT_SQL}, tabs AS (
   {per_table}
 ), cand AS (
   SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id

@@ -592,6 +592,23 @@ def e_knn_join(spark, sf_dir):
 _register("e_knn_join", e_knn_join, sim.knn_join_adc_sql(3, planes_per_table=6))
 
 
+def e_knn_join_derived(spark, sf_dir):
+    """The batch kNN join in its 100 TB form (VERDICT r5 #1): planes
+    per LSH table derived from the corpus size (floor-pinned
+    log₂(N/occupancy), ``vec.neardup_planes_for``) so expected bucket
+    occupancy — and the SDC-ranked candidate volume per query — stays
+    CONSTANT as the corpus grows, instead of ∝N as with the pinned
+    6-plane registration above (r5 decade sweep: 5.5× wall for 10×
+    vectors pinned vs 1.9× derived). Oracle-checked at any scale
+    factor: the SQL twin re-derives the identical plane count from
+    COUNT(*) in-plan (integer arithmetic both sides, no log₂ rounding
+    risk) and folds closed-form-generated planes bit-identically."""
+    return sim.knn_join_adc_derived(_embs(spark, sf_dir), k=3)
+
+
+_register("e_knn_join_derived", e_knn_join_derived, sim.knn_join_adc_derived_sql(3))
+
+
 #: cosine threshold for the near-dup detectors — the production value
 #: for model embeddings. The synthetic embeddings top out around
 #: cosine ~0.5 (no natural near-dups), so the near-dup queries run on

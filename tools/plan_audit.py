@@ -44,6 +44,7 @@ AUDIT = [
     "d_incremental_dedup",
     "e_knn_lsh",
     "e_knn_join",
+    "e_knn_join_derived",
     "e_knn_pq",
     "e_pq_codes",
     "e_knn_ivf",

@@ -181,18 +181,10 @@ def sweep_queries(spark, sf_dir: str):
         # its vocab-bounded aggregation claim
         ("t_bigram_quality", lambda: qs["t_bigram_quality"](spark, sf_dir)),
         # the batch kNN join with CORPUS-DERIVED planes — the 100 TB
-        # form. The registered query pins planes_per_table=6 for its
-        # static oracle, so its bucket occupancy (and candidate
-        # volume) grows linearly with N; the derived count keeps
-        # occupancy constant, which is what a production run uses.
-        (
-            "e_knn_join_derived",
-            lambda: (lambda embs: sim.knn_join_adc(
-                embs,
-                k=3,
-                planes_per_table=vec.neardup_planes_for(embs.count()),
-            ))(spark.read.parquet(f"{sf_dir}/embeddings.parquet")),
-        ),
+        # form, REGISTERED since r6 (oracle re-derives the plane count
+        # from COUNT(*) in-plan). The pinned-6-plane e_knn_join keeps
+        # occupancy ∝N; this keeps it constant.
+        ("e_knn_join_derived", lambda: qs["e_knn_join_derived"](spark, sf_dir)),
     ]
 
 
