@@ -215,7 +215,10 @@ class F1Engine:
         need manual DELETEs plus VACUUM FULL); here it is one call."""
         from pyspark.sql import functions as F
 
-        from f1_realtime_data_pipeline_spark.sources.manifest import vacuum
+        from f1_realtime_data_pipeline_spark.sources.manifest import (
+            expire_history,
+            vacuum,
+        )
         from f1_realtime_data_pipeline_spark.streaming.pipeline import RESULT_KEYS
         from f1_realtime_data_pipeline_spark.streaming.sinks import (
             read_sink_snapshot,
@@ -228,6 +231,11 @@ class F1Engine:
             .select(*RESULT_KEYS)
         )
         version = transactional_delete(doomed, fact_table, keys=RESULT_KEYS)
+        # vacuum protects every RETAINED snapshot (r6 retention-true
+        # semantics), so erasure must first expire the pre-delete
+        # history — otherwise the doomed rows stay physically present
+        # for time travel (Delta's logRetention=0 + VACUUM pairing)
+        expire_history(self.spark, fact_table, keep_last=1)
         vacuum(self.spark, fact_table)
         return version
 

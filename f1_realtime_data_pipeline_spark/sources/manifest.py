@@ -67,42 +67,69 @@ def _read_text(spark: SparkSession, path_str: str) -> str:
 
 
 def _create_exclusive(spark: SparkSession, path_str: str, text: str) -> bool:
-    """Atomically create ``path_str`` with ``text``; False if it
+    """Atomically PUBLISH ``path_str`` with ``text``; False if it
     already exists (a concurrent committer won the race).
 
+    Write-then-publish (ADVICE r5): the body is fully written to a
+    hidden temp name first and the final name appears via an atomic
+    namespace operation — a reader listing ``_manifests`` can never
+    see a committed version name whose JSON body is empty/partial
+    (the temp prefix doesn't match ``_NAME_RE``, so
+    :func:`snapshot_versions` ignores in-flight and crashed temps;
+    :func:`vacuum` reclaims crashed ones).
+
     Per-filesystem dispatch, the LogStore pattern every manifest
-    format ends up with: Hadoop's LOCAL FileSystem implements
-    ``create(path, overwrite=false)`` as a check-then-create — NOT
-    atomic (a thread race test caught all racers "winning"), so local
-    paths go through POSIX ``O_CREAT|O_EXCL``, which the kernel
-    serializes. Cluster filesystems keep the Hadoop call: HDFS/ABFS
-    create is an atomic namespace operation; S3 needs the usual
+    format ends up with: local paths publish via ``os.link`` (POSIX
+    hard-link creation is an atomic fail-if-exists the kernel
+    serializes — the earlier O_CREAT|O_EXCL form was exclusive but
+    made the name visible before the body landed). Cluster
+    filesystems write the temp via Hadoop ``create`` then publish via
+    ``rename`` (HDFS/ABFS rename is an atomic namespace op that fails
+    when the destination exists); S3 needs the usual
     commit-service/conditional-put story, same as Delta."""
+    from uuid import uuid4
+
     from py4j.protocol import Py4JJavaError
 
     fs, p = fs_for(spark, path_str)
     uri = p.toUri()
+    tmp_name = f".tmp-{p.getName()}-{uuid4().hex[:8]}"
     if uri.getScheme() in (None, "file"):
         import os as _os
 
         local = uri.getPath()
-        _os.makedirs(_os.path.dirname(local), exist_ok=True)
+        d = _os.path.dirname(local)
+        _os.makedirs(d, exist_ok=True)
+        tmp = _os.path.join(d, tmp_name)
+        with open(tmp, "wb") as f:
+            f.write(text.encode("utf-8"))
+            f.flush()
+            _os.fsync(f.fileno())
         try:
-            fd = _os.open(local, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+            _os.link(tmp, local)
+            return True
         except FileExistsError:
             return False
-        with _os.fdopen(fd, "wb") as f:
-            f.write(text.encode("utf-8"))
-        return True
+        finally:
+            _os.unlink(tmp)
+    jvm = spark._jvm
+    tmp_path = jvm.org.apache.hadoop.fs.Path(p.getParent(), tmp_name)
     try:
-        out = fs.create(p, False)
-    except Py4JJavaError:
+        out = fs.create(tmp_path, False)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        if fs.rename(tmp_path, p):
+            return True
+        fs.delete(tmp_path, False)
         return False
-    try:
-        out.write(bytearray(text.encode("utf-8")))
-    finally:
-        out.close()
-    return True
+    except Py4JJavaError:
+        try:
+            fs.delete(tmp_path, False)
+        except Py4JJavaError:
+            pass
+        return False
 
 
 def snapshot_versions(spark: SparkSession, table_path: str) -> list[int]:
@@ -428,22 +455,40 @@ def jsonable_stat(v: Any) -> Any:
 
 
 def vacuum(spark: SparkSession, table_path: str) -> list[str]:
-    """Delete data the LATEST snapshot no longer references: whole
-    orphan directories (crashed commits) AND individual bucket subdirs
-    a copy-on-write rewrite (merge / delete / compaction) superseded —
+    """Delete data NO committed snapshot references: whole orphan
+    directories (crashed commits) AND individual bucket subdirs a
+    copy-on-write rewrite (merge / delete / compaction) superseded —
     entry-granular, because a rewrite replaces SOME buckets of an
-    epoch directory while the rest stay live, and the compliance
-    workflow (transactional_delete → vacuum) needs the superseded
-    bucket's bytes physically gone, not just unreferenced. Ends
-    time travel to pre-vacuum snapshots (the Delta retention trade).
-    Returns removed names. Single-writer assumption: run it from the
-    writer, not concurrently with an in-flight epoch."""
-    _, entries = resolve_snapshot(spark, table_path)
-    referenced = {e["path"] for e in entries}  # data/<dir>/__kb=B
-    fs, ddir = fs_for(spark, f"{table_path}/data")
+    epoch directory while the rest stay live.
+
+    Retention-true (ADVICE r5): the protected set is the UNION of
+    every still-committed manifest's entries, not just the latest's —
+    every version :func:`expire_history` retained stays fully
+    time-travelable after any vacuum, so the retention knob means
+    what it says. The corollary for the compliance workflow
+    (``erase_results`` / right-to-be-forgotten): superseded bytes are
+    physically gone only once no retained manifest references them —
+    run ``expire_history(keep_last=1)`` BEFORE vacuum to force
+    immediate physical erasure (exactly Delta's
+    ``logRetentionDuration=0`` + VACUUM pairing). Also reclaims
+    crashed ``.tmp-`` manifest bodies. Returns removed names.
+    Single-writer assumption: run it from the writer, not
+    concurrently with an in-flight epoch."""
+    referenced: set[str] = set()  # data/<dir>/__kb=B
+    for v in snapshot_versions(spark, table_path):
+        _, entries = resolve_snapshot(spark, table_path, version=v)
+        referenced.update(e["path"] for e in entries)
     removed: list[str] = []
+    fs, mdir = fs_for(spark, f"{table_path}/{MANIFEST_DIR}")
+    if fs.exists(mdir):
+        for st in fs.listStatus(mdir):
+            name = st.getPath().getName()
+            if name.startswith(".tmp-"):
+                fs.delete(st.getPath(), False)
+                removed.append(name)
+    fs, ddir = fs_for(spark, f"{table_path}/data")
     if not fs.exists(ddir):
-        return removed
+        return sorted(removed)
     for top in fs.listStatus(ddir):
         top_name = top.getPath().getName()
         keep_any = False

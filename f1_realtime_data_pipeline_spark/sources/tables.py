@@ -176,6 +176,17 @@ def drop_cascade(spark: SparkSession, name: str) -> list[str]:
     for t in spark.catalog.listTables():  # temp views, database=None
         if t.isTemporary:
             candidates.append((t.name, t.name, True))
+    # global temp views live in the reserved global_temp database,
+    # which listDatabases() does NOT enumerate (ADVICE r5) — without
+    # this they would survive the cascade and dangle, the exact
+    # failure mode this function exists to prevent
+    try:
+        for t in spark.catalog.listTables("global_temp"):
+            if t.isTemporary and t.database is not None:
+                q = f"global_temp.{t.name}"
+                candidates.append((q, q, False))
+    except Exception:  # noqa: BLE001 — no global temp db materialized yet
+        pass
     # resolve EVERY candidate's dependency set BEFORE the first drop:
     # dropping pv1 mid-walk would make pv2 (a view over pv1) fail
     # analysis and silently dodge the cascade

@@ -55,6 +55,33 @@ def _key_bucket(keys: Sequence[str], n_buckets: int) -> F.Column:
     return F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
 
 
+def _resolved_bucketing(
+    doc: dict, keys: Sequence[str], n_buckets: int
+) -> tuple[int, dict]:
+    """(effective n_buckets, meta patch) for a manifest-table write
+    (ADVICE r5): the table's bucketing config — key columns and bucket
+    count — is recorded in the manifest at first commit and is
+    AUTHORITATIVE thereafter. A later writer calling with a different
+    ``n_buckets`` would recompute buckets that don't line up with the
+    committed layout, so touched-bucket pruning would miss existing
+    same-key rows — duplicate keys after MERGE, undeleted rows after
+    DELETE (a compliance failure for erase_results). Different KEY
+    columns are a semantic conflict and raise; a different bucket
+    count is silently overridden by the recorded one (callers pass a
+    default, the table knows its own layout)."""
+    rec = doc.get("bucketing")
+    if rec is None:
+        return int(n_buckets), {
+            "bucketing": {"keys": list(keys), "n_buckets": int(n_buckets)}
+        }
+    if list(rec["keys"]) != list(keys):
+        raise ValueError(
+            f"bucketing key mismatch: table committed with {rec['keys']}, "
+            f"caller supplied {list(keys)}"
+        )
+    return int(rec["n_buckets"]), {"bucketing": rec}
+
+
 def idempotent_parquet_sink(
     sink_path: str,
     keys: Sequence[str],
@@ -192,20 +219,23 @@ def transactional_parquet_sink(
         else:
             non_key = sorted(c for c in batch_df.columns if c not in keys)
             order = [F.col(c).asc() for c in (non_key or keys)]
+        # resolve the snapshot FIRST: the table's recorded bucketing
+        # config (not the caller's default) decides the bucket layout
+        snap_doc = manifest.resolve_snapshot_doc(spark, sink_path)
+        version, entries, prev_schema = (
+            snap_doc["version"],
+            snap_doc["entries"],
+            snap_doc.get("schema"),
+        )
+        nb, bucketing_meta = _resolved_bucketing(snap_doc, keys, n_buckets)
         deduped = dedup_first_wins(batch_df, keys, order).withColumn(
-            _BUCKET_COL, _key_bucket(keys, n_buckets)
+            _BUCKET_COL, _key_bucket(keys, nb)
         )
         deduped.persist()
         try:
             batch_buckets = [
                 r[0] for r in deduped.select(_BUCKET_COL).distinct().collect()
             ]
-            snap_doc = manifest.resolve_snapshot_doc(spark, sink_path)
-            version, entries, prev_schema = (
-                snap_doc["version"],
-                snap_doc["entries"],
-                snap_doc.get("schema"),
-            )
             # additive schema evolution (r5): the commit records the
             # union of every epoch's columns; a type conflict raises
             # BEFORE any data is written. The DATA schema excludes the
@@ -276,7 +306,7 @@ def transactional_parquet_sink(
             if not manifest.commit_snapshot(
                 spark, sink_path, version + 1, entries + new_entries,
                 schema=merged_schema,
-                meta=manifest.doc_extras(snap_doc) or None,
+                meta={**manifest.doc_extras(snap_doc), **bucketing_meta},
             ):
                 raise RuntimeError(
                     f"lost commit race for {sink_path} v{version + 1}: "
@@ -324,6 +354,7 @@ def transactional_merge(
     keys: Sequence[str],
     order_cols: Sequence[str] | None = None,
     n_buckets: int = SINK_BUCKETS,
+    max_commit_retries: int = 0,
 ) -> int:
     """MERGE INTO on the manifest table — the Delta call site SCALE.md
     maps :func:`~f1_realtime_data_pipeline_spark.sources.tables.
@@ -343,8 +374,19 @@ def transactional_merge(
     sides are aligned to the merged schema before the union so the
     precedence window sees one shape. Within ``updates``, duplicate
     keys resolve first-wins under ``order_cols`` — the idempotent-sink
-    convention. Returns the committed version. Single-writer: a lost
-    commit race raises."""
+    convention. Returns the committed version.
+
+    Concurrent writers (r6): each attempt is a full optimistic
+    read-modify-commit — resolve the LATEST snapshot, rewrite against
+    it, commit v+1 by exclusive creation. Losing the creation race
+    means another committer published v+1 first; with
+    ``max_commit_retries`` > 0 the loser RE-DERIVES from the winner's
+    snapshot (not its own stale read) and tries again, so both
+    updates survive in some serial order — no lost update, the Delta
+    OCC protocol (conservative: any concurrent commit conflicts, even
+    on disjoint buckets; the loser's abandoned data dir is an orphan
+    for vacuum). The default 0 keeps the single-writer posture: a
+    lost race raises."""
     spark = updates.sparkSession
     keys = list(keys)
     if order_cols is not None:
@@ -352,84 +394,100 @@ def transactional_merge(
     else:
         non_key = sorted(c for c in updates.columns if c not in keys)
         order = [F.col(c).asc() for c in (non_key or keys)]
-    up = dedup_first_wins(updates, keys, order).withColumn(
-        _BUCKET_COL, _key_bucket(keys, n_buckets)
-    )
-    up.persist()
-    try:
+    last_lost = 0
+    for _attempt in range(max_commit_retries + 1):
         snap_doc = manifest.resolve_snapshot_doc(spark, sink_path)
         version, entries, prev_schema = (
             snap_doc["version"],
             snap_doc["entries"],
             snap_doc.get("schema"),
         )
-        batch_schema = json.loads(up.drop(_BUCKET_COL).schema.json())
-        merged_schema = manifest.merge_schemas(prev_schema, batch_schema)
-        touched = {
-            r[0] for r in up.select(_BUCKET_COL).distinct().collect()
-        }
-        if not touched:  # empty update set: no snapshot transition
-            return version
-        keep = [e for e in entries if e["bucket"] not in touched]
-        affected = [e for e in entries if e["bucket"] in touched]
-        fields = merged_schema["fields"]
-        side_up = _align_to_schema(up, fields).withColumn(
-            "__src", F.lit(1)
-        ).withColumn(_BUCKET_COL, _key_bucket(keys, n_buckets))
-        if affected:
-            from pyspark.sql.types import StructType
+        # the table's recorded bucketing wins over the caller's
+        # default — a mismatched bucket count would mis-prune touched
+        # buckets and leave duplicate keys behind (ADVICE r5)
+        nb, bucketing_meta = _resolved_bucketing(snap_doc, keys, n_buckets)
+        up = dedup_first_wins(updates, keys, order).withColumn(
+            _BUCKET_COL, _key_bucket(keys, nb)
+        )
+        up.persist()
+        try:
+            batch_schema = json.loads(up.drop(_BUCKET_COL).schema.json())
+            merged_schema = manifest.merge_schemas(prev_schema, batch_schema)
+            touched = {
+                r[0] for r in up.select(_BUCKET_COL).distinct().collect()
+            }
+            if not touched:  # empty update set: no snapshot transition
+                return version
+            keep = [e for e in entries if e["bucket"] not in touched]
+            affected = [e for e in entries if e["bucket"] in touched]
+            fields = merged_schema["fields"]
+            side_up = _align_to_schema(up, fields).withColumn(
+                "__src", F.lit(1)
+            ).withColumn(_BUCKET_COL, _key_bucket(keys, nb))
+            if affected:
+                from pyspark.sql.types import StructType
 
-            reader = spark.read
-            if prev_schema is not None:
-                reader = reader.schema(StructType.fromJson(prev_schema))
-            parts = [
-                _align_to_schema(
-                    reader.parquet(f"{sink_path}/{e['path']}"), fields
-                )
-                .withColumn("__src", F.lit(0))
-                .withColumn(_BUCKET_COL, F.lit(e["bucket"]))
-                for e in affected
-            ]
-            both = side_up
-            for p in parts:
-                both = both.unionByName(p)
-        else:
-            both = side_up
-        # updates beat base; within a side the explicit order decides
-        w = Window.partitionBy(*keys).orderBy(F.col("__src").desc(), *order)
-        merged = (
-            both.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn", "__src")
-        )
-        merge_rel = f"data/merge-{version + 1:012d}-{uuid4().hex[:8]}"
-        merged.write.partitionBy(_BUCKET_COL).parquet(f"{sink_path}/{merge_rel}")
-        fs, mdir = manifest.fs_for(spark, f"{sink_path}/{merge_rel}")
-        new_entries = sorted(
-            (
-                {
-                    "path": f"{merge_rel}/{name}",
-                    "bucket": int(name.split("=", 1)[1]),
-                }
-                for st in fs.listStatus(mdir)
-                if (name := st.getPath().getName()).startswith(f"{_BUCKET_COL}=")
-            ),
-            key=lambda e: e["path"],
-        )
-        if not manifest.commit_snapshot(
-            spark,
-            sink_path,
-            version + 1,
-            sorted(keep + new_entries, key=lambda e: e["path"]),
-            schema=merged_schema,
-            meta=manifest.doc_extras(snap_doc) or None,
-        ):
-            raise RuntimeError(
-                f"lost merge commit race for {sink_path} v{version + 1}"
+                reader = spark.read
+                if prev_schema is not None:
+                    reader = reader.schema(StructType.fromJson(prev_schema))
+                parts = [
+                    _align_to_schema(
+                        reader.parquet(f"{sink_path}/{e['path']}"), fields
+                    )
+                    .withColumn("__src", F.lit(0))
+                    .withColumn(_BUCKET_COL, F.lit(e["bucket"]))
+                    for e in affected
+                ]
+                both = side_up
+                for p in parts:
+                    both = both.unionByName(p)
+            else:
+                both = side_up
+            # updates beat base; within a side the explicit order decides
+            w = Window.partitionBy(*keys).orderBy(F.col("__src").desc(), *order)
+            merged = (
+                both.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn", "__src")
             )
-        return version + 1
-    finally:
-        up.unpersist()
+            merge_rel = f"data/merge-{version + 1:012d}-{uuid4().hex[:8]}"
+            merged.write.partitionBy(_BUCKET_COL).parquet(
+                f"{sink_path}/{merge_rel}"
+            )
+            fs, mdir = manifest.fs_for(spark, f"{sink_path}/{merge_rel}")
+            new_entries = sorted(
+                (
+                    {
+                        "path": f"{merge_rel}/{name}",
+                        "bucket": int(name.split("=", 1)[1]),
+                    }
+                    for st in fs.listStatus(mdir)
+                    if (name := st.getPath().getName()).startswith(
+                        f"{_BUCKET_COL}="
+                    )
+                ),
+                key=lambda e: e["path"],
+            )
+            if manifest.commit_snapshot(
+                spark,
+                sink_path,
+                version + 1,
+                sorted(keep + new_entries, key=lambda e: e["path"]),
+                schema=merged_schema,
+                meta={**manifest.doc_extras(snap_doc), **bucketing_meta},
+            ):
+                return version + 1
+            last_lost = version + 1
+        finally:
+            up.unpersist()
+    raise RuntimeError(
+        f"lost merge commit race for {sink_path} v{last_lost}"
+        + (
+            f" after {max_commit_retries + 1} attempts"
+            if max_commit_retries
+            else ""
+        )
+    )
 
 
 def transactional_delete(
@@ -449,24 +507,30 @@ def transactional_delete(
     bucket's entries carry over verbatim. A bucket whose rows are all
     deleted simply has no rewritten directory. IMPORTANT compliance
     caveat (same as Delta): the delete is logical-then-physical — old
-    snapshots still reference the pre-delete files for time travel, so
-    data is physically gone only after :func:`~f1_realtime_data_
-    pipeline_spark.sources.manifest.vacuum` reclaims them; run vacuum
-    as part of the erasure workflow. Returns the committed version
+    snapshots still reference the pre-delete files for time travel,
+    and vacuum protects every retained snapshot, so data is physically
+    gone only after ``expire_history(keep_last=1)`` +
+    :func:`~f1_realtime_data_pipeline_spark.sources.manifest.vacuum`
+    (run both as the erasure workflow; ``engine.erase_results``
+    does). Returns the committed version
     (unchanged when no bucket is touched). Single-writer: a lost
     commit race raises."""
     spark = delete_keys.sparkSession
     keys = list(keys)
+    snap_doc = manifest.resolve_snapshot_doc(spark, sink_path)
+    version, entries = snap_doc["version"], snap_doc["entries"]
+    schema = snap_doc.get("schema")
+    # recorded bucketing wins: a mismatched bucket count would prune
+    # the wrong buckets and leave undeleted rows — a compliance
+    # failure for the erase_results path (ADVICE r5)
+    nb, bucketing_meta = _resolved_bucketing(snap_doc, keys, n_buckets)
     dk = (
         delete_keys.select(*keys)
         .dropDuplicates(keys)
-        .withColumn(_BUCKET_COL, _key_bucket(keys, n_buckets))
+        .withColumn(_BUCKET_COL, _key_bucket(keys, nb))
     )
     dk.persist()
     try:
-        snap_doc = manifest.resolve_snapshot_doc(spark, sink_path)
-        version, entries = snap_doc["version"], snap_doc["entries"]
-        schema = snap_doc.get("schema")
         touched = {r[0] for r in dk.select(_BUCKET_COL).distinct().collect()}
         affected = [e for e in entries if e["bucket"] in touched]
         if not affected:
@@ -511,7 +575,7 @@ def transactional_delete(
             version + 1,
             sorted(keep + new_entries, key=lambda e: e["path"]),
             schema=schema,
-            meta=manifest.doc_extras(snap_doc) or None,
+            meta={**manifest.doc_extras(snap_doc), **bucketing_meta},
         ):
             raise RuntimeError(
                 f"lost delete commit race for {sink_path} v{version + 1}"
@@ -570,13 +634,14 @@ def transactional_agg_sink(
         key = str(epoch_id)
         if key in applied:
             return
+        nb, bucketing_meta = _resolved_bucketing(doc, group_cols, n_buckets)
         partial = (
             batch_df.groupBy(*group_cols)
             .agg(
                 *[F.sum(c).alias(c) for c in sum_cols],
                 F.count(F.lit(1)).alias("n_rows"),
             )
-            .withColumn(_BUCKET_COL, _key_bucket(group_cols, n_buckets))
+            .withColumn(_BUCKET_COL, _key_bucket(group_cols, nb))
         )
         partial.persist()
         try:
@@ -631,6 +696,7 @@ def transactional_agg_sink(
                 schema=manifest.merge_schemas(doc.get("schema"), schema),
                 meta={
                     **manifest.doc_extras(doc),
+                    **bucketing_meta,
                     "applied": (applied + [key])[-AGG_APPLIED_CAP:],
                 },
             ):

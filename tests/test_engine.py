@@ -185,6 +185,7 @@ def test_corpus_lifecycle_end_to_end(spark, tmp_path, sf_dir):
     forget = [r.doc_id for r in kept.limit(5).collect()]
     dk = spark.createDataFrame([(k,) for k in forget], ["doc_id"])
     transactional_delete(dk, table, keys=["doc_id"])
+    mf.expire_history(spark, table, keep_last=1)  # r6: vacuum protects retained history
     mf.vacuum(spark, table)
     refreshed = read_sink_snapshot(spark, table)
     assert refreshed.filter(F.col("doc_id").isin(forget)).count() == 0
