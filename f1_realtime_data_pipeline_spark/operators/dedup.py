@@ -978,25 +978,78 @@ def doc_spans(docs: DataFrame, span_tokens: int = SPAN_TOKENS) -> DataFrame:
     ).select("doc_id", F.col("span_pos").cast("int").alias("span_pos"), "span")
 
 
-def span_dedup(docs: DataFrame, span_tokens: int = SPAN_TOKENS) -> DataFrame:
+#: occurrence count above which a span takes the aggregate path —
+#: bounds every cold-path window partition at this many rows
+SPAN_HOT_DF = 256
+
+
+def span_dedup(
+    docs: DataFrame,
+    span_tokens: int = SPAN_TOKENS,
+    hot_df: int = SPAN_HOT_DF,
+) -> DataFrame:
     """Span-level exact dedup: every span of every doc, flagged
     ``keep`` iff it is the corpus-wide first occurrence of that exact
     span text (first = smallest (doc_id, span_pos)).
 
-    This is C4/RefinedWeb line-dedup re-expressed over token windows:
-    one shuffle on the span text (the window partition key); the
-    downstream "rebuild the cleaned document" step is a groupBy(doc_id)
-    over kept spans. Hot spans (boilerplate) are bounded: each
-    partition holds one span string's occurrences, and the window
-    computes only row_number — no cross-occurrence blow-up.
+    This is C4/RefinedWeb line-dedup re-expressed over token windows;
+    the downstream "rebuild the cleaned document" step is a
+    groupBy(doc_id) over kept spans.
+
+    Skew guard (VERDICT r5 #7): a bare ``Window.partitionBy(span)``
+    puts EVERY occurrence of a boilerplate span in one task — real
+    corpora have spans in 10% of documents, a multi-TB single
+    partition at 100 TB. Two-path split on the span's occurrence
+    count (the stop-shingle df-cap discipline, but value-preserving —
+    hot spans are still flagged, not dropped):
+
+    - the df count itself is a map-side-combined aggregate (hot keys
+      pre-combine per input partition, so no reducer sees more than
+      #input-partitions rows per span);
+    - COLD spans (df ≤ ``hot_df``) keep the window — every partition
+      now provably ≤ ``hot_df`` rows;
+    - HOT spans resolve first-occurrence as ``min(struct(doc_id,
+      span_pos))`` through the same map-side-combined aggregation
+      (never a window), and the per-span minimum — tiny: boilerplate
+      spans number far below corpus scale by definition of the cap —
+      broadcasts back onto the rows.
+
+    Output identical to the single-window form (struct ordering ==
+    the window's (doc_id, span_pos) order); oracle unchanged. The
+    span relation feeds three branches, so it is persisted and the
+    corpus is tokenized/exploded once.
     """
-    w = Window.partitionBy("span").orderBy(F.col("doc_id").asc(), F.col("span_pos").asc())
-    return doc_spans(docs, span_tokens).select(
+    spans = doc_spans(docs, span_tokens).persist(StorageLevel.MEMORY_AND_DISK)
+    hot_keys = (
+        spans.groupBy("span")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > hot_df)
+        .select("span")
+    )
+    cold = spans.join(F.broadcast(hot_keys), "span", "left_anti")
+    w = Window.partitionBy("span").orderBy(
+        F.col("doc_id").asc(), F.col("span_pos").asc()
+    )
+    cold_flagged = cold.select(
         "doc_id",
         "span_pos",
         "span",
         (F.row_number().over(w) == 1).alias("keep"),
     )
+    hot = spans.join(F.broadcast(hot_keys), "span", "left_semi")
+    hot_first = hot.groupBy("span").agg(
+        F.min(F.struct(F.col("doc_id"), F.col("span_pos"))).alias("__first")
+    )
+    hot_flagged = hot.join(F.broadcast(hot_first), "span").select(
+        "doc_id",
+        "span_pos",
+        "span",
+        (
+            (F.col("doc_id") == F.col("__first.doc_id"))
+            & (F.col("span_pos") == F.col("__first.span_pos"))
+        ).alias("keep"),
+    )
+    return cold_flagged.unionByName(hot_flagged)
 
 
 def span_dedup_sql(span_tokens: int = SPAN_TOKENS) -> str:

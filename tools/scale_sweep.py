@@ -45,6 +45,7 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import functions as F  # noqa: E402
 
 from f1_realtime_data_pipeline_spark.functions import vector as vec  # noqa: E402
+from f1_realtime_data_pipeline_spark.operators import dedup as dd  # noqa: E402
 from f1_realtime_data_pipeline_spark.operators import similarity as sim  # noqa: E402
 from f1_realtime_data_pipeline_spark.plans import llm_star  # noqa: E402
 from f1_realtime_data_pipeline_spark.session import get_spark  # noqa: E402
@@ -185,6 +186,30 @@ def sweep_queries(spark, sf_dir: str):
         # from COUNT(*) in-plan). The pinned-6-plane e_knn_join keeps
         # occupancy ∝N; this keeps it constant.
         ("e_knn_join_derived", lambda: qs["e_knn_join_derived"](spark, sf_dir)),
+        # r6: span splice with a PLANTED 10%-frequency boilerplate
+        # span (every 10th doc shares an 8-token prefix, so ONE span's
+        # occurrence list is 10% of the corpus — vocabulary relabeling
+        # does not apply to the planted literal, so its df genuinely
+        # grows with K). The hot-span two-path guard (dedup.span_dedup,
+        # VERDICT r5 #7) must keep wall flat-per-decade where the bare
+        # span window would concentrate 10% of all spans in one task.
+        (
+            "d_span_splice_hotspan",
+            lambda: dd.span_splice(
+                spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+                    "text",
+                    F.when(
+                        F.col("doc_id") % 10 == 0,
+                        F.concat(
+                            F.lit(
+                                "alpha beta gamma delta epsilon zeta eta theta "
+                            ),
+                            F.col("text"),
+                        ),
+                    ).otherwise(F.col("text")),
+                )
+            ),
+        ),
     ]
 
 
