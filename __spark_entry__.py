@@ -28,22 +28,21 @@ from f1_realtime_data_pipeline_spark.plans import (
 )
 
 # Registration order is part of the verification contract: the driver
-# checks the FIRST 50 registered queries each round. Rounds 1-4
-# covered all 139 previously-registered queries at least once.
-# Round 5 leads with _WINDOW_HEAD: every query whose plan or oracle
-# changed this round — the distributed-rank rewrite
-# (t_shuffle_order), the SDC-prefiltered batch kNN join (e_knn_join,
-# new plan AND new oracle), the seven NEW round-5 queries
-# (m_jpeg_meta, m_video_meta, m_video_frame_plan, t_pii_redact,
-# t_bigram_quality, t_interleave_sources, t_length_buckets), every
-# similarity query rerouted through the durable materialize() helper
-# (e_knn_lsh, e_cosine_neardup, e_neardup_clusters, e_semdedup,
-# e_kmeans, e_knn_ivf_trained), the hardened media decoders
-# (m_decoded_meta, m_frame_sample, m_audio_meta), and the one
-# permanently-approximate rows-only entry (a_approx_distinct) so its
-# rows row stays fresh. The remaining ~31 window slots backfill from
-# the families whose last driver check is oldest (round 1:
-# inventory_star → tpch head).
+# checks the FIRST 50 registered queries each round. Rounds 1-5
+# covered all 147 previously-registered queries at least once
+# (cumulatively; CORRECTNESS_r01..r05).
+# Round 6 leads with _WINDOW_HEAD: every query whose plan or oracle
+# changed this round — the three NEW registrations (e_knn_join_derived:
+# corpus-derived LSH planes with an in-plan COUNT(*)-derived oracle;
+# q1_standings_mv: the flagship query served from the streaming
+# materialized view; m_binary_ingest: real-file binaryFile→decode
+# ingestion), the bucketed-group-rank rewrites (t_interleave_sources,
+# t_length_buckets), the integer-division bigram scorer
+# (t_bigram_quality), and the span family rerouted through the
+# hot-span two-path guard (d_span_dedup, d_span_splice,
+# d_span_dedup_stats). The remaining ~41 slots backfill from the
+# family whose last driver check is oldest: the full windows_star
+# head (r2-checked) then the r2/r3 llm_star dedup head.
 _QUERY_MODULES = [
     inventory_star,
     tpch,
@@ -59,26 +58,61 @@ _QUERY_MODULES = [
 #: round (KeyError at import if a name disappears — the rotation list
 #: cannot silently go stale).
 _WINDOW_HEAD = [
-    "t_shuffle_order",
-    "e_knn_join",
-    "m_jpeg_meta",
-    "m_video_meta",
-    "t_pii_redact",
-    "m_video_frame_plan",
-    "t_bigram_quality",
+    # changed/new this round
+    "e_knn_join_derived",
+    "q1_standings_mv",
+    "m_binary_ingest",
+    "e_knn_classify",
     "t_interleave_sources",
     "t_length_buckets",
-    "p_dataset_card",
+    "t_bigram_quality",
+    "d_span_dedup",
+    "d_span_splice",
+    "d_span_dedup_stats",
+    # oldest-checked backfill: the whole windows_star family (r2)
+    "w_tumbling",
+    "w_sliding",
+    "w_session",
+    "w_sessionize_lag",
+    "w_asof_attribution",
+    "w_interval_join",
+    "w_funnel",
+    "w_json_props",
+    "w_lateness_audit",
+    "w_retention",
+    "w_type_transitions",
+    # r2/r3-checked llm dedup + text head
+    "d_exact",
+    "d_ngram_jaccard",
+    "d_containment",
+    "d_minhash_signatures",
+    "d_minhash_lsh",
+    "d_simhash",
+    "d_simhash_pairs",
+    "d_editdist_neardup",
+    "d_substring_dedup",
+    "d_dup_clusters",
+    "d_dup_clusters_iter",
+    "t_contamination",
+    "t_contamination_bloom",
+    "t_token_stats",
+    "t_quality",
+    "t_quality_gopher",
+    "t_lang_id",
+    "t_fingerprint",
+    "t_repetition",
+    "t_tfidf_keywords",
+    "t_rare_tokens",
+    "e_knn_bruteforce",
+    "e_lsh_buckets",
     "e_knn_lsh",
-    "e_cosine_neardup",
-    "e_neardup_clusters",
-    "e_semdedup",
-    "e_kmeans",
-    "e_knn_ivf_trained",
-    "m_decoded_meta",
-    "m_frame_sample",
-    "m_audio_meta",
-    "a_approx_distinct",
+    "e_ivf_cells",
+    "e_knn_ivf",
+    "e_quantize",
+    "e_pq_codes",
+    "e_knn_pq",
+    "pipeline_corpus",
+    "pipeline_corpus_v2",
 ]
 
 

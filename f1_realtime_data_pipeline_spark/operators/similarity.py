@@ -232,6 +232,93 @@ SELECT query_id, neighbor_id, rnk, cosine FROM (
 ) WHERE rnk <= {k}"""
 
 
+def knn_classify(
+    embeddings: DataFrame,
+    n_queries: int = 16,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """kNN majority-vote label prediction — the weak-supervision /
+    label-propagation shape a training-data pipeline uses to extend a
+    labeled seed set: each query vector takes the most common label
+    among its ``k`` nearest labeled neighbors (vote count desc,
+    smallest label breaks ties), reported with the vote count and
+    agreement against the query's own label.
+
+    Scale shape: the neighbor search is the LSH-pruned :func:`knn_lsh`
+    (bucket-bounded candidates, never a crossjoin); the vote itself is
+    an (n_queries·k)-row aggregate, and the per-query argmax window
+    runs over ≤ |distinct labels| rows per query — both bounded by the
+    query set, not the corpus. Labels join onto bare int ids (8-byte
+    shuffle rows)."""
+    nn = knn_lsh(embeddings, n_queries=n_queries, k=k, id_col=id_col, vec_col=vec_col)
+    lbl = embeddings.select(F.col(id_col).alias("vid"), F.col(label_col).alias("lb"))
+    votes = (
+        nn.join(
+            lbl.select(F.col("vid").alias("neighbor_id"), F.col("lb").alias("n_label")),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "n_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("n_label").asc()
+    )
+    pred = (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "query_id",
+            F.col("n_label").cast("int").alias("pred_label"),
+            F.col("n_votes").cast("int").alias("n_votes"),
+        )
+    )
+    return (
+        pred.join(
+            F.broadcast(
+                lbl.select(
+                    F.col("vid").alias("query_id"),
+                    F.col("lb").cast("int").alias("true_label"),
+                )
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "pred_label",
+            "n_votes",
+            "true_label",
+            (F.col("pred_label") == F.col("true_label")).alias("correct"),
+        )
+    )
+
+
+def knn_classify_sql(n_queries: int = 16, k: int = 5) -> str:
+    """DuckDB twin of :func:`knn_classify` — same LSH neighbor set,
+    same (votes desc, label asc) tie-break."""
+    return f"""WITH nn AS (
+  SELECT query_id, neighbor_id FROM ({knn_lsh_sql(n_queries, k)})
+), votes AS (
+  SELECT nn.query_id, e.label AS n_label, COUNT(*) AS n_votes
+  FROM nn JOIN embeddings e ON e.vec_id = nn.neighbor_id
+  GROUP BY nn.query_id, e.label
+), pred AS (
+  SELECT query_id, n_label, n_votes,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY n_votes DESC, n_label ASC) AS rn
+  FROM votes
+)
+SELECT p.query_id,
+       CAST(p.n_label AS INT) AS pred_label,
+       CAST(p.n_votes AS INT) AS n_votes,
+       CAST(q.label AS INT) AS true_label,
+       (p.n_label = q.label) AS correct
+FROM pred p JOIN embeddings q ON q.vec_id = p.query_id
+WHERE p.rn = 1"""
+
+
 def cosine_neardup_lsh_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,

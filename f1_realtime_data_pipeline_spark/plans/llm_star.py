@@ -574,6 +574,19 @@ def e_knn_lsh(spark, sf_dir):
 _register("e_knn_lsh", e_knn_lsh, sim.knn_lsh_sql(16, 5))
 
 
+def e_knn_classify(spark, sf_dir):
+    """kNN majority-vote label prediction (r6): the embeddings table's
+    ``label`` column — previously unused by any registered query —
+    drives the weak-supervision shape: predict each query vector's
+    label from its 5 approximate nearest labeled neighbors
+    (LSH-pruned search, votes-desc / label-asc tie-break), with the
+    vote count and agreement vs the query's own label."""
+    return sim.knn_classify(_embs(spark, sf_dir), n_queries=16, k=5)
+
+
+_register("e_knn_classify", e_knn_classify, sim.knn_classify_sql(16, 5))
+
+
 def e_knn_join(spark, sf_dir):
     """Batch similarity JOIN: approximate top-3 neighbors for EVERY
     vector (the retrieval-augmentation / kNN-graph construction shape)

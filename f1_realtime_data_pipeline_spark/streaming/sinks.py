@@ -495,6 +495,7 @@ def transactional_delete(
     sink_path: str,
     keys: Sequence[str],
     n_buckets: int = SINK_BUCKETS,
+    max_commit_retries: int = 0,
 ) -> int:
     """DELETE on the manifest table — the remaining CRUD verb, and
     the right-to-be-forgotten pass a compliant training-data corpus
@@ -513,76 +514,93 @@ def transactional_delete(
     :func:`~f1_realtime_data_pipeline_spark.sources.manifest.vacuum`
     (run both as the erasure workflow; ``engine.erase_results``
     does). Returns the committed version
-    (unchanged when no bucket is touched). Single-writer: a lost
-    commit race raises."""
+    (unchanged when no bucket is touched).
+
+    Concurrency: same OCC loop as :func:`transactional_merge` (r6) —
+    each attempt is a fresh read-modify-commit, so with
+    ``max_commit_retries`` > 0 a loser re-derives from the winner's
+    snapshot (the delete lands on whatever that commit wrote, no
+    resurrection of deleted keys). Default 0 = single-writer raise."""
     spark = delete_keys.sparkSession
     keys = list(keys)
-    snap_doc = manifest.resolve_snapshot_doc(spark, sink_path)
-    version, entries = snap_doc["version"], snap_doc["entries"]
-    schema = snap_doc.get("schema")
-    # recorded bucketing wins: a mismatched bucket count would prune
-    # the wrong buckets and leave undeleted rows — a compliance
-    # failure for the erase_results path (ADVICE r5)
-    nb, bucketing_meta = _resolved_bucketing(snap_doc, keys, n_buckets)
-    dk = (
-        delete_keys.select(*keys)
-        .dropDuplicates(keys)
-        .withColumn(_BUCKET_COL, _key_bucket(keys, nb))
-    )
-    dk.persist()
-    try:
-        touched = {r[0] for r in dk.select(_BUCKET_COL).distinct().collect()}
-        affected = [e for e in entries if e["bucket"] in touched]
-        if not affected:
-            return version
-        keep = [e for e in entries if e["bucket"] not in touched]
-        from pyspark.sql.types import StructType
+    last_lost = 0
+    for _attempt in range(max_commit_retries + 1):
+        snap_doc = manifest.resolve_snapshot_doc(spark, sink_path)
+        version, entries = snap_doc["version"], snap_doc["entries"]
+        schema = snap_doc.get("schema")
+        # recorded bucketing wins: a mismatched bucket count would
+        # prune the wrong buckets and leave undeleted rows — a
+        # compliance failure for the erase_results path (ADVICE r5)
+        nb, bucketing_meta = _resolved_bucketing(snap_doc, keys, n_buckets)
+        dk = (
+            delete_keys.select(*keys)
+            .dropDuplicates(keys)
+            .withColumn(_BUCKET_COL, _key_bucket(keys, nb))
+        )
+        dk.persist()
+        try:
+            touched = {
+                r[0] for r in dk.select(_BUCKET_COL).distinct().collect()
+            }
+            affected = [e for e in entries if e["bucket"] in touched]
+            if not affected:
+                return version
+            keep = [e for e in entries if e["bucket"] not in touched]
+            from pyspark.sql.types import StructType
 
-        reader = spark.read
-        if schema is not None:
-            reader = reader.schema(StructType.fromJson(schema))
-        parts = [
-            reader.parquet(f"{sink_path}/{e['path']}").withColumn(
-                _BUCKET_COL, F.lit(e["bucket"])
+            reader = spark.read
+            if schema is not None:
+                reader = reader.schema(StructType.fromJson(schema))
+            parts = [
+                reader.parquet(f"{sink_path}/{e['path']}").withColumn(
+                    _BUCKET_COL, F.lit(e["bucket"])
+                )
+                for e in affected
+            ]
+            base = parts[0]
+            for p in parts[1:]:
+                base = base.unionByName(p)
+            survivors = base.join(
+                F.broadcast(dk.select(*keys)), keys, "left_anti"
             )
-            for e in affected
-        ]
-        base = parts[0]
-        for p in parts[1:]:
-            base = base.unionByName(p)
-        survivors = base.join(
-            F.broadcast(dk.select(*keys)), keys, "left_anti"
-        )
-        del_rel = f"data/delete-{version + 1:012d}-{uuid4().hex[:8]}"
-        survivors.write.partitionBy(_BUCKET_COL).parquet(
-            f"{sink_path}/{del_rel}"
-        )
-        fs, ddir = manifest.fs_for(spark, f"{sink_path}/{del_rel}")
-        new_entries = sorted(
-            (
-                {
-                    "path": f"{del_rel}/{name}",
-                    "bucket": int(name.split("=", 1)[1]),
-                }
-                for st in fs.listStatus(ddir)
-                if (name := st.getPath().getName()).startswith(f"{_BUCKET_COL}=")
-            ),
-            key=lambda e: e["path"],
-        )
-        if not manifest.commit_snapshot(
-            spark,
-            sink_path,
-            version + 1,
-            sorted(keep + new_entries, key=lambda e: e["path"]),
-            schema=schema,
-            meta={**manifest.doc_extras(snap_doc), **bucketing_meta},
-        ):
-            raise RuntimeError(
-                f"lost delete commit race for {sink_path} v{version + 1}"
+            del_rel = f"data/delete-{version + 1:012d}-{uuid4().hex[:8]}"
+            survivors.write.partitionBy(_BUCKET_COL).parquet(
+                f"{sink_path}/{del_rel}"
             )
-        return version + 1
-    finally:
-        dk.unpersist()
+            fs, ddir = manifest.fs_for(spark, f"{sink_path}/{del_rel}")
+            new_entries = sorted(
+                (
+                    {
+                        "path": f"{del_rel}/{name}",
+                        "bucket": int(name.split("=", 1)[1]),
+                    }
+                    for st in fs.listStatus(ddir)
+                    if (name := st.getPath().getName()).startswith(
+                        f"{_BUCKET_COL}="
+                    )
+                ),
+                key=lambda e: e["path"],
+            )
+            if manifest.commit_snapshot(
+                spark,
+                sink_path,
+                version + 1,
+                sorted(keep + new_entries, key=lambda e: e["path"]),
+                schema=schema,
+                meta={**manifest.doc_extras(snap_doc), **bucketing_meta},
+            ):
+                return version + 1
+            last_lost = version + 1
+        finally:
+            dk.unpersist()
+    raise RuntimeError(
+        f"lost delete commit race for {sink_path} v{last_lost}"
+        + (
+            f" after {max_commit_retries + 1} attempts"
+            if max_commit_retries
+            else ""
+        )
+    )
 
 
 #: replay window for the agg sink's applied-epoch ledger. Structured

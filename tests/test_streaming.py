@@ -758,6 +758,55 @@ def test_transactional_merge_concurrent_writers_no_lost_update(
         transactional_merge(ups_a, sink, keys=["k"], order_cols=["v"])
 
 
+def test_transactional_delete_concurrent_with_merge_retries(
+    spark, tmp_path, monkeypatch
+):
+    """r6: a DELETE racing a MERGE — the delete loses the OCC race,
+    RE-DERIVES from the merge's committed snapshot, and the final
+    table is the serial order merge→delete: the merge's inserts exist,
+    the deleted keys are gone (including keys that only came into
+    existence THROUGH the merge — proof the retry really re-reads),
+    and nothing else was lost."""
+    from f1_realtime_data_pipeline_spark.sources import manifest as mf
+    from f1_realtime_data_pipeline_spark.streaming.sinks import (
+        read_sink_snapshot,
+        transactional_delete,
+        transactional_merge,
+        transactional_parquet_sink,
+    )
+
+    sink = str(tmp_path / "txn_delete_race")
+    write = transactional_parquet_sink(sink, keys=["k"], order_cols=["v"])
+    write(spark.createDataFrame([(i, f"v{i}") for i in range(20)], ["k", "v"]), 0)
+
+    ups = spark.createDataFrame([(i, f"M{i}") for i in range(15, 25)], ["k", "v"])
+    doomed = spark.createDataFrame(
+        [(k,) for k in [0, 1, 2, 3, 4, 20, 21]], ["k"]
+    )
+
+    real_commit = mf.commit_snapshot
+    state = {"interfered": False}
+
+    def racing_commit(spark_, path, version, entries, **kw):
+        if not state["interfered"]:
+            state["interfered"] = True
+            transactional_merge(ups, sink, keys=["k"], order_cols=["v"])
+        return real_commit(spark_, path, version, entries, **kw)
+
+    monkeypatch.setattr(mf, "commit_snapshot", racing_commit)
+    v = transactional_delete(doomed, sink, keys=["k"], max_commit_retries=2)
+    monkeypatch.setattr(mf, "commit_snapshot", real_commit)
+    assert v == 3  # base=1, merge won 2, delete retried and committed 3
+
+    out = {r.k: r.v for r in read_sink_snapshot(spark, sink).collect()}
+    # 0..4 deleted; 5..14 base; 15..19 merged; 20..21 merged-then-
+    # deleted (existed only via the merge); 22..24 merged survivors
+    assert set(out) == set(range(5, 20)) | {22, 23, 24}
+    assert all(out[i] == f"v{i}" for i in range(5, 15))
+    assert all(out[i] == f"M{i}" for i in range(15, 20))
+    assert all(out[i] == f"M{i}" for i in (22, 23, 24))
+
+
 def test_manifest_commit_race_exactly_one_winner(spark, tmp_path):
     """The OCC core under REAL concurrency: N threads racing to commit
     the same next version — exclusive manifest creation lets exactly
