@@ -22,6 +22,7 @@ from f1_realtime_data_pipeline_spark.plans import (
     layout_ext,
     llm_ext,
     llm_star,
+    selection_ext,
     tpch,
     tpch_ext,
     windows_star,
@@ -52,6 +53,7 @@ _QUERY_MODULES = [
     llm_ext,
     layout_ext,
     llm_star,
+    selection_ext,
 ]
 
 #: queries pulled to the head of the driver's 50-query window this
@@ -69,6 +71,13 @@ _WINDOW_HEAD = [
     "d_span_dedup",
     "d_span_splice",
     "d_span_dedup_stats",
+    # new registrations (selection_ext + the perceptual-hash decode)
+    "t_dsir_select",
+    "t_priority_sample",
+    "t_weighted_sample",
+    "e_diverse_topk",
+    "w_anomaly_mad",
+    "m_image_ahash",
     # oldest-checked backfill: the whole windows_star family (r2)
     "w_tumbling",
     "w_sliding",

@@ -164,6 +164,131 @@ def media_payload_for(doc_id: int) -> bytes:
     return encode_bmp(w, h, rgb)
 
 
+# ---------------------------------------------------------------------------
+# perceptual average-hash (image near-dup signature)
+#
+# The fixture is a GRADIENT grayscale BMP — pixel (x, y) in image
+# coordinates has luminance (doc_id·31 + x·7 + y·11) mod 256 — so the
+# above-mean bit pattern is non-trivial and the oracle can recompute
+# it arithmetically over an UNNEST(range(w)) × range(h) grid. The
+# decoder reads REAL bottom-up 24-bit BMP bytes (row padding, data
+# offset from the file header), reverses the row order back to image
+# coordinates, and folds the above-mean bits into a 63-bit signature:
+#
+#   ahash = OR over {(x,y): lum > floor(mean)} of 1 << ((y·w + x) mod 63)
+#
+# OR (not sum) keeps the fold order-independent and inside BIGINT for
+# both engines when w·h > 63. Two images with the same dims and near-
+# identical content OR to near-identical signatures — group-by ahash
+# is the image-dedup blocking key, exactly how pHash blocking works at
+# corpus scale (the decode is embarrassingly parallel Arrow batches;
+# the only shuffle is the ≤8-byte signature).
+# ---------------------------------------------------------------------------
+
+GRAY_LUM_SQL = "(doc_id * 31 + x * 7 + y * 11) % 256"
+
+
+def gray_lum_for(doc_id: int, x: int, y: int) -> int:
+    """Python twin of ``GRAY_LUM_SQL``."""
+    return (doc_id * 31 + x * 7 + y * 11) % 256
+
+
+def encode_bmp_gray(w: int, h: int, doc_id: int) -> bytes:
+    """Valid 24-bit bottom-up BMP whose pixel (x, y) — image
+    coordinates, top-left origin — is the :func:`gray_lum_for`
+    gradient (equal B, G, R channels)."""
+
+    def row(y: int) -> bytes:
+        r = b"".join(bytes([gray_lum_for(doc_id, x, y)] * 3) for x in range(w))
+        return r + b"\x00" * ((-len(r)) % 4)
+
+    # bottom-up: last image row first
+    data = b"".join(row(y) for y in reversed(range(h)))
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+        + data
+    )
+
+
+def attach_gray_payload(docs: DataFrame) -> DataFrame:
+    """Gradient-BMP fixture adapter: (doc_id, payload) with dims from
+    the shared MEDIA_W/H formulas. Arrow-batched, binary column out."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [
+                        encode_bmp_gray(1 + (i * 7) % 16, 1 + (i * 13) % 16, int(i))
+                        for i in (int(v) for v in ids)
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(build, "doc_id bigint, payload binary")
+
+
+def decode_bmp_ahash(payload: bytes) -> tuple[int, int, int, int]:
+    """(width, height, mean_lum, ahash) from real BMP bytes: header
+    walk (data offset, dims, 24 bpp check), padded bottom-up rows back
+    to image order, integer mean, 63-bit above-mean OR-fold."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (off,) = struct.unpack("<I", payload[10:14])
+    w, h = struct.unpack("<ii", payload[18:26])
+    (bpp,) = struct.unpack("<H", payload[28:30])
+    if bpp != 24:
+        raise ValueError(f"unsupported BMP bpp {bpp}")
+    top_down = h < 0
+    h = abs(h)
+    stride = (3 * w + 3) // 4 * 4
+    if off + stride * h > len(payload):
+        raise ValueError("truncated BMP pixel data")
+    lum = [[0] * w for _ in range(h)]
+    for file_row in range(h):
+        y = file_row if top_down else h - 1 - file_row
+        base = off + file_row * stride
+        row = payload[base : base + 3 * w]
+        # blue channel; the gray fixture writes equal channels
+        lum[y] = list(row[0::3])
+    total = sum(sum(r) for r in lum)
+    mean = total // (w * h)
+    ahash = 0
+    for y in range(h):
+        for x in range(w):
+            if lum[y][x] > mean:
+                ahash |= 1 << ((y * w + x) % 63)
+    return w, h, mean, ahash
+
+
+AHASH_SCHEMA = "doc_id bigint, width int, height int, mean_lum int, ahash bigint"
+
+
+def decode_image_ahash(media: DataFrame) -> DataFrame:
+    """Arrow-batched aHash decode: mapInPandas over (doc_id, payload),
+    real :func:`decode_bmp_ahash` per payload, narrow signature rows
+    out — the binary never survives past this operator."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decode_bmp_ahash(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "mean_lum": [d[2] for d in decoded],
+                    "ahash": [d[3] for d in decoded],
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(decode, AHASH_SCHEMA)
+
+
 #: audio fixture formulas (doc_id → WAV shape); 8 kHz mono/stereo PCM
 AUDIO_RATE_SQL = "CAST(8000 * (1 + doc_id % 3) AS INT)"
 AUDIO_CHANNELS_SQL = "CAST(1 + doc_id % 2 AS INT)"

@@ -843,6 +843,42 @@ FROM (
 )
 
 
+def m_image_ahash(spark, sf_dir):
+    """Perceptual average-hash for image near-dup (r6): every doc gets
+    a genuinely valid GRADIENT grayscale BMP and Spark recovers the
+    63-bit above-mean signature by decoding the real pixel rows
+    (bottom-up order, stride padding — multimodal.decode_bmp_ahash)
+    while the oracle recomputes mean and bit-fold arithmetically over
+    an UNNEST grid of the same luminance formula. Group-by ahash is
+    the image-dedup blocking key; the decode is embarrassingly
+    parallel Arrow batches and only the 8-byte signature shuffles."""
+    return mm.decode_image_ahash(mm.attach_gray_payload(_docs(spark, sf_dir)))
+
+
+_register(
+    "m_image_ahash",
+    m_image_ahash,
+    f"""WITH dims AS (
+  SELECT doc_id, {mm.MEDIA_W_SQL} AS w, {mm.MEDIA_H_SQL} AS h FROM documents
+), grid AS (
+  SELECT doc_id, w, h, ux.x AS x, uy.y AS y,
+         {mm.GRAY_LUM_SQL.replace('x', 'ux.x').replace('y', 'uy.y')} AS lum
+  FROM dims, UNNEST(range(0, w)) AS ux(x), UNNEST(range(0, h)) AS uy(y)
+), m AS (
+  SELECT doc_id, CAST(SUM(lum) // (w * h) AS INT) AS mean_lum
+  FROM grid GROUP BY doc_id, w, h
+)
+SELECT g.doc_id,
+       CAST(g.w AS INT) AS width, CAST(g.h AS INT) AS height,
+       m.mean_lum,
+       COALESCE(bit_or(CASE WHEN g.lum > m.mean_lum
+           THEN CAST(1 AS BIGINT) << ((g.y * g.w + g.x) % 63) END),
+           CAST(0 AS BIGINT)) AS ahash
+FROM grid g JOIN m USING (doc_id)
+GROUP BY g.doc_id, g.w, g.h, m.mean_lum""",
+)
+
+
 #: fixture bound for the real-file ingestion query — fixed file count
 #: at ANY scale factor (doc_ids are dense from 0), so the fixture
 #: write stays metadata-scale while the ingestion path is exercised
