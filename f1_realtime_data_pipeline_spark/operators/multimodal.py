@@ -35,6 +35,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from f1_realtime_data_pipeline_spark.operators.materialize import spread
+
 DECODED_SCHEMA = "doc_id bigint, fmt string, width int, height int, n_frames int"
 
 # ---------------------------------------------------------------------------
@@ -229,7 +231,7 @@ def attach_gray_payload(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(build, "doc_id bigint, payload binary")
+    return spread(docs.select("doc_id")).mapInPandas(build, "doc_id bigint, payload binary")
 
 
 def decode_bmp_ahash(payload: bytes) -> tuple[int, int, int, int]:
@@ -383,7 +385,7 @@ def attach_audio_payload(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return spread(docs.select("doc_id")).mapInPandas(
         build, "doc_id bigint, payload binary, mime string"
     )
 
@@ -548,7 +550,7 @@ def attach_jpeg_payload(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return spread(docs.select("doc_id")).mapInPandas(
         build, "doc_id bigint, payload binary, mime string"
     )
 
@@ -843,7 +845,7 @@ def attach_video_payload(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return spread(docs.select("doc_id")).mapInPandas(
         build, "doc_id bigint, payload binary, mime string"
     )
 
@@ -1063,7 +1065,7 @@ def attach_media_payload(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return spread(docs.select("doc_id")).mapInPandas(
         build, "doc_id bigint, payload binary, mime string"
     )
 

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from f1_realtime_data_pipeline_spark.operators.materialize import materialize
+from f1_realtime_data_pipeline_spark.operators.materialize import materialize, spread
 from f1_realtime_data_pipeline_spark.functions.vector import (
     LSH_DIM,
     LSH_TABLES,
@@ -51,8 +51,9 @@ from f1_realtime_data_pipeline_spark.functions.vector import (
 
 
 def _unit_vectors(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """(vid, uv): one norm fold per vector, unit array out."""
-    return embeddings.withColumn("nrm", norm(F.col(vec_col))).select(
+    """(vid, uv): one norm fold per vector, unit array out. The folds
+    are per-row CPU work right after a scan → spread-guarded."""
+    return spread(embeddings).withColumn("nrm", norm(F.col(vec_col))).select(
         F.col(id_col).alias("vid"), unit(F.col(vec_col), F.col("nrm")).alias("uv")
     )
 
@@ -118,7 +119,7 @@ def lsh_buckets(
     embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
     """Every vector's sign-LSH bucket (deterministic hyperplanes)."""
-    return embeddings.select(
+    return spread(embeddings).select(
         F.col(id_col).alias("vec_id"), lsh_bucket(F.col(vec_col)).alias("bucket")
     )
 
@@ -155,7 +156,7 @@ def knn_lsh(
     ``neardup_planes_for`` and add tables to buy the recall back —
     plane literals are part of the plan, so a static oracle twin
     needs a pinned count)."""
-    rel = embeddings.withColumn("nrm", norm(F.col(vec_col))).select(
+    rel = spread(embeddings).withColumn("nrm", norm(F.col(vec_col))).select(
         F.col(id_col).alias("vid"),
         unit(F.col(vec_col), F.col("nrm")).alias("uv"),
         F.array(
@@ -379,7 +380,7 @@ def cosine_neardup_lsh_pairs(
     if planes_per_table is None:
         planes_per_table = neardup_planes_for(embeddings.count())
     rel = (
-        embeddings.withColumn("nrm", norm(F.col(vec_col)))
+        spread(embeddings).withColumn("nrm", norm(F.col(vec_col)))
         .select(
             F.col(id_col).alias("vid"),
             F.array(
@@ -521,7 +522,7 @@ def _pq_scored_best(
     """(scored, best): every (vid, sub, code, dist) pair, and each
     (vid, sub)'s argmin codeword. ``scored`` doubles as the ADC
     distance table (restricted to the query ids)."""
-    subs = embeddings.select(
+    subs = spread(embeddings).select(
         F.col(id_col).alias("vid"),
         F.posexplode(
             F.array(
@@ -765,7 +766,7 @@ def knn_join_adc(
     keys; the SDC rank moves (pair, 2×M codes) rows; exact folds and
     unit-vector fetches touch shortlist×N pairs, not candidate×N.
     """
-    base = embeddings.withColumn("nrm", norm(F.col(vec_col))).select(
+    base = spread(embeddings).withColumn("nrm", norm(F.col(vec_col))).select(
         F.col(id_col).alias("vid"),
         unit(F.col(vec_col), F.col("nrm")).alias("uv"),
         F.array(
