@@ -78,6 +78,11 @@ _WINDOW_HEAD = [
     "e_diverse_topk",
     "w_anomaly_mad",
     "m_image_ahash",
+    "t_heavy_hitters_cms",
+    "d_minhash_est_audit",
+    "t_sentence_chunk",
+    "e_knn_recall_audit",
+    "a_histogram",
     # oldest-checked backfill: the whole windows_star family (r2)
     "w_tumbling",
     "w_sliding",

@@ -550,6 +550,154 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= {threshold}"""
 
 
+def minhash_est_audit(docs: DataFrame, id_strategy: str = "md5") -> DataFrame:
+    """Sketch-accuracy audit: for every banded-LSH candidate pair,
+    the MinHash ESTIMATE of Jaccard (matching permutations / 16)
+    beside the TRUE shingle-set Jaccard, both in integer ppm, plus the
+    signed error. This is the calibration query a dedup pipeline runs
+    before trusting a sketch threshold at corpus scale — it tells you
+    what ``est >= tau`` actually means in true-Jaccard terms for YOUR
+    shingle distribution (16 perms quantize the estimate to 1/16
+    steps; the audit makes that resolution visible).
+
+    Same bounded shapes as :func:`minhash_lsh_pairs`: band join for
+    candidates, hash-keyed verify, no all-pairs step anywhere.
+    """
+    sh = doc_shingles(docs, MINHASH_SHINGLE_N).persist(StorageLevel.MEMORY_AND_DISK)
+    w = _with_element_ids(sh, "shingle", "sid", id_strategy)
+    aggs = [
+        F.min((F.col("sid") * MINHASH_A[j] + MINHASH_B[j]) % HASH_MOD)
+        .cast("bigint")
+        .alias(f"mh{j}")
+        for j in range(MINHASH_PERMS)
+    ]
+    sigs = w.groupBy("doc_id").agg(*aggs)
+    band_cols = []
+    for band in range(LSH_BANDS):
+        members = [F.col(f"mh{band * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+        band_cols.append(F.concat_ws("_", *[m.cast("string") for m in members]))
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band_idx"), band_cols[i].alias("sig"))
+                    for i in range(LSH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.sig").alias("sig"))
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band_idx", "sig"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    siga = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(MINHASH_PERMS)],
+    )
+    sigb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(MINHASH_PERMS)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(MINHASH_PERMS)
+    )
+    est = (
+        cand.join(siga, "doc_a")
+        .join(sigb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (matches * (1_000_000 // MINHASH_PERMS)).cast("bigint").alias("est_ppm"),
+        )
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    wa = sh.select(F.col("doc_id").alias("doc_a"), F.xxhash64("shingle").alias("shk"))
+    wb = sh.select(F.col("doc_id").alias("doc_b"), F.xxhash64("shingle").alias("shk"))
+    common = (
+        cand.join(wa, "doc_a")
+        .join(wb, ["doc_b", "shk"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    exact = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("(n_common * 1000000) DIV (na + nb - n_common)")
+            .cast("bigint")
+            .alias("exact_ppm"),
+        )
+    )
+    # left join: band collision with ZERO common shingles is possible
+    # (hash collisions in the band signature) — audit shows est>0/exact=0
+    return (
+        est.join(exact, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_ppm",
+            F.coalesce("exact_ppm", F.lit(0)).cast("bigint").alias("exact_ppm"),
+        )
+        .withColumn("err_ppm", (F.col("est_ppm") - F.col("exact_ppm")).cast("bigint"))
+    )
+
+
+def minhash_est_audit_sql(id_strategy: str = "md5") -> str:
+    band_exprs = []
+    for band in range(LSH_BANDS):
+        parts = " || '_' || ".join(
+            f"CAST(mh{band * BAND_ROWS + r} AS VARCHAR)" for r in range(BAND_ROWS)
+        )
+        band_exprs.append(f"SELECT doc_id, {band} AS band_idx, {parts} AS sig FROM sigs")
+    bands_union = "\n  UNION ALL\n  ".join(band_exprs)
+    match_sum = " + ".join(
+        f"CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END"
+        for j in range(MINHASH_PERMS)
+    )
+    return f"""WITH {_minhash_sig_sql(id_strategy)},
+bands AS (
+  {bands_union}
+), cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band_idx = y.band_idx AND x.sig = y.sig AND x.doc_id < y.doc_id
+), est AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(({match_sum}) * {1_000_000 // MINHASH_PERMS} AS BIGINT) AS est_ppm
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.doc_a
+  JOIN sigs sb ON sb.doc_id = c.doc_b
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM doc_sh GROUP BY doc_id
+), common AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN doc_sh wa ON wa.doc_id = c.doc_a
+  JOIN doc_sh wb ON wb.doc_id = c.doc_b AND wb.shingle = wa.shingle
+  GROUP BY c.doc_a, c.doc_b
+), exact AS (
+  SELECT common.doc_a, common.doc_b,
+         CAST((n_common * 1000000) // (sa.n_sh + sb.n_sh - n_common) AS BIGINT)
+             AS exact_ppm
+  FROM common
+  JOIN sizes sa ON sa.doc_id = common.doc_a
+  JOIN sizes sb ON sb.doc_id = common.doc_b
+)
+SELECT est.doc_a, est.doc_b, est.est_ppm,
+       CAST(COALESCE(exact.exact_ppm, 0) AS BIGINT) AS exact_ppm,
+       CAST(est.est_ppm - COALESCE(exact.exact_ppm, 0) AS BIGINT) AS err_ppm
+FROM est LEFT JOIN exact ON est.doc_a = exact.doc_a AND est.doc_b = exact.doc_b"""
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

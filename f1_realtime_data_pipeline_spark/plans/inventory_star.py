@@ -935,6 +935,35 @@ _register(
 FROM orders GROUP BY o_orderstatus""",
 )
 
+
+def a_histogram(spark, sf_dir):
+    """Fixed-width histogram of order totals: 20 buckets of 30k with
+    an overflow clamp — one map-side-combined aggregation on a ≤20-key
+    domain, the distribution profile that sizes every downstream
+    percentile/skew decision. Bucket index is floor of a double
+    division in BOTH engines (identical IEEE ops)."""
+    o = _t(spark, sf_dir, "orders")
+    b = F.least(F.floor(F.col("o_totalprice") / 30000), F.lit(19)).cast("int")
+    return (
+        o.groupBy(b.alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            "bucket",
+            (F.col("bucket") * 30000.0).alias("lo"),
+            "n",
+        )
+    )
+
+
+_register(
+    "a_histogram",
+    a_histogram,
+    """SELECT bucket, bucket * 30000.0 AS lo, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT CAST(LEAST(FLOOR(o_totalprice / 30000), 19) AS INT) AS bucket
+      FROM orders)
+GROUP BY bucket""",
+)
+
 def p_array_funcs(spark, sf_dir):
     """Array/collection surface: collect per-customer order-priority
     lists (sorted for determinism — bare collect_list is

@@ -36,9 +36,12 @@ from pyspark.sql.window import Window
 from f1_realtime_data_pipeline_spark.functions.text import (
     HASH_MOD,
     HASH_MULT,
+    md5_id,
+    md5_id_sql,
     tokens,
     tokens_sql,
 )
+from f1_realtime_data_pipeline_spark.operators import dedup as dd
 from f1_realtime_data_pipeline_spark.operators import similarity as sim
 from f1_realtime_data_pipeline_spark.sources.parquet import read_table
 
@@ -331,4 +334,238 @@ SELECT d.event_type,
            AS n_outliers
 FROM dev d JOIN mad m USING (event_type)
 GROUP BY d.event_type, d.med, m.mad""",
+)
+
+
+# ---------------------------------------------------------------------------
+# count-min-sketch heavy hitters
+#
+# The bloom filter's counting cousin, and the other fixed-memory
+# sketch a 100 TB pipeline actually deploys: D×W integer counters
+# (here 3×512 = 1536 cells — CONSTANT at any corpus size) absorb every
+# token instance via D pairwise-independent hashes; a term's frequency
+# estimate is the MIN over its D cells, an upper bound on the truth.
+# Deterministic hash functions make the whole sketch engine-portable
+# integer arithmetic, so — like t_contamination_bloom — the oracle
+# checks the sketch VALUES, not just the plumbing. The registered
+# query is the audit form: the exact top-k terms (groupBy, map-side
+# combined) beside their CMS estimates, making the overcount visible.
+# At 100 TB the exact side becomes the candidate heap the sketch
+# already implies; the counter build is one map-side-combined
+# aggregation into 1536 cells regardless of corpus size.
+# ---------------------------------------------------------------------------
+
+CMS_W = 512
+CMS_D = 3
+CMS_A = (31, 137, 563)
+CMS_B = (7, 89, 911)
+HH_TOPK = 20
+
+
+def t_heavy_hitters_cms(spark, sf_dir):
+    """Exact top-k token frequencies beside their count-min-sketch
+    estimates (n_cms >= n_exact always; equality when no collision)."""
+    inst = (
+        _docs(spark, sf_dir)
+        .select(F.explode(tokens("text")).alias("w"))
+        .withColumn("sid", md5_id(F.col("w")))
+    )
+    cells = (
+        inst.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("i"),
+                            ((F.col("sid") * CMS_A[i] + CMS_B[i]) % CMS_W).alias("h"),
+                        )
+                        for i in range(CMS_D)
+                    ]
+                )
+            ).alias("c")
+        )
+        .groupBy(F.col("c.i").alias("i"), F.col("c.h").alias("h"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = (
+        inst.groupBy("w", "sid")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("w").asc())
+        .limit(HH_TOPK)
+    )
+    for i in range(CMS_D):
+        ci = cells.filter(F.col("i") == i).select(
+            F.col("h").alias(f"__h{i}"), F.col("cnt").alias(f"__c{i}")
+        )
+        top = top.join(
+            F.broadcast(ci),
+            ((F.col("sid") * CMS_A[i] + CMS_B[i]) % CMS_W) == F.col(f"__h{i}"),
+        )
+    return top.select(
+        "w",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.least(*[F.col(f"__c{i}") for i in range(CMS_D)])
+        .cast("bigint")
+        .alias("n_cms"),
+    )
+
+
+_HH_HASH = [f"((sid * {CMS_A[i]} + {CMS_B[i]}) % {CMS_W})" for i in range(CMS_D)]
+
+_register(
+    "t_heavy_hitters_cms",
+    t_heavy_hitters_cms,
+    f"""WITH inst AS (
+  SELECT w, {md5_id_sql('w')} AS sid
+  FROM (SELECT {tokens_sql('text')} AS t FROM documents), UNNEST(t) AS u(w)
+), cells AS (
+  SELECT i, h, COUNT(*) AS cnt FROM (
+    {" UNION ALL ".join(f"SELECT {i} AS i, {_HH_HASH[i]} AS h FROM inst" for i in range(CMS_D))}
+  ) GROUP BY i, h
+), top AS (
+  SELECT w, sid, COUNT(*) AS n_exact FROM inst GROUP BY w, sid
+  ORDER BY n_exact DESC, w ASC LIMIT {HH_TOPK}
+)
+SELECT top.w, CAST(top.n_exact AS BIGINT) AS n_exact,
+       CAST(LEAST({", ".join(f"c{i}.cnt" for i in range(CMS_D))}) AS BIGINT) AS n_cms
+FROM top
+{chr(10).join(f"JOIN cells c{i} ON c{i}.i = {i} AND c{i}.h = {_HH_HASH[i].replace('sid', 'top.sid')}" for i in range(CMS_D))}""",
+)
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimate calibration audit
+# ---------------------------------------------------------------------------
+
+
+def d_minhash_est_audit(spark, sf_dir):
+    """Sketch-accuracy audit over the banded-LSH candidate pairs: the
+    MinHash Jaccard ESTIMATE (matching perms / 16) beside the TRUE
+    shingle Jaccard, integer ppm + signed error — what ``est >= tau``
+    means in truth terms for this corpus's shingle distribution."""
+    return dd.minhash_est_audit(_docs(spark, sf_dir))
+
+
+_register("d_minhash_est_audit", d_minhash_est_audit, dd.minhash_est_audit_sql())
+
+
+# ---------------------------------------------------------------------------
+# sentence-boundary chunking (the RAG-prep shape)
+# ---------------------------------------------------------------------------
+
+CHUNK_BUDGET = 64
+
+
+def t_sentence_chunk(spark, sf_dir):
+    """Sentence-boundary chunking with a token budget: split on
+    [.!?]+ runs, drop blank segments (positions keep the original
+    split index so both engines agree), assign each sentence to chunk
+    floor(tokens_before / budget) — the greedy sequential packer every
+    RAG ingestion uses, expressed as a bounded per-doc running sum
+    (window partitions = one document's sentences, never the corpus)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.col("text"), r"[.!?]+").alias("sents")
+    )
+    ex = d.select(
+        "doc_id", F.posexplode("sents").alias("idx", "sent")
+    ).withColumn("sent", F.trim("sent")).filter(F.length("sent") > 0)
+    ex = ex.withColumn("n_tok", F.size(tokens(F.col("sent"))).cast("int"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return ex.select(
+        "doc_id",
+        (F.col("idx") + 1).cast("int").alias("sent_pos"),
+        "n_tok",
+        F.expr(
+            f"CAST(coalesce(sum(n_tok) OVER (PARTITION BY doc_id ORDER BY idx "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            f"DIV {CHUNK_BUDGET} AS INT)"
+        ).alias("chunk_id"),
+    )
+
+
+_register(
+    "t_sentence_chunk",
+    t_sentence_chunk,
+    f"""WITH sp AS (
+  SELECT doc_id, regexp_split_to_array(text, '[.!?]+') AS sents FROM documents
+), ex AS (
+  SELECT doc_id, u.i AS idx, trim(sents[u.i]) AS sent
+  FROM sp, UNNEST(range(1, len(sents) + 1)) AS u(i)
+), sents AS (
+  SELECT doc_id, idx, CAST(len({tokens_sql('sent')}) AS INT) AS n_tok
+  FROM ex WHERE length(sent) > 0
+)
+SELECT doc_id, CAST(idx AS INT) AS sent_pos, n_tok,
+       CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY doc_id ORDER BY idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            // {CHUNK_BUDGET} AS INT) AS chunk_id
+FROM sents""",
+)
+
+
+# ---------------------------------------------------------------------------
+# ANN recall audit
+# ---------------------------------------------------------------------------
+
+
+def e_knn_recall_audit(spark, sf_dir):
+    """Recall@k of the LSH kNN against the exact brute-force truth,
+    per query — the eval harness an ANN deployment runs before
+    trusting its index parameters. Both sides are the registered
+    operators; the intersection join is on (query, neighbor) int
+    pairs; recall in integer ppm."""
+    embs = _embs(spark, sf_dir)
+    truth = sim.knn_bruteforce(embs, n_queries=16, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    found = sim.knn_lsh(embs, n_queries=16, k=5).select(
+        "query_id", F.col("neighbor_id").alias("f_neighbor")
+    )
+    hit = truth.join(
+        found,
+        (truth.query_id == found.query_id)
+        & (truth.neighbor_id == found.f_neighbor),
+        "left_semi",
+    )
+    n_true = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
+    n_hit = hit.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_found"))
+    return (
+        n_true.join(n_hit, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("n_true").cast("int").alias("n_true"),
+            F.coalesce("n_found", F.lit(0)).cast("int").alias("n_found"),
+        )
+        .withColumn(
+            "recall_ppm",
+            F.expr("CAST((n_found * 1000000) DIV n_true AS BIGINT)"),
+        )
+    )
+
+
+_register(
+    "e_knn_recall_audit",
+    e_knn_recall_audit,
+    f"""WITH truth AS (
+  SELECT query_id, neighbor_id FROM ({sim.knn_bruteforce_sql(16, 5)})
+), found AS (
+  SELECT query_id, neighbor_id FROM ({sim.knn_lsh_sql(16, 5)})
+), n_true AS (
+  SELECT query_id, COUNT(*) AS n_true FROM truth GROUP BY query_id
+), n_hit AS (
+  SELECT t.query_id, COUNT(*) AS n_found
+  FROM truth t JOIN found f
+    ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+  GROUP BY t.query_id
+)
+SELECT n_true.query_id,
+       CAST(n_true.n_true AS INT) AS n_true,
+       CAST(COALESCE(n_hit.n_found, 0) AS INT) AS n_found,
+       CAST((COALESCE(n_hit.n_found, 0) * 1000000) // n_true.n_true AS BIGINT)
+           AS recall_ppm
+FROM n_true LEFT JOIN n_hit ON n_hit.query_id = n_true.query_id""",
 )

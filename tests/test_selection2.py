@@ -1,0 +1,101 @@
+"""Value pins for the round-6 audit/sketch operators: CMS heavy
+hitters, MinHash estimate calibration, sentence chunking, kNN recall
+audit, and the order-total histogram."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from f1_realtime_data_pipeline_spark.operators import dedup as dd
+from f1_realtime_data_pipeline_spark.plans import selection_ext as sel
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_cms_estimate_upper_bounds_exact(spark):
+    out = sel.t_heavy_hitters_cms(spark, SF).collect()
+    assert len(out) == sel.HH_TOPK
+    for r in out:
+        # the count-min invariant: estimates never undercount
+        assert r.n_cms >= r.n_exact, (r.w, r.n_exact, r.n_cms)
+    # the exact top term must be a plausible stopword-scale count
+    top = max(out, key=lambda r: r.n_exact)
+    assert top.n_exact > 1
+
+
+def test_cms_collision_free_term_is_exact(spark, monkeypatch):
+    # two distinct tokens in a 512-wide, 3-deep sketch: cells cannot
+    # collide across all three rows unless the md5 ids collide mod the
+    # hash constants — with these two literals they do not, so the
+    # estimate equals the truth for both
+    rows = [Row(doc_id=0, text="alpha alpha beta")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    monkeypatch.setattr(sel, "_docs", lambda s, d: df)
+    out = {r.w: r for r in sel.t_heavy_hitters_cms(spark, SF).collect()}
+    assert out["alpha"].n_exact == 2 and out["alpha"].n_cms == 2
+    assert out["beta"].n_exact == 1 and out["beta"].n_cms == 1
+
+
+def test_minhash_audit_identical_docs_estimate_full(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="the quick brown fox jumps over the lazy dog today"),
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog today"),
+            Row(doc_id=2, text="completely different words in every position here now"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {(r.doc_a, r.doc_b): r for r in dd.minhash_est_audit(docs).collect()}
+    r = out[(0, 1)]
+    # identical shingle sets: every permutation matches, truth is 1.0
+    assert r.est_ppm == 1_000_000
+    assert r.exact_ppm == 1_000_000
+    assert r.err_ppm == 0
+    # the unrelated doc never becomes a candidate
+    assert (0, 2) not in out and (1, 2) not in out
+
+
+def test_sentence_chunk_budget_rollover(spark, monkeypatch):
+    text = ". ".join("word " * 40 for _ in range(3)).strip()  # 3 x 40-token sents
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text=text)], "doc_id bigint, text string"
+    )
+    monkeypatch.setattr(sel, "_docs", lambda s, d: df)
+    rows = sorted(
+        sel.t_sentence_chunk(spark, SF).collect(), key=lambda r: r.sent_pos
+    )
+    assert [r.n_tok for r in rows] == [40, 40, 40]
+    # cumulative-before: 0, 40, 80 → chunks 0, 0, 1 at budget 64
+    assert [r.chunk_id for r in rows] == [0, 0, 1]
+
+
+def test_knn_recall_audit_bounds(spark, sf_dir):
+    out = sel.e_knn_recall_audit(spark, sf_dir).collect()
+    assert len(out) == 16
+    for r in out:
+        assert 0 <= r.n_found <= r.n_true <= 5
+        assert r.recall_ppm == (r.n_found * 1_000_000) // r.n_true
+    # LSH with these parameters finds most true neighbors on the
+    # fixture corpus — the audit exists to MEASURE this, but a total
+    # recall collapse would mean the index is broken
+    mean_recall = sum(r.recall_ppm for r in out) / len(out)
+    assert mean_recall > 250_000
+
+
+def test_histogram_covers_all_orders(spark, sf_dir):
+    out = sel  # reuse spark fixture; histogram lives in inventory_star
+    from f1_realtime_data_pipeline_spark.plans import inventory_star as inv
+
+    rows = inv.a_histogram(spark, sf_dir).collect()
+    total = sum(r.n for r in rows)
+    import duckdb
+
+    n_orders = (
+        duckdb.connect()
+        .execute(f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/orders.parquet')")
+        .fetchone()[0]
+    )
+    assert total == n_orders
+    for r in rows:
+        assert 0 <= r.bucket <= 19 and r.lo == r.bucket * 30000.0
