@@ -62,6 +62,10 @@ HEADLINE = [
     # count + k-means centroids): tracked so the N^1.5 claim has a
     # round-over-round number behind it
     "e_semdedup",
+    # r6 probes: the two heaviest selection/audit additions — DSIR's
+    # corpus-wide count tables and the MinHash calibration audit
+    "t_dsir_select",
+    "d_minhash_est_audit",
 ]
 
 

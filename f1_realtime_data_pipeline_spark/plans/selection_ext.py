@@ -96,9 +96,17 @@ DSIR_TAU_PPM = 500_000
 
 def t_dsir_select(spark, sf_dir):
     """Importance selection toward the ``lang='en'`` target domain:
-    per-doc mean P(target|token) in ppm, selected when ≥ τ."""
+    per-doc mean P(target|token) in ppm, selected when ≥ τ.
+
+    The instance relation feeds three branches (both count tables and
+    the scoring join) — persisted so the corpus is scanned and
+    tokenized once, the same pattern as minhash_lsh_pairs."""
+    from pyspark import StorageLevel
+
     d = _docs(spark, sf_dir).select("doc_id", "lang", tokens("text").alias("toks"))
-    inst = d.select("doc_id", "lang", F.explode("toks").alias("w"))
+    inst = d.select("doc_id", "lang", F.explode("toks").alias("w")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     call = inst.groupBy("w").agg(F.count(F.lit(1)).alias("c_all"))
     ctgt = (
         inst.filter(F.col("lang") == "en")
@@ -365,10 +373,14 @@ HH_TOPK = 20
 def t_heavy_hitters_cms(spark, sf_dir):
     """Exact top-k token frequencies beside their count-min-sketch
     estimates (n_cms >= n_exact always; equality when no collision)."""
+    from pyspark import StorageLevel
+
+    # feeds the counter build AND the exact top-k: scan+tokenize once
     inst = (
         _docs(spark, sf_dir)
         .select(F.explode(tokens("text")).alias("w"))
         .withColumn("sid", md5_id(F.col("w")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cells = (
         inst.select(

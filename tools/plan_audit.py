@@ -68,6 +68,18 @@ AUDIT = [
     "t_interleave_sources",
     "t_length_buckets",
     "p_dataset_card",
+    # r6 selection/audit surface
+    "t_dsir_select",
+    "t_priority_sample",
+    "t_weighted_sample",
+    "e_diverse_topk",
+    "w_anomaly_mad",
+    "m_image_ahash",
+    "t_heavy_hitters_cms",
+    "d_minhash_est_audit",
+    "t_sentence_chunk",
+    "e_knn_recall_audit",
+    "a_histogram",
 ]
 
 

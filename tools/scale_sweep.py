@@ -193,6 +193,15 @@ def sweep_queries(spark, sf_dir: str):
         # grows with K). The hot-span two-path guard (dedup.span_dedup,
         # VERDICT r5 #7) must keep wall flat-per-decade where the bare
         # span window would concentrate 10% of all spans in one task.
+        # r6 selection/audit surface: the three entries whose state
+        # COULD grow with the corpus — DSIR's token count tables
+        # (vocab-bounded, relabeling grows vocab ~K×), the CMS counter
+        # build (1536 cells CONSTANT by construction — the claim the
+        # sweep verifies), and the MinHash calibration audit (banded
+        # candidates + hash-keyed verify, the minhash_lsh shapes)
+        ("t_dsir_select", lambda: qs["t_dsir_select"](spark, sf_dir)),
+        ("t_heavy_hitters_cms", lambda: qs["t_heavy_hitters_cms"](spark, sf_dir)),
+        ("d_minhash_est_audit", lambda: qs["d_minhash_est_audit"](spark, sf_dir)),
         (
             "d_span_splice_hotspan",
             lambda: dd.span_splice(
