@@ -1120,3 +1120,63 @@ def test_expire_history_and_sql_view(spark, tmp_path):
     assert mf.expire_history(spark, sink, keep_last=0) == [4]
     assert mf.snapshot_versions(spark, sink) == [5]
     spark.catalog.dropTempView("hist_v3")
+
+
+def test_incremental_changes_cdc(spark, tmp_path):
+    """r6 incremental consumption (the lakehouse CDF shape): appended
+    epochs surface with their commit version; a MERGE surfaces its
+    rewritten buckets as added entries and retires the old ones; the
+    row-level diff isolates true inserts/deletes from carry-overs;
+    asking past the full history falls back cleanly (ValueError)."""
+    import pytest as _pytest
+
+    from f1_realtime_data_pipeline_spark.sources import manifest as mf
+    from f1_realtime_data_pipeline_spark.streaming.sinks import (
+        transactional_merge,
+        transactional_parquet_sink,
+    )
+
+    sink = str(tmp_path / "txn_cdc")
+    write = transactional_parquet_sink(sink, keys=["k"], order_cols=["v"])
+    write(spark.createDataFrame([(i, f"a{i}") for i in range(20)], ["k", "v"]), 0)
+    write(
+        spark.createDataFrame([(20 + i, f"b{i}") for i in range(20)], ["k", "v"]), 1
+    )
+
+    # entry-granular: everything since v1 = exactly epoch 1's rows,
+    # attributed to commit v2
+    ch = mf.changed_entries(spark, sink, since_version=1)
+    assert ch["since"] == 1 and ch["to"] == 2
+    assert ch["removed"] == [] and len(ch["added"]) > 0
+    assert all(v == 2 for _, v in ch["added"])
+    inc = mf.read_changes(spark, sink, since_version=1)
+    got = {(r.k, r.v, r._commit_version) for r in inc.collect()}
+    assert got == {(20 + i, f"b{i}", 2) for i in range(20)}
+
+    # since creation: both epochs, each tagged with its own commit
+    allrows = mf.read_changes(spark, sink, since_version=0)
+    vers = {r.k: r._commit_version for r in allrows.collect()}
+    assert vers[0] == 1 and vers[20] == 2 and len(vers) == 40
+
+    # MERGE: 2 updates + 1 insert → touched buckets rewritten; the
+    # entry diff shows adds AND removals; carried-over rows appear in
+    # read_changes (documented trade) but the ROW diff is exact
+    ups = spark.createDataFrame(
+        [(3, "NEW3"), (7, "NEW7"), (100, "ins100")], ["k", "v"]
+    )
+    v_post = transactional_merge(ups, sink, keys=["k"], order_cols=["v"])
+    ch2 = mf.changed_entries(spark, sink, since_version=2)
+    assert ch2["to"] == v_post
+    assert len(ch2["removed"]) > 0  # rewritten bucket dirs retired
+    inc2 = {r.k for r in mf.read_changes(spark, sink, since_version=2).collect()}
+    assert {3, 7, 100} <= inc2  # changed rows present (plus carry-overs)
+    inserted, deleted = mf.read_row_diff(spark, sink, 2, ["k", "v"])
+    ins = {(r.k, r.v) for r in inserted.collect()}
+    dels = {(r.k, r.v) for r in deleted.collect()}
+    assert ins == {(3, "NEW3"), (7, "NEW7"), (100, "ins100")}
+    assert dels == {(3, "a3"), (7, "a7")}
+
+    # no changes between a version and itself; bad versions raise
+    assert mf.read_changes(spark, sink, since_version=v_post) is None
+    with _pytest.raises(ValueError):
+        mf.changed_entries(spark, sink, since_version=99)
