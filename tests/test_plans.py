@@ -260,3 +260,51 @@ def test_round3_ops_plan_shapes(spark, sf_dir):
     p = _plan(t_contamination_bloom(spark, sf_dir))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_r6_selection_surface_stays_jvm_side(spark, sf_dir):
+    # the r6 selection/audit plans: no cartesian products, no Python
+    # row evaluation (m_image_ahash's ArrowEval map is the ONE
+    # documented Python site and is asserted Arrow, not row-at-a-time)
+    from f1_realtime_data_pipeline_spark.plans import selection_ext as sel
+    from f1_realtime_data_pipeline_spark.plans.llm_star import m_image_ahash
+
+    for fn in (
+        sel.t_dsir_select,
+        sel.t_priority_sample,
+        sel.t_weighted_sample,
+        sel.w_anomaly_mad,
+        sel.t_heavy_hitters_cms,
+        sel.t_sentence_chunk,
+    ):
+        p = _plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in p, fn.__name__
+        assert "BatchEvalPython" not in p, fn.__name__
+        assert "ArrowEvalPython" not in p, fn.__name__
+    p = _plan(m_image_ahash(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p  # Arrow mapInPandas only
+
+
+def test_priority_sample_is_take_ordered(spark, sf_dir):
+    # the sampling ops must compile to TakeOrderedAndProject (local
+    # k-heaps, no global sort) — the property that keeps them O(k)
+    # memory at any corpus size
+    from f1_realtime_data_pipeline_spark.plans import selection_ext as sel
+
+    for fn in (sel.t_priority_sample, sel.t_weighted_sample):
+        p = _plan(fn(spark, sf_dir))
+        assert "TakeOrderedAndProject" in p, fn.__name__
+        assert "Exchange rangepartitioning" not in p, fn.__name__
+
+
+def test_spread_is_noop_when_already_parallel(spark):
+    # the small-scan guard must add NOTHING for well-split inputs —
+    # the contract that makes it free at 100 TB
+    from f1_realtime_data_pipeline_spark.operators.materialize import spread
+
+    par = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 10_000, numPartitions=par)
+    assert spread(wide) is wide  # identical object: no plan change
+    narrow = spark.range(0, 100, numPartitions=1)
+    assert spread(narrow).rdd.getNumPartitions() == par
