@@ -268,3 +268,18 @@ class F1Engine:
             )
             .orderBy(F.col("total_points").desc(), F.col("driver_number").asc())
         )
+
+    def results_changes(
+        self, fact_table: str, since_version: int
+    ) -> DataFrame | None:
+        """Incremental consumption of a lakehouse fact table: every
+        result row committed AFTER ``since_version``, tagged with the
+        ``_commit_version`` that introduced it — what a downstream
+        consumer (dashboard refresh, feature-store sync) reads per
+        cycle instead of rescanning the table. The reference's
+        Streamlit page re-SELECTs the whole Postgres table every
+        refresh (app.py's per-render queries); this is the
+        cost-∝-delta replacement. None when nothing changed."""
+        from f1_realtime_data_pipeline_spark.sources.manifest import read_changes
+
+        return read_changes(self.spark, fact_table, since_version)

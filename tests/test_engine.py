@@ -237,3 +237,47 @@ def test_engine_erase_results(spark, tmp_path):
     assert "44" not in after and after == before - {"44"}
     snap = read_sink_snapshot(spark, fact_table)
     assert snap.filter(F.col("driver_number") == "44").count() == 0
+
+
+def test_engine_results_changes_incremental(spark, tmp_path):
+    """Facade CDC: the second ingested epoch surfaces through
+    results_changes(since) with its commit version, without re-reading
+    epoch 1; a no-change poll returns None."""
+    from f1_realtime_data_pipeline_spark.streaming.pipeline import (
+        RESULT_KEYS,
+        transform_stream,
+    )
+    from f1_realtime_data_pipeline_spark.streaming.sinks import (
+        transactional_parquet_sink,
+    )
+
+    dim_path = str(tmp_path / "dim")
+    fixtures.drivers(spark).write.parquet(dim_path)
+    lines = [r.value for r in fixtures.raw_messages(spark).collect()]
+    half = len(lines) // 2
+    fact_table = str(tmp_path / "fact_cdc")
+    write = transactional_parquet_sink(
+        fact_table, RESULT_KEYS, order_cols=["date", "grand_prix"]
+    )
+    raw1 = spark.createDataFrame([(v,) for v in lines[:half]], ["value"])
+    raw2 = spark.createDataFrame([(v,) for v in lines[half:]], ["value"])
+    write(transform_stream(raw1, value_col="value"), 0)
+
+    eng = F1Engine.from_lakehouse(spark, fact_table, dim_path)
+    v1_rows = eng.results_changes(fact_table, since_version=0)
+    assert v1_rows is not None and v1_rows.count() > 0
+
+    write(transform_stream(raw2, value_col="value"), 1)
+    delta = eng.results_changes(fact_table, since_version=1)
+    assert delta is not None
+    assert {r._commit_version for r in delta.collect()} == {2}
+    # the delta is exactly epoch 2's keyed rows — epoch 1 untouched
+    expected = {
+        tuple(r[k] for k in RESULT_KEYS)
+        for r in transform_stream(raw2, value_col="value")
+        .select(*RESULT_KEYS)
+        .collect()
+    }
+    got = {tuple(r[k] for k in RESULT_KEYS) for r in delta.collect()}
+    assert got == expected
+    assert eng.results_changes(fact_table, since_version=2) is None

@@ -173,3 +173,28 @@ def test_agg_sink_epoch_partition_invariant(spark_prop, tmp_path_factory, rows, 
         s, n = want.get(k, (0, 0))
         want[k] = (s + v, n + 1)
     assert got == want
+
+
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    doc_id=st.integers(min_value=0, max_value=10**9),
+)
+@settings(max_examples=200, deadline=None)
+def test_bmp_ahash_roundtrip_matches_arithmetic(w, h, doc_id):
+    """encode→decode recovers exactly the oracle's arithmetic for any
+    dims (incl. every stride-padding class w%4) and id phase —
+    pure-Python twin of the m_image_ahash formula contract."""
+    from f1_realtime_data_pipeline_spark.operators import multimodal as mm
+
+    payload = mm.encode_bmp_gray(w, h, doc_id)
+    dw, dh, mean, ahash = mm.decode_bmp_ahash(payload)
+    assert (dw, dh) == (w, h)
+    lum = [mm.gray_lum_for(doc_id, x, y) for y in range(h) for x in range(w)]
+    assert mean == sum(lum) // (w * h)
+    exp = 0
+    for y in range(h):
+        for x in range(w):
+            if mm.gray_lum_for(doc_id, x, y) > mean:
+                exp |= 1 << ((y * w + x) % 63)
+    assert ahash == exp
