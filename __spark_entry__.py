@@ -33,17 +33,26 @@ from f1_realtime_data_pipeline_spark.plans import (
 # covered all 147 previously-registered queries at least once
 # (cumulatively; CORRECTNESS_r01..r05).
 # Round 6 leads with _WINDOW_HEAD: every query whose plan or oracle
-# changed this round — the three NEW registrations (e_knn_join_derived:
+# changed this round — the early-r6 registrations (e_knn_join_derived:
 # corpus-derived LSH planes with an in-plan COUNT(*)-derived oracle;
 # q1_standings_mv: the flagship query served from the streaming
 # materialized view; m_binary_ingest: real-file binaryFile→decode
-# ingestion), the bucketed-group-rank rewrites (t_interleave_sources,
-# t_length_buckets), the integer-division bigram scorer
-# (t_bigram_quality), and the span family rerouted through the
-# hot-span two-path guard (d_span_dedup, d_span_splice,
-# d_span_dedup_stats). The remaining ~41 slots backfill from the
-# family whose last driver check is oldest: the full windows_star
-# head (r2-checked) then the r2/r3 llm_star dedup head.
+# ingestion; e_knn_classify), the bucketed-group-rank rewrites
+# (t_interleave_sources, t_length_buckets), the integer-division
+# bigram scorer (t_bigram_quality), the span family rerouted through
+# the hot-span two-path guard (d_span_dedup, d_span_splice,
+# d_span_dedup_stats), then the late-r6 selection/audit surface:
+# t_dsir_select, t_priority_sample, t_weighted_sample, e_diverse_topk,
+# w_anomaly_mad, m_image_ahash, t_heavy_hitters_cms,
+# d_minhash_est_audit, t_sentence_chunk, e_knn_recall_audit,
+# a_histogram — all selfchecked at sf0.01 AND sf0.1 on registration.
+# The remaining slots backfill from the family whose last driver
+# check is oldest: the windows_star head (r2-checked) then the r2/r3
+# llm_star dedup head. The spread() guard (similarity fold heads,
+# multimodal attach) and the persist additions are plan-only changes;
+# their queries (e_knn_*, e_cosine_*, e_semdedup, m_*) were
+# re-selfchecked after the change and the most scale-relevant of them
+# already sit inside this round's window.
 _QUERY_MODULES = [
     inventory_star,
     tpch,
@@ -83,7 +92,32 @@ _WINDOW_HEAD = [
     "t_sentence_chunk",
     "e_knn_recall_audit",
     "a_histogram",
-    # oldest-checked backfill: the whole windows_star family (r2)
+    # plan-changed by the r6 spread guard (similarity fold heads +
+    # multimodal attach builders) — every query whose PHYSICAL plan
+    # changed must be re-verified this round, ahead of any backfill
+    "e_knn_bruteforce",
+    "e_lsh_buckets",
+    "e_knn_lsh",
+    "e_knn_join",
+    "e_ivf_cells",
+    "e_knn_ivf",
+    "e_knn_ivf_trained",
+    "e_kmeans",
+    "e_semdedup",
+    "e_cosine_neardup",
+    "e_cosine_neardup_exact",
+    "e_neardup_clusters",
+    "e_quantize",
+    "e_pq_codes",
+    "e_knn_pq",
+    "m_decoded_meta",
+    "m_frame_sample",
+    "m_audio_meta",
+    "m_jpeg_meta",
+    "m_video_meta",
+    "m_video_frame_plan",
+    # oldest-checked backfill (r2 windows_star head; the rest of the
+    # family rotates into round 7)
     "w_tumbling",
     "w_sliding",
     "w_session",
@@ -92,41 +126,6 @@ _WINDOW_HEAD = [
     "w_interval_join",
     "w_funnel",
     "w_json_props",
-    "w_lateness_audit",
-    "w_retention",
-    "w_type_transitions",
-    # r2/r3-checked llm dedup + text head
-    "d_exact",
-    "d_ngram_jaccard",
-    "d_containment",
-    "d_minhash_signatures",
-    "d_minhash_lsh",
-    "d_simhash",
-    "d_simhash_pairs",
-    "d_editdist_neardup",
-    "d_substring_dedup",
-    "d_dup_clusters",
-    "d_dup_clusters_iter",
-    "t_contamination",
-    "t_contamination_bloom",
-    "t_token_stats",
-    "t_quality",
-    "t_quality_gopher",
-    "t_lang_id",
-    "t_fingerprint",
-    "t_repetition",
-    "t_tfidf_keywords",
-    "t_rare_tokens",
-    "e_knn_bruteforce",
-    "e_lsh_buckets",
-    "e_knn_lsh",
-    "e_ivf_cells",
-    "e_knn_ivf",
-    "e_quantize",
-    "e_pq_codes",
-    "e_knn_pq",
-    "pipeline_corpus",
-    "pipeline_corpus_v2",
 ]
 
 
