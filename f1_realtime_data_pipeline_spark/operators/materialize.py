@@ -89,6 +89,10 @@ def spread(df: DataFrame) -> DataFrame:
     there the coming exchange already redistributes, and an extra
     repartition would move the data twice for nothing.
     """
+    if df.isStreaming:
+        # partition introspection (.rdd) is undefined on a stream;
+        # micro-batch parallelism is the source's concern
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
