@@ -219,15 +219,19 @@ def attach_gray_payload(docs: DataFrame) -> DataFrame:
     the shared MEDIA_W/H formulas. Arrow-batched, binary column out."""
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def payload(i: int) -> bytes:
+            # dims from the SHARED fixture formulas (media_meta_for is
+            # the Python twin of MEDIA_W/H_SQL) — inlining the literals
+            # here would let the fixture drift from the oracle
+            _, w, h, _ = media_meta_for(i)
+            return encode_bmp_gray(w, h, i)
+
         for pdf in batches:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
-                    "payload": [
-                        encode_bmp_gray(1 + (i * 7) % 16, 1 + (i * 13) % 16, int(i))
-                        for i in (int(v) for v in ids)
-                    ],
+                    "payload": [payload(int(v)) for v in ids],
                 }
             )
 
@@ -240,6 +244,8 @@ def decode_bmp_ahash(payload: bytes) -> tuple[int, int, int, int]:
     to image order, integer mean, 63-bit above-mean OR-fold."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP")
+    if len(payload) < 30:
+        raise ValueError("truncated BMP header")
     (off,) = struct.unpack("<I", payload[10:14])
     w, h = struct.unpack("<ii", payload[18:26])
     (bpp,) = struct.unpack("<H", payload[28:30])
@@ -801,12 +807,21 @@ def decode_mp4(payload: bytes) -> tuple[int, int, int, int, int]:
         if typ == b"trak":
             close_trak()
         elif typ == b"mvhd":
+            if b0 >= b1:
+                raise ValueError("empty mvhd box")
             ver = payload[b0]
+            need = (b0 + 32) if ver == 1 else (b0 + 20)
+            if need > b1 or need > len(payload):
+                raise ValueError("truncated mvhd box")
             if ver == 1:
                 ts, dur = struct.unpack(">IQ", payload[b0 + 20 : b0 + 32])
             else:
                 ts, dur = struct.unpack(">II", payload[b0 + 12 : b0 + 20])
+            if ts == 0:
+                raise ValueError("mvhd timescale 0")
         elif typ == b"tkhd" and path[-1:] == (b"trak",):
+            if b1 - b0 < 8 or b1 > len(payload):
+                raise ValueError("truncated tkhd box")
             off = b1 - 8  # width/height are the LAST 8 bytes either version
             tw, th = struct.unpack(">II", payload[off : off + 8])
             cur_tkhd = (tw >> 16, th >> 16)
@@ -814,6 +829,8 @@ def decode_mp4(payload: bytes) -> tuple[int, int, int, int, int]:
             if payload[b0 + 8 : b0 + 12] == b"vide":
                 in_video_trak = True
         elif typ == b"stts":
+            if b0 + 8 > b1 or b0 + 8 > len(payload):
+                raise ValueError("truncated stts box")
             (n_entries,) = struct.unpack(">I", payload[b0 + 4 : b0 + 8])
             if b0 + 8 + 8 * n_entries > b1:
                 raise ValueError("truncated stts table")
@@ -971,6 +988,10 @@ def decode_image(payload: bytes) -> tuple[str, int, int, int]:
     BITMAPINFOHEADER dims (top-down negative height normalized).
     Raises ``ValueError`` on an unrecognized container."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        # bounds-check the fixed header region: a short buffer must
+        # raise the documented (filterable) ValueError, not struct.error
+        if len(payload) < 24:
+            raise ValueError("truncated PNG header")
         if payload[12:16] != b"IHDR":
             raise ValueError("PNG without leading IHDR")
         w, h = struct.unpack(">II", payload[16:24])
@@ -986,6 +1007,8 @@ def decode_image(payload: bytes) -> tuple[str, int, int, int]:
             pos += 12 + ln
         return ("png", w, h, max(n, 1))
     if payload[:6] in (b"GIF87a", b"GIF89a"):
+        if len(payload) < 13:
+            raise ValueError("truncated GIF header")
         w, h = struct.unpack("<HH", payload[6:10])
         packed, pos = payload[10], 13
         if packed & 0x80:
@@ -1023,6 +1046,8 @@ def decode_image(payload: bytes) -> tuple[str, int, int, int]:
                 raise ValueError(f"bad GIF block 0x{b0:02x}")
         return ("gif", w, h, max(frames, 1))
     if payload[:2] == b"BM":
+        if len(payload) < 26:
+            raise ValueError("truncated BMP header")
         w, h = struct.unpack("<ii", payload[18:26])
         return ("bmp", w, abs(h), 1)
     if payload[:2] == b"\xff\xd8":

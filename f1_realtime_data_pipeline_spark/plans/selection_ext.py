@@ -178,7 +178,16 @@ SAMPLE_K = 64
 
 
 def _priority():
-    return F.pmod(F.col("doc_id") * F.lit(HASH_MULT), F.lit(HASH_MOD))
+    # reduce doc_id mod HASH_MOD BEFORE the multiply: (d % P)·M ≡ d·M
+    # (mod P) with the product bounded < P·M < 2^63, while the raw
+    # form overflows int64 at doc_id ≥ ~3.5e9 (DuckDB raises, Spark
+    # non-ANSI wraps — a parity break). Same discipline as
+    # functions.text.md5_id. Values identical wherever both forms are
+    # defined.
+    return F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(HASH_MOD)) * F.lit(HASH_MULT),
+        F.lit(HASH_MOD),
+    )
 
 
 def t_priority_sample(spark, sf_dir):
@@ -196,7 +205,7 @@ def t_priority_sample(spark, sf_dir):
 _register(
     "t_priority_sample",
     t_priority_sample,
-    f"""SELECT doc_id, lang, (doc_id * {HASH_MULT}) % {HASH_MOD} AS h
+    f"""SELECT doc_id, lang, ((doc_id % {HASH_MOD}) * {HASH_MULT}) % {HASH_MOD} AS h
 FROM documents
 ORDER BY h ASC, doc_id ASC LIMIT {SAMPLE_K}""",
 )
@@ -205,10 +214,15 @@ ORDER BY h ASC, doc_id ASC LIMIT {SAMPLE_K}""",
 def t_weighted_sample(spark, sf_dir):
     """Size-biased deterministic k-sample: priority = hash DIV weight,
     so a doc with twice the chars is ~twice as likely in the k head —
-    the length-proportional sampling a token-budgeted eval draw uses."""
+    the length-proportional sampling a token-budgeted eval draw uses.
+    The weight is floored at 1: an empty doc (n_chars=0) would divide
+    by zero, and the resulting NULL sorts FIRST in Spark but LAST in
+    DuckDB — an unconditional parity break on any real corpus. Hash
+    reduced mod P before the multiply (see :func:`_priority`)."""
     d = _docs(spark, sf_dir)
     pri = F.expr(
-        f"(((doc_id * {HASH_MULT}) % {HASH_MOD} + 1) * 1000000) DIV n_chars"
+        f"((((doc_id % {HASH_MOD}) * {HASH_MULT}) % {HASH_MOD} + 1) * 1000000) "
+        f"DIV greatest(n_chars, 1)"
     )
     return (
         d.select("doc_id", "n_chars", pri.alias("priority"))
@@ -221,7 +235,8 @@ _register(
     "t_weighted_sample",
     t_weighted_sample,
     f"""SELECT doc_id, n_chars,
-       (((doc_id * {HASH_MULT}) % {HASH_MOD} + 1) * 1000000) // n_chars AS priority
+       ((((doc_id % {HASH_MOD}) * {HASH_MULT}) % {HASH_MOD} + 1) * 1000000)
+           // greatest(n_chars, 1) AS priority
 FROM documents
 ORDER BY priority ASC, doc_id ASC LIMIT {SAMPLE_K}""",
 )

@@ -125,12 +125,21 @@ def _create_exclusive(spark: SparkSession, path_str: str, text: str) -> bool:
             return True
         fs.delete(tmp_path, False)
         return False
-    except Py4JJavaError:
+    except Py4JJavaError as e:
         try:
             fs.delete(tmp_path, False)
         except Py4JJavaError:
             pass
-        return False
+        # only LOSING THE RACE maps to False — rename-dest-exists is
+        # reported as a boolean above on HDFS, but some stores raise
+        # FileAlreadyExists instead. Every OTHER java failure
+        # (permissions, quota, network) must propagate: swallowing it
+        # would misdiagnose a persistent I/O error as "another writer
+        # is active" and send OCC loops into pointless full rewrites.
+        java_cls = e.java_exception.getClass().getName() if e.java_exception else ""
+        if "FileAlreadyExists" in java_cls or "PathExists" in java_cls:
+            return False
+        raise
 
 
 def snapshot_versions(spark: SparkSession, table_path: str) -> list[int]:
@@ -438,23 +447,41 @@ def read_row_diff(
     since_version: int,
     keys: list[str],
     to_version: int | None = None,
-) -> tuple[DataFrame | None, DataFrame | None]:
-    """(inserted, deleted) ROW-level delta between two snapshots,
-    keyed on ``keys`` — the exact form of :func:`read_changes` for
-    consumers that cannot tolerate carried-over rows (e.g. an
-    incremental dedup index). Two snapshot reads + two anti-joins
-    shuffling on the key columns: cost ∝ both snapshots, so prefer
-    the entry-granular read when carry-overs are acceptable."""
+) -> tuple[DataFrame | None, DataFrame | None, DataFrame | None]:
+    """(inserted, deleted, updated) ROW-level delta between two
+    snapshots, identity defined by ``keys`` — the exact form of
+    :func:`read_changes` for consumers that cannot tolerate
+    carried-over rows (e.g. an incremental dedup index):
+
+    - ``inserted``: keys present only in the new snapshot (full rows).
+    - ``deleted``: keys present only in the old snapshot (full rows,
+      pre-images).
+    - ``updated``: POST-images of keys present in both whose full row
+      changed — a key-only anti-join would silently drop in-place
+      MERGE updates, which is exactly what this classification exists
+      to surface. Additive schema evolution is aligned first (old
+      gains the new columns as nulls), so a row that only gained a
+      null new column does NOT count as updated.
+
+    Two snapshot reads, two key anti-joins, one full-row exceptAll:
+    cost ∝ both snapshots, so prefer the entry-granular
+    :func:`read_changes` when carry-overs are acceptable."""
     old = read_snapshot(spark, table_path, version=since_version) if since_version else None
     new = read_snapshot(spark, table_path, version=to_version)
     if new is None:
-        return None, old
+        return None, old, None
     if old is None:
-        return new, None
-    return (
-        new.join(old.select(*keys), keys, "left_anti"),
-        old.join(new.select(*keys), keys, "left_anti"),
-    )
+        return new, None, None
+    aligned = old
+    new_types = {f.name: f.dataType for f in new.schema.fields}
+    for c in new.columns:
+        if c not in aligned.columns:
+            aligned = aligned.withColumn(c, F.lit(None).cast(new_types[c]))
+    aligned = aligned.select(*new.columns)
+    inserted = new.join(old.select(*keys), keys, "left_anti")
+    deleted = old.join(new.select(*keys), keys, "left_anti")
+    updated = new.exceptAll(aligned).join(old.select(*keys), keys, "left_semi")
+    return inserted, deleted, updated
 
 
 def compact_snapshot(spark: SparkSession, table_path: str) -> int:
@@ -516,11 +543,33 @@ def compact_snapshot(spark: SparkSession, table_path: str) -> int:
         f"{table_path}/{compact_rel}"
     )
     fs, cdir = fs_for(spark, f"{table_path}/{compact_rel}")
+    # the compacted bucket's data-skipping stats are the EXACT merge
+    # of its source entries' stats (lo = min of los, hi = max of his)
+    # — pure metadata, no data rescan. A column is carried only when
+    # EVERY source entry of the bucket recorded it (a missing range
+    # would make the merged bound a lie); dropping stats here would
+    # permanently disable where-pruning for exactly the largest
+    # (multi-epoch) buckets.
+    merged_stats: dict[int, dict[str, list]] = {}
+    for b in multi:
+        src = [e for e in entries if e["bucket"] == b]
+        src_stats = [e.get("stats") or {} for e in src]
+        cols = set.intersection(*[set(s) for s in src_stats]) if src_stats else set()
+        st_b = {}
+        for c in cols:
+            los = [s[c][0] for s in src_stats]
+            his = [s[c][1] for s in src_stats]
+            if any(v is None for v in los + his):
+                continue
+            st_b[c] = [min(los), max(his)]
+        if st_b:
+            merged_stats[b] = st_b
     new_entries = sorted(
         (
             {
                 "path": f"{compact_rel}/{name}",
-                "bucket": int(name.split("=", 1)[1]),
+                "bucket": (b := int(name.split("=", 1)[1])),
+                **({"stats": merged_stats[b]} if b in merged_stats else {}),
             }
             for st in fs.listStatus(cdir)
             if (name := st.getPath().getName()).startswith("__kb=")
@@ -587,7 +636,17 @@ def jsonable_stat(v: Any) -> Any:
 
     if v is None or isinstance(v, (int, float, str, bool)):
         return v
-    if isinstance(v, (_dt.datetime, _dt.date)):
+    if isinstance(v, _dt.datetime):
+        # normalize aware datetimes to UTC before serializing: mixed
+        # utcoffsets compare lexicographically in OFFSET order, not
+        # timestamp order ('…10:00:00+02:00' > '…09:00:00+00:00'
+        # although it is 1h EARLIER), which would prune live entries.
+        # Naive datetimes pass through (Spark session TZ is pinned
+        # UTC, so sink-collected values are naive-UTC already).
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, _dt.date):
         return v.isoformat()
     raise TypeError(f"stats column value not orderable as JSON: {type(v)}")
 

@@ -99,3 +99,60 @@ def test_histogram_covers_all_orders(spark, sf_dir):
     assert total == n_orders
     for r in rows:
         assert 0 <= r.bucket <= 19 and r.lo == r.bucket * 30000.0
+
+
+def test_weighted_sample_zero_char_doc_is_guarded(spark, monkeypatch):
+    from pyspark.sql import Row
+
+    rows = [Row(doc_id=i, n_chars=(0 if i == 5 else 100)) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id bigint, n_chars bigint")
+    monkeypatch.setattr(sel, "_docs", lambda s, d: df)
+    out = {r.doc_id: r.priority for r in sel.t_weighted_sample(spark, SF).collect()}
+    # no NULL priorities (the Spark-NULLS-FIRST / DuckDB-NULLS-LAST
+    # parity break the guard exists to prevent); the empty doc's
+    # weight floors at 1
+    assert all(p is not None for p in out.values())
+    h5 = ((5 % sel.HASH_MOD) * sel.HASH_MULT) % sel.HASH_MOD
+    assert out[5] == (h5 + 1) * 1_000_000
+
+
+def test_priority_hash_no_int64_overflow_at_large_doc_id(spark, monkeypatch):
+    # doc_id past 3.5e9: the raw (doc_id * MULT) form overflows int64
+    # (DuckDB raises, non-ANSI Spark wraps); the reduced form is exact
+    # and engine-identical
+    import duckdb
+
+    from pyspark.sql import Row
+
+    big = 3_500_000_000
+    df = spark.createDataFrame(
+        [Row(doc_id=big, lang="en")], "doc_id bigint, lang string"
+    )
+    monkeypatch.setattr(sel, "_docs", lambda s, d: df)
+    (r,) = sel.t_priority_sample(spark, SF).collect()
+    expected = ((big % sel.HASH_MOD) * sel.HASH_MULT) % sel.HASH_MOD
+    assert r.h == expected
+    got = (
+        duckdb.connect()
+        .execute(
+            f"SELECT (({big} % {sel.HASH_MOD}) * {sel.HASH_MULT}) % {sel.HASH_MOD}"
+        )
+        .fetchone()[0]
+    )
+    assert got == expected
+
+
+def test_decoders_raise_value_error_on_short_headers():
+    import pytest
+
+    from f1_realtime_data_pipeline_spark.operators import multimodal as mm
+
+    for blob in (
+        b"\x89PNG\r\n\x1a\n" + b"\x00" * 8,   # PNG cut inside IHDR
+        b"GIF89a" + b"\x00" * 3,              # GIF cut inside LSD
+        b"BM" + b"\x00" * 10,                 # BMP cut inside info header
+    ):
+        with pytest.raises(ValueError):
+            mm.decode_image(blob)
+    with pytest.raises(ValueError):
+        mm.decode_bmp_ahash(b"BM" + b"\x00" * 10)

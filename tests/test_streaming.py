@@ -1170,13 +1170,76 @@ def test_incremental_changes_cdc(spark, tmp_path):
     assert len(ch2["removed"]) > 0  # rewritten bucket dirs retired
     inc2 = {r.k for r in mf.read_changes(spark, sink, since_version=2).collect()}
     assert {3, 7, 100} <= inc2  # changed rows present (plus carry-overs)
-    inserted, deleted = mf.read_row_diff(spark, sink, 2, ["k", "v"])
-    ins = {(r.k, r.v) for r in inserted.collect()}
-    dels = {(r.k, r.v) for r in deleted.collect()}
-    assert ins == {(3, "NEW3"), (7, "NEW7"), (100, "ins100")}
-    assert dels == {(3, "a3"), (7, "a7")}
+    # keyed identity: in-place MERGE updates classify as UPDATED
+    # (post-images), not as insert+delete and never silently dropped
+    inserted, deleted, updated = mf.read_row_diff(spark, sink, 2, ["k"])
+    assert {(r.k, r.v) for r in inserted.collect()} == {(100, "ins100")}
+    assert deleted.count() == 0
+    assert {(r.k, r.v) for r in updated.collect()} == {
+        (3, "NEW3"),
+        (7, "NEW7"),
+    }
 
     # no changes between a version and itself; bad versions raise
     assert mf.read_changes(spark, sink, since_version=v_post) is None
     with _pytest.raises(ValueError):
         mf.changed_entries(spark, sink, since_version=99)
+
+
+def test_compaction_preserves_data_skipping_stats(spark, tmp_path):
+    """r6 review fix: compaction merges the superseded entries' min/max
+    stats (lo=min of los, hi=max of his) instead of dropping them, so
+    where-pruning keeps working on exactly the multi-epoch buckets
+    compaction rewrites."""
+    from f1_realtime_data_pipeline_spark.sources import manifest as mf
+    from f1_realtime_data_pipeline_spark.streaming.sinks import (
+        transactional_parquet_sink,
+    )
+
+    sink = str(tmp_path / "txn_stats_compact")
+    write = transactional_parquet_sink(
+        sink, keys=["k"], order_cols=["v"], stats_cols=["v"]
+    )
+    # two epochs per bucket with disjoint v ranges
+    write(spark.createDataFrame([(i, i) for i in range(20)], ["k", "v"]), 0)
+    write(
+        spark.createDataFrame([(100 + i, 1000 + i) for i in range(20)], ["k", "v"]),
+        1,
+    )
+    _, entries_pre = mf.resolve_snapshot(spark, sink)
+    assert any("stats" in e for e in entries_pre)
+    v_new = mf.compact_snapshot(spark, sink)
+    _, entries_post = mf.resolve_snapshot(spark, sink)
+    compacted = [e for e in entries_post if e["path"].startswith("data/compact-")]
+    assert compacted, "compaction should have rewritten multi-epoch buckets"
+    for e in compacted:
+        assert "stats" in e and "v" in e["stats"], e
+        lo, hi = e["stats"]["v"]
+        src = [
+            p["stats"]["v"]
+            for p in entries_pre
+            if p["bucket"] == e["bucket"] and "stats" in p
+        ]
+        assert lo == min(s[0] for s in src) and hi == max(s[1] for s in src)
+    # the merged stats still prune: a range past every hi matches nothing
+    assert (
+        mf.read_snapshot(spark, sink, where={"v": (10_000, None)}) is None
+        or mf.read_snapshot(spark, sink, where={"v": (10_000, None)}).count() == 0
+    )
+
+
+def test_jsonable_stat_normalizes_aware_datetimes_to_utc():
+    """r6 review fix: tz-aware datetimes are normalized to naive UTC
+    before isoformat, so stored stat strings compare in TIMESTAMP
+    order, not utcoffset order."""
+    import datetime as dt
+
+    from f1_realtime_data_pipeline_spark.sources import manifest as mf
+
+    plus2 = dt.datetime(2024, 1, 1, 10, 0, tzinfo=dt.timezone(dt.timedelta(hours=2)))
+    utc = dt.datetime(2024, 1, 1, 9, 0, tzinfo=dt.timezone.utc)
+    s_plus2 = mf.jsonable_stat(plus2)   # 08:00 UTC
+    s_utc = mf.jsonable_stat(utc)       # 09:00 UTC
+    assert s_plus2 == "2024-01-01T08:00:00"
+    assert s_plus2 < s_utc  # lexicographic == timestamp order now
+    assert mf.jsonable_stat(dt.datetime(2024, 1, 1, 9, 0)) == "2024-01-01T09:00:00"
