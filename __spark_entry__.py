@@ -107,7 +107,6 @@ _WINDOW_HEAD = [
     "e_cosine_neardup",
     "e_cosine_neardup_exact",
     "e_neardup_clusters",
-    "e_quantize",
     "e_pq_codes",
     "e_knn_pq",
     "m_decoded_meta",
@@ -116,16 +115,19 @@ _WINDOW_HEAD = [
     "m_jpeg_meta",
     "m_video_meta",
     "m_video_frame_plan",
-    # oldest-checked backfill (r2 windows_star head; the rest of the
-    # family rotates into round 7)
-    "w_tumbling",
-    "w_sliding",
-    "w_session",
-    "w_sessionize_lag",
-    "w_asof_attribution",
-    "w_interval_join",
-    "w_funnel",
-    "w_json_props",
+    # the _SPLIT_MULT overflow fix (review finding, value-preserving
+    # by congruence (d mod B)·M ≡ d·M (mod B)) rewrote these nine
+    # plans+oracles — they take the remaining window slots; the r2
+    # windows_star backfill rotates into round 7 instead
+    "t_train_split",
+    "t_stratified_sample",
+    "t_pack_sequences_dist",
+    "t_mixture_resample",
+    "t_contamination",
+    "t_contamination_bloom",
+    "d_incremental_dedup",
+    "pipeline_corpus",
+    "pipeline_corpus_v2",
 ]
 
 

@@ -1279,7 +1279,7 @@ def contamination(docs: DataFrame, n: int = 3) -> DataFrame:
     Output: (doc_id, n_shingles, n_contaminated, contamination_ratio)
     for each train doc with at least one shingle (≥ n tokens).
     """
-    bucket = F.pmod(F.col("doc_id") * F.lit(_SPLIT_MULT), F.lit(_SPLIT_BUCKETS))
+    bucket = F.pmod(F.pmod(F.col("doc_id"), F.lit(_SPLIT_BUCKETS)) * F.lit(_SPLIT_MULT), F.lit(_SPLIT_BUCKETS))
     sh = doc_shingles(docs, n).withColumn("bucket", bucket)
     train_sh = sh.filter(F.col("bucket") < _TRAIN_LT).drop("bucket")
     test_sh = (
@@ -1304,10 +1304,10 @@ def contamination_sql(n: int = 3) -> str:
   {_doc_shingles_sql(n)}
 ), train_sh AS (
   SELECT doc_id, shingle FROM sh
-  WHERE (doc_id * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} < {_TRAIN_LT}
+  WHERE ((doc_id % {_SPLIT_BUCKETS}) * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} < {_TRAIN_LT}
 ), test_sh AS (
   SELECT DISTINCT shingle FROM sh
-  WHERE (doc_id * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} >= {_TEST_GE}
+  WHERE ((doc_id % {_SPLIT_BUCKETS}) * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} >= {_TEST_GE}
 )
 SELECT t.doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_shingles,
@@ -1361,7 +1361,7 @@ def contamination_bloom(docs: DataFrame, n: int = 3) -> DataFrame:
     word_idx = (F.col("pos") / F.lit(BLOOM_WORD_BITS)).cast("int")
     mask = F.pow(F.lit(2.0), F.col("pos") % F.lit(BLOOM_WORD_BITS)).cast("bigint")
 
-    bucket = F.pmod(F.col("doc_id") * F.lit(_SPLIT_MULT), F.lit(_SPLIT_BUCKETS))
+    bucket = F.pmod(F.pmod(F.col("doc_id"), F.lit(_SPLIT_BUCKETS)) * F.lit(_SPLIT_MULT), F.lit(_SPLIT_BUCKETS))
     sh = doc_shingles(docs, n).withColumn("bucket", bucket)
     test_pos = (
         sh.filter(F.col("bucket") >= _TEST_GE)
@@ -1409,7 +1409,7 @@ def contamination_bloom_sql(n: int = 3) -> str:
   SELECT CAST({pos} // {BLOOM_WORD_BITS} AS INT) AS word_idx,
          CAST(POWER(2.0, {pos} % {BLOOM_WORD_BITS}) AS BIGINT) AS mask
   FROM (SELECT DISTINCT shingle FROM sh
-        WHERE (doc_id * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} >= {_TEST_GE}),
+        WHERE ((doc_id % {_SPLIT_BUCKETS}) * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} >= {_TEST_GE}),
        unnest(range(0, {BLOOM_K})) AS g(j)
 ), bloom AS (
   SELECT word_idx, BIT_OR(mask) AS w FROM test_pos GROUP BY word_idx
@@ -1418,7 +1418,7 @@ def contamination_bloom_sql(n: int = 3) -> str:
          MIN(CASE WHEN b.w IS NOT NULL AND (b.w & m.mask) = m.mask
                   THEN 1 ELSE 0 END) AS all_set
   FROM (SELECT doc_id, shingle FROM sh
-        WHERE (doc_id * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} < {_TRAIN_LT}) t,
+        WHERE ((doc_id % {_SPLIT_BUCKETS}) * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} < {_TRAIN_LT}) t,
        LATERAL (SELECT CAST({pos} // {BLOOM_WORD_BITS} AS INT) AS word_idx,
                        CAST(POWER(2.0, {pos} % {BLOOM_WORD_BITS}) AS BIGINT) AS mask
                 FROM unnest(range(0, {BLOOM_K})) AS g(j)) m

@@ -504,7 +504,7 @@ def d_incremental_dedup(spark, sf_dir):
     )
 
     docs = _docs(spark, sf_dir)
-    bucket = F.pmod(F.col("doc_id") * F.lit(_SPLIT_MULT), F.lit(_SPLIT_BUCKETS))
+    bucket = F.pmod(F.pmod(F.col("doc_id"), F.lit(_SPLIT_BUCKETS)) * F.lit(_SPLIT_MULT), F.lit(_SPLIT_BUCKETS))
     with_b = docs.select("doc_id", "text", bucket.alias("bucket"))
     batch = with_b.filter(F.col("bucket") >= _TEST_GE).select(
         "doc_id", F.xxhash64("text").alias("h")
@@ -530,10 +530,10 @@ def _incremental_dedup_sql() -> str:
 
     return f"""WITH batch AS (
   SELECT doc_id, text FROM documents
-  WHERE (doc_id * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} >= {_TEST_GE}
+  WHERE ((doc_id % {_SPLIT_BUCKETS}) * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} >= {_TEST_GE}
 ), existing AS (
   SELECT DISTINCT text FROM documents
-  WHERE (doc_id * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} < {_TEST_GE}
+  WHERE ((doc_id % {_SPLIT_BUCKETS}) * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} < {_TEST_GE}
 )
 SELECT b.doc_id, (e.text IS NULL) AS is_novel
 FROM batch b LEFT JOIN existing e ON b.text = e.text"""
@@ -606,7 +606,7 @@ def pipeline_corpus_v2(spark, sf_dir):
             & F.coalesce(F.col("c_keep"), F.lit(True))
         )
     )
-    bucket = F.pmod(F.col("doc_id") * F.lit(_SPLIT_MULT), F.lit(_SPLIT_BUCKETS))
+    bucket = F.pmod(F.pmod(F.col("doc_id"), F.lit(_SPLIT_BUCKETS)) * F.lit(_SPLIT_MULT), F.lit(_SPLIT_BUCKETS))
     split = (
         F.when(bucket < _TRAIN_LT, "train")
         .when(bucket < _TEST_GE, "val")
@@ -660,8 +660,8 @@ def _pipeline_v2_sql() -> str:
   LEFT JOIN contam t USING (doc_id)
   WHERE g.g_keep AND COALESCE(s.s_keep, TRUE) AND COALESCE(t.c_keep, TRUE)
 )
-SELECT CASE WHEN (doc_id * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} < {_TRAIN_LT} THEN 'train'
-            WHEN (doc_id * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} < {_TEST_GE} THEN 'val'
+SELECT CASE WHEN ((doc_id % {_SPLIT_BUCKETS}) * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} < {_TRAIN_LT} THEN 'train'
+            WHEN ((doc_id % {_SPLIT_BUCKETS}) * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} < {_TEST_GE} THEN 'val'
             ELSE 'test' END AS split,
        source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -294,7 +294,7 @@ def t_train_split(spark, sf_dir):
     stable under re-runs and corpus growth (a doc's split never
     changes). 80/10/10."""
     d = _docs(spark, sf_dir)
-    bucket = F.pmod(F.col("doc_id") * F.lit(_SPLIT_MULT), F.lit(_SPLIT_BUCKETS))
+    bucket = F.pmod(F.pmod(F.col("doc_id"), F.lit(_SPLIT_BUCKETS)) * F.lit(_SPLIT_MULT), F.lit(_SPLIT_BUCKETS))
     return d.select(
         "doc_id",
         bucket.cast("int").alias("bucket"),
@@ -309,9 +309,9 @@ _register(
     "t_train_split",
     t_train_split,
     f"""SELECT doc_id,
-       CAST((doc_id * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} AS INT) AS bucket,
-       CASE WHEN (doc_id * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} < {_TRAIN_LT} THEN 'train'
-            WHEN (doc_id * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} < {_VAL_LT} THEN 'val'
+       CAST(((doc_id % {_SPLIT_BUCKETS}) * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} AS INT) AS bucket,
+       CASE WHEN ((doc_id % {_SPLIT_BUCKETS}) * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} < {_TRAIN_LT} THEN 'train'
+            WHEN ((doc_id % {_SPLIT_BUCKETS}) * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} < {_VAL_LT} THEN 'val'
             ELSE 'test' END AS split
 FROM documents""",
 )
@@ -372,7 +372,7 @@ def t_pack_sequences_dist(spark, sf_dir):
     counts = d.select(
         "doc_id",
         tx.token_count("text").alias("n_tokens"),
-        F.pmod(F.col("doc_id") * F.lit(_SPLIT_MULT), F.lit(_PACK_SHARDS))
+        F.pmod(F.pmod(F.col("doc_id"), F.lit(_PACK_SHARDS)) * F.lit(_SPLIT_MULT), F.lit(_PACK_SHARDS))
         .cast("int")
         .alias("shard"),
     )
@@ -400,7 +400,7 @@ _register(
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
             / {_PACK_BUDGET}) AS BIGINT) AS local_seq
 FROM (SELECT doc_id, {tx.token_count_sql("text")} AS n_tokens,
-             CAST((doc_id * {_SPLIT_MULT}) % {_PACK_SHARDS} AS INT) AS shard
+             CAST(((doc_id % {_PACK_SHARDS}) * {_SPLIT_MULT}) % {_PACK_SHARDS} AS INT) AS shard
       FROM documents)""",
 )
 
@@ -524,7 +524,7 @@ def t_stratified_sample(spark, sf_dir):
     hashed = d.select(
         "doc_id",
         "lang",
-        F.pmod(F.col("doc_id") * F.lit(_SPLIT_MULT), F.lit(_SPLIT_BUCKETS)).alias("h"),
+        F.pmod(F.pmod(F.col("doc_id"), F.lit(_SPLIT_BUCKETS)) * F.lit(_SPLIT_MULT), F.lit(_SPLIT_BUCKETS)).alias("h"),
     )
     w = Window.partitionBy("lang").orderBy(F.col("h").asc(), F.col("doc_id").asc())
     return (
@@ -541,7 +541,7 @@ _register(
     f"""SELECT doc_id, lang, CAST(rnk AS INT) AS rnk FROM (
   SELECT doc_id, lang,
          ROW_NUMBER() OVER (PARTITION BY lang
-             ORDER BY (doc_id * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} ASC, doc_id ASC) AS rnk,
+             ORDER BY ((doc_id % {_SPLIT_BUCKETS}) * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} ASC, doc_id ASC) AS rnk,
          COUNT(*) OVER (PARTITION BY lang) AS n_stratum
   FROM documents
 ) WHERE rnk <= CEIL(n_stratum * CAST(0.1 AS DOUBLE))""",
@@ -1318,7 +1318,7 @@ def pipeline_corpus(spark, sf_dir):
     kept = counts.withColumn("quality_score", score).filter(
         F.col("quality_score") >= _PIPE_MIN_QUALITY
     )
-    bucket = F.pmod(F.col("doc_id") * F.lit(_SPLIT_MULT), F.lit(_SPLIT_BUCKETS))
+    bucket = F.pmod(F.pmod(F.col("doc_id"), F.lit(_SPLIT_BUCKETS)) * F.lit(_SPLIT_MULT), F.lit(_SPLIT_BUCKETS))
     split = (
         F.when(bucket < _TRAIN_LT, "train")
         .when(bucket < _VAL_LT, "val")
@@ -1364,8 +1364,8 @@ _register(
          ) AS quality_score
   FROM counts
 )
-SELECT CASE WHEN (doc_id * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} < {_TRAIN_LT} THEN 'train'
-            WHEN (doc_id * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} < {_VAL_LT} THEN 'val'
+SELECT CASE WHEN ((doc_id % {_SPLIT_BUCKETS}) * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} < {_TRAIN_LT} THEN 'train'
+            WHEN ((doc_id % {_SPLIT_BUCKETS}) * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} < {_VAL_LT} THEN 'val'
             ELSE 'test' END AS split,
        source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -1395,7 +1395,7 @@ def t_mixture_resample(spark, sf_dir):
     hashed = d.select(
         "doc_id",
         "source",
-        F.pmod(F.col("doc_id") * F.lit(_SPLIT_MULT), F.lit(_SPLIT_BUCKETS)).alias("h"),
+        F.pmod(F.pmod(F.col("doc_id"), F.lit(_SPLIT_BUCKETS)) * F.lit(_SPLIT_MULT), F.lit(_SPLIT_BUCKETS)).alias("h"),
     )
     w = Window.partitionBy("source").orderBy(F.col("h").asc(), F.col("doc_id").asc())
     return (
@@ -1411,7 +1411,7 @@ _register(
     f"""SELECT doc_id, source, CAST(rnk AS INT) AS rnk FROM (
   SELECT doc_id, source,
          ROW_NUMBER() OVER (PARTITION BY source
-             ORDER BY (doc_id * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} ASC, doc_id ASC) AS rnk
+             ORDER BY ((doc_id % {_SPLIT_BUCKETS}) * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} ASC, doc_id ASC) AS rnk
   FROM documents
 ) WHERE rnk <= {_MIX_KEEP_PER_SOURCE}""",
 )

@@ -495,3 +495,35 @@ def test_length_buckets_batch_invariants(spark, sf_dir):
         lens = [m.n_tokens for m in members]
         assert max(lens) - min(lens) < LEN_BUCKET_WIDTH
         assert len({m.len_bucket for m in members}) == 1
+
+
+def test_split_hash_no_overflow_at_large_doc_id(spark, monkeypatch):
+    # the deterministic split/shard/sample hash must stay inside int64
+    # for any BIGINT doc_id: (d % B)*M is bounded by B*M < 2^63 while
+    # the raw d*M form overflows at d >= ~3.5e9 (DuckDB raises,
+    # non-ANSI Spark silently wraps — divergent split assignment)
+    import duckdb
+
+    from pyspark.sql import Row
+
+    from f1_realtime_data_pipeline_spark.plans import llm_star as ls
+
+    big = 4_000_000_000
+    df = spark.createDataFrame(
+        [Row(doc_id=big, text="alpha beta", lang="en", source="s", n_chars=10)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    monkeypatch.setattr(ls, "_docs", lambda s, d: df)
+    (r,) = ls.t_train_split(spark, "/root/testdata/sf0.001").collect()
+    expected_bucket = ((big % ls._SPLIT_BUCKETS) * ls._SPLIT_MULT) % ls._SPLIT_BUCKETS
+    assert r.bucket == expected_bucket
+    # DuckDB computes the identical reduced form without overflow
+    got = (
+        duckdb.connect()
+        .execute(
+            f"SELECT (({big} % {ls._SPLIT_BUCKETS}) * {ls._SPLIT_MULT})"
+            f" % {ls._SPLIT_BUCKETS}"
+        )
+        .fetchone()[0]
+    )
+    assert got == expected_bucket
