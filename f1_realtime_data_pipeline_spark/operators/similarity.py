@@ -278,8 +278,12 @@ def knn_classify(
     )
     return (
         pred.join(
+            # filter BEFORE the broadcast hint: only the n_queries true
+            # labels ship, not the corpus-sized label relation (which
+            # a forced broadcast would OOM at the documented 100 TB
+            # posture; r6 review fix)
             F.broadcast(
-                lbl.select(
+                lbl.filter(F.col("vid") < n_queries).select(
                     F.col("vid").alias("query_id"),
                     F.col("lb").cast("int").alias("true_label"),
                 )

@@ -509,8 +509,13 @@ def d_incremental_dedup(spark, sf_dir):
     batch = with_b.filter(F.col("bucket") >= _TEST_GE).select(
         "doc_id", F.xxhash64("text").alias("h")
     )
+    # NULL-text rows are excluded from the existing set (r6 review
+    # fix): Spark's xxhash64(NULL) is a real joinable value while the
+    # oracle's text-equality join is NULL-rejecting, so an existing
+    # NULL would make the engines disagree on NULL-batch novelty.
+    # With the filter, a NULL-text batch doc is novel in BOTH engines.
     existing = (
-        with_b.filter(F.col("bucket") < _TEST_GE)
+        with_b.filter((F.col("bucket") < _TEST_GE) & F.col("text").isNotNull())
         .select(F.xxhash64("text").alias("h"))
         .distinct()
         .withColumn("seen", F.lit(1))
@@ -534,6 +539,7 @@ def _incremental_dedup_sql() -> str:
 ), existing AS (
   SELECT DISTINCT text FROM documents
   WHERE ((doc_id % {_SPLIT_BUCKETS}) * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} < {_TEST_GE}
+    AND text IS NOT NULL
 )
 SELECT b.doc_id, (e.text IS NULL) AS is_novel
 FROM batch b LEFT JOIN existing e ON b.text = e.text"""

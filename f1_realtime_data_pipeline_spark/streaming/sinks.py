@@ -82,6 +82,52 @@ def _resolved_bucketing(
     return int(rec["n_buckets"]), {"bucketing": rec}
 
 
+def _bucket_entries(spark, sink_path: str, rel: str) -> list[dict]:
+    """Manifest entries for a just-written partitioned data dir: one
+    entry per ``__kb=<bucket>`` subdir, path-sorted — the enumeration
+    every sink commit performs, defined once so a layout change (an
+    extra partition level, a renamed bucket column) cannot silently
+    drift between the sink family's four writers."""
+    fs, d = manifest.fs_for(spark, f"{sink_path}/{rel}")
+    return sorted(
+        (
+            {
+                "path": f"{rel}/{name}",
+                "bucket": int(name.split("=", 1)[1]),
+            }
+            for st in fs.listStatus(d)
+            if (name := st.getPath().getName()).startswith(f"{_BUCKET_COL}=")
+        ),
+        key=lambda e: e["path"],
+    )
+
+
+def _resolve_order(df: DataFrame, keys: Sequence[str], order_cols) -> list:
+    """The keyed writers' shared first-wins order: explicit
+    ``order_cols`` or every non-key column sorted by name (keys as the
+    degenerate fallback)."""
+    if order_cols is not None:
+        return [F.col(c).asc() for c in order_cols]
+    non_key = sorted(c for c in df.columns if c not in keys)
+    return [F.col(c).asc() for c in (non_key or keys)]
+
+
+def _resolved_plain_buckets(spark, sink_path: str, n_buckets: int) -> int:
+    """The plain (non-manifest) sink's bucket-layout record: a sidecar
+    ``_sink_buckets.json`` written once at first epoch and
+    AUTHORITATIVE thereafter — the non-transactional twin of
+    :func:`_resolved_bucketing`. Single-writer contract (documented on
+    the sink), so a lost race on the sidecar just means another epoch
+    of the same query recorded the same value first."""
+    meta_path = f"{sink_path}/_sink_buckets.json"
+    fs, p = manifest.fs_for(spark, meta_path)
+    if not fs.exists(p):
+        manifest._create_exclusive(
+            spark, meta_path, json.dumps({"n_buckets": int(n_buckets)})
+        )
+    return int(json.loads(manifest._read_text(spark, meta_path))["n_buckets"])
+
+
 def idempotent_parquet_sink(
     sink_path: str,
     keys: Sequence[str],
@@ -115,13 +161,18 @@ def idempotent_parquet_sink(
     keys = list(keys)
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
-        if order_cols is not None:
-            order = [F.col(c).asc() for c in order_cols]
-        else:
-            non_key = sorted(c for c in batch_df.columns if c not in keys)
-            order = [F.col(c).asc() for c in (non_key or keys)]
+        order = _resolve_order(batch_df, keys, order_cols)
+        # bucket layout is a PROPERTY OF THE SINK, not of this process:
+        # the first epoch records n_buckets in a sidecar and every
+        # later epoch uses the RECORDED value — restarting the query
+        # with a retuned SINK_BUCKETS would otherwise hash replayed
+        # keys into different partition dirs, the anti-join would miss
+        # their existing rows, and duplicates would land (the same
+        # failure the transactional sinks close via the manifest's
+        # recorded bucketing; r6 review fix for the plain sink).
+        nb = _resolved_plain_buckets(batch_df.sparkSession, sink_path, n_buckets)
         deduped = dedup_first_wins(batch_df, keys, order).withColumn(
-            _BUCKET_COL, _key_bucket(keys, n_buckets)
+            _BUCKET_COL, _key_bucket(keys, nb)
         )
         # persist: the batch feeds two actions (bucket-list collect +
         # the append) — without it the micro-batch SOURCE is scanned
@@ -214,11 +265,7 @@ def transactional_parquet_sink(
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        if order_cols is not None:
-            order = [F.col(c).asc() for c in order_cols]
-        else:
-            non_key = sorted(c for c in batch_df.columns if c not in keys)
-            order = [F.col(c).asc() for c in (non_key or keys)]
+        order = _resolve_order(batch_df, keys, order_cols)
         # resolve the snapshot FIRST: the table's recorded bucketing
         # config (not the caller's default) decides the bucket layout
         snap_doc = manifest.resolve_snapshot_doc(spark, sink_path)
@@ -256,20 +303,7 @@ def transactional_parquet_sink(
             )
             # enumerate what the write actually produced: an all-dup
             # epoch yields no bucket dirs -> nothing to commit (replay)
-            fs, edir = manifest.fs_for(spark, f"{sink_path}/{epoch_rel}")
-            new_entries = sorted(
-                (
-                    {
-                        "path": f"{epoch_rel}/{name}",
-                        "bucket": int(name.split("=", 1)[1]),
-                    }
-                    for st in fs.listStatus(edir)
-                    if (name := st.getPath().getName()).startswith(
-                        f"{_BUCKET_COL}="
-                    )
-                ),
-                key=lambda e: e["path"],
-            )
+            new_entries = _bucket_entries(spark, sink_path, epoch_rel)
             if not new_entries:
                 return
             if stats_cols:
@@ -389,11 +423,7 @@ def transactional_merge(
     lost race raises."""
     spark = updates.sparkSession
     keys = list(keys)
-    if order_cols is not None:
-        order = [F.col(c).asc() for c in order_cols]
-    else:
-        non_key = sorted(c for c in updates.columns if c not in keys)
-        order = [F.col(c).asc() for c in (non_key or keys)]
+    order = _resolve_order(updates, keys, order_cols)
     last_lost = 0
     for _attempt in range(max_commit_retries + 1):
         snap_doc = manifest.resolve_snapshot_doc(spark, sink_path)
@@ -409,6 +439,19 @@ def transactional_merge(
         up = dedup_first_wins(updates, keys, order).withColumn(
             _BUCKET_COL, _key_bucket(keys, nb)
         )
+        if prev_schema is None and entries:
+            # pre-schema-tracking table (r6 review fix): the base's
+            # ACTUAL schema is the previous schema — without this,
+            # merge_schemas(None, batch) adopts the update's shape and
+            # _align_to_schema projects base-only columns away in the
+            # rewritten buckets (silent data destruction). One footer
+            # read; the merged schema is then committed, so the probe
+            # happens at most once per legacy table.
+            prev_schema = json.loads(
+                spark.read.option("mergeSchema", "true")
+                .parquet(*[f"{sink_path}/{e['path']}" for e in entries])
+                .schema.json()
+            )
         up.persist()
         try:
             batch_schema = json.loads(up.drop(_BUCKET_COL).schema.json())
@@ -454,20 +497,7 @@ def transactional_merge(
             merged.write.partitionBy(_BUCKET_COL).parquet(
                 f"{sink_path}/{merge_rel}"
             )
-            fs, mdir = manifest.fs_for(spark, f"{sink_path}/{merge_rel}")
-            new_entries = sorted(
-                (
-                    {
-                        "path": f"{merge_rel}/{name}",
-                        "bucket": int(name.split("=", 1)[1]),
-                    }
-                    for st in fs.listStatus(mdir)
-                    if (name := st.getPath().getName()).startswith(
-                        f"{_BUCKET_COL}="
-                    )
-                ),
-                key=lambda e: e["path"],
-            )
+            new_entries = _bucket_entries(spark, sink_path, merge_rel)
             if manifest.commit_snapshot(
                 spark,
                 sink_path,
@@ -560,27 +590,16 @@ def transactional_delete(
             base = parts[0]
             for p in parts[1:]:
                 base = base.unionByName(p)
-            survivors = base.join(
-                F.broadcast(dk.select(*keys)), keys, "left_anti"
-            )
+            # no forced broadcast: erase_results can legitimately pass
+            # an arbitrarily large key set (every row of many drivers)
+            # — let AQE pick broadcast only when the set is actually
+            # small (r6 review fix)
+            survivors = base.join(dk.select(*keys), keys, "left_anti")
             del_rel = f"data/delete-{version + 1:012d}-{uuid4().hex[:8]}"
             survivors.write.partitionBy(_BUCKET_COL).parquet(
                 f"{sink_path}/{del_rel}"
             )
-            fs, ddir = manifest.fs_for(spark, f"{sink_path}/{del_rel}")
-            new_entries = sorted(
-                (
-                    {
-                        "path": f"{del_rel}/{name}",
-                        "bucket": int(name.split("=", 1)[1]),
-                    }
-                    for st in fs.listStatus(ddir)
-                    if (name := st.getPath().getName()).startswith(
-                        f"{_BUCKET_COL}="
-                    )
-                ),
-                key=lambda e: e["path"],
-            )
+            new_entries = _bucket_entries(spark, sink_path, del_rel)
             if manifest.commit_snapshot(
                 spark,
                 sink_path,
@@ -637,10 +656,22 @@ def transactional_agg_sink(
     full-batch pass), bucket by key hash, read ONLY the touched
     buckets of the current snapshot (manifest pruning), re-sum, rewrite
     those buckets copy-on-write, commit v+1 — same bounded I/O as the
-    MERGE path. The ledger keeps the last ``AGG_APPLIED_CAP`` epoch
-    ids (Structured Streaming replays only back to the last checkpoint
-    commit); epoch ids identify batches only while the checkpoint
-    lineage lives, same caveat the row sink documents."""
+    MERGE path. The ledger keeps the last ``AGG_APPLIED_CAP`` entries
+    (Structured Streaming replays only back to the last checkpoint
+    commit).
+
+    Ledger identity (r6 review fix): the ledger key is
+    ``epoch_id:content_hash`` — an epoch id ALONE does not identify a
+    batch across checkpoint loss (ids restart at 0, and a bare-id
+    ledger would silently SKIP the new lineage's real batches — the
+    exact caveat the row-sink doc records). The content hash is an
+    order-independent bit_xor over the partial-aggregate rows, so a
+    checkpoint-replayed epoch (same id, same rows) is skipped while a
+    post-loss epoch that merely reuses the id (different rows) is
+    applied. Residual risk: a *different* batch with the same id AND
+    bit-identical partial aggregate — indistinguishable in principle
+    without a durable batch UUID, which Structured Streaming does not
+    provide to foreachBatch."""
     group_cols = list(group_cols)
     sum_cols = list(sum_cols)
 
@@ -649,9 +680,6 @@ def transactional_agg_sink(
         doc = manifest.resolve_snapshot_doc(spark, sink_path)
         version, entries = doc["version"], doc["entries"]
         applied = list(doc.get("applied", []))
-        key = str(epoch_id)
-        if key in applied:
-            return
         nb, bucketing_meta = _resolved_bucketing(doc, group_cols, n_buckets)
         partial = (
             batch_df.groupBy(*group_cols)
@@ -663,6 +691,20 @@ def transactional_agg_sink(
         )
         partial.persist()
         try:
+            all_cols = group_cols + sum_cols + ["n_rows"]
+            row_hash = F.xxhash64(
+                F.concat_ws(
+                    "\x1f", *[F.col(c).cast("string") for c in all_cols]
+                )
+            )
+            content = (
+                partial.select(row_hash.alias("__h"))
+                .agg(F.expr("bit_xor(__h)").alias("__x"))
+                .collect()[0]["__x"]
+            )
+            key = f"{epoch_id}:{content}"
+            if key in applied:
+                return
             touched = {
                 r[0] for r in partial.select(_BUCKET_COL).distinct().collect()
             }
@@ -691,20 +733,7 @@ def transactional_agg_sink(
             merged.write.partitionBy(_BUCKET_COL).parquet(
                 f"{sink_path}/{agg_rel}"
             )
-            fs, adir = manifest.fs_for(spark, f"{sink_path}/{agg_rel}")
-            new_entries = sorted(
-                (
-                    {
-                        "path": f"{agg_rel}/{name}",
-                        "bucket": int(name.split("=", 1)[1]),
-                    }
-                    for st in fs.listStatus(adir)
-                    if (name := st.getPath().getName()).startswith(
-                        f"{_BUCKET_COL}="
-                    )
-                ),
-                key=lambda e: e["path"],
-            )
+            new_entries = _bucket_entries(spark, sink_path, agg_rel)
             schema = json.loads(merged.drop(_BUCKET_COL).schema.json())
             if not manifest.commit_snapshot(
                 spark,

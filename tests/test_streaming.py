@@ -1020,11 +1020,37 @@ def test_agg_sink_ledger_survives_compaction(spark, tmp_path):
     write(e1, 1)
     mf.compact_snapshot(spark, sink)
     doc = mf.resolve_snapshot_doc(spark, sink)
-    assert doc.get("applied") == ["0", "1"]  # ledger carried through
+    # ledger carried through compaction; r6 keys are epoch:content
+    ledger = doc.get("applied")
+    assert len(ledger) == 2
+    assert [k.split(":", 1)[0] for k in ledger] == ["0", "1"]
     write(e0, 0)  # replay after compaction: must be a no-op
     write(e1, 1)
     out = {r.k: r.v for r in read_sink_snapshot(spark, sink).collect()}
     assert out == {1: 15, 2: 20}
+
+
+def test_agg_sink_checkpoint_loss_does_not_drop_new_batches(spark, tmp_path):
+    """r6 review fix: the ledger keys on epoch:content, so after a
+    checkpoint loss (epoch ids restart at 0) a NEW batch reusing an
+    applied id is still applied, while a true replay (same id, same
+    rows) stays a no-op."""
+    from f1_realtime_data_pipeline_spark.streaming.sinks import (
+        read_sink_snapshot,
+        transactional_agg_sink,
+    )
+
+    sink = str(tmp_path / "agg_ckpt_loss")
+    write = transactional_agg_sink(sink, group_cols=["k"], sum_cols=["v"])
+    e_a = spark.createDataFrame([(1, 10)], "k long, v long")
+    e_b = spark.createDataFrame([(1, 7), (2, 2)], "k long, v long")
+    write(e_a, 0)
+    write(e_a, 0)  # checkpoint replay: same id, same content → skipped
+    assert {r.k: r.v for r in read_sink_snapshot(spark, sink).collect()} == {1: 10}
+    # checkpoint loss: numbering restarts, epoch 0 now carries NEW rows
+    write(e_b, 0)
+    out = {r.k: r.v for r in read_sink_snapshot(spark, sink).collect()}
+    assert out == {1: 17, 2: 2}  # applied, not silently dropped
 
 
 def test_transactional_delete_right_to_be_forgotten(spark, tmp_path):
@@ -1243,3 +1269,24 @@ def test_jsonable_stat_normalizes_aware_datetimes_to_utc():
     assert s_plus2 == "2024-01-01T08:00:00"
     assert s_plus2 < s_utc  # lexicographic == timestamp order now
     assert mf.jsonable_stat(dt.datetime(2024, 1, 1, 9, 0)) == "2024-01-01T09:00:00"
+
+
+def test_plain_sink_records_bucket_layout(spark, tmpdirs):
+    """r6 review fix: the idempotent sink records n_buckets in a
+    sidecar at first epoch; a restarted writer with a RETUNED bucket
+    count still prunes/anti-joins against the recorded layout, so a
+    replay stays a no-op instead of appending duplicates."""
+    from f1_realtime_data_pipeline_spark.streaming.sinks import (
+        idempotent_parquet_sink,
+    )
+
+    sink = tmpdirs["sink"] + "_layout"
+    batch = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(40)], ["k", "v"]
+    )
+    idempotent_parquet_sink(sink, keys=["k"], n_buckets=16)(batch, 0)
+    # operator restart with a different tuning: replay the same batch
+    idempotent_parquet_sink(sink, keys=["k"], n_buckets=32)(batch, 1)
+    out = spark.read.parquet(sink)
+    assert out.count() == 40  # no duplicates: recorded layout won
+    assert out.select("k").distinct().count() == 40
