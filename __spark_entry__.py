@@ -118,7 +118,14 @@ _WINDOW_HEAD = [
     # the _SPLIT_MULT overflow fix (review finding, value-preserving
     # by congruence (d mod B)·M ≡ d·M (mod B)) rewrote these nine
     # plans+oracles — they take the remaining window slots; the r2
-    # windows_star backfill rotates into round 7 instead
+    # windows_star backfill rotates into round 7 instead.
+    # DEFERRED to round 7 (window at capacity — an r6 edit would leave
+    # the query driver-unverified): t_quality_gopher's zero-token edge
+    # (Spark drops the doc via x/0→NULL + inner join; the DuckDB
+    # twin's list_reduce over an empty list errors) — fix by emitting
+    # keep=false rows for empty docs in both engines, then rotate
+    # t_quality_gopher + pipeline_corpus_v2 into the r7 window head
+    # alongside the windows_star backfill.
     "t_train_split",
     "t_stratified_sample",
     "t_pack_sequences_dist",

@@ -8,8 +8,9 @@ Five escalating strategies, all pure DataFrame compositions (no UDFs):
 - :func:`minhash_signatures` / :func:`minhash_lsh_pairs` — MinHash
   sketches over 3-gram shingle sets banded into LSH buckets; candidate
   pairs verified with the true shingle Jaccard.
-- :func:`simhash_signatures` / :func:`simhash_pairs` — 16-bit SimHash
-  + Hamming-distance pairing.
+- :func:`simhash_signatures` / :func:`simhash_pairs` — 62-bit SimHash
+  (``functions.text.SIMHASH_BITS``; see its note on why 16 bits was
+  abandoned) + Hamming-distance pairing.
 - embedding-cosine near-dup lives in ``operators.similarity``.
 
 Determinism/oracle contract — three element-id strategies:
@@ -414,6 +415,8 @@ def _minhash_sig_sql(id_strategy: str = "md5") -> str:
         f"CAST(MIN((sid * {MINHASH_A[j]} + {MINHASH_B[j]}) % {HASH_MOD}) AS BIGINT) AS mh{j}"
         for j in range(MINHASH_PERMS)
     )
+    if id_strategy not in ("md5", "vocab"):
+        raise ValueError(f"no DuckDB twin for id_strategy={id_strategy!r}")
     if id_strategy == "md5":
         return f"""doc_sh AS (
   {_doc_shingles_sql(MINHASH_SHINGLE_N)}
@@ -456,8 +459,16 @@ def minhash_lsh_pairs(
     # both sides of the verify join); without materialization Spark
     # re-scans the corpus and re-explodes shingles per branch — at
     # 100 TB that is 4 extra full scans. MEMORY_AND_DISK so wide
-    # corpora spill instead of evicting. Persist the 8-byte shingle key
-    # alongside (the string is still needed for the md5 sid).
+    # corpora spill instead of evicting. Only the (doc_id, shingle
+    # STRING) projection is cached — the verify branches recompute the
+    # 8-byte xxhash64 over the cached strings per branch (cheap map
+    # work; the md5 sid needs the string anyway, so caching the hash
+    # too would widen every cached row for two reuses). Lifecycle:
+    # persisted relations are reference-tracked — the ContextCleaner
+    # unpersists them when the returned plan is garbage-collected, and
+    # session.py pins periodicGC to 5 min, so a long multi-query
+    # session's cache residue is bounded (same policy as the durable
+    # checkpoints).
     sh = doc_shingles(docs, MINHASH_SHINGLE_N).persist(StorageLevel.MEMORY_AND_DISK)
     w = _with_element_ids(sh, "shingle", "sid", id_strategy)
     aggs = [
@@ -743,6 +754,12 @@ def _simhash_sig_sql(id_strategy: str = "md5") -> str:
         f"(((wid * {HASH_MULT}) % {2 ** 31})"
         f" | (((wid * {SIMHASH_MULT2} + 12345) % {2 ** 31}) << 31))"
     )
+    if id_strategy not in ("md5", "vocab"):
+        # the Spark builders raise on unknown strategies; a silent
+        # vocab fallback here would hand back an oracle that cannot
+        # match the requested path (notably 'hash' — xxhash64 has no
+        # DuckDB twin, which is exactly why it needs a loud error)
+        raise ValueError(f"no DuckDB twin for id_strategy={id_strategy!r}")
     if id_strategy == "md5":
         mixed = f"""ids AS (
   SELECT doc_id, ({md5_id_sql("word")}) AS wid FROM doc_words
@@ -1258,7 +1275,11 @@ GROUP BY doc_id"""
 # test-set decontamination (train↔test n-gram overlap)
 # ---------------------------------------------------------------------------
 
-#: the train/test assignment must match plans.llm_star.t_train_split
+#: SINGLE SOURCE of the train/val/test split constants (r6 review
+#: fix): plans.llm_star imports these (it already imports this
+#: module; the reverse would be circular), so the decontamination
+#: queries here and t_train_split there can never silently scan
+#: different partitions after a retune.
 _SPLIT_MULT = 2654435761
 _SPLIT_BUCKETS = 1000
 _TRAIN_LT, _TEST_GE = 800, 900

@@ -280,10 +280,17 @@ _register("d_dup_clusters_iter", d_dup_clusters_iter, dd.dup_clusters_sql(0.5))
 # training-set mechanics: split / packing / distinctive terms
 # --------------------------------------------------------------------------
 
-#: deterministic split: multiplicative hash of doc_id into 1000 buckets
-_SPLIT_MULT = 2654435761
-_SPLIT_BUCKETS = 1000
-_TRAIN_LT, _VAL_LT = 800, 900
+#: deterministic split: multiplicative hash of doc_id into 1000
+#: buckets. SINGLE-SOURCED from operators.dedup (r6 review fix) —
+#: the decontamination queries there partition on the same constants,
+#: and a copy here could drift from them silently (dedup cannot
+#: import from plans without a cycle, so dedup hosts the truth).
+from f1_realtime_data_pipeline_spark.operators.dedup import (  # noqa: E402
+    _SPLIT_BUCKETS,
+    _SPLIT_MULT,
+    _TEST_GE as _VAL_LT,  # llm_star's val/test boundary == dedup's test floor
+    _TRAIN_LT,
+)
 #: context-window token budget for sequence packing
 _PACK_BUDGET = 2048
 
@@ -644,7 +651,14 @@ _PLANT_STRIDE2, _PLANT_OFF2 = 80, 2_000_000
 def _embs_neardup(spark, sf_dir):
     """Embeddings plus planted near-dup copies (exact duplicates, so
     cosine 1.0 — above any realistic threshold, and the LSH tables
-    bucket them identically, i.e. planted recall is exactly 1)."""
+    bucket them identically, i.e. planted recall is exactly 1).
+
+    Id-space assumption (r6 review): planted ids = base id + a fixed
+    offset, DISJOINT only while every base ``vec_id`` < the smaller
+    offset — pytest pins this bound against each generated SF dir
+    (test_llm.py::test_neardup_fixture_id_space_disjoint), and the
+    scale sweep's tiler uses 10M offsets for the same reason. A
+    corpus with denser ids must regenerate the fixture offsets."""
     e = _embs(spark, sf_dir).select("vec_id", "embedding")
     c1 = e.filter(F.col("vec_id") % _PLANT_STRIDE1 == 0).select(
         (F.col("vec_id") + _PLANT_OFF1).alias("vec_id"), "embedding"
@@ -892,17 +906,21 @@ def m_binary_ingest(spark, sf_dir):
     marker-walk decoder. Previously the registered multimodal queries
     synthesized payloads in-plan and the file path was pytest-only.
 
-    The fixture is written by the EXECUTORS (a mapInPandas partition
-    writer — the distributed-writer shape; on a cluster the target is
-    shared storage): one genuinely valid JFIF file per doc
-    (``doc_id < BINARY_INGEST_MAX_ID`` bounds the fixture at any SF),
-    with the doc id carried in the FILE NAME and recovered by regexp
-    on the binaryFile ``path`` column — the standard id-from-path
-    convention for blob ingestion. The decode consumes the scanned
-    ``content`` bytes, so scan→decode is exactly what a deployment
-    runs; the oracle recomputes every field from the doc_id formulas,
-    so a value match proves listing, scan, filename round-trip, AND
-    codec at once."""
+    Fixture placement (r6 review fix): the FIXTURE files are written
+    by the DRIVER to a deterministic per-(sf,session) temp dir —
+    ≤ BINARY_INGEST_MAX_ID tiny files, metadata-scale setup work.
+    The earlier executor-side writer put files on each WORKER's local
+    /tmp, which only coincides with the driver's listing in local
+    mode — on yarn/k8s the scan would find nothing (and every
+    invocation leaked a fresh dir; this one is reused). What's under
+    test is the DISTRIBUTED half: binaryFile listing/scan, the doc id
+    carried in the FILE NAME and recovered by regexp on the ``path``
+    column (the standard id-from-path convention for blob ingestion),
+    and the real marker-walk decode of the scanned ``content`` bytes.
+    The oracle recomputes every field from the doc_id formulas, so a
+    value match proves listing, scan, filename round-trip, AND codec
+    at once. On a real deployment the fixture corresponds to blobs
+    already ON shared storage — no write step at all."""
     import os
     import tempfile
 
@@ -910,22 +928,17 @@ def m_binary_ingest(spark, sf_dir):
         read_binary_files,
     )
 
-    out = tempfile.mkdtemp(prefix="m_binary_ingest_")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"m_binary_ingest_{os.path.basename(sf_dir)}_{spark.sparkContext.applicationId}",
+    )
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < BINARY_INGEST_MAX_ID)
-
-    def write_files(batches):
-        import pandas as _pd
-
-        for pdf in batches:
-            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
-                fp = os.path.join(out, f"doc_{int(did):08d}.jpg")
-                with open(fp, "wb") as f:
-                    f.write(bytes(payload))
-            yield _pd.DataFrame({"n": [len(pdf)]})
-
-    mm.attach_jpeg_payload(docs).mapInPandas(write_files, "n int").agg(
-        F.sum("n")
-    ).collect()
+    if not os.path.isdir(out) or len(os.listdir(out)) == 0:
+        os.makedirs(out, exist_ok=True)
+        rows = mm.attach_jpeg_payload(docs).collect()
+        for r in rows:
+            with open(os.path.join(out, f"doc_{int(r.doc_id):08d}.jpg"), "wb") as f:
+                f.write(bytes(r.payload))
     media = read_binary_files(spark, out, "*.jpg").select(
         F.regexp_extract(F.col("path"), r"doc_(\d+)\.jpg$", 1)
         .cast("bigint")

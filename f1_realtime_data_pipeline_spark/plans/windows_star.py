@@ -274,11 +274,18 @@ JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
 )
 
 def w_funnel(spark, sf_dir):
-    """Ordered conversion funnel signup → click → purchase: a user
-    counts at each stage only if the stage events happen in order
-    (first signup <= first subsequent click <= first subsequent
-    purchase). One pivot of min-timestamps per user (single shuffle),
-    stage predicates as conditional counts."""
+    """FIRST-TOUCH conversion funnel signup → click → purchase: a
+    user advances a stage when their GLOBAL first event of that type
+    falls at-or-after the previous stage's first event (min-timestamp
+    pivot per user — one shuffle, stage predicates as conditional
+    counts). Note the semantics precisely (r6 review): a user whose
+    first click precedes signup does NOT count at stage 2 even if
+    they click again later — the strict "first event AFTER the
+    previous stage" variant needs a per-user conditional min (min ts
+    among events later than t_signup), which is a second pivot over
+    the same single shuffle; this registered form is the common
+    cheap first-touch approximation, and the oracle implements the
+    identical expression."""
     ev = read_events(spark, sf_dir)
     per_user = (
         ev.filter(F.col("event_type").isin("signup", "click", "purchase"))
@@ -363,7 +370,16 @@ def w_lateness_audit(spark, sf_dir):
     (the generator emits in arrival order), an event is late when its
     event time sits more than the delay behind the running max event
     time at its arrival. The observability query you run BEFORE
-    choosing a watermark delay (T6) — per-type late counts + share."""
+    choosing a watermark delay (T6) — per-type late counts + share.
+
+    Scale caveat (r6 review): the running max is a GLOBAL-order
+    window — a sequential prefix scan, single task by construction.
+    Exact at audit scale (this is a diagnostic run on a sample or a
+    bounded slice); the 100 TB form partitions the prefix max by
+    arrival shard ((event_id DIV chunk) buckets, per-bucket max +
+    a carried-forward per-bucket offset — the t_shuffle_order
+    composition), planned for the r7 window alongside the other
+    plan-shape rotations."""
     ev = read_events(spark, sf_dir)
     w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     with_wm = ev.select(

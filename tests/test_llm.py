@@ -956,3 +956,23 @@ def test_binary_file_ingestion_to_decode(spark, tmp_path):
             name = r.path.rsplit("/", 1)[-1]
             assert r.length == len(r.content)
             assert mm.decode_image(bytes(r.content)) == want[name]
+
+
+def test_neardup_fixture_id_space_disjoint(spark):
+    """The planted-copy fixture's ids are base+offset; the disjointness
+    the detectors rely on holds only while max(vec_id) < the smaller
+    offset. Pin that bound against every generated SF dir (r6 review:
+    the assumption was previously documented nowhere and asserted
+    never)."""
+    from pyspark.sql import functions as F
+
+    from f1_realtime_data_pipeline_spark.plans import llm_star as ls
+
+    min_off = min(ls._PLANT_OFF1, ls._PLANT_OFF2)
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        mx = (
+            spark.read.parquet(f"/root/testdata/{sf}/embeddings.parquet")
+            .agg(F.max("vec_id"))
+            .collect()[0][0]
+        )
+        assert mx < min_off, (sf, mx, min_off)
