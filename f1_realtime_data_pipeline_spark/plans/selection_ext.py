@@ -596,3 +596,204 @@ SELECT n_true.query_id,
            AS recall_ppm
 FROM n_true LEFT JOIN n_hit ON n_hit.query_id = n_true.query_id""",
 )
+
+
+# ---------------------------------------------------------------------------
+# watermark-lateness CDF, distributed prefix-max
+#
+# w_lateness_audit computes one delay with a GLOBAL-order running max
+# (single sequential task — fine for a sampled diagnostic, documented
+# there). This is the production form of the same audit, generalized
+# to a CURVE over candidate delays: the running max decomposes into
+# a per-chunk window (every partition ≤ CHUNK rows) plus a prefix max
+# over the CHUNK-level relation (N/CHUNK rows — domain-sized, the
+# p_skew_profile allowlisted class) broadcast back. Values are
+# IDENTICAL to the global form — the DuckDB oracle deliberately uses
+# the plain global window, so a hash match proves the decomposition.
+# ---------------------------------------------------------------------------
+
+WM_CHUNK = 1024
+WM_DELAYS_MIN = (5, 15, 30, 60)
+
+
+def w_watermark_curve(spark, sf_dir):
+    """Late-event share per candidate watermark delay (5/15/30/60 min)
+    per event type — the table you read before choosing the delay."""
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "ts")
+    ev = ev.withColumn("chunk", F.expr(f"event_id DIV {WM_CHUNK}"))
+    w_in = (
+        Window.partitionBy("chunk")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = ev.withColumn("within_max", F.max("ts").over(w_in))
+    chunk_max = ev.groupBy("chunk").agg(F.max("ts").alias("cmax"))
+    w_pref = Window.orderBy("chunk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prev = chunk_max.select(
+        "chunk", F.max("cmax").over(w_pref).alias("prev_max")
+    )
+    run = within.join(F.broadcast(prev), "chunk").withColumn(
+        "run_max",
+        F.when(
+            F.col("prev_max").isNull() | (F.col("within_max") >= F.col("prev_max")),
+            F.col("within_max"),
+        ).otherwise(F.col("prev_max")),
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_events")]
+    for m in WM_DELAYS_MIN:
+        late = F.col("ts") < F.expr(f"run_max - INTERVAL {m} MINUTES")
+        aggs.append(F.sum(late.cast("int")).cast("bigint").alias(f"n_late_{m}m"))
+    return run.groupBy("event_type").agg(*aggs)
+
+
+_register(
+    "w_watermark_curve",
+    w_watermark_curve,
+    f"""WITH with_wm AS (
+  SELECT event_type, ts,
+         MAX(ts) OVER (ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS run_max
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {", ".join(f'''CAST(SUM(CASE WHEN ts < run_max - INTERVAL {m} MINUTE
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_late_{m}m''' for m in WM_DELAYS_MIN)}
+FROM with_wm
+GROUP BY event_type""",
+)
+
+
+# ---------------------------------------------------------------------------
+# LSH band-tuning curve
+#
+# The S-curve knob every MinHash-LSH deployment sets: over the SAME
+# 16-permutation signatures, each (bands × rows-per-band) factoring
+# trades precision for recall (collision prob = 1-(1-j^r)^b). This
+# measures the real knob consequence on the actual corpus: candidate
+# pair volume per config — the number that decides verify-stage cost.
+# One signature build (shared CTE / one Spark relation), then a
+# band-bucket self-join per config; nothing all-pairs.
+# ---------------------------------------------------------------------------
+
+LSH_TUNE_CONFIGS = ((16, 1), (8, 2), (4, 4), (2, 8))
+
+
+def d_lsh_tuning_curve(spark, sf_dir):
+    """Candidate-pair count per LSH band configuration over the
+    shared MinHash signatures."""
+    sigs = dd.minhash_signatures(_docs(spark, sf_dir))
+    sigs.persist()
+    parts = []
+    for b, r in LSH_TUNE_CONFIGS:
+        band_cols = []
+        for band in range(b):
+            members = [F.col(f"mh{band * r + j}") for j in range(r)]
+            band_cols.append(
+                F.concat_ws("_", *[m.cast("string") for m in members])
+            )
+        bands = sigs.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band_idx"),
+                            band_cols[i].alias("sig"),
+                        )
+                        for i in range(b)
+                    ]
+                )
+            ).alias("bd"),
+        ).select(
+            "doc_id",
+            F.col("bd.band_idx").alias("band_idx"),
+            F.col("bd.sig").alias("sig"),
+        )
+        n = (
+            bands.alias("x")
+            .join(bands.alias("y"), ["band_idx", "sig"])
+            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(F.col("x.doc_id"), F.col("y.doc_id"))
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+            .select(
+                F.lit(b).cast("int").alias("bands"),
+                F.lit(r).cast("int").alias("rows_per_band"),
+                "n_candidates",
+            )
+        )
+        parts.append(n)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _lsh_tuning_sql() -> str:
+    selects = []
+    for b, r in LSH_TUNE_CONFIGS:
+        band_exprs = []
+        for band in range(b):
+            parts = " || '_' || ".join(
+                f"CAST(mh{band * r + j} AS VARCHAR)" for j in range(r)
+            )
+            band_exprs.append(
+                f"SELECT doc_id, {band} AS band_idx, {parts} AS sig FROM sigs"
+            )
+        bands_union = "\n    UNION ALL\n    ".join(band_exprs)
+        selects.append(
+            f"""SELECT CAST({b} AS INT) AS bands, CAST({r} AS INT) AS rows_per_band,
+       CAST((SELECT COUNT(*) FROM (
+         SELECT DISTINCT x.doc_id AS a, y.doc_id AS b2
+         FROM ({bands_union}) x
+         JOIN ({bands_union}) y
+           ON x.band_idx = y.band_idx AND x.sig = y.sig
+          AND x.doc_id < y.doc_id
+       )) AS BIGINT) AS n_candidates"""
+        )
+    return (
+        f"WITH {dd._minhash_sig_sql()}\n" + "\nUNION ALL\n".join(selects)
+    )
+
+
+_register("d_lsh_tuning_curve", d_lsh_tuning_curve, _lsh_tuning_sql())
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster accounting
+# ---------------------------------------------------------------------------
+
+
+def d_cluster_stats(spark, sf_dir):
+    """Cluster-size distribution of the near-dup connected components
+    — the dedup-rate accounting a corpus release reports (how many
+    pairs, triples, ... of near-copies exist; docs kept = one per
+    cluster). Composition over d_dup_clusters' output: one extra
+    domain-sized groupBy pair."""
+    clusters = dd.dup_clusters(_docs(spark, sf_dir))
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+        .select(F.col("cluster_size").cast("int").alias("cluster_size"), "n_clusters")
+    )
+
+
+_register(
+    "d_cluster_stats",
+    d_cluster_stats,
+    f"""WITH clusters AS (
+  {dd.dup_clusters_sql()}
+), sizes AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size FROM clusters GROUP BY cluster_id
+)
+SELECT CAST(cluster_size AS INT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY cluster_size""",
+)

@@ -156,3 +156,41 @@ def test_decoders_raise_value_error_on_short_headers():
             mm.decode_image(blob)
     with pytest.raises(ValueError):
         mm.decode_bmp_ahash(b"BM" + b"\x00" * 10)
+
+
+def test_watermark_curve_matches_single_window_form(spark, sf_dir):
+    # the distributed prefix-max must reproduce the global-window
+    # audit exactly (same 30m delay, same per-type counts)
+    from f1_realtime_data_pipeline_spark.plans import windows_star as ws
+
+    curve = {r.event_type: r for r in sel.w_watermark_curve(spark, sf_dir).collect()}
+    audit = {r.event_type: r for r in ws.w_lateness_audit(spark, sf_dir).collect()}
+    assert set(curve) == set(audit)
+    for t, a in audit.items():
+        assert curve[t].n_events == a.n_events
+        assert curve[t].n_late_30m == a.n_late
+    # monotone in the delay: a longer grace period never flags more
+    for r in curve.values():
+        assert r.n_late_5m >= r.n_late_15m >= r.n_late_30m >= r.n_late_60m
+
+
+def test_lsh_tuning_curve_monotone_in_bands(spark, sf_dir):
+    # more bands with fewer rows per band = more permissive buckets =
+    # at least as many candidates (the S-curve direction)
+    rows = {
+        (r.bands, r.rows_per_band): r.n_candidates
+        for r in sel.d_lsh_tuning_curve(spark, sf_dir).collect()
+    }
+    assert set(rows) == set(sel.LSH_TUNE_CONFIGS)
+    assert rows[(16, 1)] >= rows[(8, 2)] >= rows[(4, 4)] >= rows[(2, 8)]
+
+
+def test_cluster_stats_accounting(spark, sf_dir):
+    from f1_realtime_data_pipeline_spark.operators import dedup as dd
+
+    stats = sel.d_cluster_stats(spark, sf_dir).collect()
+    n_docs_in_clusters = sum(r.cluster_size * r.n_clusters for r in stats)
+    assert n_docs_in_clusters == dd.dup_clusters(
+        sel._docs(spark, sf_dir)
+    ).count()
+    assert all(r.cluster_size >= 2 or r.n_clusters >= 0 for r in stats)
