@@ -785,6 +785,175 @@ def d_cluster_stats(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF probe-tuning curve (the nprobe twin of the LSH band curve)
+#
+# candidates ≈ nprobe/C of the corpus per query; recall climbs with
+# nprobe. This measures both on the actual corpus against the exact
+# brute-force truth — the (recall, verify-cost) table that picks
+# nprobe for a deployment. One cell-assignment build; per-config
+# bounded probe joins; nothing all-pairs beyond the 16-query truth.
+# ---------------------------------------------------------------------------
+
+IVF_TUNE_NPROBES = (1, 2, 4)
+IVF_TUNE_QUERIES = 16
+IVF_TUNE_K = 5
+
+
+def e_ivf_probe_curve(spark, sf_dir):
+    """(nprobe, n_candidates, n_hits, recall_ppm) per probe width."""
+    embs = _embs(spark, sf_dir)
+    u = sim._unit_vectors(embs, "vec_id", "embedding")
+    cents = sim._seed_centroids(u, None)
+    scored = u.crossJoin(F.broadcast(cents)).withColumn(
+        "aff", sim.dot(F.col("uv"), F.col("cv"))
+    )
+    w_assign = Window.partitionBy("vid").orderBy(
+        F.col("aff").desc(), F.col("cell").asc()
+    )
+    ranked = scored.withColumn("__rn", F.row_number().over(w_assign)).select(
+        "vid", "cell", "__rn"
+    )
+    assignments = ranked.filter(F.col("__rn") == 1).select(
+        F.col("vid").alias("neighbor_id"), "cell"
+    )
+    truth = sim.knn_bruteforce(
+        embs, n_queries=IVF_TUNE_QUERIES, k=IVF_TUNE_K
+    ).select("query_id", "neighbor_id")
+    n_true = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+    parts = []
+    for np_ in IVF_TUNE_NPROBES:
+        probes = ranked.filter(
+            (F.col("vid") < IVF_TUNE_QUERIES) & (F.col("__rn") <= np_)
+        ).select(F.col("vid").alias("query_id"), "cell")
+        cand = (
+            probes.join(assignments, "cell")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+            .distinct()
+        )
+        n_cand = cand.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+        )
+        n_hit = truth.join(cand, ["query_id", "neighbor_id"], "left_semi").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hits")
+        )
+        parts.append(
+            n_cand.crossJoin(n_hit)
+            .crossJoin(n_true)
+            .select(
+                F.lit(np_).cast("int").alias("nprobe"),
+                "n_candidates",
+                "n_hits",
+                F.expr("CAST((n_hits * 1000000) DIV n_true AS BIGINT)").alias(
+                    "recall_ppm"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _ivf_probe_curve_sql() -> str:
+    selects = []
+    for np_ in IVF_TUNE_NPROBES:
+        selects.append(
+            f"""SELECT CAST({np_} AS INT) AS nprobe,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+          SELECT DISTINCT p.query_id, a.neighbor_id
+          FROM (SELECT vec_id AS query_id, cell FROM ranked
+                WHERE vec_id < {IVF_TUNE_QUERIES} AND rn <= {np_}) p
+          JOIN assignments a USING (cell)
+          WHERE p.query_id <> a.neighbor_id)) AS n_candidates,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t
+        WHERE EXISTS (
+          SELECT 1
+          FROM (SELECT vec_id AS query_id, cell FROM ranked
+                WHERE vec_id < {IVF_TUNE_QUERIES} AND rn <= {np_}) p
+          JOIN assignments a USING (cell)
+          WHERE p.query_id = t.query_id
+            AND a.neighbor_id = t.neighbor_id)) AS n_hits,
+       (SELECT CAST(((SELECT COUNT(*) FROM truth t
+        WHERE EXISTS (
+          SELECT 1
+          FROM (SELECT vec_id AS query_id, cell FROM ranked
+                WHERE vec_id < {IVF_TUNE_QUERIES} AND rn <= {np_}) p
+          JOIN assignments a USING (cell)
+          WHERE p.query_id = t.query_id
+            AND a.neighbor_id = t.neighbor_id)) * 1000000)
+          // (SELECT COUNT(*) FROM truth) AS BIGINT)) AS recall_ppm"""
+        )
+    return f"""WITH {sim._unit_sql()}, cents AS (
+  SELECT vec_id AS cell, uv AS cv FROM unitv
+  WHERE vec_id < {sim._seed_pred_sql(None)}
+), ranked AS (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY aff DESC, cell ASC) AS rn
+  FROM (
+    SELECT u.vec_id, c.cell, {sim.dot_sql("u.uv", "c.cv")} AS aff
+    FROM unitv u CROSS JOIN cents c
+  )
+), assignments AS (
+  SELECT vec_id AS neighbor_id, cell FROM ranked WHERE rn = 1
+), truth AS (
+  SELECT query_id, neighbor_id
+  FROM ({sim.knn_bruteforce_sql(IVF_TUNE_QUERIES, IVF_TUNE_K)})
+)
+{chr(10).join(s if i == 0 else "UNION ALL" + chr(10) + s for i, s in enumerate(selects))}"""
+
+
+_register("e_ivf_probe_curve", e_ivf_probe_curve, _ivf_probe_curve_sql())
+
+
+# ---------------------------------------------------------------------------
+# image dedup BY perceptual hash (completes the m_image_ahash story)
+# ---------------------------------------------------------------------------
+
+
+def m_dedup_by_ahash(spark, sf_dir):
+    """Image dedup decision over the perceptual signatures: one
+    canonical keeper (min doc_id) per (width, height, ahash) group.
+    Min-aggregate + broadcast-back, NEVER a window partitioned by the
+    signature — boilerplate imagery makes signature groups hot
+    exactly like boilerplate spans (the span-dedup two-path lesson),
+    and the aggregate path is flat for any group size."""
+    from f1_realtime_data_pipeline_spark.operators import multimodal as mm
+
+    sig = mm.decode_image_ahash(mm.attach_gray_payload(_docs(spark, sf_dir)))
+    keepers = sig.groupBy("width", "height", "ahash").agg(
+        F.min("doc_id").alias("keeper")
+    )
+    return (
+        sig.join(keepers, ["width", "height", "ahash"])
+        .select(
+            "doc_id",
+            "keeper",
+            (F.col("doc_id") == F.col("keeper")).alias("is_canonical"),
+        )
+    )
+
+
+def _dedup_by_ahash_sql() -> str:
+    from f1_realtime_data_pipeline_spark.plans import llm_star as lstar
+
+    return f"""WITH sig AS (
+  {lstar.ORACLE["m_image_ahash"]}
+), keepers AS (
+  SELECT width, height, ahash, MIN(doc_id) AS keeper
+  FROM sig GROUP BY width, height, ahash
+)
+SELECT s.doc_id, k.keeper, (s.doc_id = k.keeper) AS is_canonical
+FROM sig s
+JOIN keepers k
+  ON s.width = k.width AND s.height = k.height AND s.ahash = k.ahash"""
+
+
+_register("m_dedup_by_ahash", m_dedup_by_ahash, _dedup_by_ahash_sql())
+
+
 _register(
     "d_cluster_stats",
     d_cluster_stats,

@@ -194,3 +194,26 @@ def test_cluster_stats_accounting(spark, sf_dir):
         sel._docs(spark, sf_dir)
     ).count()
     assert all(r.cluster_size >= 2 or r.n_clusters >= 0 for r in stats)
+
+
+def test_ivf_probe_curve_monotone(spark, sf_dir):
+    rows = {r.nprobe: r for r in sel.e_ivf_probe_curve(spark, sf_dir).collect()}
+    assert set(rows) == set(sel.IVF_TUNE_NPROBES)
+    # widening the probe only adds candidates and hits
+    for a, b in zip(sorted(rows), sorted(rows)[1:]):
+        assert rows[b].n_candidates >= rows[a].n_candidates
+        assert rows[b].n_hits >= rows[a].n_hits
+        assert rows[b].recall_ppm >= rows[a].recall_ppm
+    for r in rows.values():
+        assert 0 <= r.recall_ppm <= 1_000_000
+
+
+def test_dedup_by_ahash_groups(spark, sf_dir):
+    out = sel.m_dedup_by_ahash(spark, sf_dir).collect()
+    by_group: dict = {}
+    for r in out:
+        by_group.setdefault(r.keeper, []).append(r)
+    for keeper, rows in by_group.items():
+        canon = [r for r in rows if r.is_canonical]
+        assert len(canon) == 1 and canon[0].doc_id == keeper
+        assert all(r.doc_id >= keeper for r in rows)
