@@ -358,20 +358,36 @@ def q1_standings_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         transactional_agg_sink,
     )
 
-    base = tempfile.mkdtemp(prefix="q1mv_")
+    import os
+
+    # deterministic per-(sf, session) working dir, REUSED across
+    # invocations (r6 review fix — a fresh mkdtemp per run leaked the
+    # serialized fact + MV + two checkpoints every oracle pass). A
+    # prior run's MV/checkpoints are torn down so the replay-twice
+    # exactly-once proof runs fresh each invocation; the serialized
+    # fact is reused when present.
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"q1mv_{os.path.basename(sf_dir)}_{spark.sparkContext.applicationId}",
+    )
     src, mv = f"{base}/src", f"{base}/mv"
+    import shutil
+
+    for sub in ("mv", "ckpt", "ckpt_replay"):
+        shutil.rmtree(f"{base}/{sub}", ignore_errors=True)
     # 1. the fact as reference-shaped JSON messages (driver_number is
     # TEXT on the wire, §3.4; null position is simply absent and
     # from_json restores it)
-    race_fact(spark, sf_dir).select(
-        F.to_json(
-            F.struct(
-                F.col("grand_prix"),
-                F.col("driver_number").cast("string").alias("driver_number"),
-                F.col("position"),
-            )
-        ).alias("value")
-    ).coalesce(2).write.text(src)
+    if not os.path.isdir(src):
+        race_fact(spark, sf_dir).select(
+            F.to_json(
+                F.struct(
+                    F.col("grand_prix"),
+                    F.col("driver_number").cast("string").alias("driver_number"),
+                    F.col("position"),
+                )
+            ).alias("value")
+        ).coalesce(2).write.text(src)
 
     def run_pipeline(checkpoint: str) -> None:
         raw = (

@@ -93,9 +93,15 @@ def _create_exclusive(spark: SparkSession, path_str: str, text: str) -> bool:
     from py4j.protocol import Py4JJavaError
 
     fs, p = fs_for(spark, path_str)
-    uri = p.toUri()
     tmp_name = f".tmp-{p.getName()}-{uuid4().hex[:8]}"
-    if uri.getScheme() in (None, "file"):
+    # dispatch on the RESOLVED filesystem's scheme, not the raw URI's
+    # (r6 review fix): a scheme-less path on a cluster resolves
+    # against fs.defaultFS (e.g. HDFS) — the raw-URI test would take
+    # the os.link branch, "commit" to the DRIVER'S local disk, and
+    # every reader (which lists through the resolved FileSystem)
+    # would silently never see the manifest.
+    if fs.getScheme() == "file":
+        uri = fs.makeQualified(p).toUri()
         import os as _os
 
         local = uri.getPath()
@@ -140,6 +146,33 @@ def _create_exclusive(spark: SparkSession, path_str: str, text: str) -> bool:
         if "FileAlreadyExists" in java_cls or "PathExists" in java_cls:
             return False
         raise
+
+
+#: hash-bucket partition column shared by the sink family's layouts
+BUCKET_COL = "__kb"
+
+
+def bucket_entries(
+    spark: SparkSession, table_path: str, rel: str, bucket_col: str = BUCKET_COL
+) -> list[dict[str, Any]]:
+    """Manifest entries for a just-written partitioned data dir: one
+    entry per ``<bucket_col>=<bucket>`` subdir, path-sorted. The
+    single definition of the enumeration every committer performs
+    (sink epochs, MERGE/DELETE rewrites, compaction) so a layout
+    change cannot silently drift between them (r6 review — this
+    lived in streaming.sinks and compaction had re-inlined it)."""
+    fs, d = fs_for(spark, f"{table_path}/{rel}")
+    return sorted(
+        (
+            {
+                "path": f"{rel}/{name}",
+                "bucket": int(name.split("=", 1)[1]),
+            }
+            for st in fs.listStatus(d)
+            if (name := st.getPath().getName()).startswith(f"{bucket_col}=")
+        ),
+        key=lambda e: e["path"],
+    )
 
 
 def snapshot_versions(spark: SparkSession, table_path: str) -> list[int]:
@@ -274,6 +307,12 @@ def _stat_overlaps(entry: dict[str, Any], where: dict[str, tuple]) -> bool:
         rng = stats.get(col)
         if rng is None:
             continue
+        # normalize the caller's bounds exactly like the stored stats
+        # (r6 review fix): a datetime bound against an ISO-string stat
+        # would TypeError mid-read; jsonable_stat puts both sides in
+        # the same order-preserving domain
+        lo = jsonable_stat(lo)
+        hi = jsonable_stat(hi)
         e_lo, e_hi = rng
         if (hi is not None and e_lo is not None and e_lo > hi) or (
             lo is not None and e_hi is not None and e_hi < lo
@@ -311,7 +350,7 @@ def read_snapshot(
     requested range are never listed or read — metadata pruning is a
     NECESSARY filter, not sufficient, so apply the real predicate to
     the returned frame too (exactly the lakehouse contract)."""
-    _, entries, schema = resolve_snapshot_full(spark, table_path, version)
+    v, entries, schema = resolve_snapshot_full(spark, table_path, version)
     want = None if buckets is None else set(buckets)
     paths = [
         f"{table_path}/{e['path']}"
@@ -320,6 +359,18 @@ def read_snapshot(
         and (where is None or _stat_overlaps(e, where))
     ]
     if not paths:
+        # a COMMITTED empty snapshot (e.g. a delete-all: v+1 with
+        # entries=[]) is a valid zero-row table, not a missing one —
+        # return an empty frame with the committed schema so serving
+        # queries don't crash on a legitimately empty table (r6
+        # review fix). None remains the never-committed/schema-less
+        # signal. Bucket/where pruning to zero also lands here: an
+        # empty frame is the correct pruned result when the table has
+        # a schema to shape it.
+        if v > 0 and schema is not None:
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame([], StructType.fromJson(schema))
         return None
     reader = spark.read
     if schema is not None:
@@ -542,7 +593,6 @@ def compact_snapshot(spark: SparkSession, table_path: str) -> int:
     merged.repartition(len(multi), "__kb").write.partitionBy("__kb").parquet(
         f"{table_path}/{compact_rel}"
     )
-    fs, cdir = fs_for(spark, f"{table_path}/{compact_rel}")
     # the compacted bucket's data-skipping stats are the EXACT merge
     # of its source entries' stats (lo = min of los, hi = max of his)
     # — pure metadata, no data rescan. A column is carried only when
@@ -564,18 +614,10 @@ def compact_snapshot(spark: SparkSession, table_path: str) -> int:
             st_b[c] = [min(los), max(his)]
         if st_b:
             merged_stats[b] = st_b
-    new_entries = sorted(
-        (
-            {
-                "path": f"{compact_rel}/{name}",
-                "bucket": (b := int(name.split("=", 1)[1])),
-                **({"stats": merged_stats[b]} if b in merged_stats else {}),
-            }
-            for st in fs.listStatus(cdir)
-            if (name := st.getPath().getName()).startswith("__kb=")
-        ),
-        key=lambda e: e["path"],
-    )
+    new_entries = [
+        {**e, **({"stats": merged_stats[e["bucket"]]} if e["bucket"] in merged_stats else {})}
+        for e in bucket_entries(spark, table_path, compact_rel)
+    ]
     if not commit_snapshot(
         spark, table_path, version + 1, sorted(
             keep + new_entries, key=lambda e: e["path"]

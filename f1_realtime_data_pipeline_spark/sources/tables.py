@@ -102,11 +102,19 @@ def drop_all_user_tables(spark: SparkSession, database: str | None = None) -> li
 
 
 def _walk_plan(node):
-    """Depth-first walk of a Catalyst TreeNode via py4j."""
+    """Depth-first walk of a Catalyst TreeNode via py4j — INCLUDING
+    plans embedded in subquery EXPRESSIONS (scalar subqueries,
+    IN/EXISTS): those live in the expression tree, not ``children()``,
+    and a walk that skips them misses e.g. the ``t`` in
+    ``SELECT (SELECT COUNT(*) FROM t)`` (r6 review fix — drop_cascade
+    left such views dangling, the failure it exists to prevent)."""
     yield node
     children = node.children()
     for i in range(children.size()):
         yield from _walk_plan(children.apply(i))
+    subs = node.subqueries()
+    for i in range(subs.size()):
+        yield from _walk_plan(subs.apply(i))
 
 
 def _norm_ident(ident: str) -> str:

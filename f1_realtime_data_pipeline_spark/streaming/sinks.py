@@ -83,23 +83,10 @@ def _resolved_bucketing(
 
 
 def _bucket_entries(spark, sink_path: str, rel: str) -> list[dict]:
-    """Manifest entries for a just-written partitioned data dir: one
-    entry per ``__kb=<bucket>`` subdir, path-sorted — the enumeration
-    every sink commit performs, defined once so a layout change (an
-    extra partition level, a renamed bucket column) cannot silently
-    drift between the sink family's four writers."""
-    fs, d = manifest.fs_for(spark, f"{sink_path}/{rel}")
-    return sorted(
-        (
-            {
-                "path": f"{rel}/{name}",
-                "bucket": int(name.split("=", 1)[1]),
-            }
-            for st in fs.listStatus(d)
-            if (name := st.getPath().getName()).startswith(f"{_BUCKET_COL}=")
-        ),
-        key=lambda e: e["path"],
-    )
+    """Entry enumeration for a just-written data dir — delegates to
+    :func:`manifest.bucket_entries`, the single definition shared
+    with compaction (r6 review: compaction had re-inlined it)."""
+    return manifest.bucket_entries(spark, sink_path, rel, _BUCKET_COL)
 
 
 def _resolve_order(df: DataFrame, keys: Sequence[str], order_cols) -> list:

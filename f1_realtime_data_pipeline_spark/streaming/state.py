@@ -208,5 +208,9 @@ def streaming_first_seen_dedup_tws(
         statefulProcessor=FirstSeenDedupProcessor(ttl_ms),
         outputStructType=DEDUP_OUTPUT_SCHEMA,
         outputMode="Append",
-        timeMode="None",
+        # TTL'd state REQUIRES a clock (r6 review fix): Spark rejects
+        # ttlDurationMs under timeMode="None" at query start
+        # (STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL), so
+        # the documented ttl_ms knob was unusable on this path
+        timeMode="None" if ttl_ms is None else "ProcessingTime",
     )

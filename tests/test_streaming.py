@@ -998,8 +998,12 @@ def test_sink_stats_data_skipping(spark, tmp_path):
     want = {r.k for r in full.filter(F.col("score") >= 500).collect()}
     assert got == want and len(want) == 200
 
-    # a range nothing satisfies prunes EVERYTHING (None frame)
-    assert mf.read_snapshot(spark, sink, where={"score": (10_000, None)}) is None
+    # a range nothing satisfies prunes EVERYTHING — on a committed
+    # table that is an EMPTY frame with the committed schema (r6:
+    # None is reserved for never-committed/schema-less tables)
+    nothing = mf.read_snapshot(spark, sink, where={"score": (10_000, None)})
+    assert nothing is not None and nothing.count() == 0
+    assert set(nothing.columns) >= {"k", "score"}
 
 
 def test_agg_sink_ledger_survives_compaction(spark, tmp_path):
@@ -1290,3 +1294,23 @@ def test_plain_sink_records_bucket_layout(spark, tmpdirs):
     out = spark.read.parquet(sink)
     assert out.count() == 40  # no duplicates: recorded layout won
     assert out.select("k").distinct().count() == 40
+
+
+def test_delete_all_leaves_readable_empty_table(spark, tmp_path):
+    """r6 review fix: deleting every row commits a valid EMPTY
+    snapshot; serving reads return zero rows with the committed
+    schema instead of raising 'no committed snapshot'."""
+    from f1_realtime_data_pipeline_spark.streaming.sinks import (
+        read_sink_snapshot,
+        transactional_delete,
+        transactional_parquet_sink,
+    )
+
+    sink = str(tmp_path / "txn_delete_all")
+    write = transactional_parquet_sink(sink, keys=["k"], order_cols=["v"])
+    batch = spark.createDataFrame([(i, f"v{i}") for i in range(10)], ["k", "v"])
+    write(batch, 0)
+    transactional_delete(batch.select("k"), sink, keys=["k"])
+    out = read_sink_snapshot(spark, sink)
+    assert out.count() == 0
+    assert set(out.columns) >= {"k", "v"}
