@@ -120,12 +120,21 @@ _WINDOW_HEAD = [
     # plans+oracles — they take the remaining window slots; the r2
     # windows_star backfill rotates into round 7 instead.
     # DEFERRED to round 7 (window at capacity — an r6 edit would leave
-    # the query driver-unverified): t_quality_gopher's zero-token edge
-    # (Spark drops the doc via x/0→NULL + inner join; the DuckDB
+    # the query driver-unverified): (a) t_quality_gopher's zero-token
+    # edge (Spark drops the doc via x/0→NULL + inner join; the DuckDB
     # twin's list_reduce over an empty list errors) — fix by emitting
-    # keep=false rows for empty docs in both engines, then rotate
-    # t_quality_gopher + pipeline_corpus_v2 into the r7 window head
-    # alongside the windows_star backfill.
+    # keep=false rows for empty docs in both engines; (b) the LSH
+    # hyperplane generator's plane-correlated stride (functions/
+    # vector.py:hyperplane — measured 1.4× occupancy inflation at
+    # sf0.1; a per-plane stride rewrites ~12 LSH-family
+    # plans+oracles); (c) w_lateness_audit's bucketed prefix max
+    # (w_watermark_curve already registers the distributed form);
+    # (d) the q1 serving-assembly shared helper (q1_standings /
+    # q1_standings_mv duplicate the rollup+dim-join block). Rotate
+    # the touched queries into the r7 window head alongside the
+    # windows_star backfill and the 8 new late-r6 registrations
+    # (w_watermark_curve, d_lsh_tuning_curve, d_cluster_stats,
+    # e_ivf_probe_curve, m_dedup_by_ahash).
     "t_train_split",
     "t_stratified_sample",
     "t_pack_sequences_dist",

@@ -158,9 +158,14 @@ class F1Engine:
                 for f in self.drivers.schema.fields
             ]
         )
+        # hand the NEW engine the already-deduped fact (r6 review fix):
+        # passing _raw_results with dedup=False silently re-introduced
+        # duplicate result rows — every serving query on the returned
+        # engine would double-count points, the §3.4 hazard dedup=True
+        # exists to repair
         return F1Engine(
             self.spark,
-            self._raw_results,
+            self.results,
             upsert_last_wins(self.drivers, aligned, ["driver_number"]),
             dedup=False,
             season_total=self.season_total,
@@ -183,7 +188,16 @@ class F1Engine:
         per-driver running totals maintained exactly-once
         (transactional_agg_sink — replayed micro-batches cannot
         double-count, the §3.4 hazard the reference's append sink
-        carries). Read it any time with :meth:`points_view`."""
+        carries). Read it any time with :meth:`points_view`.
+
+        Two dedup layers compose here (r6 review fix): the ledger only
+        neutralizes REPLAYED micro-batches, not a duplicate result ROW
+        the at-least-once producer re-sends in a LATER batch — an
+        aggregate sink adds it again where the row sink's anti-join
+        would collide. The stream therefore passes through the
+        bounded-state key dedup (dropDuplicatesWithinWatermark on the
+        result key) BEFORE the aggregation, the standard MV-on-dirty-
+        stream composition."""
         from f1_realtime_data_pipeline_spark.streaming.pipeline import (
             raw_value_stream,
             transform_stream,
@@ -191,10 +205,17 @@ class F1Engine:
         from f1_realtime_data_pipeline_spark.streaming.sinks import (
             transactional_agg_sink,
         )
+        from f1_realtime_data_pipeline_spark.streaming.windows import (
+            dedup_within_watermark,
+        )
 
         raw = raw_value_stream(self.spark, source_dir, 1)
+        deduped = dedup_within_watermark(
+            transform_stream(raw, value_col="value"),
+            keys=["session_key", "driver_number"],
+        )
         return (
-            transform_stream(raw, value_col="value")
+            deduped
             .writeStream.outputMode("append")
             .foreachBatch(
                 transactional_agg_sink(
@@ -225,12 +246,28 @@ class F1Engine:
             transactional_delete,
         )
 
+        from f1_realtime_data_pipeline_spark.sources.manifest import (
+            resolve_snapshot,
+        )
+
+        pre_version = resolve_snapshot(self.spark, fact_table)[0]
         doomed = (
             read_sink_snapshot(self.spark, fact_table)
             .filter(F.col("driver_number").isin(driver_numbers))
             .select(*RESULT_KEYS)
         )
-        version = transactional_delete(doomed, fact_table, keys=RESULT_KEYS)
+        # OCC retries (r6 review fix): the facade advertises sharing
+        # the table with a live streaming writer, so a concurrent
+        # ingest commit must not fail the erasure — the loser
+        # re-derives from the winner's snapshot
+        version = transactional_delete(
+            doomed, fact_table, keys=RESULT_KEYS, max_commit_retries=3
+        )
+        if version == pre_version:
+            # no-op delete (no row matched): do NOT destroy the
+            # table's version history as a side effect of erasing
+            # nothing (r6 review fix)
+            return version
         # vacuum protects every RETAINED snapshot (r6 retention-true
         # semantics), so erasure must first expire the pre-delete
         # history — otherwise the doomed rows stay physically present

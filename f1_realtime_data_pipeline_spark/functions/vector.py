@@ -99,7 +99,21 @@ def hyperplane(p: int) -> list[float]:
     """Deterministic pseudo-random hyperplane ``p`` (Knuth mixing),
     h[i] in (-0.5, 0.5) — generated on demand so any plane count is
     available; embedded as literals in both the Spark plan and the
-    oracle SQL."""
+    oracle SQL.
+
+    Known limitation (r6 review): across planes these are PHASE
+    SHIFTS of one arithmetic progression mod 10007 (the i-stride
+    2654435761 mod 10007 is plane-independent), so sign bits are
+    correlated rather than independent and bucket occupancy is
+    somewhat skewed vs the uniform N/2^planes math the candidate
+    bounds assume. MEASURED at sf0.1 (2000 vectors, 9 derived
+    planes): 367/512 buckets used, mean occupancy 5.4 vs ideal 3.9
+    (1.4×), hottest bucket 66 — a bounded inflation, not a blow-up.
+    A per-plane stride (decorrelated bits) is queued for the round-7
+    verification window: the generator is embedded in every
+    LSH-family oracle (incl. the closed-form in-SQL generator of
+    e_knn_join_derived), so changing it rewrites ~12 registered
+    plans+oracles and their measured sweep curves in one step."""
     return [
         (((p * LSH_DIM + i) * 2654435761) % 10007) / 10007.0 - 0.5
         for i in range(LSH_DIM)

@@ -44,7 +44,7 @@ from f1_realtime_data_pipeline_spark.operators.sorts import (
     topk_per_group,
 )
 from f1_realtime_data_pipeline_spark.plans.contract_star import race_fact
-from f1_realtime_data_pipeline_spark.sources.parquet import read_events, read_table
+from f1_realtime_data_pipeline_spark.sources.parquet import read_table
 
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}

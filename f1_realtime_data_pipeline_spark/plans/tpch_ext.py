@@ -26,7 +26,6 @@ the form that stays shuffle-bounded at 100 TB.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from f1_realtime_data_pipeline_spark.operators.aggregations import (
     cents,

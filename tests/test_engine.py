@@ -86,13 +86,17 @@ def test_engine_lakehouse_points_view_and_upsert(spark, tmp_path):
     pv = eng.points_view(view).collect()
     assert pv[0].total_points == pv[0].total_points  # materialized
     got = {r.driver_number: r.total_points for r in pv}
-    # oracle: batch sum over the same transformed lines
+    # oracle: batch sum over the same transformed lines, KEY-DEDUPED
+    # first (r6 review fix: the MV now drops at-least-once duplicate
+    # result rows before aggregating — the fixture's replayed
+    # (s2, "1") message must count once, matching standings())
     from f1_realtime_data_pipeline_spark.streaming.pipeline import transform_stream
 
     raw = spark.createDataFrame([(v,) for v in lines], ["value"])
     want = {
         r.driver_number: r.pts
         for r in transform_stream(raw, value_col="value")
+        .dropDuplicates(["session_key", "driver_number"])
         .groupBy("driver_number")
         .agg(F.sum("points").alias("pts"))
         .collect()
@@ -281,3 +285,58 @@ def test_engine_results_changes_incremental(spark, tmp_path):
     got = {tuple(r[k] for k in RESULT_KEYS) for r in delta.collect()}
     assert got == expected
     assert eng.results_changes(fact_table, since_version=2) is None
+
+
+def test_upsert_drivers_keeps_fact_dedup(spark):
+    """r6 review fix: the engine returned by upsert_drivers must keep
+    serving the DEDUPED fact — passing the raw results back with
+    dedup=False silently re-introduced duplicate rows (double-counted
+    points, the §3.4 hazard)."""
+    results = fixtures.race_results(spark)
+    dup = results.unionAll(results.limit(3))  # plant 3 duplicate rows
+    eng = F1Engine(spark, dup, fixtures.drivers(spark))
+    before = {r.driver_number: r.points for r in eng.standings().collect()}
+    eng2 = eng.upsert_drivers(
+        spark.createDataFrame(
+            [("44", "Sir Lewis")], ["driver_number", "driver_name"]
+        )
+    )
+    after = {r.driver_number: r.points for r in eng2.standings().collect()}
+    assert after == before  # dim update must not change any points
+
+
+def test_erase_results_noop_preserves_history(spark, tmp_path):
+    """r6 review fix: erasing a driver with no rows must NOT expire
+    the table's version history as a side effect."""
+    from f1_realtime_data_pipeline_spark.sources import manifest as mf
+    from f1_realtime_data_pipeline_spark.streaming.pipeline import (
+        RESULT_KEYS,
+        transform_stream,
+    )
+    from f1_realtime_data_pipeline_spark.streaming.sinks import (
+        transactional_parquet_sink,
+    )
+
+    dim_path = str(tmp_path / "dim")
+    fixtures.drivers(spark).write.parquet(dim_path)
+    lines = [r.value for r in fixtures.raw_messages(spark).collect()]
+    fact_table = str(tmp_path / "fact_noop")
+    write = transactional_parquet_sink(
+        fact_table, RESULT_KEYS, order_cols=["date", "grand_prix"]
+    )
+    half = len(lines) // 2
+    write(transform_stream(
+        spark.createDataFrame([(v,) for v in lines[:half]], ["value"]),
+        value_col="value"), 0)
+    write(transform_stream(
+        spark.createDataFrame([(v,) for v in lines[half:]], ["value"]),
+        value_col="value"), 1)
+    history_before = mf.snapshot_versions(spark, fact_table)
+    assert len(history_before) == 2
+
+    eng = F1Engine.from_lakehouse(spark, fact_table, dim_path)
+    v = eng.erase_results(fact_table, ["no-such-driver"])
+    assert v == history_before[-1]  # no new version committed
+    # and crucially: history + time travel intact
+    assert mf.snapshot_versions(spark, fact_table) == history_before
+    assert mf.read_snapshot(spark, fact_table, version=1).count() > 0
