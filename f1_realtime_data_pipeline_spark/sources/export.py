@@ -1,9 +1,11 @@
 """Training-shard export — the write side of the corpus pipeline.
 
 A trainer consumes the prepared corpus as a fixed set of shard files
-with a deterministic doc→shard mapping (so a re-export after a
-pipeline fix replaces shards byte-compatibly and resumable loaders
-keep working). The assignment is a pure column expression
+with a deterministic doc→shard mapping AND within-shard order (so a
+re-export after a pipeline fix replaces each shard with the identical
+row sequence — resumable loaders keyed on (shard, row offset) keep
+working; physical file NAMES still carry fresh task UUIDs, as with
+any Spark write). The assignment is a pure column expression
 (:func:`shard_assign` — md5-keyed, engine-portable, oracle-checkable);
 the writer materializes it with one hash-partitioned write.
 """
@@ -50,15 +52,30 @@ def write_training_shards(
     the deterministic assignment. One hash shuffle on the shard key
     (repartition by the column so each shard is written by one task —
     files per shard stay bounded), then a partitioned write; a re-run
-    overwrites shard-for-shard with identical row sets.
+    overwrites shard-for-shard with identical row sets in identical
+    within-shard order.
+
+    r6 review fixes: the shard column is attached as a COLUMN
+    EXPRESSION (a self-join on doc_id re-scanned the corpus twice and
+    would fan out duplicate ids), and rows are sorted by doc_id
+    WITHIN each shard before the write — without the sort,
+    within-shard order follows input split order/executor count, so a
+    re-export produced different bytes per shard and a loader
+    resuming by (shard, row offset) — the stated contract — would
+    resume at the wrong documents.
 
     At 100 TB this is the terminal job of the prep pipeline; shard
-    boundaries never depend on input split order, executor count, or
-    partition layout — only on doc ids.
+    boundaries AND within-shard order never depend on input layout —
+    only on doc ids.
     """
-    assigned = docs.join(shard_assign(docs, n_shards), "doc_id")
+    shard = (
+        md5_id(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
+        % n_shards
+    ).cast("int")
     (
-        assigned.repartition(n_shards, "shard")
+        docs.withColumn("shard", shard)
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("doc_id")
         .write.partitionBy("shard")
         .mode("overwrite")
         .parquet(out_dir)

@@ -15,6 +15,9 @@ shared with the rest of the engine:
 - Both readers work unchanged under ``spark.readStream`` (pass
   ``streaming=True``) — file sources are Structured Streaming's
   replay-friendly source, which the tests use in place of a broker.
+  ``split_quarantine`` itself is BATCH-only (its one-scan trick needs
+  a cache a stream cannot have); a stream lands WITH the corrupt
+  column and splits from the landed table.
 """
 
 from __future__ import annotations
@@ -77,16 +80,30 @@ def read_jsonl(
 def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(good rows without the quarantine column, quarantined rows).
 
-    Spark refuses queries over raw JSON/CSV sources that reference
-    ONLY the corrupt-record column (QUERY_ONLY_CORRUPT_RECORD_COLUMN),
-    so the parsed frame is persisted once and both sides read the
-    cache — one scan total. At 100 TB the equivalent posture is to
-    land the parsed frame to parquet first (one pass) and split from
-    there; the restriction is raw-file-source-only.
+    BATCH inputs only (r6 review fix — a clear error instead of a
+    confusing planner crash): Spark refuses queries over raw JSON/CSV
+    sources that reference ONLY the corrupt-record column
+    (QUERY_ONLY_CORRUPT_RECORD_COLUMN), so the parsed frame is
+    persisted once and both sides read the cache — one scan total.
+    ``persist`` is undefined on a stream, so the streaming quarantine
+    posture is different: route the stream to the landing sink WITH
+    the corrupt column and split from the landed parquet (one pass —
+    the same advice as the 100 TB batch posture below), or filter
+    null required-fields inline like the admission pipeline does. At
+    100 TB the batch equivalent is likewise to land the parsed frame
+    to parquet first and split from there; the restriction is
+    raw-file-source-only.
     """
     from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
+    if df.isStreaming:
+        raise ValueError(
+            "split_quarantine is batch-only: a stream cannot cache the "
+            "parse (persist) and Spark disallows filtering the raw "
+            "corrupt-record column uncached — land the stream with the "
+            "corrupt column and split from the landed table instead"
+        )
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)

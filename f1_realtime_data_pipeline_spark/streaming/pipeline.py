@@ -39,9 +39,13 @@ def start_replay_pipeline(
     return (
         transformed.writeStream.outputMode("append")
         .foreachBatch(
-            idempotent_parquet_sink(
-                sink_path, RESULT_KEYS, order_cols=["date", "grand_prix"]
-            )
+            # order_cols=None → the sink orders by ALL non-key columns
+            # (its documented genuine total order). The previous
+            # ["date","grand_prix"] was DEGENERATE within the key —
+            # both are constant per session, so a producer re-send
+            # with corrected points had a partitioning-dependent
+            # survivor (r6 review fix).
+            idempotent_parquet_sink(sink_path, RESULT_KEYS)
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
@@ -64,9 +68,8 @@ def start_kafka_pipeline(
     return (
         transformed.writeStream.outputMode("append")
         .foreachBatch(
-            idempotent_parquet_sink(
-                sink_path, RESULT_KEYS, order_cols=["date", "grand_prix"]
-            )
+            # all-non-key-column order: see start_replay_pipeline
+            idempotent_parquet_sink(sink_path, RESULT_KEYS)
         )
         .option("checkpointLocation", checkpoint_dir)
         .start()
@@ -108,8 +111,18 @@ def start_admission_pipeline(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .json(source_dir)
     )
-    admitted = raw.withColumn("h", F.xxhash64("text")).join(
-        corpus_hashes, "h", "left_anti"
+    # text-less rows never reach the hash (r6 review fix, the batch
+    # twin's NULL discipline): xxhash64(NULL) is a CONSTANT joinable
+    # value, so one admitted null-text row would silently swallow
+    # every later malformed/text-less doc via the sink's hash key —
+    # and PERMISSIVE parsing turns any malformed JSON line into
+    # exactly such an all-null row (the stream cannot use
+    # split_quarantine's cached corrupt-column filter, so the
+    # null-required-field filter IS the streaming quarantine here).
+    admitted = (
+        raw.filter(F.col("text").isNotNull() & F.col("doc_id").isNotNull())
+        .withColumn("h", F.xxhash64("text"))
+        .join(corpus_hashes, "h", "left_anti")
     )
     return (
         admitted.writeStream.outputMode("append")
