@@ -130,9 +130,18 @@ _WINDOW_HEAD = [
     # plans+oracles); (c) w_lateness_audit's bucketed prefix max
     # (w_watermark_curve already registers the distributed form);
     # (d) the q1 serving-assembly shared helper (q1_standings /
-    # q1_standings_mv duplicate the rollup+dim-join block). Rotate
-    # the touched queries into the r7 window head alongside the
-    # windows_star backfill and the 8 new late-r6 registrations
+    # q1_standings_mv duplicate the rollup+dim-join block);
+    # (e) asof_join's NULL semantics vs the DuckDB ASOF oracle
+    # (per-column last(ignorenulls) fabricates mixed rows when a
+    # matched right row carries NULL values, and NULL-ts right rows
+    # match where ASOF would not — w_asof_attribution's fixture has
+    # no NULLs so it passes today); (f) dedup_results' [date,
+    # grand_prix] order is degenerate within the result key (the
+    # streaming sink already moved to the all-non-key total order —
+    # align the batch repair and the q0..q4 family with it);
+    # (g) champion/podium re-implement argmax/topk helpers inline.
+    # Rotate the touched queries into the r7 window head alongside
+    # the windows_star backfill and the 5 new late-r6 registrations
     # (w_watermark_curve, d_lsh_tuning_curve, d_cluster_stats,
     # e_ivf_probe_curve, m_dedup_by_ahash).
     "t_train_split",

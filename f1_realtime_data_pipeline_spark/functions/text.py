@@ -80,7 +80,20 @@ WHITESPACE_CLASS = r"[ \t\n\x0B\f\r]"
 
 
 def tokens(text: Column | str) -> Column:
-    """Lowercased whitespace tokens (explicit whitespace class)."""
+    """Lowercased whitespace tokens (explicit whitespace class).
+
+    PINNED semantics note (r6 review): split keeps boundary empties —
+    leading/trailing whitespace (or an empty string) yields ''
+    tokens, so ' hello ' counts 3 and '' counts 1. Both engines
+    behave identically (string_split_regex does the same), so oracle
+    parity holds; the fixture corpus has no padded documents, so
+    registered counts are exact there. This is the tokenizer CONTRACT
+    ~40 oracle-checked queries and every measured sweep are built on
+    — changing it (e.g. filtering empties) would shift token counts,
+    shingle sets, and signatures across the whole suite at once, so
+    any change is an all-at-once migration with full re-verification,
+    not a drive-by fix. Callers that need padded-input exactness
+    should trim upstream (t_normalize does)."""
     c = F.col(text) if isinstance(text, str) else text
     return F.split(F.lower(c), WHITESPACE_CLASS + "+")
 

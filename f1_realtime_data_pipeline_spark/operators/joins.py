@@ -83,7 +83,20 @@ def salted_join(
     side feeds a window) or the skew is known up front; costs a
     ``salt``× replication of the right side, so keep the right side
     the smaller input.
+
+    INNER / LEFT-side joins only (r6 review fix — enforced): a right
+    or full outer join would emit every unmatched RIGHT row once per
+    salt replica (``salt`` null-padded copies instead of 1); flip the
+    sides instead.
     """
+    if how.replace("_", "").lower() not in (
+        "inner", "left", "leftouter", "leftsemi", "leftanti", "semi", "anti", "cross",
+    ):
+        raise ValueError(
+            f"salted_join supports inner/left-side joins only, got {how!r}: "
+            "unmatched right rows would duplicate once per salt replica — "
+            "swap the sides for a right/full outer"
+        )
     salted_left = left.withColumn("__salt", F.pmod(F.xxhash64(F.col(on)), F.lit(salt)))
     salts = F.array(*[F.lit(i) for i in range(salt)])
     salted_right = right.withColumn("__salt", F.explode(salts))

@@ -51,6 +51,12 @@ def transform_stream(raw: DataFrame, value_col: str = "value") -> DataFrame:
         .withColumn("points", points_for_position("position"))
         .withColumn("date", F.to_timestamp("date"))
         .filter(F.col("position").isNotNull())
+        # the corrupt-record column is always NULL past the not-null
+        # filter; dropping it restores the RACE_RESULTS column
+        # contract for every sink downstream (r6 review fix — the
+        # leaked dead column landed in each parquet fact file and in
+        # the sink's all-non-key-column order)
+        .drop("_corrupt_record")
     )
 
 

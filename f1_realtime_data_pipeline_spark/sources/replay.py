@@ -18,11 +18,24 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def write_replay_batch(directory: str, lines: list[str], batch_no: int) -> str:
-    """Append one batch file of raw payloads to the replay directory."""
+    """Append one batch file of raw payloads to the replay directory.
+
+    Written to a hidden temp name and atomically renamed in (r6
+    review fix): Spark's file source lists the directory between
+    triggers and NEVER re-reads a seen filename, so a file caught
+    mid-write would be consumed partially and its remaining payloads
+    lost forever — the file-source contract requires files to appear
+    atomically (the same write-then-publish discipline as the
+    manifest commits). The dot-prefixed temp name is invisible to the
+    source while in flight."""
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, f"batch-{batch_no:05d}.txt")
-    with open(path, "w") as f:
+    tmp = os.path.join(directory, f".batch-{batch_no:05d}.tmp")
+    with open(tmp, "w") as f:
         f.write("\n".join(lines) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
     return path
 
 

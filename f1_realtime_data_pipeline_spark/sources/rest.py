@@ -27,12 +27,20 @@ FetchFn = Callable[[str], tuple[int, str]]
 
 
 def default_fetch(url: str) -> tuple[int, str]:
-    """Real HTTP getter, import-gated (no network in this container)."""
+    """Real HTTP getter, import-gated (no network in this container).
+    Non-2xx responses keep their REAL status code and body (r6 review
+    fix — urllib raises HTTPError for 4xx/5xx, and collapsing that to
+    status 0 made a 404 indistinguishable from a DNS failure);
+    status 0 means no HTTP response at all (transport error)."""
     try:
+        import urllib.error
         import urllib.request
 
-        with urllib.request.urlopen(url, timeout=30) as resp:  # noqa: S310
-            return resp.status, resp.read().decode("utf-8", "replace")
+        try:
+            with urllib.request.urlopen(url, timeout=30) as resp:  # noqa: S310
+                return resp.status, resp.read().decode("utf-8", "replace")
+        except urllib.error.HTTPError as e:
+            return e.code, e.read().decode("utf-8", "replace")
     except Exception as e:  # noqa: BLE001 — surface as a row, not a task failure
         return 0, f"fetch-error: {e}"
 
@@ -46,7 +54,9 @@ def fetch_urls(
     """Fan a URL list out across executors; one (url, status, body) row
     each. ``partitions`` defaults to min(len(urls), 64) so a small list
     doesn't schedule a thousand empty tasks."""
-    n_part = partitions or max(1, min(len(urls), 64))
+    if partitions is not None and partitions < 1:
+        raise ValueError(f"partitions must be >= 1, got {partitions}")
+    n_part = partitions if partitions is not None else max(1, min(len(urls), 64))
     df = spark.createDataFrame([(u,) for u in urls], "url string").repartition(n_part)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
