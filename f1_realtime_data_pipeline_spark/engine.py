@@ -205,14 +205,18 @@ class F1Engine:
         from f1_realtime_data_pipeline_spark.streaming.sinks import (
             transactional_agg_sink,
         )
-        from f1_realtime_data_pipeline_spark.streaming.windows import (
-            dedup_within_watermark,
-        )
 
         raw = raw_value_stream(self.spark, source_dir, 1)
-        deduped = dedup_within_watermark(
-            transform_stream(raw, value_col="value"),
-            keys=["session_key", "driver_number"],
+        # key-state dedup WITHOUT an event-time watermark (r6 review
+        # fix): race dates span weeks, so a watermark horizon would
+        # DROP a late-published correction for an earlier GP as "late
+        # data" — silent point loss, not dedup. Unbounded state is
+        # the right trade here because the key domain (sessions ×
+        # drivers) is bounded and tiny, independent of message
+        # volume; dedup_within_watermark remains the form for
+        # unbounded-key streams.
+        deduped = transform_stream(raw, value_col="value").dropDuplicates(
+            ["session_key", "driver_number"]
         )
         return (
             deduped

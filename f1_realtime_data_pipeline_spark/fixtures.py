@@ -48,9 +48,22 @@ _DRIVERS_ROWS = [
 
 
 def race_results(spark: SparkSession) -> DataFrame:
-    """Post-transform fact table (schema A2) incl. a duplicate row."""
+    """Post-transform fact table (schema A2) incl. a duplicate row.
+
+    Timestamps are built TZ-AWARE UTC (r6 review fix): a naive
+    datetime goes through the driver's SYSTEM timezone in the
+    non-Arrow createDataFrame path, so on a non-UTC host the fixture
+    instants would drift by the UTC offset from what
+    transform_stream's to_timestamp (session-tz UTC) parses from the
+    identical ISO strings."""
+    from datetime import datetime, timezone
+
     rows = [
-        (gp, __import__("datetime").datetime.fromisoformat(dt), d, pos, laps, dnf, gap, mk, sk, pts)
+        (
+            gp,
+            datetime.fromisoformat(dt).replace(tzinfo=timezone.utc),
+            d, pos, laps, dnf, gap, mk, sk, pts,
+        )
         for (gp, dt, d, pos, laps, dnf, gap, mk, sk, pts) in _RESULTS_ROWS
     ]
     return spark.createDataFrame(rows, RACE_RESULTS)

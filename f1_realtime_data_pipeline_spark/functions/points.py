@@ -49,10 +49,19 @@ def points_for_position(position: Column | str) -> Column:
 
 
 def points_by_lookup(position: Column | str) -> Column:
-    """Equivalent array-lookup formulation (``element_at`` is 1-based)."""
+    """Equivalent array-lookup formulation (``element_at`` is 1-based).
+    The integrality check keeps it truly equivalent for NON-integer
+    inputs (r6 review fix): the when-ladder's equality never matches
+    2.5 → 0 points, but a bare range check would pass 2.5 and
+    cast-truncate it to position 2's 18 points."""
     col = F.col(position) if isinstance(position, str) else position
     ladder = F.array(*[F.lit(POINTS_LADDER[i]) for i in range(1, 11)])
-    in_range = col.isNotNull() & (col >= 1) & (col <= 10)
+    in_range = (
+        col.isNotNull()
+        & (col >= 1)
+        & (col <= 10)
+        & (col == col.cast("int"))
+    )
     return F.when(in_range, F.element_at(ladder, col.cast("int"))).otherwise(F.lit(0))
 
 

@@ -46,7 +46,15 @@ def ranked(
     col: str = "rnk",
     method: str = "row_number",
 ) -> DataFrame:
-    """Attach row_number/rank/dense_rank over an explicit order (O5)."""
+    """Attach row_number/rank/dense_rank over an explicit order (O5).
+
+    Scale caveat (r6 review): with ``keys=()`` this is a GLOBAL
+    window — Spark moves every row to one partition, a single
+    sequential task. Correct and intended for domain-sized inputs
+    (the contract queries rank |drivers|-scale relations); for a
+    global top-k over a large fact use :func:`topk_global`
+    (TakeOrderedAndProject) instead, and for a full global rank use
+    the bucketed offset+local-rank composition (t_shuffle_order)."""
     fn = {"row_number": F.row_number, "rank": F.rank, "dense_rank": F.dense_rank}[method]
     w = Window.partitionBy(*keys).orderBy(*order) if keys else Window.orderBy(*order)
     return df.withColumn(col, fn().over(w).cast("int"))

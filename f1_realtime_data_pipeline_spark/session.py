@@ -74,6 +74,29 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    # getOrCreate returns any EXISTING session unchanged — static
+    # confs (master/cores/driver memory) and this call's parameters
+    # are then silently ignored. Warn instead of silently measuring
+    # the wrong configuration (r6 review fix): runtime confs we CAN
+    # check cheaply are compared against what was requested.
+    requested = {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        **(extra_conf or {}),
+    }
+    for k, v in requested.items():
+        try:
+            active = spark.conf.get(k)
+        except Exception:  # noqa: BLE001 — unknown/static conf: skip
+            continue
+        if active != str(v):
+            import warnings
+
+            warnings.warn(
+                f"get_spark: existing session has {k}={active!r}, "
+                f"requested {v!r} ignored (getOrCreate reuses the live "
+                "session; stop it first to change configuration)",
+                stacklevel=2,
+            )
     spark.sparkContext.setLogLevel("WARN")
     return spark
 

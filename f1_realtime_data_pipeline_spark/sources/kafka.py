@@ -48,7 +48,7 @@ def kafka_stream_reader(
 def to_kafka_payload(df: DataFrame, key_col: str) -> DataFrame:
     """Kafka producer projection (S3, kafka_producer.py:145-148):
     key = CAST(key_col AS STRING), value = to_json(struct(*))."""
-    value_cols = [c for c in df.columns]
+    value_cols = list(df.columns)
     return df.select(
         F.col(key_col).cast("string").alias("key"),
         F.to_json(F.struct(*value_cols)).alias("value"),
