@@ -954,6 +954,36 @@ JOIN keepers k
 _register("m_dedup_by_ahash", m_dedup_by_ahash, _dedup_by_ahash_sql())
 
 
+def t_length_profile(spark, sf_dir):
+    """Per-source document-length distribution: exact interpolated
+    p10/p50/p90 of n_chars plus mean and count — the profile that
+    decides chunking budgets and length-bucket boundaries before a
+    packing run. One partial+final aggregation on the source key
+    (tens of groups); Spark ``percentile`` ≡ DuckDB ``quantile_cont``
+    (the a_percentiles parity)."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.percentile("n_chars", F.lit(0.1)).alias("p10"),
+        F.percentile("n_chars", F.lit(0.5)).alias("p50"),
+        F.percentile("n_chars", F.lit(0.9)).alias("p90"),
+        F.avg("n_chars").alias("mean_chars"),
+    )
+
+
+_register(
+    "t_length_profile",
+    t_length_profile,
+    """SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       quantile_cont(n_chars, 0.1) AS p10,
+       quantile_cont(n_chars, 0.5) AS p50,
+       quantile_cont(n_chars, 0.9) AS p90,
+       AVG(n_chars) AS mean_chars
+FROM documents GROUP BY source""",
+)
+
+
 _register(
     "d_cluster_stats",
     d_cluster_stats,
