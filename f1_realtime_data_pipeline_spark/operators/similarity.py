@@ -31,6 +31,9 @@ from pyspark.sql.window import Window
 
 from f1_realtime_data_pipeline_spark.operators.materialize import materialize, spread
 from f1_realtime_data_pipeline_spark.functions.vector import (
+    HYPERPLANE_MOD,
+    HYPERPLANE_PHASE_MULT,
+    HYPERPLANE_STRIDE_MULT,
     LSH_DIM,
     LSH_TABLES,
     NEARDUP_PLANES_PER_TABLE,
@@ -939,10 +942,19 @@ def _derived_bucket_sql(table: int, vec: str = "embedding", pc: str = "pc") -> s
     hyperplanes come from the same closed-form generator as
     :func:`~..functions.vector.hyperplane` (identical integer mixing,
     identical FP op sequence → bit-identical plane values), folded in
-    the same element order as the literal-plane twin."""
+    the same element order as the literal-plane twin.
+
+    r7: per-plane stride + independent phase, in lockstep with the
+    decorrelated ``hyperplane`` (plane index here is ``table*pc + r``;
+    all intermediates are BIGINT — max ≈ 63·2.65e9 ≈ 1.7e11, far
+    inside BIGINT, and DuckDB's integer ``%`` on non-negative
+    operands matches Python's)."""
+    p_idx = f"({table} * {pc} + r)"
+    stride = f"((({p_idx} + 1) * {HYPERPLANE_STRIDE_MULT}) % {HYPERPLANE_MOD})"
+    phase = f"(({p_idx} * {HYPERPLANE_PHASE_MULT}) % {HYPERPLANE_MOD})"
     h = (
-        f"(CAST(((({table} * {pc} + r) * {LSH_DIM} + i) * 2654435761) "
-        f"% 10007 AS DOUBLE) / 10007.0 - 0.5)"
+        f"(CAST(({stride} * i + {phase}) % {HYPERPLANE_MOD} AS DOUBLE) "
+        f"/ {HYPERPLANE_MOD}.0 - 0.5)"
     )
     dotp = (
         f"list_reduce(list_transform(range(0, {LSH_DIM}), i -> "
