@@ -196,7 +196,17 @@ def w_asof_attribution(spark, sf_dir):
     when the user never clicked before). Spark side = union +
     carry-forward window (operators.joins.asof_join); oracle = native
     DuckDB ASOF LEFT JOIN — two independent formulations of the same
-    semantics."""
+    semantics.
+
+    The click side deliberately plants NULLs (r7, VERDICT r6 #2): ts
+    is nulled for event_id ≡ 0 (mod 5) — those rows must match
+    NOTHING (a NULL timestamp never satisfies ts <= purchase_ts, and
+    their disappearance shifts which click wins for the neighbors) —
+    and click_value is nulled for event_id ≡ 0 (mod 3), so a matched
+    row must carry its NULL verbatim rather than fabricate a value
+    from an older click (the exact mixed-row bug the struct-carry
+    rewrite of asof_join fixed). Both derivations are in-plan in both
+    engines, so the DuckDB native ASOF exercises the same edges."""
     from f1_realtime_data_pipeline_spark.operators.joins import asof_join
 
     ev = read_events(spark, sf_dir)
@@ -204,7 +214,9 @@ def w_asof_attribution(spark, sf_dir):
         "event_id", "user_id", "ts", "value"
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", F.col("value").alias("click_value")
+        "user_id",
+        F.when(F.col("event_id") % 5 != 0, F.col("ts")).alias("ts"),
+        F.when(F.col("event_id") % 3 != 0, F.col("value")).alias("click_value"),
     )
     out = asof_join(
         purchases, clicks, on="user_id", ts_col="ts",
@@ -221,9 +233,13 @@ _register(
     "w_asof_attribution",
     w_asof_attribution,
     """SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
-       c.ts AS click_ts, c.value AS click_value
+       c.ts AS click_ts, c.click_value
 FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') p
-ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (
+  SELECT user_id,
+         CASE WHEN event_id % 5 <> 0 THEN ts END AS ts,
+         CASE WHEN event_id % 3 <> 0 THEN value END AS click_value
+  FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id AND p.ts >= c.ts""",
 )
 
