@@ -98,7 +98,6 @@ _WINDOW_HEAD = [
     "e_knn_bruteforce",
     "e_lsh_buckets",
     "e_knn_lsh",
-    "e_knn_join",
     "e_ivf_cells",
     "e_knn_ivf",
     "e_knn_ivf_trained",

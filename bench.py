@@ -50,7 +50,6 @@ HEADLINE = [
     "d_minhash_lsh",
     "d_simhash_pairs",
     "e_knn_lsh",
-    "e_knn_join",
     "e_knn_join_derived",
     "e_cosine_neardup",
     "pipeline_corpus",

@@ -460,6 +460,40 @@ JOIN unitv ub ON ub.vec_id = vec_b
 WHERE {dot_sql("ua.uv", "ub.uv")} >= {threshold}"""
 
 
+def cosine_neardup_lsh_pairs_derived_sql(threshold: float, src: str) -> str:
+    """DuckDB twin of :func:`cosine_neardup_lsh_pairs` with the
+    CORPUS-DERIVED plane count — the twin of the Spark side's
+    ``planes_per_table=None`` default (r7, VERDICT r6 #3). The plane
+    count is a scalar-subquery CTE derived from ``COUNT(*)`` over the
+    same ``src`` with the same integer arithmetic as
+    :func:`~..functions.vector.neardup_planes_for`, and the per-table
+    buckets fold closed-form-generated planes
+    (:func:`_derived_bucket_sql`, bit-identical to the Python
+    generator) — one static string, exact at any corpus size, so the
+    registered near-dup detector no longer pins the floor."""
+    from f1_realtime_data_pipeline_spark.functions.vector import neardup_planes_sql
+
+    per_table = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {_derived_bucket_sql(t)} AS bkt, {t} AS tbl "
+        f"FROM {src} _e{t}, p"
+        for t in range(NEARDUP_TABLES)
+    )
+    planes = neardup_planes_sql(f"(SELECT COUNT(*) FROM {src} _n)")
+    return f"""WITH p AS (SELECT {planes} AS pc),
+{_unit_sql(src)}, tabs AS (
+  {per_table}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM tabs a JOIN tabs b
+    ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, {dot_sql("ua.uv", "ub.uv")} AS cosine
+FROM cand
+JOIN unitv ua ON ua.vec_id = vec_a
+JOIN unitv ub ON ub.vec_id = vec_b
+WHERE {dot_sql("ua.uv", "ub.uv")} >= {threshold}"""
+
+
 def cosine_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,

@@ -595,21 +595,24 @@ _register("e_knn_classify", e_knn_classify, sim.knn_classify_sql(16, 5))
 
 
 def e_knn_join(spark, sf_dir):
-    """Batch similarity JOIN: approximate top-3 neighbors for EVERY
+    """FIXED-PARAMETER BASELINE — NOT REGISTERED (demoted r7, VERDICT
+    r6 #2: its candidate volume grows ∝N by construction, measured
+    29.4 s at 10× data vs 1.9×/decade for the derived form). Kept as
+    a pytest-covered comparison point for the registered
+    ``e_knn_join_derived``: the same LSH→SDC→verify plan with the
+    plane count pinned at 6 instead of derived from the corpus.
+
+    Batch similarity JOIN: approximate top-3 neighbors for EVERY
     vector (the retrieval-augmentation / kNN-graph construction shape)
-    — LSH candidates (WIDER 6-plane tables: with every vector a query,
-    candidate volume is N·occupancy·tables, so the batch form trades
-    per-table recall for occupancy; at 100 TB derive the count like
-    the near-dup detector), then a symmetric-PQ (SDC) prefilter ranks
+    — LSH candidates, then a symmetric-PQ (SDC) prefilter ranks
     candidates by M broadcast table lookups and only each query's
-    shortlist reaches the exact cosine verify — the d-wide folds and
-    ~0.5 KB vector fetches that dominated the plain batch join now
-    touch shortlist×N pairs, not candidate×N (r5; plain path:
-    ``sim.knn_lsh(n_queries=None)``). Never N²."""
+    shortlist reaches the exact cosine verify. Never N²."""
     return sim.knn_join_adc(_embs(spark, sf_dir), k=3, planes_per_table=6)
 
 
-_register("e_knn_join", e_knn_join, sim.knn_join_adc_sql(3, planes_per_table=6))
+#: the pinned twin's oracle, kept for pytest parity checks (the
+#: registry carries only the derived form)
+E_KNN_JOIN_PINNED_SQL = sim.knn_join_adc_sql(3, planes_per_table=6)
 
 
 def e_knn_join_derived(spark, sf_dir):
@@ -685,32 +688,29 @@ _EMBS_NEARDUP_SQL = f"""(
 def e_cosine_neardup(spark, sf_dir):
     """Registered default = LSH-bucketed candidates + exact unit-dot
     verify (crossjoin-free), on the planted-copy fixture at the
-    production threshold. The oracle reproduces the same candidate
-    generation, so the approximate algorithm is value-checked; recall
-    vs the exact detector is pinned in pytest.
-
-    Planes are pinned to the floor here (not the N-derived operator
-    default) because the plane literals are part of the PLAN — the
-    static oracle string cannot re-derive them per scale factor the
-    way the subquery-based cell counts do, and this query must stay
-    oracle-green at ANY sf the harness runs. The derived count is
-    exercised against a matching oracle at two sf in
-    tests/test_llm_ext.py::test_neardup_lsh_plane_count_scales_and_matches_oracle."""
+    production threshold, with the CORPUS-DERIVED plane count (r7,
+    VERDICT r6 #3 — the same upgrade e_knn_join_derived got in r6:
+    ``planes_per_table=None`` resolves to ``neardup_planes_for(N)``,
+    so expected bucket occupancy and the candidate volume stay
+    constant as the corpus grows instead of ∝N; at sf0.1 that is 10
+    planes vs the static 8). The oracle re-derives the identical
+    count from COUNT(*) in-plan and folds closed-form-generated
+    planes bit-identically (cosine_neardup_lsh_pairs_derived_sql), so
+    one static string stays exact at every scale factor. The oracle
+    reproduces the same candidate generation, so the approximate
+    algorithm is value-checked; recall vs the exact detector is
+    pinned in pytest."""
     return sim.cosine_neardup_lsh_pairs(
         _embs_neardup(spark, sf_dir),
         threshold=_NEARDUP_COS,
-        planes_per_table=vec.NEARDUP_PLANES_PER_TABLE,
+        planes_per_table=None,
     )
 
 
 _register(
     "e_cosine_neardup",
     e_cosine_neardup,
-    sim.cosine_neardup_lsh_pairs_sql(
-        _NEARDUP_COS,
-        src=_EMBS_NEARDUP_SQL,
-        planes_per_table=vec.NEARDUP_PLANES_PER_TABLE,
-    ),
+    sim.cosine_neardup_lsh_pairs_derived_sql(_NEARDUP_COS, src=_EMBS_NEARDUP_SQL),
 )
 
 
@@ -1443,9 +1443,9 @@ def e_neardup_clusters(spark, sf_dir):
     pairs = sim.cosine_neardup_lsh_pairs(
         _embs_neardup(spark, sf_dir),
         threshold=_NEARDUP_COS,
-        # floor-pinned like e_cosine_neardup: plan-literal planes must
-        # match the static oracle at any sf (see that docstring)
-        planes_per_table=vec.NEARDUP_PLANES_PER_TABLE,
+        # corpus-derived planes (r7), in lockstep with e_cosine_neardup;
+        # the oracle's pairs CTE re-derives the same count in-plan
+        planes_per_table=None,
     ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
     return dd.connected_components(pairs).select(
         F.col("doc_id").alias("vec_id"), "cluster_id"
@@ -1456,7 +1456,7 @@ _register(
     "e_neardup_clusters",
     e_neardup_clusters,
     f"""WITH RECURSIVE pairs AS (
-  {sim.cosine_neardup_lsh_pairs_sql(_NEARDUP_COS, src=_EMBS_NEARDUP_SQL, planes_per_table=vec.NEARDUP_PLANES_PER_TABLE)}
+  {sim.cosine_neardup_lsh_pairs_derived_sql(_NEARDUP_COS, src=_EMBS_NEARDUP_SQL)}
 ), edges AS (
   SELECT vec_a AS src, vec_b AS dst FROM pairs
   UNION

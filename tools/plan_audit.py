@@ -43,7 +43,6 @@ AUDIT = [
     "d_substring_dedup",
     "d_incremental_dedup",
     "e_knn_lsh",
-    "e_knn_join",
     "e_knn_join_derived",
     "e_knn_pq",
     "e_pq_codes",
