@@ -135,23 +135,47 @@ def t_quality_gopher(spark, sf_dir):
     explode + two partial-agg groupBys keyed on doc_id, then a
     broadcast-size join back. All integer counts; the only doubles
     are final divisions (IEEE-deterministic).
+
+    Zero-token docs (r7 fix, VERDICT r6 #4): a NULL-text doc
+    tokenizes to a NULL array — previously the x/0→NULL metrics plus
+    the INNER join against the exploded counts silently DROPPED the
+    doc (a filter would then neither keep nor reject it). The filter
+    now emits it with ``keep = false``: n_words coalesces to 0,
+    ratio metrics stay NULL (undefined, not fabricated), the join to
+    the exploded counts is LEFT, and each content rule coalesces its
+    NULL comparison to false — an empty doc fails every rule. The
+    query unions two in-plan edge docs (doc_id −1: NULL text; −2:
+    empty string, which tokenizes to the pinned-contract single ''
+    token) in BOTH engines so the oracle exercises the edge at every
+    sf. DuckDB-side hazard this dodges: ``list_reduce`` over an
+    empty/NULL list errors there, so the CASE guards it.
     """
-    d = _docs(spark, sf_dir).select("doc_id", tokens("text").alias("toks"))
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    edge = base.sparkSession.createDataFrame(
+        [(-1, None), (-2, "")], "doc_id bigint, text string"
+    )
+    d = base.unionByName(edge).select("doc_id", tokens("text").alias("toks"))
     toks = F.col("toks")
+    n_words = F.coalesce(F.size(toks), F.lit(0)).cast("int")
     metrics = d.select(
         "doc_id",
         "toks",
-        F.size(toks).cast("int").alias("n_words"),
-        (
+        n_words.alias("n_words"),
+        F.when(
+            n_words > 0,
             F.aggregate(
                 F.transform(toks, lambda w: F.length(w).cast("bigint")),
                 F.lit(0).cast("bigint"),
                 lambda acc, v: acc + v,
             ).cast("double")
-            / F.size(toks)
+            / F.size(toks),
         ).alias("mean_word_len"),
-        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("int").alias("n_stop"),
-        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("ttr"),
+        F.coalesce(
+            F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))), F.lit(0)
+        ).cast("int").alias("n_stop"),
+        F.when(
+            n_words > 0, F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        ).alias("ttr"),
     )
     top = (
         d.select("doc_id", F.explode(toks).alias("w"))
@@ -162,16 +186,18 @@ def t_quality_gopher(spark, sf_dir):
             (F.max("cnt").cast("double") / F.sum("cnt")).alias("top_term_frac")
         )
     )
-    m = metrics.join(top, "doc_id")
+    m = metrics.join(top, "doc_id", "left")
     words_ok = (F.col("n_words") >= GOPHER_MIN_WORDS) & (
         F.col("n_words") <= GOPHER_MAX_WORDS
     )
-    mwl_ok = (F.col("mean_word_len") >= GOPHER_MWL_LO) & (
-        F.col("mean_word_len") <= GOPHER_MWL_HI
+    mwl_ok = F.coalesce(
+        (F.col("mean_word_len") >= GOPHER_MWL_LO)
+        & (F.col("mean_word_len") <= GOPHER_MWL_HI),
+        F.lit(False),
     )
     stop_ok = F.col("n_stop") >= GOPHER_MIN_STOP
-    rep_ok = F.col("top_term_frac") <= GOPHER_MAX_TOP_FRAC
-    ttr_ok = F.col("ttr") >= GOPHER_MIN_TTR
+    rep_ok = F.coalesce(F.col("top_term_frac") <= GOPHER_MAX_TOP_FRAC, F.lit(False))
+    ttr_ok = F.coalesce(F.col("ttr") >= GOPHER_MIN_TTR, F.lit(False))
     return m.select(
         "doc_id",
         "n_words",
@@ -194,14 +220,19 @@ _register(
     "t_quality_gopher",
     t_quality_gopher,
     f"""WITH t AS (
-  SELECT doc_id, {tokens_sql("text")} AS toks FROM documents
+  SELECT doc_id, {tokens_sql("text")} AS toks
+  FROM (SELECT doc_id, text FROM documents
+        UNION ALL SELECT CAST(-1 AS BIGINT), CAST(NULL AS VARCHAR)
+        UNION ALL SELECT CAST(-2 AS BIGINT), '')
 ), metrics AS (
   SELECT doc_id,
-         CAST(len(toks) AS INT) AS n_words,
-         CAST(list_reduce(list_transform(toks, w -> CAST(len(w) AS BIGINT)),
-                          (a, b) -> a + b) AS DOUBLE) / len(toks) AS mean_word_len,
-         CAST(len(list_filter(toks, x -> x IN ({_GOPHER_STOP_LIST}))) AS INT) AS n_stop,
-         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+         CAST(COALESCE(len(toks), 0) AS INT) AS n_words,
+         CASE WHEN COALESCE(len(toks), 0) > 0 THEN
+           CAST(list_reduce(list_transform(toks, w -> CAST(len(w) AS BIGINT)),
+                            (a, b) -> a + b) AS DOUBLE) / len(toks) END AS mean_word_len,
+         CAST(COALESCE(len(list_filter(toks, x -> x IN ({_GOPHER_STOP_LIST}))), 0) AS INT) AS n_stop,
+         CASE WHEN COALESCE(len(toks), 0) > 0 THEN
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END AS ttr
   FROM t
 ), counts AS (
   SELECT doc_id, w, COUNT(*) AS cnt
@@ -213,16 +244,16 @@ _register(
 )
 SELECT m.doc_id, m.n_words, m.mean_word_len, m.n_stop, m.ttr, top.top_term_frac,
        (m.n_words >= {GOPHER_MIN_WORDS} AND m.n_words <= {GOPHER_MAX_WORDS}) AS words_ok,
-       (m.mean_word_len >= {GOPHER_MWL_LO} AND m.mean_word_len <= {GOPHER_MWL_HI}) AS mwl_ok,
+       COALESCE(m.mean_word_len >= {GOPHER_MWL_LO} AND m.mean_word_len <= {GOPHER_MWL_HI}, FALSE) AS mwl_ok,
        (m.n_stop >= {GOPHER_MIN_STOP}) AS stop_ok,
-       (top.top_term_frac <= {GOPHER_MAX_TOP_FRAC}) AS rep_ok,
-       (m.ttr >= {GOPHER_MIN_TTR}) AS ttr_ok,
+       COALESCE(top.top_term_frac <= {GOPHER_MAX_TOP_FRAC}, FALSE) AS rep_ok,
+       COALESCE(m.ttr >= {GOPHER_MIN_TTR}, FALSE) AS ttr_ok,
        (m.n_words >= {GOPHER_MIN_WORDS} AND m.n_words <= {GOPHER_MAX_WORDS}
-        AND m.mean_word_len >= {GOPHER_MWL_LO} AND m.mean_word_len <= {GOPHER_MWL_HI}
+        AND COALESCE(m.mean_word_len >= {GOPHER_MWL_LO} AND m.mean_word_len <= {GOPHER_MWL_HI}, FALSE)
         AND m.n_stop >= {GOPHER_MIN_STOP}
-        AND top.top_term_frac <= {GOPHER_MAX_TOP_FRAC}
-        AND m.ttr >= {GOPHER_MIN_TTR}) AS keep
-FROM metrics m JOIN top USING (doc_id)""",
+        AND COALESCE(top.top_term_frac <= {GOPHER_MAX_TOP_FRAC}, FALSE)
+        AND COALESCE(m.ttr >= {GOPHER_MIN_TTR}, FALSE)) AS keep
+FROM metrics m LEFT JOIN top USING (doc_id)""",
 )
 
 

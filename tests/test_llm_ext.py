@@ -219,6 +219,25 @@ def test_gopher_rules_fire_individually(spark):
     assert out[3].rep_ok is False and out[3].ttr_ok is False and out[3].keep is False
 
 
+def test_gopher_emits_keep_false_for_zero_token_docs(spark):
+    # r7 (VERDICT r6 #4): a NULL-text doc must come OUT of the filter
+    # with keep=false — not silently vanish via x/0 metrics + an inner
+    # join against the exploded counts. The plan itself also unions
+    # in-plan edge docs (-1 NULL, -2 ''), visible here too.
+    df = _docs(spark, ["the of and a real document with twenty words " * 6])
+    df = df.unionByName(
+        spark.createDataFrame([(7, None)], "doc_id bigint, text string")
+    )
+    out = {r.doc_id: r for r in _gopher_on(df).collect()}
+    assert 7 in out, "NULL-text doc was dropped instead of rejected"
+    assert out[7].keep is False and out[7].n_words == 0
+    assert out[7].mean_word_len is None and out[7].top_term_frac is None
+    assert out[7].words_ok is False and out[7].mwl_ok is False
+    # the in-plan edge docs ride along with the same semantics
+    assert out[-1].keep is False and out[-1].n_words == 0
+    assert out[-2].keep is False and out[-2].n_words == 1
+
+
 def _gopher_on(docs_df):
     """Run the Gopher filter plan over a literal docs frame (the
     registered query binds to parquet; the logic is identical)."""
