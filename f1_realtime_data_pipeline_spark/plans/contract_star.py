@@ -134,6 +134,21 @@ def _standings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+    return _serve_standings(spark, sf_dir, g)
+
+
+def _serve_standings(
+    spark: SparkSession, sf_dir: str, g: DataFrame
+) -> DataFrame:
+    """The Q1 serving assembly, shared between the batch derivation
+    (``_standings``) and the streaming-MV path (``q1_standings_mv``) —
+    r7, VERDICT r6 deferred item (d). ``g`` is the
+    (driver_number, grand_prix) partial aggregate with additive
+    columns ``pts``/``wns`` — exactly the MV grain: points and wins
+    are additive there; season length is NOT additive at driver
+    grain, which is why the GP dimension survives to this point.
+    Rollup + count-distinct season length + broadcast dim join +
+    1-row cross join, all over the |drivers|×|months| relation."""
     standings = g.groupBy("driver_number").agg(
         F.sum("pts").cast("bigint").alias("points"),
         F.sum("wns").cast("bigint").alias("wins"),
@@ -194,13 +209,20 @@ SELECT driver_number, driver_name, points, wins, total_gps, win_rate FROM q1
 
 def q2_champion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2 champion banner: season-complete gate + arg-max row
-    (streamlit-app.py:65-66) with the §3.4 explicit tie-break."""
-    w = Window.orderBy(F.col("points").desc(), F.col("driver_number").asc())
+    (streamlit-app.py:65-66) with the §3.4 explicit tie-break.
+
+    Rank-after-limit (r7, VERDICT r6 #6): ``orderBy().limit(1)``
+    compiles to TakeOrderedAndProject — a per-partition top-1 reduced
+    on the driver, no global sort, no single-partition WindowExec
+    over the full |drivers|-sized standings (the previous
+    ``row_number OVER (ORDER BY …)`` moved the whole relation to one
+    task; at the star mapping's scale the standings are
+    |customers|-sized). Same total order ⇒ same single row."""
     return (
         _standings(spark, sf_dir)
         .filter(F.col("total_gps") >= SEASON_COMPLETE_GPS)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .orderBy(F.col("points").desc(), F.col("driver_number").asc())
+        .limit(1)
         .select("driver_number", "driver_name", "points", "wins", "win_rate")
     )
 
@@ -258,12 +280,20 @@ ORDER BY f.position, f.driver_number
 
 def q4_podium(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4 podium: top-3 of the standings with a rank column
-    (streamlit-app.py:127-133; O3 + the O5 implied row_number)."""
+    (streamlit-app.py:127-133; O3 + the O5 implied row_number).
+
+    Rank-after-limit (r7, VERDICT r6 #6): ``orderBy().limit(3)`` is
+    TakeOrderedAndProject (per-partition top-3, driver-side merge of
+    3-row candidates) and the row_number window ranks only the 3
+    SURVIVING rows — the unpartitioned WindowExec that previously
+    pulled the full |drivers|-sized standings into one task now sees
+    a constant-size relation. Same total order ⇒ same 3 rows/ranks."""
     w = Window.orderBy(F.col("points").desc(), F.col("driver_number").asc())
     return (
         _standings(spark, sf_dir)
+        .orderBy(F.col("points").desc(), F.col("driver_number").asc())
+        .limit(3)
         .withColumn("podium_rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("podium_rank") <= 3)
         .select("podium_rank", "driver_number", "driver_name", "points")
     )
 
@@ -417,30 +447,16 @@ def q1_standings_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_pipeline(f"{base}/ckpt_replay")  # fresh checkpoint: full replay
 
     # 4. serve Q1 from the MV snapshot (the |drivers|×|months| grain)
+    # through the SAME serving assembly as the batch derivation (r7,
+    # shared helper): the MV's additive columns map onto pts/wns
     g = read_sink_snapshot(spark, mv).select(
         F.col("driver_number").cast("int").alias("driver_number"),
         "grand_prix",
-        "points",
-        "is_win",
+        F.col("points").alias("pts"),
+        F.col("is_win").alias("wns"),
     )
-    standings = g.groupBy("driver_number").agg(
-        F.sum("points").cast("bigint").alias("points"),
-        F.sum("is_win").cast("bigint").alias("wins"),
-    )
-    totals = g.agg(
-        F.countDistinct("grand_prix").cast("bigint").alias("total_gps")
-    )
-    dim = _customer(spark, sf_dir).select(
-        F.col("c_custkey").alias("driver_number"),
-        F.col("c_name").alias("driver_name"),
-    )
-    return (
-        standings.join(F.broadcast(dim), "driver_number", "left")
-        .crossJoin(F.broadcast(totals))
-        .withColumn("win_rate", F.col("wins") * F.lit(100.0) / F.col("total_gps"))
-        .select(
-            "driver_number", "driver_name", "points", "wins", "total_gps", "win_rate"
-        )
+    return _serve_standings(spark, sf_dir, g).select(
+        "driver_number", "driver_name", "points", "wins", "total_gps", "win_rate"
     )
 
 
