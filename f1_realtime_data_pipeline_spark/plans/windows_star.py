@@ -388,21 +388,23 @@ def w_lateness_audit(spark, sf_dir):
     time at its arrival. The observability query you run BEFORE
     choosing a watermark delay (T6) — per-type late counts + share.
 
-    Scale caveat (r6 review): the running max is a GLOBAL-order
-    window — a sequential prefix scan, single task by construction.
-    Exact at audit scale (this is a diagnostic run on a sample or a
-    bounded slice); the 100 TB form partitions the prefix max by
-    arrival shard ((event_id DIV chunk) buckets, per-bucket max +
-    a carried-forward per-bucket offset — the t_shuffle_order
-    composition), planned for the r7 window alongside the other
-    plan-shape rotations."""
+    r7 (VERDICT r6 #7): the running max now uses the DISTRIBUTED
+    chunked prefix-max (operators.chunked_running_max — per-chunk
+    window + broadcast prior-chunk prefix, the decomposition
+    w_watermark_curve proved flat 0.96×/decade by measurement)
+    instead of the single-task global-order window. Values are
+    identical (max is associative), so the oracle keeps the plain
+    global window — the hash match proves the decomposition."""
+    from f1_realtime_data_pipeline_spark.operators.aggregations import (
+        chunked_running_max,
+    )
+
     ev = read_events(spark, sf_dir)
-    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    with_wm = ev.select(
-        "event_id",
-        "event_type",
-        "ts",
-        F.max("ts").over(w).alias("max_seen"),
+    with_wm = chunked_running_max(
+        ev.select("event_id", "event_type", "ts"),
+        order_col="event_id",
+        val_col="ts",
+        alias="max_seen",
     )
     late = F.col("ts") < F.col("max_seen") - F.expr("INTERVAL 30 MINUTES")
     return (
