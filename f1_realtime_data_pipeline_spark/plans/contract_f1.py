@@ -62,12 +62,26 @@ def transform_stream(raw: DataFrame, value_col: str = "value") -> DataFrame:
 
 def dedup_results(results: DataFrame) -> DataFrame:
     """Idempotent-sink repair: exactly one row per (session_key,
-    driver_number) — deterministic first-wins by date then full key
-    (SURVEY.md §3.4 duplicate amplification)."""
+    driver_number) (SURVEY.md §3.4 duplicate amplification).
+
+    r7 (VERDICT r6 #9): first-wins under the SAME total order the
+    streaming idempotent sink uses — ALL non-key columns sorted by
+    name, ascending (``streaming.sinks._resolve_order``, imported so
+    there is exactly one definition). The previous ``[date,
+    grand_prix]`` order was degenerate within the result key
+    (duplicates of one (session, driver) share both), so which
+    payload survived a conflicting-duplicate repair was
+    partitioning-dependent — and could disagree with the row the
+    streaming sink had kept for the same key. Batch repair and
+    streaming sink now provably pick the same winner (property test
+    pins it on a dirty fixture)."""
+    from f1_realtime_data_pipeline_spark.streaming.sinks import _resolve_order
+
+    keys = ["session_key", "driver_number"]
     return dedup_first_wins(
         results,
-        keys=["session_key", "driver_number"],
-        order=[F.col("date").asc_nulls_last(), F.col("grand_prix").asc()],
+        keys=keys,
+        order=_resolve_order(results, keys, None),
     )
 
 

@@ -127,3 +127,46 @@ def test_podium_and_available_gps(spark):
     ]
     gps = [r.grand_prix for r in contract_f1.available_gps(results).collect()]
     assert gps == ["Monza", "Jeddah", "Bahrain"]  # newest first (O4)
+
+
+def test_batch_repair_picks_same_winner_as_streaming_sink(spark, tmp_path):
+    # r7 property (VERDICT r6 #9): on a dirty table with CONFLICTING
+    # duplicates (same (session_key, driver_number), different
+    # payloads), the batch repair (dedup_results) must keep exactly
+    # the row the streaming idempotent sink would have kept — both
+    # first-wins under the shared all-non-key-columns-by-name order,
+    # independent of input partitioning.
+    from f1_realtime_data_pipeline_spark.streaming.sinks import (
+        idempotent_parquet_sink,
+    )
+
+    clean = fixtures.race_results(spark)
+    # conflicting replicas: every row re-sent with a different
+    # position/points payload (the §3.4 duplicate-amplification shape)
+    conflict = clean.withColumn(
+        "position", (F.col("position") + 1).cast("int")
+    ).withColumn("points", F.lit(0).cast(dict(clean.dtypes)["points"]))
+    dirty = clean.unionAll(conflict).repartition(7)
+
+    repaired = {
+        (r.session_key, r.driver_number): tuple(r)
+        for r in contract_f1.dedup_results(dirty).collect()
+    }
+
+    sink = str(tmp_path / "sink")
+    idempotent_parquet_sink(sink, keys=["session_key", "driver_number"])(dirty, 0)
+    kept = {
+        (r.session_key, r.driver_number): tuple(
+            r[c] for c in contract_f1.dedup_results(dirty).columns
+        )
+        for r in spark.read.parquet(sink)
+        .select(*dirty.columns)
+        .collect()
+    }
+    assert repaired == kept
+    # and the repair itself is partitioning-independent
+    repaired2 = {
+        (r.session_key, r.driver_number): tuple(r)
+        for r in contract_f1.dedup_results(dirty.repartition(3)).collect()
+    }
+    assert repaired == repaired2
