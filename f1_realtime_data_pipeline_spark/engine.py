@@ -194,10 +194,13 @@ class F1Engine:
         neutralizes REPLAYED micro-batches, not a duplicate result ROW
         the at-least-once producer re-sends in a LATER batch — an
         aggregate sink adds it again where the row sink's anti-join
-        would collide. The stream therefore passes through the
-        bounded-state key dedup (dropDuplicatesWithinWatermark on the
-        result key) BEFORE the aggregation, the standard MV-on-dirty-
-        stream composition."""
+        would collide. The stream therefore passes through a
+        key-state ``dropDuplicates`` on the result key — deliberately
+        WITHOUT a watermark horizon (see the inline rationale: a
+        horizon would drop late-published corrections; state stays
+        bounded because the sessions×drivers key domain is) — BEFORE
+        the aggregation, the standard MV-on-dirty-stream
+        composition."""
         from f1_realtime_data_pipeline_spark.streaming.pipeline import (
             raw_value_stream,
             transform_stream,
@@ -250,11 +253,6 @@ class F1Engine:
             transactional_delete,
         )
 
-        from f1_realtime_data_pipeline_spark.sources.manifest import (
-            resolve_snapshot,
-        )
-
-        pre_version = resolve_snapshot(self.spark, fact_table)[0]
         doomed = (
             read_sink_snapshot(self.spark, fact_table)
             .filter(F.col("driver_number").isin(driver_numbers))
@@ -264,13 +262,17 @@ class F1Engine:
         # the table with a live streaming writer, so a concurrent
         # ingest commit must not fail the erasure — the loser
         # re-derives from the winner's snapshot
-        version = transactional_delete(
+        version, changed = transactional_delete(
             doomed, fact_table, keys=RESULT_KEYS, max_commit_retries=3
         )
-        if version == pre_version:
+        if not changed:
             # no-op delete (no row matched): do NOT destroy the
             # table's version history as a side effect of erasing
-            # nothing (r6 review fix)
+            # nothing. Gated on the delete's OWN commit report, not a
+            # before/after version compare — under the advertised
+            # concurrent-streaming-writer scenario an ingest commit
+            # between the read and the delete would make the compare
+            # lie and run expire+vacuum anyway (r7, ADVICE r6)
             return version
         # vacuum protects every RETAINED snapshot (r6 retention-true
         # semantics), so erasure must first expire the pre-delete

@@ -407,8 +407,12 @@ def q1_standings_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(f"{base}/{sub}", ignore_errors=True)
     # 1. the fact as reference-shaped JSON messages (driver_number is
     # TEXT on the wire, §3.4; null position is simply absent and
-    # from_json restores it)
-    if not os.path.isdir(src):
+    # from_json restores it). Reuse is gated on the _SUCCESS marker
+    # Spark's committer writes LAST (r7, ADVICE r6): a crashed prior
+    # write leaves files but no marker, so the partial set is torn
+    # down and rewritten instead of silently replayed into the MV.
+    if not os.path.exists(f"{src}/_SUCCESS"):
+        shutil.rmtree(src, ignore_errors=True)
         race_fact(spark, sf_dir).select(
             F.to_json(
                 F.struct(

@@ -933,12 +933,33 @@ def m_binary_ingest(spark, sf_dir):
         f"m_binary_ingest_{os.path.basename(sf_dir)}_{spark.sparkContext.applicationId}",
     )
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < BINARY_INGEST_MAX_ID)
-    if not os.path.isdir(out) or len(os.listdir(out)) == 0:
-        os.makedirs(out, exist_ok=True)
-        rows = mm.attach_jpeg_payload(docs).collect()
-        for r in rows:
-            with open(os.path.join(out, f"doc_{int(r.doc_id):08d}.jpg"), "wb") as f:
-                f.write(bytes(r.payload))
+    # completeness-gated reuse via write-then-rename (r7, ADVICE r6):
+    # "dir is non-empty" also matches a CRASHED prior write's partial
+    # file set, which would silently skew the oracle comparison. The
+    # files are staged in a sibling temp dir and atomically renamed
+    # into place — `out` either doesn't exist or is complete.
+    if not os.path.isdir(out):
+        import shutil
+
+        stage = tempfile.mkdtemp(
+            prefix="m_binary_ingest_stage_", dir=tempfile.gettempdir()
+        )
+        try:
+            rows = mm.attach_jpeg_payload(docs).collect()
+            for r in rows:
+                with open(
+                    os.path.join(stage, f"doc_{int(r.doc_id):08d}.jpg"), "wb"
+                ) as f:
+                    f.write(bytes(r.payload))
+            try:
+                os.rename(stage, out)
+            except OSError:
+                # lost a same-session race to another builder: theirs
+                # is complete (rename is atomic), use it
+                shutil.rmtree(stage, ignore_errors=True)
+        except BaseException:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
     media = read_binary_files(spark, out, "*.jpg").select(
         F.regexp_extract(F.col("path"), r"doc_(\d+)\.jpg$", 1)
         .cast("bigint")

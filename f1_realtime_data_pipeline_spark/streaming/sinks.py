@@ -513,7 +513,7 @@ def transactional_delete(
     keys: Sequence[str],
     n_buckets: int = SINK_BUCKETS,
     max_commit_retries: int = 0,
-) -> int:
+) -> tuple[int, bool]:
     """DELETE on the manifest table — the remaining CRUD verb, and
     the right-to-be-forgotten pass a compliant training-data corpus
     must support: every row whose key appears in ``delete_keys`` is
@@ -530,8 +530,12 @@ def transactional_delete(
     gone only after ``expire_history(keep_last=1)`` +
     :func:`~f1_realtime_data_pipeline_spark.sources.manifest.vacuum`
     (run both as the erasure workflow; ``engine.erase_results``
-    does). Returns the committed version
-    (unchanged when no bucket is touched).
+    does). Returns ``(version, changed)`` — the current committed
+    version plus whether THIS call committed a new snapshot (r7,
+    ADVICE r6: a caller gating destructive follow-ups like
+    expire_history+vacuum on a before/after version compare races a
+    concurrent writer's commit; the flag reports this call's own
+    outcome, race-free).
 
     Concurrency: same OCC loop as :func:`transactional_merge` (r6) —
     each attempt is a fresh read-modify-commit, so with
@@ -561,7 +565,7 @@ def transactional_delete(
             }
             affected = [e for e in entries if e["bucket"] in touched]
             if not affected:
-                return version
+                return version, False
             keep = [e for e in entries if e["bucket"] not in touched]
             from pyspark.sql.types import StructType
 
@@ -595,7 +599,7 @@ def transactional_delete(
                 schema=schema,
                 meta={**manifest.doc_extras(snap_doc), **bucketing_meta},
             ):
-                return version + 1
+                return version + 1, True
             last_lost = version + 1
         finally:
             dk.unpersist()
@@ -679,9 +683,17 @@ def transactional_agg_sink(
         partial.persist()
         try:
             all_cols = group_cols + sum_cols + ["n_rows"]
+            # NULL-preserving row encoding (r7, ADVICE r6): concat_ws
+            # silently DROPS null fields, so partial-aggregate rows
+            # differing only in WHICH column is null serialized
+            # identically — and multi-arg xxhash64 has the same flaw
+            # (null args leave the hash accumulator untouched). JSON
+            # with ignoreNullFields=false keeps every field, null or
+            # not, with its name — unambiguous per row.
             row_hash = F.xxhash64(
-                F.concat_ws(
-                    "\x1f", *[F.col(c).cast("string") for c in all_cols]
+                F.to_json(
+                    F.struct(*[F.col(c) for c in all_cols]),
+                    {"ignoreNullFields": "false"},
                 )
             )
             content = (

@@ -794,9 +794,11 @@ def test_transactional_delete_concurrent_with_merge_retries(
         return real_commit(spark_, path, version, entries, **kw)
 
     monkeypatch.setattr(mf, "commit_snapshot", racing_commit)
-    v = transactional_delete(doomed, sink, keys=["k"], max_commit_retries=2)
+    v, changed = transactional_delete(
+        doomed, sink, keys=["k"], max_commit_retries=2
+    )
     monkeypatch.setattr(mf, "commit_snapshot", real_commit)
-    assert v == 3  # base=1, merge won 2, delete retried and committed 3
+    assert (v, changed) == (3, True)  # base=1, merge won 2, delete retried and committed 3
 
     out = {r.k: r.v for r in read_sink_snapshot(spark, sink).collect()}
     # 0..4 deleted; 5..14 base; 15..19 merged; 20..21 merged-then-
@@ -1077,8 +1079,8 @@ def test_transactional_delete_right_to_be_forgotten(spark, tmp_path):
 
     gone = [3, 17, 42]
     dk = spark.createDataFrame([(k,) for k in gone], ["k"])
-    v_post = transactional_delete(dk, sink, keys=["k"])
-    assert v_post == v_pre + 1
+    v_post, changed = transactional_delete(dk, sink, keys=["k"])
+    assert (v_post, changed) == (v_pre + 1, True)
     out = {r.k for r in read_sink_snapshot(spark, sink).collect()}
     assert out == set(range(60)) - set(gone)
 
@@ -1105,10 +1107,14 @@ def test_transactional_delete_right_to_be_forgotten(spark, tmp_path):
 
     # deleting keys that hash to untouched-only buckets: no-op version
     missing = spark.createDataFrame([(10_000,)], ["k"])
-    v2 = transactional_delete(missing, sink, keys=["k"])
+    v2, changed2 = transactional_delete(missing, sink, keys=["k"])
     # (bucket may exist; rewrite is fine either way — just re-read)
     assert {r.k for r in read_sink_snapshot(spark, sink).collect()} == out
     assert v2 >= v_post
+    # when the key's bucket happened not to exist, the call reports
+    # no commit — the flag erase_results gates history expiry on
+    if not changed2:
+        assert v2 == v_post
 
 
 def test_expire_history_and_sql_view(spark, tmp_path):
