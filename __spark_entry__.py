@@ -29,30 +29,32 @@ from f1_realtime_data_pipeline_spark.plans import (
 )
 
 # Registration order is part of the verification contract: the driver
-# checks the FIRST 50 registered queries each round. Rounds 1-5
-# covered all 147 previously-registered queries at least once
-# (cumulatively; CORRECTNESS_r01..r05).
-# Round 6 leads with _WINDOW_HEAD: every query whose plan or oracle
-# changed this round — the early-r6 registrations (e_knn_join_derived:
-# corpus-derived LSH planes with an in-plan COUNT(*)-derived oracle;
-# q1_standings_mv: the flagship query served from the streaming
-# materialized view; m_binary_ingest: real-file binaryFile→decode
-# ingestion; e_knn_classify), the bucketed-group-rank rewrites
-# (t_interleave_sources, t_length_buckets), the integer-division
-# bigram scorer (t_bigram_quality), the span family rerouted through
-# the hot-span two-path guard (d_span_dedup, d_span_splice,
-# d_span_dedup_stats), then the late-r6 selection/audit surface:
-# t_dsir_select, t_priority_sample, t_weighted_sample, e_diverse_topk,
-# w_anomaly_mad, m_image_ahash, t_heavy_hitters_cms,
-# d_minhash_est_audit, t_sentence_chunk, e_knn_recall_audit,
-# a_histogram — all selfchecked at sf0.01 AND sf0.1 on registration.
-# The remaining slots backfill from the family whose last driver
-# check is oldest: the windows_star head (r2-checked) then the r2/r3
-# llm_star dedup head. The spread() guard (similarity fold heads,
-# multimodal attach) and the persist additions are plan-only changes;
-# their queries (e_knn_*, e_cosine_*, e_semdedup, m_*) were
-# re-selfchecked after the change and the most scale-relevant of them
-# already sit inside this round's window.
+# checks the FIRST 50 registered queries each round. Rounds 1-6
+# covered 162/168 then-registered queries at least once (cumulatively;
+# CORRECTNESS_r01..r06 — r6 was 50/50 green).
+# Round 7 leads with every query whose plan or oracle changed this
+# round: the decorrelated-hyperplane LSH family (per-plane stride +
+# independent phase — all 8 plane-dependent oracles: the 5
+# literal-plane ones and the 3 closed-form-generator ones, incl. the
+# newly corpus-derived e_cosine_neardup/e_neardup_clusters),
+# w_asof_attribution (struct-carry NULL-correct asof_join + a
+# NULL-planting fixture), t_quality_gopher + pipeline_corpus_v2
+# (zero-token docs emit keep=false; v2 embeds the gopher SQL),
+# q1/q1_mv (shared serving assembly), q2/q4 (rank-after-limit),
+# w_lateness_audit/w_watermark_curve (shared chunked_running_max),
+# m_binary_ingest (atomic fixture staging). Then the 6 late-r6
+# registrations that have never had a driver row
+# (d_lsh_tuning_curve, d_cluster_stats, e_ivf_probe_curve,
+# m_dedup_by_ahash, t_length_profile; w_watermark_curve is already in
+# the changed set). The remaining 27 slots backfill the oldest driver
+# checks: the full r1 residue (a_cube … s7_upsert_dim) and the r2
+# dedup/text/windows head through w_funnel/w_interval_join; the seven
+# remaining r2-checked windows_star queries (w_json_props, w_retention,
+# w_session, w_sessionize_lag, w_sliding, w_tumbling,
+# w_type_transitions) rotate into round 8. NOT in the window and
+# unchanged-since-last-green: everything r4+-checked. The demoted
+# pinned-plane e_knn_join left the registry this round (its derived
+# twin is registered; the pinned form stays pytest-covered).
 _QUERY_MODULES = [
     inventory_star,
     tpch,
@@ -69,89 +71,60 @@ _QUERY_MODULES = [
 #: round (KeyError at import if a name disappears — the rotation list
 #: cannot silently go stale).
 _WINDOW_HEAD = [
-    # changed/new this round
+    # --- changed this round (r7) ---
+    "e_cosine_neardup",
+    "e_neardup_clusters",
     "e_knn_join_derived",
-    "q1_standings_mv",
-    "m_binary_ingest",
-    "e_knn_classify",
-    "t_interleave_sources",
-    "t_length_buckets",
-    "t_bigram_quality",
-    "d_span_dedup",
-    "d_span_splice",
-    "d_span_dedup_stats",
-    # new registrations (selection_ext + the perceptual-hash decode)
-    "t_dsir_select",
-    "t_priority_sample",
-    "t_weighted_sample",
-    "e_diverse_topk",
-    "w_anomaly_mad",
-    "m_image_ahash",
-    "t_heavy_hitters_cms",
-    "d_minhash_est_audit",
-    "t_sentence_chunk",
-    "e_knn_recall_audit",
-    "a_histogram",
-    # plan-changed by the r6 spread guard (similarity fold heads +
-    # multimodal attach builders) — every query whose PHYSICAL plan
-    # changed must be re-verified this round, ahead of any backfill
-    "e_knn_bruteforce",
     "e_lsh_buckets",
     "e_knn_lsh",
-    "e_ivf_cells",
-    "e_knn_ivf",
-    "e_knn_ivf_trained",
-    "e_kmeans",
-    "e_semdedup",
-    "e_cosine_neardup",
-    "e_cosine_neardup_exact",
-    "e_neardup_clusters",
-    "e_pq_codes",
-    "e_knn_pq",
-    "m_decoded_meta",
-    "m_frame_sample",
-    "m_audio_meta",
-    "m_jpeg_meta",
-    "m_video_meta",
-    "m_video_frame_plan",
-    # the _SPLIT_MULT overflow fix (review finding, value-preserving
-    # by congruence (d mod B)·M ≡ d·M (mod B)) rewrote these nine
-    # plans+oracles — they take the remaining window slots; the r2
-    # windows_star backfill rotates into round 7 instead.
-    # DEFERRED to round 7 (window at capacity — an r6 edit would leave
-    # the query driver-unverified): (a) t_quality_gopher's zero-token
-    # edge (Spark drops the doc via x/0→NULL + inner join; the DuckDB
-    # twin's list_reduce over an empty list errors) — fix by emitting
-    # keep=false rows for empty docs in both engines; (b) the LSH
-    # hyperplane generator's plane-correlated stride (functions/
-    # vector.py:hyperplane — measured 1.4× occupancy inflation at
-    # sf0.1; a per-plane stride rewrites ~12 LSH-family
-    # plans+oracles); (c) w_lateness_audit's bucketed prefix max
-    # (w_watermark_curve already registers the distributed form);
-    # (d) the q1 serving-assembly shared helper (q1_standings /
-    # q1_standings_mv duplicate the rollup+dim-join block);
-    # (e) asof_join's NULL semantics vs the DuckDB ASOF oracle
-    # (per-column last(ignorenulls) fabricates mixed rows when a
-    # matched right row carries NULL values, and NULL-ts right rows
-    # match where ASOF would not — w_asof_attribution's fixture has
-    # no NULLs so it passes today); (f) dedup_results' [date,
-    # grand_prix] order is degenerate within the result key (the
-    # streaming sink already moved to the all-non-key total order —
-    # align the batch repair and the q0..q4 family with it);
-    # (g) champion/podium re-implement argmax/topk helpers inline.
-    # Rotate the touched queries into the r7 window head alongside
-    # the windows_star backfill and the 5 new late-r6 registrations
-    # (w_watermark_curve, d_lsh_tuning_curve, d_cluster_stats,
-    # e_ivf_probe_curve, m_dedup_by_ahash).
-    "t_train_split",
-    "t_stratified_sample",
-    "t_pack_sequences_dist",
-    "t_mixture_resample",
-    "t_contamination",
-    "t_contamination_bloom",
-    "d_incremental_dedup",
-    "pipeline_corpus",
+    "e_knn_classify",
+    "e_knn_recall_audit",
+    "e_diverse_topk",
+    "w_asof_attribution",
+    "t_quality_gopher",
     "pipeline_corpus_v2",
+    "q1_standings",
+    "q1_standings_mv",
+    "q2_champion",
+    "q4_podium",
+    "w_lateness_audit",
+    "w_watermark_curve",
+    "m_binary_ingest",
+    # --- late-r6 registrations, never driver-checked ---
+    "d_lsh_tuning_curve",
+    "d_cluster_stats",
+    "e_ivf_probe_curve",
+    "m_dedup_by_ahash",
+    "t_length_profile",
+    # --- backfill: oldest driver rows (r1) ---
+    "a_cube",
+    "a_percentiles",
+    "j_salted",
+    "p_array_funcs",
+    "p_key_skew",
+    "p_profile",
+    "s7_upsert_dim",
+    # --- backfill: oldest driver rows (r2) ---
+    "d_dup_clusters",
+    "d_exact",
+    "d_minhash_lsh",
+    "d_minhash_signatures",
+    "d_ngram_jaccard",
+    "d_simhash",
+    "d_simhash_pairs",
+    "e_quantize",
+    "t_fingerprint",
+    "t_lang_id",
+    "t_normalize",
+    "t_pack_sequences",
+    "t_quality",
+    "t_redact",
+    "t_repetition",
+    "t_source_mix",
+    "t_token_stats",
+    "t_top_terms",
+    "w_funnel",
+    "w_interval_join",
 ]
 
 
