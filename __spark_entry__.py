@@ -48,10 +48,10 @@ from f1_realtime_data_pipeline_spark.plans import (
 # m_dedup_by_ahash, t_length_profile; w_watermark_curve is already in
 # the changed set). The remaining 27 slots backfill the oldest driver
 # checks: the full r1 residue (a_cube … s7_upsert_dim) and the r2
-# dedup/text/windows head through w_funnel/w_interval_join; the seven
-# remaining r2-checked windows_star queries (w_json_props, w_retention,
-# w_session, w_sessionize_lag, w_sliding, w_tumbling,
-# w_type_transitions) rotate into round 8. NOT in the window and
+# dedup/text/windows head through w_funnel/w_interval_join; the eight
+# remaining r2-checked windows_star queries (w_interval_join,
+# w_json_props, w_retention, w_session, w_sessionize_lag, w_sliding,
+# w_tumbling, w_type_transitions) rotate into round 8. NOT in the window and
 # unchanged-since-last-green: everything r4+-checked. The demoted
 # pinned-plane e_knn_join left the registry this round (its derived
 # twin is registered; the pinned form stays pytest-covered).
@@ -90,6 +90,8 @@ _WINDOW_HEAD = [
     "w_lateness_audit",
     "w_watermark_curve",
     "m_binary_ingest",
+    # --- NEW r7 registrations ---
+    "e_semantic_decontam",
     # --- late-r6 registrations, never driver-checked ---
     "d_lsh_tuning_curve",
     "d_cluster_stats",
@@ -124,7 +126,6 @@ _WINDOW_HEAD = [
     "t_token_stats",
     "t_top_terms",
     "w_funnel",
-    "w_interval_join",
 ]
 
 

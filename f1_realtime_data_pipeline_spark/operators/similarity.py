@@ -494,6 +494,169 @@ JOIN unitv ub ON ub.vec_id = vec_b
 WHERE {dot_sql("ua.uv", "ub.uv")} >= {threshold}"""
 
 
+def semantic_decontam(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    planes_per_table: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EMBEDDING-SPACE test-set decontamination (r7) — the semantic
+    complement of the n-gram :func:`~.dedup.contamination` scan: for
+    every TRAIN vector (deterministic hash split, same
+    ``t_train_split`` convention), does any TEST vector sit at cosine
+    ≥ ``threshold``? Paraphrased or re-rendered eval leakage shares
+    embedding neighborhoods while sharing no n-grams — this is the
+    scan modern pretraining pipelines run beside the lexical one.
+
+    Plan shape: one checkpointed scan stores (vid, split-bucket,
+    per-table LSH buckets, unit vector); the candidate join keys on
+    int (table, bucket) between the TRAIN side and the BROADCAST test
+    side — the test split is ~10% of the corpus, the natural small
+    side, so the train scan stays map-side (the same asymmetry the
+    lexical scan exploits; at corpus sizes where even the test
+    bucket relation outgrows broadcast, drop the hint and let the
+    equi-join shuffle — shape unchanged). Candidates dedupe as bare
+    id pairs; vectors are fetched per side AFTER the distinct; exact
+    cosine verifies; a left join back to the full train population
+    emits ``contaminated = false`` rows for clean vectors (a filter
+    must CLASSIFY every input, the same contract the zero-token
+    gopher fix pinned). ``planes_per_table`` defaults corpus-derived
+    (:func:`~..functions.vector.neardup_planes_for`), so candidate
+    volume per train vector stays constant as the corpus grows.
+
+    Approximate by construction (LSH recall < 1 at threshold-grazing
+    cosines; exact copies always collide); the oracle reproduces the
+    same candidate generation, making the approximation itself
+    value-checkable.
+
+    Output: (vec_id, n_test_hits, max_test_cosine NULL-when-clean,
+    contaminated) — one row per train vector."""
+    from f1_realtime_data_pipeline_spark.operators.dedup import (
+        _SPLIT_BUCKETS,
+        _SPLIT_MULT,
+        _TEST_GE,
+        _TRAIN_LT,
+    )
+
+    if planes_per_table is None:
+        planes_per_table = neardup_planes_for(embeddings.count())
+    bucket = F.pmod(
+        F.pmod(F.col(id_col), F.lit(_SPLIT_BUCKETS)) * F.lit(_SPLIT_MULT),
+        F.lit(_SPLIT_BUCKETS),
+    )
+    rel = (
+        spread(embeddings)
+        .withColumn("nrm", norm(F.col(vec_col)))
+        .select(
+            F.col(id_col).alias("vid"),
+            bucket.alias("__b"),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        lsh_table_bucket(
+                            F.col(vec_col), t, planes_per_table
+                        ).alias("bkt"),
+                    )
+                    for t in range(NEARDUP_TABLES)
+                ]
+            ).alias("tbs"),
+            unit(F.col(vec_col), F.col("nrm")).alias("uv"),
+        )
+    )
+    rel = materialize(rel, durable=True)
+    tb = rel.select("vid", "__b", F.explode("tbs").alias("tb")).select(
+        "vid", "__b", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt")
+    )
+    train_tb = tb.filter(F.col("__b") < _TRAIN_LT).select(
+        F.col("vid").alias("train_id"), "tbl", "bkt"
+    )
+    test_tb = tb.filter(F.col("__b") >= _TEST_GE).select(
+        F.col("vid").alias("test_id"), "tbl", "bkt"
+    )
+    cand = (
+        train_tb.join(F.broadcast(test_tb), ["tbl", "bkt"])
+        .select("train_id", "test_id")
+        .dropDuplicates(["train_id", "test_id"])
+    )
+    u = rel.select("vid", "uv")
+    hits = (
+        cand.join(
+            u.select(F.col("vid").alias("train_id"), F.col("uv").alias("tv")),
+            "train_id",
+        )
+        .join(
+            u.select(F.col("vid").alias("test_id"), F.col("uv").alias("sv")),
+            "test_id",
+        )
+        .withColumn("cosine", dot(F.col("tv"), F.col("sv")))
+        .filter(F.col("cosine") >= threshold)
+        .groupBy("train_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_test_hits"),
+            F.max("cosine").alias("max_test_cosine"),
+        )
+        .withColumnRenamed("train_id", "vec_id")
+    )
+    train_all = rel.filter(F.col("__b") < _TRAIN_LT).select(
+        F.col("vid").alias("vec_id")
+    )
+    return train_all.join(hits, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce(F.col("n_test_hits"), F.lit(0).cast("bigint")).alias(
+            "n_test_hits"
+        ),
+        "max_test_cosine",
+        (F.coalesce(F.col("n_test_hits"), F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def semantic_decontam_derived_sql(threshold: float, src: str) -> str:
+    """DuckDB twin of :func:`semantic_decontam` with the
+    corpus-derived plane count re-derived from COUNT(*) in-plan (same
+    scheme as :func:`cosine_neardup_lsh_pairs_derived_sql`)."""
+    from f1_realtime_data_pipeline_spark.functions.vector import neardup_planes_sql
+    from f1_realtime_data_pipeline_spark.operators.dedup import (
+        _SPLIT_BUCKETS,
+        _SPLIT_MULT,
+        _TEST_GE,
+        _TRAIN_LT,
+    )
+
+    split = f"((vec_id % {_SPLIT_BUCKETS}) * {_SPLIT_MULT}) % {_SPLIT_BUCKETS}"
+    per_table = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {split} AS b, {_derived_bucket_sql(t)} AS bkt, {t} AS tbl "
+        f"FROM {src} _e{t}, p"
+        for t in range(NEARDUP_TABLES)
+    )
+    planes = neardup_planes_sql(f"(SELECT COUNT(*) FROM {src} _n)")
+    return f"""WITH p AS (SELECT {planes} AS pc),
+{_unit_sql(src)}, tabs AS (
+  {per_table}
+), cand AS (
+  SELECT DISTINCT t.vec_id AS train_id, s.vec_id AS test_id
+  FROM (SELECT * FROM tabs WHERE b < {_TRAIN_LT}) t
+  JOIN (SELECT * FROM tabs WHERE b >= {_TEST_GE}) s
+    ON t.tbl = s.tbl AND t.bkt = s.bkt
+), hits AS (
+  SELECT train_id AS vec_id,
+         CAST(COUNT(*) AS BIGINT) AS n_test_hits,
+         MAX({dot_sql("ut.uv", "us.uv")}) AS max_test_cosine
+  FROM cand
+  JOIN unitv ut ON ut.vec_id = train_id
+  JOIN unitv us ON us.vec_id = test_id
+  WHERE {dot_sql("ut.uv", "us.uv")} >= {threshold}
+  GROUP BY train_id
+)
+SELECT v.vec_id,
+       COALESCE(h.n_test_hits, 0) AS n_test_hits,
+       h.max_test_cosine,
+       COALESCE(h.n_test_hits, 0) > 0 AS contaminated
+FROM (SELECT vec_id FROM {src} _v WHERE {split} < {_TRAIN_LT}) v
+LEFT JOIN hits h USING (vec_id)"""
+
+
 def cosine_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,

@@ -714,6 +714,59 @@ _register(
 )
 
 
+#: decontam fixture geometry: the near-dup fixture's +1M/+2M offsets
+#: are ≡ 0 (mod the 1000 split buckets), so every planted copy lands
+#: in the SAME split as its base and a cross-split scan would be
+#: trivially all-clean. This fixture plants every 10th vector at an
+#: offset that SHIFTS the split bucket by 1 — a deterministic subset
+#: of copies lands in test while the base sits in train (9 cross-split
+#: planted pairs at sf0.01, 40 at sf0.1), so the query's positive path
+#: is exercised at every harness sf. Ids stay disjoint from base ids
+#: (same < 1M bound the near-dup fixture pins in pytest).
+_DECONTAM_STRIDE, _DECONTAM_OFF = 10, 1_000_001
+
+
+def _embs_decontam(spark, sf_dir):
+    e = _embs(spark, sf_dir).select("vec_id", "embedding")
+    c = e.filter(F.col("vec_id") % _DECONTAM_STRIDE == 0).select(
+        (F.col("vec_id") + _DECONTAM_OFF).alias("vec_id"), "embedding"
+    )
+    return e.unionAll(c)
+
+
+_EMBS_DECONTAM_SQL = f"""(
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_DECONTAM_OFF}, embedding FROM embeddings
+  WHERE vec_id % {_DECONTAM_STRIDE} = 0
+)"""
+
+
+def e_semantic_decontam(spark, sf_dir):
+    """Embedding-space test-set decontamination (r7): for every TRAIN
+    vector of the deterministic hash split, is any TEST vector within
+    cosine ≥ 0.9? The semantic complement of the lexical
+    t_contamination scan — paraphrased eval leakage shares embedding
+    neighborhoods while sharing no n-grams. Runs on the
+    bucket-shifting planted-copy fixture (above) so contamination
+    exists by construction: a planted exact copy whose id hashes into
+    the test split flags its train-side base at cosine 1.0.
+    Corpus-derived plane count; the oracle re-derives it in-plan and
+    reproduces the same candidate generation. Every train vector gets
+    a row (contaminated=false when clean) — a filter must classify,
+    not drop."""
+    return sim.semantic_decontam(
+        _embs_decontam(spark, sf_dir), threshold=_NEARDUP_COS, planes_per_table=None
+    )
+
+
+_register(
+    "e_semantic_decontam",
+    e_semantic_decontam,
+    sim.semantic_decontam_derived_sql(_NEARDUP_COS, src=_EMBS_DECONTAM_SQL),
+)
+
+
 def e_cosine_neardup_exact(spark, sf_dir):
     """Recall-1 brute-force baseline (all-pairs; at scale this shape
     survives only as the verify stage — see cosine_neardup_pairs)."""

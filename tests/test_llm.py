@@ -1021,3 +1021,56 @@ def test_neardup_fixture_id_space_disjoint(spark):
             .collect()[0][0]
         )
         assert mx < min_off, (sf, mx, min_off)
+
+
+def test_semantic_decontam_classifies_every_train_vector(spark):
+    # r7: planted copies whose ids shift split buckets -> known
+    # contaminated train vectors at cosine 1.0; every OTHER train
+    # vector must come out with a contaminated=false row (classify,
+    # never drop), and nothing outside the train split appears.
+    import f1_realtime_data_pipeline_spark.operators.similarity as sim
+    from f1_realtime_data_pipeline_spark.operators.dedup import (
+        _SPLIT_BUCKETS,
+        _SPLIT_MULT,
+        _TEST_GE,
+        _TRAIN_LT,
+    )
+
+    def split(i):
+        return ((i % _SPLIT_BUCKETS) * _SPLIT_MULT) % _SPLIT_BUCKETS
+
+    # nonlinear i*j mixing AND centered components: linear-in-j
+    # vectors are near collinear across i, and all-positive
+    # components cluster around the all-ones direction — either way
+    # everything cross-hits at cosine ~1
+    base = [
+        (i, [float((i * 13 + j * 7 + i * j * 2654435761) % 9973) / 9973.0 - 0.5
+             for j in range(64)])
+        for i in range(120)
+    ]
+    # exact copies at an offset that shifts the split bucket by 1
+    copies = [(i + 1_000_001, v) for i, v in base if i % 4 == 0]
+    df = spark.createDataFrame(base + copies, "vec_id bigint, embedding array<float>")
+    out = {r.vec_id: r for r in sim.semantic_decontam(df, threshold=0.99).collect()}
+
+    all_ids = [i for i, _ in base + copies]
+    train_ids = {i for i in all_ids if split(i) < _TRAIN_LT}
+    assert set(out) == train_ids  # one row per train vector, no extras
+    expected_hits = set()
+    for i, _ in base:
+        if i % 4 == 0:
+            c = i + 1_000_001
+            if split(i) < _TRAIN_LT and split(c) >= _TEST_GE:
+                expected_hits.add(i)
+            if split(c) < _TRAIN_LT and split(i) >= _TEST_GE:
+                expected_hits.add(c)
+    assert expected_hits, "fixture produced no cross-split pair"
+    for i in train_ids:
+        if i in expected_hits:
+            assert out[i].contaminated and out[i].n_test_hits >= 1
+            assert out[i].max_test_cosine > 0.999
+        else:
+            # clean vectors may still legitimately hit if some OTHER
+            # test vector is cosine-close; with 0.99 on these distinct
+            # synthetic vectors only exact copies qualify
+            assert not out[i].contaminated and out[i].max_test_cosine is None
