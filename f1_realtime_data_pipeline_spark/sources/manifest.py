@@ -748,3 +748,115 @@ def vacuum(spark: SparkSession, table_path: str) -> list[str]:
             fs.delete(top.getPath(), True)
             removed.append(top_name)
     return sorted(removed)
+
+
+# ---------------------------------------------------------------------------
+# symlink-format manifest export (external-engine interop, r7)
+# ---------------------------------------------------------------------------
+
+#: export dir name — the Hive SymlinkTextInputFormat convention Delta
+#: uses for Presto/Trino/Athena readers (``GENERATE
+#: symlink_format_manifest``); external engines learn the current
+#: snapshot's parquet FILES from plain text manifests instead of this
+#: module's JSON, so a table here is queryable from any engine that
+#: can read the convention — the interop story a bespoke manifest
+#: format otherwise lacks.
+SYMLINK_MANIFEST_DIR = "_symlink_format_manifest"
+
+
+def export_symlink_manifest(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> str:
+    """Export the (latest or explicit) committed snapshot as a
+    symlink-format manifest: one text file per hash-bucket partition
+    (``{SYMLINK_MANIFEST_DIR}/{BUCKET_COL}={{b}}/manifest``) listing the
+    absolute URIs of that bucket's live parquet files, one per line —
+    exactly the layout Hive's SymlinkTextInputFormat and the
+    Presto/Trino/Athena Delta-manifest readers consume, partition
+    pruning included (the bucket dir name carries the partition
+    value).
+
+    Atomic swap: the whole export is staged under a hidden temp dir
+    and renamed into place, so an external reader never sees a
+    half-written manifest set — the same write-then-publish
+    discipline as the manifest commits themselves. Re-exporting after
+    a new commit replaces the export in one namespace operation.
+    Returns the export directory path.
+
+    Driver-side file listing is metadata-scale (one listStatus per
+    live entry dir — the same enumeration every commit already
+    performs); no data is read or moved. Like Delta's GENERATE, the
+    export is a SNAPSHOT, not a subscription: re-run it (or wire it
+    into foreachBatch) after commits that should become visible to
+    external readers."""
+    from uuid import uuid4
+
+    doc = resolve_snapshot_doc(spark, table_path, version)
+    entries = doc["entries"]
+    fs, troot = fs_for(spark, table_path)
+    qroot = fs.makeQualified(troot).toString()
+
+    by_bucket: dict[int, list[str]] = {}
+    for e in entries:
+        edir_str = f"{table_path}/{e['path']}"
+        _, edir = fs_for(spark, edir_str)
+        files = [
+            fs.makeQualified(st.getPath()).toString()
+            for st in fs.listStatus(edir)
+            if st.isFile()
+            and st.getPath().getName().endswith(".parquet")
+        ]
+        by_bucket.setdefault(int(e["bucket"]), []).extend(sorted(files))
+
+    jvm = spark._jvm
+    final = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{SYMLINK_MANIFEST_DIR}")
+    stage = jvm.org.apache.hadoop.fs.Path(
+        f"{table_path}/.{SYMLINK_MANIFEST_DIR}.stage-{uuid4().hex[:8]}"
+    )
+    for bucket, files in sorted(by_bucket.items()):
+        mpath = jvm.org.apache.hadoop.fs.Path(
+            stage, f"{BUCKET_COL}={bucket}/manifest"
+        )
+        out = fs.create(mpath, True)
+        try:
+            out.write(bytearray(("\n".join(files) + "\n").encode("utf-8")))
+        finally:
+            out.close()
+    # version marker: external tooling (and our reader below) can tell
+    # WHICH snapshot an export corresponds to without parsing JSON
+    vpath = jvm.org.apache.hadoop.fs.Path(stage, "_exported_version")
+    out = fs.create(vpath, True)
+    try:
+        out.write(bytearray(f"{doc['version']}\n".encode("utf-8")))
+    finally:
+        out.close()
+    if fs.exists(final):
+        fs.delete(final, True)
+    if not fs.rename(stage, final):
+        fs.delete(stage, True)
+        raise RuntimeError(
+            f"symlink-manifest publish rename failed for {table_path} "
+            f"(concurrent exporter?) — re-run export_symlink_manifest"
+        )
+    return f"{table_path}/{SYMLINK_MANIFEST_DIR}"
+
+
+def read_symlink_manifest(spark: SparkSession, table_path: str) -> "DataFrame":
+    """Read a table THROUGH its symlink-format manifest only — the
+    exact access path an external engine takes: list the per-partition
+    manifest text files, read the parquet files they name, never touch
+    ``_manifests``. Exists so the export is testable end-to-end
+    (export → read-back == snapshot read) rather than write-only."""
+    fs, mdir = fs_for(spark, f"{table_path}/{SYMLINK_MANIFEST_DIR}")
+    files: list[str] = []
+    for st in fs.listStatus(mdir):
+        name = st.getPath().getName()
+        if not name.startswith(f"{BUCKET_COL}="):
+            continue
+        mfile = f"{table_path}/{SYMLINK_MANIFEST_DIR}/{name}/manifest"
+        files.extend(
+            line for line in _read_text(spark, mfile).splitlines() if line
+        )
+    if not files:
+        raise ValueError(f"no symlink manifest files under {mdir}")
+    return spark.read.parquet(*files)

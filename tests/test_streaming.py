@@ -1320,3 +1320,63 @@ def test_delete_all_leaves_readable_empty_table(spark, tmp_path):
     out = read_sink_snapshot(spark, sink)
     assert out.count() == 0
     assert set(out.columns) >= {"k", "v"}
+
+
+def test_symlink_manifest_export_roundtrip(spark, tmp_path):
+    """r7 interop: export the committed snapshot as a Hive/Delta-style
+    symlink-format manifest and read the table back THROUGH the
+    manifest only (the external-engine path). The export must track
+    re-exports after MERGE commits, list only live files (compaction/
+    vacuum-safe), and carry the per-bucket partition layout."""
+    from f1_realtime_data_pipeline_spark.sources import manifest as mf
+    from f1_realtime_data_pipeline_spark.streaming.sinks import (
+        read_sink_snapshot,
+        transactional_merge,
+        transactional_parquet_sink,
+    )
+
+    table = str(tmp_path / "symlink_tbl")
+    write = transactional_parquet_sink(table, keys=["k"], order_cols=["v"])
+    write(spark.createDataFrame([(i, f"v{i}") for i in range(40)], ["k", "v"]), 0)
+
+    out_dir = mf.export_symlink_manifest(spark, table)
+    assert out_dir.endswith(mf.SYMLINK_MANIFEST_DIR)
+    via_manifest = {
+        (r.k, r.v)
+        for r in mf.read_symlink_manifest(spark, table).select("k", "v").collect()
+    }
+    direct = {(r.k, r.v) for r in read_sink_snapshot(spark, table).collect()}
+    assert via_manifest == direct
+
+    # a MERGE rewrites buckets; the OLD export still lists only files
+    # that exist (no vacuum yet) -> still readable, but stale...
+    ups = spark.createDataFrame([(i, f"M{i}") for i in range(35, 45)], ["k", "v"])
+    transactional_merge(ups, table, keys=["k"], order_cols=["v"])
+    stale = {
+        (r.k, r.v)
+        for r in mf.read_symlink_manifest(spark, table).select("k", "v").collect()
+    }
+    assert stale == direct  # snapshot semantics: pre-merge image
+
+    # ...and re-exporting atomically swaps in the new snapshot
+    mf.export_symlink_manifest(spark, table)
+    refreshed = {
+        (r.k, r.v)
+        for r in mf.read_symlink_manifest(spark, table).select("k", "v").collect()
+    }
+    assert refreshed == {(r.k, r.v) for r in read_sink_snapshot(spark, table).collect()}
+    assert any(v.startswith("M") for _, v in refreshed)
+
+    # version marker names the exported snapshot
+    ver = int(mf._read_text(
+        spark, f"{table}/{mf.SYMLINK_MANIFEST_DIR}/_exported_version"
+    ).strip())
+    assert ver == mf.resolve_snapshot(spark, table)[0]
+
+    # time travel: exporting an EXPLICIT old version lists the old image
+    mf.export_symlink_manifest(spark, table, version=1)
+    old = {
+        (r.k, r.v)
+        for r in mf.read_symlink_manifest(spark, table).select("k", "v").collect()
+    }
+    assert old == direct
