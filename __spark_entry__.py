@@ -48,8 +48,8 @@ from f1_realtime_data_pipeline_spark.plans import (
 # m_dedup_by_ahash, t_length_profile; w_watermark_curve is already in
 # the changed set). The remaining 27 slots backfill the oldest driver
 # checks: the full r1 residue (a_cube … s7_upsert_dim) and the r2
-# dedup/text/windows head through w_funnel/w_interval_join; the eight
-# remaining r2-checked windows_star queries (w_interval_join,
+# dedup/text/windows head through w_funnel/w_interval_join; the nine
+# remaining r2-checked windows_star queries (w_funnel, w_interval_join,
 # w_json_props, w_retention, w_session, w_sessionize_lag, w_sliding,
 # w_tumbling, w_type_transitions) rotate into round 8. NOT in the window and
 # unchanged-since-last-green: everything r4+-checked. The demoted
@@ -92,6 +92,7 @@ _WINDOW_HEAD = [
     "m_binary_ingest",
     # --- NEW r7 registrations ---
     "e_semantic_decontam",
+    "t_domain_weights",
     # --- late-r6 registrations, never driver-checked ---
     "d_lsh_tuning_curve",
     "d_cluster_stats",
@@ -125,7 +126,6 @@ _WINDOW_HEAD = [
     "t_source_mix",
     "t_token_stats",
     "t_top_terms",
-    "w_funnel",
 ]
 
 

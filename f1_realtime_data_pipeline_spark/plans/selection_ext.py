@@ -984,3 +984,149 @@ SELECT CAST(cluster_size AS INT) AS cluster_size,
        CAST(COUNT(*) AS BIGINT) AS n_clusters
 FROM sizes GROUP BY cluster_size""",
 )
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style domain reweighting (r7)
+#
+# Multiplicative-weights over per-domain excess loss — the
+# domain-mixture optimization modern pretraining preps run (DoReMi,
+# Xie et al. 2023): domains whose loss proxy exceeds the current
+# weighted-mixture loss gain weight, domains below lose it, iterated K
+# times from uniform. The loss proxy here is the corpus-trained bigram
+# LM's surprisal (1e6 − avg_prob_ppm, already oracle-checked as
+# t_bigram_quality) aggregated to the source domain.
+#
+# Determinism contract: the ENTIRE loop is integer fixed-point (loss
+# in ppm, weights in ppb) — a float loop would hit cross-engine FP
+# association drift on the Σ w·L mixture sums; integer sums are
+# order-free and exact. All intermediate quantities are NON-NEGATIVE
+# before every integer division (Spark's DIV truncates toward zero,
+# DuckDB's // floors — they agree only on non-negative operands), and
+# products stay ≤ ~2^50, far inside BIGINT.
+# ---------------------------------------------------------------------------
+
+#: multiplicative-weights iterations (unrolled identically in the SQL)
+MW_ITERS = 3
+#: fixed-point scales: losses in parts-per-million, weights in
+#: parts-per-billion
+MW_PPM = 1_000_000
+MW_PPB = 1_000_000_000
+
+
+def t_domain_weights(spark, sf_dir):
+    """Per-source mixture weights after MW_ITERS multiplicative-weight
+    steps from uniform: w′ ∝ w · (1 + (L_k − M)/(2·L̄)), where L_k is
+    the domain's bigram-surprisal loss (ppm), M the current weighted
+    mixture loss, and L̄ the unweighted domain mean (the step-size
+    normalizer, so factors stay within ±~50%). The update is computed
+    as 1e6 + a_k − b with a_k = (L_k·1e6) DIV (2·L̄) and
+    b = (M·1e6) DIV (2·L̄) — every division on non-negative integers,
+    identical in both engines — then clamped at 0 (weights cannot go
+    negative) and renormalized to ppb.
+
+    Scale shape: the domain relation is |sources|-sized (tiny); each
+    iteration is two scalar aggregates broadcast back — the heavy
+    work is the one corpus-scale bigram scoring pass this reuses from
+    t_bigram_quality."""
+    from f1_realtime_data_pipeline_spark.plans import llm_ext
+
+    per_doc = llm_ext.t_bigram_quality(spark, sf_dir)
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    dom = (
+        per_doc.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.expr(f"SUM({MW_PPM} - avg_prob_ppm) DIV COUNT(*)")
+            .cast("bigint")
+            .alias("loss_ppm"),
+        )
+    )
+    dom = dom.localCheckpoint(eager=True)
+    lbar = dom.agg(
+        F.expr("GREATEST(SUM(loss_ppm) DIV COUNT(*), 1)").alias("lbar")
+    )
+    n_dom = dom.agg(F.count(F.lit(1)).alias("nd"))
+    w = (
+        dom.crossJoin(F.broadcast(n_dom))
+        .withColumn("w_ppb", F.expr(f"{MW_PPB} DIV nd").cast("bigint"))
+        .drop("nd")
+    )
+    w0 = w.select("source", F.col("w_ppb").alias("w0_ppb"))
+    for _ in range(MW_ITERS):
+        mix = w.agg(
+            F.expr(f"SUM(w_ppb * loss_ppm) DIV {MW_PPB}").alias("m")
+        )
+        w = (
+            w.crossJoin(F.broadcast(mix))
+            .crossJoin(F.broadcast(lbar))
+            .withColumn(
+                "f",
+                F.expr(
+                    f"GREATEST({MW_PPM} + (loss_ppm * {MW_PPM}) DIV (2 * lbar)"
+                    f" - (m * {MW_PPM}) DIV (2 * lbar), 0)"
+                ),
+            )
+            .withColumn("wu", F.expr(f"(w_ppb * f) DIV {MW_PPM}"))
+            .drop("m", "lbar", "f")
+        )
+        s = w.agg(F.expr("GREATEST(SUM(wu), 1)").alias("s"))
+        w = (
+            w.crossJoin(F.broadcast(s))
+            .withColumn("w_ppb", F.expr(f"(wu * {MW_PPB}) DIV s").cast("bigint"))
+            .drop("wu", "s")
+        )
+    return (
+        w.join(w0, "source")
+        .select("source", "n_docs", "loss_ppm", "w0_ppb", "w_ppb")
+    )
+
+
+def _domain_weights_sql() -> str:
+    from f1_realtime_data_pipeline_spark.plans import llm_ext
+
+    ctes = [
+        f"""per_doc AS (
+  {llm_ext.ORACLE["t_bigram_quality"]}
+), dom AS (
+  SELECT d.source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM({MW_PPM} - p.avg_prob_ppm) // COUNT(*) AS BIGINT) AS loss_ppm
+  FROM per_doc p JOIN documents d USING (doc_id)
+  GROUP BY d.source
+), consts AS (
+  SELECT GREATEST(SUM(loss_ppm) // COUNT(*), 1) AS lbar,
+         COUNT(*) AS nd
+  FROM dom
+), w0 AS (
+  SELECT source, n_docs, loss_ppm,
+         CAST({MW_PPB} // nd AS BIGINT) AS w_ppb
+  FROM dom, consts
+)"""
+    ]
+    prev = "w0"
+    for i in range(MW_ITERS):
+        ctes.append(f"""m{i} AS (
+  SELECT SUM(w_ppb * loss_ppm) // {MW_PPB} AS m FROM {prev}
+), u{i} AS (
+  SELECT source, n_docs, loss_ppm,
+         (w_ppb * GREATEST({MW_PPM} + (loss_ppm * {MW_PPM}) // (2 * lbar)
+                           - (m * {MW_PPM}) // (2 * lbar), 0)) // {MW_PPM} AS wu
+  FROM {prev}, m{i}, consts
+), s{i} AS (
+  SELECT GREATEST(SUM(wu), 1) AS s FROM u{i}
+), w{i + 1} AS (
+  SELECT source, n_docs, loss_ppm,
+         CAST((wu * {MW_PPB}) // s AS BIGINT) AS w_ppb
+  FROM u{i}, s{i}
+)""")
+        prev = f"w{i + 1}"
+    body = ",\n".join(ctes)
+    return f"""WITH {body}
+SELECT w.source, w.n_docs, w.loss_ppm,
+       z.w_ppb AS w0_ppb, w.w_ppb
+FROM {prev} w JOIN w0 z USING (source)"""
+
+
+_register("t_domain_weights", t_domain_weights, _domain_weights_sql())

@@ -217,3 +217,43 @@ def test_dedup_by_ahash_groups(spark, sf_dir):
         canon = [r for r in rows if r.is_canonical]
         assert len(canon) == 1 and canon[0].doc_id == keeper
         assert all(r.doc_id >= keeper for r in rows)
+
+
+def test_domain_weights_shift_toward_lossy_domains(spark, monkeypatch):
+    # r7 DoReMi-lite: a domain whose text the corpus bigram LM
+    # predicts poorly (unique bigrams -> low avg_prob_ppm -> high
+    # surprisal loss) must GAIN weight over the iterations; a
+    # highly predictable domain must LOSE it. Weights stay a
+    # normalized ppb simplex.
+    from unittest import mock
+
+    from pyspark.sql import Row
+
+    from f1_realtime_data_pipeline_spark.plans import llm_ext, selection_ext
+
+    rows = []
+    # domain A: one repeated bigram chain -> P(w2|w1)=1 everywhere
+    # (no trailing space: a boundary '' token would dent the score)
+    for i in range(6):
+        rows.append(Row(doc_id=i, source="predictable",
+                        text=" ".join(["alpha beta"] * 10), lang="en"))
+    # domain B: a SHARED prefix token with a different successor in
+    # every position of every doc -> P(successor|q) = 1/60 each.
+    # (All-distinct bigrams would be perfectly predictive in a bigram
+    # count model: c(w1 w2) = c(w1) = 1 -> ratio 1. Surprisal needs
+    # shared prefixes with divergent successors.)
+    for i in range(6, 12):
+        words = " ".join(f"q a{i}x{j}" for j in range(10))
+        rows.append(Row(doc_id=i, source="surprising", text=words, lang="en"))
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string, lang string")
+
+    with mock.patch.object(llm_ext, "_docs", lambda s, d: df), \
+         mock.patch.object(selection_ext, "_docs", lambda s, d: df):
+        out = {r.source: r for r in selection_ext.t_domain_weights(None, None).collect()}
+
+    assert set(out) == {"predictable", "surprising"}
+    assert out["surprising"].loss_ppm > out["predictable"].loss_ppm
+    assert out["surprising"].w_ppb > out["surprising"].w0_ppb
+    assert out["predictable"].w_ppb < out["predictable"].w0_ppb
+    total = out["surprising"].w_ppb + out["predictable"].w_ppb
+    assert abs(total - 1_000_000_000) <= 2  # ppb simplex (integer rounding)
