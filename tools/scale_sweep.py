@@ -202,6 +202,15 @@ def sweep_queries(spark, sf_dir: str):
         ("t_dsir_select", lambda: qs["t_dsir_select"](spark, sf_dir)),
         ("t_heavy_hitters_cms", lambda: qs["t_heavy_hitters_cms"](spark, sf_dir)),
         ("d_minhash_est_audit", lambda: qs["d_minhash_est_audit"](spark, sf_dir)),
+        # r7: semantic decontamination — derived planes + broadcast
+        # test side; candidate volume per train vector must stay
+        # constant as the corpus grows (same claim as the near-dup
+        # detector, but with the asymmetric train/test join)
+        ("e_semantic_decontam", lambda: qs["e_semantic_decontam"](spark, sf_dir)),
+        # r7: DoReMi-lite — the only corpus-scale stage is the bigram
+        # scoring pass; the MW loop runs on the |sources|-row domain
+        # relation, so wall must track t_bigram_quality's curve
+        ("t_domain_weights", lambda: qs["t_domain_weights"](spark, sf_dir)),
         (
             "d_span_splice_hotspan",
             lambda: dd.span_splice(
