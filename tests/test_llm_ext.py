@@ -546,3 +546,35 @@ def test_split_hash_no_overflow_at_large_doc_id(spark, monkeypatch):
         .fetchone()[0]
     )
     assert got == expected_bucket
+
+
+def test_pinned_knn_join_baseline_matches_its_oracle(spark):
+    # r7: e_knn_join (pinned 6-plane) was demoted from the registry to
+    # a fixed-parameter BASELINE (its candidate volume grows with N by
+    # construction; the registered form is e_knn_join_derived). Demoted
+    # does not mean unchecked: the pinned plan must still match its
+    # DuckDB twin pair-for-pair — this is the parity row the driver
+    # used to provide.
+    import duckdb
+
+    from f1_realtime_data_pipeline_spark.plans.llm_star import (
+        E_KNN_JOIN_PINNED_SQL,
+        e_knn_join,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        (r.query_id, r.neighbor_id, r.rnk, round(r.cosine, 9))
+        for r in e_knn_join(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    want = {
+        (q, n, k, round(c, 9))
+        for q, n, k, c in con.execute(E_KNN_JOIN_PINNED_SQL).fetchall()
+    }
+    assert got == want
+    assert got, "baseline join produced no pairs"
