@@ -1055,6 +1055,13 @@ def t_domain_weights(spark, sf_dir):
     )
     w0 = w.select("source", F.col("w_ppb").alias("w0_ppb"))
     for _ in range(MW_ITERS):
+        # truncate lineage each step: the relation is |sources|-sized
+        # (trivial to checkpoint) but every iteration references the
+        # previous one TWICE (the mixture scalar and the update), so
+        # without the checkpoint the plan re-derives all earlier
+        # iterations per reference — the audited plan showed 170
+        # exchanges for 3 iterations; with it, a handful.
+        w = w.localCheckpoint(eager=True)
         mix = w.agg(
             F.expr(f"SUM(w_ppb * loss_ppm) DIV {MW_PPB}").alias("m")
         )

@@ -79,6 +79,14 @@ AUDIT = [
     "t_sentence_chunk",
     "e_knn_recall_audit",
     "a_histogram",
+    # r7 surface + plan-shape rewrites
+    "e_semantic_decontam",
+    "t_domain_weights",
+    "w_asof_attribution",
+    "w_lateness_audit",
+    "w_watermark_curve",
+    "q2_champion",
+    "q4_podium",
 ]
 
 
@@ -92,7 +100,21 @@ AUDIT = [
 #:   partitioned by source.
 #: (t_shuffle_order left this list in r5: its rank is now the
 #: bucketed offset+local-rank form, no global window in the plan.)
-GLOBAL_WINDOW_OK = {"p_skew_profile", "t_interleave_sources"}
+#: - q4_podium (r7): the podium rank runs AFTER orderBy().limit(3) —
+#:   the window input is exactly 3 rows (q2_champion has no window at
+#:   all anymore).
+#: - w_lateness_audit / w_watermark_curve (r7): the only global
+#:   window is the CHUNK-level prefix max inside chunked_running_max —
+#:   its input is the N/1024-row chunk aggregate (domain-sized, the
+#:   same class as p_skew_profile's post-limit rank); the per-row
+#:   window partitions by chunk.
+GLOBAL_WINDOW_OK = {
+    "p_skew_profile",
+    "t_interleave_sources",
+    "q4_podium",
+    "w_lateness_audit",
+    "w_watermark_curve",
+}
 
 
 def _has_global_window(plan: str) -> bool:
