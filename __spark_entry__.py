@@ -46,12 +46,15 @@ from f1_realtime_data_pipeline_spark.plans import (
 # registrations that have never had a driver row
 # (d_lsh_tuning_curve, d_cluster_stats, e_ivf_probe_curve,
 # m_dedup_by_ahash, t_length_profile; w_watermark_curve is already in
-# the changed set). The remaining 27 slots backfill the oldest driver
-# checks: the full r1 residue (a_cube … s7_upsert_dim) and the r2
-# dedup/text/windows head through w_funnel/w_interval_join; the nine
-# remaining r2-checked windows_star queries (w_funnel, w_interval_join,
-# w_json_props, w_retention, w_session, w_sessionize_lag, w_sliding,
-# w_tumbling, w_type_transitions) rotate into round 8. NOT in the window and
+# the changed set). That is 18 changed + 3 new (e_semantic_decontam,
+# t_domain_weights, t_quality_gopher_edges) + 5 late-r6 = 26 head
+# slots; the remaining 24 backfill the oldest driver checks: the full
+# r1 residue (7: a_cube … s7_upsert_dim) and the oldest 17 of the r2
+# dedup/text head (d_dup_clusters … t_token_stats). Rotating into
+# round 8: t_top_terms, w_funnel, w_interval_join, and the seven
+# remaining r2-checked windows_star queries (w_json_props,
+# w_retention, w_session, w_sessionize_lag, w_sliding, w_tumbling,
+# w_type_transitions). NOT in the window and
 # unchanged-since-last-green: everything r4+-checked. The demoted
 # pinned-plane e_knn_join left the registry this round (its derived
 # twin is registered; the pinned form stays pytest-covered).
@@ -93,6 +96,7 @@ _WINDOW_HEAD = [
     # --- NEW r7 registrations ---
     "e_semantic_decontam",
     "t_domain_weights",
+    "t_quality_gopher_edges",
     # --- late-r6 registrations, never driver-checked ---
     "d_lsh_tuning_curve",
     "d_cluster_stats",
@@ -125,7 +129,6 @@ _WINDOW_HEAD = [
     "t_repetition",
     "t_source_mix",
     "t_token_stats",
-    "t_top_terms",
 ]
 
 

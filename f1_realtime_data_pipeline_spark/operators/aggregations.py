@@ -155,14 +155,21 @@ def chunked_running_max(
     window, so a hash match proves the decomposition.
 
     Requires ``order_col`` to be a non-negative integral column
-    (arrival sequence, epoch, offset); ties within ``order_col`` get
-    the same run_max either way, so tie order is immaterial.
+    (arrival sequence, epoch, offset). Tie semantics (r7 review): the
+    within-chunk window uses a RANGE frame, so every row of an
+    ``order_col`` tie group sees the max over the WHOLE group plus
+    all prior rows — deterministic regardless of intra-tie physical
+    order. (A ROWS frame would give tie rows different answers
+    depending on which happened to sort first — nondeterministic AND
+    oracle-divergent; oracles must use RANGE / the default frame
+    too.) The cross-chunk prefix operates on unique chunk ids, where
+    ROWS ≡ RANGE.
     """
     out = df.withColumn("__chunk", F.expr(f"{order_col} DIV {chunk}"))
     w_in = (
         Window.partitionBy("__chunk")
         .orderBy(order_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
     within = out.withColumn("__within_max", F.max(val_col).over(w_in))
     chunk_max = out.groupBy("__chunk").agg(F.max(val_col).alias("__cmax"))

@@ -124,9 +124,9 @@ GOPHER_MAX_TOP_FRAC = 0.2
 GOPHER_MIN_TTR = 0.3
 
 
-def t_quality_gopher(spark, sf_dir):
-    """Gopher-rule quality filter: per-doc metrics, one boolean per
-    rule, and the conjunction as ``keep``.
+def _gopher_filter(base):
+    """The Gopher-rule filter core over a (doc_id, text) frame —
+    shared by the corpus query and the edge-doc probe below.
 
     Scale shape: every metric except the top-term fraction is a
     map-only higher-order expression over the materialized token
@@ -143,18 +143,11 @@ def t_quality_gopher(spark, sf_dir):
     now emits it with ``keep = false``: n_words coalesces to 0,
     ratio metrics stay NULL (undefined, not fabricated), the join to
     the exploded counts is LEFT, and each content rule coalesces its
-    NULL comparison to false — an empty doc fails every rule. The
-    query unions two in-plan edge docs (doc_id −1: NULL text; −2:
-    empty string, which tokenizes to the pinned-contract single ''
-    token) in BOTH engines so the oracle exercises the edge at every
-    sf. DuckDB-side hazard this dodges: ``list_reduce`` over an
-    empty/NULL list errors there, so the CASE guards it.
+    NULL comparison to false — an empty doc fails every rule.
+    DuckDB-side hazard the twin dodges: ``list_reduce`` over an
+    empty/NULL list errors there, so a CASE guards it.
     """
-    base = _docs(spark, sf_dir).select("doc_id", "text")
-    edge = base.sparkSession.createDataFrame(
-        [(-1, None), (-2, "")], "doc_id bigint, text string"
-    )
-    d = base.unionByName(edge).select("doc_id", tokens("text").alias("toks"))
+    d = base.select("doc_id", tokens("text").alias("toks"))
     toks = F.col("toks")
     n_words = F.coalesce(F.size(toks), F.lit(0)).cast("int")
     metrics = d.select(
@@ -214,16 +207,44 @@ def t_quality_gopher(spark, sf_dir):
     )
 
 
+def t_quality_gopher(spark, sf_dir):
+    """Gopher-rule quality filter over the CORPUS — output cardinality
+    equals |documents| exactly (r7 review: the zero-token edge docs
+    were briefly unioned in here, which made rejection counts off by
+    two phantom rows for any downstream consumer; they now live in
+    the dedicated ``t_quality_gopher_edges`` probe, keeping this
+    relation production-clean while the edge stays driver-checked)."""
+    return _gopher_filter(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+#: the zero-token / boundary-token edge fixture, identical literal
+#: rows in both engines (corpus-independent by design)
+_GOPHER_EDGE_ROWS = [
+    (-1, None),                      # NULL text → NULL token array
+    (-2, ""),                        # '' → the pinned single '' token
+    (-3, "the of and a it is to in on at"),  # all-stopword short doc
+]
+
+
+def t_quality_gopher_edges(spark, sf_dir):
+    """The Gopher filter's zero-token/degenerate edge semantics as a
+    driver-checked probe: NULL text (NULL token array — must emit
+    keep=false, not vanish), the empty string (tokenizes to one ''
+    boundary token per the pinned tokenizer contract), and an
+    all-stopword short doc. Runs the SAME plan as t_quality_gopher
+    over literal rows, so the oracle pins the edge at every sf
+    without polluting the corpus relation's cardinality."""
+    edge = spark.createDataFrame(_GOPHER_EDGE_ROWS, "doc_id bigint, text string")
+    return _gopher_filter(edge)
+
+
 _GOPHER_STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
 
-_register(
-    "t_quality_gopher",
-    t_quality_gopher,
-    f"""WITH t AS (
+
+def _gopher_sql(src: str) -> str:
+    return f"""WITH t AS (
   SELECT doc_id, {tokens_sql("text")} AS toks
-  FROM (SELECT doc_id, text FROM documents
-        UNION ALL SELECT CAST(-1 AS BIGINT), CAST(NULL AS VARCHAR)
-        UNION ALL SELECT CAST(-2 AS BIGINT), '')
+  FROM {src}
 ), metrics AS (
   SELECT doc_id,
          CAST(COALESCE(len(toks), 0) AS INT) AS n_words,
@@ -253,8 +274,17 @@ SELECT m.doc_id, m.n_words, m.mean_word_len, m.n_stop, m.ttr, top.top_term_frac,
         AND m.n_stop >= {GOPHER_MIN_STOP}
         AND COALESCE(top.top_term_frac <= {GOPHER_MAX_TOP_FRAC}, FALSE)
         AND COALESCE(m.ttr >= {GOPHER_MIN_TTR}, FALSE)) AS keep
-FROM metrics m LEFT JOIN top USING (doc_id)""",
+FROM metrics m LEFT JOIN top USING (doc_id)"""
+
+
+_GOPHER_EDGE_SRC = (
+    "(SELECT CAST(-1 AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS text"
+    " UNION ALL SELECT CAST(-2 AS BIGINT), ''"
+    " UNION ALL SELECT CAST(-3 AS BIGINT), 'the of and a it is to in on at')"
 )
+
+_register("t_quality_gopher", t_quality_gopher, _gopher_sql("documents"))
+_register("t_quality_gopher_edges", t_quality_gopher_edges, _gopher_sql(_GOPHER_EDGE_SRC))
 
 
 # ---------------------------------------------------------------------------

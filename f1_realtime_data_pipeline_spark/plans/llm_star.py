@@ -1007,8 +1007,15 @@ def m_binary_ingest(spark, sf_dir):
             try:
                 os.rename(stage, out)
             except OSError:
-                # lost a same-session race to another builder: theirs
-                # is complete (rename is atomic), use it
+                # only a LOST RACE is recoverable (another builder's
+                # complete export now occupies `out` — rename is
+                # atomic, theirs is whole, use it). Any other rename
+                # failure (EXDEV cross-mount staging, EACCES, quota)
+                # must propagate rather than silently discarding the
+                # staged files and failing later with a confusing
+                # missing-dir read error (r7 review).
+                if not os.path.isdir(out):
+                    raise
                 shutil.rmtree(stage, ignore_errors=True)
         except BaseException:
             shutil.rmtree(stage, ignore_errors=True)

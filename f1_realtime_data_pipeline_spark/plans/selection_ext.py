@@ -642,7 +642,7 @@ _register(
     f"""WITH with_wm AS (
   SELECT event_type, ts,
          MAX(ts) OVER (ORDER BY event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              AS run_max
   FROM events
 )

@@ -427,7 +427,7 @@ _register(
     """WITH with_wm AS (
   SELECT event_id, event_type, ts,
          MAX(ts) OVER (ORDER BY event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS max_seen
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS max_seen
   FROM events
 )
 SELECT event_type,

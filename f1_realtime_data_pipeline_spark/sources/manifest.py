@@ -776,12 +776,17 @@ def export_symlink_manifest(
     pruning included (the bucket dir name carries the partition
     value).
 
-    Atomic swap: the whole export is staged under a hidden temp dir
-    and renamed into place, so an external reader never sees a
-    half-written manifest set — the same write-then-publish
-    discipline as the manifest commits themselves. Re-exporting after
-    a new commit replaces the export in one namespace operation.
-    Returns the export directory path.
+    Publish discipline (honest contract, r7 review): the whole export
+    is staged under a hidden temp dir and published via RENAME, so a
+    reader can NEVER observe a torn/partial manifest set — every
+    visible state is a complete export. Replacement of a previous
+    export is two atomic renames (current → hidden retire name, stage
+    → final), not one: a reader listing in the instant between them
+    sees the directory briefly ABSENT (``read_symlink_manifest``
+    retries through it), never mixed contents; a crash between them
+    leaves the retired export recoverable under its hidden name and
+    the next export converges. The retired dir is deleted only after
+    the new export is live. Returns the export directory path.
 
     Driver-side file listing is metadata-scale (one listStatus per
     live entry dir — the same enumeration every commit already
@@ -794,7 +799,6 @@ def export_symlink_manifest(
     doc = resolve_snapshot_doc(spark, table_path, version)
     entries = doc["entries"]
     fs, troot = fs_for(spark, table_path)
-    qroot = fs.makeQualified(troot).toString()
 
     by_bucket: dict[int, list[str]] = {}
     for e in entries:
@@ -830,14 +834,33 @@ def export_symlink_manifest(
         out.write(bytearray(f"{doc['version']}\n".encode("utf-8")))
     finally:
         out.close()
-    if fs.exists(final):
-        fs.delete(final, True)
+    # retire-then-publish: move the live export aside with an atomic
+    # rename (delete-then-rename would destroy the only copy first and
+    # a crash before publish would lose the export entirely), publish
+    # the stage, THEN reclaim the retired copy. The absent-dir window
+    # is the instant between the two renames; a torn/mixed state is
+    # impossible and a crash leaves old (retired) or new recoverable.
+    retired = jvm.org.apache.hadoop.fs.Path(
+        f"{table_path}/.{SYMLINK_MANIFEST_DIR}.retired-{uuid4().hex[:8]}"
+    )
+    had_prior = fs.exists(final)
+    if had_prior and not fs.rename(final, retired):
+        fs.delete(stage, True)
+        raise RuntimeError(
+            f"symlink-manifest retire rename failed for {table_path} "
+            f"(concurrent exporter?) — re-run export_symlink_manifest"
+        )
     if not fs.rename(stage, final):
+        # try to restore the prior export before giving up
+        if had_prior:
+            fs.rename(retired, final)
         fs.delete(stage, True)
         raise RuntimeError(
             f"symlink-manifest publish rename failed for {table_path} "
             f"(concurrent exporter?) — re-run export_symlink_manifest"
         )
+    if had_prior:
+        fs.delete(retired, True)
     return f"{table_path}/{SYMLINK_MANIFEST_DIR}"
 
 
@@ -846,17 +869,50 @@ def read_symlink_manifest(spark: SparkSession, table_path: str) -> "DataFrame":
     exact access path an external engine takes: list the per-partition
     manifest text files, read the parquet files they name, never touch
     ``_manifests``. Exists so the export is testable end-to-end
-    (export → read-back == snapshot read) rather than write-only."""
-    fs, mdir = fs_for(spark, f"{table_path}/{SYMLINK_MANIFEST_DIR}")
+    (export → read-back == snapshot read) rather than write-only.
+
+    Rides through a concurrent re-export's brief absent-dir window
+    (two-rename swap, see :func:`export_symlink_manifest`) with a
+    short retry. An export of a legitimately EMPTY snapshot (every
+    row deleted — a valid committed state the native reader supports)
+    has no bucket manifests, only ``_exported_version``; it reads as
+    zero rows with the exported snapshot's committed schema instead
+    of raising (r7 review)."""
+    import time as _time
+
+    export_dir = f"{table_path}/{SYMLINK_MANIFEST_DIR}"
+    fs, mdir = fs_for(spark, export_dir)
+    for attempt in range(5):
+        if fs.exists(mdir):
+            break
+        _time.sleep(0.05 * (attempt + 1))
     files: list[str] = []
+    saw_marker = False
     for st in fs.listStatus(mdir):
         name = st.getPath().getName()
+        if name == "_exported_version":
+            saw_marker = True
         if not name.startswith(f"{BUCKET_COL}="):
             continue
-        mfile = f"{table_path}/{SYMLINK_MANIFEST_DIR}/{name}/manifest"
+        mfile = f"{export_dir}/{name}/manifest"
         files.extend(
             line for line in _read_text(spark, mfile).splitlines() if line
         )
-    if not files:
-        raise ValueError(f"no symlink manifest files under {mdir}")
-    return spark.read.parquet(*files)
+    if files:
+        return spark.read.parquet(*files)
+    if not saw_marker:
+        raise ValueError(f"no symlink manifest export under {mdir}")
+    # empty-snapshot export: serve zero rows with the committed schema
+    exported_v = int(_read_text(spark, f"{export_dir}/_exported_version").strip())
+    schema = resolve_snapshot_full(spark, table_path, exported_v)[2]
+    if schema is None:
+        raise ValueError(
+            f"empty export at {mdir} and snapshot v{exported_v} recorded "
+            "no schema — nothing to construct a relation from"
+        )
+    from pyspark.sql.types import StructType
+
+    st_schema = StructType.fromJson(schema)
+    drop = [f.name for f in st_schema.fields if f.name == BUCKET_COL]
+    empty = spark.createDataFrame([], st_schema)
+    return empty.drop(*drop) if drop else empty

@@ -696,13 +696,29 @@ def transactional_agg_sink(
                     {"ignoreNullFields": "false"},
                 )
             )
-            content = (
-                partial.select(row_hash.alias("__h"))
-                .agg(F.expr("bit_xor(__h)").alias("__x"))
-                .collect()[0]["__x"]
+            # legacy encoding kept READ-side only (r7 review): a table
+            # whose ledger was written by the pre-r7 concat_ws hash
+            # must still recognize its replayed epochs after the
+            # upgrade — otherwise the first restart-from-checkpoint
+            # re-applies already-committed partials (double-counted
+            # totals, the exact failure the ledger prevents). Both
+            # hashes come out of ONE pass over the partial; only the
+            # new key is ever WRITTEN.
+            legacy_hash = F.xxhash64(
+                F.concat_ws(
+                    "\x1f", *[F.col(c).cast("string") for c in all_cols]
+                )
+            )
+            content, legacy_content = (
+                partial.select(row_hash.alias("__h"), legacy_hash.alias("__l"))
+                .agg(
+                    F.expr("bit_xor(__h)").alias("__x"),
+                    F.expr("bit_xor(__l)").alias("__y"),
+                )
+                .collect()[0]
             )
             key = f"{epoch_id}:{content}"
-            if key in applied:
+            if key in applied or f"{epoch_id}:{legacy_content}" in applied:
                 return
             touched = {
                 r[0] for r in partial.select(_BUCKET_COL).distinct().collect()

@@ -233,9 +233,15 @@ def test_gopher_emits_keep_false_for_zero_token_docs(spark):
     assert out[7].keep is False and out[7].n_words == 0
     assert out[7].mean_word_len is None and out[7].top_term_frac is None
     assert out[7].words_ok is False and out[7].mwl_ok is False
-    # the in-plan edge docs ride along with the same semantics
-    assert out[-1].keep is False and out[-1].n_words == 0
-    assert out[-2].keep is False and out[-2].n_words == 1
+    # the corpus relation stays clean: exactly the input docs, no
+    # phantom rows (r7 review — edge docs live in the dedicated probe)
+    assert set(out) == {0, 7}
+    edges = {
+        r.doc_id: r for r in llm_ext.t_quality_gopher_edges(spark, None).collect()
+    }
+    assert edges[-1].keep is False and edges[-1].n_words == 0
+    assert edges[-2].keep is False and edges[-2].n_words == 1
+    assert edges[-3].keep is False and edges[-3].stop_ok is True
 
 
 def _gopher_on(docs_df):

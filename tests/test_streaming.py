@@ -1380,3 +1380,78 @@ def test_symlink_manifest_export_roundtrip(spark, tmp_path):
         for r in mf.read_symlink_manifest(spark, table).select("k", "v").collect()
     }
     assert old == direct
+
+
+def test_symlink_manifest_empty_snapshot_reads_as_zero_rows(spark, tmp_path):
+    # r7 review: a fully-deleted table is a VALID committed snapshot
+    # (pinned elsewhere); its export has no bucket manifests, only the
+    # version marker — the external read path must serve zero rows
+    # with the committed schema, not raise.
+    from f1_realtime_data_pipeline_spark.sources import manifest as mf
+    from f1_realtime_data_pipeline_spark.streaming.sinks import (
+        transactional_delete,
+        transactional_parquet_sink,
+    )
+
+    table = str(tmp_path / "symlink_empty")
+    write = transactional_parquet_sink(table, keys=["k"], order_cols=["v"])
+    batch = spark.createDataFrame([(i, f"v{i}") for i in range(8)], ["k", "v"])
+    write(batch, 0)
+    _, changed = transactional_delete(batch.select("k"), table, keys=["k"])
+    assert changed
+    mf.export_symlink_manifest(spark, table)
+    out = mf.read_symlink_manifest(spark, table)
+    assert out.count() == 0
+    assert set(out.columns) >= {"k", "v"}
+
+
+def test_agg_sink_ledger_recognizes_legacy_concat_ws_keys(spark, tmp_path):
+    # r7 review: the ledger row-hash moved from concat_ws to a
+    # NULL-preserving to_json encoding. A table whose ledger was
+    # written by the old code must still skip its replayed epochs
+    # after the upgrade — otherwise the first restart-from-checkpoint
+    # double-counts. Simulate the upgrade by rewriting the committed
+    # ledger key to the legacy encoding, then replaying.
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from f1_realtime_data_pipeline_spark.sources import manifest as mf
+    from f1_realtime_data_pipeline_spark.streaming.sinks import (
+        read_sink_snapshot,
+        transactional_agg_sink,
+    )
+
+    sink = str(tmp_path / "agg_legacy")
+    write = transactional_agg_sink(sink, group_cols=["k"], sum_cols=["x"])
+    batch = spark.createDataFrame([(1, 10), (1, 5), (2, 7)], ["k", "x"])
+    write(batch, 0)
+    before = {r.k: r.x for r in read_sink_snapshot(spark, sink).collect()}
+    assert before == {1: 15, 2: 7}
+
+    # compute the LEGACY key for this batch's partial aggregate
+    partial = batch.groupBy("k").agg(
+        F.sum("x").alias("x"), F.count(F.lit(1)).alias("n_rows")
+    )
+    legacy = (
+        partial.select(
+            F.xxhash64(
+                F.concat_ws(
+                    "\x1f", *[F.col(c).cast("string") for c in ["k", "x", "n_rows"]]
+                )
+            ).alias("h")
+        )
+        .agg(F.expr("bit_xor(h)"))
+        .collect()[0][0]
+    )
+    # rewrite the committed ledger as the pre-r7 code would have left it
+    v = mf.resolve_snapshot(spark, sink)[0]
+    mpath = f"{sink}/_manifests/manifest-{v:012d}.json"
+    doc = _json.loads(open(mpath).read())
+    assert len(doc["applied"]) == 1
+    doc["applied"] = [f"0:{legacy}"]
+    open(mpath, "w").write(_json.dumps(doc, sort_keys=True))
+
+    write(batch, 0)  # replay of the legacy-keyed epoch: must be skipped
+    after = {r.k: r.x for r in read_sink_snapshot(spark, sink).collect()}
+    assert after == before, "legacy-keyed replay was double-counted"
