@@ -46,13 +46,15 @@ from f1_realtime_data_pipeline_spark.plans import (
 # registrations that have never had a driver row
 # (d_lsh_tuning_curve, d_cluster_stats, e_ivf_probe_curve,
 # m_dedup_by_ahash, t_length_profile; w_watermark_curve is already in
-# the changed set). That is 18 changed + 3 new (e_semantic_decontam,
-# t_domain_weights, t_quality_gopher_edges) + 5 late-r6 = 26 head
-# slots; the remaining 24 backfill the oldest driver checks: the full
-# r1 residue (7: a_cube … s7_upsert_dim) and the oldest 17 of the r2
-# dedup/text head (d_dup_clusters … t_token_stats). Rotating into
-# round 8: t_top_terms, w_funnel, w_interval_join, and the seven
-# remaining r2-checked windows_star queries (w_json_props,
+# the changed set). That is 18 changed + 6 new (e_semantic_decontam,
+# t_domain_weights, t_quality_gopher_edges, t_quality_threshold_curve,
+# d_dup_rate_by_source, t_contamination_report) + 5 late-r6 = 29 head
+# slots; the remaining 21 backfill the oldest driver checks: the full
+# r1 residue (7: a_cube … s7_upsert_dim) and the oldest 14 of the r2
+# dedup/text head (d_dup_clusters … t_redact). Rotating into round 8
+# (all r2-green, unchanged): t_repetition, t_source_mix,
+# t_token_stats, t_top_terms, w_funnel, w_interval_join, and the
+# seven remaining r2-checked windows_star queries (w_json_props,
 # w_retention, w_session, w_sessionize_lag, w_sliding, w_tumbling,
 # w_type_transitions). NOT in the window and
 # unchanged-since-last-green: everything r4+-checked. The demoted
@@ -97,6 +99,9 @@ _WINDOW_HEAD = [
     "e_semantic_decontam",
     "t_domain_weights",
     "t_quality_gopher_edges",
+    "t_quality_threshold_curve",
+    "d_dup_rate_by_source",
+    "t_contamination_report",
     # --- late-r6 registrations, never driver-checked ---
     "d_lsh_tuning_curve",
     "d_cluster_stats",
@@ -126,9 +131,6 @@ _WINDOW_HEAD = [
     "t_pack_sequences",
     "t_quality",
     "t_redact",
-    "t_repetition",
-    "t_source_mix",
-    "t_token_stats",
 ]
 
 

@@ -1137,3 +1137,235 @@ FROM {prev} w JOIN w0 z USING (source)"""
 
 
 _register("t_domain_weights", t_domain_weights, _domain_weights_sql())
+
+
+# ---------------------------------------------------------------------------
+# round-7 audit additions: quality threshold curve, cross-source
+# duplication matrix, per-test-doc contamination report
+# ---------------------------------------------------------------------------
+
+#: quality-score thresholds the keep-rate curve is evaluated at (the
+#: score is a sum of exact binary fractions 0.5/0.25/0.25, so the
+#: comparisons are FP-exact in both engines)
+QUALITY_CURVE_TAUS = (0.25, 0.5, 0.75, 1.0)
+
+
+def t_quality_threshold_curve(spark, sf_dir):
+    """Keep-rate curve for the t_quality score, per source: docs and
+    token mass retained at each candidate threshold — the table you
+    read before choosing the quality cutoff (the same
+    audit-before-you-pick shape as w_watermark_curve / the LSH band
+    curve). One corpus scoring pass, then ONE grouped aggregate with
+    conditional sums per threshold — wall time is flat in the number
+    of thresholds, and nothing is re-scanned per point."""
+    from f1_realtime_data_pipeline_spark.plans.llm_star import t_quality
+
+    scored = t_quality(spark, sf_dir).select("doc_id", "n_tokens", "quality_score")
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    d = scored.join(src, "doc_id")
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    ]
+    for t in QUALITY_CURVE_TAUS:
+        tag = str(t).replace(".", "_")
+        keep = F.col("quality_score") >= t
+        aggs.append(F.sum(keep.cast("int")).cast("bigint").alias(f"kept_docs_{tag}"))
+        aggs.append(
+            F.sum(F.when(keep, F.col("n_tokens")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias(f"kept_tokens_{tag}")
+        )
+    return d.groupBy("source").agg(*aggs)
+
+
+def _quality_curve_sql() -> str:
+    from f1_realtime_data_pipeline_spark.plans import llm_star
+
+    cols = []
+    for t in QUALITY_CURVE_TAUS:
+        tag = str(t).replace(".", "_")
+        cols.append(
+            f"CAST(SUM(CASE WHEN quality_score >= {t} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS kept_docs_{tag}"
+        )
+        cols.append(
+            f"CAST(SUM(CASE WHEN quality_score >= {t} THEN n_tokens ELSE 0 END) AS BIGINT)"
+            f" AS kept_tokens_{tag}"
+        )
+    col_block = ",\n       ".join(cols)
+    return f"""WITH scored AS (
+  {llm_star.ORACLE["t_quality"]}
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(s.n_tokens) AS BIGINT) AS n_tokens,
+       {col_block}
+FROM scored s JOIN documents d USING (doc_id)
+GROUP BY d.source"""
+
+
+_register(
+    "t_quality_threshold_curve", t_quality_threshold_curve, _quality_curve_sql()
+)
+
+
+def d_dup_rate_by_source(spark, sf_dir):
+    """Cross-source duplication matrix: near-dup pair counts between
+    every pair of sources (which feeds copy from which — the
+    provenance accounting a mixture designer reads next to
+    d_cluster_stats). Pairs come from the registered n-gram Jaccard
+    detector config (n=3, τ=0.5, stop-shingle df cap); the matrix is
+    an unordered source pair (LEAST/GREATEST normalization), so one
+    row per source combination. The source lookup is a broadcast
+    |docs|-row projection; the aggregate domain is |sources|²."""
+    pairs = dd.ngram_jaccard_pairs(_docs(spark, sf_dir)).select("doc_a", "doc_b")
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    both = (
+        pairs.join(
+            F.broadcast(src.select(F.col("doc_id").alias("doc_a"),
+                                   F.col("source").alias("src_a"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(src.select(F.col("doc_id").alias("doc_b"),
+                                   F.col("source").alias("src_b"))),
+            "doc_b",
+        )
+    )
+    return (
+        both.select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"))
+    )
+
+
+_register(
+    "d_dup_rate_by_source",
+    d_dup_rate_by_source,
+    f"""WITH pairs AS (
+  {dd.ngram_jaccard_pairs_sql(3, 0.5)}
+), src AS (
+  SELECT doc_id, source FROM documents
+)
+SELECT LEAST(a.source, b.source) AS source_a,
+       GREATEST(a.source, b.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+FROM pairs p
+JOIN src a ON a.doc_id = p.doc_a
+JOIN src b ON b.doc_id = p.doc_b
+GROUP BY 1, 2""",
+)
+
+
+#: stop-shingle document-frequency cap for the contamination report's
+#: pair expansion (the ngram_jaccard skew guard applied to the
+#: train×test join — a boilerplate shingle shared by thousands of
+#: docs would otherwise fan the pair relation out quadratically)
+CONTAM_REPORT_MAX_DF = 1000
+
+
+def t_contamination_report(spark, sf_dir):
+    """Per-TEST-document contamination report — the reverse direction
+    of t_contamination, and the one an EVAL owner actually consumes:
+    for each test doc of the deterministic split, how many train docs
+    share at least one 3-gram shingle, and the worst per-train-doc
+    overlap as a fraction of the test doc's shingles. Every test doc
+    gets a row (compromised=false when clean — classify, never drop).
+
+    Scale shape: the shingle relation is df-capped (stop-shingle skew
+    guard, same constant as the dedup detectors); the TEST side
+    (~10% of the corpus) is the broadcast side of the shingle join;
+    the (test_doc, train_doc) pair relation aggregates with map-side
+    combine before the per-test-doc rollup."""
+    bucket = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(dd._SPLIT_BUCKETS)) * F.lit(dd._SPLIT_MULT),
+        F.lit(dd._SPLIT_BUCKETS),
+    )
+    sh = dd.doc_shingles(_docs(spark, sf_dir)).withColumn("b", bucket)
+    df_ok = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= CONTAM_REPORT_MAX_DF)
+        .select("shingle")
+    )
+    sh = sh.join(df_ok, "shingle")
+    test_sh = sh.filter(F.col("b") >= dd._TEST_GE).select(
+        F.col("doc_id").alias("test_doc"), "shingle"
+    )
+    train_sh = sh.filter(F.col("b") < dd._TRAIN_LT).select(
+        F.col("doc_id").alias("train_doc"), "shingle"
+    )
+    shared = (
+        train_sh.join(F.broadcast(test_sh), "shingle")
+        .groupBy("test_doc", "train_doc")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    per_test = shared.groupBy("test_doc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_leaky_train_docs"),
+        F.max("n_shared").cast("bigint").alias("max_shared_shingles"),
+    )
+    totals = test_sh.groupBy("test_doc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
+    )
+    return (
+        totals.join(per_test, "test_doc", "left")
+        .select(
+            F.col("test_doc").alias("doc_id"),
+            "n_shingles",
+            F.coalesce("n_leaky_train_docs", F.lit(0).cast("bigint")).alias(
+                "n_leaky_train_docs"
+            ),
+            F.coalesce("max_shared_shingles", F.lit(0).cast("bigint")).alias(
+                "max_shared_shingles"
+            ),
+            (
+                F.coalesce("max_shared_shingles", F.lit(0)).cast("double")
+                / F.col("n_shingles")
+            ).alias("max_overlap_frac"),
+            (F.coalesce("n_leaky_train_docs", F.lit(0)) > 0).alias("compromised"),
+        )
+    )
+
+
+_register(
+    "t_contamination_report",
+    t_contamination_report,
+    f"""WITH sh0 AS (
+  {dd._doc_shingles_sql(3)}
+), df_ok AS (
+  SELECT shingle FROM sh0 GROUP BY shingle
+  HAVING COUNT(*) <= {CONTAM_REPORT_MAX_DF}
+), sh AS (
+  SELECT s.doc_id, s.shingle,
+         ((s.doc_id % {dd._SPLIT_BUCKETS}) * {dd._SPLIT_MULT}) % {dd._SPLIT_BUCKETS} AS b
+  FROM sh0 s JOIN df_ok USING (shingle)
+), test_sh AS (
+  SELECT doc_id AS test_doc, shingle FROM sh WHERE b >= {dd._TEST_GE}
+), train_sh AS (
+  SELECT doc_id AS train_doc, shingle FROM sh WHERE b < {dd._TRAIN_LT}
+), shared AS (
+  SELECT test_doc, train_doc, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM train_sh JOIN test_sh USING (shingle)
+  GROUP BY test_doc, train_doc
+), per_test AS (
+  SELECT test_doc,
+         CAST(COUNT(*) AS BIGINT) AS n_leaky_train_docs,
+         CAST(MAX(n_shared) AS BIGINT) AS max_shared_shingles
+  FROM shared GROUP BY test_doc
+), totals AS (
+  SELECT test_doc, CAST(COUNT(*) AS BIGINT) AS n_shingles
+  FROM test_sh GROUP BY test_doc
+)
+SELECT t.test_doc AS doc_id,
+       t.n_shingles,
+       COALESCE(p.n_leaky_train_docs, 0) AS n_leaky_train_docs,
+       COALESCE(p.max_shared_shingles, 0) AS max_shared_shingles,
+       CAST(COALESCE(p.max_shared_shingles, 0) AS DOUBLE) / t.n_shingles
+           AS max_overlap_frac,
+       COALESCE(p.n_leaky_train_docs, 0) > 0 AS compromised
+FROM totals t LEFT JOIN per_test p USING (test_doc)""",
+)

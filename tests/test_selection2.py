@@ -257,3 +257,45 @@ def test_domain_weights_shift_toward_lossy_domains(spark, monkeypatch):
     assert out["predictable"].w_ppb < out["predictable"].w0_ppb
     total = out["surprising"].w_ppb + out["predictable"].w_ppb
     assert abs(total - 1_000_000_000) <= 2  # ppb simplex (integer rounding)
+
+
+def test_contamination_report_classifies_clean_and_leaky(spark):
+    # r7: a test doc sharing a 3-gram with a train doc is compromised
+    # with the right overlap fraction; a fully novel test doc still
+    # gets a row with compromised=false (classify, never drop).
+    from unittest import mock
+
+    from pyspark.sql import Row
+
+    from f1_realtime_data_pipeline_spark.operators.dedup import (
+        _SPLIT_BUCKETS,
+        _SPLIT_MULT,
+        _TEST_GE,
+        _TRAIN_LT,
+    )
+    from f1_realtime_data_pipeline_spark.plans import selection_ext
+
+    def split(i):
+        return ((i % _SPLIT_BUCKETS) * _SPLIT_MULT) % _SPLIT_BUCKETS
+
+    train_id = next(i for i in range(4000) if split(i) < _TRAIN_LT)
+    test_ids = [i for i in range(4000) if split(i) >= _TEST_GE]
+    leaky, clean = test_ids[0], test_ids[1]
+    shared = "alpha beta gamma delta epsilon"
+    rows = [
+        Row(doc_id=train_id, text=shared + " train tail words here"),
+        Row(doc_id=leaky, text="lead in " + shared + " test tail"),
+        Row(doc_id=clean, text="entirely novel vocabulary nothing shared at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    with mock.patch.object(selection_ext, "_docs", lambda s, d: df):
+        out = {r.doc_id: r for r in selection_ext.t_contamination_report(None, None).collect()}
+
+    assert set(out) == {leaky, clean}  # every test doc classified
+    assert out[leaky].compromised and out[leaky].n_leaky_train_docs == 1
+    # "alpha beta gamma delta epsilon" has 3 three-gram shingles, all
+    # shared; the leaky doc has 9 tokens -> 7 shingles total
+    assert out[leaky].max_shared_shingles == 3
+    assert abs(out[leaky].max_overlap_frac - 3 / 7) < 1e-12
+    assert not out[clean].compromised
+    assert out[clean].n_leaky_train_docs == 0 and out[clean].max_overlap_frac == 0.0
