@@ -72,36 +72,12 @@ DOC_WORDS_SQL = f"""SELECT doc_id, unnest(list_distinct({tokens_sql("text")})) A
   FROM documents"""
 
 
-def word_ids(words: DataFrame) -> DataFrame:
-    """Deterministic vocabulary ids: dense_rank over sorted words.
-
-    Oracle-friendly (same ids in any engine). The rank is a global
-    window — fine for vocabularies (≤ millions of rows after distinct);
-    the hash strategy below avoids even that for the 100 TB path.
-    """
-    vocab = words.select("word").distinct()
-    return vocab.withColumn(
-        "wid", F.dense_rank().over(Window.orderBy("word")).cast("bigint")
-    )
-
-
+#: DuckDB-side vocabulary ids (dense_rank over sorted words) — the
+#: oracle twin of the ``vocab`` id strategy; the DataFrame-side
+#: dispatch lives in :func:`_with_element_ids` (the r7 review removed
+#: the three uncalled DataFrame helpers that duplicated it)
 WORD_IDS_SQL = """SELECT word, CAST(DENSE_RANK() OVER (ORDER BY word) AS BIGINT) AS wid
   FROM (SELECT DISTINCT word FROM doc_words)"""
-
-
-def hashed_word_ids(words: DataFrame) -> DataFrame:
-    """Scale-path ids: xxhash64 — no global window, engine-specific."""
-    return words.select("word").distinct().withColumn(
-        "wid", F.pmod(F.xxhash64("word"), F.lit(HASH_MOD)).cast("bigint")
-    )
-
-
-def _ids(words: DataFrame, id_strategy: str) -> DataFrame:
-    if id_strategy == "vocab":
-        return word_ids(words)
-    if id_strategy == "hash":
-        return hashed_word_ids(words)
-    raise ValueError(f"unknown id_strategy {id_strategy!r}")
 
 
 def _with_element_ids(
@@ -188,6 +164,55 @@ def _doc_shingles_sql(n: int = 3) -> str:
   FROM (SELECT doc_id, {tokens_sql("text")} AS toks FROM documents)"""
 
 
+def _inverted_index_common(
+    docs: DataFrame, n: int, max_doc_freq: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The shared inverted-index scaffold of every shingle-overlap
+    detector (r7 review: Jaccard and containment previously carried
+    verbatim copies — incl. one scale bug fixed in both at once here):
+    returns ``(common, sa, sb)`` where ``common`` is
+    (doc_a, doc_b, n_common) over same-shingle doc pairs and sa/sb are
+    the per-doc shingle set sizes aliased for the a/b join sides.
+
+    Skew/scale discipline: the shingle relation is persisted (four
+    consumer branches, one corpus scan); shingles hash to 8-byte keys
+    map-side; hot shingles (df > cap) drop via a BROADCAST anti-join —
+    that set is provably small (≤ |corpus shingles|/cap entries).
+    The df∈[2, cap] pairable semi-join deliberately carries NO
+    broadcast hint (r7 review fix): that key set grows WITH the corpus
+    (most of the distinct-shingle domain), so forcing it driver-side
+    hits the broadcast hard limit at scale — AQE broadcasts it while
+    it is genuinely small and shuffles otherwise, same values either
+    way. df=1 shingles stay in ``sizes`` (they count toward the
+    union/denominator) but leave the self-join input."""
+    sh_raw = (
+        doc_shingles(docs, n)
+        .select("doc_id", F.xxhash64("shingle").alias("shk"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    df_counts = sh_raw.groupBy("shk").agg(F.count("*").alias("df"))
+    sh = sh_raw.join(
+        F.broadcast(df_counts.filter(F.col("df") > max_doc_freq)), "shk", "left_anti"
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    pairable = sh.join(
+        df_counts.filter((F.col("df") >= 2) & (F.col("df") <= max_doc_freq)),
+        "shk",
+        "left_semi",
+    )
+    a = pairable.alias("a")
+    b = pairable.alias("b")
+    common = (
+        a.join(b, "shk")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    return common, sa, sb
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -207,35 +232,7 @@ def ngram_jaccard_pairs(
     bits would merge their postings — ~|shingles|²/2⁶⁵, negligible and
     engine-local (the oracle joins on the string itself).
     """
-    # the shingle relation feeds four branches (df counts, sizes, both
-    # self-join sides) — persist so the corpus is scanned/exploded once
-    sh_raw = (
-        doc_shingles(docs, n)
-        .select("doc_id", F.xxhash64("shingle").alias("shk"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    df_counts = sh_raw.groupBy("shk").agg(F.count("*").alias("df"))
-    sh = sh_raw.join(
-        F.broadcast(df_counts.filter(F.col("df") > max_doc_freq)), "shk", "left_anti"
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    # df=1 shingles cannot produce a pair — keep them in `sizes` (they
-    # count toward the union) but drop them from the self-join input
-    pairable = sh.join(
-        F.broadcast(df_counts.filter((F.col("df") >= 2) & (F.col("df") <= max_doc_freq))),
-        "shk",
-        "left_semi",
-    )
-    a = pairable.alias("a")
-    b = pairable.alias("b")
-    common = (
-        a.join(b, "shk")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    common, sa, sb = _inverted_index_common(docs, n, max_doc_freq)
     return (
         common.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -290,38 +287,13 @@ def containment_pairs(
     (containment_a = the fraction of a's shingles inside b).
 
     Same inverted-index shape (and skew guards) as
-    :func:`ngram_jaccard_pairs`: stop-shingle df cap, 8-byte
-    map-side-hashed shingle keys, df≥2 pruning of the self-join side —
-    nothing quadratic in the corpus, pair cost bounded by posting-list
-    sizes. One extra map-side column (both containments come from the
-    same (n_common, na, nb) row) — no extra shuffle vs the Jaccard
+    :func:`ngram_jaccard_pairs` — literally the same scaffold,
+    :func:`_inverted_index_common` (r7 review dedup). One extra
+    map-side column (both containments come from the same
+    (n_common, na, nb) row) — no extra shuffle vs the Jaccard
     detector.
     """
-    sh_raw = (
-        doc_shingles(docs, n)
-        .select("doc_id", F.xxhash64("shingle").alias("shk"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    df_counts = sh_raw.groupBy("shk").agg(F.count("*").alias("df"))
-    sh = sh_raw.join(
-        F.broadcast(df_counts.filter(F.col("df") > max_doc_freq)), "shk", "left_anti"
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    pairable = sh.join(
-        F.broadcast(df_counts.filter((F.col("df") >= 2) & (F.col("df") <= max_doc_freq))),
-        "shk",
-        "left_semi",
-    )
-    a = pairable.alias("a")
-    b = pairable.alias("b")
-    common = (
-        a.join(b, "shk")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    common, sa, sb = _inverted_index_common(docs, n, max_doc_freq)
     ca = F.col("n_common").cast("double") / F.col("na")
     cb = F.col("n_common").cast("double") / F.col("nb")
     return (
@@ -372,21 +344,8 @@ WHERE greatest(CAST(n_common AS DOUBLE) / sa.n_shingles,
 MINHASH_SHINGLE_N = 3
 
 
-def _shingle_ids(shingles: DataFrame, id_strategy: str) -> DataFrame:
-    """Element ids for shingles: dense_rank vocab (oracle) or xxhash64
-    (scale path, no global window)."""
-    distinct = shingles.select("shingle").distinct()
-    if id_strategy == "vocab":
-        return distinct.withColumn(
-            "sid", F.dense_rank().over(Window.orderBy("shingle")).cast("bigint")
-        )
-    if id_strategy == "hash":
-        return distinct.withColumn(
-            "sid", F.pmod(F.xxhash64("shingle"), F.lit(HASH_MOD)).cast("bigint")
-        )
-    raise ValueError(f"unknown id_strategy {id_strategy!r}")
-
-
+#: DuckDB-side shingle ids — oracle twin of the ``vocab`` strategy
+#: (DataFrame side: :func:`_with_element_ids`)
 _SHINGLE_IDS_SQL = """SELECT shingle,
          CAST(DENSE_RANK() OVER (ORDER BY shingle) AS BIGINT) AS sid
   FROM (SELECT DISTINCT shingle FROM doc_sh)"""
@@ -399,15 +358,7 @@ def minhash_signatures(docs: DataFrame, id_strategy: str = "md5") -> DataFrame:
     map-side combined. The default ``md5`` id strategy computes the
     shingle id inline (map-only, oracle-exact); no vocab relation, no
     global window, no join."""
-    sh = doc_shingles(docs, MINHASH_SHINGLE_N)
-    w = _with_element_ids(sh, "shingle", "sid", id_strategy)
-    aggs = [
-        F.min((F.col("sid") * MINHASH_A[j] + MINHASH_B[j]) % HASH_MOD)
-        .cast("bigint")
-        .alias(f"mh{j}")
-        for j in range(MINHASH_PERMS)
-    ]
-    return w.groupBy("doc_id").agg(*aggs)
+    return _minhash_sigs(doc_shingles(docs, MINHASH_SHINGLE_N), id_strategy)
 
 
 def _minhash_sig_sql(id_strategy: str = "md5") -> str:
@@ -441,6 +392,69 @@ def _minhash_sig_sql(id_strategy: str = "md5") -> str:
 MINHASH_SIGNATURES_SQL = f"WITH {_minhash_sig_sql()}\nSELECT * FROM sigs"
 
 
+def _minhash_sigs(sh: DataFrame, id_strategy: str) -> DataFrame:
+    """16-permutation signatures over a (doc_id, shingle) relation —
+    the single definition of the signature aggregate (r7 review: the
+    LSH detector and the calibration audit carried verbatim copies, so
+    a sketch change could silently make the audit measure a different
+    pipeline than production)."""
+    w = _with_element_ids(sh, "shingle", "sid", id_strategy)
+    aggs = [
+        F.min((F.col("sid") * MINHASH_A[j] + MINHASH_B[j]) % HASH_MOD)
+        .cast("bigint")
+        .alias(f"mh{j}")
+        for j in range(MINHASH_PERMS)
+    ]
+    return w.groupBy("doc_id").agg(*aggs)
+
+
+def _band_candidates(sigs: DataFrame) -> DataFrame:
+    """Banded-LSH candidate pairs (doc_a < doc_b, distinct) from a
+    signature relation — shared by the detector and the audit."""
+    band_cols = []
+    for band in range(LSH_BANDS):
+        members = [F.col(f"mh{band * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+        band_cols.append(F.concat_ws("_", *[m.cast("string") for m in members]))
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band_idx"), band_cols[i].alias("sig"))
+                    for i in range(LSH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.sig").alias("sig"))
+    return (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band_idx", "sig"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _candidate_overlap(
+    sh: DataFrame, cand: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """True shingle-overlap verify inputs for a candidate pair set:
+    (common, sa, sb) — the join key is the 64-bit shingle hash so the
+    verify shuffle carries (8-byte key, ids), never the string."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    wa = sh.select(F.col("doc_id").alias("doc_a"), F.xxhash64("shingle").alias("shk"))
+    wb = sh.select(F.col("doc_id").alias("doc_b"), F.xxhash64("shingle").alias("shk"))
+    common = (
+        cand.join(wa, "doc_a")
+        .join(wb, ["doc_b", "shk"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return common, sa, sb
+
+
 def minhash_lsh_pairs(
     docs: DataFrame, threshold: float = 0.5, id_strategy: str = "md5"
 ) -> DataFrame:
@@ -470,52 +484,11 @@ def minhash_lsh_pairs(
     # session's cache residue is bounded (same policy as the durable
     # checkpoints).
     sh = doc_shingles(docs, MINHASH_SHINGLE_N).persist(StorageLevel.MEMORY_AND_DISK)
-    w = _with_element_ids(sh, "shingle", "sid", id_strategy)
-    aggs = [
-        F.min((F.col("sid") * MINHASH_A[j] + MINHASH_B[j]) % HASH_MOD)
-        .cast("bigint")
-        .alias(f"mh{j}")
-        for j in range(MINHASH_PERMS)
-    ]
-    sigs = w.groupBy("doc_id").agg(*aggs)
-    band_cols = []
-    for band in range(LSH_BANDS):
-        members = [F.col(f"mh{band * BAND_ROWS + r}") for r in range(BAND_ROWS)]
-        band_cols.append(F.concat_ws("_", *[m.cast("string") for m in members]))
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(i).alias("band_idx"), band_cols[i].alias("sig"))
-                    for i in range(LSH_BANDS)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.sig").alias("sig"))
-    cand = (
-        bands.alias("x")
-        .join(bands.alias("y"), ["band_idx", "sig"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    sigs = _minhash_sigs(sh, id_strategy)
+    cand = _band_candidates(sigs)
     # verify candidates with the true Jaccard over the SAME persisted
-    # shingle relation; the join key is the 64-bit shingle hash so the
-    # verify shuffle carries (8-byte key, ids), not shingle text
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    wa = sh.select(F.col("doc_id").alias("doc_a"), F.xxhash64("shingle").alias("shk"))
-    wb = sh.select(F.col("doc_id").alias("doc_b"), F.xxhash64("shingle").alias("shk"))
-    common = (
-        cand.join(wa, "doc_a")
-        .join(wb, ["doc_b", "shk"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    # shingle relation (shared helper — hash-keyed verify shuffle)
+    common, sa, sb = _candidate_overlap(sh, cand)
     return (
         common.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -575,36 +548,8 @@ def minhash_est_audit(docs: DataFrame, id_strategy: str = "md5") -> DataFrame:
     candidates, hash-keyed verify, no all-pairs step anywhere.
     """
     sh = doc_shingles(docs, MINHASH_SHINGLE_N).persist(StorageLevel.MEMORY_AND_DISK)
-    w = _with_element_ids(sh, "shingle", "sid", id_strategy)
-    aggs = [
-        F.min((F.col("sid") * MINHASH_A[j] + MINHASH_B[j]) % HASH_MOD)
-        .cast("bigint")
-        .alias(f"mh{j}")
-        for j in range(MINHASH_PERMS)
-    ]
-    sigs = w.groupBy("doc_id").agg(*aggs)
-    band_cols = []
-    for band in range(LSH_BANDS):
-        members = [F.col(f"mh{band * BAND_ROWS + r}") for r in range(BAND_ROWS)]
-        band_cols.append(F.concat_ws("_", *[m.cast("string") for m in members]))
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(i).alias("band_idx"), band_cols[i].alias("sig"))
-                    for i in range(LSH_BANDS)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.sig").alias("sig"))
-    cand = (
-        bands.alias("x")
-        .join(bands.alias("y"), ["band_idx", "sig"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    sigs = _minhash_sigs(sh, id_strategy)
+    cand = _band_candidates(sigs)
     siga = sigs.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh{j}").alias(f"a{j}") for j in range(MINHASH_PERMS)],
@@ -626,17 +571,7 @@ def minhash_est_audit(docs: DataFrame, id_strategy: str = "md5") -> DataFrame:
             (matches * (1_000_000 // MINHASH_PERMS)).cast("bigint").alias("est_ppm"),
         )
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    wa = sh.select(F.col("doc_id").alias("doc_a"), F.xxhash64("shingle").alias("shk"))
-    wb = sh.select(F.col("doc_id").alias("doc_b"), F.xxhash64("shingle").alias("shk"))
-    common = (
-        cand.join(wa, "doc_a")
-        .join(wb, ["doc_b", "shk"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    common, sa, sb = _candidate_overlap(sh, cand)
     exact = (
         common.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -1301,7 +1236,15 @@ def contamination(docs: DataFrame, n: int = 3) -> DataFrame:
     for each train doc with at least one shingle (≥ n tokens).
     """
     bucket = F.pmod(F.pmod(F.col("doc_id"), F.lit(_SPLIT_BUCKETS)) * F.lit(_SPLIT_MULT), F.lit(_SPLIT_BUCKETS))
-    sh = doc_shingles(docs, n).withColumn("bucket", bucket)
+    # two consumer branches (train side, test side) — persist so the
+    # corpus is scanned/tokenized/exploded once, the module-wide
+    # multi-branch discipline (r7 review: this and the bloom variant
+    # were the only detectors still re-deriving the shingle relation)
+    sh = (
+        doc_shingles(docs, n)
+        .withColumn("bucket", bucket)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     train_sh = sh.filter(F.col("bucket") < _TRAIN_LT).drop("bucket")
     test_sh = (
         sh.filter(F.col("bucket") >= _TEST_GE)
@@ -1383,7 +1326,12 @@ def contamination_bloom(docs: DataFrame, n: int = 3) -> DataFrame:
     mask = F.pow(F.lit(2.0), F.col("pos") % F.lit(BLOOM_WORD_BITS)).cast("bigint")
 
     bucket = F.pmod(F.pmod(F.col("doc_id"), F.lit(_SPLIT_BUCKETS)) * F.lit(_SPLIT_MULT), F.lit(_SPLIT_BUCKETS))
-    sh = doc_shingles(docs, n).withColumn("bucket", bucket)
+    # persisted for the same two-branch reason as contamination (r7)
+    sh = (
+        doc_shingles(docs, n)
+        .withColumn("bucket", bucket)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     test_pos = (
         sh.filter(F.col("bucket") >= _TEST_GE)
         .select("shingle")

@@ -1281,11 +1281,19 @@ def t_contamination_report(spark, sf_dir):
     (~10% of the corpus) is the broadcast side of the shingle join;
     the (test_doc, train_doc) pair relation aggregates with map-side
     combine before the per-test-doc rollup."""
+    from pyspark import StorageLevel
+
     bucket = F.pmod(
         F.pmod(F.col("doc_id"), F.lit(dd._SPLIT_BUCKETS)) * F.lit(dd._SPLIT_MULT),
         F.lit(dd._SPLIT_BUCKETS),
     )
-    sh = dd.doc_shingles(_docs(spark, sf_dir)).withColumn("b", bucket)
+    # three consumer branches (df counts + both split sides): persist
+    # so the corpus is tokenized/exploded once (module discipline)
+    sh = (
+        dd.doc_shingles(_docs(spark, sf_dir))
+        .withColumn("b", bucket)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     df_ok = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))

@@ -67,6 +67,33 @@ DEDUP_OUTPUT_SCHEMA = "dedup_key bigint, doc_id bigint, n_dropped bigint"
 DEDUP_STATE_SCHEMA = "doc_id bigint, n_dropped bigint"
 
 
+def _first_seen_core(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    prev: tuple | None,
+) -> tuple[tuple[int | None, int], pd.DataFrame | None]:
+    """The pure first-seen-dedup batch logic, shared by BOTH state
+    APIs (r7 review: the applyInPandasWithState updater and the
+    transformWithStateInPandas processor carried verbatim copies of
+    the winner/count/branch core, so a fix to one could silently miss
+    the other). Returns ``(new_state, emit_frame_or_None)``:
+    deterministic winner = min doc_id across ALL Arrow chunks (group
+    row order within a micro-batch is shuffle-dependent), emit once on
+    first sight, accrue drop counts forever after."""
+    n_in, first_doc = 0, None
+    for pdf in pdfs:
+        if len(pdf):
+            batch_min = int(pdf["doc_id"].min())
+            first_doc = batch_min if first_doc is None else min(first_doc, batch_min)
+        n_in += len(pdf)
+    if prev is None:
+        emit = pd.DataFrame(
+            {"dedup_key": [key[0]], "doc_id": [first_doc], "n_dropped": [n_in - 1]}
+        )
+        return (first_doc, n_in - 1), emit
+    return (prev[0], prev[1] + n_in), None
+
+
 def _first_seen_update(
     key: tuple[Any, ...],
     pdfs: Iterator[pd.DataFrame],
@@ -78,23 +105,10 @@ def _first_seen_update(
         state.remove()
         return
     prev = state.get if state.exists else None
-    n_in, first_doc = 0, None
-    for pdf in pdfs:
-        if len(pdf):
-            # deterministic winner: min doc_id across ALL chunks — within a
-            # micro-batch the post-shuffle row order of a group is not
-            # guaranteed, so "row 0 of chunk 0" would be nondeterministic
-            batch_min = int(pdf["doc_id"].min())
-            first_doc = batch_min if first_doc is None else min(first_doc, batch_min)
-        n_in += len(pdf)
-    if prev is None:
-        state.update((first_doc, n_in - 1))
-        yield pd.DataFrame(
-            {"dedup_key": [key[0]], "doc_id": [first_doc], "n_dropped": [n_in - 1]}
-        )
-    else:
-        # already emitted in an earlier batch: drop silently, keep count
-        state.update((prev[0], prev[1] + n_in))
+    new_state, emit = _first_seen_core(key, pdfs, prev)
+    state.update(new_state)
+    if emit is not None:
+        yield emit
 
 
 def streaming_first_seen_dedup(
@@ -157,28 +171,13 @@ class FirstSeenDedupProcessor(StatefulProcessor):
         )
 
     def handleInputRows(self, key, rows, timerValues):
+        # same pure core as the applyInPandasWithState form — only the
+        # state accessor spelling differs between the two APIs
         prev = self._seen.get() if self._seen.exists() else None
-        n_in = 0
-        first_doc = None
-        for pdf in rows:
-            if len(pdf):
-                # deterministic winner: min doc_id across all chunks (group
-                # row order within a micro-batch is shuffle-dependent)
-                batch_min = int(pdf["doc_id"].min())
-                first_doc = (
-                    batch_min if first_doc is None else min(first_doc, batch_min)
-                )
-            n_in += len(pdf)
-        if prev is None:
-            # first time this content is seen: emit it, count the rest
-            # of this batch's copies as dropped
-            self._seen.update((first_doc, n_in - 1))
-            yield pd.DataFrame(
-                {"dedup_key": [key[0]], "doc_id": [first_doc], "n_dropped": [n_in - 1]}
-            )
-        else:
-            # already emitted in an earlier batch: drop silently, keep count
-            self._seen.update((prev[0], prev[1] + n_in))
+        new_state, emit = _first_seen_core(key, rows, prev)
+        self._seen.update(new_state)
+        if emit is not None:
+            yield emit
 
     def close(self) -> None:
         pass
