@@ -1511,8 +1511,16 @@ def semdedup(
     """
     u = materialize(_unit_vectors(embeddings, id_col, vec_col), durable=True)
     cents = _kmeans_centroids(u, n_cells, iters)
-    members = _assign_cells(u, cents).join(u, "vid").select(
-        F.col("vid").alias("vec_id"), "cell", "uv"
+    # materialized (r7 review): members feeds THREE branches — both
+    # sides of the within-cell self-join and the final keep-flag join.
+    # Only the identical self-join exchanges are ReuseExchange-deduped;
+    # without this the final join re-ran the N×C-dot cell assignment
+    # (the operator's dominant stage) a second time per call.
+    members = materialize(
+        _assign_cells(u, cents)
+        .join(u, "vid")
+        .select(F.col("vid").alias("vec_id"), "cell", "uv"),
+        durable=True,
     )
     a = members.select(
         "cell", F.col("vec_id").alias("va"), F.col("uv").alias("ua")

@@ -85,8 +85,14 @@ def drop_all_user_tables(spark: SparkSession, database: str | None = None) -> li
     For a whole-database reset Spark has the native statement —
     ``DROP DATABASE db CASCADE`` — which this mirrors for the default
     database (not droppable itself).
+
+    The DROP statements are ALWAYS database-qualified (r7 review,
+    confirmed live): an unqualified ``DROP VIEW v`` resolves a temp
+    view named ``v`` first, so with a temp/persistent name collision
+    the reset would destroy the unrelated temp view and silently leave
+    the listed persistent object in place while reporting it dropped.
     """
-    prefix = f"{database}." if database else ""
+    prefix = f"{database or spark.catalog.currentDatabase()}."
     tables = [
         t
         for t in spark.catalog.listTables(database)
@@ -146,6 +152,21 @@ def relation_dependencies(spark: SparkSession, name: str) -> set[str]:
                 deps.add(_norm_ident(ct.get().identifier().toString()))
         elif cls == "HiveTableRelation":
             deps.add(_norm_ident(n.tableMeta().identifier().toString()))
+        elif cls in ("DataSourceV2Relation", "DataSourceV2ScanRelation"):
+            # v2 catalog tables (Delta/Iceberg/any TableCatalog) — the
+            # getSimpleName dispatch previously fell through here, so
+            # views over v2 tables contributed no dependencies and
+            # drop_cascade left them dangling (r7 review). The scan
+            # wrapper only appears post-optimization, but handle both.
+            rel = n.relation() if cls == "DataSourceV2ScanRelation" else n
+            try:
+                ident = rel.identifier()
+                if ident.isDefined():
+                    deps.add(_norm_ident(ident.get().toString()))
+                else:
+                    deps.add(_norm_ident(rel.table().name()))
+            except Exception:  # noqa: BLE001 — connector-specific shapes
+                deps.add(_norm_ident(rel.table().name()))
     return deps
 
 

@@ -194,3 +194,36 @@ def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
 
     with _pytest.raises(ValueError):
         read_orc(spark, out, streaming=True)
+
+
+def test_drop_all_user_tables_survives_temp_name_shadowing(spark):
+    # r7 review (confirmed live before the fix): with a TEMP view
+    # sharing a persistent object's name, the unqualified DROP
+    # resolved the temp view first — destroying the innocent temp view
+    # while reporting the (surviving) persistent object as dropped.
+    from f1_realtime_data_pipeline_spark.sources.tables import (
+        drop_all_user_tables,
+    )
+
+    spark.sql("CREATE TABLE IF NOT EXISTS pt_shadow_r7 (k INT) USING parquet")
+    spark.sql("CREATE OR REPLACE VIEW pv_shadow_r7 AS SELECT 1 AS one")
+    spark.range(3).createOrReplaceTempView("pt_shadow_r7")
+    spark.range(4).createOrReplaceTempView("pv_shadow_r7")
+    try:
+        dropped = drop_all_user_tables(spark)
+        assert "pt_shadow_r7" in dropped and "pv_shadow_r7" in dropped
+        # persistent objects actually gone...
+        persistent = {
+            t.name for t in spark.catalog.listTables() if not t.isTemporary
+        }
+        assert "pt_shadow_r7" not in persistent
+        assert "pv_shadow_r7" not in persistent
+        # ...and the same-named TEMP views untouched
+        temps = {t.name for t in spark.catalog.listTables() if t.isTemporary}
+        assert {"pt_shadow_r7", "pv_shadow_r7"} <= temps
+        assert spark.table("pt_shadow_r7").count() == 3
+    finally:
+        spark.catalog.dropTempView("pt_shadow_r7")
+        spark.catalog.dropTempView("pv_shadow_r7")
+        spark.sql("DROP TABLE IF EXISTS default.pt_shadow_r7")
+        spark.sql("DROP VIEW IF EXISTS default.pv_shadow_r7")
