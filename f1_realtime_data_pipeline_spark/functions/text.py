@@ -203,3 +203,39 @@ def predicted_lang_sql(expr: str) -> str:
         whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
     joined = "\n       ".join(whens)
     return f"CASE {joined}\n       ELSE 'und' END"
+
+
+def normalize_text(col: Column | str) -> Column:
+    """THE corpus normalization (lowercase → strip non-alphanumerics →
+    collapse whitespace runs → trim) — single Spark-side definition
+    (r7 review: t_normalize, pipeline_corpus, and pipeline_corpus_v2
+    carried verbatim copies of the two-stage regex chain, so an edit
+    to the character class could silently diverge the fused pipeline
+    from the standalone stage; a composition≡stages pytest guards the
+    SQL twins the same way). Patterns restricted to the RE2 ∩ Java
+    dialect so the DuckDB twin agrees."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(c), r"[^a-z0-9 \t\n\x0B\f\r]", ""),
+            r"[ \t\n\x0B\f\r]+",
+            " ",
+        )
+    )
+
+
+def quality_score_from_counts(
+    n_tokens: Column, n_stopwords: Column, n_punct: Column
+) -> Column:
+    """The t_quality 0..1 score from its three integer count columns —
+    single Spark-side definition shared by the standalone query and
+    the fused pipeline (all three terms are exact binary fractions,
+    so the sum is FP-exact in any order)."""
+    stop_ratio = n_stopwords.cast("double") / n_tokens
+    return (
+        F.when((n_tokens >= 20) & (n_tokens <= 2000), F.lit(0.5)).otherwise(F.lit(0.0))
+        + F.when(n_punct <= n_tokens, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when((stop_ratio >= 0.05) & (stop_ratio <= 0.6), F.lit(0.25)).otherwise(
+            F.lit(0.0)
+        )
+    )

@@ -1220,6 +1220,39 @@ _SPLIT_BUCKETS = 1000
 _TRAIN_LT, _TEST_GE = 800, 900
 
 
+def split_bucket(id_expr: str = "doc_id", buckets: int = None):  # noqa: RUF013
+    """THE deterministic split/shard bucket — single definition (r7
+    review: the pmod-nested expression had ~10 verbatim copies across
+    the plan modules; any future change — e.g. the negative-id
+    normalization below — must land everywhere at once or splits
+    silently desynchronize between queries that must agree).
+
+    bucket(id) = pmod(pmod(id, B) · MULT, B). The inner mod bounds the
+    product below B·MULT < 2^63 (the r6 overflow fix, value-preserving
+    by congruence). CONTRACT: ids are NON-NEGATIVE — Spark's pmod and
+    DuckDB's % agree only there (pmod(-5,1000)=995 vs -5 % 1000 = -5);
+    the fixture pin test_split_fixture_ids_nonnegative enforces it for
+    every harness table, and a corpus keyed by a signed hash must
+    normalize ids first (or swap BOTH emitters for the pmod-equivalent
+    ``((id % B + B) % B) * MULT % B`` form in one edit here)."""
+    if buckets is None:
+        buckets = _SPLIT_BUCKETS
+    return F.pmod(
+        F.pmod(F.col(id_expr), F.lit(buckets)) * F.lit(_SPLIT_MULT),
+        F.lit(buckets),
+    )
+
+
+def split_bucket_sql(id_expr: str = "doc_id", buckets: int = None) -> str:
+    """DuckDB twin of :func:`split_bucket` — emits the exact
+    historical oracle text (byte-identical, asserted at refactor time
+    against all 172 registered oracles)."""
+    if buckets is None:
+        buckets = _SPLIT_BUCKETS
+    return f"(({id_expr} % {buckets}) * {_SPLIT_MULT}) % {buckets}"
+
+
+
 def contamination(docs: DataFrame, n: int = 3) -> DataFrame:
     """Test-set decontamination scan: for every *train* document, how
     many of its distinct word ``n``-gram shingles also occur in any
@@ -1235,7 +1268,7 @@ def contamination(docs: DataFrame, n: int = 3) -> DataFrame:
     Output: (doc_id, n_shingles, n_contaminated, contamination_ratio)
     for each train doc with at least one shingle (≥ n tokens).
     """
-    bucket = F.pmod(F.pmod(F.col("doc_id"), F.lit(_SPLIT_BUCKETS)) * F.lit(_SPLIT_MULT), F.lit(_SPLIT_BUCKETS))
+    bucket = split_bucket()
     # two consumer branches (train side, test side) — persist so the
     # corpus is scanned/tokenized/exploded once, the module-wide
     # multi-branch discipline (r7 review: this and the bloom variant
@@ -1268,10 +1301,10 @@ def contamination_sql(n: int = 3) -> str:
   {_doc_shingles_sql(n)}
 ), train_sh AS (
   SELECT doc_id, shingle FROM sh
-  WHERE ((doc_id % {_SPLIT_BUCKETS}) * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} < {_TRAIN_LT}
+  WHERE {split_bucket_sql()} < {_TRAIN_LT}
 ), test_sh AS (
   SELECT DISTINCT shingle FROM sh
-  WHERE ((doc_id % {_SPLIT_BUCKETS}) * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} >= {_TEST_GE}
+  WHERE {split_bucket_sql()} >= {_TEST_GE}
 )
 SELECT t.doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_shingles,
@@ -1325,7 +1358,7 @@ def contamination_bloom(docs: DataFrame, n: int = 3) -> DataFrame:
     word_idx = (F.col("pos") / F.lit(BLOOM_WORD_BITS)).cast("int")
     mask = F.pow(F.lit(2.0), F.col("pos") % F.lit(BLOOM_WORD_BITS)).cast("bigint")
 
-    bucket = F.pmod(F.pmod(F.col("doc_id"), F.lit(_SPLIT_BUCKETS)) * F.lit(_SPLIT_MULT), F.lit(_SPLIT_BUCKETS))
+    bucket = split_bucket()
     # persisted for the same two-branch reason as contamination (r7)
     sh = (
         doc_shingles(docs, n)
@@ -1378,7 +1411,7 @@ def contamination_bloom_sql(n: int = 3) -> str:
   SELECT CAST({pos} // {BLOOM_WORD_BITS} AS INT) AS word_idx,
          CAST(POWER(2.0, {pos} % {BLOOM_WORD_BITS}) AS BIGINT) AS mask
   FROM (SELECT DISTINCT shingle FROM sh
-        WHERE ((doc_id % {_SPLIT_BUCKETS}) * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} >= {_TEST_GE}),
+        WHERE {split_bucket_sql()} >= {_TEST_GE}),
        unnest(range(0, {BLOOM_K})) AS g(j)
 ), bloom AS (
   SELECT word_idx, BIT_OR(mask) AS w FROM test_pos GROUP BY word_idx
@@ -1387,7 +1420,7 @@ def contamination_bloom_sql(n: int = 3) -> str:
          MIN(CASE WHEN b.w IS NOT NULL AND (b.w & m.mask) = m.mask
                   THEN 1 ELSE 0 END) AS all_set
   FROM (SELECT doc_id, shingle FROM sh
-        WHERE ((doc_id % {_SPLIT_BUCKETS}) * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} < {_TRAIN_LT}) t,
+        WHERE {split_bucket_sql()} < {_TRAIN_LT}) t,
        LATERAL (SELECT CAST({pos} // {BLOOM_WORD_BITS} AS INT) AS word_idx,
                        CAST(POWER(2.0, {pos} % {BLOOM_WORD_BITS}) AS BIGINT) AS mask
                 FROM unnest(range(0, {BLOOM_K})) AS g(j)) m

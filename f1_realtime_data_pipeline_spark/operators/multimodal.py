@@ -187,11 +187,21 @@ def media_payload_for(doc_id: int) -> bytes:
 # the only shuffle is the ≤8-byte signature).
 # ---------------------------------------------------------------------------
 
-GRAY_LUM_SQL = "(doc_id * 31 + x * 7 + y * 11) % 256"
+def gray_lum_sql(x: str = "x", y: str = "y", doc_id: str = "doc_id") -> str:
+    """The synthetic grayscale formula with the coordinate expressions
+    as NAMED parameters (r7 review: the oracle previously rewrote the
+    fixed string via character-level .replace('x', …), which silently
+    corrupts the SQL the moment the formula gains any other 'x'/'y'
+    character — 'max', a hex literal…)."""
+    return f"({doc_id} * 31 + {x} * 7 + {y} * 11) % 256"
+
+
+#: the default-variable rendering, kept for existing oracle callers
+GRAY_LUM_SQL = gray_lum_sql()
 
 
 def gray_lum_for(doc_id: int, x: int, y: int) -> int:
-    """Python twin of ``GRAY_LUM_SQL``."""
+    """Python twin of :func:`gray_lum_sql`."""
     return (doc_id * 31 + x * 7 + y * 11) % 256
 
 

@@ -541,10 +541,9 @@ def semantic_decontam(
 
     if planes_per_table is None:
         planes_per_table = neardup_planes_for(embeddings.count())
-    bucket = F.pmod(
-        F.pmod(F.col(id_col), F.lit(_SPLIT_BUCKETS)) * F.lit(_SPLIT_MULT),
-        F.lit(_SPLIT_BUCKETS),
-    )
+    from f1_realtime_data_pipeline_spark.operators.dedup import split_bucket
+
+    bucket = split_bucket(id_col)
     rel = (
         spread(embeddings)
         .withColumn("nrm", norm(F.col(vec_col)))
@@ -624,7 +623,9 @@ def semantic_decontam_derived_sql(threshold: float, src: str) -> str:
         _TRAIN_LT,
     )
 
-    split = f"((vec_id % {_SPLIT_BUCKETS}) * {_SPLIT_MULT}) % {_SPLIT_BUCKETS}"
+    from f1_realtime_data_pipeline_spark.operators.dedup import split_bucket_sql
+
+    split = split_bucket_sql("vec_id")
     per_table = "\n  UNION ALL\n  ".join(
         f"SELECT vec_id, {split} AS b, {_derived_bucket_sql(t)} AS bkt, {t} AS tbl "
         f"FROM {src} _e{t}, p"

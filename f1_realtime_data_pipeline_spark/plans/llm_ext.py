@@ -26,11 +26,16 @@ from pyspark.sql.window import Window
 
 from f1_realtime_data_pipeline_spark.functions import text as tx
 from f1_realtime_data_pipeline_spark.functions.text import (
+    normalize_text,
     STOPWORDS,
     tokens,
     tokens_sql,
 )
 from f1_realtime_data_pipeline_spark.operators import dedup as dd
+from f1_realtime_data_pipeline_spark.operators.dedup import (
+    split_bucket,
+    split_bucket_sql,
+)
 from f1_realtime_data_pipeline_spark.operators import similarity as sim
 from f1_realtime_data_pipeline_spark.sources.parquet import read_table
 
@@ -565,7 +570,7 @@ def d_incremental_dedup(spark, sf_dir):
     )
 
     docs = _docs(spark, sf_dir)
-    bucket = F.pmod(F.pmod(F.col("doc_id"), F.lit(_SPLIT_BUCKETS)) * F.lit(_SPLIT_MULT), F.lit(_SPLIT_BUCKETS))
+    bucket = split_bucket()
     with_b = docs.select("doc_id", "text", bucket.alias("bucket"))
     batch = with_b.filter(F.col("bucket") >= _TEST_GE).select(
         "doc_id", F.xxhash64("text").alias("h")
@@ -596,10 +601,10 @@ def _incremental_dedup_sql() -> str:
 
     return f"""WITH batch AS (
   SELECT doc_id, text FROM documents
-  WHERE ((doc_id % {_SPLIT_BUCKETS}) * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} >= {_TEST_GE}
+  WHERE {split_bucket_sql()} >= {_TEST_GE}
 ), existing AS (
   SELECT DISTINCT text FROM documents
-  WHERE ((doc_id % {_SPLIT_BUCKETS}) * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} < {_TEST_GE}
+  WHERE {split_bucket_sql()} < {_TEST_GE}
     AND text IS NOT NULL
 )
 SELECT b.doc_id, (e.text IS NULL) AS is_novel
@@ -636,13 +641,7 @@ def pipeline_corpus_v2(spark, sf_dir):
     keep, so the LEFT joins never drop the spine.
     """
     d = _docs(spark, sf_dir)
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 \t\n\x0B\f\r]", ""),
-            r"[ \t\n\x0B\f\r]+",
-            " ",
-        )
-    )
+    norm = normalize_text("text")
     normed = d.select("doc_id", "source", "text", norm.alias("norm_text"))
     w = Window.partitionBy("norm_text").orderBy(F.col("doc_id").asc())
     canon = (
@@ -673,7 +672,7 @@ def pipeline_corpus_v2(spark, sf_dir):
             & F.coalesce(F.col("c_keep"), F.lit(True))
         )
     )
-    bucket = F.pmod(F.pmod(F.col("doc_id"), F.lit(_SPLIT_BUCKETS)) * F.lit(_SPLIT_MULT), F.lit(_SPLIT_BUCKETS))
+    bucket = split_bucket()
     split = (
         F.when(bucket < _TRAIN_LT, "train")
         .when(bucket < _TEST_GE, "val")
@@ -727,8 +726,8 @@ def _pipeline_v2_sql() -> str:
   LEFT JOIN contam t USING (doc_id)
   WHERE g.g_keep AND COALESCE(s.s_keep, TRUE) AND COALESCE(t.c_keep, TRUE)
 )
-SELECT CASE WHEN ((doc_id % {_SPLIT_BUCKETS}) * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} < {_TRAIN_LT} THEN 'train'
-            WHEN ((doc_id % {_SPLIT_BUCKETS}) * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} < {_TEST_GE} THEN 'val'
+SELECT CASE WHEN {split_bucket_sql()} < {_TRAIN_LT} THEN 'train'
+            WHEN {split_bucket_sql()} < {_TEST_GE} THEN 'val'
             ELSE 'test' END AS split,
        source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,

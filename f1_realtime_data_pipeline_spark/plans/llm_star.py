@@ -13,8 +13,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from f1_realtime_data_pipeline_spark.functions import text as tx
-from f1_realtime_data_pipeline_spark.functions import vector as vec
 from f1_realtime_data_pipeline_spark.operators import dedup as dd
+from f1_realtime_data_pipeline_spark.operators.dedup import (
+    split_bucket,
+    split_bucket_sql,
+)
 from f1_realtime_data_pipeline_spark.operators import multimodal as mm
 from f1_realtime_data_pipeline_spark.operators import similarity as sim
 from f1_realtime_data_pipeline_spark.sources.parquet import read_table
@@ -88,18 +91,15 @@ def t_quality(spark, sf_dir):
     )
     n_tokens = F.col("n_tokens")
     stop_ratio = F.col("n_stopwords").cast("double") / n_tokens
-    len_ok = F.when((n_tokens >= 20) & (n_tokens <= 2000), F.lit(0.5)).otherwise(F.lit(0.0))
-    punct_ok = F.when(F.col("n_punct") <= n_tokens, F.lit(0.25)).otherwise(F.lit(0.0))
-    stop_ok = F.when((stop_ratio >= 0.05) & (stop_ratio <= 0.6), F.lit(0.25)).otherwise(
-        F.lit(0.0)
-    )
     return counts.select(
         "doc_id",
         "n_tokens",
         "n_stopwords",
         "n_punct",
         stop_ratio.alias("stopword_ratio"),
-        (len_ok + punct_ok + stop_ok).alias("quality_score"),
+        tx.quality_score_from_counts(
+            n_tokens, F.col("n_stopwords"), F.col("n_punct")
+        ).alias("quality_score"),
     )
 
 
@@ -130,12 +130,18 @@ FROM documents""",
 def t_lang_id(spark, sf_dir):
     """Stopword-marker language ID with a deterministic arg-max ladder;
     compared against the table's labeled lang for an agreement flag."""
-    d = _docs(spark, sf_dir)
+    # materialize the prediction ONCE, compare in a second projection
+    # (r7 review): inlining the 4-language arg-max ladder twice doubled
+    # the most expression-heavy scan in the module — the same
+    # inline-vs-column trap t_quality's docstring measured at ~5×.
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", tx.predicted_lang("text").alias("pred_lang")
+    )
     return d.select(
         "doc_id",
         "lang",
-        tx.predicted_lang("text").alias("pred_lang"),
-        (tx.predicted_lang("text") == F.col("lang")).alias("agrees"),
+        "pred_lang",
+        (F.col("pred_lang") == F.col("lang")).alias("agrees"),
     )
 
 
@@ -301,7 +307,7 @@ def t_train_split(spark, sf_dir):
     stable under re-runs and corpus growth (a doc's split never
     changes). 80/10/10."""
     d = _docs(spark, sf_dir)
-    bucket = F.pmod(F.pmod(F.col("doc_id"), F.lit(_SPLIT_BUCKETS)) * F.lit(_SPLIT_MULT), F.lit(_SPLIT_BUCKETS))
+    bucket = split_bucket()
     return d.select(
         "doc_id",
         bucket.cast("int").alias("bucket"),
@@ -316,9 +322,9 @@ _register(
     "t_train_split",
     t_train_split,
     f"""SELECT doc_id,
-       CAST(((doc_id % {_SPLIT_BUCKETS}) * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} AS INT) AS bucket,
-       CASE WHEN ((doc_id % {_SPLIT_BUCKETS}) * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} < {_TRAIN_LT} THEN 'train'
-            WHEN ((doc_id % {_SPLIT_BUCKETS}) * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} < {_VAL_LT} THEN 'val'
+       CAST({split_bucket_sql()} AS INT) AS bucket,
+       CASE WHEN {split_bucket_sql()} < {_TRAIN_LT} THEN 'train'
+            WHEN {split_bucket_sql()} < {_VAL_LT} THEN 'val'
             ELSE 'test' END AS split
 FROM documents""",
 )
@@ -379,7 +385,7 @@ def t_pack_sequences_dist(spark, sf_dir):
     counts = d.select(
         "doc_id",
         tx.token_count("text").alias("n_tokens"),
-        F.pmod(F.pmod(F.col("doc_id"), F.lit(_PACK_SHARDS)) * F.lit(_SPLIT_MULT), F.lit(_PACK_SHARDS))
+        split_bucket(buckets=_PACK_SHARDS)
         .cast("int")
         .alias("shard"),
     )
@@ -407,7 +413,7 @@ _register(
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
             / {_PACK_BUDGET}) AS BIGINT) AS local_seq
 FROM (SELECT doc_id, {tx.token_count_sql("text")} AS n_tokens,
-             CAST(((doc_id % {_PACK_SHARDS}) * {_SPLIT_MULT}) % {_PACK_SHARDS} AS INT) AS shard
+             CAST({split_bucket_sql(buckets=_PACK_SHARDS)} AS INT) AS shard
       FROM documents)""",
 )
 
@@ -468,15 +474,7 @@ def t_normalize(spark, sf_dir):
     agrees); Spark regexp_replace is global, DuckDB needs the 'g'
     flag."""
     d = _docs(spark, sf_dir)
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(
-                F.lower(F.col("text")), r"[^a-z0-9 \t\n\x0B\f\r]", ""
-            ),
-            r"[ \t\n\x0B\f\r]+",
-            " ",
-        )
-    )
+    norm = tx.normalize_text("text")
     return d.select(
         "doc_id",
         norm.alias("norm_text"),
@@ -531,7 +529,7 @@ def t_stratified_sample(spark, sf_dir):
     hashed = d.select(
         "doc_id",
         "lang",
-        F.pmod(F.pmod(F.col("doc_id"), F.lit(_SPLIT_BUCKETS)) * F.lit(_SPLIT_MULT), F.lit(_SPLIT_BUCKETS)).alias("h"),
+        split_bucket().alias("h"),
     )
     w = Window.partitionBy("lang").orderBy(F.col("h").asc(), F.col("doc_id").asc())
     return (
@@ -548,7 +546,7 @@ _register(
     f"""SELECT doc_id, lang, CAST(rnk AS INT) AS rnk FROM (
   SELECT doc_id, lang,
          ROW_NUMBER() OVER (PARTITION BY lang
-             ORDER BY ((doc_id % {_SPLIT_BUCKETS}) * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} ASC, doc_id ASC) AS rnk,
+             ORDER BY {split_bucket_sql()} ASC, doc_id ASC) AS rnk,
          COUNT(*) OVER (PARTITION BY lang) AS n_stratum
   FROM documents
 ) WHERE rnk <= CEIL(n_stratum * CAST(0.1 AS DOUBLE))""",
@@ -618,7 +616,7 @@ E_KNN_JOIN_PINNED_SQL = sim.knn_join_adc_sql(3, planes_per_table=6)
 def e_knn_join_derived(spark, sf_dir):
     """The batch kNN join in its 100 TB form (VERDICT r5 #1): planes
     per LSH table derived from the corpus size (floor-pinned
-    log₂(N/occupancy), ``vec.neardup_planes_for``) so expected bucket
+    log₂(N/occupancy), ``functions.vector.neardup_planes_for``) so expected bucket
     occupancy — and the SDC-ranked candidate volume per query — stays
     CONSTANT as the corpus grows, instead of ∝N as with the pinned
     6-plane registration above (r5 decade sweep: 5.5× wall for 10×
@@ -929,7 +927,7 @@ _register(
   SELECT doc_id, {mm.MEDIA_W_SQL} AS w, {mm.MEDIA_H_SQL} AS h FROM documents
 ), grid AS (
   SELECT doc_id, w, h, ux.x AS x, uy.y AS y,
-         {mm.GRAY_LUM_SQL.replace('x', 'ux.x').replace('y', 'uy.y')} AS lum
+         {mm.gray_lum_sql(x="ux.x", y="uy.y")} AS lum
   FROM dims, UNNEST(range(0, w)) AS ux(x), UNNEST(range(0, h)) AS uy(y)
 ), m AS (
   SELECT doc_id, CAST(SUM(lum) // (w * h) AS INT) AS mean_lum
@@ -959,18 +957,22 @@ def m_binary_ingest(spark, sf_dir):
     marker-walk decoder. Previously the registered multimodal queries
     synthesized payloads in-plan and the file path was pytest-only.
 
-    Fixture placement (r6 review fix): the FIXTURE files are written
-    by the DRIVER to a deterministic per-(sf,session) temp dir —
-    ≤ BINARY_INGEST_MAX_ID tiny files, metadata-scale setup work.
-    The earlier executor-side writer put files on each WORKER's local
-    /tmp, which only coincides with the driver's listing in local
-    mode — on yarn/k8s the scan would find nothing (and every
-    invocation leaked a fresh dir; this one is reused). What's under
-    test is the DISTRIBUTED half: binaryFile listing/scan, the doc id
-    carried in the FILE NAME and recovered by regexp on the ``path``
-    column (the standard id-from-path convention for blob ingestion),
-    and the real marker-walk decode of the scanned ``content`` bytes.
-    The oracle recomputes every field from the doc_id formulas, so a
+    Fixture placement (r6 review fix; r7 honesty note): the FIXTURE
+    files are written by the DRIVER to a deterministic per-(sf,
+    session) dir — ≤ BINARY_INGEST_MAX_ID tiny files, metadata-scale
+    setup work. The earlier executor-side writer put files on each
+    WORKER's local /tmp (worse: not even the driver's listing saw
+    them); driver-side staging is still only sufficient where the
+    fixture root is VISIBLE TO EXECUTORS — true in local mode and on
+    any shared filesystem, NOT for a driver-local /tmp on yarn/k8s.
+    For cluster runs point ``SPARK_GRAFT_FIXTURE_DIR`` at shared
+    storage (NFS/HDFS-mounted path); the default stays the local temp
+    dir this harness runs against. What's under test is the
+    DISTRIBUTED half: binaryFile listing/scan, the doc id carried in
+    the FILE NAME and recovered by regexp on the ``path`` column (the
+    standard id-from-path convention for blob ingestion), and the
+    real marker-walk decode of the scanned ``content`` bytes. The
+    oracle recomputes every field from the doc_id formulas, so a
     value match proves listing, scan, filename round-trip, AND codec
     at once. On a real deployment the fixture corresponds to blobs
     already ON shared storage — no write step at all."""
@@ -981,8 +983,9 @@ def m_binary_ingest(spark, sf_dir):
         read_binary_files,
     )
 
+    fixture_root = os.environ.get("SPARK_GRAFT_FIXTURE_DIR") or tempfile.gettempdir()
     out = os.path.join(
-        tempfile.gettempdir(),
+        fixture_root,
         f"m_binary_ingest_{os.path.basename(sf_dir)}_{spark.sparkContext.applicationId}",
     )
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < BINARY_INGEST_MAX_ID)
@@ -994,8 +997,10 @@ def m_binary_ingest(spark, sf_dir):
     if not os.path.isdir(out):
         import shutil
 
+        # stage inside the SAME root as `out` so the publishing rename
+        # stays a same-filesystem atomic op (EXDEV otherwise)
         stage = tempfile.mkdtemp(
-            prefix="m_binary_ingest_stage_", dir=tempfile.gettempdir()
+            prefix="m_binary_ingest_stage_", dir=fixture_root
         )
         try:
             rows = mm.attach_jpeg_payload(docs).collect()
@@ -1378,13 +1383,7 @@ def pipeline_corpus(spark, sf_dir):
     from pyspark.sql.window import Window
 
     d = _docs(spark, sf_dir)
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 \t\n\x0B\f\r]", ""),
-            r"[ \t\n\x0B\f\r]+",
-            " ",
-        )
-    )
+    norm = tx.normalize_text("text")
     normed = d.select("doc_id", "source", "text", norm.alias("norm_text"))
     w = Window.partitionBy("norm_text").orderBy(F.col("doc_id").asc())
     canon = normed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
@@ -1402,17 +1401,13 @@ def pipeline_corpus(spark, sf_dir):
         .cast("int")
         .alias("n_punct"),
     )
-    n_tokens = F.col("n_tokens")
-    stop_ratio = F.col("n_stopwords").cast("double") / n_tokens
-    score = (
-        F.when((n_tokens >= 20) & (n_tokens <= 2000), F.lit(0.5)).otherwise(F.lit(0.0))
-        + F.when(F.col("n_punct") <= n_tokens, F.lit(0.25)).otherwise(F.lit(0.0))
-        + F.when((stop_ratio >= 0.05) & (stop_ratio <= 0.6), F.lit(0.25)).otherwise(F.lit(0.0))
+    score = tx.quality_score_from_counts(
+        F.col("n_tokens"), F.col("n_stopwords"), F.col("n_punct")
     )
     kept = counts.withColumn("quality_score", score).filter(
         F.col("quality_score") >= _PIPE_MIN_QUALITY
     )
-    bucket = F.pmod(F.pmod(F.col("doc_id"), F.lit(_SPLIT_BUCKETS)) * F.lit(_SPLIT_MULT), F.lit(_SPLIT_BUCKETS))
+    bucket = split_bucket()
     split = (
         F.when(bucket < _TRAIN_LT, "train")
         .when(bucket < _VAL_LT, "val")
@@ -1458,8 +1453,8 @@ _register(
          ) AS quality_score
   FROM counts
 )
-SELECT CASE WHEN ((doc_id % {_SPLIT_BUCKETS}) * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} < {_TRAIN_LT} THEN 'train'
-            WHEN ((doc_id % {_SPLIT_BUCKETS}) * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} < {_VAL_LT} THEN 'val'
+SELECT CASE WHEN {split_bucket_sql()} < {_TRAIN_LT} THEN 'train'
+            WHEN {split_bucket_sql()} < {_VAL_LT} THEN 'val'
             ELSE 'test' END AS split,
        source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -1489,7 +1484,7 @@ def t_mixture_resample(spark, sf_dir):
     hashed = d.select(
         "doc_id",
         "source",
-        F.pmod(F.pmod(F.col("doc_id"), F.lit(_SPLIT_BUCKETS)) * F.lit(_SPLIT_MULT), F.lit(_SPLIT_BUCKETS)).alias("h"),
+        split_bucket().alias("h"),
     )
     w = Window.partitionBy("source").orderBy(F.col("h").asc(), F.col("doc_id").asc())
     return (
@@ -1505,7 +1500,7 @@ _register(
     f"""SELECT doc_id, source, CAST(rnk AS INT) AS rnk FROM (
   SELECT doc_id, source,
          ROW_NUMBER() OVER (PARTITION BY source
-             ORDER BY ((doc_id % {_SPLIT_BUCKETS}) * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} ASC, doc_id ASC) AS rnk
+             ORDER BY {split_bucket_sql()} ASC, doc_id ASC) AS rnk
   FROM documents
 ) WHERE rnk <= {_MIX_KEEP_PER_SOURCE}""",
 )

@@ -1283,10 +1283,7 @@ def t_contamination_report(spark, sf_dir):
     combine before the per-test-doc rollup."""
     from pyspark import StorageLevel
 
-    bucket = F.pmod(
-        F.pmod(F.col("doc_id"), F.lit(dd._SPLIT_BUCKETS)) * F.lit(dd._SPLIT_MULT),
-        F.lit(dd._SPLIT_BUCKETS),
-    )
+    bucket = dd.split_bucket()
     # three consumer branches (df counts + both split sides): persist
     # so the corpus is tokenized/exploded once (module discipline)
     sh = (
@@ -1349,7 +1346,7 @@ _register(
   HAVING COUNT(*) <= {CONTAM_REPORT_MAX_DF}
 ), sh AS (
   SELECT s.doc_id, s.shingle,
-         ((s.doc_id % {dd._SPLIT_BUCKETS}) * {dd._SPLIT_MULT}) % {dd._SPLIT_BUCKETS} AS b
+         {dd.split_bucket_sql("s.doc_id")} AS b
   FROM sh0 s JOIN df_ok USING (shingle)
 ), test_sh AS (
   SELECT doc_id AS test_doc, shingle FROM sh WHERE b >= {dd._TEST_GE}

@@ -1074,3 +1074,24 @@ def test_semantic_decontam_classifies_every_train_vector(spark):
             # test vector is cosine-close; with 0.99 on these distinct
             # synthetic vectors only exact copies qualify
             assert not out[i].contaminated and out[i].max_test_cosine is None
+
+
+def test_split_fixture_ids_nonnegative():
+    # r7 review: Spark's pmod and DuckDB's % agree only for
+    # NON-NEGATIVE ids (pmod(-5,1000)=995 vs -5 % 1000 = -5), so every
+    # deterministic-split/sample/shard query's engine parity rests on
+    # this corpus property. Pin it for every id column the split
+    # family hashes, at every harness sf (the near-dup fixture pins
+    # its id-space bound the same way). A corpus with signed-hash ids
+    # must normalize first — or swap BOTH split_bucket emitters at
+    # their single definition (operators.dedup).
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("0.001", "0.01", "0.1"):
+        for table, col in (("documents", "doc_id"), ("embeddings", "vec_id")):
+            lo = con.execute(
+                f"SELECT MIN({col}) FROM "
+                f"read_parquet('/root/testdata/sf{sf}/{table}.parquet')"
+            ).fetchone()[0]
+            assert lo >= 0, f"sf{sf} {table}.{col} has negative ids (min={lo})"

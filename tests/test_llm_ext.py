@@ -584,3 +584,63 @@ def test_pinned_knn_join_baseline_matches_its_oracle(spark):
     }
     assert got == want
     assert got, "baseline join produced no pairs"
+
+
+def test_pipeline_corpus_equals_recomposed_stages(spark):
+    # r7 review: the fused pipeline and its standalone stages must
+    # stay value-equivalent — the Spark side now shares one builder
+    # per stage (normalize_text / quality_score_from_counts), and this
+    # test guards the SQL twins the same way by recomposing
+    # pipeline_corpus from the REGISTERED stage queries and comparing
+    # at sf0.001. Any one-sided edit to a stage rule (length band,
+    # character class, split constant) breaks this equality.
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from f1_realtime_data_pipeline_spark.operators.dedup import (
+        _TRAIN_LT,
+        split_bucket,
+    )
+    from f1_realtime_data_pipeline_spark.plans import llm_star as ls
+    from f1_realtime_data_pipeline_spark.plans.llm_star import (
+        _PIPE_MIN_QUALITY,
+        _VAL_LT,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    normed = ls.t_normalize(spark, sf).select("doc_id", "norm_text")
+    quality = ls.t_quality(spark, sf).select("doc_id", "n_tokens", "quality_score")
+
+    w = Window.partitionBy("norm_text").orderBy(F.col("doc_id").asc())
+    canon = (
+        docs.join(normed, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    bucket = split_bucket()
+    split = (
+        F.when(bucket < _TRAIN_LT, "train")
+        .when(bucket < _VAL_LT, "val")
+        .otherwise("test")
+    )
+    recomposed = {
+        (r.split, r.source): (r.n_docs, r.n_tokens)
+        for r in canon.join(quality, "doc_id")
+        .filter(F.col("quality_score") >= _PIPE_MIN_QUALITY)
+        .withColumn("split", split)
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .collect()
+    }
+    fused = {
+        (r.split, r.source): (r.n_docs, r.n_tokens)
+        for r in ls.pipeline_corpus(spark, sf).collect()
+    }
+    assert fused == recomposed
+    assert fused, "pipeline produced no groups"
