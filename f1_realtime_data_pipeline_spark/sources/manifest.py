@@ -327,6 +327,7 @@ def read_snapshot(
     buckets: list[int] | None = None,
     version: int | None = None,
     where: dict[str, tuple] | None = None,
+    doc: dict | None = None,
 ) -> DataFrame | None:
     """DataFrame over the latest committed snapshot (optionally pruned
     to ``buckets`` — manifest-metadata skipping, no file listing of
@@ -350,7 +351,15 @@ def read_snapshot(
     requested range are never listed or read — metadata pruning is a
     NECESSARY filter, not sufficient, so apply the real predicate to
     the returned frame too (exactly the lakehouse contract)."""
-    v, entries, schema = resolve_snapshot_full(spark, table_path, version)
+    # ``doc`` lets a caller that already resolved the snapshot (every
+    # sink epoch does, for the bucketing record) skip a second
+    # manifest list+parse — the manifest grows with epoch count, so
+    # at scale the double fetch was real metadata I/O per micro-batch
+    # (r7 review).
+    if doc is not None:
+        v, entries, schema = doc["version"], doc["entries"], doc.get("schema")
+    else:
+        v, entries, schema = resolve_snapshot_full(spark, table_path, version)
     want = None if buckets is None else set(buckets)
     paths = [
         f"{table_path}/{e['path']}"
@@ -814,6 +823,23 @@ def export_symlink_manifest(
 
     jvm = spark._jvm
     final = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{SYMLINK_MANIFEST_DIR}")
+    # reclaim CRASHED prior exports' hidden dirs (r7 review: vacuum
+    # walks _manifests/.tmp-* and data/, never these, so a crash
+    # between the two publish renames would otherwise accumulate
+    # orphaned full manifest-set copies forever). Age-gated one hour
+    # so a concurrently RUNNING exporter's live stage is never yanked;
+    # an orphaned .retired-* also means the matching crash left no
+    # live export, and the fresh export about to publish supersedes it.
+    import time as _time
+
+    cutoff_ms = int(_time.time() * 1000) - 3_600_000
+    for st in fs.listStatus(troot):
+        nm = st.getPath().getName()
+        if (
+            nm.startswith(f".{SYMLINK_MANIFEST_DIR}.stage-")
+            or nm.startswith(f".{SYMLINK_MANIFEST_DIR}.retired-")
+        ) and st.getModificationTime() < cutoff_ms:
+            fs.delete(st.getPath(), True)
     stage = jvm.org.apache.hadoop.fs.Path(
         f"{table_path}/.{SYMLINK_MANIFEST_DIR}.stage-{uuid4().hex[:8]}"
     )
@@ -871,48 +897,85 @@ def read_symlink_manifest(spark: SparkSession, table_path: str) -> "DataFrame":
     ``_manifests``. Exists so the export is testable end-to-end
     (export → read-back == snapshot read) rather than write-only.
 
-    Rides through a concurrent re-export's brief absent-dir window
-    (two-rename swap, see :func:`export_symlink_manifest`) with a
-    short retry. An export of a legitimately EMPTY snapshot (every
-    row deleted — a valid committed state the native reader supports)
-    has no bucket manifests, only ``_exported_version``; it reads as
-    zero rows with the exported snapshot's committed schema instead
-    of raising (r7 review)."""
+    Concurrency (r7 review, round 2): the WHOLE
+    list-marker/read-manifests/re-check-marker sequence runs inside
+    one retry loop — a concurrent re-export swapping the dir at ANY
+    point (between exists and listStatus, or between two per-bucket
+    manifest reads, which would otherwise stitch a MIXED two-export
+    snapshot) surfaces as a FileNotFound or a changed version marker
+    and the read restarts cleanly; after the retries are exhausted a
+    ValueError reports the contention instead of a raw Java error.
+
+    Schema (r7 review, round 2): the reader is PINNED to the exported
+    snapshot's committed schema whenever one was recorded — an
+    additively-evolved table would otherwise take its schema from one
+    arbitrary parquet footer and silently drop the evolved columns
+    that older files lack (read_snapshot pins for exactly this
+    reason). An export of a legitimately EMPTY snapshot (every row
+    deleted — a valid committed state) has no bucket manifests, only
+    ``_exported_version``; it reads as zero rows with the committed
+    schema instead of raising."""
     import time as _time
+
+    from py4j.protocol import Py4JJavaError
 
     export_dir = f"{table_path}/{SYMLINK_MANIFEST_DIR}"
     fs, mdir = fs_for(spark, export_dir)
+    last_err: Exception | None = None
     for attempt in range(5):
-        if fs.exists(mdir):
-            break
-        _time.sleep(0.05 * (attempt + 1))
-    files: list[str] = []
-    saw_marker = False
-    for st in fs.listStatus(mdir):
-        name = st.getPath().getName()
-        if name == "_exported_version":
-            saw_marker = True
-        if not name.startswith(f"{BUCKET_COL}="):
+        if attempt:
+            _time.sleep(0.05 * attempt)
+        try:
+            if not fs.exists(mdir):
+                last_err = ValueError(
+                    f"no symlink manifest export under {mdir}"
+                )
+                continue
+            ver_text = _read_text(spark, f"{export_dir}/_exported_version")
+            files: list[str] = []
+            for st in fs.listStatus(mdir):
+                name = st.getPath().getName()
+                if not name.startswith(f"{BUCKET_COL}="):
+                    continue
+                mfile = f"{export_dir}/{name}/manifest"
+                files.extend(
+                    line
+                    for line in _read_text(spark, mfile).splitlines()
+                    if line
+                )
+            # torn-read guard: a swap during the loop above changed the
+            # marker — the file list may mix two exports; retry
+            if _read_text(spark, f"{export_dir}/_exported_version") != ver_text:
+                last_err = ValueError(
+                    f"symlink export at {mdir} swapped mid-read"
+                )
+                continue
+        except Py4JJavaError as e:
+            last_err = e
             continue
-        mfile = f"{export_dir}/{name}/manifest"
-        files.extend(
-            line for line in _read_text(spark, mfile).splitlines() if line
-        )
-    if files:
-        return spark.read.parquet(*files)
-    if not saw_marker:
-        raise ValueError(f"no symlink manifest export under {mdir}")
-    # empty-snapshot export: serve zero rows with the committed schema
-    exported_v = int(_read_text(spark, f"{export_dir}/_exported_version").strip())
-    schema = resolve_snapshot_full(spark, table_path, exported_v)[2]
-    if schema is None:
-        raise ValueError(
-            f"empty export at {mdir} and snapshot v{exported_v} recorded "
-            "no schema — nothing to construct a relation from"
-        )
-    from pyspark.sql.types import StructType
+        exported_v = int(ver_text.strip())
+        schema = resolve_snapshot_full(spark, table_path, exported_v)[2]
+        from pyspark.sql.types import StructType
 
-    st_schema = StructType.fromJson(schema)
-    drop = [f.name for f in st_schema.fields if f.name == BUCKET_COL]
-    empty = spark.createDataFrame([], st_schema)
-    return empty.drop(*drop) if drop else empty
+        st_schema = StructType.fromJson(schema) if schema is not None else None
+        if files:
+            reader = spark.read
+            if st_schema is not None:
+                data_schema = StructType(
+                    [f for f in st_schema.fields if f.name != BUCKET_COL]
+                )
+                reader = reader.schema(data_schema)
+            return reader.parquet(*files)
+        # empty-snapshot export: zero rows with the committed schema
+        if st_schema is None:
+            raise ValueError(
+                f"empty export at {mdir} and snapshot v{exported_v} recorded "
+                "no schema — nothing to construct a relation from"
+            )
+        drop = [f.name for f in st_schema.fields if f.name == BUCKET_COL]
+        empty = spark.createDataFrame([], st_schema)
+        return empty.drop(*drop) if drop else empty
+    raise ValueError(
+        f"could not read a consistent symlink export under {mdir} "
+        f"after 5 attempts (concurrent re-exports?): {last_err}"
+    )

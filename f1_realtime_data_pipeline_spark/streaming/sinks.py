@@ -56,7 +56,11 @@ def _key_bucket(keys: Sequence[str], n_buckets: int) -> F.Column:
 
 
 def _resolved_bucketing(
-    doc: dict, keys: Sequence[str], n_buckets: int
+    doc: dict,
+    keys: Sequence[str],
+    n_buckets: int,
+    spark=None,
+    sink_path: str | None = None,
 ) -> tuple[int, dict]:
     """(effective n_buckets, meta patch) for a manifest-table write
     (ADVICE r5): the table's bucketing config — key columns and bucket
@@ -71,6 +75,17 @@ def _resolved_bucketing(
     default, the table knows its own layout)."""
     rec = doc.get("bucketing")
     if rec is None:
+        entries = doc.get("entries") or []
+        if entries and spark is not None and sink_path is not None:
+            # table committed BEFORE bucketing was recorded (r7
+            # review): silently trusting the caller's default would
+            # reintroduce the retuned-restart duplicate bug for
+            # pre-upgrade tables — probe a committed bucket dir and
+            # verify the caller's layout reproduces its bucket id
+            # before adopting (and recording) it.
+            _validate_bucket_layout(
+                spark, sink_path, entries[0], keys, int(n_buckets)
+            )
         return int(n_buckets), {
             "bucketing": {"keys": list(keys), "n_buckets": int(n_buckets)}
         }
@@ -80,6 +95,29 @@ def _resolved_bucketing(
             f"caller supplied {list(keys)}"
         )
     return int(rec["n_buckets"]), {"bucketing": rec}
+
+
+def _validate_bucket_layout(
+    spark, sink_path: str, entry: dict, keys: Sequence[str], nb: int
+) -> None:
+    """Probe one committed bucket dir: a sample of its rows must hash
+    to the dir's own bucket id under (keys, nb) — catches a restart
+    with a retuned bucket count against a table whose layout predates
+    the recorded-bucketing upgrade. One tiny read, run only on the
+    record-missing path (afterwards the layout is recorded)."""
+    sample = (
+        spark.read.parquet(f"{sink_path}/{entry['path']}")
+        .limit(16)
+        .withColumn("__expect", _key_bucket(keys, nb))
+    )
+    bad = sample.filter(F.col("__expect") != F.lit(int(entry["bucket"]))).count()
+    if bad:
+        raise ValueError(
+            f"bucket-layout mismatch at {sink_path}: rows of committed "
+            f"bucket {entry['bucket']} hash elsewhere under n_buckets={nb} "
+            "— the table predates the recorded-bucketing upgrade and was "
+            "written with a different count; pass the original n_buckets"
+        )
 
 
 def _bucket_entries(spark, sink_path: str, rel: str) -> list[dict]:
@@ -99,7 +137,9 @@ def _resolve_order(df: DataFrame, keys: Sequence[str], order_cols) -> list:
     return [F.col(c).asc() for c in (non_key or keys)]
 
 
-def _resolved_plain_buckets(spark, sink_path: str, n_buckets: int) -> int:
+def _resolved_plain_buckets(
+    spark, sink_path: str, n_buckets: int, keys: Sequence[str] = ()
+) -> int:
     """The plain (non-manifest) sink's bucket-layout record: a sidecar
     ``_sink_buckets.json`` written once at first epoch and
     AUTHORITATIVE thereafter — the non-transactional twin of
@@ -109,6 +149,22 @@ def _resolved_plain_buckets(spark, sink_path: str, n_buckets: int) -> int:
     meta_path = f"{sink_path}/_sink_buckets.json"
     fs, p = manifest.fs_for(spark, meta_path)
     if not fs.exists(p):
+        # pre-sidecar sink with existing data (r7 review): validate
+        # the caller's count against a committed bucket dir before
+        # recording it — same probe as the manifest tables.
+        _, root = manifest.fs_for(spark, sink_path)
+        if fs.exists(root):
+            for st in fs.listStatus(root):
+                nm = st.getPath().getName()
+                if nm.startswith(f"{_BUCKET_COL}="):
+                    _validate_bucket_layout(
+                        spark,
+                        sink_path,
+                        {"path": nm, "bucket": int(nm.split("=", 1)[1])},
+                        keys,
+                        int(n_buckets),
+                    )
+                    break
         manifest._create_exclusive(
             spark, meta_path, json.dumps({"n_buckets": int(n_buckets)})
         )
@@ -157,7 +213,9 @@ def idempotent_parquet_sink(
         # their existing rows, and duplicates would land (the same
         # failure the transactional sinks close via the manifest's
         # recorded bucketing; r6 review fix for the plain sink).
-        nb = _resolved_plain_buckets(batch_df.sparkSession, sink_path, n_buckets)
+        nb = _resolved_plain_buckets(
+            batch_df.sparkSession, sink_path, n_buckets, keys=keys
+        )
         deduped = dedup_first_wins(batch_df, keys, order).withColumn(
             _BUCKET_COL, _key_bucket(keys, nb)
         )
@@ -172,11 +230,18 @@ def idempotent_parquet_sink(
                 r[0] for r in deduped.select(_BUCKET_COL).distinct().collect()
             ]
             batch = deduped
-            # first-epoch probe via the Hadoop FileSystem API — an
-            # exists() check, not a speculative read whose
-            # AnalysisException stack lands in every first-epoch log
+            # first-epoch probe via the Hadoop FileSystem API. Probe
+            # for a DATA partition dir, not bare dir existence (r7
+            # review: the sidecar write above always creates the sink
+            # dir, so an exists(root) check was dead and every first
+            # epoch still took the AnalysisException path the comment
+            # claimed to avoid).
             fs, root = manifest.fs_for(batch_df.sparkSession, sink_path)
-            if fs.exists(root):
+            has_data = fs.exists(root) and any(
+                st.getPath().getName().startswith(f"{_BUCKET_COL}=")
+                for st in fs.listStatus(root)
+            )
+            if has_data:
                 try:
                     existing = pruned_sink_keys(
                         batch_df.sparkSession, sink_path, keys, batch_buckets
@@ -261,7 +326,9 @@ def transactional_parquet_sink(
             snap_doc["entries"],
             snap_doc.get("schema"),
         )
-        nb, bucketing_meta = _resolved_bucketing(snap_doc, keys, n_buckets)
+        nb, bucketing_meta = _resolved_bucketing(
+            snap_doc, keys, n_buckets, spark=spark, sink_path=sink_path
+        )
         deduped = dedup_first_wins(batch_df, keys, order).withColumn(
             _BUCKET_COL, _key_bucket(keys, nb)
         )
@@ -280,7 +347,7 @@ def transactional_parquet_sink(
             merged_schema = manifest.merge_schemas(prev_schema, batch_schema)
             batch = deduped
             existing = manifest.read_snapshot(
-                spark, sink_path, buckets=batch_buckets
+                spark, sink_path, buckets=batch_buckets, doc=snap_doc
             )
             if existing is not None:
                 batch = batch.join(existing.select(*keys), keys, "left_anti")
@@ -350,10 +417,15 @@ def read_sink_snapshot(spark, sink_path: str) -> DataFrame:
     return df
 
 
-def _align_to_schema(df: DataFrame, schema_fields: list[dict]) -> DataFrame:
+def _align_to_schema(
+    df: DataFrame, schema_fields: list[dict], carry: Sequence[str] = ()
+) -> DataFrame:
     """Project ``df`` onto the merged-schema column list: missing
     columns become typed nulls, order follows the schema (so the two
-    MERGE sides union positionally clean)."""
+    MERGE sides union positionally clean). ``carry`` appends existing
+    NON-schema columns verbatim (e.g. an already-computed bucket
+    column, r7 review — re-deriving it after alignment cost a second
+    full hash pass)."""
     from pyspark.sql.types import StructType
 
     have = set(df.columns)
@@ -366,6 +438,7 @@ def _align_to_schema(df: DataFrame, schema_fields: list[dict]) -> DataFrame:
                 {"type": "struct", "fields": [f]}
             ).fields[0].dataType
             cols.append(F.lit(None).cast(dt).alias(f["name"]))
+    cols.extend(F.col(c) for c in carry if c in have)
     return df.select(*cols)
 
 
@@ -422,7 +495,9 @@ def transactional_merge(
         # the table's recorded bucketing wins over the caller's
         # default — a mismatched bucket count would mis-prune touched
         # buckets and leave duplicate keys behind (ADVICE r5)
-        nb, bucketing_meta = _resolved_bucketing(snap_doc, keys, n_buckets)
+        nb, bucketing_meta = _resolved_bucketing(
+            snap_doc, keys, n_buckets, spark=spark, sink_path=sink_path
+        )
         up = dedup_first_wins(updates, keys, order).withColumn(
             _BUCKET_COL, _key_bucket(keys, nb)
         )
@@ -451,9 +526,13 @@ def transactional_merge(
             keep = [e for e in entries if e["bucket"] not in touched]
             affected = [e for e in entries if e["bucket"] in touched]
             fields = merged_schema["fields"]
-            side_up = _align_to_schema(up, fields).withColumn(
-                "__src", F.lit(1)
-            ).withColumn(_BUCKET_COL, _key_bucket(keys, nb))
+            # carry the ALREADY-COMPUTED bucket column through the
+            # schema alignment instead of re-hashing every update row
+            # (r7 review: _align_to_schema projected it away and a
+            # second full _key_bucket pass ran per merge attempt)
+            side_up = _align_to_schema(
+                up, fields, carry=[_BUCKET_COL]
+            ).withColumn("__src", F.lit(1))
             if affected:
                 from pyspark.sql.types import StructType
 
@@ -552,7 +631,9 @@ def transactional_delete(
         # recorded bucketing wins: a mismatched bucket count would
         # prune the wrong buckets and leave undeleted rows — a
         # compliance failure for the erase_results path (ADVICE r5)
-        nb, bucketing_meta = _resolved_bucketing(snap_doc, keys, n_buckets)
+        nb, bucketing_meta = _resolved_bucketing(
+            snap_doc, keys, n_buckets, spark=spark, sink_path=sink_path
+        )
         dk = (
             delete_keys.select(*keys)
             .dropDuplicates(keys)
@@ -671,7 +752,9 @@ def transactional_agg_sink(
         doc = manifest.resolve_snapshot_doc(spark, sink_path)
         version, entries = doc["version"], doc["entries"]
         applied = list(doc.get("applied", []))
-        nb, bucketing_meta = _resolved_bucketing(doc, group_cols, n_buckets)
+        nb, bucketing_meta = _resolved_bucketing(
+            doc, group_cols, n_buckets, spark=spark, sink_path=sink_path
+        )
         partial = (
             batch_df.groupBy(*group_cols)
             .agg(
