@@ -137,7 +137,7 @@ def chunked_running_max(
     order_col: str,
     val_col: str,
     alias: str = "run_max",
-    chunk: int = 1024,
+    chunk: int | None = None,
 ) -> DataFrame:
     """Distributed prefix max: ``MAX(val) OVER (ORDER BY order_col
     ROWS UNBOUNDED PRECEDING)`` without the single-task global-order
@@ -146,13 +146,22 @@ def chunked_running_max(
 
     Decomposition: bucket rows by ``order_col DIV chunk``; the running
     max is max(within-chunk prefix max, max over all PRIOR chunks).
-    The within-chunk window partitions by chunk (every partition ≤
-    ``chunk`` rows); the prior-chunk max is a prefix max over the
-    N/chunk-row chunk-level aggregate — domain-sized, the allowlisted
-    tiny-relation class — broadcast back. Values are IDENTICAL to the
-    global form (max is associative/commutative), which is how the
-    DuckDB oracles check it: they deliberately keep the plain global
-    window, so a hash match proves the decomposition.
+    The within-chunk window partitions by chunk; the prior-chunk max
+    is a prefix max over the chunk-level aggregate broadcast back.
+    Values are IDENTICAL to the global form (max is associative /
+    commutative), which is how the DuckDB oracles check it: they
+    deliberately keep the plain global window, so a hash match proves
+    the decomposition.
+
+    ``chunk`` defaults to the BALANCED width ceil(√(max(order)+1)) —
+    derived from the data at plan-build time (one scalar aggregate,
+    the same class as the corpus-derived LSH plane count): a FIXED
+    chunk makes the chunk-level prefix window a single task over
+    domain/chunk rows, which is fine at audit scale but at 10¹²
+    events would put ~10⁹ rows in one task; √-sizing bounds BOTH
+    levels at ~√domain (10⁶ at 10¹² — the classic two-level
+    scan-decomposition balance). Pass an explicit ``chunk`` to pin
+    the plan (no derivation scan) when the domain is known.
 
     Requires ``order_col`` to be a non-negative integral column
     (arrival sequence, epoch, offset). Tie semantics (r7 review): the
@@ -165,6 +174,11 @@ def chunked_running_max(
     too.) The cross-chunk prefix operates on unique chunk ids, where
     ROWS ≡ RANGE.
     """
+    if chunk is None:
+        import math
+
+        hi = df.agg(F.max(order_col).alias("m")).collect()[0]["m"]
+        chunk = max(1, math.isqrt(int(hi)) + 1) if hi is not None else 1
     out = df.withColumn("__chunk", F.expr(f"{order_col} DIV {chunk}"))
     w_in = (
         Window.partitionBy("__chunk")

@@ -612,7 +612,6 @@ FROM n_true LEFT JOIN n_hit ON n_hit.query_id = n_true.query_id""",
 # the plain global window, so a hash match proves the decomposition.
 # ---------------------------------------------------------------------------
 
-WM_CHUNK = 1024
 WM_DELAYS_MIN = (5, 15, 30, 60)
 
 
@@ -627,7 +626,7 @@ def w_watermark_curve(spark, sf_dir):
     # r7: the decomposition is the shared operator now (it started
     # here; w_lateness_audit migrated onto it in the same round)
     run = chunked_running_max(
-        ev, order_col="event_id", val_col="ts", alias="run_max", chunk=WM_CHUNK
+        ev, order_col="event_id", val_col="ts", alias="run_max"
     )
     aggs = [F.count(F.lit(1)).cast("bigint").alias("n_events")]
     for m in WM_DELAYS_MIN:
