@@ -224,28 +224,41 @@ def encode_bmp_gray(w: int, h: int, doc_id: int) -> bytes:
     )
 
 
-def attach_gray_payload(docs: DataFrame) -> DataFrame:
-    """Gradient-BMP fixture adapter: (doc_id, payload) with dims from
-    the shared MEDIA_W/H formulas. Arrow-batched, binary column out."""
+def _attach_payload(docs, payload_fn, mime_fn=None) -> DataFrame:
+    """The ONE fixture-adapter shape (r7 review: five adapters carried
+    verbatim copies of the same spread→mapInPandas batching loop):
+    (doc_id[, payload, mime]) with ``payload_fn(id) -> bytes`` and an
+    optional ``mime_fn(id) -> str``. Arrow-batched; the ``spread``
+    guard parallelizes the under-split fixture scan."""
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def payload(i: int) -> bytes:
-            # dims from the SHARED fixture formulas (media_meta_for is
-            # the Python twin of MEDIA_W/H_SQL) — inlining the literals
-            # here would let the fixture drift from the oracle
-            _, w, h, _ = media_meta_for(i)
-            return encode_bmp_gray(w, h, i)
-
         for pdf in batches:
             ids = pdf["doc_id"].astype("int64")
-            yield pd.DataFrame(
-                {
-                    "doc_id": ids,
-                    "payload": [payload(int(v)) for v in ids],
-                }
-            )
+            cols = {
+                "doc_id": ids,
+                "payload": [payload_fn(int(i)) for i in ids],
+            }
+            if mime_fn is not None:
+                cols["mime"] = [mime_fn(int(i)) for i in ids]
+            yield pd.DataFrame(cols)
 
-    return spread(docs.select("doc_id")).mapInPandas(build, "doc_id bigint, payload binary")
+    schema = "doc_id bigint, payload binary" + (
+        ", mime string" if mime_fn is not None else ""
+    )
+    return spread(docs.select("doc_id")).mapInPandas(build, schema)
+
+
+def attach_gray_payload(docs: DataFrame) -> DataFrame:
+    """Gradient-BMP fixture adapter: (doc_id, payload) with dims from
+    the shared MEDIA_W/H formulas (media_meta_for is the Python twin
+    of MEDIA_W/H_SQL — inlining the literals would let the fixture
+    drift from the oracle)."""
+
+    def payload(i: int) -> bytes:
+        _, w, h, _ = media_meta_for(i)
+        return encode_bmp_gray(w, h, i)
+
+    return _attach_payload(docs, payload)
 
 
 def decode_bmp_ahash(payload: bytes) -> tuple[int, int, int, int]:
@@ -263,6 +276,13 @@ def decode_bmp_ahash(payload: bytes) -> tuple[int, int, int, int]:
         raise ValueError(f"unsupported BMP bpp {bpp}")
     top_down = h < 0
     h = abs(h)
+    # typed errors only (r7 review, repro'd): a zero-dim BMP hit
+    # ZeroDivisionError at the mean, and a NEGATIVE width (signed
+    # field; only height is legitimately sign-coded) passed the bounds
+    # check and produced garbage — the worker contract is a filterable
+    # ValueError for every bad blob, never an untyped Py4J error.
+    if w <= 0 or h == 0:
+        raise ValueError(f"degenerate BMP dims {w}x{h}")
     stride = (3 * w + 3) // 4 * 4
     if off + stride * h > len(payload):
         raise ValueError("truncated BMP pixel data")
@@ -387,23 +407,8 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int]:
 
 def attach_audio_payload(docs: DataFrame) -> DataFrame:
     """Real-audio fixture adapter: (doc_id, payload, mime) with
-    genuinely decodable PCM WAV bytes (Arrow-batched, like
-    :func:`attach_media_payload`)."""
-
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids = pdf["doc_id"].astype("int64")
-            yield pd.DataFrame(
-                {
-                    "doc_id": ids,
-                    "payload": [audio_payload_for(int(i)) for i in ids],
-                    "mime": ["audio/wav"] * len(ids),
-                }
-            )
-
-    return spread(docs.select("doc_id")).mapInPandas(
-        build, "doc_id bigint, payload binary, mime string"
-    )
+    genuinely decodable PCM WAV bytes."""
+    return _attach_payload(docs, audio_payload_for, lambda i: "audio/wav")
 
 
 AUDIO_SCHEMA = (
@@ -548,27 +553,13 @@ def decode_jpeg(payload: bytes) -> tuple[str, int, int]:
 
 def attach_jpeg_payload(docs: DataFrame) -> DataFrame:
     """JPEG fixture adapter: (doc_id, payload, mime) with genuinely
-    decodable baseline/progressive JPEGs per :func:`jpeg_meta_for`
-    (Arrow-batched, like the other fixture adapters)."""
+    decodable baseline/progressive JPEGs per :func:`jpeg_meta_for`."""
 
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids = pdf["doc_id"].astype("int64")
-            payloads = []
-            for i in ids:
-                mode, w, h = jpeg_meta_for(int(i))
-                payloads.append(encode_jpeg(w, h, progressive=mode == "progressive"))
-            yield pd.DataFrame(
-                {
-                    "doc_id": ids,
-                    "payload": payloads,
-                    "mime": ["image/jpeg"] * len(ids),
-                }
-            )
+    def payload(i: int) -> bytes:
+        mode, w, h = jpeg_meta_for(i)
+        return encode_jpeg(w, h, progressive=mode == "progressive")
 
-    return spread(docs.select("doc_id")).mapInPandas(
-        build, "doc_id bigint, payload binary, mime string"
-    )
+    return _attach_payload(docs, payload, lambda i: "image/jpeg")
 
 
 JPEG_SCHEMA = (
@@ -797,6 +788,17 @@ def decode_mp4(payload: bytes) -> tuple[int, int, int, int, int]:
     its mdia/hdlr handler — an audio or hint track never wins), stts
     sample-count sum for the frame count. Raises ``ValueError`` on a
     non-BMFF or truncated/corrupt container."""
+    return _decode_mp4_full(payload)[:5]
+
+
+def _decode_mp4_full(
+    payload: bytes,
+) -> tuple[int, int, int, int, int, int | None]:
+    """One box walk producing BOTH the metadata tuple and the first
+    stco chunk offset (None when absent) — so the frame-fetch planner
+    gets everything in a single traversal (r7 review: it previously
+    ran decode_mp4 and then re-walked the whole tree for the stco)."""
+    chunk_off: int | None = None
     if len(payload) < 8 or payload[4:8] != b"ftyp":
         raise ValueError("not an ISO-BMFF file (no ftyp)")
     ts = dur = None
@@ -848,33 +850,27 @@ def decode_mp4(payload: bytes) -> tuple[int, int, int, int, int]:
                 struct.unpack(">I", payload[b0 + 8 + 8 * i : b0 + 12 + 8 * i])[0]
                 for i in range(n_entries)
             )
+        elif typ == b"stco" and chunk_off is None:
+            # first stco in file order, same bounds discipline as
+            # decode_mp4_chunk_offset; absence is not an error here
+            if b0 + 12 <= b1 and b0 + 12 <= len(payload):
+                (n_off,) = struct.unpack(">I", payload[b0 + 4 : b0 + 8])
+                if n_off >= 1:
+                    chunk_off = struct.unpack(
+                        ">I", payload[b0 + 8 : b0 + 12]
+                    )[0]
     close_trak()
     if ts is None or dur is None:
         raise ValueError("MP4 missing mvhd")
     if w is None:
         raise ValueError("MP4 has no video track")
-    return (w, h, ts, n_frames, dur * 1000 // ts)
+    return (w, h, ts, n_frames, dur * 1000 // ts, chunk_off)
 
 
 def attach_video_payload(docs: DataFrame) -> DataFrame:
     """Video fixture adapter: (doc_id, payload, mime) with genuinely
-    box-walkable MP4 bytes per :func:`video_meta_for` (Arrow-batched,
-    like the other fixture adapters)."""
-
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids = pdf["doc_id"].astype("int64")
-            yield pd.DataFrame(
-                {
-                    "doc_id": ids,
-                    "payload": [video_payload_for(int(i)) for i in ids],
-                    "mime": ["video/mp4"] * len(ids),
-                }
-            )
-
-    return spread(docs.select("doc_id")).mapInPandas(
-        build, "doc_id bigint, payload binary, mime string"
-    )
+    box-walkable MP4 bytes per :func:`video_meta_for`."""
+    return _attach_payload(docs, video_payload_for, lambda i: "video/mp4")
 
 
 VIDEO_SCHEMA = (
@@ -921,14 +917,24 @@ def decode_mp4_chunk_offset(payload: bytes) -> int:
     ``ValueError`` on a container without a sample-chunk table."""
     for _, typ, b0, b1 in _bmff_boxes(payload, 0, len(payload)):
         if typ == b"stco":
-            (n,) = struct.unpack(">I", payload[b0 + 4 : b0 + 8])
-            if n < 1 or b0 + 12 > b1:
+            # bounds BEFORE the unpack (r7 review, repro'd): a
+            # header-only stco at end of file made the entry-count
+            # unpack read an empty slice -> struct.error escaping the
+            # worker untyped; mid-file it read the neighbor box.
+            if b0 + 12 > b1 or b0 + 12 > len(payload):
                 raise ValueError("empty/truncated stco")
+            (n,) = struct.unpack(">I", payload[b0 + 4 : b0 + 8])
+            if n < 1:
+                raise ValueError("empty stco")
             return struct.unpack(">I", payload[b0 + 8 : b0 + 12])[0]
     raise ValueError("MP4 without stco")
 
 
-FRAME_PLAN_SCHEMA = "doc_id bigint, n_frames int, chunk_off int"
+#: chunk_off is BIGINT (r7 review): stco offsets are uint32 and real
+#: MP4s routinely exceed 2 GiB — an int32 column would silently wrap
+#: the offset negative through the Arrow transfer and the fetch plan
+#: would emit wrong byte ranges with no error.
+FRAME_PLAN_SCHEMA = "doc_id bigint, n_frames int, chunk_off bigint"
 
 
 def video_frame_fetch_plan(media: DataFrame, every_k: int = 2) -> DataFrame:
@@ -944,14 +950,17 @@ def video_frame_fetch_plan(media: DataFrame, every_k: int = 2) -> DataFrame:
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [decode_mp4(p) for p in pdf["payload"]]
+            # ONE box walk per payload (r7 review): metadata and stco
+            # come out of the same traversal
+            metas = [_decode_mp4_full(p) for p in pdf["payload"]]
+            for m in metas:
+                if m[5] is None:
+                    raise ValueError("MP4 without stco")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
                     "n_frames": [m[3] for m in metas],
-                    "chunk_off": [
-                        decode_mp4_chunk_offset(p) for p in pdf["payload"]
-                    ],
+                    "chunk_off": [m[5] for m in metas],
                 }
             )
 
@@ -977,7 +986,9 @@ def video_frame_fetch_plan(media: DataFrame, every_k: int = 2) -> DataFrame:
                 F.col("chunk_off")
                 + F.col("frame_idx") * F.lit(VIDEO_SAMPLE_BYTES)
             )
-            .cast("int")
+            # BIGINT end-to-end: offsets in >2 GiB containers exceed
+            # int32 (r7 review)
+            .cast("bigint")
             .alias("byte_off"),
             F.lit(VIDEO_SAMPLE_BYTES).cast("int").alias("byte_len"),
         )
@@ -1010,6 +1021,11 @@ def decode_image(payload: bytes) -> tuple[str, int, int, int]:
             (ln,) = struct.unpack(">I", payload[pos : pos + 4])
             typ = payload[pos + 4 : pos + 8]
             if typ == b"acTL":
+                # bounds before unpack (r7 review, repro'd): a PNG
+                # truncated right after the fourcc raised struct.error
+                # instead of the documented ValueError
+                if pos + 12 > len(payload):
+                    raise ValueError("truncated acTL chunk")
                 (n,) = struct.unpack(">I", payload[pos + 8 : pos + 12])
                 break
             if typ == b"IEND":
@@ -1086,22 +1102,13 @@ def attach_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def attach_media_payload(docs: DataFrame) -> DataFrame:
     """Real-media fixture adapter: (doc_id, payload, mime) where
     ``payload`` is a genuinely decodable PNG/GIF/BMP built per
-    :func:`media_payload_for`. Arrow-batched (mapInPandas), binary
-    column out — the same shape a lakehouse media scan produces."""
-
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids = pdf["doc_id"].astype("int64")
-            yield pd.DataFrame(
-                {
-                    "doc_id": ids,
-                    "payload": [media_payload_for(int(i)) for i in ids],
-                    "mime": [MEDIA_MIMES[MEDIA_FMTS[int(i) % 3]] for i in ids],
-                }
-            )
-
-    return spread(docs.select("doc_id")).mapInPandas(
-        build, "doc_id bigint, payload binary, mime string"
+    :func:`media_payload_for`. The mime comes through media_meta_for
+    (r7 review: a second inline copy of the fmt formula was the exact
+    drift hazard the gray adapter's comment warns about)."""
+    return _attach_payload(
+        docs,
+        media_payload_for,
+        lambda i: MEDIA_MIMES[media_meta_for(i)[0]],
     )
 
 

@@ -1099,7 +1099,7 @@ _register(
     m_video_frame_plan,
     f"""SELECT doc_id,
        CAST(i AS INT) AS frame_idx,
-       CAST({mm.MP4_HEADER_BYTES} + i * {mm.VIDEO_SAMPLE_BYTES} AS INT) AS byte_off,
+       CAST({mm.MP4_HEADER_BYTES} + i * {mm.VIDEO_SAMPLE_BYTES} AS BIGINT) AS byte_off,
        CAST({mm.VIDEO_SAMPLE_BYTES} AS INT) AS byte_len
 FROM (
   SELECT doc_id, unnest(range(0, {mm.VIDEO_FRAMES_SQL}, 2)) AS i

@@ -299,3 +299,48 @@ def test_contamination_report_classifies_clean_and_leaky(spark):
     assert abs(out[leaky].max_overlap_frac - 3 / 7) < 1e-12
     assert not out[clean].compromised
     assert out[clean].n_leaky_train_docs == 0 and out[clean].max_overlap_frac == 0.0
+
+
+def test_multimodal_decoders_bounded_and_64bit():
+    # r7 review reproductions: every bad blob must raise the typed
+    # ValueError (filterable upstream), never struct.error or
+    # ZeroDivisionError escaping the Arrow worker untyped.
+    import struct as _struct
+
+    import pytest
+
+    from f1_realtime_data_pipeline_spark.operators import multimodal as mm
+
+    # header-only stco as the LAST box: entry-count unpack used to read
+    # an empty slice -> struct.error
+    stco_tail = mm.encode_mp4(16, 16, 1000, 1) + _struct.pack(">I4s", 8, b"stco")
+    with pytest.raises(ValueError):
+        mm.decode_mp4_chunk_offset(_struct.pack(">I4s", 8, b"ftyp") + b""[:0] + stco_tail[len(mm.encode_mp4(16,16,1000,1)):])
+    # zero-dim BMP: used to hit ZeroDivisionError at the mean
+    with pytest.raises(ValueError):
+        mm.decode_bmp_ahash(
+            b"BM" + _struct.pack("<IHHI", 54, 0, 0, 54)
+            + _struct.pack("<IiiHHIIiiII", 40, 0, 4, 1, 24, 0, 0, 0, 0, 0, 0)
+        )
+    # negative width passes the signed unpack: must be rejected too
+    with pytest.raises(ValueError):
+        mm.decode_bmp_ahash(
+            b"BM" + _struct.pack("<IHHI", 54, 0, 0, 54)
+            + _struct.pack("<IiiHHIIiiII", 40, -4, 4, 1, 24, 0, 0, 0, 0, 0, 0)
+        )
+    # PNG truncated right after the acTL fourcc: used to struct.error
+    png_trunc = (
+        b"\x89PNG\r\n\x1a\n"
+        + _struct.pack(">I", 13) + b"IHDR"
+        + _struct.pack(">II", 4, 4) + b"\x08\x02\x00\x00\x00" + b"\x00" * 4
+        + _struct.pack(">I", 8) + b"acTL"
+    )
+    with pytest.raises(ValueError):
+        mm.decode_image(png_trunc)
+
+    # the single-walk fetch-plan decode surfaces the stco offset and
+    # the schema carries it as BIGINT (stco is uint32; >2 GiB offsets
+    # used to wrap negative through an int32 column)
+    full = mm._decode_mp4_full(mm.encode_mp4(16, 16, 1000, 1))
+    assert full[5] is not None and full[5] > 0
+    assert "chunk_off bigint" in mm.FRAME_PLAN_SCHEMA
