@@ -49,7 +49,10 @@ from f1_realtime_data_pipeline_spark.plans import (
 # green after its edit, so nothing rides on an unverified change.
 # That fills all 50 slots with changed/new/never-checked entries;
 # the oldest-green backfill (r1's a_cube … s7_upsert_dim and the
-# r2 windows_star head) rotates to round 8 — all unchanged since
+# r2 windows_star head) rotates to round 8, as does the
+# plan-identical d_minhash_signatures refactor (same signature
+# aggregate expressions re-emitted through _minhash_sigs — displaced
+# by the batch-7 oracle/plan edits tpch_q21 and o_zorder_layout) — all unchanged since
 # their last green row, and the split-hash/normalize refactors that
 # touched their MODULES were verified plan- and oracle-byte-identical
 # (hash of all 172 oracle strings compared pre/post). The demoted
@@ -121,14 +124,16 @@ _WINDOW_HEAD = [
     "m_image_ahash",
     "d_dup_clusters",
     "d_minhash_lsh",
-    "d_minhash_signatures",
     "d_ngram_jaccard",
     "t_lang_id",
     "t_normalize",
     "t_quality",
-    # --- backfill: the single remaining slot goes to the oldest
-    # driver row (r1) ---
-    "a_cube",
+    # --- batch-7 review edits: q21's oracle now groups by
+    # (s_suppkey, s_name) like the Spark side (structural alignment,
+    # values identical while names are unique), and the z-order
+    # scaler moved to 64-bit integer DIV (exact past 2^53) ---
+    "tpch_q21",
+    "o_zorder_layout",
 ]
 
 

@@ -85,16 +85,20 @@ def o_zorder_layout(spark, sf_dir):
             F.max("l_partkey").alias("__pk_max"),
         )
     )
-    top = F.lit((1 << Z_BITS) - 1).cast("bigint")
-
     def scaled(col, lo, hi):
-        # exact floor division, identically in both engines: subtract
-        # the modulo first so the double division is of an exactly
-        # divisible pair (Spark's int cast truncates, DuckDB's rounds
-        # — a raw x/y cast would disagree at .5 boundaries)
-        span = F.greatest(F.col(hi) - F.col(lo), F.lit(1).cast("bigint"))
-        num = (F.col(col) - F.col(lo)) * top
-        return ((num - num % span) / span).cast("int")
+        # exact INTEGER floor division (r7 review): the earlier
+        # subtract-modulo-then-double-divide form was exact only while
+        # (key-min)·65535 stayed under 2^53 — true at fixture scale,
+        # false at the 100 TB posture this module claims (TPC-H
+        # orderkeys reach ~6e11 there; a rounded quotient shifts the
+        # Morton bucket off the oracle's exact `//`). Column.__div__
+        # has no integer form, so route through F.expr's DIV — 64-bit
+        # exact end-to-end, the same fix read_events documents for
+        # nanosecond epochs; operands are non-negative (col ≥ lo by
+        # construction), where Spark DIV ≡ DuckDB `//`.
+        span = f"GREATEST({hi} - {lo}, CAST(1 AS BIGINT))"
+        num = f"(({col} - {lo}) * {(1 << Z_BITS) - 1})"
+        return F.expr(f"CAST(({num}) DIV ({span}) AS INT)")
 
     with_rng = li.crossJoin(rng)
     a = scaled("l_orderkey", "__ok_min", "__ok_max")

@@ -805,7 +805,7 @@ FROM li_f
 JOIN order_stats ON l_orderkey = ok
 JOIN supplier ON l_suppkey = s_suppkey
 WHERE l_returnflag = 'R' AND n_supp > 1 AND n_supp_r = 1
-GROUP BY s_name
+GROUP BY s_suppkey, s_name
 ORDER BY numwait DESC, s_name ASC
 LIMIT 100""",
 )

@@ -23,6 +23,30 @@ from f1_realtime_data_pipeline_spark.streaming.sinks import idempotent_parquet_s
 RESULT_KEYS = ("session_key", "driver_number")
 
 
+def _start_result_pipeline(
+    raw, sink_path: str, checkpoint_dir: str, available_now: bool
+) -> StreamingQuery:
+    """THE Q0→sink wiring, shared by the replay and Kafka ingestion
+    paths (r7 review: both carried a verbatim copy of the writeStream
+    block, so a change to the sink keying/ordering contract had to
+    land twice or the two paths silently diverged).
+
+    order_cols=None → the sink orders by ALL non-key columns (its
+    documented genuine total order). The previous ["date",
+    "grand_prix"] was DEGENERATE within the key — both are constant
+    per session, so a producer re-send with corrected points had a
+    partitioning-dependent survivor (r6 review fix)."""
+    transformed = transform_stream(raw, value_col="value")
+    writer = (
+        transformed.writeStream.outputMode("append")
+        .foreachBatch(idempotent_parquet_sink(sink_path, RESULT_KEYS))
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_replay_pipeline(
     spark: SparkSession,
     source_dir: str,
@@ -35,21 +59,8 @@ def start_replay_pipeline(
     bounded micro-batches then stops — the test/replay trigger; a live
     deployment would use the default or a processingTime trigger."""
     raw = raw_value_stream(spark, source_dir, max_files_per_trigger)
-    transformed = transform_stream(raw, value_col="value")
-    return (
-        transformed.writeStream.outputMode("append")
-        .foreachBatch(
-            # order_cols=None → the sink orders by ALL non-key columns
-            # (its documented genuine total order). The previous
-            # ["date","grand_prix"] was DEGENERATE within the key —
-            # both are constant per session, so a producer re-send
-            # with corrected points had a partitioning-dependent
-            # survivor (r6 review fix).
-            idempotent_parquet_sink(sink_path, RESULT_KEYS)
-        )
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return _start_result_pipeline(
+        raw, sink_path, checkpoint_dir, available_now=True
     )
 
 
@@ -64,15 +75,8 @@ def start_kafka_pipeline(
     transform and sink, Kafka source (spark_ingestion.py:80-88
     semantics — earliest offsets, failOnDataLoss=false)."""
     raw = kafka_stream_reader(spark, bootstrap_servers, topic).load()
-    transformed = transform_stream(raw, value_col="value")
-    return (
-        transformed.writeStream.outputMode("append")
-        .foreachBatch(
-            # all-non-key-column order: see start_replay_pipeline
-            idempotent_parquet_sink(sink_path, RESULT_KEYS)
-        )
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
+    return _start_result_pipeline(
+        raw, sink_path, checkpoint_dir, available_now=False
     )
 
 

@@ -137,6 +137,30 @@ def _resolve_order(df: DataFrame, keys: Sequence[str], order_cols) -> list:
     return [F.col(c).asc() for c in (non_key or keys)]
 
 
+def _anti_join_on_keys(
+    batch: DataFrame, existing: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """NULL-SAFE left-anti join on the sink keys (r7 review): the
+    plain ``join(keys, "left_anti")`` uses null-unsafe equality, so a
+    row with a NULL key column NEVER matches its already-written twin
+    — every replay or later batch re-appends it, double-counting
+    downstream (the exact §3.4 failure the keyed sinks exist to
+    prevent). ``eqNullSafe`` treats NULL keys as one key: the first
+    NULL-keyed row lands once, replays of it are dropped like any
+    other key. (Whether NULL-keyed rows should be admitted at all is
+    the caller's quarantine policy; the SINK's exactly-once contract
+    must hold either way.)"""
+    b = batch.alias("__b")
+    e = existing.alias("__e")
+    cond = None
+    for k in keys:
+        c = F.col(f"__b.{k}").eqNullSafe(F.col(f"__e.{k}"))
+        cond = c if cond is None else (cond & c)
+    return b.join(e, cond, "left_anti").select(
+        *[F.col(f"__b.{c}") for c in batch.columns]
+    )
+
+
 def _resolved_plain_buckets(
     spark, sink_path: str, n_buckets: int, keys: Sequence[str] = ()
 ) -> int:
@@ -246,7 +270,7 @@ def idempotent_parquet_sink(
                     existing = pruned_sink_keys(
                         batch_df.sparkSession, sink_path, keys, batch_buckets
                     )
-                    batch = batch.join(existing, keys, "left_anti")
+                    batch = _anti_join_on_keys(batch, existing, keys)
                 except AnalysisException:
                     # dir exists but holds no readable footers (a
                     # partially failed first epoch): plain append
@@ -350,7 +374,7 @@ def transactional_parquet_sink(
                 spark, sink_path, buckets=batch_buckets, doc=snap_doc
             )
             if existing is not None:
-                batch = batch.join(existing.select(*keys), keys, "left_anti")
+                batch = _anti_join_on_keys(batch, existing.select(*keys), keys)
             epoch_rel = f"data/epoch-{epoch_id:012d}-{uuid4().hex[:8]}"
             batch.write.partitionBy(_BUCKET_COL).parquet(
                 f"{sink_path}/{epoch_rel}"

@@ -1455,3 +1455,27 @@ def test_agg_sink_ledger_recognizes_legacy_concat_ws_keys(spark, tmp_path):
     write(batch, 0)  # replay of the legacy-keyed epoch: must be skipped
     after = {r.k: r.x for r in read_sink_snapshot(spark, sink).collect()}
     assert after == before, "legacy-keyed replay was double-counted"
+
+
+def test_idempotent_sink_null_key_rows_stay_exactly_once(spark, tmp_path):
+    # r7 review: a NULL key column never matches itself under the
+    # null-unsafe anti-join, so replays re-appended NULL-keyed rows
+    # forever (double-counting downstream). The null-safe anti-join
+    # treats NULL keys as one key: lands once, replays drop.
+    from f1_realtime_data_pipeline_spark.streaming.sinks import (
+        idempotent_parquet_sink,
+    )
+
+    sink = str(tmp_path / "null_key_sink")
+    write = idempotent_parquet_sink(sink, keys=["k"], order_cols=["v"])
+    batch = spark.createDataFrame(
+        [(1, "a"), (None, "n1"), (None, "n2"), (2, "b")], "k int, v string"
+    )
+    write(batch, 0)
+    first = spark.read.parquet(sink).count()
+    assert first == 3  # 1, 2, and ONE null-key row (first-wins "n1")
+    write(batch, 1)  # replay: nothing may land again
+    write(batch.filter("k is null"), 2)  # null-only re-send
+    assert spark.read.parquet(sink).count() == 3
+    vals = {r.v for r in spark.read.parquet(sink).filter("k is null").collect()}
+    assert vals == {"n1"}
