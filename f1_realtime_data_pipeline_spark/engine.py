@@ -144,19 +144,21 @@ class F1Engine:
         incoming row, so a column absent from ``updates`` becomes NULL
         on updated rows — partial updates are aligned to the dimension
         schema with typed nulls, not column-merged."""
-        from pyspark.sql import functions as F
+        import json as _json
 
         from f1_realtime_data_pipeline_spark.sources.tables import (
             upsert_last_wins,
         )
+        from f1_realtime_data_pipeline_spark.streaming.sinks import (
+            _align_to_schema,
+        )
 
-        aligned = updates.select(
-            *[
-                F.col(f.name)
-                if f.name in updates.columns
-                else F.lit(None).cast(f.dataType).alias(f.name)
-                for f in self.drivers.schema.fields
-            ]
+        # the ONE schema-alignment definition (r7 review: this inline
+        # select loop re-implemented streaming.sinks._align_to_schema;
+        # a future change to alignment semantics must not diverge the
+        # facade's MERGE from the sink MERGE)
+        aligned = _align_to_schema(
+            updates, _json.loads(self.drivers.schema.json())["fields"]
         )
         # hand the NEW engine the already-deduped fact (r6 review fix):
         # passing _raw_results with dedup=False silently re-introduced
@@ -195,12 +197,21 @@ class F1Engine:
         the at-least-once producer re-sends in a LATER batch — an
         aggregate sink adds it again where the row sink's anti-join
         would collide. The stream therefore passes through a
-        key-state ``dropDuplicates`` on the result key — deliberately
-        WITHOUT a watermark horizon (see the inline rationale: a
-        horizon would drop late-published corrections; state stays
-        bounded because the sessions×drivers key domain is) — BEFORE
-        the aggregation, the standard MV-on-dirty-stream
-        composition."""
+        key-state first-wins dedup on the result key — deliberately
+        WITHOUT a watermark horizon (a horizon would drop
+        late-published corrections; state stays bounded because the
+        sessions×drivers key domain is) — BEFORE the aggregation,
+        the standard MV-on-dirty-stream composition.
+
+        Deterministic survivor (r7 review): plain ``dropDuplicates``
+        keeps an arrival-order winner — shuffle-dependent within a
+        micro-batch — so a conflicting duplicate pair landing in one
+        batch could leave this view permanently disagreeing with the
+        standings served from the row sink (which picks the first
+        row under the all-non-key-columns total order).
+        ``streaming_keyed_first_wins`` applies the SAME total order
+        within each batch and first-batch-wins across batches —
+        provably the row sink's winner on every path."""
         from f1_realtime_data_pipeline_spark.streaming.pipeline import (
             raw_value_stream,
             transform_stream,
@@ -208,18 +219,14 @@ class F1Engine:
         from f1_realtime_data_pipeline_spark.streaming.sinks import (
             transactional_agg_sink,
         )
+        from f1_realtime_data_pipeline_spark.streaming.state import (
+            streaming_keyed_first_wins,
+        )
 
         raw = raw_value_stream(self.spark, source_dir, 1)
-        # key-state dedup WITHOUT an event-time watermark (r6 review
-        # fix): race dates span weeks, so a watermark horizon would
-        # DROP a late-published correction for an earlier GP as "late
-        # data" — silent point loss, not dedup. Unbounded state is
-        # the right trade here because the key domain (sessions ×
-        # drivers) is bounded and tiny, independent of message
-        # volume; dedup_within_watermark remains the form for
-        # unbounded-key streams.
-        deduped = transform_stream(raw, value_col="value").dropDuplicates(
-            ["session_key", "driver_number"]
+        deduped = streaming_keyed_first_wins(
+            transform_stream(raw, value_col="value"),
+            keys=["session_key", "driver_number"],
         )
         return (
             deduped
@@ -253,17 +260,34 @@ class F1Engine:
             transactional_delete,
         )
 
-        doomed = (
-            read_sink_snapshot(self.spark, fact_table)
-            .filter(F.col("driver_number").isin(driver_numbers))
-            .select(*RESULT_KEYS)
-        )
+        # the doomed-key set is re-derived PER OCC ATTEMPT from that
+        # attempt's own snapshot (r7 review): a frozen key list read
+        # before the delete would miss rows the advertised concurrent
+        # streaming writer commits for the same drivers between the
+        # read and the winning commit — an incomplete erasure
+        # reported as complete. delete_keys_fn closes that window:
+        # the winning commit deletes every matching row as of the
+        # snapshot it committed against.
+        from f1_realtime_data_pipeline_spark.sources import manifest as _mf
+
+        def doomed_now(spark, snap_doc):
+            snap = _mf.read_snapshot(spark, fact_table, doc=snap_doc)
+            if snap is None:
+                return spark.createDataFrame([], f"{RESULT_KEYS[0]} string, {RESULT_KEYS[1]} string")
+            return snap.filter(
+                F.col("driver_number").isin(driver_numbers)
+            ).select(*RESULT_KEYS)
+
         # OCC retries (r6 review fix): the facade advertises sharing
         # the table with a live streaming writer, so a concurrent
         # ingest commit must not fail the erasure — the loser
         # re-derives from the winner's snapshot
         version, changed = transactional_delete(
-            doomed, fact_table, keys=RESULT_KEYS, max_commit_retries=3
+            doomed_now(self.spark, _mf.resolve_snapshot_doc(self.spark, fact_table)),
+            fact_table,
+            keys=RESULT_KEYS,
+            max_commit_retries=3,
+            delete_keys_fn=doomed_now,
         )
         if not changed:
             # no-op delete (no row matched): do NOT destroy the

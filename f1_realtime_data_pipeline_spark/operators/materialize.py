@@ -38,10 +38,12 @@ from pyspark.sql import DataFrame
 def _ensure_checkpoint_dir(df: DataFrame) -> None:
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is None:
-        path = os.environ.get(
-            "SPARK_GRAFT_CHECKPOINT_DIR",
-            tempfile.mkdtemp(prefix="spark-graft-ckpt-"),
-        )
+        # lazy default (r7 review): mkdtemp as a .get() default arg
+        # ran EAGERLY, creating an orphan local temp dir even when the
+        # env var pointed at durable storage
+        path = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+        if path is None:
+            path = tempfile.mkdtemp(prefix="spark-graft-ckpt-")
         sc.setCheckpointDir(path)
 
 

@@ -73,30 +73,42 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    spark = builder.getOrCreate()
-    # getOrCreate returns any EXISTING session unchanged — static
-    # confs (master/cores/driver memory) and this call's parameters
-    # are then silently ignored. Warn instead of silently measuring
-    # the wrong configuration (r6 review fix): runtime confs we CAN
-    # check cheaply are compared against what was requested.
-    requested = {
-        "spark.sql.shuffle.partitions": str(shuffle_partitions),
-        **(extra_conf or {}),
-    }
-    for k, v in requested.items():
-        try:
-            active = spark.conf.get(k)
-        except Exception:  # noqa: BLE001 — unknown/static conf: skip
-            continue
-        if active != str(v):
-            import warnings
+    # Mismatch detection must read the ACTIVE session BEFORE
+    # getOrCreate (r7 review — the r6 check was dead for precisely
+    # the confs it could test: getOrCreate APPLIES modifiable runtime
+    # confs like shuffle.partitions to the live session before any
+    # post-hoc compare, so active always equaled requested, while the
+    # genuinely ignored STATIC confs — master/cores/driver memory —
+    # never even reach spark.conf). Compare the pre-existing session's
+    # static master against the request and warn that runtime confs
+    # are about to be MUTATED on a session someone else configured.
+    from pyspark.sql import SparkSession as _SS
 
+    pre = _SS.getActiveSession()
+    if pre is not None:
+        import warnings
+
+        want_master = f"local[{cpus}]"
+        have_master = pre.sparkContext.master
+        if have_master != want_master:
             warnings.warn(
-                f"get_spark: existing session has {k}={active!r}, "
-                f"requested {v!r} ignored (getOrCreate reuses the live "
-                "session; stop it first to change configuration)",
+                f"get_spark: existing session runs master={have_master!r}; "
+                f"requested {want_master!r} is IGNORED (static conf — stop "
+                "the session to change parallelism; a bench on this "
+                "session measures the existing core count)",
                 stacklevel=2,
             )
+        have_shuffle = pre.conf.get("spark.sql.shuffle.partitions", None)
+        if have_shuffle is not None and have_shuffle != str(shuffle_partitions):
+            warnings.warn(
+                f"get_spark: existing session has "
+                f"spark.sql.shuffle.partitions={have_shuffle!r}; getOrCreate "
+                f"will MUTATE it to {shuffle_partitions!r} on the live "
+                "session (runtime conf — affects every other user of this "
+                "session)",
+                stacklevel=2,
+            )
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
 

@@ -36,9 +36,13 @@ def _with_corrupt_col(schema: StructType | str) -> StructType:
         if isinstance(schema, StructType)
         else StructType.fromDDL(schema)
     )
-    if CORRUPT_COL not in st.fieldNames():
-        st = st.add(StructField(CORRUPT_COL, StringType(), True))
-    return st
+    if CORRUPT_COL in st.fieldNames():
+        return st
+    # COPY before extending (r7 review, confirmed on this PySpark):
+    # StructType.add appends to self and returns self, so extending
+    # the caller's schema object in place would permanently grow a
+    # shared module-level schema by a phantom _corrupt_record field.
+    return StructType(list(st.fields) + [StructField(CORRUPT_COL, StringType(), True)])
 
 
 def read_csv(
@@ -77,8 +81,12 @@ def read_jsonl(
     )
 
 
-def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(good rows without the quarantine column, quarantined rows).
+def split_quarantine(
+    df: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(good rows without the quarantine column, quarantined rows,
+    the PERSISTED parsed parent — unpersist it when done with both
+    derived frames; r7 review).
 
     BATCH inputs only (r6 review fix — a clear error instead of a
     confusing planner crash): Spark refuses queries over raw JSON/CSV
@@ -107,7 +115,11 @@ def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
-    return good, bad
+    # hand the PERSISTED parent back too (r7 review): good/bad are
+    # derived frames, so without this handle the caller could never
+    # unpersist — every call pinned the whole parsed input for the
+    # session's lifetime (until the periodic ContextCleaner GC'd it).
+    return good, bad, df
 
 
 def read_orc(

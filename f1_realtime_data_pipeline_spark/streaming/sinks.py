@@ -616,6 +616,7 @@ def transactional_delete(
     keys: Sequence[str],
     n_buckets: int = SINK_BUCKETS,
     max_commit_retries: int = 0,
+    delete_keys_fn=None,
 ) -> tuple[int, bool]:
     """DELETE on the manifest table — the remaining CRUD verb, and
     the right-to-be-forgotten pass a compliant training-data corpus
@@ -644,7 +645,19 @@ def transactional_delete(
     each attempt is a fresh read-modify-commit, so with
     ``max_commit_retries`` > 0 a loser re-derives from the winner's
     snapshot (the delete lands on whatever that commit wrote, no
-    resurrection of deleted keys). Default 0 = single-writer raise."""
+    resurrection of deleted keys). Default 0 = single-writer raise.
+
+    PREDICATE deletes (r7 review): a caller whose doomed-key set is
+    derived FROM the table (erase_results: "every key of driver X")
+    must not freeze it at call time — a concurrent writer's commit
+    between the key-set read and the winning delete can add matching
+    rows the frozen list misses, so an OCC retry would "succeed"
+    while leaving them behind (an incomplete right-to-be-forgotten
+    reported complete). Pass ``delete_keys_fn(spark, snap_doc) ->
+    DataFrame`` instead of ``delete_keys``: each attempt re-derives
+    the key set from ITS OWN snapshot, so the winning commit deletes
+    everything that matched the predicate as of the snapshot it
+    committed against."""
     spark = delete_keys.sparkSession
     keys = list(keys)
     last_lost = 0
@@ -658,8 +671,13 @@ def transactional_delete(
         nb, bucketing_meta = _resolved_bucketing(
             snap_doc, keys, n_buckets, spark=spark, sink_path=sink_path
         )
+        dk_src = (
+            delete_keys_fn(spark, snap_doc)
+            if delete_keys_fn is not None
+            else delete_keys
+        )
         dk = (
-            delete_keys.select(*keys)
+            dk_src.select(*keys)
             .dropDuplicates(keys)
             .withColumn(_BUCKET_COL, _key_bucket(keys, nb))
         )

@@ -213,3 +213,70 @@ def streaming_first_seen_dedup_tws(
         # the documented ttl_ms knob was unusable on this path
         timeMode="None" if ttl_ms is None else "ProcessingTime",
     )
+
+
+def streaming_keyed_first_wins(
+    df: DataFrame, keys: list[str], order_cols: list[str] | None = None
+) -> DataFrame:
+    """Streaming keyed dedup with a DETERMINISTIC within-batch winner
+    (r7 review): ``dropDuplicates(keys)`` keeps an ARRIVAL-ORDER
+    survivor — shuffle-dependent within a micro-batch — while the row
+    sink and the batch repair pick the first row under the shared
+    all-non-key-columns total order. A conflicting duplicate pair
+    landing in ONE batch could therefore leave a dropDuplicates-fed
+    materialized view permanently disagreeing with the standings
+    served from the row sink for identical input. This operator keeps
+    exactly one row per key across all batches (first BATCH wins,
+    like the sink's cross-batch anti-join) with the within-batch
+    winner chosen by the same total order (``order_cols`` or all
+    non-key columns sorted by name, ascending, NULLS FIRST — pandas
+    ``na_position='first'`` mirrors Spark's asc default).
+
+    State per key: one boolean-sized marker (the key domain bounds
+    state, same trade as the dropDuplicates form it replaces).
+    Output schema = input schema, append mode."""
+    import json as _json
+
+    from pyspark.sql import functions as F  # noqa: F401 — parity with callers
+
+    cols = list(df.columns)
+    order = order_cols or sorted(c for c in cols if c not in keys) or list(keys)
+    out_schema = ", ".join(
+        f"{f['name']} {_ddl_type(f['type'])}"
+        for f in _json.loads(df.schema.json())["fields"]
+    )
+
+    def update(key, pdfs, state):
+        import pandas as _pd
+
+        if state.hasTimedOut:  # pragma: no cover — no timeout configured
+            state.remove()
+            return
+        parts = [p for p in pdfs if len(p)]
+        if state.exists:
+            return  # key already emitted in an earlier batch
+        if not parts:
+            return
+        allp = _pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        winner = allp.sort_values(
+            by=order, kind="mergesort", na_position="first"
+        ).iloc[[0]]
+        state.update((True,))
+        yield winner[cols]
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="emitted boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _ddl_type(t) -> str:
+    """Spark schema-JSON type → DDL string for the simple types the
+    result stream carries (nested types would need schema.simpleString
+    surgery; the callers' schemas are flat)."""
+    if isinstance(t, str):
+        return t
+    raise ValueError(f"streaming_keyed_first_wins needs a flat schema, got {t}")

@@ -340,3 +340,29 @@ def test_erase_results_noop_preserves_history(spark, tmp_path):
     # and crucially: history + time travel intact
     assert mf.snapshot_versions(spark, fact_table) == history_before
     assert mf.read_snapshot(spark, fact_table, version=1).count() > 0
+
+
+def test_get_spark_warns_before_reusing_live_session(spark):
+    # r7 review: the r6 post-getOrCreate compare was dead — modifiable
+    # runtime confs are APPLIED to the live session before any check,
+    # so active always equaled requested; static master never even
+    # reaches spark.conf. The warning now reads the ACTIVE session
+    # first: a different cpus request warns static-IGNORED, a
+    # different shuffle_partitions request warns live-MUTATED.
+    import warnings
+
+    from f1_realtime_data_pipeline_spark.session import get_spark
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            got = get_spark("probe", cpus=2, shuffle_partitions=int(before) + 3)
+        msgs = "\n".join(str(x.message) for x in w)
+        assert got is spark  # getOrCreate reuses the live session
+        assert "IGNORED" in msgs and "master" in msgs
+        assert "MUTATE" in msgs and "shuffle.partitions" in msgs
+        # the mutation the warning describes really happened
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(int(before) + 3)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)

@@ -1479,3 +1479,75 @@ def test_idempotent_sink_null_key_rows_stay_exactly_once(spark, tmp_path):
     assert spark.read.parquet(sink).count() == 3
     vals = {r.v for r in spark.read.parquet(sink).filter("k is null").collect()}
     assert vals == {"n1"}
+
+
+def test_streaming_keyed_first_wins_matches_batch_repair(spark, tmp_path):
+    # r7 review: with CONFLICTING duplicates of one key inside one
+    # micro-batch, the streaming keyed dedup must keep exactly the row
+    # the batch repair / row sink keeps (all-non-key total order), not
+    # an arrival-order survivor; and a later batch's re-send of the
+    # same key must be dropped entirely.
+    import json
+
+    from f1_realtime_data_pipeline_spark.plans import contract_f1
+    from f1_realtime_data_pipeline_spark.streaming.pipeline import (
+        raw_value_stream,
+        transform_stream,
+    )
+    from f1_realtime_data_pipeline_spark.streaming.state import (
+        streaming_keyed_first_wins,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    row = {
+        "grand_prix": "Monza", "date": "2024-09-01T14:00:00",
+        "driver_number": "44", "position": 1, "laps_completed": 53,
+        "dnf": False, "gap_to_leader": None, "meeting_key": 1,
+        "session_key": 9001,
+    }
+    correction = {**row, "position": 2}
+    # one batch file holds BOTH rows, correction FIRST (arrival order
+    # favors the correction; the total order decides deterministically)
+    (src / "b0.json").write_text(
+        json.dumps(correction) + "\n" + json.dumps(row) + "\n"
+    )
+    # a later batch re-sends the original: must not re-emit. The file
+    # source orders batches by MODIFICATION TIME — pin distinct mtimes
+    # or the two files can tie within one clock tick and flip order.
+    (src / "b1.json").write_text(json.dumps(row) + "\n")
+    import os as _os
+
+    now = _os.stat(src / "b1.json").st_mtime
+    _os.utime(src / "b0.json", (now - 10, now - 10))
+    _os.utime(src / "b1.json", (now + 10, now + 10))
+
+    out = tmp_path / "out"
+    q = (
+        streaming_keyed_first_wins(
+            transform_stream(
+                raw_value_stream(spark, str(src), 1), value_col="value"
+            ),
+            keys=["session_key", "driver_number"],
+        )
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(str(out)).collect()
+    assert len(got) == 1
+
+    # the batch repair over the same two conflicting rows picks the
+    # identical winner
+    both = transform_stream(
+        spark.read.text(str(src / "b0.json")).selectExpr("value"),
+        value_col="value",
+    )
+    repaired = contract_f1.dedup_results(both).collect()
+    assert len(repaired) == 1
+    assert got[0].position == repaired[0].position
+    assert got[0].points == repaired[0].points

@@ -91,7 +91,7 @@ def test_csv_jsonl_readers_and_quarantine(spark, tmp_path):
     csv = tmp_path / "in.csv"
     csv.write_text("k,v\n1,alpha\n2,beta\nnot_an_int,gamma\n")
     df = read_csv(spark, str(csv), "k bigint, v string")
-    good, bad = split_quarantine(df)
+    good, bad, parsed = split_quarantine(df)
     assert {(r.k, r.v) for r in good.collect()} == {(1, "alpha"), (2, "beta")}
     assert bad.count() == 1
     assert "not_an_int" in bad.collect()[0]._corrupt_record
@@ -99,7 +99,7 @@ def test_csv_jsonl_readers_and_quarantine(spark, tmp_path):
     jl = tmp_path / "in.jsonl"
     jl.write_text('{"k": 1, "v": "alpha"}\n{bad json\n{"k": 2, "v": "beta"}\n')
     dj = read_jsonl(spark, str(jl), "k bigint, v string")
-    goodj, badj = split_quarantine(dj)
+    goodj, badj, parsedj = split_quarantine(dj)
     assert {(r.k, r.v) for r in goodj.collect()} == {(1, "alpha"), (2, "beta")}
     assert badj.count() == 1
 
