@@ -51,7 +51,14 @@ def to_kafka_payload(df: DataFrame, key_col: str) -> DataFrame:
     value_cols = list(df.columns)
     return df.select(
         F.col(key_col).cast("string").alias("key"),
-        F.to_json(F.struct(*value_cols)).alias("value"),
+        # explicit nulls (r7 review): to_json DROPS null fields by
+        # default, but the reference producer's json.dumps emits
+        # "field": null — schema-less consumers of the topic would see
+        # a different payload shape (key-presence checks, registry
+        # compatibility) without this option
+        F.to_json(
+            F.struct(*value_cols), {"ignoreNullFields": "false"}
+        ).alias("value"),
     )
 
 

@@ -30,8 +30,26 @@ def write_replay_batch(directory: str, lines: list[str], batch_no: int) -> str:
     source while in flight."""
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, f"batch-{batch_no:05d}.txt")
+    # loud on batch-number reuse (r7 review): the file source NEVER
+    # re-reads a seen filename, so an os.replace over a published
+    # batch would silently lose the replacement payloads forever — a
+    # reset counter or two producers sharing a directory must fail
+    # here, not downstream as missing data.
+    if os.path.exists(path):
+        raise FileExistsError(
+            f"replay batch {batch_no} already published at {path}: the "
+            "file source will never re-read it — use a fresh batch_no"
+        )
+    # empty batch = no file (r7 review): writing just a newline would
+    # feed the source one phantom empty-string record that from_json
+    # turns into a spurious corrupt-record row
+    if not lines:
+        return path
     tmp = os.path.join(directory, f".batch-{batch_no:05d}.tmp")
-    with open(tmp, "w") as f:
+    # UTF-8 explicitly (r7 review): Spark's text source always reads
+    # UTF-8; a locale-dependent default could emit latin-1 bytes (name
+    # mojibake) or crash on non-ASCII payloads under a C locale
+    with open(tmp, "w", encoding="utf-8") as f:
         f.write("\n".join(lines) + "\n")
         f.flush()
         os.fsync(f.fileno())

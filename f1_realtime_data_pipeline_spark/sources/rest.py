@@ -60,8 +60,22 @@ def fetch_urls(
     df = spark.createDataFrame([(u,) for u in urls], "url string").repartition(n_part)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # bounded thread pool per task (r7 review): the fetches are
+        # I/O-bound, so a strictly serial inner loop made each task
+        # pay len(partition) x latency — with the 64-partition cap
+        # that silently serialized large URL lists despite the fan-out
+        # framing. Order is preserved (executor.map); 16 in-flight
+        # requests per task keeps politeness while cutting wall time
+        # ~an order of magnitude on latency-dominated workloads.
+        from concurrent.futures import ThreadPoolExecutor
+
         for pdf in batches:
-            results = [fetch(u) for u in pdf["url"]]
+            urls = list(pdf["url"])
+            if len(urls) > 1:
+                with ThreadPoolExecutor(max_workers=min(16, len(urls))) as ex:
+                    results = list(ex.map(fetch, urls))
+            else:
+                results = [fetch(u) for u in urls]
             yield pd.DataFrame(
                 {
                     "url": pdf["url"],
