@@ -58,6 +58,16 @@ from f1_realtime_data_pipeline_spark.plans import (
 # (hash of all 172 oracle strings compared pre/post). The demoted
 # pinned-plane e_knn_join stays out of the registry (pytest parity
 # baseline only).
+# DEFERRED to round 8 (efficiency refactors on audit queries, found
+# by the final r7 review batch, no wrong values): (a) d_lsh_tuning_curve
+# re-implements the band-explode/self-join scaffold that
+# dedup._band_candidates single-sourced — generalize the helper with
+# (bands, rows) parameters and re-verify the curve; (b)
+# e_ivf_probe_curve duplicates similarity's cell-assignment/probe
+# internals — factor a ranked-cells helper; (c) t_interleave_sources
+# derives its distinct-sources relation twice and fires an
+# undocumented count() job at plan build — collect the tens-of-rows
+# relation once.
 _QUERY_MODULES = [
     inventory_star,
     tpch,

@@ -307,12 +307,17 @@ RARE_COMMONNESS_MIN = 0.05
 def t_tfidf_keywords(spark, sf_dir):
     """Top-``TFIDF_TOP_K`` TF-IDF keywords per document.
 
-    idf is the RATIONAL variant (N+1)/(df+1) — same monotonicity as
-    log-idf for ranking within a document (log is monotone), chosen
-    because ln() is not correctly-rounded-guaranteed and differs
-    between JVM and C libm in the last ulp, which would break the
-    bit-exact oracle hash; every arithmetic op here (int counts, one
-    multiply, one divide) is IEEE-exact in both engines.
+    idf is the RATIONAL variant (N+1)/(df+1), chosen because ln() is
+    not correctly-rounded-guaranteed and differs between JVM and C
+    libm in the last ulp, which would break the bit-exact oracle
+    hash; every arithmetic op here (int counts, one multiply, one
+    divide) is IEEE-exact in both engines. Honest caveat (r7 review):
+    the variant is rank-equivalent to log TF-IDF only per-IDF — once
+    multiplied by tf, tf·idf and tf·ln(idf) can ORDER differently
+    (e.g. tf=1/idf=8 vs tf=2/idf=3: 8 > 6 rational but 2.08 < 2.20
+    log), so keyword sets near the top-k cut are the rational
+    variant's, not standard log TF-IDF's — a deliberate, documented
+    engine-portability trade, not an equivalence.
 
     Scale shape: explode -> two partial-agg groupBys keyed on
     (doc_id, term) / term, a broadcast-size 1-row count, a term-keyed
@@ -564,8 +569,6 @@ def d_incremental_dedup(spark, sf_dir):
     so AQE broadcasts it; the corpus side stays a pruned scan.
     """
     from f1_realtime_data_pipeline_spark.operators.dedup import (
-        _SPLIT_BUCKETS,
-        _SPLIT_MULT,
         _TEST_GE,
     )
 
@@ -594,8 +597,6 @@ def d_incremental_dedup(spark, sf_dir):
 
 def _incremental_dedup_sql() -> str:
     from f1_realtime_data_pipeline_spark.operators.dedup import (
-        _SPLIT_BUCKETS,
-        _SPLIT_MULT,
         _TEST_GE,
     )
 
@@ -656,8 +657,6 @@ def pipeline_corpus_v2(spark, sf_dir):
         (F.col("contamination_ratio") < PIPE2_MAX_CONTAM).alias("c_keep"),
     )
     from f1_realtime_data_pipeline_spark.operators.dedup import (
-        _SPLIT_BUCKETS,
-        _SPLIT_MULT,
         _TEST_GE,
         _TRAIN_LT,
     )
@@ -694,8 +693,6 @@ def pipeline_corpus_v2(spark, sf_dir):
 def _pipeline_v2_sql() -> str:
     from f1_realtime_data_pipeline_spark.functions.text import token_count_sql
     from f1_realtime_data_pipeline_spark.operators.dedup import (
-        _SPLIT_BUCKETS,
-        _SPLIT_MULT,
         _TEST_GE,
         _TRAIN_LT,
     )
@@ -985,6 +982,12 @@ PII_IP_RE = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
 def _pii_dirty(d: DataFrame) -> DataFrame:
     """Inject one email, one phone, one IPv4 per doc (deterministic
     from doc_id, pure JVM concat — no UDF)."""
+    # NULL text coalesces to '' in BOTH engines (r7 review round 2):
+    # Spark's concat_ws skips NULL elements while the SQL twin's ||
+    # nullifies the whole expression — a NULL-text doc would count
+    # 1/1/1 here and NULL/NULL/NULL in the oracle. '' keeps the
+    # byte-identical dirty string on every non-null doc and defines
+    # the NULL case as "no text, planted PII still found".
     return d.withColumn(
         "dirty",
         F.concat_ws(
@@ -992,7 +995,7 @@ def _pii_dirty(d: DataFrame) -> DataFrame:
             F.concat(F.lit("user"), F.col("doc_id").cast("string"),
                      F.lit("@ex"), (F.col("doc_id") % 7).cast("string"),
                      F.lit(".com")),
-            F.col("text"),
+            F.coalesce(F.col("text"), F.lit("")),
             F.lit("call"),
             F.concat(F.lit("+1-555-"),
                      F.format_string("%04d", (F.col("doc_id") % 10000).cast("int"))),
@@ -1033,7 +1036,7 @@ def t_pii_redact(spark, sf_dir):
 
 _PII_DIRTY_SQL = (
     "'user' || CAST(doc_id AS VARCHAR) || '@ex' || CAST(doc_id % 7 AS VARCHAR)"
-    " || '.com ' || text || ' call +1-555-' || printf('%04d', doc_id % 10000)"
+    " || '.com ' || COALESCE(text, '') || ' call +1-555-' || printf('%04d', doc_id % 10000)"
     " || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'"
     " || CAST((doc_id * 3) % 256 AS VARCHAR) || '.'"
     " || CAST((doc_id * 7) % 256 AS VARCHAR)"
@@ -1196,7 +1199,12 @@ def _bucketed_group_rank(keyed: DataFrame, group_cols: list, B: int = SHUFFLE_OR
     )
     cond = F.col("b.__b") < F.col("a.__b")
     for g in group_cols:
-        cond = (F.col(f"a.{g}") == F.col(f"b.{g}")) & cond
+        # NULL-SAFE group equality (r7 review round 2): a NULL group
+        # value (e.g. len_bucket of a NULL-text doc) must form its own
+        # rank partition like the oracle's PARTITION BY does — plain
+        # == would null-reject and the row would vanish from the
+        # output while the oracle emits it
+        cond = F.col(f"a.{g}").eqNullSafe(F.col(f"b.{g}")) & cond
     offsets = (
         counts.alias("a")
         .join(F.broadcast(counts.alias("b")), cond, "left")
@@ -1209,8 +1217,14 @@ def _bucketed_group_rank(keyed: DataFrame, group_cols: list, B: int = SHUFFLE_OR
     w = Window.partitionBy(*group_cols, "__b").orderBy(
         F.col("shuffle_key").asc(), F.col("doc_id").asc()
     )
+    k = keyed.alias("k")
+    o = offsets.alias("o")
+    attach = F.col("k.__b") == F.col("o.__b")
+    for g in group_cols:
+        attach = F.col(f"k.{g}").eqNullSafe(F.col(f"o.{g}")) & attach
     return (
-        keyed.join(F.broadcast(offsets), [*group_cols, "__b"])
+        k.join(F.broadcast(o), attach)
+        .select(*[F.col(f"k.{c}") for c in keyed.columns], F.col("o.__off"))
         .withColumn(
             "rnk",
             (F.col("__off") + F.row_number().over(w)).cast("bigint") - 1,
@@ -1360,9 +1374,18 @@ def p_dataset_card(spark, sf_dir):
         "doc_id", "source", "lang", "text",
         tx.token_count("text").cast("bigint").alias("n_tokens"),
     )
+    # NULL-SAFE flag join (r7 review round 2): groupBy keeps a NULL
+    # text group in both engines, but a null-rejecting join would drop
+    # every NULL-text doc from the CARD — published per-source counts
+    # silently below |documents|, and both engines agreed so the
+    # oracle could never flag it. NULL texts count as duplicates of
+    # each other, like any other equal-text group.
     tc = d.groupBy("text").agg(F.count(F.lit(1)).alias("__c"))
-    flagged = d.join(tc, "text").withColumn(
-        "__dup", (F.col("__c") > 1).cast("bigint")
+    flagged = (
+        d.alias("d")
+        .join(tc.alias("t"), F.col("d.text").eqNullSafe(F.col("t.text")))
+        .select(*[F.col(f"d.{c}") for c in d.columns], F.col("t.__c"))
+        .withColumn("__dup", (F.col("__c") > 1).cast("bigint"))
     )
     return (
         flagged.groupBy("source")
@@ -1397,7 +1420,7 @@ _register(
   SELECT text, COUNT(*) AS __c FROM d GROUP BY text
 ), flagged AS (
   SELECT d.*, CAST(tc.__c > 1 AS BIGINT) AS __dup
-  FROM d JOIN tc USING (text)
+  FROM d JOIN tc ON d.text IS NOT DISTINCT FROM tc.text
 )
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -177,17 +177,23 @@ FROM scored""",
 SAMPLE_K = 64
 
 
+#: the overflow-guarded priority hash as a SQL fragment — THE single
+#: source for both engines and both sample queries (r7 review round
+#: 2: t_weighted_sample had re-inlined the formula in a raw expr
+#: string, the desynchronization class the split_bucket refactor
+#: eliminated)
+PRIORITY_SQL = f"((doc_id % {HASH_MOD}) * {HASH_MULT}) % {HASH_MOD}"
+
+
 def _priority():
     # reduce doc_id mod HASH_MOD BEFORE the multiply: (d % P)·M ≡ d·M
     # (mod P) with the product bounded < P·M < 2^63, while the raw
     # form overflows int64 at doc_id ≥ ~3.5e9 (DuckDB raises, Spark
     # non-ANSI wraps — a parity break). Same discipline as
     # functions.text.md5_id. Values identical wherever both forms are
-    # defined.
-    return F.pmod(
-        F.pmod(F.col("doc_id"), F.lit(HASH_MOD)) * F.lit(HASH_MULT),
-        F.lit(HASH_MOD),
-    )
+    # defined; F.expr over PRIORITY_SQL keeps the Spark column and
+    # both SQL twins on one definition.
+    return F.expr(PRIORITY_SQL)
 
 
 def t_priority_sample(spark, sf_dir):
@@ -205,7 +211,7 @@ def t_priority_sample(spark, sf_dir):
 _register(
     "t_priority_sample",
     t_priority_sample,
-    f"""SELECT doc_id, lang, ((doc_id % {HASH_MOD}) * {HASH_MULT}) % {HASH_MOD} AS h
+    f"""SELECT doc_id, lang, {PRIORITY_SQL} AS h
 FROM documents
 ORDER BY h ASC, doc_id ASC LIMIT {SAMPLE_K}""",
 )
@@ -221,8 +227,7 @@ def t_weighted_sample(spark, sf_dir):
     reduced mod P before the multiply (see :func:`_priority`)."""
     d = _docs(spark, sf_dir)
     pri = F.expr(
-        f"((((doc_id % {HASH_MOD}) * {HASH_MULT}) % {HASH_MOD} + 1) * 1000000) "
-        f"DIV greatest(n_chars, 1)"
+        f"(({PRIORITY_SQL} + 1) * 1000000) DIV greatest(n_chars, 1)"
     )
     return (
         d.select("doc_id", "n_chars", pri.alias("priority"))
@@ -235,7 +240,7 @@ _register(
     "t_weighted_sample",
     t_weighted_sample,
     f"""SELECT doc_id, n_chars,
-       ((((doc_id % {HASH_MOD}) * {HASH_MULT}) % {HASH_MOD} + 1) * 1000000)
+       (({PRIORITY_SQL} + 1) * 1000000)
            // greatest(n_chars, 1) AS priority
 FROM documents
 ORDER BY priority ASC, doc_id ASC LIMIT {SAMPLE_K}""",
@@ -1312,8 +1317,27 @@ def t_contamination_report(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_leaky_train_docs"),
         F.max("n_shared").cast("bigint").alias("max_shared_shingles"),
     )
-    totals = test_sh.groupBy("test_doc").agg(
+    # totals from the test SPLIT OF DOCUMENTS, not the post-cap
+    # shingle relation (r7 review round 2): a test doc with <3 tokens,
+    # or whose shingles are ALL hot (df > cap — exactly the
+    # boilerplate docs most likely contaminated), has no test_sh rows
+    # and would VANISH from the report instead of being classified —
+    # the eval owner would read "every test doc checked" with the
+    # riskiest ones never listed. Such docs appear with n_shingles=0
+    # and compromised=false (nothing checkable survived the cap).
+    test_docs = _docs(spark, sf_dir).select("doc_id").filter(
+        dd.split_bucket() >= dd._TEST_GE
+    )
+    shingle_counts = test_sh.groupBy("test_doc").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_shingles")
+    )
+    totals = (
+        test_docs.withColumnRenamed("doc_id", "test_doc")
+        .join(shingle_counts, "test_doc", "left")
+        .select(
+            "test_doc",
+            F.coalesce("n_shingles", F.lit(0).cast("bigint")).alias("n_shingles"),
+        )
     )
     return (
         totals.join(per_test, "test_doc", "left")
@@ -1326,10 +1350,11 @@ def t_contamination_report(spark, sf_dir):
             F.coalesce("max_shared_shingles", F.lit(0).cast("bigint")).alias(
                 "max_shared_shingles"
             ),
-            (
+            F.when(
+                F.col("n_shingles") > 0,
                 F.coalesce("max_shared_shingles", F.lit(0)).cast("double")
-                / F.col("n_shingles")
-            ).alias("max_overlap_frac"),
+                / F.col("n_shingles"),
+            ).otherwise(F.lit(0.0)).alias("max_overlap_frac"),
             (F.coalesce("n_leaky_train_docs", F.lit(0)) > 0).alias("compromised"),
         )
     )
@@ -1360,16 +1385,22 @@ _register(
          CAST(COUNT(*) AS BIGINT) AS n_leaky_train_docs,
          CAST(MAX(n_shared) AS BIGINT) AS max_shared_shingles
   FROM shared GROUP BY test_doc
-), totals AS (
+), shingle_counts AS (
   SELECT test_doc, CAST(COUNT(*) AS BIGINT) AS n_shingles
   FROM test_sh GROUP BY test_doc
+), totals AS (
+  SELECT d.doc_id AS test_doc, COALESCE(c.n_shingles, 0) AS n_shingles
+  FROM (SELECT doc_id FROM documents
+        WHERE {dd.split_bucket_sql()} >= {dd._TEST_GE}) d
+  LEFT JOIN shingle_counts c ON c.test_doc = d.doc_id
 )
 SELECT t.test_doc AS doc_id,
        t.n_shingles,
        COALESCE(p.n_leaky_train_docs, 0) AS n_leaky_train_docs,
        COALESCE(p.max_shared_shingles, 0) AS max_shared_shingles,
-       CAST(COALESCE(p.max_shared_shingles, 0) AS DOUBLE) / t.n_shingles
-           AS max_overlap_frac,
+       CASE WHEN t.n_shingles > 0
+            THEN CAST(COALESCE(p.max_shared_shingles, 0) AS DOUBLE) / t.n_shingles
+            ELSE 0.0 END AS max_overlap_frac,
        COALESCE(p.n_leaky_train_docs, 0) > 0 AS compromised
 FROM totals t LEFT JOIN per_test p USING (test_doc)""",
 )
