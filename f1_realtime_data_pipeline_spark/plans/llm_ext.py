@@ -1244,10 +1244,15 @@ def t_interleave_sources(spark, sf_dir):
     on bare ``source``, so the largest source is spread over B tasks).
     The source index is alphabetic rank — a tiny sorted-distinct
     relation joined broadcast (the allowlisted global window: tens of
-    rows). Sources differ in size, so tail positions thin out to the
-    surviving sources — positions stay unique and order-stable, which
-    is the property training ingestion needs (exact round-robin density
-    only holds while all sources have docs left)."""
+    rows); the source COUNT rides the same relation as a second window
+    column (r8, r7-verdict item: this used to be an eager
+    ``srcs.count()`` job fired at plan-BUILD time that derived the
+    distinct-sources relation a second time — now one derivation,
+    fully lazy, inside the plan). Sources differ in size, so tail
+    positions thin out to the surviving sources — positions stay
+    unique and order-stable, which is the property training ingestion
+    needs (exact round-robin density only holds while all sources have
+    docs left)."""
     d = _docs(spark, sf_dir).select("doc_id", "source")
     srcs = (
         d.select("source").distinct()
@@ -1258,8 +1263,11 @@ def t_interleave_sources(spark, sf_dir):
             .cast("bigint"),
         )
         .withColumn("source_idx", F.col("source_idx") - 1)
+        .withColumn(
+            "__n_src",
+            F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint"),
+        )
     )
-    n_src = srcs.count()
     key = tx.md5_id(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string")))
     ranked = _bucketed_group_rank(
         d.withColumn("shuffle_key", key), ["source"]
@@ -1269,7 +1277,7 @@ def t_interleave_sources(spark, sf_dir):
         .select(
             "doc_id",
             "source",
-            (F.col("rnk") * F.lit(n_src) + F.col("source_idx"))
+            (F.col("rnk") * F.col("__n_src") + F.col("source_idx"))
             .cast("bigint")
             .alias("train_pos"),
         )

@@ -676,41 +676,17 @@ LSH_TUNE_CONFIGS = ((16, 1), (8, 2), (4, 4), (2, 8))
 
 def d_lsh_tuning_curve(spark, sf_dir):
     """Candidate-pair count per LSH band configuration over the
-    shared MinHash signatures."""
+    shared MinHash signatures. Each config's pair relation comes from
+    ``dedup._band_candidates`` (r8, r7-verdict item: the curve carried
+    a verbatim copy of the band-explode/self-join scaffold — a scaffold
+    change could silently make the curve measure a different pipeline
+    than the production detector)."""
     sigs = dd.minhash_signatures(_docs(spark, sf_dir))
     sigs.persist()
     parts = []
     for b, r in LSH_TUNE_CONFIGS:
-        band_cols = []
-        for band in range(b):
-            members = [F.col(f"mh{band * r + j}") for j in range(r)]
-            band_cols.append(
-                F.concat_ws("_", *[m.cast("string") for m in members])
-            )
-        bands = sigs.select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("band_idx"),
-                            band_cols[i].alias("sig"),
-                        )
-                        for i in range(b)
-                    ]
-                )
-            ).alias("bd"),
-        ).select(
-            "doc_id",
-            F.col("bd.band_idx").alias("band_idx"),
-            F.col("bd.sig").alias("sig"),
-        )
-        n = (
-            bands.alias("x")
-            .join(bands.alias("y"), ["band_idx", "sig"])
-            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-            .select(F.col("x.doc_id"), F.col("y.doc_id"))
-            .distinct()
+        parts.append(
+            dd._band_candidates(sigs, b, r)
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
             .select(
                 F.lit(b).cast("int").alias("bands"),
@@ -718,7 +694,6 @@ def d_lsh_tuning_curve(spark, sf_dir):
                 "n_candidates",
             )
         )
-        parts.append(n)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -793,17 +768,14 @@ IVF_TUNE_K = 5
 
 
 def e_ivf_probe_curve(spark, sf_dir):
-    """(nprobe, n_candidates, n_hits, recall_ppm) per probe width."""
+    """(nprobe, n_candidates, n_hits, recall_ppm) per probe width.
+    The ranked cell relation comes from ``similarity._ranked_cells``
+    (r8, r7-verdict item: the curve carried a verbatim copy of the
+    cell-assignment/probe scaffold — factoring it means the curve
+    measures exactly the production index's probe behavior)."""
     embs = _embs(spark, sf_dir)
     u = sim._unit_vectors(embs, "vec_id", "embedding")
-    cents = sim._seed_centroids(u, None)
-    scored = u.crossJoin(F.broadcast(cents)).withColumn(
-        "aff", sim.dot(F.col("uv"), F.col("cv"))
-    )
-    w_assign = Window.partitionBy("vid").orderBy(
-        F.col("aff").desc(), F.col("cell").asc()
-    )
-    ranked = scored.withColumn("__rn", F.row_number().over(w_assign)).select(
+    ranked = sim._ranked_cells(u, sim._seed_centroids(u, None)).select(
         "vid", "cell", "__rn"
     )
     assignments = ranked.filter(F.col("__rn") == 1).select(
