@@ -64,7 +64,13 @@ def _customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def race_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The derived race-shaped fact (pre-filter, position still nullable)."""
+    """The derived race-shaped fact (pre-filter, position still
+    nullable). ``session_key`` is the per-result identity the
+    reference's message schema carries (schemas.RACE_RESULT_MSG;
+    ``dedup_results`` keys on it) — here the order key, wire-typed as
+    string; a driver can appear several times in one grand_prix
+    (several orders per customer-month), so (grand_prix,
+    driver_number) alone is NOT a row identity."""
     return _orders(spark, sf_dir).select(
         F.col("o_custkey").alias("driver_number"),
         F.date_format("o_orderdate", "yyyy-MM").alias("grand_prix"),
@@ -72,6 +78,7 @@ def race_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise((F.col("o_orderkey") % 25 + 1).cast("int"))
         .alias("position"),
         F.col("o_totalprice"),
+        F.col("o_orderkey").cast("string").alias("session_key"),
     )
 
 
@@ -241,7 +248,16 @@ def q3_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3 per-GP classification (streamlit-app.py:107-121): pick one GP
     (deterministically: the earliest), order by position, display gap
     with the 'N/A' coalesce (P11)."""
-    scored = scored_fact(spark, sf_dir)
+    return _serve_classification(spark, sf_dir, scored_fact(spark, sf_dir))
+
+
+def _serve_classification(
+    spark: SparkSession, sf_dir: str, scored: DataFrame
+) -> DataFrame:
+    """The Q3 serving assembly, shared between the batch derivation
+    and the lakehouse path (``q3_classification_mv``, r8 — VERDICT r7
+    #7). ``scored`` carries (grand_prix, driver_number, position) at
+    the classification grain."""
     target = scored.agg(F.min("grand_prix").alias("grand_prix"))
     dim = _customer(spark, sf_dir).select(
         F.col("c_custkey").alias("driver_number"), F.col("c_name").alias("driver_name")
@@ -464,9 +480,96 @@ def q1_standings_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q3_classification_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 served FROM the transactional lakehouse sink — the detail-
+    grain twin of ``q1_standings_mv`` (r8, VERDICT r7 #7: Q3 was the
+    one contract query without a lakehouse serving path). Q1's MV is
+    an additive AGGREGATE (agg sink + applied-epoch ledger); a
+    classification is detail rows, so its lakehouse form is the KEYED
+    transactional table: stream the reference-shaped fact through the
+    real in-stream transform into ``transactional_parquet_sink`` keyed
+    by (session_key, driver_number) — the reference's own idempotency
+    key (``dedup_results``; (grand_prix, driver_number) is NOT a row
+    identity, a driver races several sessions per GP) — exactly-once
+    there comes from the committed-snapshot key anti-join, not a
+    ledger. The pipeline runs
+    TWICE, the second time from a fresh checkpoint so every file
+    replays and must anti-join to zero new rows. Q3 is then served
+    from the committed snapshot through the SAME assembly as the batch
+    derivation and checked against the SAME Q3 oracle — the agreement
+    that makes the table a valid serving layer for the classification
+    page."""
+    import os
+    import shutil
+    import tempfile
+
+    from f1_realtime_data_pipeline_spark.plans.contract_f1 import (
+        transform_stream,
+    )
+    from f1_realtime_data_pipeline_spark.streaming.sinks import (
+        read_sink_snapshot,
+        transactional_parquet_sink,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"q3mv_{os.path.basename(sf_dir)}_{spark.sparkContext.applicationId}",
+    )
+    src, tbl = f"{base}/src", f"{base}/tbl"
+    for sub in ("tbl", "ckpt", "ckpt_replay"):
+        shutil.rmtree(f"{base}/{sub}", ignore_errors=True)
+    # fact as reference-shaped JSON messages; _SUCCESS-gated reuse
+    # (same discipline as q1_standings_mv — a crashed prior write is
+    # torn down, never silently replayed into the table)
+    if not os.path.exists(f"{src}/_SUCCESS"):
+        shutil.rmtree(src, ignore_errors=True)
+        race_fact(spark, sf_dir).select(
+            F.to_json(
+                F.struct(
+                    F.col("grand_prix"),
+                    F.col("driver_number").cast("string").alias("driver_number"),
+                    F.col("position"),
+                    F.col("session_key"),
+                )
+            ).alias("value")
+        ).coalesce(2).write.text(src)
+
+    def run_pipeline(checkpoint: str) -> None:
+        raw = (
+            spark.readStream.format("text")
+            .option("maxFilesPerTrigger", 1)
+            .load(src)
+        )
+        q = (
+            transform_stream(raw, value_col="value")
+            .writeStream.outputMode("append")
+            .foreachBatch(
+                transactional_parquet_sink(
+                    tbl,
+                    keys=["session_key", "driver_number"],
+                )
+            )
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_pipeline(f"{base}/ckpt")
+    run_pipeline(f"{base}/ckpt_replay")  # fresh checkpoint: full replay
+
+    scored = read_sink_snapshot(spark, tbl).select(
+        "grand_prix",
+        F.col("driver_number").cast("int").alias("driver_number"),
+        "position",
+    )
+    return _serve_classification(spark, sf_dir, scored)
+
+
 QUERIES = {
     "q0_stream_transform": q0_stream_transform,
     "q1_standings_mv": q1_standings_mv,
+    "q3_classification_mv": q3_classification_mv,
     "q1_standings": q1_standings,
     "q2_champion": q2_champion,
     "q3_classification": q3_classification,
@@ -477,6 +580,7 @@ ORACLE = {
     "q0_stream_transform": Q0_SQL,
     "q1_standings": Q1_SQL,
     "q1_standings_mv": Q1_SQL,
+    "q3_classification_mv": Q3_SQL,
     "q2_champion": Q2_SQL,
     "q3_classification": Q3_SQL,
     "q4_podium": Q4_SQL,
