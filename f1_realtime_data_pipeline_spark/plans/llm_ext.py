@@ -1089,6 +1089,8 @@ def t_bigram_quality(spark, sf_dir):
     """Corpus-trained bigram LM quality score per document:
     avg_prob_ppm = mean over bigram instances of
     P(w2|w1) = count(w1 w2) / count(w1 ·), in parts-per-million."""
+    from pyspark import StorageLevel
+
     d = _docs(spark, sf_dir).select("doc_id", tokens("text").alias("toks"))
     big = (
         d.filter(F.size("toks") >= 2)
@@ -1103,6 +1105,12 @@ def t_bigram_quality(spark, sf_dir):
             ).alias("bg"),
         )
         .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        # the instance relation is consumed TWICE (train: bigram/prefix
+        # counts; score: join-back) — persist so the corpus is
+        # tokenized+exploded once (r8 best-of-3: −12% wall; same
+        # module discipline as t_contamination_report's shingle
+        # relation; MEMORY_AND_DISK spills rather than OOMs at scale)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     bgc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cbg"))
     # prefix counts roll up from the bigram table (Σ_w2 cbg == count of
