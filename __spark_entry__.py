@@ -29,45 +29,35 @@ from f1_realtime_data_pipeline_spark.plans import (
 )
 
 # Registration order is part of the verification contract: the driver
-# checks the FIRST 50 registered queries each round. Rounds 1-6
-# covered 162/168 then-registered queries at least once (cumulatively;
-# CORRECTNESS_r01..r06 — r6 was 50/50 green).
-# Round 7's window holds, in order: the 18 queries changed by the
-# verdict/advice fixes (decorrelated LSH planes incl. the
-# corpus-derived near-dups, NULL-correct asof, zero-token gopher,
-# contract rewrites, chunked prefix-max, atomic binary-ingest
-# staging); the 6 NEW registrations (embedding decontamination,
-# DoReMi domain weights, the gopher edge probe, quality threshold
-# curve, cross-source dup matrix, contamination report); the 5
-# late-r6 registrations that never had a driver row; and the 20
-# queries whose PLANS the late-r7 review batches edited
-# (contamination persists, detector broadcast-hint drop, minhash
-# helper extraction, semdedup materialization, shared
-# normalize/quality builders, multimodal adapter/codec fixes incl.
-# m_video_frame_plan's int32→BIGINT byte offsets — the one edited
-# ORACLE, changed on both sides) — every edited query selfchecked
-# green after its edit, so nothing rides on an unverified change.
-# That fills all 50 slots with changed/new/never-checked entries;
-# the oldest-green backfill (r1's a_cube … s7_upsert_dim and the
-# r2 windows_star head) rotates to round 8, as does the
-# plan-identical d_minhash_signatures refactor (same signature
-# aggregate expressions re-emitted through _minhash_sigs — displaced
-# by the batch-7 oracle/plan edits tpch_q21 and o_zorder_layout) — all unchanged since
-# their last green row, and the split-hash/normalize refactors that
-# touched their MODULES were verified plan- and oracle-byte-identical
-# (hash of all 172 oracle strings compared pre/post). The demoted
-# pinned-plane e_knn_join stays out of the registry (pytest parity
-# baseline only).
-# DEFERRED to round 8 (efficiency refactors on audit queries, found
-# by the final r7 review batch, no wrong values): (a) d_lsh_tuning_curve
-# re-implements the band-explode/self-join scaffold that
-# dedup._band_candidates single-sourced — generalize the helper with
-# (bands, rows) parameters and re-verify the curve; (b)
-# e_ivf_probe_curve duplicates similarity's cell-assignment/probe
-# internals — factor a ranked-cells helper; (c) t_interleave_sources
-# derives its distinct-sources relation twice and fires an
-# undocumented count() job at plan build — collect the tens-of-rows
-# relation once.
+# checks the FIRST 50 registered queries each round. Rounds 1-7
+# covered every registered query at least once (cumulatively;
+# CORRECTNESS_r01..r07 — r6 and r7 were both 50/50 green).
+# Round 8's window (VERDICT r7 #1: retire the driver-freshness debt)
+# holds, in order:
+#   (a) the 22 queries the r8 edits touch: the NEW
+#       q3_classification_mv and the contract/star queries riding the
+#       race_fact session_key column + shared _serve_classification
+#       (q3, q1, q1_mv, p_case_points); m_binary_ingest (executor-side
+#       fixture write); t_bigram_quality (persisted instance
+#       relation); t_interleave_sources (lazy source count);
+#       d_dup_rate_by_source + t_contamination_report (forced-
+#       broadcast drops, judge advice); d_lsh_tuning_curve +
+#       e_ivf_probe_curve (single-sourced scaffolds) and every
+#       registered consumer of the refactored helpers —
+#       dedup._band_candidates (d_minhash_lsh, d_minhash_est_audit,
+#       d_dup_clusters, d_cluster_stats) and similarity._ranked_cells
+#       (e_ivf_cells, e_knn_ivf, e_knn_ivf_trained, e_kmeans,
+#       e_semdedup);
+#   (b) the ENTIRE r1/r2-green backfill — all 7 r1 rows (a_cube …
+#       s7_upsert_dim) and all 21 r2 rows (the windows_star head,
+#       d_minhash_signatures, d_simhash family, the small text ops) —
+#       none checked since the module-level refactors of r4-r7,
+#       every one selfchecked green since.
+# q4_podium also sits above race_fact but its plan prunes the added
+# column (verified by local selfcheck, r7-green); it and the r3
+# cohort (TPC-H head) rotate into round 9's window.
+# The demoted pinned-plane e_knn_join stays out of the registry
+# (pytest parity baseline only).
 _QUERY_MODULES = [
     inventory_star,
     tpch,
@@ -84,66 +74,61 @@ _QUERY_MODULES = [
 #: round (KeyError at import if a name disappears — the rotation list
 #: cannot silently go stale).
 _WINDOW_HEAD = [
-    # --- changed early r7 (verdict/advice fixes) ---
-    "e_cosine_neardup",
-    "e_neardup_clusters",
-    "e_knn_join_derived",
-    "e_lsh_buckets",
-    "e_knn_lsh",
-    "e_knn_classify",
-    "e_knn_recall_audit",
-    "e_diverse_topk",
-    "w_asof_attribution",
-    "t_quality_gopher",
-    "pipeline_corpus_v2",
+    # --- (a) r8-touched: new registration + contract/star fact edit ---
+    "q3_classification_mv",
+    "q3_classification",
     "q1_standings",
     "q1_standings_mv",
     "q2_champion",
-    "q4_podium",
-    "w_lateness_audit",
-    "w_watermark_curve",
+    "p_case_points",
+    # --- (a) r8-touched: plan edits ---
     "m_binary_ingest",
-    # --- NEW r7 registrations ---
-    "e_semantic_decontam",
-    "t_domain_weights",
-    "t_quality_gopher_edges",
-    "t_quality_threshold_curve",
+    "t_bigram_quality",
+    "t_interleave_sources",
     "d_dup_rate_by_source",
     "t_contamination_report",
-    # --- late-r6 registrations, never driver-checked ---
     "d_lsh_tuning_curve",
-    "d_cluster_stats",
     "e_ivf_probe_curve",
-    "m_dedup_by_ahash",
-    "t_length_profile",
-    # --- plans edited by the late-r7 review batches (persist/
-    # materialize/adapter/codec changes) — every one selfchecked
-    # green after the edit, re-verified by the driver here ---
-    "t_contamination",
-    "t_contamination_bloom",
-    "d_containment",
-    "d_minhash_est_audit",
-    "e_semdedup",
-    "pipeline_corpus",
-    "m_video_frame_plan",
-    "m_decoded_meta",
-    "m_frame_sample",
-    "m_audio_meta",
-    "m_jpeg_meta",
-    "m_video_meta",
-    "m_image_ahash",
-    "d_dup_clusters",
+    # --- (a) r8-touched: consumers of the refactored scaffolds ---
     "d_minhash_lsh",
-    "d_ngram_jaccard",
-    "t_lang_id",
-    "t_normalize",
-    "t_quality",
-    # --- batch-7 review edits: q21's oracle now groups by
-    # (s_suppkey, s_name) like the Spark side (structural alignment,
-    # values identical while names are unique), and the z-order
-    # scaler moved to 64-bit integer DIV (exact past 2^53) ---
-    "tpch_q21",
-    "o_zorder_layout",
+    "d_minhash_est_audit",
+    "d_dup_clusters",
+    "d_cluster_stats",
+    "e_ivf_cells",
+    "e_knn_ivf",
+    "e_knn_ivf_trained",
+    "e_kmeans",
+    "e_semdedup",
+    # --- (b) the full r1-green backfill ---
+    "a_cube",
+    "a_percentiles",
+    "j_salted",
+    "p_array_funcs",
+    "p_key_skew",
+    "p_profile",
+    "s7_upsert_dim",
+    # --- (b) the full r2-green backfill ---
+    "d_exact",
+    "d_minhash_signatures",
+    "d_simhash",
+    "d_simhash_pairs",
+    "e_quantize",
+    "t_fingerprint",
+    "t_pack_sequences",
+    "t_redact",
+    "t_repetition",
+    "t_source_mix",
+    "t_token_stats",
+    "t_top_terms",
+    "w_funnel",
+    "w_interval_join",
+    "w_json_props",
+    "w_retention",
+    "w_session",
+    "w_sessionize_lag",
+    "w_sliding",
+    "w_tumbling",
+    "w_type_transitions",
 ]
 
 
