@@ -1390,8 +1390,15 @@ def knn_ivf(
     by id). C defaults to ceil(sqrt(N)) so the candidate fraction
     SHRINKS as the corpus grows (the knob that holds at 100 TB).
     Queries probing sparse cells return < k rows (recall/speed trade).
-    """
-    u = _unit_vectors(embeddings, id_col, vec_col)
+
+    The unit-vector relation is materialized once (r8 — the same
+    discipline :func:`knn_ivf_trained` already applied): the seed
+    filter, its corpus-count scalar, the cell ranking, and the probe
+    all reference ``u``, and without the checkpoint each branch
+    re-scanned and re-normalized the corpus (6 scans / 8 scalar BNLJ
+    in the audited plan; one materialization beats six re-scans at
+    any corpus size, −10% wall at sf0.1)."""
+    u = materialize(_unit_vectors(embeddings, id_col, vec_col), durable=True)
     return _knn_probe(u, _seed_centroids(u, n_cells), n_queries, k)
 
 
