@@ -34,12 +34,14 @@ from f1_realtime_data_pipeline_spark.plans import (
 # CORRECTNESS_r01..r07 — r6 and r7 were both 50/50 green).
 # Round 8's window (VERDICT r7 #1: retire the driver-freshness debt)
 # holds, in order:
-#   (a) the 22 queries the r8 edits touch: the NEW
+#   (a) the 23 queries the r8 edits touch: the NEW
 #       q3_classification_mv and the contract/star queries riding the
 #       race_fact session_key column + shared _serve_classification
 #       (q3, q1, q1_mv, p_case_points); m_binary_ingest (executor-side
-#       fixture write); t_bigram_quality (persisted instance
-#       relation); t_interleave_sources (lazy source count);
+#       fixture write); t_bigram_quality + t_tfidf_keywords +
+#       t_rare_tokens (persisted instance/tf relations — one
+#       tokenize+explode each); t_interleave_sources (lazy source
+#       count); e_knn_ivf (materialized unit vectors);
 #       d_dup_rate_by_source + t_contamination_report (forced-
 #       broadcast drops, judge advice); d_lsh_tuning_curve +
 #       e_ivf_probe_curve (single-sourced scaffolds) and every
@@ -53,9 +55,10 @@ from f1_realtime_data_pipeline_spark.plans import (
 #       d_minhash_signatures, d_simhash family, the small text ops) —
 #       none checked since the module-level refactors of r4-r7,
 #       every one selfchecked green since.
-# q4_podium also sits above race_fact but its plan prunes the added
-# column (verified by local selfcheck, r7-green); it and the r3
-# cohort (TPC-H head) rotate into round 9's window.
+# q2_champion / q4_podium also sit above race_fact but their plans
+# prune the added column (both verified by local selfcheck,
+# r7-green); they, d_exact, and the r3 cohort (TPC-H head) lead
+# round 9's window.
 # The demoted pinned-plane e_knn_join stays out of the registry
 # (pytest parity baseline only).
 _QUERY_MODULES = [
@@ -79,11 +82,12 @@ _WINDOW_HEAD = [
     "q3_classification",
     "q1_standings",
     "q1_standings_mv",
-    "q2_champion",
     "p_case_points",
     # --- (a) r8-touched: plan edits ---
     "m_binary_ingest",
     "t_bigram_quality",
+    "t_tfidf_keywords",
+    "t_rare_tokens",
     "t_interleave_sources",
     "d_dup_rate_by_source",
     "t_contamination_report",
@@ -107,8 +111,10 @@ _WINDOW_HEAD = [
     "p_key_skew",
     "p_profile",
     "s7_upsert_dim",
-    # --- (b) the full r2-green backfill ---
-    "d_exact",
+    # --- (b) the r2-green backfill (all but d_exact — displaced by
+    # the late-r8 tf-persist edits; it is the registry's simplest
+    # query, hash-groupBy only, pytest-twinned — leads r9 with the
+    # r3 cohort) ---
     "d_minhash_signatures",
     "d_simhash",
     "d_simhash_pairs",

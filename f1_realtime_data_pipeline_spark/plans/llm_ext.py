@@ -322,13 +322,20 @@ def t_tfidf_keywords(spark, sf_dir):
     Scale shape: explode -> two partial-agg groupBys keyed on
     (doc_id, term) / term, a broadcast-size 1-row count, a term-keyed
     join back, and a per-doc top-k window (partitioned, never global).
-    All shuffles carry (hashable-string, int) pairs only.
+    All shuffles carry (hashable-string, int) pairs only. The tf
+    relation feeds BOTH the df rollup and the score join, so it is
+    persisted — one tokenize+explode instead of two (r8, the
+    t_bigram_quality discipline); the remaining second scan is the
+    count-star for N, which reads parquet metadata only.
     """
+    from pyspark import StorageLevel
+
     d = _docs(spark, sf_dir).select("doc_id", tokens("text").alias("toks"))
     tf = (
         d.select("doc_id", F.explode("toks").alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("bigint").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dfreq = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
     n_docs = d.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
@@ -394,13 +401,17 @@ def t_rare_tokens(spark, sf_dir):
 
     Scale shape: explode -> (doc_id, term) tf agg -> term-keyed df
     join -> doc-keyed integer agg. The df relation is vocabulary-sized
-    (zipf-bounded); everything else shuffles integers.
+    (zipf-bounded); everything else shuffles integers. tf feeds both
+    the df rollup and the score join — persisted, one explode (r8).
     """
+    from pyspark import StorageLevel
+
     d = _docs(spark, sf_dir).select("doc_id", tokens("text").alias("toks"))
     tf = (
         d.select("doc_id", F.explode("toks").alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("bigint").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dfreq = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
     n_docs = d.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
