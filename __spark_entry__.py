@@ -59,6 +59,16 @@ from f1_realtime_data_pipeline_spark.plans import (
 # prune the added column (both verified by local selfcheck,
 # r7-green); they, d_exact, and the r3 cohort (TPC-H head) lead
 # round 9's window.
+# DEFERRED to round 9 (multi-scan audit plans that could share a
+# persisted base relation, found by the r8 PLANS sweep; correct
+# values, non-headline, left untouched to keep the r8 window
+# verifiable): e_knn_recall_audit (6 scans / 13 exchanges — the LSH
+# path and the brute-force truth each re-derive the unit vectors),
+# e_knn_pq (4 scans — codebook + codes + ADC re-derive subvectors),
+# w_anomaly_mad (4 scans of events — deviations/median/MAD branches
+# could share one persisted projection). pipeline_corpus_v2's 5
+# scans are DELIBERATE (per-stage signal materialization, the
+# production pattern; the fused 1-scan form is pipeline_corpus).
 # The demoted pinned-plane e_knn_join stays out of the registry
 # (pytest parity baseline only).
 _QUERY_MODULES = [
