@@ -185,6 +185,32 @@ def test_lsh_tuning_curve_monotone_in_bands(spark, sf_dir):
     assert rows[(16, 1)] >= rows[(8, 2)] >= rows[(4, 4)] >= rows[(2, 8)]
 
 
+def test_band_candidates_parameterized_matches_detector_default(spark, sf_dir):
+    # r8: d_lsh_tuning_curve reuses dedup._band_candidates with
+    # explicit (bands, rows). The parameterized call at the detector's
+    # own config must be plan-identical to the default call (the
+    # single-scaffold guarantee), and an over-wide config must refuse
+    # rather than silently read past the signature.
+    import pytest as _pytest
+
+    from f1_realtime_data_pipeline_spark.operators import dedup as dd
+
+    import re
+
+    sigs = dd.minhash_signatures(sel._docs(spark, sf_dir))
+    default = dd._band_candidates(sigs)
+    explicit = dd._band_candidates(sigs, dd.LSH_BANDS, dd.BAND_ROWS)
+
+    def norm(df):  # strip auto-generated expression ids
+        return re.sub(
+            r"#\d+", "#x", df._jdf.queryExecution().analyzed().toString()
+        )
+
+    assert norm(default) == norm(explicit)
+    with _pytest.raises(ValueError, match="exceeds"):
+        dd._band_candidates(sigs, dd.MINHASH_PERMS, 2)
+
+
 def test_cluster_stats_accounting(spark, sf_dir):
     from f1_realtime_data_pipeline_spark.operators import dedup as dd
 
