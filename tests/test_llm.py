@@ -108,6 +108,71 @@ def test_exact_dedup_counts(docs_small):
     assert out[0] == 1 and out[1] == 1 and out[3] == 1
 
 
+def test_exact_dedup_null_text_parity(spark):
+    # r8 NULL sweep: the harness corpus carries zero NULLs, so the
+    # oracle hash-matches prove nothing about NULL text — but a real
+    # corpus guarantees it. Pin the cross-engine agreement explicitly:
+    # Spark groups by xxhash64(text) (NULL input leaves the hash at
+    # its seed, so all NULL-text docs form ONE group), the oracle
+    # GROUPs BY text (SQL GROUP BY treats NULLs as equal — same one
+    # group), and '' is a DISTINCT group from NULL in both engines.
+    import duckdb
+
+    rows = [(0, "a b c"), (1, None), (2, None), (3, ""), (4, "a b c")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.canonical_doc_id: r.n_copies for r in dd.exact_dedup(docs).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents(doc_id BIGINT, text VARCHAR);"
+        "INSERT INTO documents VALUES "
+        "(0,'a b c'),(1,NULL),(2,NULL),(3,''),(4,'a b c')"
+    )
+    want = dict(con.execute(dd.EXACT_DEDUP_SQL).fetchall())
+    assert got == want == {0: 2, 1: 2, 3: 1}
+
+
+def test_null_text_behavior_of_text_operators(spark):
+    # r8 NULL sweep, rest of the family: a NULL-text doc must be
+    # CLASSIFIED (NULL stats, zero shingles → never pairs), not crash
+    # and not silently change groups — and the count semantics must
+    # agree with DuckDB, which the zero-NULL harness corpus cannot
+    # witness. '' keeps its pinned tokenizer contract (1 boundary-
+    # empty token; 0 BPE pieces).
+    import duckdb
+
+    from f1_realtime_data_pipeline_spark.functions import text as tx
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e"), (1, None), (2, "")], "doc_id bigint, text string"
+    )
+    stats = {
+        r.doc_id: (r.n, r.nb)
+        for r in docs.select(
+            "doc_id",
+            tx.token_count("text").alias("n"),
+            F.size(tx.bpe_ish_tokens("text")).alias("nb"),
+        ).collect()
+    }
+    assert stats == {0: (5, 5), 1: (None, None), 2: (1, 0)}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents(doc_id BIGINT, text VARCHAR);"
+        "INSERT INTO documents VALUES (0,'a b c d e'),(1,NULL),(2,'')"
+    )
+    duck = dict(
+        con.execute(
+            f"SELECT doc_id, {tx.token_count_sql('text')} FROM documents"
+        ).fetchall()
+    )
+    assert duck == {0: 5, 1: None, 2: 1}
+    # shingle relation: NULL and '' docs contribute ZERO rows — the
+    # pair detectors classify them as unique rather than exploding
+    sh = {r.doc_id for r in dd.doc_shingles(docs).select("doc_id").distinct().collect()}
+    assert sh == {0}
+
+
 def test_simhash_near_for_near_dups(docs_small):
     sigs = {r.doc_id: r.simhash for r in dd.simhash_signatures(docs_small).collect()}
     ham_near = bin(sigs[0] ^ sigs[1]).count("1")
