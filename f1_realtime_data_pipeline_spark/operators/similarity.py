@@ -55,20 +55,36 @@ from f1_realtime_data_pipeline_spark.functions.vector import (
 
 def _unit_vectors(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """(vid, uv): one norm fold per vector, unit array out. The folds
-    are per-row CPU work right after a scan → spread-guarded."""
-    return spread(embeddings).withColumn("nrm", norm(F.col(vec_col))).select(
-        F.col(id_col).alias("vid"), unit(F.col(vec_col), F.col("nrm")).alias("uv")
+    are per-row CPU work right after a scan → spread-guarded.
+
+    Degenerate rows are FILTERED (r8 NULL/zero sweep): a zero-norm
+    vector has no direction — cosine to it is undefined — and under
+    Spark 4's default ANSI mode the normalize division would kill the
+    WHOLE job with DIVIDE_BY_ZERO on the first zero embedding (a
+    failed-encoder output every real corpus contains), while DuckDB
+    would instead emit IEEE inf/nan rows — a silent cross-engine
+    divergence the zero-NULL harness fixtures can never witness. NULL
+    embeddings drop with the same predicate (NULL norm > 0 is false).
+    Both emitters carry the filter, so the engines stay row-identical."""
+    return (
+        spread(embeddings)
+        .withColumn("nrm", norm(F.col(vec_col)))
+        .filter(F.col("nrm") > 0)
+        .select(
+            F.col(id_col).alias("vid"),
+            unit(F.col(vec_col), F.col("nrm")).alias("uv"),
+        )
     )
 
 
 def _unit_sql(src: str = "embeddings") -> str:
     """The unit-vector CTE pair; ``src`` may be a table name or a
     parenthesized subquery (e.g. a fixture that plants near-dup
-    copies)."""
+    copies). Zero-norm/NULL rows filtered — see :func:`_unit_vectors`."""
     return f"""normed AS (
   SELECT vec_id, embedding, {norm_sql("embedding")} AS nrm FROM {src}
 ), unitv AS (
-  SELECT vec_id, {unit_sql("embedding", "nrm")} AS uv FROM normed
+  SELECT vec_id, {unit_sql("embedding", "nrm")} AS uv FROM normed WHERE nrm > 0
 )"""
 
 

@@ -221,6 +221,42 @@ def test_connected_components_both_strategies_agree(spark):
 # ---------------------------------------------------------------------------
 
 
+def test_unit_vectors_filter_degenerate_rows(spark):
+    # r8 NULL/zero sweep: a zero-norm embedding (failed-encoder output
+    # every real corpus contains) previously killed the WHOLE job via
+    # ANSI DIVIDE_BY_ZERO in the normalize — while DuckDB would emit
+    # IEEE inf rows (silent divergence the zero-NULL fixtures cannot
+    # witness). Degenerate rows (zero vector, NULL embedding) now
+    # FILTER at the single unit-vector definition in BOTH emitters:
+    # no direction → no cosine → classified out of the candidate set.
+    import duckdb
+
+    from f1_realtime_data_pipeline_spark.functions.vector import LSH_DIM
+
+    pad = [0.0] * (LSH_DIM - 2)  # the SQL emitters index the full dim
+    rows = [
+        (0, [3.0, 4.0] + pad),
+        (1, None),
+        (2, [0.0] * LSH_DIM),
+        (3, [0.0, 1.0] + pad),
+    ]
+    embs = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    u = {r.vid: r.uv for r in sim._unit_vectors(embs, "vec_id", "embedding").collect()}
+    assert set(u) == {0, 3}
+    assert u[0][:2] == [0.6, 0.8]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings(vec_id BIGINT, embedding DOUBLE[])")
+    con.executemany(
+        "INSERT INTO embeddings VALUES (?, ?)", [[i, v] for i, v in rows]
+    )
+    duck = dict(
+        con.execute(
+            f"WITH {sim._unit_sql()} SELECT vec_id, uv FROM unitv"
+        ).fetchall()
+    )
+    assert set(duck) == {0, 3} and duck[0][:2] == [0.6, 0.8]
+
+
 def test_knn_lsh_recall(spark, sf_dir):
     embs = read_table(spark, sf_dir, "embeddings")
     exact = sim.knn_bruteforce(embs, n_queries=8, k=3)
