@@ -261,10 +261,21 @@ def attach_gray_payload(docs: DataFrame) -> DataFrame:
     return _attach_payload(docs, payload)
 
 
+def _require_payload(payload: bytes | None) -> None:
+    """NULL-payload guard shared by every pure decoder (r8 NULL
+    sweep): a missing blob is a fact of any real corpus, and
+    ``None[:2]`` raised TypeError — which ESCAPES the Arrow worker
+    and kills the whole job, unlike the typed ``ValueError`` contract
+    (r7) that makes bad blobs filterable upstream."""
+    if payload is None:
+        raise ValueError("null payload")
+
+
 def decode_bmp_ahash(payload: bytes) -> tuple[int, int, int, int]:
     """(width, height, mean_lum, ahash) from real BMP bytes: header
     walk (data offset, dims, 24 bpp check), padded bottom-up rows back
     to image order, integer mean, 63-bit above-mean OR-fold."""
+    _require_payload(payload)
     if payload[:2] != b"BM":
         raise ValueError("not a BMP")
     if len(payload) < 30:
@@ -381,6 +392,7 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int]:
     (truncated fmt chunk, zero block align, data size past the buffer)
     — workers must surface a typed error, not ZeroDivisionError or
     struct.error, so bad blobs are filterable upstream."""
+    _require_payload(payload)
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE container")
     pos, rate, ch, bits, data_len, block = 12, None, None, None, None, None
@@ -522,6 +534,7 @@ def decode_jpeg(payload: bytes) -> tuple[str, int, int]:
     (dimensions always precede the scan). Raises ``ValueError`` on a
     non-JPEG or truncated/corrupt stream (typed worker error, same
     contract as :func:`decode_image`)."""
+    _require_payload(payload)
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos, n = 2, len(payload)
@@ -788,6 +801,7 @@ def decode_mp4(payload: bytes) -> tuple[int, int, int, int, int]:
     its mdia/hdlr handler — an audio or hint track never wins), stts
     sample-count sum for the frame count. Raises ``ValueError`` on a
     non-BMFF or truncated/corrupt container."""
+    _require_payload(payload)
     return _decode_mp4_full(payload)[:5]
 
 
@@ -915,6 +929,7 @@ def decode_mp4_chunk_offset(payload: bytes) -> int:
     """The stco chunk offset — the absolute file position of the first
     sample's bytes. What a byte-range fetcher seeks to; raises
     ``ValueError`` on a container without a sample-chunk table."""
+    _require_payload(payload)
     for _, typ, b0, b1 in _bmff_boxes(payload, 0, len(payload)):
         if typ == b"stco":
             # bounds BEFORE the unpack (r7 review, repro'd): a
@@ -1008,6 +1023,7 @@ def decode_image(payload: bytes) -> tuple[str, int, int, int]:
     descriptor flags) counting image descriptors. BMP:
     BITMAPINFOHEADER dims (top-down negative height normalized).
     Raises ``ValueError`` on an unrecognized container."""
+    _require_payload(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         # bounds-check the fixed header region: a short buffer must
         # raise the documented (filterable) ValueError, not struct.error

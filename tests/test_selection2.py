@@ -158,6 +158,28 @@ def test_decoders_raise_value_error_on_short_headers():
         mm.decode_bmp_ahash(b"BM" + b"\x00" * 10)
 
 
+def test_decoders_raise_value_error_on_null_payload():
+    # r8 NULL sweep: a MISSING blob is a fact of any real corpus, and
+    # None[:2] raised TypeError — which escapes the Arrow worker and
+    # kills the whole job, unlike the typed-ValueError contract (r7)
+    # that makes bad blobs filterable upstream. Every pure decoder
+    # must refuse None the same way it refuses junk bytes.
+    import pytest
+
+    from f1_realtime_data_pipeline_spark.operators import multimodal as mm
+
+    for decoder in (
+        mm.decode_image,
+        mm.decode_bmp_ahash,
+        mm.decode_wav,
+        mm.decode_jpeg,
+        mm.decode_mp4,
+        mm.decode_mp4_chunk_offset,
+    ):
+        with pytest.raises(ValueError, match="null payload"):
+            decoder(None)
+
+
 def test_watermark_curve_matches_single_window_form(spark, sf_dir):
     # the distributed prefix-max must reproduce the global-window
     # audit exactly (same 30m delay, same per-type counts)
