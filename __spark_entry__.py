@@ -59,17 +59,25 @@ from f1_realtime_data_pipeline_spark.plans import (
 # prune the added column (both verified by local selfcheck,
 # r7-green); they, d_exact, and the r3 cohort (TPC-H head) lead
 # round 9's window.
-# LATE-r8 value-identical hardening, verified OUTSIDE the window:
-# similarity._unit_vectors now filters zero-norm/NULL embeddings in
-# BOTH emitters (one zero vector — a failed-encoder output every real
-# corpus contains — previously killed the whole job via ANSI
-# DIVIDE_BY_ZERO while DuckDB emitted IEEE inf rows: a silent
-# divergence the zero-NULL fixtures cannot witness). The fixture
-# corpus has no degenerate vectors, so every oracle VALUE is
-# unchanged — the entire 18-query similarity family re-selfchecked
-# green at sf0.01 AND sf0.1 after the edit, and the degenerate-row
-# behavior is pinned cross-engine in pytest
-# (test_unit_vectors_filter_degenerate_rows).
+# LATE-r8 value-identical hardening, verified OUTSIDE the window
+# (every oracle VALUE unchanged on the degenerate-free fixtures;
+# each family re-selfchecked green after its edit):
+# (1) similarity._unit_vectors filters zero-norm/NULL embeddings in
+#     BOTH emitters (one zero vector — a failed-encoder output every
+#     real corpus contains — previously killed the whole job via ANSI
+#     DIVIDE_BY_ZERO while DuckDB emitted IEEE inf rows: a silent
+#     divergence the zero-NULL fixtures cannot witness). 18-query
+#     similarity family selfchecked at sf0.01 AND sf0.1; degenerate
+#     rows pinned cross-engine in pytest.
+# (2) every pure media decoder refuses a NULL payload with the typed
+#     ValueError contract (None[:2] raised TypeError, which ESCAPES
+#     the Arrow worker); multimodal family selfchecked 9/9.
+# (3) the JSON-k extract sites (q0_stream_transform, p_json_extract,
+#     w_json_props) and the binary-ingest filename id use try_cast /
+#     TRY_CAST: under Spark 4's default ANSI mode ONE malformed
+#     props.k aborted the job with CAST_INVALID_INPUT; malformed now
+#     classifies to NULL identically in both engines (w_json_props is
+#     in this round's window; the trio selfchecked green).
 # DEFERRED to round 9 (multi-scan audit plans that could share a
 # persisted base relation, found by the r8 PLANS sweep; correct
 # values, non-headline, left untouched to keep the r8 window

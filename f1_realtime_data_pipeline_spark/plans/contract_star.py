@@ -334,7 +334,13 @@ def q0_stream_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checkable (SURVEY.md §7 phase 2).
     """
     events = read_events(spark, sf_dir)
-    k = F.get_json_object("props", "$.k").cast("int")
+    # try_cast (r8 ANSI sweep): under Spark 4's default ANSI mode a
+    # plain cast of one malformed props.k ('12abc') kills the whole
+    # job with CAST_INVALID_INPUT; try_cast yields NULL → the existing
+    # not-null position filter classifies the record out — the same
+    # PERMISSIVE classify-drop the streaming form's from_json applies.
+    # Oracle twin: TRY_CAST (identical NULL-on-malformed semantics).
+    k = F.get_json_object("props", "$.k").try_cast("int")
     position = (
         F.when(F.col("event_type") == "error", F.lit(None).cast("int"))
         .otherwise((k % 20 + 1).cast("int"))
@@ -356,7 +362,7 @@ Q0_SQL = f"""WITH parsed AS (
          strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS event_time,
          user_id, event_type, value,
          CASE WHEN event_type = 'error' THEN NULL
-              ELSE CAST(CAST(json_extract_string(props, '$.k') AS INT) % 20 + 1 AS INT)
+              ELSE CAST(TRY_CAST(json_extract_string(props, '$.k') AS INT) % 20 + 1 AS INT)
          END AS position
   FROM events
 )

@@ -84,17 +84,20 @@ FROM lineitem""",
 
 
 def p_json_extract(spark, sf_dir):
-    """P2 JSON parse: get_json_object stays JVM-side (no UDF)."""
+    """P2 JSON parse: get_json_object stays JVM-side (no UDF).
+    try_cast, not cast (r8 ANSI sweep): one malformed props.k would
+    otherwise kill the job under Spark 4's default ANSI mode;
+    malformed → NULL in BOTH engines (TRY_CAST twin)."""
     return _t(spark, sf_dir, "events").select(
         "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.get_json_object("props", "$.k").try_cast("int").alias("k"),
     )
 
 
 _register(
     "p_json_extract",
     p_json_extract,
-    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+    """SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k
 FROM events""",
 )
 

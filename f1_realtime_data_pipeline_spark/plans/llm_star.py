@@ -1037,8 +1037,12 @@ def m_binary_ingest(spark, sf_dir):
             shutil.rmtree(stage, ignore_errors=True)
             raise
     media = read_binary_files(spark, out, "*.jpg").select(
+        # try_cast (r8 ANSI sweep): regexp_extract yields '' for a
+        # filename outside the convention (a stray *.jpg in a real
+        # blob store), and ANSI CAST('' AS BIGINT) aborts the job —
+        # try_cast classifies it as doc_id NULL instead
         F.regexp_extract(F.col("path"), r"doc_(\d+)\.jpg$", 1)
-        .cast("bigint")
+        .try_cast("bigint")
         .alias("doc_id"),
         F.col("content").alias("payload"),
     )

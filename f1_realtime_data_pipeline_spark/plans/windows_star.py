@@ -351,9 +351,12 @@ FROM per_user""",
 def w_json_props(spark, sf_dir):
     """Typed JSON-property extraction from the event payload
     (schema-on-read: props is a JSON string column) aggregated per
-    event_type — get_json_object path navigation + cast, all JVM."""
+    event_type — get_json_object path navigation + cast, all JVM.
+    try_cast (r8 ANSI sweep): malformed props.k → NULL (uncounted by
+    COUNT(k)/ignored by SUM — the classify-drop shape) instead of an
+    ANSI CAST_INVALID_INPUT job abort; TRY_CAST twin in the oracle."""
     ev = read_events(spark, sf_dir)
-    k = F.get_json_object("props", "$.k").cast("int")
+    k = F.get_json_object("props", "$.k").try_cast("int")
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")
@@ -371,10 +374,10 @@ _register(
     "w_json_props",
     w_json_props,
     """SELECT event_type,
-       CAST(COUNT(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS n_with_k,
-       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
-       CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
-       CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+       CAST(COUNT(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS n_with_k,
+       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       CAST(MIN(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+       CAST(MAX(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
 FROM events
 GROUP BY event_type
 ORDER BY event_type""",

@@ -62,3 +62,27 @@ def test_q0_no_error_events_and_points_range(spark, sf_dir):
     assert all(r.event_type != "error" for r in rows)
     assert all(1 <= r.position <= 20 for r in rows)
     assert all(r.points == 0 for r in rows if r.position > 10)
+
+
+def test_json_k_extract_classifies_malformed_instead_of_aborting(spark):
+    # r8 ANSI sweep: under Spark 4's default ANSI mode a plain cast of
+    # ONE malformed props.k ('12abc') killed the whole job with
+    # CAST_INVALID_INPUT — a single bad record in a real event stream
+    # takes down the pipeline. The extract sites use try_cast now:
+    # malformed → NULL → classified out (q0's not-null position
+    # filter; uncounted by w_json_props' COUNT(k)).
+    from pyspark.sql import functions as F
+
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"  # the hazard
+    df = spark.createDataFrame(
+        [(0, '{"k": 5}'), (1, '{"k": "12abc"}'), (2, "not json at all")],
+        "event_id bigint, props string",
+    )
+    out = {
+        r.event_id: r.k
+        for r in df.select(
+            "event_id",
+            F.get_json_object("props", "$.k").try_cast("int").alias("k"),
+        ).collect()
+    }
+    assert out == {0: 5, 1: None, 2: None}
