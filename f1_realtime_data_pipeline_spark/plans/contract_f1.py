@@ -49,7 +49,12 @@ def transform_stream(raw: DataFrame, value_col: str = "value") -> DataFrame:
         .select(F.from_json("json", RACE_RESULT_MSG_WITH_CORRUPT).alias("data"))
         .select("data.*")
         .withColumn("points", points_for_position("position"))
-        .withColumn("date", F.to_timestamp("date"))
+        # try_to_timestamp (r8 ANSI sweep): one malformed wire date
+        # ('2023-13-99') aborts the stream under Spark 4's default
+        # ANSI mode; NULL-on-malformed keeps the record flowing with
+        # a NULL event time — the same PERMISSIVE classify-drop the
+        # from_json step applies to the rest of the payload
+        .withColumn("date", F.try_to_timestamp("date"))
         .filter(F.col("position").isNotNull())
         # the corrupt-record column is always NULL past the not-null
         # filter; dropping it restores the RACE_RESULTS column
