@@ -970,7 +970,12 @@ GROUP BY bucket""",
 def p_array_funcs(spark, sf_dir):
     """Array/collection surface: collect per-customer order-priority
     lists (sorted for determinism — bare collect_list is
-    partition-order-dependent), plus size/contains/distinct ops."""
+    partition-order-dependent), plus size/contains/distinct ops.
+    try_element_at, not element_at (r8 ANSI sweep): collect_list skips
+    NULLs, so a group whose every priority is NULL yields an EMPTY
+    array and ANSI element_at(…, 1) aborts the job — while DuckDB's
+    list index returns NULL out-of-bounds. try_element_at has exactly
+    DuckDB's NULL-on-out-of-bounds semantics."""
     o = _t(spark, sf_dir, "orders")
     return (
         o.groupBy("o_custkey")
@@ -980,7 +985,7 @@ def p_array_funcs(spark, sf_dir):
             F.size("prios").cast("int").alias("n_orders"),
             F.array_contains("prios", "1-URGENT").alias("has_urgent"),
             F.size(F.array_distinct("prios")).cast("int").alias("n_distinct_prios"),
-            F.element_at("prios", 1).alias("first_prio"),
+            F.try_element_at("prios", F.lit(1)).alias("first_prio"),
         )
     )
 
