@@ -37,8 +37,17 @@ def _register(name, fn, sql):
 
 
 def w_tumbling(spark, sf_dir):
-    """1-hour tumbling windows × event_type: count + exact value sum."""
-    ev = read_events(spark, sf_dir)
+    """1-hour tumbling windows × event_type: count + exact value sum.
+
+    Explicit NULL-event-time drop (r8 NULL sweep, whole w_* window
+    family): Spark's ``F.window`` silently EXCLUDES NULL-ts rows
+    (streaming semantics — an event without a time cannot be
+    windowed) while the oracle's ``date_trunc(NULL)`` would group
+    them under a NULL window — a cross-engine divergence the
+    NULL-free fixtures cannot witness. Both sides now filter
+    ``ts IS NOT NULL`` so the drop is a documented classification,
+    not an engine accident."""
+    ev = read_events(spark, sf_dir).filter(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -64,14 +73,16 @@ _register(
        CAST(COUNT(*) AS BIGINT) AS n_events,
        {decimal_sum_sql("value", "sum_value")}
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY 1, 2, 3""",
 )
 
 
 def w_sliding(spark, sf_dir):
     """1-hour windows sliding every 30 min — every event lands in two
-    overlapping windows (starts aligned to the slide)."""
-    ev = read_events(spark, sf_dir)
+    overlapping windows (starts aligned to the slide). NULL event
+    times drop explicitly on both sides (see :func:`w_tumbling`)."""
+    ev = read_events(spark, sf_dir).filter(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(F.count("*").cast("bigint").alias("n_events"))
@@ -91,6 +102,7 @@ _register(
          + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END
          AS slide_start
   FROM events
+  WHERE ts IS NOT NULL
 ), starts AS (
   SELECT slide_start AS window_start FROM trunc30
   UNION ALL
@@ -110,9 +122,12 @@ def w_session(spark, sf_dir):
     Spark semantics: an event at t extends the session to t + gap; a
     new session opens when the next event's t >= current end (i.e. gap
     or more after the previous event). The oracle reproduces exactly
-    that with lag + cumulative-sum sessionization.
+    that with lag + cumulative-sum sessionization. NULL event times
+    drop explicitly on both sides (see :func:`w_tumbling` — here the
+    Spark side's ``session_window`` excludes them while the oracle's
+    lag/cumsum would sessionize them, a worse silent divergence).
     """
-    ev = read_events(spark, sf_dir)
+    ev = read_events(spark, sf_dir).filter(F.col("ts").isNotNull())
     return (
         ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
         .agg(
@@ -138,6 +153,7 @@ _register(
                 OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_sess
   FROM events
+  WHERE ts IS NOT NULL
 ), sessions AS (
   SELECT user_id, ts, value,
          SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
@@ -158,8 +174,12 @@ def w_sessionize_lag(spark, sf_dir):
     """The batch sessionization idiom itself (lag + gap + cumsum) as a
     first-class operator — session ids attached to raw events, for
     pipelines that need per-event session context rather than the
-    collapsed session rows of :func:`w_session`."""
-    ev = read_events(spark, sf_dir)
+    collapsed session rows of :func:`w_session`. NULL event times
+    drop explicitly on both sides (see :func:`w_tumbling` — an
+    unfiltered NULL ts would also ORDER differently per engine:
+    Spark windows sort NULLS FIRST ascending, DuckDB NULLS LAST,
+    shifting every session id in the partition)."""
+    ev = read_events(spark, sf_dir).filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts")
     gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
     new_sess = F.when(gap.isNull() | (gap >= 1800), 1).otherwise(0)
@@ -187,6 +207,7 @@ FROM (
                 OR epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800
               THEN 1 ELSE 0 END AS new_sess
   FROM events
+  WHERE ts IS NOT NULL
 )""",
 )
 
