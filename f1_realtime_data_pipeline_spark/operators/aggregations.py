@@ -100,6 +100,15 @@ def dedup_first_wins(
     is partitioning-dependent. Shuffles once on ``keys``; at 100 TB
     prefer keys that are already the table's partition/bucket keys so
     AQE can skip the exchange.
+
+    NULL-ordering contract (r8 NULL sweep): Spark sorts NULLS FIRST
+    ascending / NULLS LAST descending — the OPPOSITE of DuckDB/
+    Postgres defaults — so a NULLABLE order column silently picks a
+    different winner than the equivalent ANSI-SQL ROW_NUMBER form.
+    Every registered caller orders by schema-non-null columns; pass
+    ``F.asc_nulls_last(...)`` / ``F.desc_nulls_first(...)`` (or add
+    ``NULLS FIRST/LAST`` to the SQL twin) when a nullable column must
+    participate in the order.
     """
     w = Window.partitionBy(*keys).orderBy(*order)
     return (
