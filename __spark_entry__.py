@@ -78,6 +78,14 @@ from f1_realtime_data_pipeline_spark.plans import (
 #     props.k aborted the job with CAST_INVALID_INPUT; malformed now
 #     classifies to NULL identically in both engines (w_json_props is
 #     in this round's window; the trio selfchecked green).
+# (4) the event-time window family (w_tumbling/w_sliding/w_session/
+#     w_sessionize_lag — ALL in this round's window) filters
+#     ts IS NOT NULL on BOTH sides: Spark's window()/session_window()
+#     silently exclude NULL-ts rows while the oracles would group or
+#     sessionize them, and NULL ordering diverges per engine (Spark
+#     NULLS FIRST asc, DuckDB NULLS LAST). transform_stream uses
+#     try_to_timestamp (one malformed wire date aborted the stream);
+#     dedup_first_wins documents the NULL-ordering contract.
 # DEFERRED to round 9 (multi-scan audit plans that could share a
 # persisted base relation, found by the r8 PLANS sweep; correct
 # values, non-headline, left untouched to keep the r8 window
