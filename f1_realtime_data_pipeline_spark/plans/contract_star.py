@@ -383,10 +383,16 @@ def _fact_msg_src(spark: SparkSession, sf_dir: str) -> str:
     struct and each wrote its own fixture; one serialization, one
     wire shape, half the staging I/O per oracle pass). Reuse is
     gated on the _SUCCESS marker Spark's committer writes LAST — a
-    crashed prior write is torn down, never silently replayed."""
+    crashed prior write is torn down, never silently replayed. The
+    publish is write-to-unique-stage + atomic rename (ADVICE r8: the
+    old write-in-place was check-then-act — two MV queries racing the
+    probe on one session could tear the shared fixture; now ``src``
+    holds either a COMPLETE committed write or nothing, and a lost
+    rename race just adopts the winner's complete dir)."""
     import os
     import shutil
     import tempfile
+    import uuid
 
     src = os.path.join(
         tempfile.gettempdir(),
@@ -394,16 +400,34 @@ def _fact_msg_src(spark: SparkSession, sf_dir: str) -> str:
     )
     if not os.path.exists(f"{src}/_SUCCESS"):
         shutil.rmtree(src, ignore_errors=True)
-        race_fact(spark, sf_dir).select(
-            F.to_json(
-                F.struct(
-                    F.col("grand_prix"),
-                    F.col("driver_number").cast("string").alias("driver_number"),
-                    F.col("position"),
-                    F.col("session_key"),
-                )
-            ).alias("value")
-        ).coalesce(2).write.text(src)
+        # unique same-parent stage dir: the publishing rename stays a
+        # same-filesystem atomic op, and concurrent callers never
+        # write the same path (Spark creates the stage itself)
+        stage = f"{src}.stage-{uuid.uuid4().hex[:8]}"
+        try:
+            race_fact(spark, sf_dir).select(
+                F.to_json(
+                    F.struct(
+                        F.col("grand_prix"),
+                        F.col("driver_number").cast("string").alias("driver_number"),
+                        F.col("position"),
+                        F.col("session_key"),
+                    )
+                ).alias("value")
+            ).coalesce(2).write.text(stage)
+            try:
+                os.rename(stage, src)
+            except OSError:
+                # only a LOST RACE is recoverable: a concurrent caller
+                # published a complete dir (its rename was gated on its
+                # own committed stage) — adopt it. Anything else
+                # propagates (the m_binary_ingest policy).
+                if not os.path.exists(f"{src}/_SUCCESS"):
+                    raise
+                shutil.rmtree(stage, ignore_errors=True)
+        except BaseException:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
     return src
 
 

@@ -326,7 +326,12 @@ def t_tfidf_keywords(spark, sf_dir):
     relation feeds BOTH the df rollup and the score join, so it is
     persisted — one tokenize+explode instead of two (r8, the
     t_bigram_quality discipline); the remaining second scan is the
-    count-star for N, which reads parquet metadata only.
+    count-star for N, which reads parquet metadata only. Lifecycle
+    (ADVICE r8): no explicit unpersist — the blocks are
+    reference-tracked and the ContextCleaner drops them when the
+    returned plan is garbage-collected; session.py pins periodicGC to
+    5 min, so a long multi-query run's cache residue is bounded (the
+    dedup.py minhash_lsh_pairs policy).
     """
     from pyspark import StorageLevel
 
@@ -402,7 +407,9 @@ def t_rare_tokens(spark, sf_dir):
     Scale shape: explode -> (doc_id, term) tf agg -> term-keyed df
     join -> doc-keyed integer agg. The df relation is vocabulary-sized
     (zipf-bounded); everything else shuffles integers. tf feeds both
-    the df rollup and the score join — persisted, one explode (r8).
+    the df rollup and the score join — persisted, one explode (r8);
+    unpersist is the ContextCleaner's on plan GC, periodicGC pinned to
+    5 min by session.py (ADVICE r8 — the dedup.py lifecycle policy).
     """
     from pyspark import StorageLevel
 
@@ -1120,7 +1127,10 @@ def t_bigram_quality(spark, sf_dir):
         # counts; score: join-back) — persist so the corpus is
         # tokenized+exploded once (r8 best-of-3: −12% wall; same
         # module discipline as t_contamination_report's shingle
-        # relation; MEMORY_AND_DISK spills rather than OOMs at scale)
+        # relation; MEMORY_AND_DISK spills rather than OOMs at scale).
+        # Lifecycle (ADVICE r8): reference-tracked — ContextCleaner
+        # unpersists on plan GC, periodicGC pinned to 5 min in
+        # session.py, so cache residue across a long run is bounded.
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     bgc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cbg"))

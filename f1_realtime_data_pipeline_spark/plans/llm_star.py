@@ -1017,9 +1017,29 @@ def m_binary_ingest(spark, sf_dir):
                         f.write(bytes(r["payload"]))
                     _os.rename(tmp, final)
 
+            # expected file count from the bare id relation (1:1 with
+            # the payload rows; counting the payload relation itself
+            # would encode every JPEG a second time)
+            expected = docs.select("doc_id").count()
             mm.attach_jpeg_payload(docs).select(
                 "doc_id", "payload"
             ).foreachPartition(_write_partition)
+            # shared-filesystem guard (ADVICE r8): on a cluster whose
+            # fixture root is NOT shared storage, executor writes land
+            # on worker-local disks and the driver would publish an
+            # empty/partial dir — the query then silently returns
+            # missing rows. Refuse to publish an incomplete stage.
+            import glob as _glob
+
+            staged = len(_glob.glob(os.path.join(stage, "*.jpg")))
+            if staged != expected:
+                raise RuntimeError(
+                    f"m_binary_ingest: staged {staged} files but expected "
+                    f"{expected} — the fixture root {fixture_root!r} is not "
+                    "visible to both driver and executors. Point "
+                    "SPARK_GRAFT_FIXTURE_DIR at shared storage "
+                    "(NFS/HDFS/fuse mount)."
+                )
             try:
                 os.rename(stage, out)
             except OSError:

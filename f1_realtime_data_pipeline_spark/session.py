@@ -91,6 +91,16 @@ def get_spark(
         # process-wide default, returns None here, and getOrCreate
         # would silently reuse-and-mutate it — the exact case this
         # check exists to catch. Probe the process default too.
+        # VERSION PIN (ADVICE r8): `_instantiatedSession` and `_jsc`
+        # are PRIVATE attributes of classic PySpark (present 3.x-4.1;
+        # absent under Spark Connect, where no in-process JVM session
+        # exists to mutate, so skipping the probe there is correct).
+        # The getattr defaults keep this non-crashing if an upgrade
+        # renames them, but then the probe silently stops detecting
+        # other-thread sessions — tests/test_engine.py::
+        # test_process_default_probe_attributes_exist pins the
+        # attribute names so a PySpark bump that breaks the probe
+        # fails loudly instead.
         pre = getattr(_SS, "_instantiatedSession", None)
         if pre is not None and getattr(pre.sparkContext, "_jsc", None) is None:
             pre = None  # context stopped out-of-band; getOrCreate makes a new one

@@ -396,3 +396,25 @@ def test_get_spark_warns_when_session_exists_only_as_process_default(spark):
     finally:
         jcls.setActiveSession(spark._jsparkSession)
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_process_default_probe_attributes_exist(spark):
+    # ADVICE r8 (session.py): the process-default probe reads the
+    # PRIVATE SparkSession._instantiatedSession and SparkContext._jsc
+    # attributes; getattr defaults keep it non-crashing if a PySpark
+    # upgrade renames them, but then the probe would SILENTLY stop
+    # detecting other-thread sessions. Pin the names here so the
+    # upgrade fails this test instead. (Under Spark Connect both are
+    # legitimately absent — no in-process JVM session exists to
+    # mutate — but this suite runs classic local mode.)
+    from pyspark.sql import SparkSession
+
+    assert hasattr(SparkSession, "_instantiatedSession"), (
+        "SparkSession._instantiatedSession gone — update the "
+        "process-default probe in session.py (it is silently dead)"
+    )
+    assert SparkSession._instantiatedSession is spark
+    assert getattr(spark.sparkContext, "_jsc", None) is not None, (
+        "SparkContext._jsc gone — the stopped-context guard in "
+        "session.py no longer distinguishes live from stopped sessions"
+    )

@@ -29,10 +29,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def green(row: dict) -> bool:
     # rows-only entries (err == 'no_oracle') have every match field
-    # None; the driver's weaker check is "ran and produced >= 0 rows"
+    # None; the driver's weaker check is "ran and produced >= 0 rows".
+    # These are NOT folded silently into green: main() reports them in
+    # a distinct "rows-only" section (ADVICE r8 — a rows-only query
+    # that regresses to wrong VALUES can never fail here, so the
+    # weaker check must stay visible instead of reading as verified).
     if row.get("err") == "no_oracle":
         return row.get("spark_rows") is not None
     return bool(row.get("hash_match"))
+
+
+def rows_only(row: dict) -> bool:
+    return row.get("err") == "no_oracle"
 
 
 def main() -> int:
@@ -42,6 +50,7 @@ def main() -> int:
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest: dict[str, int] = {}
+    weak: dict[str, int] = {}  # latest green round that was rows-only
     newest_round, newest_doc = 0, {}
     for path in sorted(glob.glob(f"{root}/CORRECTNESS_r*.json")):
         m = re.search(r"_r(\d+)\.json$", path)
@@ -52,6 +61,8 @@ def main() -> int:
         for name, row in doc.items():
             if green(row):
                 latest[name] = max(latest.get(name, 0), rnd)
+                if rows_only(row):
+                    weak[name] = max(weak.get(name, 0), rnd)
 
     import __spark_entry__ as entrymod
 
@@ -71,6 +82,15 @@ def main() -> int:
         print(
             f"WARNING: never-checked AND outside the 50-window: {uncovered}"
         )
+    # rows-only rows pass a strictly weaker check (ran + produced rows;
+    # values never compared) — surface them instead of folding into
+    # green (ADVICE r8)
+    weak_now = [n for n in names if weak.get(n) == latest.get(n, 0)]
+    if weak_now:
+        print(
+            f"rows-only (no oracle — VALUES NEVER DRIVER-CHECKED, "
+            f"{len(weak_now)}): {weak_now}"
+        )
 
     print(f"\noldest {args.oldest} in registration order (r{newest_round} file"
           " is the newest):")
@@ -79,10 +99,19 @@ def main() -> int:
         print(f"  r{latest.get(n, 0)}  {n}")
 
     fails = [n for n, row in newest_doc.items() if not green(row)]
+    weak_newest = [
+        n for n, row in newest_doc.items() if green(row) and rows_only(row)
+    ]
     if fails:
         print(f"\nFAILING in CORRECTNESS_r{newest_round:02d}: {fails}")
         return 1
-    print(f"\nCORRECTNESS_r{newest_round:02d}: all {len(newest_doc)} green")
+    suffix = (
+        f" ({len(weak_newest)} rows-only: {weak_newest})" if weak_newest else ""
+    )
+    print(
+        f"\nCORRECTNESS_r{newest_round:02d}: all {len(newest_doc)} "
+        f"green{suffix}"
+    )
     return 0
 
 
