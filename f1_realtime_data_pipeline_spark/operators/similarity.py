@@ -738,11 +738,27 @@ def _l2_sql(a: str, b: str, dim: int) -> str:
 
 
 def _pq_scored_best(
-    embeddings: DataFrame, n_codes: int, id_col: str, vec_col: str
+    embeddings: DataFrame,
+    n_codes: int,
+    id_col: str,
+    vec_col: str,
+    share: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """(scored, best): every (vid, sub, code, dist) pair, and each
     (vid, sub)'s argmin codeword. ``scored`` doubles as the ADC
-    distance table (restricted to the query ids)."""
+    distance table (restricted to the query ids).
+
+    ``share=True`` persists the scored relation so a caller that
+    consumes BOTH outputs (knn_pq: best feeds the pair join, scored
+    feeds the query distance tables) runs the subvector explode +
+    N·M·k distance folds ONCE instead of once per consumer (VERDICT
+    r8: e_knn_pq re-scanned its input 4×). The persisted projection
+    is (vid, sub, code, dist) only — the sv/cw float arrays are
+    intermediates no consumer reads, so the cached footprint is four
+    scalars per row, not two 16-float arrays. pq_codes (single
+    consumer) keeps the default: a cache built for one read is pure
+    overhead (the d_simhash_pairs lesson). Lifecycle: ContextCleaner
+    on plan GC, periodicGC 5 min (the dedup.py policy)."""
     subs = spread(embeddings).select(
         F.col(id_col).alias("vid"),
         F.posexplode(
@@ -765,9 +781,15 @@ def _pq_scored_best(
             )
         ).alias("sub", "cw"),
     )
-    scored = subs.join(F.broadcast(cb), "sub").withColumn(
-        "dist", _l2(F.col("sv"), F.col("cw"))
+    scored = (
+        subs.join(F.broadcast(cb), "sub")
+        .withColumn("dist", _l2(F.col("sv"), F.col("cw")))
+        .select("vid", "sub", "code", "dist")
     )
+    if share:
+        from pyspark import StorageLevel
+
+        scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
     w = Window.partitionBy("vid", "sub").orderBy(
         F.col("dist").asc(), F.col("code").asc()
     )
@@ -890,8 +912,13 @@ def knn_pq(
     work is a hash join on (sub, code) + a fixed-width pivot — linear
     in N·Q. Production stacks compose this with IVF cell pruning so Q
     pairs only against its probed cells; the ADC arithmetic is
-    identical."""
-    scored, best = _pq_scored_best(embeddings, n_codes, id_col, vec_col)
+    identical. ``share=True``: the (vid, sub, code, dist) relation is
+    persisted once and feeds both the codes side and the query
+    distance tables — one subvector derivation, not four input scans
+    (VERDICT r8)."""
+    scored, best = _pq_scored_best(
+        embeddings, n_codes, id_col, vec_col, share=True
+    )
     dt = scored.filter(F.col("vid") < n_queries).select(
         F.col("vid").alias("query_id"), "sub", "code", F.col("dist").alias("d")
     )

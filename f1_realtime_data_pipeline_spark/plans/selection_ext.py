@@ -318,8 +318,21 @@ def w_anomaly_mad(spark, sf_dir):
     fact — the fact shuffles once per aggregation on the type key,
     never on value. Spark ``percentile`` and DuckDB ``quantile_cont``
     both linearly interpolate, so med/MAD are bit-identical (the
-    a_percentiles parity)."""
-    ev = _events(spark, sf_dir).select("event_type", "value")
+    a_percentiles parity).
+
+    The two-column fact projection feeds all three aggregations
+    (median, MAD, final outlier count), so it is persisted — ONE
+    parquet scan instead of four (VERDICT r8: at 100 TB an audit
+    query re-reading its input 4× is real money even when linear).
+    Lifecycle: ContextCleaner unpersists on plan GC, periodicGC 5 min
+    (the dedup.py policy)."""
+    from pyspark import StorageLevel
+
+    ev = (
+        _events(spark, sf_dir)
+        .select("event_type", "value")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     med = ev.groupBy("event_type").agg(
         F.percentile("value", F.lit(0.5)).alias("med")
     )
@@ -549,10 +562,25 @@ def e_knn_recall_audit(spark, sf_dir):
     per query — the eval harness an ANN deployment runs before
     trusting its index parameters. Both sides are the registered
     operators; the intersection join is on (query, neighbor) int
-    pairs; recall in integer ppm."""
-    embs = _embs(spark, sf_dir)
-    truth = sim.knn_bruteforce(embs, n_queries=16, k=5).select(
-        "query_id", "neighbor_id"
+    pairs; recall in integer ppm.
+
+    Shared-input discipline (VERDICT r8: this plan re-read the
+    embeddings 6× — the brute-force subtree twice for its q/c sides,
+    duplicated again under truth's two consumers, plus the LSH pair):
+    the RAW embeddings relation is persisted once and every derivation
+    reads the cache. Raw grain, not the unit vectors, because the LSH
+    side folds its bucket bits from the raw vector — a unit-only share
+    can't serve both paths. The tiny truth relation (n_queries·k rows)
+    is persisted too so its crossjoin+window subtree runs once, not
+    once per consumer (hit join + n_true). Lifecycle: ContextCleaner
+    on plan GC (the dedup.py policy)."""
+    from pyspark import StorageLevel
+
+    embs = _embs(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    truth = (
+        sim.knn_bruteforce(embs, n_queries=16, k=5)
+        .select("query_id", "neighbor_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     found = sim.knn_lsh(embs, n_queries=16, k=5).select(
         "query_id", F.col("neighbor_id").alias("f_neighbor")
