@@ -633,18 +633,51 @@ FROM lineitem GROUP BY l_returnflag""",
 
 
 def a_approx_distinct(spark, sf_dir):
-    """approx_count_distinct (HLL++) — sketch values are engine-specific,
-    so no SQL oracle (driver records rows-only); the exact twin is
-    a_group_count. At 100 TB this is the right default for high-card
-    distinct counts: one pass, no distinct-shuffle."""
+    """approx_count_distinct (HLL++) in its AUDIT form (VERDICT r8 #4
+    — the registry's last rows-only entry, now value-checked): each
+    group carries the exact distinct count beside a bounded-error
+    assertion on the sketch, approx/exact ∈ [0.95, 1.05]. HLL++ is
+    deterministic for fixed data, so the boolean is stable and the
+    DuckDB twin — which cannot reproduce Spark's sketch — pins the
+    SAME row by computing n_exact exactly and asserting the bound
+    holds (a Spark regression pushing the estimate out of the band
+    flips within_5pct to false and hash-mismatches). The exact column
+    makes this the t_heavy_hitters_cms discipline: the estimator
+    audited against the truth it approximates. Production uses the
+    sketch ALONE — one pass, no distinct-shuffle, mergeable partials
+    — which is why the operator exists; the audit's exact side is the
+    eval-harness cost, paid at eval time only.
+
+    rsd is pinned to 0.01, not the 0.05 default: rsd is a STANDARD
+    DEVIATION, not a bound — measured at the default, one sf0.01
+    group lands 8.6% off and flunks its own 5% band; at 0.01 the
+    worst deviation across sf0.001/0.01/0.1 is 0.86%, a 5× margin."""
     return (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_orderkey").alias("approx_orders"))
+        .agg(
+            F.countDistinct("l_orderkey").cast("bigint").alias("n_exact"),
+            F.approx_count_distinct("l_orderkey", 0.01).alias("__approx"),
+        )
+        .select(
+            "l_returnflag",
+            "n_exact",
+            (
+                (F.col("__approx") >= F.col("n_exact") * 0.95)
+                & (F.col("__approx") <= F.col("n_exact") * 1.05)
+            ).alias("within_5pct"),
+        )
     )
 
 
-_register("a_approx_distinct", a_approx_distinct, None)
+_register(
+    "a_approx_distinct",
+    a_approx_distinct,
+    """SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_exact,
+       TRUE AS within_5pct
+FROM lineitem GROUP BY l_returnflag""",
+)
 
 
 # --------------------------------------------------------------------------
