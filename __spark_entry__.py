@@ -114,64 +114,70 @@ _QUERY_MODULES = [
 #: round (KeyError at import if a name disappears — the rotation list
 #: cannot silently go stale).
 _WINDOW_HEAD = [
-    # --- (a) r8-touched: new registration + contract/star fact edit ---
-    "q3_classification_mv",
-    "q3_classification",
-    "q1_standings",
-    "q1_standings_mv",
-    "p_case_points",
-    # --- (a) r8-touched: plan edits ---
+    # --- (a) the full pre-r5 cohort (VERDICT r8 #1: after this round
+    # no entry's latest driver row may predate r5). d_exact is the
+    # registry's oldest row (r2); the r3 head is TPC-H ×21 + the six
+    # r3 plan queries; the five r4 stragglers close the cohort.
+    # tpch_q21 (r7) rides along so the full TPC-H ×22 re-greens as
+    # one generation. ---
+    "d_exact",
+    "tpch_q1",
+    "tpch_q2",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "q0_stream_transform",
+    "d_substring_dedup",
+    "t_chunk_overlap",
+    "d_editdist_neardup",
+    "t_epoch_expand",
+    "t_shard_assign",
+    "p_skew_profile",
+    "o_compaction_plan",
+    "d_dup_clusters_iter",
+    "m_byte_stats",
+    "m_resize_plan",
+    # --- (b) displaced from the r8 window (VERDICT r8 #1) ---
+    "q2_champion",
+    "q4_podium",
+    # --- (c) r9-touched: the new bounded-error oracle + the three
+    # multi-scan refactors + the advice-item edits (fixture staging
+    # in m_binary_ingest / the shared MV message source) ---
+    "a_approx_distinct",
+    "w_anomaly_mad",
+    "e_knn_pq",
+    "e_knn_recall_audit",
     "m_binary_ingest",
-    "t_bigram_quality",
-    "t_tfidf_keywords",
-    "t_rare_tokens",
-    "t_interleave_sources",
-    "d_dup_rate_by_source",
-    "t_contamination_report",
-    "d_lsh_tuning_curve",
-    "e_ivf_probe_curve",
-    # --- (a) r8-touched: consumers of the refactored scaffolds ---
-    "d_minhash_lsh",
-    "d_minhash_est_audit",
-    "d_dup_clusters",
-    "d_cluster_stats",
-    "e_ivf_cells",
-    "e_knn_ivf",
-    "e_knn_ivf_trained",
-    "e_kmeans",
-    "e_semdedup",
-    # --- (b) the full r1-green backfill ---
-    "a_cube",
-    "a_percentiles",
-    "j_salted",
-    "p_array_funcs",
-    "p_key_skew",
-    "p_profile",
-    "s7_upsert_dim",
-    # --- (b) the r2-green backfill (all but d_exact — displaced by
-    # the late-r8 tf-persist edits; it is the registry's simplest
-    # query, hash-groupBy only, pytest-twinned — leads r9 with the
-    # r3 cohort) ---
-    "d_minhash_signatures",
-    "d_simhash",
-    "d_simhash_pairs",
-    "e_quantize",
-    "t_fingerprint",
-    "t_pack_sequences",
-    "t_redact",
-    "t_repetition",
-    "t_source_mix",
-    "t_token_stats",
-    "t_top_terms",
-    "w_funnel",
-    "w_interval_join",
-    "w_json_props",
-    "w_retention",
-    "w_session",
-    "w_sessionize_lag",
-    "w_sliding",
-    "w_tumbling",
-    "w_type_transitions",
+    "q1_standings_mv",
+    "q3_classification_mv",
+    # --- (d) VERDICT r8 #6: similarity + multimodal emitters whose
+    # r8 hardening (zero-norm filter at _unit_vectors, NULL-payload
+    # typed-error contract) the driver has not re-checked; the m_*
+    # remainder gets dated selfcheck lines in COVERAGE.md ---
+    "e_knn_lsh",
+    "e_cosine_neardup",
+    "e_semantic_decontam",
+    "e_knn_join_derived",
+    "m_jpeg_meta",
+    "m_image_ahash",
+    "m_frame_sample",
 ]
 
 

@@ -170,6 +170,11 @@ def sweep_queries(spark, sf_dir: str):
         ("d_containment", lambda: qs["d_containment"](spark, sf_dir)),
         ("d_simhash_pairs", lambda: qs["d_simhash_pairs"](spark, sf_dir)),
         ("d_dup_clusters", lambda: qs["d_dup_clusters"](spark, sf_dir)),
+        # r9 (VERDICT r8 #5): the second CC-family member — the r8
+        # 100× sweep covered the LSH/derived-plane family only, and
+        # iterative pointer-jumping (rounds ∝ longest chain, many
+        # small jobs) is the one remaining plausible super-linear axis
+        ("e_neardup_clusters", lambda: qs["e_neardup_clusters"](spark, sf_dir)),
         (
             "e_cosine_neardup_derived",
             lambda: sim.cosine_neardup_lsh_pairs(
