@@ -86,3 +86,42 @@ def test_json_k_extract_classifies_malformed_instead_of_aborting(spark):
         ).collect()
     }
     assert out == {0: 5, 1: None, 2: None}
+
+
+def test_fact_msg_src_concurrent_publish_is_atomic(spark, sf_dir, tmp_path, monkeypatch):
+    # ADVICE r8: the shared MV message fixture was check-then-act —
+    # q1_standings_mv and q3_classification_mv racing the _SUCCESS
+    # probe on one session could both write the same dir and tear it.
+    # The publish is now write-to-unique-stage + atomic rename; two
+    # concurrent builders must yield exactly ONE complete dir (the
+    # loser adopts the winner's), with no stage dirs left behind.
+    import os
+    import tempfile
+    import threading
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+
+    results, errors = [], []
+
+    def build():
+        try:
+            results.append(contract_star._fact_msg_src(spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=build) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert not errors, errors
+    assert len(set(results)) == 1  # both callers agree on one path
+    src = results[0]
+    assert os.path.exists(f"{src}/_SUCCESS")  # complete committed write
+    # no orphaned stage dirs strand in the fixture root
+    leftovers = [d for d in os.listdir(tmp_path) if ".stage-" in d]
+    assert leftovers == []
+    # the published fixture holds the full serialized fact exactly once
+    n_lines = spark.read.text(src).count()
+    assert n_lines == contract_star.race_fact(spark, sf_dir).count()
