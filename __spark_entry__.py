@@ -167,17 +167,20 @@ _WINDOW_HEAD = [
     "m_binary_ingest",
     "q1_standings_mv",
     "q3_classification_mv",
-    # --- (d) VERDICT r8 #6: similarity + multimodal emitters whose
-    # r8 hardening (zero-norm filter at _unit_vectors, NULL-payload
-    # typed-error contract) the driver has not re-checked; the m_*
-    # remainder gets dated selfcheck lines in COVERAGE.md ---
+    # --- (d) VERDICT r8 #6: similarity emitters whose r8 hardening
+    # (zero-norm filter at _unit_vectors) the driver has not
+    # re-checked; the multimodal family gets dated selfcheck lines in
+    # COVERAGE.md instead (displaced by the (e) edits) ---
     "e_knn_lsh",
     "e_cosine_neardup",
     "e_semantic_decontam",
     "e_knn_join_derived",
-    "m_jpeg_meta",
-    "m_image_ahash",
-    "m_frame_sample",
+    # --- (e) r9 empty-input sweep edits: grouping-sets empty
+    # contract (partial-first rollup/cube), NULL-on-empty-truth
+    # recall; the MV CREATE TABLE declares ride with (c)'s MV slots ---
+    "a_rollup",
+    "a_cube",
+    "e_ivf_probe_curve",
 ]
 
 

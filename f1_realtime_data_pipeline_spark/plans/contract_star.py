@@ -464,6 +464,8 @@ def q1_standings_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         transform_stream,
     )
     from f1_realtime_data_pipeline_spark.streaming.sinks import (
+        agg_sink_schema,
+        declare_sink_table,
         read_sink_snapshot,
         transactional_agg_sink,
     )
@@ -489,6 +491,26 @@ def q1_standings_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once per session by _fact_msg_src, reused by q3's lakehouse
     # path; _SUCCESS-gated against crashed prior writes)
     src = _fact_msg_src(spark, sf_dir)
+
+    # CREATE TABLE before the stream (r9 empty-input sweep): an empty
+    # source fires zero micro-batches, so without a declared v1 the MV
+    # has no committed snapshot and serving raises instead of
+    # returning the empty standings the batch oracle produces. The
+    # schema derives from the REAL transform applied to a zero-row
+    # wire-shaped frame — never hand-written.
+    probe = transform_stream(
+        spark.createDataFrame([], "value string"), value_col="value"
+    ).withColumn("is_win", (F.col("position") == 1).cast("int"))
+    declare_sink_table(
+        spark,
+        mv,
+        agg_sink_schema(
+            spark,
+            probe.schema,
+            ["driver_number", "grand_prix"],
+            ["points", "is_win"],
+        ),
+    )
 
     def run_pipeline(checkpoint: str) -> None:
         raw = (
@@ -558,6 +580,7 @@ def q3_classification_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         transform_stream,
     )
     from f1_realtime_data_pipeline_spark.streaming.sinks import (
+        declare_sink_table,
         read_sink_snapshot,
         transactional_parquet_sink,
     )
@@ -572,6 +595,18 @@ def q3_classification_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the shared reference-shaped message fixture (one serialization
     # per session, _SUCCESS-gated — see _fact_msg_src)
     src = _fact_msg_src(spark, sf_dir)
+
+    # CREATE TABLE before the stream (r9 empty-input sweep, the
+    # q1_standings_mv discipline): the keyed sink stores the transform
+    # output rows as-is, so the declared schema IS the transform's
+    # schema over a zero-row wire-shaped frame.
+    declare_sink_table(
+        spark,
+        tbl,
+        transform_stream(
+            spark.createDataFrame([], "value string"), value_col="value"
+        ).schema,
+    )
 
     def run_pipeline(checkpoint: str) -> None:
         raw = (

@@ -32,6 +32,7 @@ from f1_realtime_data_pipeline_spark.operators.aggregations import (
     decimal_sum_sql,
     dedup_first_wins,
 )
+from f1_realtime_data_pipeline_spark.operators.materialize import materialize
 from f1_realtime_data_pipeline_spark.operators.joins import (
     anti,
     broadcast_enrich,
@@ -584,15 +585,52 @@ _register(
 
 def a_rollup(spark, sf_dir):
     """Rollup (subtotals + grand total) — beyond the reference's surface
-    but part of the engine's §2.4 group-by family."""
-    return (
-        _t(spark, sf_dir, "lineitem")
-        .rollup("l_returnflag", "l_linestatus")
-        .agg(
-            F.count("*").cast("bigint").alias("n_rows"),
-            decimal_sum("l_quantity", "sum_qty"),
+    but part of the engine's §2.4 group-by family.
+
+    Empty-input contract (r9 sweep): SQL's ROLLUP is GROUPING
+    SETS((a,b),(a),()) and the () set aggregates the empty relation
+    to ONE row (COUNT 0, SUM NULL) — DuckDB/Postgres emit it; Spark's
+    Expand-based rollup emits ZERO rows, a silent cross-engine
+    divergence on any filter that matches nothing. Structure that
+    fixes it AND the scale shape: aggregate once to the finest-grain
+    partial (|flags×statuses| rows — the only corpus-wide pass, no 3×
+    Expand row multiplication through the shuffle), run the native
+    rollup over that tiny partial for the non-total sets, and union
+    the always-one-row grand total re-aggregated from the same
+    partial (COALESCE(count) to 0, decimal sums stay exact because
+    the partial keeps the DECIMAL accumulator — double cast happens
+    only at each level's output, the a_sum_stats parity rule)."""
+    li = _t(spark, sf_dir, "lineitem")
+    g = materialize(
+        li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count("*").cast("bigint").alias("__n"),
+            F.sum(F.col("l_quantity").cast(DECIMAL_ACC)).alias("__dq"),
         )
     )
+    sub = (
+        g.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("__n").cast("bigint").alias("n_rows"),
+            F.sum("__dq").cast("double").alias("sum_qty"),
+            F.grouping_id().alias("__gid"),
+        )
+        .filter(F.col("__gid") < 3)
+        .drop("__gid")
+    )
+    total = (
+        g.groupBy()
+        .agg(
+            F.coalesce(F.sum("__n"), F.lit(0)).cast("bigint").alias("n_rows"),
+            F.sum("__dq").cast("double").alias("sum_qty"),
+        )
+        .select(
+            F.lit(None).cast("string").alias("l_returnflag"),
+            F.lit(None).cast("string").alias("l_linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+    return sub.unionByName(total)
 
 
 _register(
@@ -929,15 +967,41 @@ FROM lineitem"""
 
 def a_cube(spark, sf_dir):
     """CUBE with grouping_id: order counts across all subsets of
-    (status, priority) — the full grouping-sets lattice."""
+    (status, priority) — the full grouping-sets lattice.
+
+    Same empty-input contract and partial-first structure as
+    :func:`a_rollup` (r9 sweep): the () grouping set must emit its
+    one row (n=0, gid=3) on an empty relation — Spark's native cube
+    emits zero rows there while DuckDB/Postgres follow the standard.
+    One corpus-wide aggregation to the finest grain; the native cube
+    expands only the tiny partial; the grand total unions in from the
+    same partial with COALESCE(n, 0) and a literal gid=3 (exactly the
+    row native cube emits on non-empty input)."""
     o = _t(spark, sf_dir, "orders")
-    return (
-        o.cube("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.count("*").cast("bigint").alias("n"),
-            F.grouping_id().cast("int").alias("gid"),
+    g = materialize(
+        o.groupBy("o_orderstatus", "o_orderpriority").agg(
+            F.count("*").cast("bigint").alias("__n")
         )
     )
+    sub = (
+        g.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.sum("__n").cast("bigint").alias("n"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+        .filter(F.col("gid") < 3)
+    )
+    total = (
+        g.groupBy()
+        .agg(F.coalesce(F.sum("__n"), F.lit(0)).cast("bigint").alias("n"))
+        .select(
+            F.lit(None).cast("string").alias("o_orderstatus"),
+            F.lit(None).cast("string").alias("o_orderpriority"),
+            "n",
+            F.lit(3).cast("int").alias("gid"),
+        )
+    )
+    return sub.unionByName(total)
 
 
 _register(

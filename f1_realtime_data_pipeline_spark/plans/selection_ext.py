@@ -837,9 +837,17 @@ def e_ivf_probe_curve(spark, sf_dir):
                 F.lit(np_).cast("int").alias("nprobe"),
                 "n_candidates",
                 "n_hits",
-                F.expr("CAST((n_hits * 1000000) DIV n_true AS BIGINT)").alias(
-                    "recall_ppm"
-                ),
+                # NULL-on-empty-truth (r9 empty-input sweep): this is
+                # the one curve whose rows are BUILT from global
+                # aggregates (1-row crossJoins), so it still emits its
+                # 3 rows over an empty corpus — and ANSI DIV then
+                # aborts the whole job on n_true=0 while DuckDB's //
+                # yields NULL. Recall over an empty truth set is
+                # undefined: emit NULL, cross-engine-identically.
+                F.expr(
+                    "CAST(CASE WHEN n_true > 0 THEN (n_hits * 1000000)"
+                    " DIV n_true END AS BIGINT)"
+                ).alias("recall_ppm"),
             )
         )
     out = parts[0]

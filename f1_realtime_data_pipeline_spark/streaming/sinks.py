@@ -434,11 +434,54 @@ def read_sink_snapshot(spark, sink_path: str) -> DataFrame:
     """Consistent read of a :func:`transactional_parquet_sink` table:
     the latest committed snapshot's files, resolved at call time —
     immutable under concurrent commits. Raises ``ValueError`` before
-    the first commit."""
+    the first commit (declare the table with
+    :func:`declare_sink_table` to get a committed empty relation
+    instead)."""
     df = manifest.read_snapshot(spark, sink_path)
     if df is None:
         raise ValueError(f"no committed snapshot at {sink_path}")
     return df
+
+
+def declare_sink_table(spark, sink_path: str, schema) -> bool:
+    """CREATE TABLE IF NOT EXISTS for a transactional sink: commit
+    snapshot v1 with ZERO entries and the declared data schema (a
+    ``StructType``). Every lakehouse separates table creation from
+    ingestion for exactly this reason (r9 empty-input sweep): a
+    never-fed sink — empty source, zero micro-batches fired, or every
+    batch empty (the agg sink's empty-batch early-return commits
+    nothing) — must serve as a committed EMPTY relation, not raise
+    from :func:`read_sink_snapshot`. ``manifest.read_snapshot``
+    already returns a zero-row frame for a committed entry-less
+    snapshot with a schema; this provides the commit. First real
+    batch then commits v2 through the unchanged epoch path. Returns
+    False when a committed snapshot already exists — including losing
+    the v1 create race to a concurrent declarer (exclusive manifest
+    creation; the winner's schema stands, same-pipeline declarers
+    derive the same schema)."""
+    doc = manifest.resolve_snapshot_doc(spark, sink_path)
+    if doc["version"] > 0:
+        return False
+    return manifest.commit_snapshot(
+        spark, sink_path, 1, [], schema=json.loads(schema.json())
+    )
+
+
+def agg_sink_schema(spark, stream_schema, group_cols, sum_cols):
+    """The data schema a :func:`transactional_agg_sink` commits for a
+    stream of ``stream_schema``: derived by running the sink's own
+    partial-aggregate expression over a zero-row frame, so the
+    sum/count output types are exactly what Spark will produce
+    (``sum(int)`` widens to bigint etc.) — never hand-written."""
+    empty = spark.createDataFrame([], stream_schema)
+    return (
+        empty.groupBy(*list(group_cols))
+        .agg(
+            *[F.sum(c).alias(c) for c in sum_cols],
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .schema
+    )
 
 
 def _align_to_schema(

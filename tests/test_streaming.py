@@ -1678,3 +1678,40 @@ def test_streaming_keyed_first_wins_matches_batch_repair(spark, tmp_path):
     assert len(repaired) == 1
     assert got[0].position == repaired[0].position
     assert got[0].points == repaired[0].points
+
+
+def test_declare_sink_table_serves_empty_before_first_batch(spark, tmp_path):
+    # r9 empty-input sweep: a never-fed sink (empty source -> zero
+    # micro-batches) must serve as a committed EMPTY relation, not
+    # raise. declare_sink_table is the CREATE TABLE half of the
+    # lakehouse contract; the first real batch then commits on top.
+    import pyspark.sql.functions as F
+
+    from f1_realtime_data_pipeline_spark.sources import manifest as mf
+    from f1_realtime_data_pipeline_spark.streaming.sinks import (
+        agg_sink_schema,
+        declare_sink_table,
+        read_sink_snapshot,
+        transactional_agg_sink,
+    )
+
+    sink = str(tmp_path / "mv")
+    schema = agg_sink_schema(
+        spark, "k string, v int", ["k"], ["v"]
+    )
+    assert declare_sink_table(spark, sink, schema) is True
+    # the declared (still entry-less) table reads as zero rows with
+    # the aggregate schema, sum(int) widened to bigint
+    df = read_sink_snapshot(spark, sink)
+    assert df.count() == 0
+    assert dict(df.dtypes) == {"k": "string", "v": "bigint", "n_rows": "bigint"}
+    assert mf.snapshot_versions(spark, sink) == [1]
+    # idempotent: re-declaring an existing table is a no-op
+    assert declare_sink_table(spark, sink, schema) is False
+    assert mf.snapshot_versions(spark, sink) == [1]
+    # the first real batch commits v2 through the unchanged epoch path
+    write = transactional_agg_sink(sink, group_cols=["k"], sum_cols=["v"])
+    write(spark.createDataFrame([("a", 1), ("a", 2)], "k string, v int"), 0)
+    got = {r.k: (r.v, r.n_rows) for r in read_sink_snapshot(spark, sink).collect()}
+    assert got == {"a": (3, 2)}
+    assert mf.snapshot_versions(spark, sink) == [1, 2]
