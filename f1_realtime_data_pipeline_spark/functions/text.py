@@ -6,9 +6,13 @@ a ``*_sql`` twin rendering the identical DuckDB expression so the
 oracle can check values, with shared constants (stopword lists, marker
 tables, hash moduli) defined once here.
 
-Tokenization contract: lowercase, split on runs of whitespace —
-deliberately simple and engine-portable; a BPE-ish regex tokenizer is
-provided separately (:func:`bpe_ish_tokens`) for token *counting*.
+Tokenization contract: ASCII-fold case (A-Z -> a-z via ``translate``,
+every other codepoint passes through case-preserved — see
+``ASCII_UPPER`` for why engine ``lower()`` is not cross-engine
+portable on unicode), split on runs of the explicit whitespace class —
+deliberately simple and engine-portable on ANY input; a BPE-ish regex
+tokenizer is provided separately (:func:`bpe_ish_tokens`) for token
+*counting*.
 """
 
 from __future__ import annotations
@@ -78,9 +82,41 @@ def md5_id_sql(expr: str) -> str:
 #: Python model used by the property tests.
 WHITESPACE_CLASS = r"[ \t\n\x0B\f\r]"
 
+#: ASCII-explicit case folding (r9 unicode sweep). Engine ``lower()``
+#: is NOT cross-engine portable on unicode input: Java/Spark applies
+#: the full Unicode SpecialCasing rules — 'İ' (U+0130) lowers to
+#: 'i' + U+0307 combining dot (string GROWS), trailing 'Σ' takes the
+#: context-sensitive final form 'ς' — while DuckDB applies the simple
+#: per-codepoint map ('İ'→'i', 'Σ'→'σ' everywhere). Any token, shingle
+#: or signature downstream of engine lower() therefore diverges on
+#: real multilingual text (18 of 58 text/dedup oracles flipped on a
+#: unicode-injected corpus). ``translate`` over the explicit 26-letter
+#: ASCII alphabet is codepoint-exact in BOTH engines (verified
+#: primitive-by-primitive), locale- and ICU-version-independent, and
+#: the identity on the all-ASCII fixtures — so the tokenizer contract
+#: becomes: ASCII letters fold, every other codepoint passes through
+#: case-preserved. That is the standard determinism trade a
+#: cross-engine corpus pipeline makes (full Unicode folding, where
+#: wanted, belongs in one engine's normalize stage, not in a contract
+#: two engines must reproduce bit-identically).
+ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def ascii_lower(text: Column | str) -> Column:
+    """Fold A-Z to a-z, pass every other codepoint through unchanged."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.translate(c, ASCII_UPPER, ASCII_LOWER)
+
+
+def ascii_lower_sql(expr: str) -> str:
+    return f"translate({expr}, '{ASCII_UPPER}', '{ASCII_LOWER}')"
+
 
 def tokens(text: Column | str) -> Column:
-    """Lowercased whitespace tokens (explicit whitespace class).
+    """ASCII-case-folded whitespace tokens (explicit whitespace class;
+    fold contract at ``ASCII_UPPER`` — r9: engine ``lower()`` made
+    every downstream shingle/signature engine-specific on unicode).
 
     PINNED semantics note (r6 review): split keeps boundary empties —
     leading/trailing whitespace (or an empty string) yields ''
@@ -95,11 +131,11 @@ def tokens(text: Column | str) -> Column:
     not a drive-by fix. Callers that need padded-input exactness
     should trim upstream (t_normalize does)."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.split(F.lower(c), WHITESPACE_CLASS + "+")
+    return F.split(ascii_lower(c), WHITESPACE_CLASS + "+")
 
 
 def tokens_sql(expr: str) -> str:
-    return f"string_split_regex(lower({expr}), '{WHITESPACE_CLASS}+')"
+    return f"string_split_regex({ascii_lower_sql(expr)}, '{WHITESPACE_CLASS}+')"
 
 
 def token_count(text: Column | str) -> Column:
@@ -118,14 +154,15 @@ def bpe_ish_tokens(text: Column | str) -> Column:
     hand). Regex kept RE2-compatible so the oracle matches."""
     c = F.col(text) if isinstance(text, str) else text
     # extract all: letter runs (≤4 chars per piece), digit runs, punct
-    # (explicit whitespace class — see WHITESPACE_CLASS)
+    # (explicit whitespace class — see WHITESPACE_CLASS; ASCII fold —
+    # see ASCII_UPPER)
     pat = r"[a-z]{1,4}|[0-9]+|[^a-z0-9 \t\n\x0B\f\r]"
-    return F.regexp_extract_all(F.lower(c), F.lit(pat), 0)
+    return F.regexp_extract_all(ascii_lower(c), F.lit(pat), 0)
 
 
 def bpe_ish_count_sql(expr: str) -> str:
     return (
-        f"CAST(len(regexp_extract_all(lower({expr}), "
+        f"CAST(len(regexp_extract_all({ascii_lower_sql(expr)}, "
         f"'[a-z]{{1,4}}|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]')) AS INT)"
     )
 
@@ -217,10 +254,20 @@ def normalize_text(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.trim(
         F.regexp_replace(
-            F.regexp_replace(F.lower(c), r"[^a-z0-9 \t\n\x0B\f\r]", ""),
+            F.regexp_replace(ascii_lower(c), r"[^a-z0-9 \t\n\x0B\f\r]", ""),
             r"[ \t\n\x0B\f\r]+",
             " ",
         )
+    )
+
+
+def normalize_text_sql(expr: str = "text") -> str:
+    """DuckDB twin of :func:`normalize_text` — single-sourced (r9; the
+    four inline copies in llm_star/llm_ext could silently drift from
+    the Spark definition AND from each other)."""
+    return (
+        rf"trim(regexp_replace(regexp_replace({ascii_lower_sql(expr)}, "
+        rf"'[^a-z0-9 \t\n\x0B\f\r]', '', 'g'), '[ \t\n\x0B\f\r]+', ' ', 'g'))"
     )
 
 

@@ -717,8 +717,7 @@ def _pipeline_v2_sql() -> str:
 
     return rf"""WITH normed AS (
   SELECT doc_id, source, text,
-         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 \t\n\x0B\f\r]', '', 'g'),
-                             '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm_text
+         {tx.normalize_text_sql("text")} AS norm_text
   FROM documents
 ), canon AS (
   SELECT doc_id, source, text FROM (
@@ -779,7 +778,13 @@ def d_editdist_neardup(spark, sf_dir):
 
     edit_sim = 1 - levenshtein/greatest(len_a, len_b); both engines
     compute Levenshtein with the same exact integer DP, so the stage
-    is value-checked. Scale shape: the O(len²)-per-pair DP runs ONLY
+    is value-checked. GRANULARITY domain (r9 unicode sweep): Spark's
+    levenshtein counts CODEPOINTS — the engine contract, correct for
+    multilingual near-dup verification — while DuckDB's counts UTF-8
+    bytes, so the oracle twin verifies the ASCII regime where the two
+    definitions coincide (the fixture corpus); the codepoint
+    semantics themselves are pinned by
+    tests/test_llm_ext.py::test_levenshtein_is_codepoint_based. Scale shape: the O(len²)-per-pair DP runs ONLY
     on the LSH candidate set (bounded by band-bucket occupancy, never
     the corpus); texts are late-fetched onto the bare id pairs by two
     doc_id joins, so the candidate generation itself never shuffles a

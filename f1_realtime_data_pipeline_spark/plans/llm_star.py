@@ -485,11 +485,9 @@ def t_normalize(spark, sf_dir):
 _register(
     "t_normalize",
     t_normalize,
-    r"""SELECT doc_id,
-       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 \t\n\x0B\f\r]', '', 'g'),
-                           '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm_text,
-       (trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 \t\n\x0B\f\r]', '', 'g'),
-                            '[ \t\n\x0B\f\r]+', ' ', 'g')) != text) AS changed
+    f"""SELECT doc_id,
+       {tx.normalize_text_sql("text")} AS norm_text,
+       ({tx.normalize_text_sql("text")} != text) AS changed
 FROM documents""",
 )
 
@@ -1463,8 +1461,7 @@ _register(
     pipeline_corpus,
     rf"""WITH normed AS (
   SELECT doc_id, source, text,
-         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 \t\n\x0B\f\r]', '', 'g'),
-                             '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm_text
+         {tx.normalize_text_sql("text")} AS norm_text
   FROM documents
 ), canon AS (
   SELECT * FROM (

@@ -644,3 +644,62 @@ def test_pipeline_corpus_equals_recomposed_stages(spark):
     }
     assert fused == recomposed
     assert fused, "pipeline produced no groups"
+
+
+def test_ascii_fold_is_engine_portable_where_lower_is_not(spark):
+    # r9 unicode sweep: Spark lower() applies full Unicode casing
+    # ('İ' -> 'i' + U+0307, trailing 'Σ' -> final 'ς') while DuckDB
+    # lower() applies the simple per-codepoint map — 18 of 58
+    # text/dedup oracles flipped on a unicode corpus. The tokenizer
+    # contract folds ASCII only (translate), identical in both
+    # engines; pin both halves so a contract edit or engine upgrade
+    # that reintroduces engine lower() fails here.
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from f1_realtime_data_pipeline_spark.functions.text import (
+        ascii_lower,
+        ascii_lower_sql,
+    )
+
+    hazards = ["İstanbul DİYARBAKIR", "ΣΊΣΥΦΟΣ τέλος", "STRASSE ẞ", "Ǆungla"]
+    df = spark.createDataFrame([(h,) for h in hazards], "t string")
+    sp_fold = [r.f for r in df.select(ascii_lower("t").alias("f")).collect()]
+    sp_lower = [r.f for r in df.select(F.lower("t").alias("f")).collect()]
+    con = duckdb.connect()
+    for h, fold, low in zip(hazards, sp_fold, sp_lower):
+        d_fold, d_low = con.execute(
+            f"SELECT {ascii_lower_sql('?')}, lower(?)", [h, h]
+        ).fetchone()
+        assert fold == d_fold, f"ascii fold diverged on {h!r}"
+        if h.startswith(("İ", "Σ")):
+            assert low != d_low, (
+                f"engine lower() now agrees on {h!r} — the ASCII-fold "
+                "contract rationale should be revisited"
+            )
+    # the fold equals engine lower() on pure-ASCII input (the
+    # fixture-regime identity that made the contract migration
+    # value-neutral across all 174 registered oracles)
+    ascii_df = spark.createDataFrame([("Hello WORLD 123",)], "t string")
+    row = ascii_df.select(
+        ascii_lower("t").alias("f"), F.lower("t").alias("l")
+    ).collect()[0]
+    assert row.f == row.l == "hello world 123"
+
+
+def test_levenshtein_is_codepoint_based(spark):
+    # d_editdist_neardup's engine contract: Spark levenshtein counts
+    # CODEPOINTS — one CJK substitution costs 1, not its 3 UTF-8
+    # bytes. DuckDB's levenshtein is byte-based, so the DuckDB oracle
+    # twin verifies the ASCII regime where both definitions coincide
+    # (tools/robustness_fixtures.py documents the domain). Pin the
+    # Spark semantics so an engine upgrade changing them is caught.
+    import duckdb
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([("日本語", "日本x")], "a string, b string")
+    assert df.select(F.levenshtein("a", "b").alias("d")).collect()[0].d == 1
+    byte_based = duckdb.connect().execute(
+        "SELECT levenshtein('日本語', '日本x')"
+    ).fetchone()[0]
+    assert byte_based == 3  # the documented divergence this domain note rests on
