@@ -47,7 +47,11 @@ def get_spark(
     if shuffle_partitions is None:
         # local mode: ~cores; a 1000-executor cluster would use
         # cores*executors*2-3 or rely on AQE coalesce from a high initial.
-        shuffle_partitions = max(cpus, 8)
+        # The env override exists for the layout-invariance sweep
+        # (tools/layout_sweep.py): results must not depend on this
+        # number — on a real cluster it differs per deployment.
+        env_sp = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+        shuffle_partitions = int(env_sp) if env_sp else max(cpus, 8)
 
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -71,6 +75,17 @@ def get_spark(
         .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.cleaner.periodicGC.interval", "5min")
     )
+    # Layout-invariance sweep knobs (tools/layout_sweep.py): perturb the
+    # PHYSICAL layout — AQE on/off, input split size — while asserting
+    # every registered query's VALUES are unchanged. These are exactly
+    # the knobs that differ between this harness and a 1000-executor
+    # deployment, so value-invariance to them is the portability proof.
+    env_aqe = os.environ.get("SPARK_GRAFT_AQE")
+    if env_aqe:
+        builder = builder.config("spark.sql.adaptive.enabled", env_aqe)
+    env_split = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
+    if env_split:
+        builder = builder.config("spark.sql.files.maxPartitionBytes", env_split)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     # Mismatch detection must read the ACTIVE session BEFORE

@@ -418,3 +418,39 @@ def test_process_default_probe_attributes_exist(spark):
         "SparkContext._jsc gone — the stopped-context guard in "
         "session.py no longer distinguishes live from stopped sessions"
     )
+
+
+def test_layout_sweep_env_knobs_reach_the_session(spark, monkeypatch):
+    # tools/layout_sweep.py perturbs the physical layout via env knobs
+    # read by get_spark; if an env name drifts the sweep silently runs
+    # every variant at the default layout and "proves" invariance it
+    # never tested. Pin that each knob actually lands in session conf.
+    # (All three are MODIFIABLE runtime confs, so getOrCreate applies
+    # them to the live session — restore afterward to keep the shared
+    # fixture's layout for the rest of the suite.)
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.shuffle.partitions",
+            "spark.sql.adaptive.enabled",
+            "spark.sql.files.maxPartitionBytes",
+        )
+    }
+    try:
+        monkeypatch.setenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", "7")
+        monkeypatch.setenv("SPARK_GRAFT_AQE", "false")
+        monkeypatch.setenv("SPARK_GRAFT_MAX_PARTITION_BYTES", "1m")
+        import warnings
+
+        from f1_realtime_data_pipeline_spark.session import get_spark
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # the intentional-mutation warning
+            s2 = get_spark("layout-knob-probe", cpus=8)
+        assert s2 is spark  # getOrCreate reuse — the mutation path the sweep uses
+        assert s2.conf.get("spark.sql.shuffle.partitions") == "7"
+        assert s2.conf.get("spark.sql.adaptive.enabled") == "false"
+        assert s2.conf.get("spark.sql.files.maxPartitionBytes") == "1m"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
