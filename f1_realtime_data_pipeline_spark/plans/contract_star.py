@@ -388,7 +388,17 @@ def _fact_msg_src(spark: SparkSession, sf_dir: str) -> str:
     old write-in-place was check-then-act — two MV queries racing the
     probe on one session could tear the shared fixture; now ``src``
     holds either a COMPLETE committed write or nothing, and a lost
-    rename race just adopts the winner's complete dir)."""
+    rename race just adopts the winner's complete dir). The whole
+    probe→teardown→publish section runs under an exclusive ``flock``
+    (ADVICE r9: the bare re-probe still left a window where caller A's
+    probe saw no ``_SUCCESS``, caller B renamed a complete dir into
+    ``src``, and A's rmtree deleted the just-published fixture out
+    from under B's readers). flock is released by the kernel on
+    process death, so a crashed holder cannot wedge the path — and
+    once ``src`` carries ``_SUCCESS`` no lock holder ever tears it
+    down again, so a reader handed ``src`` can list files without
+    racing any future caller."""
+    import fcntl
     import os
     import shutil
     import tempfile
@@ -398,36 +408,45 @@ def _fact_msg_src(spark: SparkSession, sf_dir: str) -> str:
         tempfile.gettempdir(),
         f"mvsrc_{os.path.basename(sf_dir)}_{spark.sparkContext.applicationId}",
     )
-    if not os.path.exists(f"{src}/_SUCCESS"):
-        shutil.rmtree(src, ignore_errors=True)
-        # unique same-parent stage dir: the publishing rename stays a
-        # same-filesystem atomic op, and concurrent callers never
-        # write the same path (Spark creates the stage itself)
-        stage = f"{src}.stage-{uuid.uuid4().hex[:8]}"
-        try:
-            race_fact(spark, sf_dir).select(
-                F.to_json(
-                    F.struct(
-                        F.col("grand_prix"),
-                        F.col("driver_number").cast("string").alias("driver_number"),
-                        F.col("position"),
-                        F.col("session_key"),
-                    )
-                ).alias("value")
-            ).coalesce(2).write.text(stage)
+    lock_fd = os.open(f"{src}.lock", os.O_CREAT | os.O_RDWR, 0o600)
+    try:
+        fcntl.flock(lock_fd, fcntl.LOCK_EX)
+        if not os.path.exists(f"{src}/_SUCCESS"):
+            shutil.rmtree(src, ignore_errors=True)
+            # unique same-parent stage dir: the publishing rename stays
+            # a same-filesystem atomic op, and concurrent callers never
+            # write the same path (Spark creates the stage itself)
+            stage = f"{src}.stage-{uuid.uuid4().hex[:8]}"
             try:
-                os.rename(stage, src)
-            except OSError:
-                # only a LOST RACE is recoverable: a concurrent caller
-                # published a complete dir (its rename was gated on its
-                # own committed stage) — adopt it. Anything else
-                # propagates (the m_binary_ingest policy).
-                if not os.path.exists(f"{src}/_SUCCESS"):
-                    raise
+                race_fact(spark, sf_dir).select(
+                    F.to_json(
+                        F.struct(
+                            F.col("grand_prix"),
+                            F.col("driver_number")
+                            .cast("string")
+                            .alias("driver_number"),
+                            F.col("position"),
+                            F.col("session_key"),
+                        )
+                    ).alias("value")
+                ).coalesce(2).write.text(stage)
+                try:
+                    os.rename(stage, src)
+                except OSError:
+                    # defense-in-depth for non-flock filesystems (NFS
+                    # cross-host): only a LOST RACE is recoverable — a
+                    # complete dir now occupies ``src`` (its rename was
+                    # gated on its own committed stage) — adopt it.
+                    # Anything else propagates (m_binary_ingest policy).
+                    if not os.path.exists(f"{src}/_SUCCESS"):
+                        raise
+                    shutil.rmtree(stage, ignore_errors=True)
+            except BaseException:
                 shutil.rmtree(stage, ignore_errors=True)
-        except BaseException:
-            shutil.rmtree(stage, ignore_errors=True)
-            raise
+                raise
+    finally:
+        fcntl.flock(lock_fd, fcntl.LOCK_UN)
+        os.close(lock_fd)
     return src
 
 

@@ -1015,10 +1015,13 @@ def m_binary_ingest(spark, sf_dir):
                         f.write(bytes(r["payload"]))
                     _os.rename(tmp, final)
 
-            # expected file count from the bare id relation (1:1 with
-            # the payload rows; counting the payload relation itself
-            # would encode every JPEG a second time)
-            expected = docs.select("doc_id").count()
+            # expected file count from the DISTINCT id relation (the
+            # bare id relation, so the payload is not encoded twice;
+            # DISTINCT because file names are per-id — duplicate
+            # doc_ids would collide last-rename-wins and a raw row
+            # count would then blame a perfectly shared filesystem in
+            # the guard's error message, ADVICE r9)
+            expected = docs.select("doc_id").distinct().count()
             mm.attach_jpeg_payload(docs).select(
                 "doc_id", "payload"
             ).foreachPartition(_write_partition)

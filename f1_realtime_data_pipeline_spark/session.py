@@ -31,6 +31,22 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _env_positive_int(var: str, raw: str) -> int:
+    """Validate a tooling-controlled numeric env override (ADVICE r9:
+    ``int(env)`` let '0', negatives, and typos surface as an invalid
+    Spark conf or a bare ValueError at session build — name the
+    variable instead)."""
+    try:
+        val = int(raw)
+    except ValueError:
+        raise ValueError(
+            f"{var} must be a positive integer, got {raw!r}"
+        ) from None
+    if val <= 0:
+        raise ValueError(f"{var} must be a positive integer, got {raw!r}")
+    return val
+
+
 def get_spark(
     app_name: str = "f1_realtime_data_pipeline_spark",
     cpus: int | None = None,
@@ -43,7 +59,8 @@ def get_spark(
     everything else here is cluster-appropriate as-is.
     """
     if cpus is None:
-        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        env_cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        cpus = _env_positive_int("SPARK_GRAFT_CPUS", env_cpus) if env_cpus else 32
     if shuffle_partitions is None:
         # local mode: ~cores; a 1000-executor cluster would use
         # cores*executors*2-3 or rely on AQE coalesce from a high initial.
@@ -51,7 +68,11 @@ def get_spark(
         # (tools/layout_sweep.py): results must not depend on this
         # number — on a real cluster it differs per deployment.
         env_sp = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
-        shuffle_partitions = int(env_sp) if env_sp else max(cpus, 8)
+        shuffle_partitions = (
+            _env_positive_int("SPARK_GRAFT_SHUFFLE_PARTITIONS", env_sp)
+            if env_sp
+            else max(cpus, 8)
+        )
 
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -82,10 +103,17 @@ def get_spark(
     # deployment, so value-invariance to them is the portability proof.
     env_aqe = os.environ.get("SPARK_GRAFT_AQE")
     if env_aqe:
-        builder = builder.config("spark.sql.adaptive.enabled", env_aqe)
+        if env_aqe.lower() not in ("true", "false"):
+            raise ValueError(
+                f"SPARK_GRAFT_AQE must be 'true' or 'false', got {env_aqe!r}"
+            )
+        builder = builder.config("spark.sql.adaptive.enabled", env_aqe.lower())
     env_split = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
     if env_split:
-        builder = builder.config("spark.sql.files.maxPartitionBytes", env_split)
+        builder = builder.config(
+            "spark.sql.files.maxPartitionBytes",
+            str(_env_positive_int("SPARK_GRAFT_MAX_PARTITION_BYTES", env_split)),
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     # Mismatch detection must read the ACTIVE session BEFORE

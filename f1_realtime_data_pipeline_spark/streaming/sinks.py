@@ -472,16 +472,51 @@ def agg_sink_schema(spark, stream_schema, group_cols, sum_cols):
     stream of ``stream_schema``: derived by running the sink's own
     partial-aggregate expression over a zero-row frame, so the
     sum/count output types are exactly what Spark will produce
-    (``sum(int)`` widens to bigint etc.) — never hand-written."""
+    (``sum(int)`` widens to bigint etc.) — never hand-written.
+
+    Re-sum stability is ASSERTED here (ADVICE r9): the sink's merge
+    step re-sums the partial columns every epoch, so a measure type is
+    only admissible if ``sum(sum(T)) == sum(T)`` — true for the
+    integral family (one widening to bigint, then a fixed point) and
+    for float/double, FALSE for decimals, where every re-sum widens
+    the precision again (``sum(decimal(p,s)) -> decimal(p+10,s)``).
+    A decimal measure would not merely mismatch the declared schema
+    on batch one — it would commit a DIFFERENT schema every epoch
+    until hitting precision 38, breaking the sink's re-mergeable-class
+    invariant outright, so it is rejected eagerly with the type-level
+    reason rather than surfacing as a ``merge_schemas`` conflict."""
     empty = spark.createDataFrame([], stream_schema)
-    return (
-        empty.groupBy(*list(group_cols))
-        .agg(
-            *[F.sum(c).alias(c) for c in sum_cols],
-            F.count(F.lit(1)).alias("n_rows"),
-        )
-        .schema
+    partial = empty.groupBy(*list(group_cols)).agg(
+        *[F.sum(c).alias(c) for c in sum_cols],
+        F.count(F.lit(1)).alias("n_rows"),
     )
+    _assert_resum_stable(partial, group_cols, sum_cols)
+    return partial.schema
+
+
+def _assert_resum_stable(partial: DataFrame, group_cols, sum_cols) -> None:
+    """Raise unless re-summing ``partial``'s measure columns is a
+    type-level fixed point (see :func:`agg_sink_schema`). Analysis
+    only — no job runs."""
+    resummed = partial.groupBy(*list(group_cols)).agg(
+        *[F.sum(c).alias(c) for c in sum_cols],
+        F.sum("n_rows").alias("n_rows"),
+    )
+    before = {f.name: f.dataType for f in partial.schema.fields}
+    after = {f.name: f.dataType for f in resummed.schema.fields}
+    drift = [
+        (c, before[c].simpleString(), after[c].simpleString())
+        for c in list(sum_cols) + ["n_rows"]
+        if before[c] != after[c]
+    ]
+    if drift:
+        detail = ", ".join(f"{c}: sum={b} resum={a}" for c, b, a in drift)
+        raise ValueError(
+            "transactional_agg_sink measures must be re-sum-stable "
+            "(sum(sum(T)) == sum(T)); these widen again on every merge "
+            f"epoch: {detail}. Cast decimal measures to double or a "
+            "scaled bigint before the sink."
+        )
 
 
 def _align_to_schema(
@@ -848,6 +883,11 @@ def transactional_agg_sink(
             )
             .withColumn(_BUCKET_COL, _key_bucket(group_cols, nb))
         )
+        # schema-analysis-only guard (ADVICE r9): reject non-re-sum-
+        # stable measure types (decimals) on the FIRST batch with the
+        # type-level reason, instead of committing v+1 and dying in
+        # merge_schemas' conflict check on the NEXT epoch.
+        _assert_resum_stable(partial.drop(_BUCKET_COL), group_cols, sum_cols)
         partial.persist()
         try:
             all_cols = group_cols + sum_cols + ["n_rows"]

@@ -125,3 +125,52 @@ def test_fact_msg_src_concurrent_publish_is_atomic(spark, sf_dir, tmp_path, monk
     # the published fixture holds the full serialized fact exactly once
     n_lines = spark.read.text(src).count()
     assert n_lines == contract_star.race_fact(spark, sf_dir).count()
+
+
+def test_fact_msg_src_teardown_cannot_delete_published_fixture(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    # ADVICE r9: the probe+teardown was still check-then-act — caller
+    # A sees no _SUCCESS, caller B renames a complete dir into src,
+    # A's rmtree deletes the just-published fixture under B's readers.
+    # The section now runs under an exclusive flock, so starting from
+    # a TORN pre-state (src exists without _SUCCESS) N concurrent
+    # builders must converge on one complete dir that every caller's
+    # returned path can actually read.
+    import os
+    import tempfile
+    import threading
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+
+    torn = os.path.join(
+        str(tmp_path),
+        f"mvsrc_{os.path.basename(sf_dir)}_{spark.sparkContext.applicationId}",
+    )
+    os.makedirs(torn, exist_ok=True)
+    with open(os.path.join(torn, "part-00000"), "w") as f:
+        f.write("torn partial write\n")  # no _SUCCESS: must be torn down
+
+    results, errors = [], []
+
+    def build():
+        try:
+            src = contract_star._fact_msg_src(spark, sf_dir)
+            # read IMMEDIATELY — the window the advice targeted is a
+            # reader resolving its file list while another caller's
+            # teardown deletes the dir
+            results.append((src, spark.read.text(src).count()))
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=build) for _ in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert not errors, errors
+    expected = contract_star.race_fact(spark, sf_dir).count()
+    assert {r[0] for r in results} == {torn}
+    assert all(r[1] == expected for r in results)
+    assert os.path.exists(f"{torn}/_SUCCESS")

@@ -454,3 +454,18 @@ def test_layout_sweep_env_knobs_reach_the_session(spark, monkeypatch):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_env_override_validation_names_the_variable():
+    # ADVICE r9 (session.py): int(env) on SPARK_GRAFT_* overrides let
+    # '0', negatives, and garbage surface as an invalid Spark conf or
+    # a bare ValueError at session build. The validator must name the
+    # variable and reject non-positive values.
+    import pytest
+
+    from f1_realtime_data_pipeline_spark.session import _env_positive_int
+
+    assert _env_positive_int("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32") == 32
+    for bad in ("0", "-4", "abc", "3.5", ""):
+        with pytest.raises(ValueError, match="SPARK_GRAFT_SHUFFLE_PARTITIONS"):
+            _env_positive_int("SPARK_GRAFT_SHUFFLE_PARTITIONS", bad)

@@ -1715,3 +1715,39 @@ def test_declare_sink_table_serves_empty_before_first_batch(spark, tmp_path):
     got = {r.k: (r.v, r.n_rows) for r in read_sink_snapshot(spark, sink).collect()}
     assert got == {"a": (3, 2)}
     assert mf.snapshot_versions(spark, sink) == [1, 2]
+
+
+def test_agg_sink_rejects_non_resum_stable_decimal_measures(spark, tmp_path):
+    # ADVICE r9: sum(decimal(p,s)) widens to decimal(p+10,s) on EVERY
+    # re-sum, so a decimal measure would commit a different schema
+    # each epoch (merge_schemas conflict on epoch 2 even without a
+    # declared table). Both the declaration helper and the sink's
+    # first batch must reject it eagerly with the type-level reason.
+    import pytest
+
+    from f1_realtime_data_pipeline_spark.streaming.sinks import (
+        agg_sink_schema,
+        transactional_agg_sink,
+    )
+
+    with pytest.raises(ValueError, match="re-sum-stable"):
+        agg_sink_schema(spark, "k string, v decimal(10,2)", ["k"], ["v"])
+
+    write = transactional_agg_sink(
+        str(tmp_path / "mv_dec"), group_cols=["k"], sum_cols=["v"]
+    )
+    batch = spark.createDataFrame([("a", 1.5)], "k string, v double").select(
+        "k", F.col("v").cast("decimal(10,2)").alias("v")
+    )
+    with pytest.raises(ValueError, match="re-sum-stable"):
+        write(batch, 0)
+    # integral and floating measures stay admissible (fixed points)
+    schema = agg_sink_schema(
+        spark, "k string, a int, b double", ["k"], ["a", "b"]
+    )
+    assert dict((f.name, f.dataType.simpleString()) for f in schema.fields) == {
+        "k": "string",
+        "a": "bigint",
+        "b": "double",
+        "n_rows": "bigint",
+    }
