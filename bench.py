@@ -72,6 +72,36 @@ def run_to_completion(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def control_plan(spark, sf_dir):
+    """FROZEN zero-code-change control (VERDICT r9 #1): defined here,
+    not in the registry, and never edited round-over-round — so any
+    delta in its timing between rounds measures BOX LOAD, not code.
+    Timed best-of-N before and after the suite; a round whose control
+    moves >10% vs the prior round's control is a loaded-box run and
+    its per-query deltas are not evidence of regressions."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def best_of(fn, runs: int) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.time()
+        fn()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -96,14 +126,14 @@ def main() -> int:
     # the box-contention noise that made round-over-round deltas on
     # this 32-way box untrustworthy at best-of-2.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    control_pre = best_of(
+        lambda: run_to_completion(control_plan(spark, sf_dir)), runs
+    )
     timings: dict[str, float] = {}
     for name in names:
-        best = float("inf")
-        for _ in range(runs):
-            t0 = time.time()
-            run_to_completion(qs[name](spark, sf_dir))
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+        timings[name] = best_of(
+            lambda: run_to_completion(qs[name](spark, sf_dir)), runs
+        )
 
     # idempotent-sink epoch probes (BASELINE.md's only latency figure is
     # the reference's ~0.6-0.7 s micro-batch): one foreachBatch epoch of
@@ -170,14 +200,32 @@ def main() -> int:
     timings["sink_epoch_merge"] = round(best_merge, 3)
     timings["sink_epoch_delete"] = round(best_delete, 3)
 
+    control_post = best_of(
+        lambda: run_to_completion(control_plan(spark, sf_dir)), runs
+    )
     print(
         json.dumps(
             {
-                "metric": "headline query wall-clock, noop sink, local mode",
+                "metric": (
+                    f"headline query wall-clock, noop sink, local mode, "
+                    f"best-of-{runs} (min per query)"
+                ),
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # zero-code-change load control (VERDICT r9 #1): a
+                # frozen lineitem scan-agg defined in bench.py, timed
+                # best-of-N before and after the suite. NOT summed
+                # into value. Compare across rounds: if the control
+                # moved, the box did — exonerate per-query deltas
+                # before reading them as regressions.
+                "control": {
+                    "pre_sec": control_pre,
+                    "post_sec": control_post,
+                    "desc": "frozen lineitem filter+groupBy agg; "
+                    "round-over-round delta = box load, not code",
+                },
             }
         )
     )
