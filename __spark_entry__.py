@@ -114,73 +114,64 @@ _QUERY_MODULES = [
 #: round (KeyError at import if a name disappears — the rotation list
 #: cannot silently go stale).
 _WINDOW_HEAD = [
-    # --- (a) the full pre-r5 cohort (VERDICT r8 #1: after this round
-    # no entry's latest driver row may predate r5). d_exact is the
-    # registry's oldest row (r2); the r3 head is TPC-H ×21 + the six
-    # r3 plan queries; the five r4 stragglers close the cohort.
-    # tpch_q21 (r7) rides along so the full TPC-H ×22 re-greens as
-    # one generation. ---
-    "d_exact",
-    "tpch_q1",
-    "tpch_q2",
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    "q0_stream_transform",
-    "d_substring_dedup",
-    "t_chunk_overlap",
-    "d_editdist_neardup",
-    "t_epoch_expand",
-    "t_shard_assign",
-    "p_skew_profile",
-    "o_compaction_plan",
-    "d_dup_clusters_iter",
-    "m_byte_stats",
-    "m_resize_plan",
-    # --- (b) displaced from the r8 window (VERDICT r8 #1) ---
-    "q2_champion",
-    "q4_podium",
-    # --- (c) r9-touched: the new bounded-error oracle + the three
-    # multi-scan refactors + the advice-item edits (fixture staging
-    # in m_binary_ingest / the shared MV message source) ---
-    "a_approx_distinct",
-    "w_anomaly_mad",
-    "e_knn_pq",
-    "e_knn_recall_audit",
-    "m_binary_ingest",
-    "q1_standings_mv",
-    "q3_classification_mv",
-    # --- (d) VERDICT r8 #6: similarity emitters whose r8 hardening
-    # (zero-norm filter at _unit_vectors) the driver has not
-    # re-checked; the multimodal family gets dated selfcheck lines in
-    # COVERAGE.md instead (displaced by the (e) edits) ---
-    "e_knn_lsh",
-    "e_cosine_neardup",
-    "e_semantic_decontam",
-    "e_knn_join_derived",
-    # --- (e) r9 empty-input sweep edits: grouping-sets empty
-    # contract (partial-first rollup/cube), NULL-on-empty-truth
-    # recall; the MV CREATE TABLE declares ride with (c)'s MV slots ---
-    "a_rollup",
-    "a_cube",
-    "e_ivf_probe_curve",
+    # --- r11 rotation (VERDICT r10 #2, carried from r9 #2): the
+    # full r5 cohort (31) + r6 cohort (18) = 49 — the oldest
+    # driver-green rows in the registry (tools/freshness.py).
+    # After this round the freshness floor is r7. ---
+    "p_project_rename",
+    "p_json_extract",
+    "p_to_json",
+    "p_string_funcs",
+    "p_datetime_funcs",
+    "p_math_funcs",
+    "p_coalesce_nullif",
+    "f_predicates",
+    "f_distinct_not_null",
+    "f_regexp",
+    "j_left_enrich",
+    "j_inner",
+    "j_semi",
+    "j_anti",
+    "j_full_outer",
+    "j_cross",
+    "j_lookup_default",
+    "a_group_count",
+    "a_sum_stats",
+    "a_dedup_first_wins",
+    "a_argmax",
+    "a_pivot",
+    "o_topk_global",
+    "o_topk_per_group",
+    "o_rank_kinds",
+    "o_window_running",
+    "s_union_all",
+    "s_intersect_except",
+    "t_shuffle_order",
+    "t_pii_redact",
+    "p_dataset_card",
+    "a_histogram",
+    "d_incremental_dedup",
+    "d_span_splice",
+    "t_length_buckets",
+    "t_train_split",
+    "t_pack_sequences_dist",
+    "t_stratified_sample",
+    "e_knn_bruteforce",
+    "e_cosine_neardup_exact",
+    "d_span_dedup",
+    "d_span_dedup_stats",
+    "e_pq_codes",
+    "t_mixture_resample",
+    "t_dsir_select",
+    "t_priority_sample",
+    "t_weighted_sample",
+    "t_heavy_hitters_cms",
+    "t_sentence_chunk",
+    # --- slot 50: r11-touched — the new codepoint-exact unicode
+    # edit-distance oracle (VERDICT r10 #3). d_editdist_neardup
+    # itself is r10-green and its r11 edit is oracle-byte-
+    # unchanged (persist only); selfcheck re-verifies it locally. ---
+    "d_editdist_unicode",
 ]
 
 

@@ -784,15 +784,23 @@ def d_editdist_neardup(spark, sf_dir):
     bytes, so the oracle twin verifies the ASCII regime where the two
     definitions coincide (the fixture corpus); the codepoint
     semantics themselves are pinned by
-    tests/test_llm_ext.py::test_levenshtein_is_codepoint_based. Scale shape: the O(len²)-per-pair DP runs ONLY
+    tests/test_llm_ext.py::test_levenshtein_is_codepoint_based, and
+    the oracle row for the NON-ASCII regime is the companion
+    ``d_editdist_unicode`` (codepoint-exact by construction — r11).
+    Scale shape: the O(len²)-per-pair DP runs ONLY
     on the LSH candidate set (bounded by band-bucket occupancy, never
     the corpus); texts are late-fetched onto the bare id pairs by two
     doc_id joins, so the candidate generation itself never shuffles a
-    document body.
+    document body. The shared (doc_id, text) relation is persisted —
+    both late-fetch joins read one materialized block instead of
+    re-scanning parquet (r11, VERDICT r10 #6: 3→2 scans; lifecycle is
+    the tf-idf policy — ContextCleaner unpersists on plan GC).
     """
+    from pyspark import StorageLevel
+
     docs = _docs(spark, sf_dir)
     cand = dd.minhash_lsh_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
-    t = docs.select("doc_id", "text")
+    t = docs.select("doc_id", "text").persist(StorageLevel.MEMORY_AND_DISK)
     paired = (
         cand.join(t.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta")), "doc_a")
         .join(t.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb")), "doc_b")
@@ -828,6 +836,97 @@ SELECT c.doc_a, c.doc_b,
 FROM cand c
 JOIN documents a ON a.doc_id = c.doc_a
 JOIN documents b ON b.doc_id = c.doc_b""",
+)
+
+
+#: cross-engine-identical ASCII projection: strip every codepoint
+#: outside printable ASCII (space..tilde). Java regex removes an
+#: astral-plane char as two surrogate deletions, RE2 as one codepoint
+#: — the REPLACEMENT is empty either way, so the projected string is
+#: byte-identical across engines.
+_ASCII_ONLY_RE = "[^ -~]"
+
+#: injective substitution used by d_editdist_unicode: lowercase ASCII
+#: vowels → precomposed acute accents (2-byte UTF-8, BMP single
+#: UTF-16 units — safe for Spark's String-based translate). Injective
+#: on the post-projection alphabet (pure ASCII, so the image chars
+#: cannot pre-exist), hence distance-preserving.
+_VOWELS_ASCII = "aeiou"
+_VOWELS_ACCENT = "áéíóú"
+
+
+def d_editdist_unicode(spark, sf_dir):
+    """Codepoint-exact NON-ASCII oracle row for the edit-distance
+    contract (VERDICT r10 #3 — the d_editdist_neardup granularity
+    residual): Spark's ``levenshtein`` counts codepoints while
+    DuckDB's counts UTF-8 bytes, so the production query's twin can
+    only verify the ASCII regime. This variant closes the gap with a
+    distance-preserving bijection:
+
+    1. both engines project the candidate texts to printable ASCII
+       with the identical regex (``[^ -~]`` → ''), so the base pair
+       is byte-identical cross-engine on ANY corpus (the multilingual
+       hazard fixture included);
+    2. Spark additionally maps the five lowercase vowels to
+       precomposed acute accents (an injective character substitution
+       — ``translate('aeiou' → 'áéíóú')``) and runs ``levenshtein``
+       on those genuinely multibyte strings;
+    3. DuckDB runs ``levenshtein`` on the untouched ASCII base, where
+       bytes == codepoints.
+
+    Injective per-character substitution leaves edit distance
+    invariant (edit scripts map 1:1 through the bijection), so the
+    two engines agree IFF Spark's levenshtein is codepoint-based —
+    a byte-based engine would charge 2 for every vowel↔consonant
+    substitution and the values would diverge on the first such pair.
+    ``n_accented_*`` (= octet_length − length on the Spark side, =
+    vowel count on the DuckDB side) proves the multibyte regime was
+    genuinely exercised, row by row. Same candidate pipeline as
+    d_editdist_neardup (banded MinHash-LSH, late-fetched texts, the
+    r11 persisted shared relation), so a green row verifies the
+    production query's own unicode behavior end-to-end.
+    """
+    from pyspark import StorageLevel
+
+    docs = _docs(spark, sf_dir)
+    cand = dd.minhash_lsh_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    base = F.regexp_replace("text", _ASCII_ONLY_RE, "")
+    t = docs.select("doc_id", base.alias("atext")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    paired = (
+        cand.join(t.select(F.col("doc_id").alias("doc_a"), F.col("atext").alias("ta")), "doc_a")
+        .join(t.select(F.col("doc_id").alias("doc_b"), F.col("atext").alias("tb")), "doc_b")
+    )
+    ua = F.translate("ta", _VOWELS_ASCII, _VOWELS_ACCENT)
+    ub = F.translate("tb", _VOWELS_ASCII, _VOWELS_ACCENT)
+    return paired.select(
+        "doc_a",
+        "doc_b",
+        F.levenshtein(ua, ub).cast("int").alias("lev_cp"),
+        (F.octet_length(ua) - F.length(ua)).cast("int").alias("n_accented_a"),
+        (F.octet_length(ub) - F.length(ub)).cast("int").alias("n_accented_b"),
+    )
+
+
+_register(
+    "d_editdist_unicode",
+    d_editdist_unicode,
+    f"""WITH cand AS (
+  SELECT doc_a, doc_b FROM ({dd.minhash_lsh_pairs_sql(0.5)})
+), t AS (
+  SELECT doc_id, regexp_replace(text, '{_ASCII_ONLY_RE}', '', 'g') AS atext
+  FROM documents
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(levenshtein(a.atext, b.atext) AS INT) AS lev_cp,
+       CAST(length(a.atext) - length(translate(a.atext, '{_VOWELS_ASCII}', '')) AS INT)
+         AS n_accented_a,
+       CAST(length(b.atext) - length(translate(b.atext, '{_VOWELS_ASCII}', '')) AS INT)
+         AS n_accented_b
+FROM cand c
+JOIN t a ON a.doc_id = c.doc_a
+JOIN t b ON b.doc_id = c.doc_b""",
 )
 
 

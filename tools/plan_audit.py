@@ -55,6 +55,7 @@ AUDIT = [
     "pipeline_corpus_v2",
     "d_span_splice",
     "d_editdist_neardup",
+    "d_editdist_unicode",
     "t_shuffle_order",
     "t_pii_redact",
     "t_epoch_expand",

@@ -22,12 +22,24 @@ then:
     python tools/selfcheck.py --sf-dir /tmp/sf_empty
     python tools/selfcheck.py --sf-dir /tmp/sf_unicode <text/dedup names>
 
-Known, documented residual on the unicode fixture: ``d_editdist_neardup``
-— Spark ``levenshtein`` counts CODEPOINTS (the engine contract, correct
-for multilingual near-dup verification) while DuckDB's counts UTF-8
-BYTES, so its oracle twin verifies the ASCII regime where the two
-definitions coincide; the codepoint semantics are pinned by pytest
-(tests/test_llm_ext.py::test_levenshtein_is_codepoint_based).
+Unicode-sweep family (``--list-unicode-family`` prints it): every
+registered query whose VALUES depend on the documents.text column
+(prefixes d_/t_/pipeline_) plus p_string_funcs (the §2.7 engine-casing
+demo with its documented ASCII-domain pin) — 60 names. The edit-distance
+contract appears twice in the family: ``d_editdist_neardup`` (production
+form — Spark ``levenshtein`` counts CODEPOINTS, the right contract for
+multilingual near-dup verification, while DuckDB's counts UTF-8 BYTES,
+so its raw-text twin verifies the ASCII regime by engine-primitive
+necessity and diverges on this fixture BY DESIGN) and
+``d_editdist_unicode`` (r11 — the codepoint-exact oracle row: identical
+candidate pipeline, cross-engine-identical ASCII projection, Spark-side
+injective multibyte substitution; green on this fixture iff Spark's
+levenshtein is codepoint-based). Sweep accounting: 60/60 verifiable
+contracts green — the raw-text editdist twin is the one documented
+engine-primitive exclusion, and the contract it cannot check is checked
+exactly by the variant. Codepoint semantics also pinned by pytest
+(tests/test_llm_ext.py::test_levenshtein_is_codepoint_based,
+::test_editdist_unicode_bijection_preserves_distance).
 """
 
 from __future__ import annotations
@@ -92,13 +104,35 @@ def build_unicode(base: str, out: str) -> None:
     print(f"unicode fixture at {out} ({len(d['text'])} docs)")
 
 
+def unicode_family() -> list[str]:
+    """The unicode-sweep query set: every registered query whose values
+    depend on documents.text (prefixes d_/t_/pipeline_) plus
+    p_string_funcs (see module docstring). Derived from the live
+    registry so the list cannot silently go stale."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    names = [
+        n
+        for n in entrymod.queries()
+        if n.startswith(("d_", "t_", "pipeline_"))
+    ]
+    return names + ["p_string_funcs"]
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default="/root/testdata/sf0.001")
     ap.add_argument("--empty", action="store_true")
     ap.add_argument("--unicode", action="store_true")
+    ap.add_argument("--list-unicode-family", action="store_true")
     ap.add_argument("--out")
     args = ap.parse_args()
+    if args.list_unicode_family:
+        print(" ".join(unicode_family()))
+        return 0
     if args.empty:
         build_empty(args.base, args.out or "/tmp/sf_empty")
     if args.unicode:
