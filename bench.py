@@ -126,6 +126,10 @@ def main() -> int:
     # the box-contention noise that made round-over-round deltas on
     # this 32-way box untrustworthy at best-of-2.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # de-warm the control (VERDICT r10 #5): one untimed execution of
+    # the control plan itself, so control_pre measures box load — not
+    # this plan's one-time codegen — and pre/post are comparable.
+    run_to_completion(control_plan(spark, sf_dir))
     control_pre = best_of(
         lambda: run_to_completion(control_plan(spark, sf_dir)), runs
     )
