@@ -304,6 +304,8 @@ def transactional_parquet_sink(
     order_cols: Sequence[str] | None = None,
     n_buckets: int = SINK_BUCKETS,
     stats_cols: Sequence[str] | None = None,
+    keep_history: int | None = None,
+    compact_every: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """:func:`idempotent_parquet_sink` semantics on the atomic-manifest
     table format (:mod:`~f1_realtime_data_pipeline_spark.sources.
@@ -336,8 +338,29 @@ def transactional_parquet_sink(
     reclaims them. Single serial writer (Structured Streaming's model): a
     lost commit race means another writer — raise instead of silently
     dropping an epoch (multi-writer deployments re-read and retry the
-    conflict, the Delta protocol)."""
+    conflict, the Delta protocol).
+
+    Maintenance schedule (r11 — the knob the sink-epoch decade sweep
+    motivates; tools/sink_epoch_sweep.py + SCALE.md): three per-commit
+    costs grow with ACCUMULATED HISTORY by design — the manifest-dir
+    listing (one file per retained commit), the entries list carried
+    into every resolve/commit (one entry per epoch × touched bucket),
+    and the idempotence anti-join (unions every live epoch directory
+    of the batch's buckets). ``keep_history=K`` runs
+    ``expire_history(keep_last=K)`` after each commit, bounding the
+    listing; ``compact_every=M`` additionally runs
+    ``compact_snapshot`` + ``expire_history`` + ``vacuum`` every M
+    commits, bounding live entries and the anti-join's directory
+    count to ≤ M + 1 per bucket — together they hold per-commit cost
+    FLAT in epoch count. Both default to None (no maintenance:
+    unbounded time travel, the archival posture). The cadence counts
+    THIS writer's data commits (compaction itself commits a version,
+    so a ``version % M`` cadence would drift); a restarted writer
+    restarts the count — cadence, not correctness. Safe from the
+    writer: single-writer model, and vacuum protects every retained
+    snapshot's files."""
     keys = list(keys)
+    data_commits = [0]
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -423,6 +446,25 @@ def transactional_parquet_sink(
                 raise RuntimeError(
                     f"lost commit race for {sink_path} v{version + 1}: "
                     "another writer is active on a single-writer sink"
+                )
+            # post-commit maintenance (see docstring): bounded history
+            # first, then periodic compaction + reclaim. Runs only
+            # after a SUCCESSFUL commit from the single writer.
+            data_commits[0] += 1
+            if compact_every and data_commits[0] % compact_every == 0:
+                manifest.compact_snapshot(spark, sink_path)
+                if keep_history:
+                    manifest.expire_history(
+                        spark, sink_path, keep_last=keep_history
+                    )
+                # vacuum protects every RETAINED snapshot's files, so
+                # without keep_history it only reclaims crash orphans
+                # (compaction still bounds the anti-join: readers and
+                # the idempotence read resolve the LATEST manifest)
+                manifest.vacuum(spark, sink_path)
+            elif keep_history:
+                manifest.expire_history(
+                    spark, sink_path, keep_last=keep_history
                 )
         finally:
             deduped.unpersist()
