@@ -23,7 +23,11 @@ cost flat:
 - ``raw``      — commit epochs, no maintenance (the failure mode);
 - ``expire``   — ``expire_history(keep_last=10)`` after every commit;
 - ``compact``  — expire + ``compact_snapshot`` every COMPACT_EVERY
-  epochs + ``vacuum`` (the recommended production schedule).
+  epochs + ``vacuum`` (the recommended production schedule);
+- ``auto``     — the same schedule via the sink's OWN
+  ``keep_history``/``compact_every`` knobs (r11) — maintenance time
+  lands inside the commit timings, proving the production one-liner
+  holds the flat curve.
 
 At each decade point (history = 10 and = 100 epochs) it also times the
 other verbs at that accumulated history: a 10 %-overlap MERGE, a DELETE
@@ -91,8 +95,13 @@ def window_mean(times: list[float], lo: int, hi: int) -> float:
 def run_mode(spark, mode: str, epochs: int, rows: int, base: str) -> dict:
     path = f"{base}/{mode}"
     shutil.rmtree(path, ignore_errors=True)
+    sink_kwargs = (
+        {"keep_history": KEEP_LAST, "compact_every": COMPACT_EVERY}
+        if mode == "auto"
+        else {}
+    )
     write = transactional_parquet_sink(
-        path, keys=["event_id"], order_cols=["event_time"]
+        path, keys=["event_id"], order_cols=["event_time"], **sink_kwargs
     )
     commit_s: list[float] = []
     maint_s = 0.0
@@ -124,6 +133,12 @@ def run_mode(spark, mode: str, epochs: int, rows: int, base: str) -> dict:
         # epochs (first epoch excluded — table-creation warmup)
         "commit_mean_h1_10": window_mean(commit_s, 1, 10),
         "commit_mean_h91_100": window_mean(commit_s, max(0, epochs - 10), epochs),
+        # full shape (compaction cadence shows as a sawtooth): mean
+        # commit seconds per consecutive tenth of the run
+        "commit_decile_means": [
+            window_mean(commit_s, i * epochs // 10, (i + 1) * epochs // 10)
+            for i in range(10)
+        ],
         "commit_total_s": round(sum(commit_s), 2),
         "maintenance_total_s": round(maint_s, 2),
         "retained_manifests": len(hist),
@@ -168,8 +183,8 @@ def main() -> int:
     ap.add_argument("--epochs", type=int, default=100)
     ap.add_argument("--rows", type=int, default=256)
     ap.add_argument(
-        "--modes", nargs="+", default=["raw", "expire", "compact"],
-        choices=["raw", "expire", "compact"],
+        "--modes", nargs="+", default=["raw", "expire", "compact", "auto"],
+        choices=["raw", "expire", "compact", "auto"],
     )
     ap.add_argument("--runs-dir", default="/tmp/sink_epoch_sweep")
     args = ap.parse_args()
