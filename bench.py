@@ -128,7 +128,13 @@ def main() -> int:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     # de-warm the control (VERDICT r10 #5): one untimed execution of
     # the control plan itself, so control_pre measures box load — not
-    # this plan's one-time codegen — and pre/post are comparable.
+    # this plan's one-time codegen. Measured limit of that fix (r11,
+    # isolated-session experiment): the control keeps speeding up for
+    # tens of executions (0.66 → 0.40 s over 11 runs; 0.23 s only
+    # after the full suite) — suite-wide JVM/C2 warmup, not this
+    # plan's codegen — so pre≈post is NOT reachable by warmup alone.
+    # Protocol: compare POST_SEC across rounds (steady-state, fully
+    # warmed); pre_sec is the qualitative load snapshot at suite start.
     run_to_completion(control_plan(spark, sf_dir))
     control_pre = best_of(
         lambda: run_to_completion(control_plan(spark, sf_dir)), runs
@@ -228,7 +234,8 @@ def main() -> int:
                     "pre_sec": control_pre,
                     "post_sec": control_post,
                     "desc": "frozen lineitem filter+groupBy agg; "
-                    "round-over-round delta = box load, not code",
+                    "compare POST_SEC across rounds (pre carries "
+                    "residual JVM warmup; delta = box load, not code)",
                 },
             }
         )
