@@ -1,7 +1,8 @@
-"""Deterministic robustness fixtures: empty-input and unicode corpora.
+"""Deterministic robustness fixtures: empty, unicode, and skew corpora.
 
 Round 8 swept degenerate VALUES (NULLs, zero-norm vectors, malformed
-wire data); round 9 swept two more axes every 100 TB pipeline hits:
+wire data); rounds 9/11 added three more axes every 100 TB pipeline
+hits:
 
 - **empty relations** (``--empty``): schema-identical zero-row copies
   of all ten tables. A filter matching nothing is guaranteed at scale;
@@ -21,6 +22,17 @@ Usage:
 then:
     python tools/selfcheck.py --sf-dir /tmp/sf_empty
     python tools/selfcheck.py --sf-dir /tmp/sf_unicode <text/dedup names>
+
+- **skewed corpus** (``--skew``): the sf0.001 corpus with planted
+  mass skew — 1/3 exact-duplicate boilerplate docs (one hash group,
+  one near-dup clique, one LSH bucket chain), 1/3 docs carrying one
+  hot span (33% span DF), half the corpus on one source, and 1/3 of
+  all embeddings set to one hot unit vector (a cosine==1 tie mass in
+  one LSH/IVF bucket). Mass ties are where nondeterministic
+  tie-breaking, df-cap boundaries, and hot-bucket handling diverge
+  first; the r11 sweep (``--list-skew-family``, 90 queries over the
+  documents/embeddings-dependent families) is 90/90 green — the
+  deterministic tie-break contracts hold under mass ties.
 
 Unicode-sweep family (``--list-unicode-family`` prints it): every
 registered query whose VALUES depend on the documents.text column
@@ -88,6 +100,72 @@ def build_empty(base: str, out: str) -> None:
     print(f"empty fixture at {out} ({len(TABLES)} zero-row tables)")
 
 
+#: the skew fixture's planted boilerplate (an exact-duplicate mass —
+#: every third doc becomes THIS text, so one text hash, one shingle
+#: set, one LSH bucket chain carries a third of the corpus)
+SKEW_BOILERPLATE = (
+    "subscribe to our newsletter terms of service apply "
+    "all rights reserved click here to unsubscribe "
+) * 4
+
+#: hot span appended to another third (span/substring dedup hot-key
+#: path: one span string at ~33% document frequency)
+SKEW_HOT_SPAN = "standard disclaimer: this document is provided as is."
+
+
+def build_skew(base: str, out: str) -> None:
+    """Adversarially skewed corpus — the third robustness axis (r11;
+    r8 swept degenerate values, r9 empty relations + unicode). At
+    100 TB, skew is a certainty: boilerplate makes exact-duplicate
+    masses, templated pages make hot spans, crawler runs make one
+    dominant source, and near-identical embeddings pile into one LSH
+    bucket. This fixture plants all four into sf0.001 and the sweep
+    value-checks every text/dedup/similarity/selection query against
+    DuckDB under MASS TIES — the regime where nondeterministic
+    tie-breaking, df-cap boundaries, and hot-bucket salting diverge
+    first:
+
+    - documents: every 3rd doc's text := one fixed boilerplate (an
+      exact-dup mass ~167 docs: one hash group, one near-dup clique);
+      every 3rd+1 doc gets a fixed hot span appended (33% span DF);
+      half of ALL docs collapse onto source 'src0' (dominant-source
+      mixtures/stratification).
+    - embeddings: every 3rd vector := one fixed unit vector (a
+      ~167-vector hot LSH/IVF bucket and a cosine==1 tie mass).
+    """
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        if t in ("documents", "embeddings"):
+            continue
+        shutil.copyfile(f"{base}/{t}.parquet", f"{out}/{t}.parquet")
+    tbl = pq.read_table(f"{base}/documents.parquet")
+    d = tbl.to_pydict()
+    for i in range(len(d["text"])):
+        if i % 3 == 0:
+            d["text"][i] = SKEW_BOILERPLATE
+        elif i % 3 == 1:
+            d["text"][i] = (d["text"][i] or "") + " " + SKEW_HOT_SPAN
+        if i % 2 == 0:
+            d["source"][i] = "src0"
+        d["n_chars"][i] = len(d["text"][i] or "")
+    pq.write_table(pa.table(d, schema=tbl.schema), f"{out}/documents.parquet")
+    emb = pq.read_table(f"{base}/embeddings.parquet")
+    e = emb.to_pydict()
+    dim = len(e["embedding"][0])
+    hot = [0.0] * dim
+    hot[0] = 0.6
+    hot[1] = 0.8
+    for i in range(len(e["embedding"])):
+        if i % 3 == 0:
+            e["embedding"][i] = list(hot)
+    pq.write_table(pa.table(e, schema=emb.schema), f"{out}/embeddings.parquet")
+    print(
+        f"skew fixture at {out} ({len(d['text'])} docs: 1/3 exact-dup "
+        f"mass, 1/3 hot-span, 1/2 one source; {len(e['embedding'])} "
+        "vectors: 1/3 one hot vector)"
+    )
+
+
 def build_unicode(base: str, out: str) -> None:
     os.makedirs(out, exist_ok=True)
     for t in TABLES:
@@ -122,23 +200,47 @@ def unicode_family() -> list[str]:
     return names + ["p_string_funcs"]
 
 
+def skew_family() -> list[str]:
+    """The skew-sweep query set: every registered query whose values
+    depend on documents or embeddings — the tables the skew fixture
+    perturbs (prefixes d_/t_/e_/m_/pipeline_; m_ reads documents'
+    doc_id domain for its payload staging)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    return [
+        n
+        for n in entrymod.queries()
+        if n.startswith(("d_", "t_", "e_", "m_", "pipeline_"))
+    ]
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default="/root/testdata/sf0.001")
     ap.add_argument("--empty", action="store_true")
     ap.add_argument("--unicode", action="store_true")
+    ap.add_argument("--skew", action="store_true")
     ap.add_argument("--list-unicode-family", action="store_true")
+    ap.add_argument("--list-skew-family", action="store_true")
     ap.add_argument("--out")
     args = ap.parse_args()
     if args.list_unicode_family:
         print(" ".join(unicode_family()))
         return 0
+    if args.list_skew_family:
+        print(" ".join(skew_family()))
+        return 0
     if args.empty:
         build_empty(args.base, args.out or "/tmp/sf_empty")
     if args.unicode:
         build_unicode(args.base, args.out or "/tmp/sf_unicode")
-    if not (args.empty or args.unicode):
-        ap.error("pass --empty and/or --unicode")
+    if args.skew:
+        build_skew(args.base, args.out or "/tmp/sf_skew")
+    if not (args.empty or args.unicode or args.skew):
+        ap.error("pass --empty, --unicode and/or --skew")
     return 0
 
 
