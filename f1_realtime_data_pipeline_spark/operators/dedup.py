@@ -420,11 +420,26 @@ def _band_candidates(
         raise ValueError(
             f"band config {bands_n}x{rows_n} exceeds {MINHASH_PERMS} perms"
         )
+    bands = _band_memberships(sigs, bands_n, rows_n)
+    return (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band_idx", "sig"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _band_memberships(
+    sigs: DataFrame, bands_n: int = LSH_BANDS, rows_n: int = BAND_ROWS
+) -> DataFrame:
+    """(doc_id, band_idx, sig) — one row per doc per band, the shared
+    scaffold under both the clique candidates and the star edges."""
     band_cols = []
     for band in range(bands_n):
         members = [F.col(f"mh{band * rows_n + r}") for r in range(rows_n)]
         band_cols.append(F.concat_ws("_", *[m.cast("string") for m in members]))
-    bands = sigs.select(
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -435,11 +450,28 @@ def _band_candidates(
             )
         ).alias("b"),
     ).select("doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.sig").alias("sig"))
+
+
+def _band_star_edges(
+    sigs: DataFrame, bands_n: int = LSH_BANDS, rows_n: int = BAND_ROWS
+) -> DataFrame:
+    """Star-reduced banded-LSH candidate EDGES (doc_a=hub < doc_b,
+    distinct): per (band_idx, sig) bucket emit one edge from the
+    bucket's MIN doc_id to every other member — O(occupancy) edges per
+    bucket instead of the clique's O(occupancy²) pairs, with IDENTICAL
+    within-bucket connectivity (every member reaches every other
+    through the hub). The per-bucket min is one hash aggregate; no
+    self-join of the membership relation ever happens."""
+    if bands_n * rows_n > MINHASH_PERMS:
+        raise ValueError(
+            f"band config {bands_n}x{rows_n} exceeds {MINHASH_PERMS} perms"
+        )
+    bands = _band_memberships(sigs, bands_n, rows_n)
+    hubs = bands.groupBy("band_idx", "sig").agg(F.min("doc_id").alias("hub"))
     return (
-        bands.alias("x")
-        .join(bands.alias("y"), ["band_idx", "sig"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        bands.join(hubs, ["band_idx", "sig"])
+        .filter(F.col("doc_id") != F.col("hub"))
+        .select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
         .distinct()
     )
 
@@ -825,6 +857,60 @@ def dup_clusters(
     return connected_components(pairs, max_iters)
 
 
+def minhash_lsh_star_edges(
+    docs: DataFrame, threshold: float = 0.5, id_strategy: str = "md5"
+) -> DataFrame:
+    """Star-reduced MinHash-LSH near-dup EDGES, Jaccard-verified: the
+    candidate generation a 100 TB CLUSTERING pass needs. The clique
+    form (:func:`minhash_lsh_pairs`) is quadratic in bucket occupancy
+    by its own contract — a 10M-doc boilerplate mass (0.1% of a 10B
+    corpus) means 5·10¹³ pairs, which no verify stage survives. For
+    canonicalization the clique is redundant: connectivity per bucket
+    is fully preserved by the star (hub = bucket min id), so candidate
+    count is LINEAR in occupancy.
+
+    Semantics vs the clique form, documented: within any band bucket
+    the star reaches every member through the hub, so for
+    exact-duplicate masses (all pairwise Jaccard = 1, the pathology
+    this exists for) the verified star yields IDENTICAL clusters. A
+    weakly-linked pair (A~B but neither ~hub) that only the clique's
+    A-B edge would keep connected can split — the standard
+    recall/cost trade every production fuzzy-dedup ships (banding
+    already makes candidate recall probabilistic).
+    """
+    sh = doc_shingles(docs, MINHASH_SHINGLE_N).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = _minhash_sigs(sh, id_strategy)
+    edges = _band_star_edges(sigs)
+    common, sa, sb = _candidate_overlap(sh, edges)
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def dup_clusters_star(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_strategy: str = "md5",
+    max_iters: int = 20,
+) -> DataFrame:
+    """:func:`dup_clusters` over the star-reduced verified edge list —
+    the boilerplate-proof canonicalization: candidate and verify work
+    scale linearly in bucket occupancy (see
+    :func:`minhash_lsh_star_edges` for the documented recall trade)."""
+    edges = minhash_lsh_star_edges(docs, threshold, id_strategy).select(
+        "doc_a", "doc_b"
+    )
+    return connected_components(edges, max_iters)
+
+
 #: edge-count gate for the single-task strategy. Budgeted by the cost
 #: of the one task that runs it: the numpy min-label solver below holds
 #: a handful of int64 arrays (≤ ~80 MB of raw edge ids at 5M edges,
@@ -1040,6 +1126,66 @@ def dup_clusters_sql(threshold: float = 0.5, id_strategy: str = "md5") -> str:
     so it terminates), then min reachable id per node."""
     return f"""WITH RECURSIVE pairs AS (
   {minhash_lsh_pairs_sql(threshold, id_strategy)}
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id,
+       LEAST(src, MIN(dst)) AS cluster_id
+FROM reach GROUP BY src"""
+
+
+def minhash_lsh_star_edges_sql(
+    threshold: float = 0.5, id_strategy: str = "md5"
+) -> str:
+    """DuckDB twin of :func:`minhash_lsh_star_edges`: the same band
+    scaffold, per-bucket MIN as the hub, hub→member edges, identical
+    Jaccard verify."""
+    band_exprs = []
+    for band in range(LSH_BANDS):
+        parts = " || '_' || ".join(
+            f"CAST(mh{band * BAND_ROWS + r} AS VARCHAR)" for r in range(BAND_ROWS)
+        )
+        band_exprs.append(f"SELECT doc_id, {band} AS band_idx, {parts} AS sig FROM sigs")
+    bands_union = "\n  UNION ALL\n  ".join(band_exprs)
+    return f"""WITH {_minhash_sig_sql(id_strategy)},
+bands AS (
+  {bands_union}
+), hubs AS (
+  SELECT band_idx, sig, MIN(doc_id) AS hub FROM bands GROUP BY band_idx, sig
+), cand AS (
+  SELECT DISTINCT h.hub AS doc_a, b.doc_id AS doc_b
+  FROM bands b JOIN hubs h ON b.band_idx = h.band_idx AND b.sig = h.sig
+  WHERE b.doc_id <> h.hub
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM doc_sh GROUP BY doc_id
+), common AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN doc_sh wa ON wa.doc_id = c.doc_a
+  JOIN doc_sh wb ON wb.doc_id = c.doc_b AND wb.shingle = wa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b,
+       CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= {threshold}"""
+
+
+def dup_clusters_star_sql(
+    threshold: float = 0.5, id_strategy: str = "md5"
+) -> str:
+    """DuckDB twin of :func:`dup_clusters_star`: recursive-CTE
+    transitive closure over the star-reduced verified edges."""
+    return f"""WITH RECURSIVE pairs AS (
+  {minhash_lsh_star_edges_sql(threshold, id_strategy)}
 ), edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION

@@ -282,6 +282,28 @@ def d_dup_clusters_iter(spark, sf_dir):
 _register("d_dup_clusters_iter", d_dup_clusters_iter, dd.dup_clusters_sql(0.5))
 
 
+def d_dup_clusters_star(spark, sf_dir):
+    """The boilerplate-proof canonicalizer (r11): connected components
+    over STAR-REDUCED verified LSH edges — per band bucket one edge
+    from the min-id hub to each member, so candidate and verify work
+    are LINEAR in bucket occupancy where the clique form is quadratic
+    (a 10M-doc boilerplate mass at 10B-corpus scale is 5·10¹³ clique
+    pairs vs 10M star edges). Connectivity per bucket is identical;
+    the documented trade is weakly-linked pairs (similar to each other
+    but not to their hub) splitting — exact-duplicate masses, the
+    pathology this exists for, cluster identically (pytest pins
+    star==clique clusters plus the k-1-vs-C(k,2) edge counts on a
+    30-doc clique; the skew-fixture sweep cross-engine-checks the
+    167-doc mass). Oracle = the same star reduction + recursive-CTE
+    transitive closure."""
+    return dd.dup_clusters_star(_docs(spark, sf_dir), threshold=0.5)
+
+
+_register(
+    "d_dup_clusters_star", d_dup_clusters_star, dd.dup_clusters_star_sql(0.5)
+)
+
+
 # --------------------------------------------------------------------------
 # training-set mechanics: split / packing / distinctive terms
 # --------------------------------------------------------------------------

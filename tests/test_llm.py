@@ -199,6 +199,32 @@ def test_dup_clusters_chain(spark):
     assert set(out) == {0, 1, 2, 3, 4}
 
 
+def test_dup_clusters_star_linear_on_clique(spark):
+    # r11: the star-reduced canonicalizer. On an exact-duplicate MASS
+    # (the boilerplate pathology it exists for) it must (a) produce
+    # IDENTICAL clusters to the clique form, and (b) generate edges
+    # LINEAR in the clique size where the clique form is quadratic —
+    # the 100 TB candidate-explosion bound.
+    k = 30
+    boiler = "subscribe newsletter terms apply all rights reserved " * 3
+    other = "totally different words about query planners and shuffles here now"
+    docs = _docs(spark, [boiler] * k + [other])
+    star = {
+        r.doc_id: r.cluster_id
+        for r in dd.dup_clusters_star(docs, threshold=0.5).collect()
+    }
+    clique = {
+        r.doc_id: r.cluster_id
+        for r in dd.dup_clusters(docs, threshold=0.5).collect()
+    }
+    assert star == clique  # identical canonicalization on the mass
+    assert set(star.values()) == {0} and len(star) == k
+    n_star = dd.minhash_lsh_star_edges(docs, threshold=0.5).count()
+    n_clique = dd.minhash_lsh_pairs(docs, threshold=0.5).count()
+    assert n_clique == k * (k - 1) // 2  # the quadratic contract
+    assert n_star == k - 1  # linear: one hub edge per member
+
+
 def test_connected_components_both_strategies_agree(spark):
     # a 40-hop chain plus a separate triangle: long-diameter input that
     # forces multiple pointer-jump rounds on the iterative path

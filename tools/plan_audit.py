@@ -39,6 +39,7 @@ AUDIT = [
     "d_ngram_jaccard",
     "d_containment",
     "d_minhash_lsh",
+    "d_dup_clusters_star",
     "d_simhash_pairs",
     "d_substring_dedup",
     "d_incremental_dedup",

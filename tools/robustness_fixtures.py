@@ -30,14 +30,15 @@ then:
   all embeddings set to one hot unit vector (a cosine==1 tie mass in
   one LSH/IVF bucket). Mass ties are where nondeterministic
   tie-breaking, df-cap boundaries, and hot-bucket handling diverge
-  first; the r11 sweep (``--list-skew-family``, 90 queries over the
-  documents/embeddings-dependent families) is 90/90 green — the
-  deterministic tie-break contracts hold under mass ties.
+  first; the r11 sweep (``--list-skew-family``, the registry-derived
+  documents/embeddings-dependent families — 91 names at r11) is all
+  green — the deterministic tie-break contracts hold under mass ties.
 
 Unicode-sweep family (``--list-unicode-family`` prints it): every
 registered query whose VALUES depend on the documents.text column
 (prefixes d_/t_/pipeline_) plus p_string_funcs (the §2.7 engine-casing
-demo with its documented ASCII-domain pin) — 60 names. The edit-distance
+demo with its documented ASCII-domain pin) — registry-derived (61
+names at r11). The edit-distance
 contract appears twice in the family: ``d_editdist_neardup`` (production
 form — Spark ``levenshtein`` counts CODEPOINTS, the right contract for
 multilingual near-dup verification, while DuckDB's counts UTF-8 BYTES,
@@ -46,8 +47,8 @@ necessity and diverges on this fixture BY DESIGN) and
 ``d_editdist_unicode`` (r11 — the codepoint-exact oracle row: identical
 candidate pipeline, cross-engine-identical ASCII projection, Spark-side
 injective multibyte substitution; green on this fixture iff Spark's
-levenshtein is codepoint-based). Sweep accounting: 60/60 verifiable
-contracts green — the raw-text editdist twin is the one documented
+levenshtein is codepoint-based). Sweep accounting: every verifiable
+contract green — the raw-text editdist twin is the one documented
 engine-primitive exclusion, and the contract it cannot check is checked
 exactly by the variant. Codepoint semantics also pinned by pytest
 (tests/test_llm_ext.py::test_levenshtein_is_codepoint_based,
