@@ -400,6 +400,27 @@ def cosine_neardup_lsh_pairs(
     hashes. When ``planes_per_table`` is None the plane count needs N
     before the fold expressions exist, costing one extra count() scan;
     registered queries pin the count, so their plans scan once."""
+    rel, tb = _neardup_rel_tb(embeddings, planes_per_table, id_col, vec_col)
+    cand = (
+        tb.select(F.col("vid").alias("vec_a"), "tbl", "bkt")
+        .join(tb.select(F.col("vid").alias("vec_b"), "tbl", "bkt"), ["tbl", "bkt"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return _verify_cosine(rel, cand, threshold)
+
+
+def _neardup_rel_tb(
+    embeddings: DataFrame,
+    planes_per_table: int | None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """The near-dup detectors' shared checkpointed scan: ``rel`` =
+    (vid, per-table buckets, unit vector) materialized once (see the
+    scan-discipline note in :func:`cosine_neardup_lsh_pairs`), ``tb``
+    = its exploded (vid, tbl, bkt) membership relation."""
     if planes_per_table is None:
         planes_per_table = neardup_planes_for(embeddings.count())
     rel = (
@@ -424,13 +445,13 @@ def cosine_neardup_lsh_pairs(
     tb = rel.select("vid", F.explode("tbs").alias("tb")).select(
         "vid", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt")
     )
-    cand = (
-        tb.select(F.col("vid").alias("vec_a"), "tbl", "bkt")
-        .join(tb.select(F.col("vid").alias("vec_b"), "tbl", "bkt"), ["tbl", "bkt"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .dropDuplicates(["vec_a", "vec_b"])
-    )
+    return rel, tb
+
+
+def _verify_cosine(rel: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
+    """Exact unit-dot verification of bare (vec_a, vec_b) candidates —
+    vectors late-fetched from the checkpointed relation AFTER the
+    candidate distinct, the pair/star-shared tail."""
     u = rel.select("vid", "uv")
     return (
         cand.join(
@@ -441,6 +462,35 @@ def cosine_neardup_lsh_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )
+
+
+def cosine_neardup_star_edges(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    planes_per_table: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Star-reduced embedding near-dup EDGES (r11) — the vector twin
+    of :func:`~..operators.dedup.minhash_lsh_star_edges`: per
+    (table, bucket) one edge from the min-id hub to each member, so
+    candidate and verify work are LINEAR in bucket occupancy where
+    the pair form is quadratic (an embedding hot bucket — re-encoded
+    boilerplate, near-constant vectors — is the same pathology as the
+    text clique; the skew fixture plants a 167-vector cosine==1 mass).
+    Within-bucket connectivity is identical through the hub; the
+    recall trade (pairs similar to each other but not to their hub)
+    matches the text form's documented semantics. Same checkpointed
+    single scan, same exact-cosine verify tail."""
+    rel, tb = _neardup_rel_tb(embeddings, planes_per_table, id_col, vec_col)
+    hubs = tb.groupBy("tbl", "bkt").agg(F.min("vid").alias("hub"))
+    cand = (
+        tb.join(hubs, ["tbl", "bkt"])
+        .filter(F.col("vid") != F.col("hub"))
+        .select(F.col("hub").alias("vec_a"), F.col("vid").alias("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return _verify_cosine(rel, cand, threshold)
 
 
 def cosine_neardup_lsh_pairs_sql(
@@ -502,6 +552,36 @@ def cosine_neardup_lsh_pairs_derived_sql(threshold: float, src: str) -> str:
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM tabs a JOIN tabs b
     ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, {dot_sql("ua.uv", "ub.uv")} AS cosine
+FROM cand
+JOIN unitv ua ON ua.vec_id = vec_a
+JOIN unitv ub ON ub.vec_id = vec_b
+WHERE {dot_sql("ua.uv", "ub.uv")} >= {threshold}"""
+
+
+def cosine_neardup_star_edges_derived_sql(threshold: float, src: str) -> str:
+    """DuckDB twin of :func:`cosine_neardup_star_edges` with the
+    corpus-derived plane count: same derived-plane band scaffold as
+    :func:`cosine_neardup_lsh_pairs_derived_sql`, per-bucket MIN hub,
+    hub→member edges, identical exact-cosine verify."""
+    from f1_realtime_data_pipeline_spark.functions.vector import neardup_planes_sql
+
+    per_table = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {_derived_bucket_sql(t)} AS bkt, {t} AS tbl "
+        f"FROM {src} _e{t}, p"
+        for t in range(NEARDUP_TABLES)
+    )
+    planes = neardup_planes_sql(f"(SELECT COUNT(*) FROM {src} _n)")
+    return f"""WITH p AS (SELECT {planes} AS pc),
+{_unit_sql(src)}, tabs AS (
+  {per_table}
+), hubs AS (
+  SELECT tbl, bkt, MIN(vec_id) AS hub FROM tabs GROUP BY tbl, bkt
+), cand AS (
+  SELECT DISTINCT h.hub AS vec_a, t.vec_id AS vec_b
+  FROM tabs t JOIN hubs h ON t.tbl = h.tbl AND t.bkt = h.bkt
+  WHERE t.vec_id <> h.hub
 )
 SELECT vec_a, vec_b, {dot_sql("ua.uv", "ub.uv")} AS cosine
 FROM cand

@@ -1603,3 +1603,44 @@ SELECT src AS vec_id,
        LEAST(src, MIN(dst)) AS cluster_id
 FROM reach GROUP BY src""",
 )
+
+
+def e_neardup_clusters_star(spark, sf_dir):
+    """The boilerplate-proof form of e_neardup_clusters (r11): CC over
+    STAR-REDUCED verified cosine edges — per (table, bucket) one edge
+    from the min-id hub to each member, candidates LINEAR in bucket
+    occupancy where the pair form is quadratic (the vector twin of
+    d_dup_clusters_star; an embedding hot bucket — re-encoded
+    boilerplate, near-constant vectors — is the same pathology as the
+    text clique, and the skew fixture plants a 167-vector cosine==1
+    mass). Identical clusters on exact-duplicate masses; weak-link
+    recall trade documented on the operator. Oracle = the same star
+    reduction (derived-plane scaffold) + recursive-CTE closure."""
+    edges = sim.cosine_neardup_star_edges(
+        _embs_neardup(spark, sf_dir),
+        threshold=_NEARDUP_COS,
+        planes_per_table=None,
+    ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    return dd.connected_components(edges).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+
+
+_register(
+    "e_neardup_clusters_star",
+    e_neardup_clusters_star,
+    f"""WITH RECURSIVE pairs AS (
+  {sim.cosine_neardup_star_edges_derived_sql(_NEARDUP_COS, src=_EMBS_NEARDUP_SQL)}
+), edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION
+  SELECT vec_b AS src, vec_a AS dst FROM pairs
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS vec_id,
+       LEAST(src, MIN(dst)) AS cluster_id
+FROM reach GROUP BY src""",
+)

@@ -856,6 +856,43 @@ def test_embedding_cluster_invariants(spark, sf_dir):
         assert labels[p.vec_a] == labels[p.vec_b]
 
 
+def test_embedding_star_clusters_linear_on_vector_mass(spark):
+    # r11: the vector twin of the star canonicalizer. On an
+    # identical-vector MASS (re-encoded boilerplate) the star form
+    # must produce the same clusters as the pair form while its edge
+    # count stays linear in the mass size (identical vectors share
+    # every LSH bucket, so the pair form is exactly C(k,2)·verified).
+    from f1_realtime_data_pipeline_spark.operators.similarity import (
+        cosine_neardup_lsh_pairs,
+        cosine_neardup_star_edges,
+    )
+    from f1_realtime_data_pipeline_spark.operators import dedup as dd
+
+    k, dim = 24, 8
+    hot = [1.0] + [0.0] * (dim - 1)
+    rows = [(i, hot) for i in range(k)]
+    # fillers orthogonal to the mass and to each other (one-hot on
+    # distinct axes) — no cross pairs
+    for j in range(1, dim):
+        v = [0.0] * dim
+        v[j] = 1.0
+        rows.append((k + j, v))
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    n_pairs = cosine_neardup_lsh_pairs(embs, threshold=0.9, planes_per_table=8).count()
+    n_star = cosine_neardup_star_edges(embs, threshold=0.9, planes_per_table=8).count()
+    assert n_pairs == k * (k - 1) // 2
+    assert n_star == k - 1
+    star_edges = cosine_neardup_star_edges(
+        embs, threshold=0.9, planes_per_table=8
+    ).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    star = {
+        r.doc_id: r.cluster_id for r in dd.connected_components(star_edges).collect()
+    }
+    assert star == {i: 0 for i in range(k)}  # one cluster, min-id rep
+
+
 def test_cosine_neardup_lsh_recall(spark, sf_dir):
     """LSH pairs ⊆ exact pairs (the verify dot is exact, so no false
     positives), with recall 1 on the planted copies (identical

@@ -31,7 +31,7 @@ then:
   one LSH/IVF bucket). Mass ties are where nondeterministic
   tie-breaking, df-cap boundaries, and hot-bucket handling diverge
   first; the r11 sweep (``--list-skew-family``, the registry-derived
-  documents/embeddings-dependent families — 91 names at r11) is all
+  documents/embeddings-dependent families — 92 names at r11) is all
   green — the deterministic tie-break contracts hold under mass ties.
 
 Unicode-sweep family (``--list-unicode-family`` prints it): every
