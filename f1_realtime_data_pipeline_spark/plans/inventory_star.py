@@ -1045,6 +1045,72 @@ FROM orders GROUP BY o_orderstatus""",
 )
 
 
+#: percentile_approx accuracy: guaranteed rank error ≤ n/ACC (0.1%),
+#: audited against a 1% band — a 10× margin, the a_approx_distinct
+#: rsd-vs-band discipline.
+_APPROX_PCT_ACC = 1000
+
+
+def a_approx_percentile(spark, sf_dir):
+    """percentile_approx (the GK/KLL-style mergeable quantile sketch)
+    in its AUDIT form — the a_approx_distinct discipline applied to
+    the other core Spark sketch (r11): each group carries the exact
+    interpolated median beside a bounded-RANK-error assertion on the
+    sketch's estimate. percentile_approx returns an actual observed
+    value whose rank is guaranteed within n/accuracy of the target;
+    the audit recomputes that rank exactly (count of values ≤
+    estimate, one broadcast join of the 3-row group aggregate back to
+    the fact) and asserts it lies within ±1% of n/2 (10× the sketch's
+    n/1000 guarantee, absorbing duplicate-value rank plateaus). The
+    sketch is deterministic for fixed data, so the boolean is stable
+    and the DuckDB twin — which cannot reproduce Spark's sketch —
+    pins the same row with the exact median (quantile_cont parity,
+    the a_percentiles convention) and a literal TRUE: a Spark sketch
+    regression pushes the rank out of band and hash-mismatches.
+    Production uses the sketch alone — one pass, mergeable partials,
+    no sort — which is why the operator exists; the audit's exact
+    side is eval-harness cost."""
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    g = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact_median"),
+        F.percentile_approx(
+            "l_extendedprice", F.lit(0.5), F.lit(_APPROX_PCT_ACC)
+        ).alias("__ap"),
+    )
+    ranked = (
+        li.join(F.broadcast(g), "l_returnflag")
+        .groupBy("l_returnflag", "n_rows", "exact_median")
+        .agg(
+            F.sum(
+                F.when(F.col("l_extendedprice") <= F.col("__ap"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("__n_le")
+        )
+    )
+    return ranked.select(
+        "l_returnflag",
+        "n_rows",
+        "exact_median",
+        (
+            (F.col("__n_le") >= F.col("n_rows") * 0.49)
+            & (F.col("__n_le") <= F.col("n_rows") * 0.51 + 1)
+        ).alias("rank_within_1pct"),
+    )
+
+
+_register(
+    "a_approx_percentile",
+    a_approx_percentile,
+    """SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       quantile_cont(l_extendedprice, 0.5) AS exact_median,
+       TRUE AS rank_within_1pct
+FROM lineitem GROUP BY l_returnflag""",
+)
+
+
 def a_histogram(spark, sf_dir):
     """Fixed-width histogram of order totals: 20 buckets of 30k with
     an overflow clamp — one map-side-combined aggregation on a ≤20-key
