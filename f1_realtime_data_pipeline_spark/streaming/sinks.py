@@ -891,6 +891,8 @@ def transactional_agg_sink(
     group_cols: Sequence[str],
     sum_cols: Sequence[str],
     n_buckets: int = SINK_BUCKETS,
+    keep_history: int | None = None,
+    vacuum_every: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Streaming MATERIALIZED VIEW: maintain a keyed aggregate table
     (``sum(sum_cols)`` + an ``n_rows`` count per ``group_cols`` key)
@@ -928,9 +930,21 @@ def transactional_agg_sink(
     applied. Residual risk: a *different* batch with the same id AND
     bit-identical partial aggregate — indistinguishable in principle
     without a durable batch UUID, which Structured Streaming does not
-    provide to foreachBatch."""
+    provide to foreachBatch.
+
+    Maintenance (r11, the row sink's schedule adapted to the MV's
+    shape): the MV SELF-COMPACTS — every commit rewrites its touched
+    buckets into one merged directory — so per-bucket directory count
+    never grows with history; its growth terms are only the manifest
+    FILE count (one per epoch) and the superseded directories left
+    for time travel. ``keep_history=K`` expires manifests past the
+    newest K after each commit (the applied-epoch ledger lives in the
+    LATEST manifest and is untouched); ``vacuum_every=M`` reclaims
+    unreferenced superseded directories every M commits
+    (writer-local count). Defaults None: unbounded time travel."""
     group_cols = list(group_cols)
     sum_cols = list(sum_cols)
+    commits = [0]
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -1042,6 +1056,13 @@ def transactional_agg_sink(
                 raise RuntimeError(
                     f"lost agg commit race for {sink_path} v{version + 1}"
                 )
+            # post-commit maintenance (see docstring): the MV
+            # self-compacts, so only history expiry + periodic reclaim
+            commits[0] += 1
+            if keep_history:
+                manifest.expire_history(spark, sink_path, keep_last=keep_history)
+            if vacuum_every and commits[0] % vacuum_every == 0:
+                manifest.vacuum(spark, sink_path)
         finally:
             partial.unpersist()
 
