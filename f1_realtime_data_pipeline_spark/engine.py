@@ -184,7 +184,12 @@ class F1Engine:
         return drop_all_user_tables(spark)
 
     def start_points_view(
-        self, source_dir: str, view_path: str, checkpoint_dir: str
+        self,
+        source_dir: str,
+        view_path: str,
+        checkpoint_dir: str,
+        keep_history: int | None = None,
+        vacuum_every: int | None = None,
     ) -> StreamingQuery:
         """LIVE championship points as a streaming materialized view:
         per-driver running totals maintained exactly-once
@@ -233,7 +238,13 @@ class F1Engine:
             .writeStream.outputMode("append")
             .foreachBatch(
                 transactional_agg_sink(
-                    view_path, group_cols=["driver_number"], sum_cols=["points"]
+                    view_path,
+                    group_cols=["driver_number"],
+                    sum_cols=["points"],
+                    # long-lived view maintenance (r11): bound manifest
+                    # count / reclaim superseded dirs from the writer
+                    keep_history=keep_history,
+                    vacuum_every=vacuum_every,
                 )
             )
             .option("checkpointLocation", checkpoint_dir)

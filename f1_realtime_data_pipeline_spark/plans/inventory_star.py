@@ -1111,6 +1111,62 @@ FROM lineitem GROUP BY l_returnflag""",
 )
 
 
+def a_hll_merge_audit(spark, sf_dir):
+    """MERGEABLE-sketch audit (r11): the property that makes sketches
+    the 100 TB answer is not the estimate — it is that per-shard
+    sketches UNION without re-scanning data (Datasketches HLL:
+    ``hll_sketch_agg`` per shard, ``hll_union_agg`` across shards,
+    one binary blob per shard shipped instead of the shard).
+    This audit builds per-(group, shard) sketches — shard = a
+    deterministic 8-way split of the order key, standing in for
+    partitions/days/workers — merges them per group, and asserts the
+    MERGED estimate sits within 5% of the exact distinct count (same
+    band discipline as a_approx_distinct; Datasketches HLL at default
+    lgK=12 has rsd ≈ 0.8%, a 6× margin). The sketch is deterministic
+    for fixed data, so the boolean is stable; the DuckDB twin pins
+    the exact side and a literal TRUE — a merge-path regression
+    (double-counting a shard, dropping one) lands ~12.5% off and
+    hash-mismatches."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_orderkey",
+        F.pmod(F.col("l_orderkey"), F.lit(8)).alias("__shard"),
+    )
+    shard_sketches = li.groupBy("l_returnflag", "__shard").agg(
+        F.hll_sketch_agg("l_orderkey").alias("__sk")
+    )
+    merged = shard_sketches.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("__est"),
+        F.count("*").cast("bigint").alias("n_shards"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_exact")
+    )
+    return (
+        merged.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_shards",
+            "n_exact",
+            (
+                (F.col("__est") >= F.col("n_exact") * 0.95)
+                & (F.col("__est") <= F.col("n_exact") * 1.05)
+            ).alias("merged_within_5pct"),
+        )
+    )
+
+
+_register(
+    "a_hll_merge_audit",
+    a_hll_merge_audit,
+    """SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_orderkey % 8) AS BIGINT) AS n_shards,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_exact,
+       TRUE AS merged_within_5pct
+FROM lineitem GROUP BY l_returnflag""",
+)
+
+
 def a_histogram(spark, sf_dir):
     """Fixed-width histogram of order totals: 20 buckets of 30k with
     an overflow clamp — one map-side-combined aggregation on a ≤20-key
