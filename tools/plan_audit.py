@@ -79,6 +79,8 @@ AUDIT = [
     "m_image_ahash",
     "t_heavy_hitters_cms",
     "d_minhash_est_audit",
+    "a_approx_percentile",
+    "a_hll_merge_audit",
     "t_sentence_chunk",
     "e_knn_recall_audit",
     "a_histogram",
