@@ -58,13 +58,68 @@ def clique_corpus(spark, k: int):
     return dup.unionByName(filler)
 
 
+#: embedding-mass dimension; fillers are the DIM one-hot axes (fixed
+#: count, pairwise orthogonal — corpus mass grows only via the clique)
+EMB_DIM = 64
+
+
+def vector_corpus(spark, k: int):
+    """k identical unit vectors (ids 0..k-1, the re-encoded-boilerplate
+    mass) + EMB_DIM pairwise-orthogonal one-hot fillers."""
+    hot = [0.0] * EMB_DIM
+    hot[0], hot[1] = 0.6, 0.8
+    mass = spark.range(k).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(x)) for x in hot]).cast("array<float>").alias(
+            "embedding"
+        ),
+    )
+    fillers = spark.createDataFrame(
+        [
+            (k + j, [1.0 if i == j else 0.0 for i in range(EMB_DIM)])
+            for j in range(2, EMB_DIM)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    return mass.unionByName(fillers)
+
+
+def run_vectors(spark, k: int, clique_max_k: int) -> dict:
+    from f1_realtime_data_pipeline_spark.operators import similarity as sim
+
+    embs = vector_corpus(spark, k).localCheckpoint(eager=True)
+    t0 = time.time()
+    n_star = sim.cosine_neardup_star_edges(embs, threshold=0.9).count()
+    row = {
+        "k": k,
+        "family": "embedding",
+        "star_edges": n_star,
+        "star_edges_s": round(time.time() - t0, 3),
+    }
+    if k <= clique_max_k:
+        t0 = time.time()
+        row["clique_pairs"] = sim.cosine_neardup_lsh_pairs(
+            embs, threshold=0.9
+        ).count()
+        row["clique_pairs_s"] = round(time.time() - t0, 3)
+    return row
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--ks", nargs="+", type=int, default=[100, 1000, 10000])
     ap.add_argument("--clique-max-k", type=int, default=1000)
+    ap.add_argument(
+        "--family", choices=["text", "embedding"], default="text",
+        help="text = minhash shingle detector; embedding = cosine LSH",
+    )
     args = ap.parse_args()
 
     spark = get_spark("star_sweep", cpus=8, shuffle_partitions=8)
+    if args.family == "embedding":
+        for k in args.ks:
+            print(json.dumps(run_vectors(spark, k, args.clique_max_k)), flush=True)
+        return 0
     for k in args.ks:
         docs = clique_corpus(spark, k).localCheckpoint(eager=True)
         t0 = time.time()
