@@ -50,8 +50,13 @@ def _env_positive_int(var: str, raw: str) -> int:
 
 #: Spark's byte-size conf grammar (JavaUtils.byteStringAs): a positive
 #: integer with an optional unit suffix — ``b``, ``k``/``kb``, ``m``/``mb``,
-#: ``g``/``gb``, ``t``/``tb``, ``p``/``pb`` — case-insensitive.
-_SIZE_STRING = re.compile(r"^\s*(\d+)\s*([bkmgtp]b?|kib|mib|gib|tib|pib)?\s*$", re.IGNORECASE)
+#: ``g``/``gb``, ``t``/``tb``, ``p``/``pb`` — case-insensitive, with NO
+#: whitespace between number and suffix. ADVICE r11: the previous pattern
+#: also accepted ``kib``/``mib``/… and internal whitespace ('1 m'), which
+#: Spark itself rejects — such values passed the validator only to fail
+#: later inside Spark without the env-var name attached. Leading/trailing
+#: whitespace stays allowed (Spark trims the whole string before parsing).
+_SIZE_STRING = re.compile(r"^\s*(\d+)([bkmgtp]b?)?\s*$", re.IGNORECASE)
 
 
 def _env_size_string(var: str, raw: str) -> str:

@@ -358,7 +358,18 @@ def transactional_parquet_sink(
     so a ``version % M`` cadence would drift); a restarted writer
     restarts the count — cadence, not correctness. Safe from the
     writer: single-writer model, and vacuum protects every retained
-    snapshot's files."""
+    snapshot's files.
+
+    Reader-side caveat when maintenance is enabled (ADVICE r11): a
+    time-traveling reader that resolves a version and scans it LATER
+    races expire_history + vacuum — a version expired and vacuumed
+    between its resolve and its scan can lose files mid-read. The
+    snapshot-isolation guarantee the test suite pins therefore holds
+    only for versions still inside the ``keep_history`` retention
+    window: readers must finish within it (the same reader contract
+    as Delta Lake's logRetentionDuration/VACUUM pairing). With
+    maintenance off (the defaults) every version is immutable forever
+    and the caveat is moot."""
     keys = list(keys)
     data_commits = [0]
 
@@ -941,10 +952,19 @@ def transactional_agg_sink(
     newest K after each commit (the applied-epoch ledger lives in the
     LATEST manifest and is untouched); ``vacuum_every=M`` reclaims
     unreferenced superseded directories every M commits
-    (writer-local count). Defaults None: unbounded time travel."""
+    (writer-local count). Defaults None: unbounded time travel.
+
+    Reader-side caveat when maintenance is enabled (ADVICE r11): a
+    time-traveling reader racing expire_history + vacuum can lose a
+    version's files between resolve and scan — snapshot isolation
+    holds only for versions inside the ``keep_history`` retention
+    window; readers must finish within it (the Delta
+    logRetentionDuration/VACUUM reader contract). Maintenance off
+    (the defaults) keeps every version immutable forever."""
     group_cols = list(group_cols)
     sum_cols = list(sum_cols)
     commits = [0]
+    resum_checked = [False]
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -965,12 +985,17 @@ def transactional_agg_sink(
         # schema-analysis-only guard (ADVICE r9/r10): reject non-re-sum-
         # stable measure types (decimals) with the type-level reason,
         # instead of committing v+1 and dying in merge_schemas' conflict
-        # check on the NEXT epoch. Gated on the sink's FIRST commit
-        # (version == 0) — later epochs necessarily carry the schema
-        # that already passed, and merge_schemas still rejects any
-        # drift, so re-analyzing two plans per micro-batch buys nothing.
-        if version == 0:
+        # check on the NEXT epoch. Gated on THIS WRITER's first batch
+        # (ADVICE r11), not on table version 0: a writer attached to a
+        # pre-existing MV whose first commit predates this guard (older
+        # build, external creator) never sees version 0, and
+        # merge_schemas only catches schema DRIFT — an already-admitted
+        # decimal schema would sail through with the overflow-to-null
+        # risk intact. The check is analysis-only and runs once per
+        # writer lifetime either way.
+        if not resum_checked[0]:
             _assert_resum_stable(partial.drop(_BUCKET_COL), group_cols, sum_cols)
+            resum_checked[0] = True
         partial.persist()
         try:
             all_cols = group_cols + sum_cols + ["n_rows"]

@@ -481,9 +481,12 @@ def test_env_size_string_accepts_spark_byte_grammar():
     from f1_realtime_data_pipeline_spark.session import _env_size_string
 
     var = "SPARK_GRAFT_MAX_PARTITION_BYTES"
-    for ok in ("134217728", "1m", "128MB", "1M", "512k", "2g", "1b", "4kb", "16mib"):
+    for ok in ("134217728", "1m", "128MB", "1M", "512k", "2g", "1b", "4kb", " 1m "):
         assert _env_size_string(var, ok) == ok
-    for bad in ("", "0", "0m", "-1m", "abc", "3.5m", "m", "1x", "1 m b"):
+    # ADVICE r11: '16mib' and internal whitespace ('1 m') are NOT in
+    # Spark's JavaUtils.byteStringAs grammar — they must fail HERE with
+    # the env-var name, not later inside Spark without it.
+    for bad in ("", "0", "0m", "-1m", "abc", "3.5m", "m", "1x", "1 m b", "16mib", "1 m", "2gib"):
         with pytest.raises(ValueError, match=var):
             _env_size_string(var, bad)
 

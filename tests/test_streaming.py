@@ -1866,3 +1866,39 @@ def test_agg_sink_rejects_non_resum_stable_decimal_measures(spark, tmp_path):
         "b": "double",
         "n_rows": "bigint",
     }
+
+
+def test_agg_sink_rejects_decimal_on_legacy_table_too(spark, tmp_path):
+    # ADVICE r11: the decimal rejection used to gate on table version 0,
+    # so a writer attached to a PRE-EXISTING MV whose first commit
+    # predates the guard (older build / external creator) was never
+    # rejected — merge_schemas only catches drift, not an already-
+    # admitted decimal schema. The gate is now the WRITER's first
+    # batch: attaching to a legacy decimal table fails eagerly with the
+    # type-level reason even though version > 0.
+    import pytest
+    from pyspark.sql.types import StructType
+
+    from f1_realtime_data_pipeline_spark.sources import manifest as mf
+    from f1_realtime_data_pipeline_spark.streaming.sinks import (
+        declare_sink_table,
+        transactional_agg_sink,
+    )
+
+    sink = str(tmp_path / "mv_legacy_dec")
+    # simulate the older build: declare the MV with a decimal measure
+    # schema directly (agg_sink_schema would refuse to produce this)
+    legacy = StructType.fromDDL(
+        "k string, v decimal(38,2), n_rows bigint"
+    )
+    assert declare_sink_table(spark, sink, legacy) is True
+    assert mf.snapshot_versions(spark, sink) == [1]
+
+    write = transactional_agg_sink(sink, group_cols=["k"], sum_cols=["v"])
+    batch = spark.createDataFrame([("a", 1.5)], "k string, v double").select(
+        "k", F.col("v").cast("decimal(28,2)").alias("v")
+    )
+    with pytest.raises(ValueError, match="decimal"):
+        write(batch, 0)
+    # nothing was committed on top of the legacy declaration
+    assert mf.snapshot_versions(spark, sink) == [1]
