@@ -93,19 +93,35 @@ def control_plan(spark, sf_dir):
     )
 
 
-def best_of(fn, runs: int) -> float:
-    best = float("inf")
+def timed_runs(fn, runs: int) -> list[float]:
+    """All N wall-clock timings, sorted ascending. The headline number
+    stays the min (steady-state throughput); the full spread is emitted
+    alongside it (VERDICT r11 #6) so a spiked min self-exonerates — a
+    wide min/median gap on one query with a quiet control means box
+    contention hit that query's runs, not a code regression."""
+    times = []
     for _ in range(runs):
         t0 = time.time()
         fn()
-        best = min(best, time.time() - t0)
-    return round(best, 3)
+        times.append(time.time() - t0)
+    return sorted(round(t, 3) for t in times)
+
+
+def spread(times: list[float]) -> list[float]:
+    """[min, median, max] of a sorted timing list."""
+    return [times[0], times[len(times) // 2], times[-1]]
+
+
+def best_of(fn, runs: int) -> float:
+    return timed_runs(fn, runs)[0]
 
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+
+    load_start = list(os.getloadavg())
 
     spark = get_spark("bench")
     qs = entrymod.queries()
@@ -140,10 +156,13 @@ def main() -> int:
         lambda: run_to_completion(control_plan(spark, sf_dir)), runs
     )
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     for name in names:
-        timings[name] = best_of(
+        ts = timed_runs(
             lambda: run_to_completion(qs[name](spark, sf_dir)), runs
         )
+        timings[name] = ts[0]
+        spreads[name] = spread(ts)
 
     # idempotent-sink epoch probes (BASELINE.md's only latency figure is
     # the reference's ~0.6-0.7 s micro-batch): one foreachBatch epoch of
@@ -165,9 +184,13 @@ def main() -> int:
     )
 
     batch = qs["q0_stream_transform"](spark, sf_dir)
-    best_first, best_replay = float("inf"), float("inf")
-    best_txn, best_merge = float("inf"), float("inf")
-    best_delete = float("inf")
+    probe_times: dict[str, list[float]] = {
+        "sink_epoch_first": [],
+        "sink_epoch_replay": [],
+        "sink_epoch_txn": [],
+        "sink_epoch_merge": [],
+        "sink_epoch_delete": [],
+    }
     for _ in range(runs):
         sink_dir = tempfile.mkdtemp(prefix="bench_sink_") + "/sink"
         write = idempotent_parquet_sink(
@@ -175,10 +198,10 @@ def main() -> int:
         )
         t0 = time.time()
         write(batch, 0)
-        best_first = min(best_first, time.time() - t0)
+        probe_times["sink_epoch_first"].append(time.time() - t0)
         t0 = time.time()
         write(batch, 1)
-        best_replay = min(best_replay, time.time() - t0)
+        probe_times["sink_epoch_replay"].append(time.time() - t0)
         # same first epoch through the manifest-committed sink: the
         # transactional overhead = snapshot resolve + atomic commit
         txn_dir = os.path.dirname(sink_dir) + "/txn"
@@ -187,7 +210,7 @@ def main() -> int:
         )
         t0 = time.time()
         write_txn(batch, 0)
-        best_txn = min(best_txn, time.time() - t0)
+        probe_times["sink_epoch_txn"].append(time.time() - t0)
         # MERGE epoch: a 10% overlapping update slice through the
         # bucket-granular copy-on-write path (replace + carry-over)
         ups = batch.filter(F.pmod(F.col("event_id"), F.lit(10)) == 0)
@@ -195,20 +218,19 @@ def main() -> int:
         transactional_merge(
             ups, txn_dir, keys=["event_id"], order_cols=["event_time"]
         )
-        best_merge = min(best_merge, time.time() - t0)
+        probe_times["sink_epoch_merge"].append(time.time() - t0)
         # DELETE epoch: erase the same 10% slice copy-on-write (the
         # right-to-be-forgotten pass at the q0 batch scale)
         t0 = time.time()
         transactional_delete(
             ups.select("event_id"), txn_dir, keys=["event_id"]
         )
-        best_delete = min(best_delete, time.time() - t0)
+        probe_times["sink_epoch_delete"].append(time.time() - t0)
         shutil.rmtree(os.path.dirname(sink_dir), ignore_errors=True)
-    timings["sink_epoch_first"] = round(best_first, 3)
-    timings["sink_epoch_replay"] = round(best_replay, 3)
-    timings["sink_epoch_txn"] = round(best_txn, 3)
-    timings["sink_epoch_merge"] = round(best_merge, 3)
-    timings["sink_epoch_delete"] = round(best_delete, 3)
+    for probe, raw in probe_times.items():
+        ts = sorted(round(t, 3) for t in raw)
+        timings[probe] = ts[0]
+        spreads[probe] = spread(ts)
 
     control_post = best_of(
         lambda: run_to_completion(control_plan(spark, sf_dir)), runs
@@ -237,6 +259,20 @@ def main() -> int:
                     "compare POST_SEC across rounds (pre carries "
                     "residual JVM warmup; delta = box load, not code)",
                 },
+                # load evidence (VERDICT r11 #6): r11's d_minhash_lsh
+                # "+66% regression" was box load and cost the judge a
+                # full idle re-run to exonerate. loadavg at suite
+                # start/end plus each query's best-of-N [min, median,
+                # max] let a spike self-exonerate: high loadavg or a
+                # wide min/median gap with a quiet control = box
+                # contention, not a code regression.
+                "load": {
+                    "start_1m_5m_15m": [round(x, 2) for x in load_start],
+                    "end_1m_5m_15m": [
+                        round(x, 2) for x in os.getloadavg()
+                    ],
+                },
+                "spread": spreads,
             }
         )
     )
