@@ -476,6 +476,61 @@ def _band_star_edges(
     )
 
 
+#: default bucket-occupancy cap for the hybrid candidate generator:
+#: clique pairs below (full recall, ≤ C(64,2)=2016 pairs/bucket), star
+#: edges above (linear cost on the boilerplate pathology)
+HYBRID_OCC_CAP = 64
+
+
+def _band_hybrid_edges(
+    sigs: DataFrame,
+    bands_n: int = LSH_BANDS,
+    rows_n: int = BAND_ROWS,
+    occ_cap: int = HYBRID_OCC_CAP,
+) -> DataFrame:
+    """Occupancy-capped hybrid banded-LSH candidates (doc_a < doc_b,
+    distinct) — VERDICT r11 #2. Per (band_idx, sig) bucket:
+
+    - occupancy ≤ ``occ_cap``: ALL clique pairs — full candidate
+      recall where the clique is cheap (≤ C(cap,2) pairs/bucket, the
+      common case in an honest corpus), so the star form's weak-link
+      loss (A~B, neither ~hub) cannot happen here;
+    - occupancy > ``occ_cap``: star edges (hub = bucket min id) —
+      LINEAR in occupancy on exactly the boilerplate masses where the
+      clique explodes (10M-doc mass → 10M edges, not 5·10¹³ pairs).
+
+    Within-bucket connectivity is preserved on BOTH branches, so the
+    hybrid's post-verify clusters equal the clique's whenever every
+    bucket is ≤ cap, and equal the star's when every bucket is above
+    it (pytest pins both identities). Cost: ONE occupancy aggregate
+    over the band memberships (the star form already pays the same
+    aggregate for its hubs); the self-join runs only on the ≤-cap
+    slice, so its worst case is cap × slice rows."""
+    if bands_n * rows_n > MINHASH_PERMS:
+        raise ValueError(
+            f"band config {bands_n}x{rows_n} exceeds {MINHASH_PERMS} perms"
+        )
+    bands = _band_memberships(sigs, bands_n, rows_n)
+    stats = bands.groupBy("band_idx", "sig").agg(
+        F.min("doc_id").alias("hub"), F.count("*").alias("occ")
+    )
+    tagged = bands.join(stats, ["band_idx", "sig"])
+    small = tagged.filter(F.col("occ") <= occ_cap)
+    clique = (
+        small.alias("x")
+        .join(small.alias("y"), ["band_idx", "sig"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+    )
+    star = (
+        tagged.filter((F.col("occ") > occ_cap) & (F.col("doc_id") != F.col("hub")))
+        .select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    # both branches emit doc_a < doc_b (the star hub is the bucket
+    # min), so one distinct over the union normalizes cross-band dups
+    return clique.unionAll(star).distinct()
+
+
 def _candidate_overlap(
     sh: DataFrame, cand: DataFrame
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -911,6 +966,51 @@ def dup_clusters_star(
     return connected_components(edges, max_iters)
 
 
+def minhash_lsh_hybrid_edges(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_strategy: str = "md5",
+    occ_cap: int = HYBRID_OCC_CAP,
+) -> DataFrame:
+    """Occupancy-capped hybrid MinHash-LSH near-dup edges,
+    Jaccard-verified: clique pairs in buckets ≤ ``occ_cap`` (full
+    recall where the clique is cheap — the star form dropped weak
+    links in EVERY bucket, including small honest ones), star edges
+    above it (linear cost on boilerplate masses). See
+    :func:`_band_hybrid_edges` for the per-bucket contract."""
+    sh = doc_shingles(docs, MINHASH_SHINGLE_N).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = _minhash_sigs(sh, id_strategy)
+    edges = _band_hybrid_edges(sigs, occ_cap=occ_cap)
+    common, sa, sb = _candidate_overlap(sh, edges)
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def dup_clusters_hybrid(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_strategy: str = "md5",
+    max_iters: int = 20,
+    occ_cap: int = HYBRID_OCC_CAP,
+) -> DataFrame:
+    """:func:`dup_clusters` over the hybrid verified edge list — the
+    production default: clique recall in honest buckets, star
+    linearity on the boilerplate pathology (VERDICT r11 #2)."""
+    edges = minhash_lsh_hybrid_edges(docs, threshold, id_strategy, occ_cap).select(
+        "doc_a", "doc_b"
+    )
+    return connected_components(edges, max_iters)
+
+
 #: edge-count gate for the single-task strategy. Budgeted by the cost
 #: of the one task that runs it: the numpy min-label solver below holds
 #: a handful of int64 arrays (≤ ~80 MB of raw edge ids at 5M edges,
@@ -922,7 +1022,10 @@ SMALL_GRAPH_EDGES = 5_000_000
 
 
 def connected_components(
-    pairs: DataFrame, max_iters: int = 20, small_graph_edges: int = SMALL_GRAPH_EDGES
+    pairs: DataFrame,
+    max_iters: int = 20,
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair list
     (columns ``doc_a``, ``doc_b``) — the generic canonicalization step
@@ -968,7 +1071,11 @@ def connected_components(
     spark = pairs.sparkSession
     pairs = pairs.select("doc_a", "doc_b").persist(StorageLevel.MEMORY_AND_DISK)
     n_edges = pairs.count()
+    if stats is not None:
+        stats["n_edges"] = n_edges
     if n_edges <= small_graph_edges:
+        if stats is not None:
+            stats.update(strategy="union_find", rounds=0, loop_parts=1)
         # eager checkpoint: materializes the union-find once so the
         # detector cache can be dropped before returning
         out = _cc_union_find(pairs).localCheckpoint()
@@ -983,10 +1090,21 @@ def connected_components(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     try:
-        labels, converged = _cc_loop(edges, max_iters, loop_parts)
+        labels, converged, rounds = _cc_loop(edges, max_iters, loop_parts)
     finally:
         edges.unpersist()
         pairs.unpersist()
+    if stats is not None:
+        # observability for the iterative path (VERDICT r11 #5): how
+        # many min-label rounds the topology actually took (a forest
+        # of stars converges in ~2; long chains push toward
+        # O(log diameter)) and the loop width the edge count sized.
+        stats.update(
+            strategy="iterative",
+            rounds=rounds,
+            loop_parts=loop_parts,
+            converged=converged,
+        )
     if not converged:
         warnings.warn(
             f"connected_components: not converged after {max_iters} iterations; "
@@ -1052,7 +1170,7 @@ def _cc_union_find(pairs: DataFrame) -> DataFrame:
 
 def _cc_loop(
     edges: DataFrame, max_iters: int, loop_parts: int
-) -> tuple[DataFrame, bool]:
+) -> tuple[DataFrame, bool, int]:
     """The min-label + pointer-jump rounds; every round's labels are
     materialized (checkpoint + convergence count), so the caller may
     unpersist ``edges`` once this returns. ``shuffle_hash`` hints keep
@@ -1068,7 +1186,9 @@ def _cc_loop(
         .localCheckpoint()
     )
     converged = False
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         neighbor_min = (
             edges.join(labels.hint("shuffle_hash"), edges.dst == labels.doc_id)
             .repartition(loop_parts, "src")
@@ -1118,7 +1238,7 @@ def _cc_loop(
         if changed == 0:
             converged = True
             break
-    return labels, converged
+    return labels, converged, rounds
 
 
 def dup_clusters_sql(threshold: float = 0.5, id_strategy: str = "md5") -> str:
@@ -1186,6 +1306,81 @@ def dup_clusters_star_sql(
     transitive closure over the star-reduced verified edges."""
     return f"""WITH RECURSIVE pairs AS (
   {minhash_lsh_star_edges_sql(threshold, id_strategy)}
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id,
+       LEAST(src, MIN(dst)) AS cluster_id
+FROM reach GROUP BY src"""
+
+
+def minhash_lsh_hybrid_edges_sql(
+    threshold: float = 0.5,
+    id_strategy: str = "md5",
+    occ_cap: int = HYBRID_OCC_CAP,
+) -> str:
+    """DuckDB twin of :func:`minhash_lsh_hybrid_edges`: the same band
+    scaffold, one (hub, occupancy) aggregate, clique pairs where
+    occ ≤ cap / star edges above, identical Jaccard verify."""
+    band_exprs = []
+    for band in range(LSH_BANDS):
+        parts = " || '_' || ".join(
+            f"CAST(mh{band * BAND_ROWS + r} AS VARCHAR)" for r in range(BAND_ROWS)
+        )
+        band_exprs.append(f"SELECT doc_id, {band} AS band_idx, {parts} AS sig FROM sigs")
+    bands_union = "\n  UNION ALL\n  ".join(band_exprs)
+    return f"""WITH {_minhash_sig_sql(id_strategy)},
+bands AS (
+  {bands_union}
+), stats AS (
+  SELECT band_idx, sig, MIN(doc_id) AS hub, COUNT(*) AS occ
+  FROM bands GROUP BY band_idx, sig
+), cand AS (
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM bands x
+    JOIN bands y ON x.band_idx = y.band_idx AND x.sig = y.sig
+               AND x.doc_id < y.doc_id
+    JOIN stats s ON s.band_idx = x.band_idx AND s.sig = x.sig
+    WHERE s.occ <= {occ_cap}
+    UNION ALL
+    SELECT s.hub AS doc_a, b.doc_id AS doc_b
+    FROM bands b
+    JOIN stats s ON s.band_idx = b.band_idx AND s.sig = b.sig
+    WHERE s.occ > {occ_cap} AND b.doc_id <> s.hub
+  )
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM doc_sh GROUP BY doc_id
+), common AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN doc_sh wa ON wa.doc_id = c.doc_a
+  JOIN doc_sh wb ON wb.doc_id = c.doc_b AND wb.shingle = wa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b,
+       CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= {threshold}"""
+
+
+def dup_clusters_hybrid_sql(
+    threshold: float = 0.5,
+    id_strategy: str = "md5",
+    occ_cap: int = HYBRID_OCC_CAP,
+) -> str:
+    """DuckDB twin of :func:`dup_clusters_hybrid`: recursive-CTE
+    transitive closure over the hybrid verified edges."""
+    return f"""WITH RECURSIVE pairs AS (
+  {minhash_lsh_hybrid_edges_sql(threshold, id_strategy, occ_cap)}
 ), edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION

@@ -1111,6 +1111,131 @@ FROM lineitem GROUP BY l_returnflag""",
 )
 
 
+#: per-shard quantile-summary width for the merge audit: each shard is
+#: compressed to this many mid-quantile points, so the merge's
+#: discretization rank error is ≤ n/(2·points) ≈ 0.25% of n
+_MERGE_POINTS = 200
+
+
+def a_approx_percentile_tail(spark, sf_dir):
+    """Quantile-sketch TAIL + MERGE audit (r12, VERDICT r11 #3):
+    median is the sketch's easy case — p99 on a skewed measure and a
+    per-shard-partials merge are where rank error and mergeability
+    actually bite at 100 TB.
+
+    Skewed measure: ~90% of rows collapse to a single plateau value
+    (0.0 — quantity ≤ 45 of a uniform 1..50) and the surviving 10%
+    keep the price spread, so p99 sits in a thin tail above a massive
+    duplicate plateau — the shape web-scale length/latency columns
+    have.
+
+    Two audited paths per group, both against the exact rank
+    recomputed in-plan (count of values ≤ estimate, one broadcast
+    join back to the fact):
+
+    - single-pass ``percentile_approx(m, 0.99)`` — rank error
+      guaranteed ≤ n/1000;
+    - SHARDED merge (the a_hll_merge_audit shard scheme): each of 8
+      deterministic shards is compressed to a ``_MERGE_POINTS``-point
+      mid-quantile summary (one ``percentile_approx`` array call per
+      shard — the mergeable partial a distributed job would ship),
+      the summaries re-merge as weighted samples (weight = shard
+      rows / points), and the merged weighted p99 comes out of a
+      running-sum window over ≤ shards×points = 1600 rows per group
+      (bounded by the SUMMARY width, constant in corpus size — the
+      window partition cannot skew). Total merged rank-error budget:
+      per-shard sketch n/1000 + discretization n/400 ≈ 0.35% of n.
+
+    Both booleans assert rank within ±0.5% of 0.99·n (margin over the
+    0.35% budget; deterministic for fixed data). The DuckDB twin pins
+    n, the exact interpolated p99 (quantile_cont parity) and literal
+    TRUEs — a sketch or merge-path regression pushes a rank out of
+    band and hash-mismatches."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.when(F.col("l_quantity") <= 45, F.lit(0.0))
+        .otherwise(F.col("l_extendedprice"))
+        .cast("double")
+        .alias("__m"),
+        F.pmod(F.col("l_orderkey"), F.lit(8)).alias("__shard"),
+    )
+    g = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.percentile("__m", F.lit(0.99)).alias("exact_p99"),
+        F.percentile_approx("__m", F.lit(0.99), F.lit(_APPROX_PCT_ACC)).alias(
+            "__ap"
+        ),
+    )
+    # mergeable partials: one compressed summary per (group, shard)
+    pcts = F.array(
+        *[F.lit((i + 0.5) / _MERGE_POINTS) for i in range(_MERGE_POINTS)]
+    )
+    shard = li.groupBy("l_returnflag", "__shard").agg(
+        F.count("*").cast("bigint").alias("__sn"),
+        F.percentile_approx("__m", pcts, F.lit(_APPROX_PCT_ACC)).alias("__qs"),
+    )
+    points = shard.select(
+        "l_returnflag",
+        (F.col("__sn").cast("double") / _MERGE_POINTS).alias("__w"),
+        F.explode("__qs").alias("__v"),
+    )
+    cum = Window.partitionBy("l_returnflag").orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy("l_returnflag")
+    merged = (
+        points.select(
+            "l_returnflag",
+            "__v",
+            F.sum("__w").over(cum).alias("__cw"),
+            F.sum("__w").over(tot).alias("__tw"),
+        )
+        .filter(F.col("__cw") >= F.col("__tw") * 0.99)
+        .groupBy("l_returnflag")
+        .agg(F.min("__v").alias("__merged_p99"))
+    )
+    both = g.join(merged, "l_returnflag")
+    audit = (
+        li.join(F.broadcast(both), "l_returnflag")
+        .groupBy("l_returnflag", "n_rows", "exact_p99")
+        .agg(
+            F.sum(F.when(F.col("__m") <= F.col("__ap"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("__le_sk"),
+            F.sum(F.when(F.col("__m") <= F.col("__merged_p99"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("__le_mg"),
+        )
+    )
+    lo, hi = 0.985, 0.995
+    return audit.select(
+        "l_returnflag",
+        "n_rows",
+        "exact_p99",
+        (
+            (F.col("__le_sk") >= F.col("n_rows") * lo)
+            & (F.col("__le_sk") <= F.col("n_rows") * hi + 1)
+        ).alias("tail_rank_within_half_pct"),
+        (
+            (F.col("__le_mg") >= F.col("n_rows") * lo)
+            & (F.col("__le_mg") <= F.col("n_rows") * hi + 1)
+        ).alias("merged_rank_within_half_pct"),
+    )
+
+
+_register(
+    "a_approx_percentile_tail",
+    a_approx_percentile_tail,
+    """SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       quantile_cont(CASE WHEN l_quantity <= 45 THEN 0.0
+                          ELSE l_extendedprice END, 0.99) AS exact_p99,
+       TRUE AS tail_rank_within_half_pct,
+       TRUE AS merged_rank_within_half_pct
+FROM lineitem GROUP BY l_returnflag""",
+)
+
+
 def a_hll_merge_audit(spark, sf_dir):
     """MERGEABLE-sketch audit (r11): the property that makes sketches
     the 100 TB answer is not the estimate — it is that per-shard

@@ -304,6 +304,26 @@ _register(
 )
 
 
+def d_dup_clusters_hybrid(spark, sf_dir):
+    """Occupancy-capped hybrid canonicalizer (r12, VERDICT r11 #2):
+    clique pairs in band buckets ≤ 64 members — full candidate recall
+    where the clique is cheap, so the star form's weak-link loss
+    (A~B, neither ~hub) cannot happen in small honest buckets — and
+    star edges above the cap, linear on exactly the boilerplate
+    masses where the clique is quadratic. pytest pins the two
+    identities (hybrid==clique when every bucket ≤ cap; hybrid==star
+    when the mass bucket exceeds it) and the planted-mass cluster
+    equality; tools/star_sweep.py measures the decade rows. Oracle =
+    the same capped branch split + recursive-CTE transitive
+    closure."""
+    return dd.dup_clusters_hybrid(_docs(spark, sf_dir), threshold=0.5)
+
+
+_register(
+    "d_dup_clusters_hybrid", d_dup_clusters_hybrid, dd.dup_clusters_hybrid_sql(0.5)
+)
+
+
 # --------------------------------------------------------------------------
 # training-set mechanics: split / packing / distinctive terms
 # --------------------------------------------------------------------------

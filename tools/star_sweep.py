@@ -128,12 +128,44 @@ def main() -> int:
         t0 = time.time()
         star_rows = dd.dup_clusters_star(docs, threshold=0.5).count()
         star_cc_s = round(time.time() - t0, 3)
+        # r12 hybrid (VERDICT r11 #2): at the planted mass k >> cap the
+        # mass bucket goes star, fillers are singleton buckets — edge
+        # count should match the pure star form, wall within its band.
+        t0 = time.time()
+        n_hybrid = dd.minhash_lsh_hybrid_edges(docs, threshold=0.5).count()
+        hybrid_edges_s = round(time.time() - t0, 3)
+        t0 = time.time()
+        hybrid_rows = dd.dup_clusters_hybrid(docs, threshold=0.5).count()
+        hybrid_cc_s = round(time.time() - t0, 3)
+        # end-to-end star→CC on the ITERATIVE path (VERDICT r11 #5):
+        # force the distributed loop (small_graph_edges=0) and record
+        # its round count — one hub per bucket makes the verified edge
+        # graph a forest of stars, which min-label + pointer jumping
+        # should close in ~2 rounds regardless of k.
+        cc_stats: dict = {}
+        edges = dd.minhash_lsh_star_edges(docs, threshold=0.5).select(
+            "doc_a", "doc_b"
+        )
+        t0 = time.time()
+        iter_rows = dd.connected_components(
+            edges, small_graph_edges=0, stats=cc_stats
+        ).count()
+        star_cc_iter_s = round(time.time() - t0, 3)
+        assert iter_rows == star_rows
         row = {
             "k": k,
             "star_edges": n_star,
             "star_edges_s": star_edges_s,
             "star_cluster_rows": star_rows,
             "star_cc_s": star_cc_s,
+            "hybrid_edges": n_hybrid,
+            "hybrid_edges_s": hybrid_edges_s,
+            "hybrid_cluster_rows": hybrid_rows,
+            "hybrid_cc_s": hybrid_cc_s,
+            "star_cc_iter_s": star_cc_iter_s,
+            "star_cc_rounds": cc_stats.get("rounds"),
+            "star_cc_loop_parts": cc_stats.get("loop_parts"),
+            "star_cc_converged": cc_stats.get("converged"),
         }
         if k <= args.clique_max_k:
             t0 = time.time()
