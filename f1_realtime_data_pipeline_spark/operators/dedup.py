@@ -41,6 +41,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from f1_realtime_data_pipeline_spark.operators.materialize import (
+    record_stage_plan,
+)
 from f1_realtime_data_pipeline_spark.functions.text import (
     HASH_MOD,
     HASH_MULT,
@@ -1069,6 +1072,12 @@ def connected_components(
     import warnings
 
     spark = pairs.sparkSession
+    # pre-materialization detector plan (VERDICT r11 #4): the caller's
+    # edge plan — scans, verify joins, exchanges — is what the audit
+    # must see (recorded BEFORE persist so the capture shows the full
+    # lineage, not an in-memory-relation wrapper); the returned labels
+    # are a checkpointed ExistingRDD that hides all of it.
+    record_stage_plan("cc_edges", pairs.select("doc_a", "doc_b"))
     pairs = pairs.select("doc_a", "doc_b").persist(StorageLevel.MEMORY_AND_DISK)
     n_edges = pairs.count()
     if stats is not None:
@@ -1078,7 +1087,9 @@ def connected_components(
             stats.update(strategy="union_find", rounds=0, loop_parts=1)
         # eager checkpoint: materializes the union-find once so the
         # detector cache can be dropped before returning
-        out = _cc_union_find(pairs).localCheckpoint()
+        uf = _cc_union_find(pairs)
+        record_stage_plan("cc_union_find", uf)
+        out = uf.localCheckpoint()
         pairs.unpersist()
         return out
     sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -1231,6 +1242,11 @@ def _cc_loop(
                     F.col("cluster_id"), F.coalesce(F.col("p_label"), F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
+        if rounds == 1:
+            # one loop round's plan stands for all of them (identical
+            # shape per round); captured so the audit sees the loop's
+            # join/agg width, not just the detector stage
+            record_stage_plan("cc_round", stepped)
         new_labels = stepped.localCheckpoint(eager=False)
         # materializes the checkpoint AND checks convergence in one job
         changed = new_labels.filter(F.col("cluster_id") != F.col("old_label")).count()

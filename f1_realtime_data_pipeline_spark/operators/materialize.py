@@ -31,8 +31,42 @@ from __future__ import annotations
 
 import os
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
+
+#: active stage-plan capture list, or None when no capture is running.
+#: Plan-audit blind spot (VERDICT r11 #4): a query that returns a
+#: checkpointed/materialized DataFrame shows only the
+#: post-materialization ExistingRDD plan to ``explain`` — 0 scans /
+#: 0 exchanges — so a regression hiding in the detector stage was
+#: invisible to tools/plan_audit.py. Lineage-cutting sites call
+#: :func:`record_stage_plan` with the PRE-materialization DataFrame;
+#: outside a capture it is a no-op (one ``is None`` test), so
+#: production paths pay nothing.
+_STAGE_PLANS: list[tuple[str, DataFrame]] | None = None
+
+
+def record_stage_plan(label: str, df: DataFrame) -> None:
+    """Record a pre-materialization stage plan if a capture is active
+    (see :func:`capturing_stage_plans`); no-op otherwise."""
+    if _STAGE_PLANS is not None:
+        _STAGE_PLANS.append((label, df))
+
+
+@contextmanager
+def capturing_stage_plans():
+    """Collect every stage plan recorded while the context is open —
+    tools/plan_audit.py wraps each audited query's build in this so
+    the PLANS.md row aggregates detector-stage vitals instead of
+    reading 0 scans off the post-checkpoint ExistingRDD."""
+    global _STAGE_PLANS
+    prev = _STAGE_PLANS
+    _STAGE_PLANS = captured = []
+    try:
+        yield captured
+    finally:
+        _STAGE_PLANS = prev
 
 
 def _ensure_checkpoint_dir(df: DataFrame) -> None:
@@ -55,6 +89,7 @@ def materialize(df: DataFrame, durable: bool = False) -> DataFrame:
     the session checkpoint dir (replayable on executor loss;
     corpus-sized relations).
     """
+    record_stage_plan("materialize", df)
     if durable:
         _ensure_checkpoint_dir(df)
         return df.checkpoint(eager=True)

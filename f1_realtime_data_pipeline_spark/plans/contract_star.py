@@ -49,6 +49,7 @@ from f1_realtime_data_pipeline_spark.functions.points import (
     points_for_position,
 )
 from f1_realtime_data_pipeline_spark.sources.parquet import read_events
+from f1_realtime_data_pipeline_spark.operators.materialize import materialize
 
 #: season-complete threshold analog (reference hard-codes 22 GPs,
 #: streamlit-app.py:65; the star-schema analog has monthly "GPs")
@@ -139,8 +140,8 @@ def _standings(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("wns"),
         )
-        .localCheckpoint(eager=True)
     )
+    g = materialize(g)
     return _serve_standings(spark, sf_dir, g)
 
 

@@ -37,6 +37,7 @@ from f1_realtime_data_pipeline_spark.operators.dedup import (
     split_bucket_sql,
 )
 from f1_realtime_data_pipeline_spark.operators import similarity as sim
+from f1_realtime_data_pipeline_spark.operators.materialize import materialize
 from f1_realtime_data_pipeline_spark.sources.parquet import read_table
 
 QUERIES: dict = {}
@@ -985,10 +986,8 @@ def t_shuffle_order(spark, sf_dir):
     )
     # B-row aggregate, checkpointed so the triangular self-join and the
     # final attach don't each re-derive it from the scan (scans 3 -> 2)
-    counts = (
-        keyed.groupBy("bucket")
-        .agg(F.count("*").alias("n"))
-        .localCheckpoint(eager=True)
+    counts = materialize(
+        keyed.groupBy("bucket").agg(F.count("*").alias("n"))
     )
     offsets = (
         counts.alias("a")
@@ -1325,10 +1324,8 @@ def _bucketed_group_rank(keyed: DataFrame, group_cols: list, B: int = SHUFFLE_OR
     keyed = keyed.withColumn(
         "__b", F.expr(f"(shuffle_key * {B}) DIV {tx.HASH_MOD}")
     )
-    counts = (
-        keyed.groupBy(*group_cols, "__b")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .localCheckpoint(eager=True)
+    counts = materialize(
+        keyed.groupBy(*group_cols, "__b").agg(F.count(F.lit(1)).alias("__n"))
     )
     cond = F.col("b.__b") < F.col("a.__b")
     for g in group_cols:

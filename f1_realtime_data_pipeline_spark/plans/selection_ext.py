@@ -42,6 +42,7 @@ from f1_realtime_data_pipeline_spark.functions.text import (
     tokens_sql,
 )
 from f1_realtime_data_pipeline_spark.operators import dedup as dd
+from f1_realtime_data_pipeline_spark.operators.materialize import materialize
 from f1_realtime_data_pipeline_spark.operators import similarity as sim
 from f1_realtime_data_pipeline_spark.sources.parquet import read_table
 
@@ -1055,7 +1056,7 @@ def t_domain_weights(spark, sf_dir):
             .alias("loss_ppm"),
         )
     )
-    dom = dom.localCheckpoint(eager=True)
+    dom = materialize(dom)
     lbar = dom.agg(
         F.expr("GREATEST(SUM(loss_ppm) DIV COUNT(*), 1)").alias("lbar")
     )
@@ -1073,7 +1074,7 @@ def t_domain_weights(spark, sf_dir):
         # without the checkpoint the plan re-derives all earlier
         # iterations per reference — the audited plan showed 170
         # exchanges for 3 iterations; with it, a handful.
-        w = w.localCheckpoint(eager=True)
+        w = materialize(w)
         mix = w.agg(
             F.expr(f"SUM(w_ppb * loss_ppm) DIV {MW_PPB}").alias("m")
         )

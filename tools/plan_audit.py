@@ -40,6 +40,8 @@ AUDIT = [
     "d_containment",
     "d_minhash_lsh",
     "d_dup_clusters_star",
+    "d_dup_clusters_hybrid",
+    "a_approx_percentile_tail",
     "d_simhash_pairs",
     "d_substring_dedup",
     "d_incremental_dedup",
@@ -220,13 +222,40 @@ def main() -> int:
     qs = entrymod.queries()
     names = args.names or [n for n in AUDIT if n in qs]
 
-    rows = []
-    for name in names:
-        df = qs[name](spark, args.sf_dir)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(
+    from f1_realtime_data_pipeline_spark.operators.materialize import (
+        capturing_stage_plans,
+    )
+
+    def explain(df) -> str:
+        return df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
-        rows.append((name, vitals(plan)))
+
+    rows = []
+    for name in names:
+        # VERDICT r11 #4: queries that return a checkpointed DataFrame
+        # used to audit as 0 scans / 0 exchanges (the ExistingRDD plan)
+        # — a regression hiding in the detector stage was invisible.
+        # Lineage-cutting sites record their PRE-materialization plan;
+        # the row aggregates across main + captured stages (sum counts,
+        # OR booleans) and says how many stages it covers.
+        with capturing_stage_plans() as stages:
+            df = qs[name](spark, args.sf_dir)
+        plans = [explain(df)] + [explain(sdf) for _, sdf in stages]
+        v = vitals(plans[0])
+        for p in plans[1:]:
+            sv = vitals(p)
+            for k, val in sv.items():
+                if isinstance(val, bool):
+                    v[k] = v[k] or val
+                elif isinstance(val, int):
+                    v[k] += val
+                elif k == "window_partitions" and val != "-":
+                    v[k] = val if v[k] == "-" else ";".join(
+                        sorted(set(v[k].split(";")) | set(val.split(";")))
+                    )
+        v["stages"] = 1 + len(stages)
+        rows.append((name, v))
 
     cols = [
         "parquet_scans",
@@ -241,6 +270,7 @@ def main() -> int:
         "pushed_filters",
         "global_window",
         "codegen_stages",
+        "stages",
         "window_partitions",
     ]
     header = "| query | " + " | ".join(c.replace("_", " ") for c in cols) + " |"
@@ -274,8 +304,15 @@ def main() -> int:
                 "(fused pipelines should scan once), shuffle exchange "
                 "count, join strategies, whether any crossjoin / "
                 "row-at-a-time Python / unpartitioned window appears "
-                "(they must not), filter pushdown reaching the scan, and "
-                "whole-stage-codegen stage count.\n\n" + table + "\n"
+                "(they must not), filter pushdown reaching the scan, "
+                "whole-stage-codegen stage count, and the number of "
+                "MATERIALIZED STAGES the row aggregates (r12: "
+                "checkpoint-returning queries record every "
+                "pre-materialization plan — counts are summed and "
+                "booleans ORed across main + captured stages, so a "
+                "detector-stage regression can no longer hide behind an "
+                "ExistingRDD plan; stages=1 means the single unmaterialized "
+                "plan).\n\n" + table + "\n"
             )
     return 1 if bad else 0
 
