@@ -113,7 +113,82 @@ _QUERY_MODULES = [
 #: queries pulled to the head of the driver's 50-query window this
 #: round (KeyError at import if a name disappears — the rotation list
 #: cannot silently go stale).
-_WINDOW_HEAD = [
+_WINDOW_HEAD_R12 = [
+    # --- r12 rotation (VERDICT r11 #1). Slots 1-4: the four r11
+    # additions that have NEVER had a driver row (tools/freshness.py
+    # WARNING — selfchecked green at both SFs, CORRECTNESS-untested).
+    "a_approx_percentile",
+    "a_hll_merge_audit",
+    "d_dup_clusters_star",
+    "e_neardup_clusters_star",
+    # slot 5: named by the verdict — its r11 persist edit re-verified
+    # under the driver.
+    "d_editdist_neardup",
+    # slots 6-7: NEW this round. The occupancy-capped hybrid
+    # canonicalizer (VERDICT r11 #2) and the quantile tail+merge audit
+    # (VERDICT r11 #3).
+    "d_dup_clusters_hybrid",
+    "a_approx_percentile_tail",
+    # slots 8-14: queries whose code paths r12 edits touched —
+    # connected_components gained the stats out-param + round counter
+    # (both cluster forms ride it; _iter forces the counted loop), and
+    # the five direct localCheckpoint sites now route through
+    # materialize() (value-identical by construction; driver-verified
+    # here anyway).
+    "d_dup_clusters",
+    "d_dup_clusters_iter",
+    "q1_standings",
+    "t_domain_weights",
+    "t_shuffle_order",
+    "t_interleave_sources",
+    "t_length_buckets",
+    # slots 15-44: the ENTIRE r7 cohort — the oldest driver-green rows
+    # in the registry (30 entries; after this round the freshness
+    # floor is r8, as the verdict's done-condition requires). Note
+    # t_domain_weights sits above with the touched set — it is ALSO
+    # the r7 cohort's member, counted once.
+    "w_asof_attribution",
+    "w_lateness_audit",
+    "t_quality_gopher",
+    "t_quality_gopher_edges",
+    "t_contamination_bloom",
+    "pipeline_corpus_v2",
+    "o_zorder_layout",
+    "t_quality",
+    "t_lang_id",
+    "d_ngram_jaccard",
+    "d_containment",
+    "t_normalize",
+    "e_lsh_buckets",
+    "e_knn_classify",
+    "m_decoded_meta",
+    "m_audio_meta",
+    "m_jpeg_meta",
+    "m_image_ahash",
+    "m_video_meta",
+    "m_video_frame_plan",
+    "m_frame_sample",
+    "t_contamination",
+    "pipeline_corpus",
+    "e_neardup_clusters",
+    "e_diverse_topk",
+    "w_watermark_curve",
+    "m_dedup_by_ahash",
+    "t_length_profile",
+    "t_quality_threshold_curve",
+    # slots 44-50: the oldest r8 rows in registration order, starting
+    # the r8 cohort's rotation (45 entries total; the remainder leads
+    # r13).
+    "p_case_points",
+    "s7_upsert_dim",
+    "j_salted",
+    "p_profile",
+    "a_percentiles",
+    "p_array_funcs",
+    "p_key_skew",
+]
+
+_WINDOW_HEAD_R11 = [
     # --- r11 rotation (VERDICT r10 #2, carried from r9 #2): the
     # full r5 cohort (31) + r6 cohort (18) = 49 — the oldest
     # driver-green rows in the registry (tools/freshness.py).
@@ -173,6 +248,8 @@ _WINDOW_HEAD = [
     # unchanged (persist only); selfcheck re-verifies it locally. ---
     "d_editdist_unicode",
 ]
+
+_WINDOW_HEAD = _WINDOW_HEAD_R12
 
 
 def entry(spark: SparkSession) -> DataFrame:
