@@ -124,11 +124,13 @@ _WINDOW_HEAD_R12 = [
     # slot 5: named by the verdict — its r11 persist edit re-verified
     # under the driver.
     "d_editdist_neardup",
-    # slots 6-7: NEW this round. The occupancy-capped hybrid
-    # canonicalizer (VERDICT r11 #2) and the quantile tail+merge audit
-    # (VERDICT r11 #3).
+    # slots 6-8: NEW this round. The occupancy-capped hybrid
+    # canonicalizer (VERDICT r11 #2), the quantile tail+merge audit
+    # (VERDICT r11 #3), and the count-min merge audit completing the
+    # mergeable-sketch trio (distinct / quantile / frequency).
     "d_dup_clusters_hybrid",
     "a_approx_percentile_tail",
+    "t_cms_merge_audit",
     # slots 8-14: queries whose code paths r12 edits touched —
     # connected_components gained the stats out-param + round counter
     # (both cluster forms ride it; _iter forces the counted loop), and
@@ -176,7 +178,7 @@ _WINDOW_HEAD_R12 = [
     "m_dedup_by_ahash",
     "t_length_profile",
     "t_quality_threshold_curve",
-    # slots 44-50: the oldest r8 rows in registration order, starting
+    # slots 45-50: the oldest r8 rows in registration order, starting
     # the r8 cohort's rotation (45 entries total; the remainder leads
     # r13).
     "p_case_points",
@@ -185,7 +187,6 @@ _WINDOW_HEAD_R12 = [
     "p_profile",
     "a_percentiles",
     "p_array_funcs",
-    "p_key_skew",
 ]
 
 _WINDOW_HEAD_R11 = [

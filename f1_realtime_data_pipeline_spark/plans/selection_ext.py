@@ -456,6 +456,84 @@ def t_heavy_hitters_cms(spark, sf_dir):
     )
 
 
+def t_cms_merge_audit(spark, sf_dir):
+    """MERGEABLE-sketch audit for the frequency sketch (r12) —
+    completes the trio with a_hll_merge_audit (distinct counts) and
+    a_approx_percentile_tail (quantiles): at 100 TB every sketch's
+    value is that per-shard partials UNION without re-scanning data.
+
+    Count-min merge is cell-wise ADDITION and therefore EXACT (the
+    counter matrix is linear in the input), so unlike the banded HLL/
+    quantile audits this one asserts equality through the data: build
+    the 3×512 counter cells per 8-way shard of the token stream,
+    merge shards by summing each cell, and emit — for the exact top-k
+    terms — the estimate from the globally-built sketch beside the
+    estimate from the merged shard sketches. A merge-path regression
+    (a dropped or double-counted shard) breaks n_cms_merged on every
+    hot term; the DuckDB twin recomputes both paths independently and
+    the hash compare pins the VALUES, not a boolean."""
+    from pyspark import StorageLevel
+
+    inst = (
+        _docs(spark, sf_dir)
+        .select(F.explode(tokens("text")).alias("w"))
+        .withColumn("sid", md5_id(F.col("w")))
+        .withColumn("shard", F.pmod(F.col("sid"), F.lit(8)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    hashes = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    ((F.col("sid") * CMS_A[i] + CMS_B[i]) % CMS_W).alias("h"),
+                )
+                for i in range(CMS_D)
+            ]
+        )
+    ).alias("c")
+    cells_global = (
+        inst.select(hashes)
+        .groupBy(F.col("c.i").alias("i"), F.col("c.h").alias("h"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # per-shard partials (the thing a distributed job ships), merged
+    # WITHOUT re-touching the token stream: sum per cell
+    cells_merged = (
+        inst.select("shard", hashes)
+        .groupBy("shard", F.col("c.i").alias("i"), F.col("c.h").alias("h"))
+        .agg(F.count(F.lit(1)).alias("scnt"))
+        .groupBy("i", "h")
+        .agg(F.sum("scnt").alias("cnt"))
+    )
+    top = (
+        inst.groupBy("w", "sid")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("w").asc())
+        .limit(HH_TOPK)
+    )
+    for tag, cells in (("g", cells_global), ("m", cells_merged)):
+        for i in range(CMS_D):
+            ci = cells.filter(F.col("i") == i).select(
+                F.col("h").alias(f"__{tag}h{i}"), F.col("cnt").alias(f"__{tag}c{i}")
+            )
+            top = top.join(
+                F.broadcast(ci),
+                ((F.col("sid") * CMS_A[i] + CMS_B[i]) % CMS_W)
+                == F.col(f"__{tag}h{i}"),
+            )
+    return top.select(
+        "w",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.least(*[F.col(f"__gc{i}") for i in range(CMS_D)])
+        .cast("bigint")
+        .alias("n_cms"),
+        F.least(*[F.col(f"__mc{i}") for i in range(CMS_D)])
+        .cast("bigint")
+        .alias("n_cms_merged"),
+    )
+
+
 _HH_HASH = [f"((sid * {CMS_A[i]} + {CMS_B[i]}) % {CMS_W})" for i in range(CMS_D)]
 
 _register(
@@ -476,6 +554,35 @@ SELECT top.w, CAST(top.n_exact AS BIGINT) AS n_exact,
        CAST(LEAST({", ".join(f"c{i}.cnt" for i in range(CMS_D))}) AS BIGINT) AS n_cms
 FROM top
 {chr(10).join(f"JOIN cells c{i} ON c{i}.i = {i} AND c{i}.h = {_HH_HASH[i].replace('sid', 'top.sid')}" for i in range(CMS_D))}""",
+)
+
+
+_register(
+    "t_cms_merge_audit",
+    t_cms_merge_audit,
+    f"""WITH inst AS (
+  SELECT w, {md5_id_sql('w')} AS sid
+  FROM (SELECT {tokens_sql('text')} AS t FROM documents), UNNEST(t) AS u(w)
+), cells AS (
+  SELECT i, h, COUNT(*) AS cnt FROM (
+    {" UNION ALL ".join(f"SELECT {i} AS i, {_HH_HASH[i]} AS h FROM inst" for i in range(CMS_D))}
+  ) GROUP BY i, h
+), shard_cells AS (
+  SELECT shard, i, h, COUNT(*) AS scnt FROM (
+    {" UNION ALL ".join(f"SELECT sid % 8 AS shard, {i} AS i, {_HH_HASH[i]} AS h FROM inst" for i in range(CMS_D))}
+  ) GROUP BY shard, i, h
+), merged AS (
+  SELECT i, h, SUM(scnt) AS cnt FROM shard_cells GROUP BY i, h
+), top AS (
+  SELECT w, sid, COUNT(*) AS n_exact FROM inst GROUP BY w, sid
+  ORDER BY n_exact DESC, w ASC LIMIT {HH_TOPK}
+)
+SELECT top.w, CAST(top.n_exact AS BIGINT) AS n_exact,
+       CAST(LEAST({", ".join(f"g{i}.cnt" for i in range(CMS_D))}) AS BIGINT) AS n_cms,
+       CAST(LEAST({", ".join(f"m{i}.cnt" for i in range(CMS_D))}) AS BIGINT) AS n_cms_merged
+FROM top
+{chr(10).join(f"JOIN cells g{i} ON g{i}.i = {i} AND g{i}.h = {_HH_HASH[i].replace('sid', 'top.sid')}" for i in range(CMS_D))}
+{chr(10).join(f"JOIN merged m{i} ON m{i}.i = {i} AND m{i}.h = {_HH_HASH[i].replace('sid', 'top.sid')}" for i in range(CMS_D))}""",
 )
 
 

@@ -80,6 +80,7 @@ AUDIT = [
     "w_anomaly_mad",
     "m_image_ahash",
     "t_heavy_hitters_cms",
+    "t_cms_merge_audit",
     "d_minhash_est_audit",
     "a_approx_percentile",
     "a_hll_merge_audit",
