@@ -493,6 +493,95 @@ def cosine_neardup_star_edges(
     return _verify_cosine(rel, cand, threshold)
 
 
+def cosine_neardup_hybrid_edges(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    planes_per_table: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    occ_cap: int | None = None,
+) -> DataFrame:
+    """Occupancy-capped hybrid embedding near-dup edges (r12) — the
+    vector twin of :func:`~..operators.dedup.minhash_lsh_hybrid_edges`
+    (VERDICT r11 #2): per (table, bucket), ALL clique pairs when
+    occupancy ≤ ``occ_cap`` (full weak-link recall where the pair form
+    is cheap — the star form loses A~B pairs whose only similarity is
+    to each other in EVERY bucket, honest ones included) and star
+    hub→member edges above the cap (linear on the re-encoded-
+    boilerplate hot-bucket pathology). Defaults to the text form's
+    shared :data:`~..operators.dedup.HYBRID_OCC_CAP`. Same
+    checkpointed single scan and exact-cosine verify tail as the pair
+    and star forms; the occupancy-tagged membership relation is
+    persisted for its three consumers (the text hybrid's measured
+    discipline)."""
+    from pyspark import StorageLevel
+
+    from f1_realtime_data_pipeline_spark.operators.dedup import HYBRID_OCC_CAP
+
+    if occ_cap is None:
+        occ_cap = HYBRID_OCC_CAP
+    rel, tb = _neardup_rel_tb(embeddings, planes_per_table, id_col, vec_col)
+    stats = tb.groupBy("tbl", "bkt").agg(
+        F.min("vid").alias("hub"), F.count("*").alias("occ")
+    )
+    tagged = tb.join(stats, ["tbl", "bkt"]).persist(StorageLevel.MEMORY_AND_DISK)
+    small = tagged.filter(F.col("occ") <= occ_cap)
+    clique = (
+        small.alias("x")
+        .join(small.alias("y"), ["tbl", "bkt"])
+        .filter(F.col("x.vid") < F.col("y.vid"))
+        .select(F.col("x.vid").alias("vec_a"), F.col("y.vid").alias("vec_b"))
+    )
+    star = (
+        tagged.filter((F.col("occ") > occ_cap) & (F.col("vid") != F.col("hub")))
+        .select(F.col("hub").alias("vec_a"), F.col("vid").alias("vec_b"))
+    )
+    cand = clique.unionAll(star).dropDuplicates(["vec_a", "vec_b"])
+    return _verify_cosine(rel, cand, threshold)
+
+
+def cosine_neardup_hybrid_edges_derived_sql(
+    threshold: float, src: str, occ_cap: int
+) -> str:
+    """DuckDB twin of :func:`cosine_neardup_hybrid_edges` with the
+    corpus-derived plane count: the derived-plane scaffold, one
+    (hub, occupancy) aggregate, clique pairs at occ ≤ cap / star
+    edges above, identical exact-cosine verify."""
+    from f1_realtime_data_pipeline_spark.functions.vector import neardup_planes_sql
+
+    per_table = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {_derived_bucket_sql(t)} AS bkt, {t} AS tbl "
+        f"FROM {src} _e{t}, p"
+        for t in range(NEARDUP_TABLES)
+    )
+    planes = neardup_planes_sql(f"(SELECT COUNT(*) FROM {src} _n)")
+    return f"""WITH p AS (SELECT {planes} AS pc),
+{_unit_sql(src)}, tabs AS (
+  {per_table}
+), stats AS (
+  SELECT tbl, bkt, MIN(vec_id) AS hub, COUNT(*) AS occ
+  FROM tabs GROUP BY tbl, bkt
+), cand AS (
+  SELECT DISTINCT vec_a, vec_b FROM (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM tabs a
+    JOIN tabs b ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+    JOIN stats s ON s.tbl = a.tbl AND s.bkt = a.bkt
+    WHERE s.occ <= {occ_cap}
+    UNION ALL
+    SELECT s.hub AS vec_a, t.vec_id AS vec_b
+    FROM tabs t
+    JOIN stats s ON s.tbl = t.tbl AND s.bkt = t.bkt
+    WHERE s.occ > {occ_cap} AND t.vec_id <> s.hub
+  )
+)
+SELECT vec_a, vec_b, {dot_sql("ua.uv", "ub.uv")} AS cosine
+FROM cand
+JOIN unitv ua ON ua.vec_id = vec_a
+JOIN unitv ub ON ub.vec_id = vec_b
+WHERE {dot_sql("ua.uv", "ub.uv")} >= {threshold}"""
+
+
 def cosine_neardup_lsh_pairs_sql(
     threshold: float,
     src: str,

@@ -1664,3 +1664,42 @@ SELECT src AS vec_id,
        LEAST(src, MIN(dst)) AS cluster_id
 FROM reach GROUP BY src""",
 )
+
+
+def e_neardup_clusters_hybrid(spark, sf_dir):
+    """Occupancy-capped hybrid form of e_neardup_clusters (r12) — the
+    vector twin of d_dup_clusters_hybrid: per (table, bucket), clique
+    pairs at occupancy <= 64 (small honest buckets keep the weak-link
+    recall the star form drops) and star hub edges above (linear on
+    the re-encoded-boilerplate hot bucket the skew fixture plants).
+    pytest pins hybrid==pairs below cap / ==star above on an
+    identical-vector mass; oracle = the same capped branch split on
+    the derived-plane scaffold + recursive-CTE closure."""
+    edges = sim.cosine_neardup_hybrid_edges(
+        _embs_neardup(spark, sf_dir),
+        threshold=_NEARDUP_COS,
+        planes_per_table=None,
+    ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    return dd.connected_components(edges).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+
+
+_register(
+    "e_neardup_clusters_hybrid",
+    e_neardup_clusters_hybrid,
+    f"""WITH RECURSIVE pairs AS (
+  {sim.cosine_neardup_hybrid_edges_derived_sql(_NEARDUP_COS, src=_EMBS_NEARDUP_SQL, occ_cap=dd.HYBRID_OCC_CAP)}
+), edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION
+  SELECT vec_b AS src, vec_a AS dst FROM pairs
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS vec_id,
+       LEAST(src, MIN(dst)) AS cluster_id
+FROM reach GROUP BY src""",
+)

@@ -964,6 +964,55 @@ def test_embedding_star_clusters_linear_on_vector_mass(spark):
     assert star == {i: 0 for i in range(k)}  # one cluster, min-id rep
 
 
+def test_embedding_hybrid_capped_branch_split(spark):
+    # r12: the vector twin of the text hybrid's identities. On an
+    # identical-vector mass with orthogonal fillers: cap above the
+    # mass -> hybrid == pair form exactly (full clique recall); cap
+    # below -> hybrid == star form (linear); clusters identical at
+    # either cap.
+    from f1_realtime_data_pipeline_spark.operators import dedup as dd
+    from f1_realtime_data_pipeline_spark.operators.similarity import (
+        cosine_neardup_hybrid_edges,
+        cosine_neardup_lsh_pairs,
+        cosine_neardup_star_edges,
+    )
+
+    k, dim = 24, 8
+    hot = [1.0] + [0.0] * (dim - 1)
+    rows = [(i, hot) for i in range(k)]
+    for j in range(1, dim):
+        v = [0.0] * dim
+        v[j] = 1.0
+        rows.append((k + j, v))
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def edge_set(df):
+        return {(r.vec_a, r.vec_b) for r in df.select("vec_a", "vec_b").collect()}
+
+    pairs = cosine_neardup_lsh_pairs(embs, threshold=0.9, planes_per_table=8)
+    star = cosine_neardup_star_edges(embs, threshold=0.9, planes_per_table=8)
+    hyb_hi = cosine_neardup_hybrid_edges(
+        embs, threshold=0.9, planes_per_table=8, occ_cap=64
+    )
+    hyb_lo = cosine_neardup_hybrid_edges(
+        embs, threshold=0.9, planes_per_table=8, occ_cap=8
+    )
+    assert edge_set(hyb_hi) == edge_set(pairs)
+    assert hyb_hi.count() == k * (k - 1) // 2
+    assert edge_set(hyb_lo) == edge_set(star)
+    assert hyb_lo.count() == k - 1
+    for df in (hyb_hi, hyb_lo):
+        labels = {
+            r.doc_id: r.cluster_id
+            for r in dd.connected_components(
+                df.select(
+                    F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+                )
+            ).collect()
+        }
+        assert labels == {i: 0 for i in range(k)}
+
+
 def test_cosine_neardup_lsh_recall(spark, sf_dir):
     """LSH pairs ⊆ exact pairs (the verify dot is exact, so no false
     positives), with recall 1 on the planted copies (identical

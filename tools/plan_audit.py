@@ -53,6 +53,7 @@ AUDIT = [
     "e_knn_ivf_trained",
     "e_cosine_neardup",
     "e_neardup_clusters_star",
+    "e_neardup_clusters_hybrid",
     "e_semdedup",
     "e_kmeans",
     "pipeline_corpus",

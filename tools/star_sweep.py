@@ -90,11 +90,16 @@ def run_vectors(spark, k: int, clique_max_k: int) -> dict:
     embs = vector_corpus(spark, k).localCheckpoint(eager=True)
     t0 = time.time()
     n_star = sim.cosine_neardup_star_edges(embs, threshold=0.9).count()
+    star_s = round(time.time() - t0, 3)
+    t0 = time.time()
+    n_hybrid = sim.cosine_neardup_hybrid_edges(embs, threshold=0.9).count()
     row = {
         "k": k,
         "family": "embedding",
         "star_edges": n_star,
-        "star_edges_s": round(time.time() - t0, 3),
+        "star_edges_s": star_s,
+        "hybrid_edges": n_hybrid,
+        "hybrid_edges_s": round(time.time() - t0, 3),
     }
     if k <= clique_max_k:
         t0 = time.time()
