@@ -124,15 +124,22 @@ _WINDOW_HEAD_R12 = [
     # slot 5: named by the verdict — its r11 persist edit re-verified
     # under the driver.
     "d_editdist_neardup",
-    # slots 6-9: NEW this round. The occupancy-capped hybrid
-    # canonicalizers for BOTH families (VERDICT r11 #2), the quantile tail+merge audit
-    # (VERDICT r11 #3), and the count-min merge audit completing the
-    # mergeable-sketch trio (distinct / quantile / frequency).
+    # slots 6-11: NEW this round. The occupancy-capped hybrid
+    # canonicalizers for BOTH families (VERDICT r11 #2), the quantile
+    # tail+merge audit (VERDICT r11 #3), the count-min merge audit
+    # completing the mergeable-sketch trio (distinct / quantile /
+    # frequency), and the native-Datasketches pair below.
     "d_dup_clusters_hybrid",
     "a_approx_percentile_tail",
     "t_cms_merge_audit",
     "e_neardup_clusters_hybrid",
-    # slots 10-16: queries whose code paths r12 edits touched —
+    # the native-Datasketches pair landed after the first r12 seal:
+    # KLL quantile merge (randomized sketch — the band rationale is on
+    # the operator) and theta set algebra (union/intersection/
+    # difference estimates vs one-pass inclusion-exclusion exacts).
+    "a_kll_merge_audit",
+    "a_theta_set_audit",
+    # slots 12-18: queries whose code paths r12 edits touched —
     # connected_components gained the stats out-param + round counter
     # (both cluster forms ride it; _iter forces the counted loop), and
     # the five direct localCheckpoint sites now route through
@@ -145,7 +152,7 @@ _WINDOW_HEAD_R12 = [
     "t_shuffle_order",
     "t_interleave_sources",
     "t_length_buckets",
-    # slots 17-46: the ENTIRE r7 cohort — the oldest driver-green rows
+    # slots 19-48: the ENTIRE r7 cohort — the oldest driver-green rows
     # in the registry (30 entries; after this round the freshness
     # floor is r8, as the verdict's done-condition requires). Note
     # t_domain_weights sits above with the touched set — it is ALSO
@@ -179,14 +186,12 @@ _WINDOW_HEAD_R12 = [
     "m_dedup_by_ahash",
     "t_length_profile",
     "t_quality_threshold_curve",
-    # slots 47-50: the oldest r8 rows in registration order, starting
+    # slots 48-50: the three oldest r8 rows in registration order, starting
     # the r8 cohort rotation (45 entries total; the remainder leads
     # r13).
     "p_case_points",
     "s7_upsert_dim",
     "j_salted",
-    "p_profile",
-    "a_percentiles",
 ]
 
 _WINDOW_HEAD_R11 = [

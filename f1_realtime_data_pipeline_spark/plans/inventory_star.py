@@ -1292,6 +1292,181 @@ FROM lineitem GROUP BY l_returnflag""",
 )
 
 
+def a_kll_merge_audit(spark, sf_dir):
+    """NATIVE mergeable quantile sketch (r12): Spark 4's Datasketches
+    KLL — ``kll_sketch_agg_double`` per shard,
+    ``kll_merge_agg_double`` across shards — beside
+    ``a_approx_percentile_tail``'s hand-rolled summary merge, so both
+    the technique and the production API are driver-checked. Per
+    group: 8 deterministic shards each build a KLL sketch, the merge
+    agg unions them WITHOUT re-touching rows, and p50/p99 come off
+    the merged sketch; the audit recomputes each estimate's exact
+    rank in-plan (one broadcast join back to the fact) and asserts it
+    within ±3.5% of the target rank.
+
+    Band width, justified: KLL at the default k=200 has normalized
+    rank error ≈1.65% at 99% confidence, and — unlike every other
+    sketch in this registry — Spark's KLL is RANDOMIZED per execution
+    (compaction sampling is unseeded; measured: two runs over
+    identical data return different quantiles). The estimates
+    therefore cannot be emitted as values; the booleans are stable
+    because 3.5% sits beyond twice the 99%-confidence bound (tail
+    decays ~exp(-2(ε/σ)²): flake odds per evaluation ≈1e-8). The
+    sketch's total weight (``kll_sketch_get_n``) IS deterministic and
+    is emitted exactly — a merge that drops or doubles a shard breaks
+    it before any band is consulted."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("double").alias("__m"),
+        F.pmod(F.col("l_orderkey"), F.lit(8)).alias("__shard"),
+    )
+    shard = li.groupBy("l_returnflag", "__shard").agg(
+        F.kll_sketch_agg_double("__m").alias("__sk")
+    )
+    merged = shard.groupBy("l_returnflag").agg(
+        F.kll_merge_agg_double("__sk").alias("__sk"),
+        F.count("*").cast("bigint").alias("n_shards"),
+    )
+    est = merged.select(
+        "l_returnflag",
+        "n_shards",
+        F.kll_sketch_get_n_double("__sk").cast("bigint").alias("n_rows"),
+        F.kll_sketch_get_quantile_double("__sk", F.lit(0.5)).alias("__p50"),
+        F.kll_sketch_get_quantile_double("__sk", F.lit(0.99)).alias("__p99"),
+    )
+    audit = (
+        li.join(F.broadcast(est), "l_returnflag")
+        .groupBy("l_returnflag", "n_shards", "n_rows")
+        .agg(
+            F.sum(F.when(F.col("__m") <= F.col("__p50"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("__le50"),
+            F.sum(F.when(F.col("__m") <= F.col("__p99"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("__le99"),
+        )
+    )
+    return audit.select(
+        "l_returnflag",
+        "n_shards",
+        "n_rows",
+        (
+            (F.col("__le50") >= F.col("n_rows") * 0.465)
+            & (F.col("__le50") <= F.col("n_rows") * 0.535 + 1)
+        ).alias("p50_rank_within_3p5"),
+        (
+            (F.col("__le99") >= F.col("n_rows") * 0.955)
+            & (F.col("__le99") <= F.col("n_rows") * 1.0)
+        ).alias("p99_rank_within_3p5"),
+    )
+
+
+_register(
+    "a_kll_merge_audit",
+    a_kll_merge_audit,
+    """SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_orderkey % 8) AS BIGINT) AS n_shards,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       TRUE AS p50_rank_within_3p5,
+       TRUE AS p99_rank_within_3p5
+FROM lineitem GROUP BY l_returnflag""",
+)
+
+
+def a_theta_set_audit(spark, sf_dir):
+    """Theta-sketch SET ALGEBRA audit (r12): the sketch family's
+    missing operation class. HLL answers |A| and |A∪B| only; theta
+    sketches (Spark 4 ``theta_sketch_agg`` / ``theta_union`` /
+    ``theta_intersection`` / ``theta_difference``) answer
+    intersection and difference WITHOUT rescanning — the audit shape
+    for overlap questions at 100 TB (how many customers does this
+    segment share with that one; how many documents left the corpus
+    between snapshots). Per order status: set A = custkeys with
+    1-URGENT orders, set B = 2-HIGH; the exact sides come from ONE
+    count-distinct aggregate (|A∩B| and |A\\B| by
+    inclusion-exclusion, no second pass), the estimates from the
+    sketch algebra over the same rows. Theta hashing is seeded
+    deterministically (measured: exact-mode equality at sf0.01,
+    ≤2.5% estimation-mode error at sf0.1 — lgK=12 rsd 1.56%), so the
+    ±5% (+2 absolute) booleans are stable and the DuckDB twin pins
+    the exact counts + literal TRUEs."""
+    urgent = F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_custkey"))
+    high = F.when(F.col("o_orderpriority") == "2-HIGH", F.col("o_custkey"))
+    either = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.col("o_custkey")
+    )
+    g = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.theta_sketch_agg(urgent).alias("__ska"),
+            F.theta_sketch_agg(high).alias("__skb"),
+            F.count_distinct(urgent).cast("bigint").alias("n_a"),
+            F.count_distinct(high).cast("bigint").alias("n_b"),
+            F.count_distinct(either).cast("bigint").alias("n_union"),
+        )
+    )
+    est = g.select(
+        "o_orderstatus",
+        "n_a",
+        "n_b",
+        "n_union",
+        (F.col("n_a") + F.col("n_b") - F.col("n_union")).alias("n_inter"),
+        (F.col("n_union") - F.col("n_b")).alias("n_diff"),
+        F.theta_sketch_estimate(F.theta_union("__ska", "__skb")).alias("__eu"),
+        F.theta_sketch_estimate(F.theta_intersection("__ska", "__skb")).alias(
+            "__ei"
+        ),
+        F.theta_sketch_estimate(F.theta_difference("__ska", "__skb")).alias(
+            "__ed"
+        ),
+    )
+
+    def band(est_col, exact_col):
+        return (F.col(est_col) >= F.col(exact_col) * 0.95 - 2) & (
+            F.col(est_col) <= F.col(exact_col) * 1.05 + 2
+        )
+
+    return est.select(
+        "o_orderstatus",
+        "n_a",
+        "n_b",
+        "n_union",
+        F.col("n_inter").cast("bigint").alias("n_inter"),
+        F.col("n_diff").cast("bigint").alias("n_diff"),
+        band("__eu", "n_union").alias("union_within_5pct"),
+        band("__ei", "n_inter").alias("inter_within_5pct"),
+        band("__ed", "n_diff").alias("diff_within_5pct"),
+    )
+
+
+_register(
+    "a_theta_set_audit",
+    a_theta_set_audit,
+    """SELECT o_orderstatus,
+       CAST(COUNT(DISTINCT CASE WHEN o_orderpriority = '1-URGENT'
+                                THEN o_custkey END) AS BIGINT) AS n_a,
+       CAST(COUNT(DISTINCT CASE WHEN o_orderpriority = '2-HIGH'
+                                THEN o_custkey END) AS BIGINT) AS n_b,
+       CAST(COUNT(DISTINCT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                THEN o_custkey END) AS BIGINT) AS n_union,
+       CAST(COUNT(DISTINCT CASE WHEN o_orderpriority = '1-URGENT'
+                                THEN o_custkey END)
+          + COUNT(DISTINCT CASE WHEN o_orderpriority = '2-HIGH'
+                                THEN o_custkey END)
+          - COUNT(DISTINCT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                THEN o_custkey END) AS BIGINT) AS n_inter,
+       CAST(COUNT(DISTINCT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                THEN o_custkey END)
+          - COUNT(DISTINCT CASE WHEN o_orderpriority = '2-HIGH'
+                                THEN o_custkey END) AS BIGINT) AS n_diff,
+       TRUE AS union_within_5pct,
+       TRUE AS inter_within_5pct,
+       TRUE AS diff_within_5pct
+FROM orders GROUP BY o_orderstatus""",
+)
+
+
 def a_histogram(spark, sf_dir):
     """Fixed-width histogram of order totals: 20 buckets of 30k with
     an overflow clamp — one map-side-combined aggregation on a ≤20-key

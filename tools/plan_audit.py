@@ -85,6 +85,8 @@ AUDIT = [
     "d_minhash_est_audit",
     "a_approx_percentile",
     "a_hll_merge_audit",
+    "a_kll_merge_audit",
+    "a_theta_set_audit",
     "t_sentence_chunk",
     "e_knn_recall_audit",
     "a_histogram",
