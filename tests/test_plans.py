@@ -308,3 +308,87 @@ def test_spread_is_noop_when_already_parallel(spark):
     assert spread(wide) is wide  # identical object: no plan change
     narrow = spark.range(0, 100, numPartitions=1)
     assert spread(narrow).rdd.getNumPartitions() == par
+
+
+def test_theta_exact_mode_estimates_equal_exact(spark, sf_dir):
+    # r12: theta sketches at lgK=12 are EXACT (no sampling) while the
+    # set cardinality stays under the nominal 4096 entries — at sf0.01
+    # every per-status custkey set is ~1.5k, so the audit's estimates
+    # must EQUAL the inclusion-exclusion exact counts, not merely sit
+    # inside the band. This pins the sketch plumbing (a wrong filter,
+    # a swapped union/intersection) far harder than the ±5% band the
+    # registered oracle asserts.
+    from f1_realtime_data_pipeline_spark.plans.inventory_star import (
+        a_theta_set_audit,
+    )
+
+    o = read_table(spark, sf_dir, "orders")
+    urgent = F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_custkey"))
+    high = F.when(F.col("o_orderpriority") == "2-HIGH", F.col("o_custkey"))
+    g = o.groupBy("o_orderstatus").agg(
+        F.theta_sketch_agg(urgent).alias("ska"),
+        F.theta_sketch_agg(high).alias("skb"),
+    )
+    est = {
+        r.o_orderstatus: (r.eu, r.ei, r.ed)
+        for r in g.select(
+            "o_orderstatus",
+            F.theta_sketch_estimate(F.theta_union("ska", "skb")).alias("eu"),
+            F.theta_sketch_estimate(F.theta_intersection("ska", "skb")).alias("ei"),
+            F.theta_sketch_estimate(F.theta_difference("ska", "skb")).alias("ed"),
+        ).collect()
+    }
+    exact = {
+        r.o_orderstatus: (r.n_union, r.n_inter, r.n_diff)
+        for r in a_theta_set_audit(spark, sf_dir).collect()
+    }
+    for status, (nu, ni, nd) in exact.items():
+        assert nu < 4096, "fixture outgrew theta exact mode; move to sf0.001"
+        assert est[status] == (nu, ni, nd)
+    # and the registered audit's booleans are all TRUE here
+    rows = a_theta_set_audit(spark, sf_dir).collect()
+    assert all(
+        r.union_within_5pct and r.inter_within_5pct and r.diff_within_5pct
+        for r in rows
+    )
+
+
+def test_cms_merge_equals_global_exactly(spark, sf_dir):
+    # r12: count-min merge is cell-wise ADDITION — the merged sketch's
+    # estimate must equal the globally-built sketch's estimate for
+    # EVERY top-k term (linearity, not a band). The registered oracle
+    # hash-pins both columns; this pytest states the invariant
+    # directly so a failure names it.
+    from f1_realtime_data_pipeline_spark.plans.selection_ext import (
+        t_cms_merge_audit,
+    )
+
+    for r in t_cms_merge_audit(spark, sf_dir).collect():
+        assert r.n_cms_merged == r.n_cms, r.w
+        assert r.n_cms >= r.n_exact  # CMS estimates are upper bounds
+
+
+def test_kll_total_weight_deterministic_and_exact(spark, sf_dir):
+    # r12: Spark's KLL sketch is RANDOMIZED (quantile estimates vary
+    # across executions of the same data — measured), which is why
+    # a_kll_merge_audit band-asserts ranks instead of emitting
+    # estimates. The sketch's total weight n is NOT randomized: the
+    # merged sketch must carry exactly count(*) rows per group, every
+    # run — a dropped or double-merged shard breaks this before any
+    # quantile is consulted.
+    from f1_realtime_data_pipeline_spark.plans.inventory_star import (
+        a_kll_merge_audit,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    exact = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag").agg(F.count("*").alias("n")).collect()
+    }
+    for _ in range(2):
+        rows = a_kll_merge_audit(spark, sf_dir).collect()
+        assert {r.l_returnflag: r.n_rows for r in rows} == exact
+        assert all(r.n_shards == 8 for r in rows)
+        assert all(
+            r.p50_rank_within_3p5 and r.p99_rank_within_3p5 for r in rows
+        )
