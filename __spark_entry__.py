@@ -194,68 +194,8 @@ _WINDOW_HEAD_R12 = [
     "j_salted",
 ]
 
-_WINDOW_HEAD_R11 = [
-    # --- r11 rotation (VERDICT r10 #2, carried from r9 #2): the
-    # full r5 cohort (31) + r6 cohort (18) = 49 — the oldest
-    # driver-green rows in the registry (tools/freshness.py).
-    # After this round the freshness floor is r7. ---
-    "p_project_rename",
-    "p_json_extract",
-    "p_to_json",
-    "p_string_funcs",
-    "p_datetime_funcs",
-    "p_math_funcs",
-    "p_coalesce_nullif",
-    "f_predicates",
-    "f_distinct_not_null",
-    "f_regexp",
-    "j_left_enrich",
-    "j_inner",
-    "j_semi",
-    "j_anti",
-    "j_full_outer",
-    "j_cross",
-    "j_lookup_default",
-    "a_group_count",
-    "a_sum_stats",
-    "a_dedup_first_wins",
-    "a_argmax",
-    "a_pivot",
-    "o_topk_global",
-    "o_topk_per_group",
-    "o_rank_kinds",
-    "o_window_running",
-    "s_union_all",
-    "s_intersect_except",
-    "t_shuffle_order",
-    "t_pii_redact",
-    "p_dataset_card",
-    "a_histogram",
-    "d_incremental_dedup",
-    "d_span_splice",
-    "t_length_buckets",
-    "t_train_split",
-    "t_pack_sequences_dist",
-    "t_stratified_sample",
-    "e_knn_bruteforce",
-    "e_cosine_neardup_exact",
-    "d_span_dedup",
-    "d_span_dedup_stats",
-    "e_pq_codes",
-    "t_mixture_resample",
-    "t_dsir_select",
-    "t_priority_sample",
-    "t_weighted_sample",
-    "t_heavy_hitters_cms",
-    "t_sentence_chunk",
-    # --- slot 50: r11-touched — the new codepoint-exact unicode
-    # edit-distance oracle (VERDICT r10 #3). d_editdist_neardup
-    # itself is r10-green and its r11 edit is oracle-byte-
-    # unchanged (persist only); selfcheck re-verifies it locally. ---
-    "d_editdist_unicode",
-]
-
 _WINDOW_HEAD = _WINDOW_HEAD_R12
+
 
 
 def entry(spark: SparkSession) -> DataFrame:

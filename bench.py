@@ -114,8 +114,17 @@ def timed_runs(fn, runs: int) -> list[float]:
 
 
 def spread(times: list[float]) -> list[float]:
-    """[min, median, max] of a sorted timing list."""
-    return [times[0], times[len(times) // 2], times[-1]]
+    """[min, median, max] of a sorted timing list — standard median
+    (two-middle average on even N: with runs=2 the old upper-middle
+    pick reported the MAX as the median, which would mis-trigger the
+    verify skill's wide-min/median-gap exoneration rule)."""
+    n = len(times)
+    med = (
+        times[n // 2]
+        if n % 2
+        else round((times[n // 2 - 1] + times[n // 2]) / 2, 3)
+    )
+    return [times[0], med, times[-1]]
 
 
 def best_of(fn, runs: int) -> float:

@@ -470,13 +470,9 @@ def _band_star_edges(
             f"band config {bands_n}x{rows_n} exceeds {MINHASH_PERMS} perms"
         )
     bands = _band_memberships(sigs, bands_n, rows_n)
-    hubs = bands.groupBy("band_idx", "sig").agg(F.min("doc_id").alias("hub"))
-    return (
-        bands.join(hubs, ["band_idx", "sig"])
-        .filter(F.col("doc_id") != F.col("hub"))
-        .select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
-        .distinct()
-    )
+    # the pure-star case of the shared capped generator (r12 review:
+    # one branch-split definition for all four star/hybrid consumers)
+    return capped_candidates(bands, ["band_idx", "sig"], "doc_id", occ_cap=0)
 
 
 #: default bucket-occupancy cap for the hybrid candidate generator:
@@ -485,14 +481,18 @@ def _band_star_edges(
 HYBRID_OCC_CAP = 64
 
 
-def _band_hybrid_edges(
-    sigs: DataFrame,
-    bands_n: int = LSH_BANDS,
-    rows_n: int = BAND_ROWS,
-    occ_cap: int = HYBRID_OCC_CAP,
+def capped_candidates(
+    members: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    occ_cap: int,
 ) -> DataFrame:
-    """Occupancy-capped hybrid banded-LSH candidates (doc_a < doc_b,
-    distinct) — VERDICT r11 #2. Per (band_idx, sig) bucket:
+    """THE capped candidate generator (r12 review: the branch split
+    was implemented twice per family — text and vector, star and
+    hybrid; one definition keeps the four consumers in lockstep).
+    From a bucket-membership relation (one row per ``id_col`` per
+    ``bucket_cols`` bucket), emit distinct candidate edges
+    (doc_a < doc_b). Per bucket:
 
     - occupancy ≤ ``occ_cap``: ALL clique pairs — full candidate
       recall where the clique is cheap (≤ C(cap,2) pairs/bucket, the
@@ -502,45 +502,70 @@ def _band_hybrid_edges(
       LINEAR in occupancy on exactly the boilerplate masses where the
       clique explodes (10M-doc mass → 10M edges, not 5·10¹³ pairs).
 
-    Within-bucket connectivity is preserved on BOTH branches, so the
+    ``occ_cap <= 0`` is the PURE STAR form: the clique branch is
+    statically empty, so the membership relation has one consumer and
+    is NOT persisted (the hub aggregate joins back directly — the
+    original star plan shape).
+
+    Within-bucket connectivity is preserved on every branch, so the
     hybrid's post-verify clusters equal the clique's whenever every
     bucket is ≤ cap, and equal the star's when every bucket is above
-    it (pytest pins both identities). Cost: ONE occupancy aggregate
-    over the band memberships (the star form already pays the same
-    aggregate for its hubs); the self-join runs only on the ≤-cap
-    slice, so its worst case is cap × slice rows."""
+    it (pytest pins both identities per family). Cost: ONE occupancy
+    aggregate over the memberships; the self-join runs only on the
+    ≤-cap slice, so its worst case is cap × slice rows. With the
+    clique branch active the tagged memberships feed three consumers
+    (self-join ×2 + star filter) and are persisted — measured at
+    sf0.1 the persist is 2.2 s → 1.45 s, making the hybrid FASTER
+    than the clique form (1.74 s) while strictly superset-recall vs
+    the star. Lifecycle: ContextCleaner unpersists with the plan (the
+    module's standing policy, see minhash_lsh_pairs)."""
+    stats = members.groupBy(*bucket_cols).agg(
+        F.min(id_col).alias("__hub"), F.count("*").alias("__occ")
+    )
+    if occ_cap <= 0:
+        return (
+            members.join(stats, bucket_cols)
+            .filter(F.col(id_col) != F.col("__hub"))
+            .select(F.col("__hub").alias("doc_a"), F.col(id_col).alias("doc_b"))
+            .distinct()
+        )
+    tagged = members.join(stats, bucket_cols).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    small = tagged.filter(F.col("__occ") <= occ_cap)
+    clique = (
+        small.alias("x")
+        .join(small.alias("y"), bucket_cols)
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("doc_a"),
+            F.col(f"y.{id_col}").alias("doc_b"),
+        )
+    )
+    star = (
+        tagged.filter(
+            (F.col("__occ") > occ_cap) & (F.col(id_col) != F.col("__hub"))
+        ).select(F.col("__hub").alias("doc_a"), F.col(id_col).alias("doc_b"))
+    )
+    # both branches emit doc_a < doc_b (the star hub is the bucket
+    # min), so one distinct over the union normalizes cross-bucket dups
+    return clique.unionAll(star).distinct()
+
+
+def _band_hybrid_edges(
+    sigs: DataFrame,
+    bands_n: int = LSH_BANDS,
+    rows_n: int = BAND_ROWS,
+    occ_cap: int = HYBRID_OCC_CAP,
+) -> DataFrame:
+    """Occupancy-capped hybrid banded-LSH candidates (VERDICT r11 #2)
+    — :func:`capped_candidates` over the band memberships."""
     if bands_n * rows_n > MINHASH_PERMS:
         raise ValueError(
             f"band config {bands_n}x{rows_n} exceeds {MINHASH_PERMS} perms"
         )
     bands = _band_memberships(sigs, bands_n, rows_n)
-    stats = bands.groupBy("band_idx", "sig").agg(
-        F.min("doc_id").alias("hub"), F.count("*").alias("occ")
-    )
-    # three consumers read the occupancy-tagged memberships (clique
-    # self-join ×2 + star filter): without the persist each re-derives
-    # signatures + band explode + the stats join — measured at sf0.1
-    # the persist is 2.2 s → 1.45 s, making the hybrid FASTER than the
-    # clique form (1.74 s) while strictly superset-recall vs the star.
-    # Lifecycle: ContextCleaner unpersists with the plan (the module's
-    # standing policy, see minhash_lsh_pairs).
-    tagged = bands.join(stats, ["band_idx", "sig"]).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    small = tagged.filter(F.col("occ") <= occ_cap)
-    clique = (
-        small.alias("x")
-        .join(small.alias("y"), ["band_idx", "sig"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-    )
-    star = (
-        tagged.filter((F.col("occ") > occ_cap) & (F.col("doc_id") != F.col("hub")))
-        .select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
-    )
-    # both branches emit doc_a < doc_b (the star hub is the bucket
-    # min), so one distinct over the union normalizes cross-band dups
-    return clique.unionAll(star).distinct()
+    return capped_candidates(bands, ["band_idx", "sig"], "doc_id", occ_cap)
 
 
 def _candidate_overlap(

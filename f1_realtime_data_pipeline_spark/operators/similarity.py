@@ -482,13 +482,14 @@ def cosine_neardup_star_edges(
     recall trade (pairs similar to each other but not to their hub)
     matches the text form's documented semantics. Same checkpointed
     single scan, same exact-cosine verify tail."""
+    from f1_realtime_data_pipeline_spark.operators.dedup import (
+        capped_candidates,
+    )
+
     rel, tb = _neardup_rel_tb(embeddings, planes_per_table, id_col, vec_col)
-    hubs = tb.groupBy("tbl", "bkt").agg(F.min("vid").alias("hub"))
-    cand = (
-        tb.join(hubs, ["tbl", "bkt"])
-        .filter(F.col("vid") != F.col("hub"))
-        .select(F.col("hub").alias("vec_a"), F.col("vid").alias("vec_b"))
-        .dropDuplicates(["vec_a", "vec_b"])
+    # the pure-star case of the shared capped generator (r12 review)
+    cand = capped_candidates(tb, ["tbl", "bkt"], "vid", occ_cap=0).select(
+        F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
     )
     return _verify_cosine(rel, cand, threshold)
 
@@ -514,29 +515,17 @@ def cosine_neardup_hybrid_edges(
     and star forms; the occupancy-tagged membership relation is
     persisted for its three consumers (the text hybrid's measured
     discipline)."""
-    from pyspark import StorageLevel
-
-    from f1_realtime_data_pipeline_spark.operators.dedup import HYBRID_OCC_CAP
+    from f1_realtime_data_pipeline_spark.operators.dedup import (
+        HYBRID_OCC_CAP,
+        capped_candidates,
+    )
 
     if occ_cap is None:
         occ_cap = HYBRID_OCC_CAP
     rel, tb = _neardup_rel_tb(embeddings, planes_per_table, id_col, vec_col)
-    stats = tb.groupBy("tbl", "bkt").agg(
-        F.min("vid").alias("hub"), F.count("*").alias("occ")
+    cand = capped_candidates(tb, ["tbl", "bkt"], "vid", occ_cap).select(
+        F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
     )
-    tagged = tb.join(stats, ["tbl", "bkt"]).persist(StorageLevel.MEMORY_AND_DISK)
-    small = tagged.filter(F.col("occ") <= occ_cap)
-    clique = (
-        small.alias("x")
-        .join(small.alias("y"), ["tbl", "bkt"])
-        .filter(F.col("x.vid") < F.col("y.vid"))
-        .select(F.col("x.vid").alias("vec_a"), F.col("y.vid").alias("vec_b"))
-    )
-    star = (
-        tagged.filter((F.col("occ") > occ_cap) & (F.col("vid") != F.col("hub")))
-        .select(F.col("hub").alias("vec_a"), F.col("vid").alias("vec_b"))
-    )
-    cand = clique.unionAll(star).dropDuplicates(["vec_a", "vec_b"])
     return _verify_cosine(rel, cand, threshold)
 
 

@@ -56,7 +56,7 @@ def _env_positive_int(var: str, raw: str) -> int:
 #: Spark itself rejects — such values passed the validator only to fail
 #: later inside Spark without the env-var name attached. Leading/trailing
 #: whitespace stays allowed (Spark trims the whole string before parsing).
-_SIZE_STRING = re.compile(r"^\s*(\d+)([bkmgtp]b?)?\s*$", re.IGNORECASE)
+_SIZE_STRING = re.compile(r"^\s*(\d+)([kmgtp]b?|b)?\s*$", re.IGNORECASE)
 
 
 def _env_size_string(var: str, raw: str) -> str:

@@ -486,7 +486,7 @@ def test_env_size_string_accepts_spark_byte_grammar():
     # ADVICE r11: '16mib' and internal whitespace ('1 m') are NOT in
     # Spark's JavaUtils.byteStringAs grammar — they must fail HERE with
     # the env-var name, not later inside Spark without it.
-    for bad in ("", "0", "0m", "-1m", "abc", "3.5m", "m", "1x", "1 m b", "16mib", "1 m", "2gib"):
+    for bad in ("", "0", "0m", "-1m", "abc", "3.5m", "m", "1x", "1 m b", "16mib", "1 m", "2gib", "1bb"):
         with pytest.raises(ValueError, match=var):
             _env_size_string(var, bad)
 

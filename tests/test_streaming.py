@@ -311,10 +311,15 @@ def test_tws_processor_logic_first_seen():
 
 
 def _has_protobuf_runtime() -> bool:
-    """True iff the protobuf runtime the TWS state-server gencode needs
-    (``google.protobuf.runtime_version``, protobuf >= 5.27) imports."""
+    """True iff pyspark's OWN transformWithState gencode imports — the
+    authoritative probe: the generated module runs protobuf's
+    ValidateProtobufRuntimeVersion against the exact floor it was
+    compiled with (6.33 for pyspark 4.1.2), so a mid-range protobuf
+    (5.27-6.32) that merely HAS runtime_version correctly reports
+    False here instead of running the real-stream test into a
+    version-rejection error."""
     try:
-        from google.protobuf import runtime_version  # noqa: F401
+        from pyspark.sql.streaming.proto import StateMessage_pb2  # noqa: F401
 
         return True
     except Exception:
