@@ -1379,3 +1379,34 @@ def test_split_fixture_ids_nonnegative():
                 f"read_parquet('/root/testdata/sf{sf}/{table}.parquet')"
             ).fetchone()[0]
             assert lo >= 0, f"sf{sf} {table}.{col} has negative ids (min={lo})"
+
+
+def test_capped_candidates_shared_generator_contract(spark):
+    # r12 review: one capped_candidates definition backs all four
+    # star/hybrid consumers. Pin its contract directly on a synthetic
+    # membership relation: one 5-member bucket + one 2-member bucket.
+    rows = [(i, 0, "big") for i in range(5)] + [(10, 0, "small"), (11, 0, "small")]
+    members = spark.createDataFrame(rows, "doc_id long, band_idx int, sig string")
+
+    def edges(occ_cap):
+        return {
+            (r.doc_a, r.doc_b)
+            for r in dd.capped_candidates(
+                members, ["band_idx", "sig"], "doc_id", occ_cap
+            ).collect()
+        }
+
+    # pure star (cap<=0): hub fan per bucket, k-1 edges each
+    star = edges(0)
+    assert star == {(0, 1), (0, 2), (0, 3), (0, 4), (10, 11)}
+    # cap between the bucket sizes: small bucket clique (same single
+    # edge), big bucket star — identical here because the hub edge IS
+    # the clique edge at occupancy 2
+    assert edges(3) == star
+    # cap above everything: full cliques — C(5,2) + 1 edges
+    full = edges(8)
+    assert full == {
+        (a, b) for a in range(5) for b in range(5) if a < b
+    } | {(10, 11)}
+    # monotone: higher cap never loses an edge
+    assert star <= edges(3) <= full
