@@ -113,88 +113,75 @@ _QUERY_MODULES = [
 #: queries pulled to the head of the driver's 50-query window this
 #: round (KeyError at import if a name disappears — the rotation list
 #: cannot silently go stale).
-_WINDOW_HEAD_R12 = [
-    # --- r12 rotation (VERDICT r11 #1). Slots 1-4: the four r11
-    # additions that have NEVER had a driver row (tools/freshness.py
-    # WARNING — selfchecked green at both SFs, CORRECTNESS-untested).
-    "a_approx_percentile",
-    "a_hll_merge_audit",
-    "d_dup_clusters_star",
-    "e_neardup_clusters_star",
-    # slot 5: named by the verdict — its r11 persist edit re-verified
-    # under the driver.
-    "d_editdist_neardup",
-    # slots 6-11: NEW this round. The occupancy-capped hybrid
-    # canonicalizers for BOTH families (VERDICT r11 #2), the quantile
-    # tail+merge audit (VERDICT r11 #3), the count-min merge audit
-    # completing the mergeable-sketch trio (distinct / quantile /
-    # frequency), and the native-Datasketches pair below.
-    "d_dup_clusters_hybrid",
-    "a_approx_percentile_tail",
-    "t_cms_merge_audit",
-    "e_neardup_clusters_hybrid",
-    # the native-Datasketches pair landed after the first r12 seal:
-    # KLL quantile merge (randomized sketch — the band rationale is on
-    # the operator) and theta set algebra (union/intersection/
-    # difference estimates vs one-pass inclusion-exclusion exacts).
+_WINDOW_HEAD_R13 = [
+    # --- r13 rotation (VERDICT r12 #1). Slots 1-2: the two NEW
+    # registrations — theta set algebra in PROVEN estimation mode
+    # (lgK=10 over ~13k orderkeys; est_mode asserts estimate != exact,
+    # unreachable in exact mode) and the CDC row-diff contract
+    # (two committed snapshots -> keyed insert/delete/update
+    # classification vs a DuckDB twin on the source table).
+    "a_theta_est_audit",
+    "cdc_row_diff",
+    # slot 3: r13-edited — p99's vacuous rank upper bound now closed
+    # by the deterministic `p99 <= max(column)` conjunct (r12 advice).
     "a_kll_merge_audit",
-    "a_theta_set_audit",
-    # slots 12-18: queries whose code paths r12 edits touched —
-    # connected_components gained the stats out-param + round counter
-    # (both cluster forms ride it; _iter forces the counted loop), and
-    # the five direct localCheckpoint sites now route through
-    # materialize() (value-identical by construction; driver-verified
-    # here anyway).
-    "d_dup_clusters",
-    "d_dup_clusters_iter",
-    "q1_standings",
-    "t_domain_weights",
-    "t_shuffle_order",
-    "t_interleave_sources",
-    "t_length_buckets",
-    # slots 19-48: the ENTIRE r7 cohort — the oldest driver-green rows
-    # in the registry (30 entries; after this round the freshness
-    # floor is r8, as the verdict's done-condition requires). Note
-    # t_domain_weights sits above with the touched set — it is ALSO
-    # the r7 cohort's member, counted once.
-    "w_asof_attribution",
-    "w_lateness_audit",
-    "t_quality_gopher",
-    "t_quality_gopher_edges",
-    "t_contamination_bloom",
-    "pipeline_corpus_v2",
-    "o_zorder_layout",
-    "t_quality",
-    "t_lang_id",
-    "d_ngram_jaccard",
-    "d_containment",
-    "t_normalize",
-    "e_lsh_buckets",
-    "e_knn_classify",
-    "m_decoded_meta",
-    "m_audio_meta",
-    "m_jpeg_meta",
-    "m_image_ahash",
-    "m_video_meta",
-    "m_video_frame_plan",
-    "m_frame_sample",
-    "t_contamination",
-    "pipeline_corpus",
-    "e_neardup_clusters",
-    "e_diverse_topk",
-    "w_watermark_curve",
-    "m_dedup_by_ahash",
-    "t_length_profile",
-    "t_quality_threshold_curve",
-    # slots 48-50: the three oldest r8 rows in registration order, starting
-    # the r8 cohort rotation (45 entries total; the remainder leads
-    # r13).
-    "p_case_points",
-    "s7_upsert_dim",
-    "j_salted",
+    # slots 4-42: the ENTIRE remaining r8 cohort — all 39 rows whose
+    # last driver evidence was round 8 (tools/freshness.py oldest
+    # list, registration order). After this round the freshness floor
+    # is r10 with zero never-checked rows.
+    "p_profile",
+    "a_percentiles",
+    "p_array_funcs",
+    "p_key_skew",
+    "q3_classification",
+    "w_tumbling",
+    "w_sliding",
+    "w_session",
+    "w_sessionize_lag",
+    "w_interval_join",
+    "w_funnel",
+    "w_json_props",
+    "w_retention",
+    "w_type_transitions",
+    "e_semdedup",
+    "e_kmeans",
+    "t_tfidf_keywords",
+    "t_rare_tokens",
+    "e_knn_ivf_trained",
+    "t_bigram_quality",
+    "t_token_stats",
+    "t_fingerprint",
+    "d_minhash_signatures",
+    "d_minhash_lsh",
+    "d_simhash",
+    "d_simhash_pairs",
+    "t_pack_sequences",
+    "t_top_terms",
+    "t_redact",
+    "e_ivf_cells",
+    "e_knn_ivf",
+    "t_repetition",
+    "t_source_mix",
+    "e_quantize",
+    "d_minhash_est_audit",
+    "d_lsh_tuning_curve",
+    "d_cluster_stats",
+    "d_dup_rate_by_source",
+    "t_contamination_report",
+    # slot 43: the one non-r8 straggler named by the verdict.
+    "a_rollup",
+    # slots 44-50: the next-oldest rows (r10 cohort head, registration
+    # order) — starts the r10 rotation early with the leftover slots.
+    "a_approx_distinct",
+    "a_cube",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q10",
 ]
 
-_WINDOW_HEAD = _WINDOW_HEAD_R12
+_WINDOW_HEAD = _WINDOW_HEAD_R13
 
 
 

