@@ -44,14 +44,26 @@ from pyspark.sql import DataFrame
 #: :func:`record_stage_plan` with the PRE-materialization DataFrame;
 #: outside a capture it is a no-op (one ``is None`` test), so
 #: production paths pay nothing.
-_STAGE_PLANS: list[tuple[str, DataFrame]] | None = None
+_STAGE_PLANS: list[tuple[str, str]] | None = None
 
 
 def record_stage_plan(label: str, df: DataFrame) -> None:
     """Record a pre-materialization stage plan if a capture is active
-    (see :func:`capturing_stage_plans`); no-op otherwise."""
+    (see :func:`capturing_stage_plans`); no-op otherwise.
+
+    The formatted plan STRING is snapshotted here, at record time —
+    not a live DataFrame explained after the query returns (r12
+    advice): by then the query has run and unpersisted its
+    intermediate caches, so a deferred explain re-derives the full
+    upstream lineage and the audit double-counts shared scans /
+    exchanges across stages. At record time the upstream persisted
+    relations are still live, so the plan shows InMemoryTableScan
+    where the stage actually reused a cache."""
     if _STAGE_PLANS is not None:
-        _STAGE_PLANS.append((label, df))
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        _STAGE_PLANS.append((label, plan))
 
 
 @contextmanager

@@ -385,6 +385,7 @@ def test_kll_total_weight_deterministic_and_exact(spark, sf_dir):
         r.l_returnflag: r.n
         for r in li.groupBy("l_returnflag").agg(F.count("*").alias("n")).collect()
     }
+    runs = []
     for _ in range(2):
         rows = a_kll_merge_audit(spark, sf_dir).collect()
         assert {r.l_returnflag: r.n_rows for r in rows} == exact
@@ -392,3 +393,13 @@ def test_kll_total_weight_deterministic_and_exact(spark, sf_dir):
         assert all(
             r.p50_rank_within_3p5 and r.p99_rank_within_3p5 for r in rows
         )
+        runs.append(
+            sorted(
+                (r.l_returnflag, r.p50_rank_within_3p5, r.p99_rank_within_3p5)
+                for r in rows
+            )
+        )
+    # VERDICT r12 #6: the emitted booleans must be IDENTICAL across
+    # executions, not merely all-true per run — the query's one output
+    # the randomized compaction sampling could in principle touch.
+    assert runs[0] == runs[1]

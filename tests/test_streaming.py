@@ -331,9 +331,7 @@ def _write_tws_source(spark, tmp_path):
     rows2 = [(3, "alpha beta"), (4, "epsilon zeta"), (5, "gamma delta")]
     src = str(tmp_path / "tws_docs")
     df1 = spark.createDataFrame(rows1, "doc_id bigint, text string")
-    spark.createDataFrame(rows1, "doc_id bigint, text string").coalesce(
-        1
-    ).write.parquet(src)
+    df1.coalesce(1).write.parquet(src)
     spark.createDataFrame(rows2, "doc_id bigint, text string").coalesce(
         1
     ).write.mode("append").parquet(src)
@@ -377,13 +375,39 @@ def test_tws_first_seen_dedup_real_stream(spark, tmp_path):
             q.awaitTermination(180)
 
         run_once()
-        first = {r.doc_id for r in spark.sql("SELECT * FROM tws_real_out").collect()}
-        assert first == {0, 1, 4}  # keyed first-wins across batches
+        out = spark.sql("SELECT * FROM tws_real_out").collect()
+        # keyed first-wins: exactly one winner per distinct text, and
+        # every winner drawn from that text's candidate set. ACROSS
+        # batches the winner is pinned (batch 1's candidates beat
+        # batch 2's: {0,2} for "alpha beta", {1} for "gamma delta");
+        # WITHIN batch 1, doc 0 vs doc 2 for "alpha beta" is left as a
+        # set membership check — the file source does not formally
+        # guarantee within-batch row order, so asserting doc 0 exactly
+        # would pin a tie-break the processor does not promise (r12
+        # advice).
+        from pyspark.sql import functions as F
+
+        keys = {
+            r.text: r.k
+            for r in spark.createDataFrame(
+                [("alpha beta",), ("gamma delta",), ("epsilon zeta",)],
+                "text string",
+            )
+            .select("text", F.xxhash64("text").alias("k"))
+            .collect()
+        }
+        first = {r.dedup_key: r.doc_id for r in out}
+        assert len(out) == 3 and len(first) == 3
+        assert first[keys["alpha beta"]] in {0, 2}  # batch-1 candidates
+        assert first[keys["gamma delta"]] == 1  # sole batch-1 candidate
+        assert first[keys["epsilon zeta"]] == 4  # sole candidate anywhere
         # replay: same checkpoint, no new files — committed offsets
         # hold, state survives, nothing re-emits
         run_once()
-        again = [r.doc_id for r in spark.sql("SELECT * FROM tws_real_out").collect()]
-        assert sorted(again) == [0, 1, 4]
+        again = spark.sql("SELECT * FROM tws_real_out").collect()
+        assert sorted(r.doc_id for r in again) == sorted(
+            r.doc_id for r in out
+        )
     finally:
         if prev is None:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

@@ -127,6 +127,13 @@ GLOBAL_WINDOW_OK = {
     "w_watermark_curve",
 }
 
+#: (query, stage-label) exemptions for bounded global windows inside
+#: CAPTURED stages (r12 advice): a whole-query GLOBAL_WINDOW_OK entry
+#: would also excuse an unbounded window in the query's MAIN plan, so
+#: captured-stage exceptions are keyed to the exact stage instead.
+#: Currently empty — no audited query needs one.
+GLOBAL_WINDOW_OK_STAGES: set[tuple[str, str]] = set()
+
 
 def _has_global_window(plan: str) -> bool:
     """True iff any windowspecdefinition has an EMPTY partition spec.
@@ -240,16 +247,21 @@ def main() -> int:
         # VERDICT r11 #4: queries that return a checkpointed DataFrame
         # used to audit as 0 scans / 0 exchanges (the ExistingRDD plan)
         # — a regression hiding in the detector stage was invisible.
-        # Lineage-cutting sites record their PRE-materialization plan;
-        # the row aggregates across main + captured stages (sum counts,
-        # OR booleans) and says how many stages it covers.
+        # Lineage-cutting sites record their PRE-materialization plan
+        # STRING at record time (r12 advice: while upstream caches are
+        # still live, so a stage that reused a persisted relation shows
+        # InMemoryTableScan instead of re-deriving — and double-
+        # counting — the shared lineage); the row aggregates across
+        # main + captured stages and says how many stages it covers.
         with capturing_stage_plans() as stages:
             df = qs[name](spark, args.sf_dir)
-        plans = [explain(df)] + [explain(sdf) for _, sdf in stages]
-        v = vitals(plans[0])
-        for p in plans[1:]:
-            sv = vitals(p)
+        labeled = [("main", explain(df))] + list(stages)
+        per = [(lbl, vitals(p)) for lbl, p in labeled]
+        v = dict(per[0][1])
+        for _, sv in per[1:]:
             for k, val in sv.items():
+                if k in ("pushed_filters", "global_window"):
+                    continue  # per-stage semantics, aggregated below
                 if isinstance(val, bool):
                     v[k] = v[k] or val
                 elif isinstance(val, int):
@@ -258,6 +270,20 @@ def main() -> int:
                     v[k] = val if v[k] == "-" else ";".join(
                         sorted(set(v[k].split(";")) | set(val.split(";")))
                     )
+        # pushed_filters is ANDed over stages that scan parquet (r12
+        # advice: True is the GOOD direction — ORing let one stage
+        # with pushdown mask another that lost it). A row with no
+        # parquet scan anywhere reports "no" (nothing to push).
+        scanning = [sv for _, sv in per if sv["parquet_scans"] > 0]
+        v["pushed_filters"] = bool(scanning) and all(
+            sv["pushed_filters"] for sv in scanning
+        )
+        # global_window is tracked per stage so the smell check can
+        # exempt by (query, stage label) — a legitimate bounded window
+        # in one captured stage must not hard-fail the whole query
+        # (r12 advice); the table column stays the any-stage OR.
+        v["gw_stages"] = [lbl for lbl, sv in per if sv["global_window"]]
+        v["global_window"] = bool(v["gw_stages"])
         v["stages"] = 1 + len(stages)
         rows.append((name, v))
 
@@ -293,7 +319,11 @@ def main() -> int:
         n
         for n, v in rows
         if v["cartesian"]
-        or (v["global_window"] and n not in GLOBAL_WINDOW_OK)
+        or any(
+            n not in GLOBAL_WINDOW_OK
+            and (n, lbl) not in GLOBAL_WINDOW_OK_STAGES
+            for lbl in v["gw_stages"]
+        )
         or (v["python_eval"] and not v["arrow_map"])
     ]
     if bad:
@@ -312,11 +342,16 @@ def main() -> int:
                 "whole-stage-codegen stage count, and the number of "
                 "MATERIALIZED STAGES the row aggregates (r12: "
                 "checkpoint-returning queries record every "
-                "pre-materialization plan — counts are summed and "
-                "booleans ORed across main + captured stages, so a "
-                "detector-stage regression can no longer hide behind an "
-                "ExistingRDD plan; stages=1 means the single unmaterialized "
-                "plan).\n\n" + table + "\n"
+                "pre-materialization plan — counts are summed across "
+                "main + captured stages; stages=1 means the single "
+                "unmaterialized plan). Stage plans are snapshotted at "
+                "RECORD time while upstream caches are live (r13), so "
+                "a stage that reuses a persisted relation audits as an "
+                "InMemoryTableScan rather than re-counting the shared "
+                "lineage. pushed filters is ANDed over parquet-scanning "
+                "stages (True = EVERY scanning stage kept pushdown); "
+                "global window is the any-stage OR, with smell "
+                "exemptions keyed per (query, stage).\n\n" + table + "\n"
             )
     return 1 if bad else 0
 
