@@ -122,10 +122,14 @@ _WINDOW_HEAD_R13 = [
     # classification vs a DuckDB twin on the source table).
     "a_theta_est_audit",
     "cdc_row_diff",
-    # slot 3: r13-edited — p99's vacuous rank upper bound now closed
+    # slot 3: NEW — the maintenance lifecycle under the value oracle
+    # (3 epoch appends -> compact_snapshot -> expire_history + vacuum
+    # -> snapshot read hash-matches the source slice).
+    "o_compaction_exec",
+    # slot 4: r13-edited — p99's vacuous rank upper bound now closed
     # by the deterministic `p99 <= max(column)` conjunct (r12 advice).
     "a_kll_merge_audit",
-    # slots 4-42: the ENTIRE remaining r8 cohort — all 39 rows whose
+    # slots 5-43: the ENTIRE remaining r8 cohort — all 39 rows whose
     # last driver evidence was round 8 (tools/freshness.py oldest
     # list, registration order). After this round the freshness floor
     # is r10 with zero never-checked rows.
@@ -168,9 +172,9 @@ _WINDOW_HEAD_R13 = [
     "d_cluster_stats",
     "d_dup_rate_by_source",
     "t_contamination_report",
-    # slot 43: the one non-r8 straggler named by the verdict.
+    # slot 44: the one non-r8 straggler named by the verdict.
     "a_rollup",
-    # slots 44-50: the next-oldest rows (r10 cohort head, registration
+    # slots 45-50: the next-oldest rows (r10 cohort head, registration
     # order) — starts the r10 rotation early with the leftover slots.
     "a_approx_distinct",
     "a_cube",
@@ -178,7 +182,6 @@ _WINDOW_HEAD_R13 = [
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
-    "tpch_q10",
 ]
 
 _WINDOW_HEAD = _WINDOW_HEAD_R13

@@ -1765,3 +1765,68 @@ SELECT o_orderkey, o_orderpriority, o_totalprice * 2 AS o_totalprice,
        'update' AS change_type
 FROM src WHERE o_orderkey % 5 = 2""",
 )
+
+
+def o_compaction_exec(spark, sf_dir):
+    """Compaction EXECUTED and verified, not just planned (r13):
+    ``o_compaction_plan`` computes the small-files maintenance plan;
+    this runs the real thing on the manifest table and proves the
+    full maintenance lifecycle preserves every row VALUE:
+
+    1. three epoch appends of disjoint orderkey%3 slices (a custkey%10
+       orders slice, ~1.5k rows at sf0.01) — every key bucket now
+       spreads across 3 epoch directories, the small-files state;
+    2. ``compact_snapshot`` rewrites each multi-dir bucket into one
+       directory as an atomic v+1 commit;
+    3. ``expire_history(keep_last=1)`` + ``vacuum`` — the erasure
+       pairing — physically delete the superseded pre-compaction
+       directories, so a compaction bug that dropped or duplicated
+       rows can no longer be masked by readers resolving old files;
+    4. the post-vacuum snapshot read must hash-match a plain DuckDB
+       SELECT of the source slice.
+
+    This is OPTIMIZE + VACUUM under the value oracle: layout changed,
+    bytes moved, history gone — values identical. Working dir is
+    per-(sf, session), torn down per invocation."""
+    import os
+    import shutil
+    import tempfile
+
+    from f1_realtime_data_pipeline_spark.sources import manifest as mf
+    from f1_realtime_data_pipeline_spark.streaming.sinks import (
+        read_sink_snapshot,
+        transactional_parquet_sink,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"cpx_{os.path.basename(sf_dir)}_{spark.sparkContext.applicationId}",
+    )
+    table = f"{base}/orders_compact"
+    shutil.rmtree(base, ignore_errors=True)
+
+    src = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 10 == 7)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+    write = transactional_parquet_sink(
+        table, keys=["o_orderkey"], order_cols=["o_orderpriority"]
+    )
+    mod = F.pmod(F.col("o_orderkey"), F.lit(3))
+    for epoch in range(3):
+        write(src.filter(mod == epoch), epoch)
+    mf.compact_snapshot(spark, table)
+    mf.expire_history(spark, table, keep_last=1)
+    mf.vacuum(spark, table)
+    return read_sink_snapshot(spark, table).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+
+
+_register(
+    "o_compaction_exec",
+    o_compaction_exec,
+    """SELECT o_orderkey, o_orderpriority, o_totalprice
+FROM orders WHERE o_custkey % 10 = 7""",
+)

@@ -403,3 +403,73 @@ def test_kll_total_weight_deterministic_and_exact(spark, sf_dir):
     # executions, not merely all-true per run — the query's one output
     # the randomized compaction sampling could in principle touch.
     assert runs[0] == runs[1]
+
+
+def test_cdc_row_diff_classes_exact(spark, sf_dir):
+    # r13: the registered CDC query's classification, pinned
+    # structurally at sf0.001 — every emitted row's change_type must
+    # agree with its orderkey%5 residue class, updates carry DOUBLED
+    # prices and deletes ORIGINAL prices (pre-images), and the
+    # carried-over classes {1,3} never appear.
+    from f1_realtime_data_pipeline_spark.plans.inventory_star import (
+        cdc_row_diff,
+    )
+
+    src = {
+        r.o_orderkey: r.o_totalprice
+        for r in read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 10 == 3)
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+    }
+    rows = cdc_row_diff(spark, sf_dir).collect()
+    by_class = {"insert": 4, "delete": 0, "update": 2}
+    assert rows and {r.change_type for r in rows} == set(by_class)
+    for r in rows:
+        assert r.o_orderkey % 5 == by_class[r.change_type]
+        expect = src[r.o_orderkey] * (2 if r.change_type == "update" else 1)
+        assert r.o_totalprice == expect
+    # completeness: every source key of the three changed classes
+    # appears exactly once
+    changed = {k for k in src if k % 5 in (0, 2, 4)}
+    assert sorted(r.o_orderkey for r in rows) == sorted(changed)
+
+
+def test_compaction_exec_layout_and_reclaim(spark, sf_dir):
+    # r13: o_compaction_exec's oracle proves VALUES; this pins the
+    # LAYOUT claims — after compact + expire + vacuum, every bucket
+    # resolves to exactly ONE data directory and the superseded
+    # pre-compaction directories are physically gone from disk.
+    import os
+
+    from f1_realtime_data_pipeline_spark.plans.inventory_star import (
+        o_compaction_exec,
+    )
+    from f1_realtime_data_pipeline_spark.sources import manifest as mf
+
+    out = o_compaction_exec(spark, sf_dir)
+    n = out.count()
+    assert n == (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 10 == 7)
+        .count()
+    )
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"cpx_{os.path.basename(sf_dir)}_"
+        f"{spark.sparkContext.applicationId}",
+    )
+    table = f"{base}/orders_compact"
+    _, entries = mf.resolve_snapshot(spark, table)
+    per_bucket: dict[int, set[str]] = {}
+    for e in entries:
+        per_bucket.setdefault(e["bucket"], set()).add(e["path"].split("/")[1])
+    assert per_bucket and all(len(d) == 1 for d in per_bucket.values())
+    # history expired to the single compacted version, and no
+    # pre-compaction epoch dirs survive on disk (vacuum reclaimed them)
+    assert len(mf.snapshot_versions(spark, table)) == 1
+    live = {e["path"].split("/")[1] for e in entries}
+    on_disk = set(os.listdir(f"{table}/data"))
+    assert on_disk == live
