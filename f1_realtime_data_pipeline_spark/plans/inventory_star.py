@@ -1508,18 +1508,28 @@ def a_theta_est_audit(spark, sf_dir):
         F.count_distinct(a).cast("bigint").alias("n_a"),
         F.count_distinct(b).cast("bigint").alias("n_b"),
     )
+    empty = (F.col("n_a") + F.col("n_b")) == 0
+
+    def est0(col):
+        # an all-NULL input column aggregates to a NULL sketch whose
+        # estimate comes back NULL — but theta_sketch_estimate DECLARES
+        # non-nullable output, so a coalesce() around it is optimized
+        # away and the NULL leaks through (measured on the empty
+        # fixture under the two-count_distinct rewrite). Guard on the
+        # exact counts instead: both sets empty → the honest estimate
+        # is 0, and the sketch path never evaluates.
+        return F.when(empty, F.lit(0.0)).otherwise(
+            F.theta_sketch_estimate(col)
+        )
+
     est = g.select(
         "n_a",
         "n_b",
         (F.col("n_a") - F.col("n_b")).cast("bigint").alias("n_diff"),
-        F.theta_sketch_estimate(F.col("__ska")).alias("__ea"),
-        F.theta_sketch_estimate(F.theta_union("__ska", "__skb")).alias("__eu"),
-        F.theta_sketch_estimate(F.theta_intersection("__ska", "__skb")).alias(
-            "__ei"
-        ),
-        F.theta_sketch_estimate(F.theta_difference("__ska", "__skb")).alias(
-            "__ed"
-        ),
+        est0(F.col("__ska")).alias("__ea"),
+        est0(F.theta_union("__ska", "__skb")).alias("__eu"),
+        est0(F.theta_intersection("__ska", "__skb")).alias("__ei"),
+        est0(F.theta_difference("__ska", "__skb")).alias("__ed"),
     )
 
     def band(est_col, exact_col):
@@ -1527,11 +1537,22 @@ def a_theta_est_audit(spark, sf_dir):
             F.col(est_col) <= F.col(exact_col) * 1.075 + 2
         )
 
+    # est_mode states the CONDITIONAL proof: whenever set A exceeds
+    # the sketch's nominal capacity (1024 entries at lgK=10), the
+    # estimate must differ from the exact count — inequality is
+    # unreachable in exact mode, so this pins theta < 1. Sets at or
+    # under nominal are LEGITIMATELY exact (the empty-input fixture:
+    # n_a = 0, estimate = 0), and the vacuous branch keeps the oracle's
+    # literal TRUE honest there; at every harness SF n_a ≥ 1309 > 1024,
+    # so the estimating branch is the one exercised.
     return est.select(
         "n_a",
         "n_b",
         "n_diff",
-        (F.col("__ea") != F.col("n_a").cast("double")).alias("est_mode"),
+        (
+            (F.col("n_a") <= 1024)
+            | (F.col("__ea") != F.col("n_a").cast("double"))
+        ).alias("est_mode"),
         band("__eu", "n_a").alias("union_within_7p5"),
         band("__ei", "n_b").alias("inter_within_7p5"),
         band("__ed", "n_diff").alias("diff_within_7p5"),
@@ -1740,6 +1761,11 @@ def cdc_row_diff(spark, sf_dir):
         )
         if df is not None
     ]
+    if not parts:
+        # empty source → empty table → read_row_diff reports no class
+        # at all; the classification is the empty relation (the
+        # oracle's three UNION branches each select zero rows)
+        return src.limit(0).withColumn("change_type", F.lit("insert"))
     from functools import reduce
 
     out = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
@@ -1816,6 +1842,11 @@ def o_compaction_exec(spark, sf_dir):
     mod = F.pmod(F.col("o_orderkey"), F.lit(3))
     for epoch in range(3):
         write(src.filter(mod == epoch), epoch)
+    if not mf.snapshot_versions(spark, table):
+        # empty source: every epoch batch was empty, so the sink
+        # (correctly) never committed a snapshot — the roundtrip
+        # result is the empty relation, same as the oracle's SELECT
+        return src.limit(0)
     mf.compact_snapshot(spark, table)
     mf.expire_history(spark, table, keep_last=1)
     mf.vacuum(spark, table)
