@@ -473,3 +473,19 @@ def test_compaction_exec_layout_and_reclaim(spark, sf_dir):
     live = {e["path"].split("/")[1] for e in entries}
     on_disk = set(os.listdir(f"{table}/data"))
     assert on_disk == live
+
+
+def test_theta_est_audit_estimating_branch_exercised(spark, sf_dir):
+    # r13: est_mode is conditional — vacuously true when set A fits the
+    # sketch's 1024 nominal entries. Pin that the harness fixtures
+    # exercise the ESTIMATING branch (n_a > 1024 and the estimate
+    # actually differs from exact), so a fixture shrink can't silently
+    # turn the proof vacuous.
+    from f1_realtime_data_pipeline_spark.plans.inventory_star import (
+        a_theta_est_audit,
+    )
+
+    row = a_theta_est_audit(spark, sf_dir).collect()[0]
+    assert row.n_a > 1024, "fixture too small: est_mode proof is vacuous"
+    assert row.est_mode and row.union_within_7p5
+    assert row.inter_within_7p5 and row.diff_within_7p5
