@@ -174,14 +174,18 @@ _WINDOW_HEAD_R13 = [
     "t_contamination_report",
     # slot 44: the one non-r8 straggler named by the verdict.
     "a_rollup",
-    # slots 45-50: the next-oldest rows (r10 cohort head, registration
+    # slots 45-47: the post-seal r13 additions (never driver-checked —
+    # in-window so the freshness floor's 0-never-checked condition
+    # holds): unpivot/melt, fractional ranks (percent_rank/cume_dist/
+    # ntile), and time-series gap-fill + forward fill.
+    "p_unpivot",
+    "o_rank_fractional",
+    "w_gapfill",
+    # slots 48-50: the next-oldest rows (r10 cohort head, registration
     # order) — starts the r10 rotation early with the leftover slots.
     "a_approx_distinct",
     "a_cube",
     "tpch_q1",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
 ]
 
 _WINDOW_HEAD = _WINDOW_HEAD_R13

@@ -1861,3 +1861,178 @@ _register(
     """SELECT o_orderkey, o_orderpriority, o_totalprice
 FROM orders WHERE o_custkey % 10 = 7""",
 )
+
+
+def p_unpivot(spark, sf_dir):
+    """UNPIVOT/melt (r13): the inverse of ``a_pivot`` — a wide
+    per-status aggregate (priority-class counts as three columns)
+    melted back to tidy (status, metric, value) rows via
+    ``DataFrame.unpivot``. The wide frame is exact bigint counts, so
+    the melt is value-preserving by construction; the DuckDB twin is
+    the explicit three-branch UNION ALL (what unpivot desugars to),
+    making the hash match pin Spark's Expand-based implementation
+    against the literal relational definition."""
+    o = _t(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderstatus").agg(
+        F.sum(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_urgent"),
+        F.sum(F.when(F.col("o_orderpriority") == "2-HIGH", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_high"),
+        F.sum(
+            F.when(
+                ~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_other"),
+    )
+    return wide.unpivot(
+        ["o_orderstatus"],
+        ["n_urgent", "n_high", "n_other"],
+        "metric",
+        "value",
+    )
+
+
+_register(
+    "p_unpivot",
+    p_unpivot,
+    """WITH wide AS (
+  SELECT o_orderstatus,
+         CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_urgent,
+         CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_high,
+         CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_other
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, 'n_urgent' AS metric, n_urgent AS value FROM wide
+UNION ALL
+SELECT o_orderstatus, 'n_high' AS metric, n_high AS value FROM wide
+UNION ALL
+SELECT o_orderstatus, 'n_other' AS metric, n_other AS value FROM wide""",
+)
+
+
+def o_rank_fractional(spark, sf_dir):
+    """Fractional/bucketing ranks (r13): percent_rank, cume_dist, and
+    ntile(4) complete the rank-function surface beside
+    ``o_rank_kinds``'s row_number/rank/dense_rank. ntile is the
+    curriculum-bucketing primitive (split docs into quality quartiles
+    for staged training); percent_rank/cume_dist are the normalized
+    positions a threshold sweep consumes. The order is TOTAL
+    (totalprice desc, orderkey asc), so tie semantics never enter and
+    all three functions are deterministic in both engines. Scale: one
+    hash partition per status; at 100 TB the same shapes run per
+    bounded key-range bucket like every other window here (the
+    p_key_skew / chunked-window discipline)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+_register(
+    "o_rank_fractional",
+    o_rank_fractional,
+    """SELECT o_orderstatus, o_orderkey,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cdist,
+       CAST(ntile(4) OVER w AS INT) AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus
+             ORDER BY o_totalprice DESC, o_orderkey ASC)""",
+)
+
+
+def w_gapfill(spark, sf_dir):
+    """Time-series gap-fill + forward fill (r13): the telemetry
+    regularization every monitoring/feature pipeline needs — a sparse
+    per-key monthly series (a ~1% customer slice, so gaps exist at
+    every SF) densified onto the full month calendar of each key's
+    observed span, missing months zero-counted and flagged, with the
+    last observed count carried forward (``F.last(ignorenulls=True)``
+    over an unbounded-preceding frame == SQL ``last_value(x IGNORE
+    NULLS)``).
+
+    Shape: the calendar is ``sequence(min_month, max_month, interval
+    1 month)`` exploded PER KEY — rows ∝ keys × span, never a global
+    range table — then one left join back to the actuals and one
+    per-key window ordered by the (unique) month, so every stage is
+    keyed and bounded. Months come from date_trunc in both engines;
+    counts are exact bigints; the fill is value-copying — nothing
+    float-ordered anywhere."""
+    src = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 100 == 1)
+        .select(
+            "o_orderpriority",
+            F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        )
+    )
+    actual = src.groupBy("o_orderpriority", "month").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    span = actual.groupBy("o_orderpriority").agg(
+        F.min("month").alias("lo"), F.max("month").alias("hi")
+    )
+    cal = span.select(
+        "o_orderpriority",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 month"))
+        ).alias("month"),
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return cal.join(actual, ["o_orderpriority", "month"], "left").select(
+        "o_orderpriority",
+        "month",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        F.col("n").isNull().alias("is_gap"),
+        F.last("n", ignorenulls=True).over(w).cast("bigint").alias("n_ffill"),
+    )
+
+
+_register(
+    "w_gapfill",
+    w_gapfill,
+    """WITH src AS (
+  SELECT o_orderpriority, date_trunc('month', o_orderdate) AS month
+  FROM orders WHERE o_custkey % 100 = 1
+), actual AS (
+  SELECT o_orderpriority, month, CAST(COUNT(*) AS BIGINT) AS n
+  FROM src GROUP BY o_orderpriority, month
+), span AS (
+  SELECT o_orderpriority, MIN(month) AS lo, MAX(month) AS hi
+  FROM actual GROUP BY o_orderpriority
+), cal AS (
+  SELECT o_orderpriority,
+         unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS month
+  FROM span
+)
+SELECT c.o_orderpriority, c.month,
+       CAST(COALESCE(a.n, 0) AS BIGINT) AS n,
+       a.n IS NULL AS is_gap,
+       CAST(last_value(a.n IGNORE NULLS) OVER (
+         PARTITION BY c.o_orderpriority ORDER BY c.month
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_ffill
+FROM cal c
+LEFT JOIN actual a
+  ON c.o_orderpriority = a.o_orderpriority AND c.month = a.month""",
+)

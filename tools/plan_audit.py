@@ -36,6 +36,8 @@ AUDIT = [
     "t_contamination",
     "t_contamination_bloom",
     "d_exact",
+    "w_gapfill",
+    "o_rank_fractional",
     "d_ngram_jaccard",
     "d_containment",
     "d_minhash_lsh",
