@@ -181,11 +181,14 @@ _WINDOW_HEAD_R13 = [
     "p_unpivot",
     "o_rank_fractional",
     "w_gapfill",
-    # slots 48-50: the next-oldest rows (r10 cohort head, registration
+    # slot 48: the SQL-standard statistics family (corr / regr_slope /
+    # regr_intercept) from exact decimal moment sums, rounded to 5
+    # decimals on both sides (measured 1-ulp FMA divergence).
+    "a_corr_regr",
+    # slots 49-50: the next-oldest rows (r10 cohort head, registration
     # order) — starts the r10 rotation early with the leftover slots.
     "a_approx_distinct",
     "a_cube",
-    "tpch_q1",
 ]
 
 _WINDOW_HEAD = _WINDOW_HEAD_R13

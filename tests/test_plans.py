@@ -489,3 +489,33 @@ def test_theta_est_audit_estimating_branch_exercised(spark, sf_dir):
     assert row.n_a > 1024, "fixture too small: est_mode proof is vacuous"
     assert row.est_mode and row.union_within_7p5
     assert row.inter_within_7p5 and row.diff_within_7p5
+
+
+def test_corr_regr_matches_numpy(spark, sf_dir):
+    # r13: third-implementation cross-check — the decimal-moment
+    # closed forms must agree with numpy's corrcoef/polyfit on the
+    # same rows (tolerance 1e-4: the query rounds to 5 decimals).
+    import numpy as np
+
+    from f1_realtime_data_pipeline_spark.plans.inventory_star import (
+        a_corr_regr,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    by_flag: dict[str, list[tuple[float, float]]] = {}
+    for r in li.collect():
+        by_flag.setdefault(r.l_returnflag, []).append(
+            (r.l_quantity, r.l_extendedprice)
+        )
+    for row in a_corr_regr(spark, sf_dir).collect():
+        xs, ys = zip(*by_flag[row.l_returnflag])
+        x, y = np.array(xs, float), np.array(ys, float)
+        assert row.n == len(xs)
+        assert abs(row.corr_qty_price - np.corrcoef(x, y)[0, 1]) < 1e-4
+        slope, intercept = np.polyfit(x, y, 1)
+        assert abs(row.regr_slope - slope) < 1e-4 * max(1, abs(slope))
+        assert abs(row.regr_intercept - intercept) < 1e-4 * max(
+            1, abs(intercept)
+        )
