@@ -760,27 +760,38 @@ ORDER BY s_name""",
 def tpch_q21(spark, sf_dir):
     """Suppliers who alone returned goods on a multi-supplier finished
     order. The EXISTS(other supplier) / NOT EXISTS(other R-supplier)
-    pair is decorrelated into per-order distinct counts joined back —
-    one shuffle on orderkey instead of two correlated self-joins."""
+    pair is decorrelated into ONE per-order aggregate — and (r13,
+    found by the k=100 decade probe where this was the suite's worst
+    scaler) the join-BACK is gone too: an order with exactly one
+    distinct R-supplier names that supplier inside the same aggregate
+    (``max(when(R, suppkey))`` — max of a singleton set IS the
+    element), so the guilty counts come straight off the filtered
+    aggregate. One lineitem scan, one orderkey shuffle, one suppkey
+    shuffle, where the previous form re-scanned lineitem and shuffled
+    it again to rejoin the stats. The orders filter joins WITHOUT a
+    broadcast hint: at test scale AQE broadcasts the one-column side
+    anyway, at 100 TB a forced broadcast of half of orders would be
+    the bug — let the planner pick."""
     s = _t(spark, sf_dir, "supplier")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
-    li = _t(spark, sf_dir, "lineitem")
-    li_f = li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-    order_stats = li_f.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_supp_r"),
-    ).select(F.col("l_orderkey").alias("ok"), "n_supp", "n_supp_r")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    li_f = li.join(o, li.l_orderkey == o.o_orderkey)
+    r_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
     failing = (
-        li_f.filter(F.col("l_returnflag") == "R")
-        .join(order_stats, li_f.l_orderkey == F.col("ok"))
+        li_f.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(r_supp).alias("n_supp_r"),
+            F.max(r_supp).alias("r_supp"),
+        )
         .filter((F.col("n_supp") > 1) & (F.col("n_supp_r") == 1))
     )
     return (
-        failing.groupBy("l_suppkey")
-        .agg(F.countDistinct("l_orderkey").cast("bigint").alias("numwait"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        failing.groupBy("r_supp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .join(F.broadcast(s), F.col("r_supp") == s.s_suppkey)
         .select("s_name", "numwait")
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
         .limit(100)
