@@ -330,9 +330,15 @@ def tpch_q9(spark, sf_dir):
     p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
     n = _t(spark, sf_dir, "nation")
     amount = _rev_cents() - cents("p_retailprice") * cents("l_quantity")
+    # r13 (k=100 probe): the selective joins run FIRST — the broadcast
+    # part filter (~13% of parts match '%widget%') shrinks lineitem
+    # before the one genuinely large join (orders on orderkey), so the
+    # big shuffle's probe side carries the qualifying slice instead of
+    # every lineitem row. Catalyst doesn't reorder joins without CBO
+    # stats; the declared order IS the physical order here.
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .withColumn("o_year", F.year("o_orderdate"))
@@ -467,14 +473,20 @@ def tpch_q13(spark, sf_dir):
     aggregation over the counts."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "P")
-    per_cust = (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+    # r13 (k=100 probe): pre-aggregate orders per custkey BEFORE the
+    # left join — the map-side-combined groupBy moves ~|customers|
+    # rows through the shuffle instead of all of orders through the
+    # join (orderkey is never null, so count(*) per custkey + a
+    # 0-coalesce for order-less customers is the identical value).
+    per_cust_counts = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n")
     )
+    per_cust = c.join(
+        per_cust_counts, c.c_custkey == per_cust_counts.o_custkey, "left"
+    ).select(F.coalesce("n", F.lit(0)).cast("bigint").alias("c_count"))
     return (
         per_cust.groupBy("c_count")
-        .agg(F.count("*").cast("bigint").alias("custdist"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
         .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
     )
 
