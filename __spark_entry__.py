@@ -185,10 +185,13 @@ _WINDOW_HEAD_R13 = [
     # regr_intercept) from exact decimal moment sums, rounded to 5
     # decimals on both sides (measured 1-ulp FMA divergence).
     "a_corr_regr",
-    # slots 49-50: the next-oldest rows (r10 cohort head, registration
-    # order) — starts the r10 rotation early with the leftover slots.
-    "a_approx_distinct",
-    "a_cube",
+    # slots 49-50: the two largest r13 plan rewrites (q21 join-back
+    # folded into its aggregate; q2 part-predicate semi-join pushdown)
+    # — touched queries take window slots per the rotation convention;
+    # the q9/q13 rewrites are evidenced by the same 4-fixture
+    # selfcheck and lead the r14 window with the r10 cohort.
+    "tpch_q21",
+    "tpch_q2",
 ]
 
 _WINDOW_HEAD = _WINDOW_HEAD_R13
