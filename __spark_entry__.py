@@ -185,13 +185,15 @@ _WINDOW_HEAD_R13 = [
     # regr_intercept) from exact decimal moment sums, rounded to 5
     # decimals on both sides (measured 1-ulp FMA divergence).
     "a_corr_regr",
-    # slots 49-50: the two largest r13 plan rewrites (q21 join-back
-    # folded into its aggregate; q2 part-predicate semi-join pushdown)
-    # — touched queries take window slots per the rotation convention;
-    # the q9/q13 rewrites are evidenced by the same 4-fixture
-    # selfcheck and lead the r14 window with the r10 cohort.
+    # slot 49: the largest r13 plan rewrite (q21's join-back folded
+    # into its per-order aggregate) — the q2/q9/q13 rewrites carry the
+    # same 4-fixture selfcheck evidence and lead the r14 window with
+    # the r10 cohort.
     "tpch_q21",
-    "tpch_q2",
+    # slot 50: NEW — per-source chi-squared length-distribution drift
+    # (order-free fixed-point term sum; never driver-checked, so it
+    # takes the slot over a rewrite that is already value-evidenced).
+    "t_chi2_drift",
 ]
 
 _WINDOW_HEAD = _WINDOW_HEAD_R13

