@@ -86,18 +86,13 @@ from f1_realtime_data_pipeline_spark.plans import (
 #     NULLS FIRST asc, DuckDB NULLS LAST). transform_stream uses
 #     try_to_timestamp (one malformed wire date aborted the stream);
 #     dedup_first_wins documents the NULL-ordering contract.
-# DEFERRED to round 9 (multi-scan audit plans that could share a
-# persisted base relation, found by the r8 PLANS sweep; correct
-# values, non-headline, left untouched to keep the r8 window
-# verifiable): e_knn_recall_audit (6 scans / 13 exchanges — the LSH
-# path and the brute-force truth each re-derive the unit vectors),
-# e_knn_pq (4 scans — codebook + codes + ADC re-derive subvectors),
-# w_anomaly_mad (4 scans of events — deviations/median/MAD branches
-# could share one persisted projection). pipeline_corpus_v2's 5
-# scans are DELIBERATE (per-stage signal materialization, the
-# production pattern; the fused 1-scan form is pipeline_corpus).
-# The demoted pinned-plane e_knn_join stays out of the registry
-# (pytest parity baseline only).
+# The r8-flagged multi-scan audit plans were FIXED in r13 (PLANS.md:
+# e_knn_recall_audit 6→1 scans, e_knn_pq 4→2, w_anomaly_mad 4→1 via a
+# shared persisted base relation each). pipeline_corpus_v2's 5 scans
+# remain DELIBERATE (per-stage signal materialization, the production
+# pattern; the fused 1-scan form is pipeline_corpus). The demoted
+# pinned-plane e_knn_join stays out of the registry (pytest parity
+# baseline only).
 _QUERY_MODULES = [
     inventory_star,
     tpch,

@@ -1508,28 +1508,42 @@ def a_theta_est_audit(spark, sf_dir):
         F.count_distinct(a).cast("bigint").alias("n_a"),
         F.count_distinct(b).cast("bigint").alias("n_b"),
     )
-    empty = (F.col("n_a") + F.col("n_b")) == 0
+    # an all-NULL input column aggregates to a NULL sketch whose
+    # estimate comes back NULL — but theta_sketch_estimate DECLARES
+    # non-nullable output, so a coalesce() around it is optimized
+    # away and the NULL leaks through (measured on the empty fixture
+    # under the two-count_distinct rewrite). Guard on the exact counts
+    # instead, PER SET (ADVICE r13: a guard on n_a+n_b==0 alone left
+    # the B-empty-while-A-nonempty case feeding a NULL sketch into
+    # theta_union/intersection/difference): each set-algebra estimate
+    # is short-circuited by CASE WHEN to the exact answer an empty
+    # operand forces — union(A,∅)=A, A∩∅=∅, A∖∅=A — so a NULL sketch
+    # is never an operand. B ⊆ A by construction makes the
+    # A-empty/B-nonempty branch unreachable, but the guards don't
+    # assume it (the query is meant to be data-independent).
+    na0 = F.col("n_a") == 0
+    nb0 = F.col("n_b") == 0
 
-    def est0(col):
-        # an all-NULL input column aggregates to a NULL sketch whose
-        # estimate comes back NULL — but theta_sketch_estimate DECLARES
-        # non-nullable output, so a coalesce() around it is optimized
-        # away and the NULL leaks through (measured on the empty
-        # fixture under the two-count_distinct rewrite). Guard on the
-        # exact counts instead: both sets empty → the honest estimate
-        # is 0, and the sketch path never evaluates.
-        return F.when(empty, F.lit(0.0)).otherwise(
-            F.theta_sketch_estimate(col)
-        )
+    def sk(col):
+        return F.theta_sketch_estimate(col)
 
     est = g.select(
         "n_a",
         "n_b",
         (F.col("n_a") - F.col("n_b")).cast("bigint").alias("n_diff"),
-        est0(F.col("__ska")).alias("__ea"),
-        est0(F.theta_union("__ska", "__skb")).alias("__eu"),
-        est0(F.theta_intersection("__ska", "__skb")).alias("__ei"),
-        est0(F.theta_difference("__ska", "__skb")).alias("__ed"),
+        F.when(na0, F.lit(0.0)).otherwise(sk(F.col("__ska"))).alias("__ea"),
+        F.when(na0 & nb0, F.lit(0.0))
+        .when(nb0, sk(F.col("__ska")))
+        .when(na0, sk(F.col("__skb")))
+        .otherwise(sk(F.theta_union("__ska", "__skb")))
+        .alias("__eu"),
+        F.when(na0 | nb0, F.lit(0.0))
+        .otherwise(sk(F.theta_intersection("__ska", "__skb")))
+        .alias("__ei"),
+        F.when(na0, F.lit(0.0))
+        .when(nb0, sk(F.col("__ska")))
+        .otherwise(sk(F.theta_difference("__ska", "__skb")))
+        .alias("__ed"),
     )
 
     def band(est_col, exact_col):
@@ -1676,6 +1690,44 @@ LIMIT 10""",
 
 
 
+def _scratch_table_dir(spark, sf_dir, prefix):
+    """Per-invocation scratch dir for the plan-construction-time table
+    lifecycles below (ADVICE r13): keyed by a fresh uuid so two
+    concurrent builds of the same query inside one Spark app can never
+    race on the directory (the old (sf, applicationId) key collided).
+    Siblings left by OTHER (finished) applications are swept here;
+    same-app siblings are deliberately left alone — a concurrent build
+    may still be reading them, and they are ~100 KiB each in tmpfs.
+
+    NOTE for tooling: merely BUILDING these plans executes the full
+    write/merge/compact lifecycle (the diff needs committed
+    snapshots). Do not add ``cdc_row_diff`` / ``o_compaction_exec`` to
+    tools that construct plans without expecting side effects
+    (plan_audit's AUDIT list)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    app = spark.sparkContext.applicationId
+    tag = os.path.basename(sf_dir)
+    root = tempfile.gettempdir()
+    for old in glob.glob(os.path.join(root, f"{prefix}_{tag}_*")):
+        if f"_{app}_" not in os.path.basename(old):
+            shutil.rmtree(old, ignore_errors=True)
+    path = os.path.join(root, f"{prefix}_{tag}_{app}_{uuid.uuid4().hex[:12]}")
+    # tests inspect the produced table's on-disk layout after the plan
+    # runs; the uuid makes the path undiscoverable, so record it
+    _LAST_SCRATCH[prefix] = path
+    return path
+
+
+#: prefix → most recent scratch dir created by _scratch_table_dir in
+#: this process (test introspection only; not part of the data path)
+_LAST_SCRATCH: dict = {}
+
+
 def cdc_row_diff(spark, sf_dir):
     """Change-data-capture contract under the driver (r13, VERDICT r12
     #7): the manifest CDF surface (``sources.manifest.read_row_diff``)
@@ -1689,26 +1741,26 @@ def cdc_row_diff(spark, sf_dir):
     1. snapshot v1 commits classes {0,1,2,3} via
        ``transactional_parquet_sink``;
     2. a ``transactional_merge`` upserts class 4 (pure INSERTS) and
-       class 2 with doubled o_totalprice (in-place UPDATES — same key,
+       class 2 with o_totalprice + 1 (in-place UPDATES — same key,
        changed row: exactly the case a key-only anti-join CDC would
        silently drop);
     3. a ``transactional_delete`` erases class 0 (DELETES).
 
     ``read_row_diff(v1 → latest)`` must classify every row: inserts =
     class 4 (post-images), deletes = class 0 (pre-images, ORIGINAL
-    price), updates = class 2 (post-images, DOUBLED price) — and must
+    price), updates = class 2 (post-images, MUTATED price) — and must
     NOT report the carried-over classes {1,3} even though the merge
     rewrote their buckets copy-on-write (row-level exceptAll, not
     file-level attribution). The DuckDB twin derives the same
     classification straight from the source table, so a sink commit
     bug, a manifest resolution bug, or a diff misclassification all
-    surface as value mismatches. Doubling a double is exact IEEE
-    scaling — no epsilon. Working dir is per-(sf, session), torn down
-    and rebuilt per invocation (idempotent oracle runs)."""
-    import os
-    import shutil
-    import tempfile
-
+    surface as value mismatches. The mutation is +1.0, not *2 (ADVICE
+    r13): doubling is a no-op at price 0, which would silently turn an
+    'update' into a dropped row on an undocumented positive-price data
+    invariant — x + 1.0 changes EVERY double below 2^52 and both
+    engines compute it to the identical IEEE bit pattern, no epsilon.
+    Working dir is uuid-keyed per invocation (see
+    ``_scratch_table_dir``)."""
     from f1_realtime_data_pipeline_spark.sources import manifest as mf
     from f1_realtime_data_pipeline_spark.streaming.sinks import (
         transactional_delete,
@@ -1716,12 +1768,7 @@ def cdc_row_diff(spark, sf_dir):
         transactional_parquet_sink,
     )
 
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"cdc_{os.path.basename(sf_dir)}_{spark.sparkContext.applicationId}",
-    )
-    table = f"{base}/orders_cdc"
-    shutil.rmtree(base, ignore_errors=True)
+    table = f"{_scratch_table_dir(spark, sf_dir, 'cdc')}/orders_cdc"
 
     src = (
         _t(spark, sf_dir, "orders")
@@ -1738,7 +1785,7 @@ def cdc_row_diff(spark, sf_dir):
 
     ups = src.filter(mod.isin(2, 4)).withColumn(
         "o_totalprice",
-        F.when(mod == 2, F.col("o_totalprice") * 2).otherwise(
+        F.when(mod == 2, F.col("o_totalprice") + 1).otherwise(
             F.col("o_totalprice")
         ),
     )
@@ -1787,7 +1834,7 @@ UNION ALL
 SELECT o_orderkey, o_orderpriority, o_totalprice, 'delete' AS change_type
 FROM src WHERE o_orderkey % 5 = 0
 UNION ALL
-SELECT o_orderkey, o_orderpriority, o_totalprice * 2 AS o_totalprice,
+SELECT o_orderkey, o_orderpriority, o_totalprice + 1 AS o_totalprice,
        'update' AS change_type
 FROM src WHERE o_orderkey % 5 = 2""",
 )
@@ -1813,23 +1860,14 @@ def o_compaction_exec(spark, sf_dir):
 
     This is OPTIMIZE + VACUUM under the value oracle: layout changed,
     bytes moved, history gone — values identical. Working dir is
-    per-(sf, session), torn down per invocation."""
-    import os
-    import shutil
-    import tempfile
-
+    uuid-keyed per invocation (see ``_scratch_table_dir``)."""
     from f1_realtime_data_pipeline_spark.sources import manifest as mf
     from f1_realtime_data_pipeline_spark.streaming.sinks import (
         read_sink_snapshot,
         transactional_parquet_sink,
     )
 
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"cpx_{os.path.basename(sf_dir)}_{spark.sparkContext.applicationId}",
-    )
-    table = f"{base}/orders_compact"
-    shutil.rmtree(base, ignore_errors=True)
+    table = f"{_scratch_table_dir(spark, sf_dir, 'cpx')}/orders_compact"
 
     src = (
         _t(spark, sf_dir, "orders")

@@ -1591,7 +1591,16 @@ def t_chi2_drift(spark, sf_dir):
     compare exactly (measured: every term sits ≥0.02 micro-units from
     a rounding boundary across all five fixtures — ~20× the worst
     ulp-divergence a long double expression has shown in this repo);
-    dof = buckets with any corpus mass, minus one."""
+    dof = buckets with any corpus mass, minus one.
+
+    The term sum runs over the FULL per-source bucket domain, not just
+    observed cells (ADVICE r13): a source with ZERO docs in a
+    corpus-populated bucket is the strongest drift signal — its cell
+    contributes (0−e)²/e = e — and summing observed cells only would
+    silently drop exactly those terms while dof still counted every
+    corpus bucket. The domain is sources × corpus buckets (row_tot ⨯
+    the ≤10-row col_tot, both broadcast — constant-size at any SF),
+    left-joined back to observed counts with o=0 fill."""
     d = _docs(spark, sf_dir).select(
         "source",
         F.least(F.floor(F.col("n_chars") / 500), F.lit(9))
@@ -1604,21 +1613,27 @@ def t_chi2_drift(spark, sf_dir):
     row_tot = cells.groupBy("source").agg(F.sum("o").alias("row_n"))
     col_tot = cells.groupBy("bucket").agg(F.sum("o").alias("col_n"))
     grand = cells.agg(F.sum("o").alias("grand_n"))
+    domain = (
+        row_tot.crossJoin(F.broadcast(col_tot))
+        .join(F.broadcast(cells), ["source", "bucket"], "left")
+        .select(
+            "source",
+            "bucket",
+            "row_n",
+            "col_n",
+            F.coalesce(F.col("o"), F.lit(0)).cast("bigint").alias("o"),
+        )
+    )
     e = (
         F.col("row_n").cast("double")
         * F.col("col_n").cast("double")
         / F.col("grand_n").cast("double")
     )
     term = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
-    scored = (
-        cells.join(F.broadcast(row_tot), "source")
-        .join(F.broadcast(col_tot), "bucket")
-        .crossJoin(F.broadcast(grand))
-        .select(
-            "source",
-            "row_n",
-            F.round(term * 1000000.0).cast("bigint").alias("term_micro"),
-        )
+    scored = domain.crossJoin(F.broadcast(grand)).select(
+        "source",
+        "row_n",
+        F.round(term * 1000000.0).cast("bigint").alias("term_micro"),
     )
     n_buckets = col_tot.agg(F.count(F.lit(1)).alias("k"))
     return (
@@ -1651,21 +1666,25 @@ _register(
   SELECT bucket, SUM(o) AS col_n FROM cells GROUP BY bucket
 ), grand AS (
   SELECT SUM(o) AS grand_n FROM cells
+), domain AS (
+  SELECT r.source, r.row_n, t.bucket, t.col_n,
+         CAST(COALESCE(c.o, 0) AS BIGINT) AS o
+  FROM row_tot r
+  CROSS JOIN col_tot t
+  LEFT JOIN cells c ON c.source = r.source AND c.bucket = t.bucket
 ), scored AS (
-  SELECT c.source, r.row_n,
+  SELECT d.source, d.row_n,
          CAST(ROUND(
-           (CAST(c.o AS DOUBLE)
-              - CAST(r.row_n AS DOUBLE) * CAST(t.col_n AS DOUBLE)
+           (CAST(d.o AS DOUBLE)
+              - CAST(d.row_n AS DOUBLE) * CAST(d.col_n AS DOUBLE)
                 / CAST(g.grand_n AS DOUBLE))
-           * (CAST(c.o AS DOUBLE)
-              - CAST(r.row_n AS DOUBLE) * CAST(t.col_n AS DOUBLE)
+           * (CAST(d.o AS DOUBLE)
+              - CAST(d.row_n AS DOUBLE) * CAST(d.col_n AS DOUBLE)
                 / CAST(g.grand_n AS DOUBLE))
-           / (CAST(r.row_n AS DOUBLE) * CAST(t.col_n AS DOUBLE)
+           / (CAST(d.row_n AS DOUBLE) * CAST(d.col_n AS DOUBLE)
                 / CAST(g.grand_n AS DOUBLE))
            * 1000000.0) AS BIGINT) AS term_micro
-  FROM cells c
-  JOIN row_tot r ON c.source = r.source
-  JOIN col_tot t ON c.bucket = t.bucket
+  FROM domain d
   CROSS JOIN grand g
 )
 SELECT source,

@@ -751,3 +751,37 @@ def test_editdist_unicode_bijection_preserves_distance(spark):
     for (a, b), row in zip(pairs, got):
         assert row.lev_cp == py_lev(a, b), (a, b)
         assert row.extra_bytes == row.a_len - row.novowel_len  # one per vowel
+
+
+# ---------------------------------------------------------------------------
+# chi-squared drift: zero-observed cells
+# ---------------------------------------------------------------------------
+
+
+def test_chi2_drift_zero_cell_contributes_expected(spark, tmp_path):
+    # ADVICE r13: a source with ZERO docs in a corpus-populated bucket
+    # is the strongest drift signal — that cell must contribute its
+    # expected count ((0-e)^2/e = e), not silently drop out of the sum.
+    # Two disjoint sources (a: all bucket 0, b: all bucket 1) make
+    # every expected count e = 10*10/20 = 5, so each source's chi2 is
+    # 5 (observed cell) + 5 (its ZERO cell) = 10 → 10_000_000 micro;
+    # the pre-fix observed-cells-only sum read 5_000_000.
+    rows = [(i, "x", "en", "a", 100) for i in range(10)] + [
+        (100 + i, "x", "en", "b", 600) for i in range(10)
+    ]
+    schema = (
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    )
+    spark.createDataFrame(rows, schema).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r.source: r
+        for r in llm_ext.t_chi2_drift(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {"a", "b"}
+    for s in ("a", "b"):
+        assert out[s].n_docs == 10
+        assert out[s].dof == 1
+        assert out[s].chi2_micro == 10_000_000

@@ -408,8 +408,8 @@ def test_kll_total_weight_deterministic_and_exact(spark, sf_dir):
 def test_cdc_row_diff_classes_exact(spark, sf_dir):
     # r13: the registered CDC query's classification, pinned
     # structurally at sf0.001 — every emitted row's change_type must
-    # agree with its orderkey%5 residue class, updates carry DOUBLED
-    # prices and deletes ORIGINAL prices (pre-images), and the
+    # agree with its orderkey%5 residue class, updates carry MUTATED
+    # (+1.0) prices and deletes ORIGINAL prices (pre-images), and the
     # carried-over classes {1,3} never appear.
     from f1_realtime_data_pipeline_spark.plans.inventory_star import (
         cdc_row_diff,
@@ -427,7 +427,7 @@ def test_cdc_row_diff_classes_exact(spark, sf_dir):
     assert rows and {r.change_type for r in rows} == set(by_class)
     for r in rows:
         assert r.o_orderkey % 5 == by_class[r.change_type]
-        expect = src[r.o_orderkey] * (2 if r.change_type == "update" else 1)
+        expect = src[r.o_orderkey] + (1 if r.change_type == "update" else 0)
         assert r.o_totalprice == expect
     # completeness: every source key of the three changed classes
     # appears exactly once
@@ -454,14 +454,11 @@ def test_compaction_exec_layout_and_reclaim(spark, sf_dir):
         .filter(F.col("o_custkey") % 10 == 7)
         .count()
     )
-    import tempfile
+    from f1_realtime_data_pipeline_spark.plans import inventory_star
 
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"cpx_{os.path.basename(sf_dir)}_"
-        f"{spark.sparkContext.applicationId}",
-    )
-    table = f"{base}/orders_compact"
+    # r14: the scratch dir is uuid-keyed per invocation (ADVICE r13);
+    # the helper records the dir it handed the plan we just ran
+    table = f"{inventory_star._LAST_SCRATCH['cpx']}/orders_compact"
     _, entries = mf.resolve_snapshot(spark, table)
     per_bucket: dict[int, set[str]] = {}
     for e in entries:
@@ -473,6 +470,38 @@ def test_compaction_exec_layout_and_reclaim(spark, sf_dir):
     live = {e["path"].split("/")[1] for e in entries}
     on_disk = set(os.listdir(f"{table}/data"))
     assert on_disk == live
+
+
+def test_theta_est_audit_one_empty_set(spark, tmp_path):
+    # ADVICE r13: with B (totalprice >= 120k) EMPTY while A is not,
+    # B's column aggregates to a NULL theta sketch — the old single
+    # n_a+n_b==0 guard let that NULL reach theta_union/intersection/
+    # difference and could propagate NULL into the band booleans. The
+    # per-set guards must instead short-circuit to the exact answers
+    # an empty operand forces (union=A, inter=0, diff=A), keeping
+    # every boolean a literal TRUE. 2000 keys > 1024 nominal also
+    # keeps the estimating branch live on this synthetic slice.
+    from f1_realtime_data_pipeline_spark.plans.inventory_star import (
+        a_theta_est_audit,
+    )
+
+    rows = [
+        (i, i % 7, "O", 60000.0 + (i % 50000), None, "1-URGENT")
+        for i in range(1, 2001)
+    ]
+    schema = (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    spark.createDataFrame(rows, schema).write.parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    row = a_theta_est_audit(spark, str(tmp_path)).collect()[0]
+    assert row.n_a == 2000 and row.n_b == 0 and row.n_diff == 2000
+    assert row.est_mode is True
+    assert row.union_within_7p5 is True
+    assert row.inter_within_7p5 is True
+    assert row.diff_within_7p5 is True
 
 
 def test_theta_est_audit_estimating_branch_exercised(spark, sf_dir):
