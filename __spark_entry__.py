@@ -191,7 +191,74 @@ _WINDOW_HEAD_R13 = [
     "t_chi2_drift",
 ]
 
-_WINDOW_HEAD = _WINDOW_HEAD_R13
+_WINDOW_HEAD_R14 = [
+    # --- r14 rotation (VERDICT r13 #1). Slots 1-3: the three TPC-H
+    # queries REWRITTEN in r13 whose driver evidence predates the
+    # rewrite (q2: part predicate pushed into the (part,supp) aggregate
+    # as a broadcast semi-join; q9: selective broadcast part filter
+    # joined first; q13: orders pre-aggregated per custkey before the
+    # customer left join) — the verdict ordered them to lead.
+    "tpch_q2",
+    "tpch_q9",
+    "tpch_q13",
+    # slots 4-46: the ENTIRE remaining r10 cohort — all 43 other rows
+    # whose last driver evidence was round 10 (tools/freshness.py
+    # oldest list, registration order). After this round the
+    # freshness floor is r11 with zero never-checked rows.
+    "a_approx_distinct",
+    "a_cube",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q10",
+    "tpch_q18",
+    "tpch_q4",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q22",
+    "q0_stream_transform",
+    "q1_standings_mv",
+    "q3_classification_mv",
+    "q2_champion",
+    "q4_podium",
+    "d_substring_dedup",
+    "t_chunk_overlap",
+    "t_epoch_expand",
+    "t_shard_assign",
+    "p_skew_profile",
+    "o_compaction_plan",
+    "d_exact",
+    "e_knn_lsh",
+    "e_knn_join_derived",
+    "e_cosine_neardup",
+    "e_semantic_decontam",
+    "m_byte_stats",
+    "m_resize_plan",
+    "m_binary_ingest",
+    "e_knn_pq",
+    "w_anomaly_mad",
+    "e_knn_recall_audit",
+    "e_ivf_probe_curve",
+    # slots 47-50: the four queries this round's ADVICE-r13 edits
+    # touched (driver evidence must postdate the edit): per-set theta
+    # empty guards, chi2 zero-cell expected terms (+ oracle twin),
+    # CDC +1 mutation (+ oracle twin), uuid-keyed scratch dirs.
+    "a_theta_est_audit",
+    "t_chi2_drift",
+    "cdc_row_diff",
+    "o_compaction_exec",
+]
+
+_WINDOW_HEAD = _WINDOW_HEAD_R14
 
 
 

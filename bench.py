@@ -82,6 +82,13 @@ HEADLINE = [
     "t_cms_merge_audit",
     "a_kll_merge_audit",
     "a_theta_set_audit",
+    # r14 (VERDICT r13 #4): the CDF read path — the sink_epoch_* probes
+    # cover writes only; these time the full lifecycle + incremental
+    # diff (cdc) and OPTIMIZE/expire/VACUUM + post-vacuum read
+    # (compaction). Both build their table at plan-construction time,
+    # so the timing covers write + maintenance + read, deliberately.
+    "cdc_row_diff",
+    "o_compaction_exec",
 ]
 
 
