@@ -257,6 +257,13 @@ _WINDOW_HEAD_R14 = [
     "cdc_row_diff",
     "o_compaction_exec",
 ]
+# r15 staging note: the r10 cohort (46) + the 4 advice-edited queries
+# fill all 50 slots, so the CDF image-set consumption query
+# (incremental aggregate maintenance from read_row_diff_images —
+# operator + end-to-end pytest landed in r14,
+# tests/test_streaming.py::test_row_diff_images_incremental_agg_maintenance)
+# registers in r15 where it can DEBUT inside the window (keeping the
+# 0-never-checked invariant) alongside the r11 cohort.
 
 _WINDOW_HEAD = _WINDOW_HEAD_R14
 

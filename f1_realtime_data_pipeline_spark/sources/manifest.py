@@ -526,12 +526,39 @@ def read_row_diff(
     Two snapshot reads, two key anti-joins, one full-row exceptAll:
     cost ∝ both snapshots, so prefer the entry-granular
     :func:`read_changes` when carry-overs are acceptable."""
+    inserted, deleted, _pre, updated = read_row_diff_images(
+        spark, table_path, since_version, keys, to_version
+    )
+    return inserted, deleted, updated
+
+
+def read_row_diff_images(
+    spark: SparkSession,
+    table_path: str,
+    since_version: int,
+    keys: list[str],
+    to_version: int | None = None,
+) -> tuple[
+    DataFrame | None, DataFrame | None, DataFrame | None, DataFrame | None
+]:
+    """``(inserted, deleted, updated_pre, updated_post)`` — the full
+    CDF image set (r14): :func:`read_row_diff`'s three frames plus the
+    update PRE-images, which is what a DELTA consumer (incremental
+    aggregate or index maintenance) needs — an in-place update
+    contributes (+post, −pre) to any distributive aggregate, and
+    without the pre-image the maintainer would re-read the old
+    snapshot keyed by the update set anyway. Symmetric construction:
+    ``updated_pre`` = schema-aligned old rows that changed
+    (``aligned.exceptAll(new)``) whose key survives in the new
+    snapshot, mirroring ``updated_post`` = ``new.exceptAll(aligned)``
+    semi-joined to old keys. Cost is the same two snapshot reads —
+    the extra frame reuses them."""
     old = read_snapshot(spark, table_path, version=since_version) if since_version else None
     new = read_snapshot(spark, table_path, version=to_version)
     if new is None:
-        return None, old, None
+        return None, old, None, None
     if old is None:
-        return new, None, None
+        return new, None, None, None
     aligned = old
     new_types = {f.name: f.dataType for f in new.schema.fields}
     for c in new.columns:
@@ -540,8 +567,13 @@ def read_row_diff(
     aligned = aligned.select(*new.columns)
     inserted = new.join(old.select(*keys), keys, "left_anti")
     deleted = old.join(new.select(*keys), keys, "left_anti")
-    updated = new.exceptAll(aligned).join(old.select(*keys), keys, "left_semi")
-    return inserted, deleted, updated
+    updated_pre = aligned.exceptAll(new).join(
+        new.select(*keys), keys, "left_semi"
+    )
+    updated_post = new.exceptAll(aligned).join(
+        old.select(*keys), keys, "left_semi"
+    )
+    return inserted, deleted, updated_pre, updated_post
 
 
 def compact_snapshot(spark: SparkSession, table_path: str) -> int:

@@ -1475,6 +1475,93 @@ def test_incremental_changes_cdc(spark, tmp_path):
         mf.changed_entries(spark, sink, since_version=99)
 
 
+def test_row_diff_images_incremental_agg_maintenance(spark, tmp_path):
+    """r14: ``read_row_diff_images`` returns update PRE-images
+    alongside read_row_diff's three frames — the full CDF image set a
+    delta consumer needs. Proof by the consumption pattern itself:
+    a per-group (count, sum) aggregate maintained ONLY from the v1
+    aggregate plus sign-weighted image deltas (+insert, +update_post,
+    −delete, −update_pre) must equal the aggregate recomputed from
+    the final snapshot. A wrong delta sign, a missed pre-image, or a
+    double-counted carry-over all break the equality; the
+    group-CHANGING update (k=4 moves g0→g1) is the case a post-only
+    diff cannot maintain at all (−pre lands in a different group than
+    +post)."""
+    from functools import reduce
+
+    from f1_realtime_data_pipeline_spark.sources import manifest as mf
+    from f1_realtime_data_pipeline_spark.streaming.sinks import (
+        transactional_delete,
+        transactional_merge,
+        transactional_parquet_sink,
+    )
+
+    sink = str(tmp_path / "txn_inc_agg")
+    write = transactional_parquet_sink(sink, keys=["k"], order_cols=["g"])
+    write(
+        spark.createDataFrame(
+            [(i, f"g{i % 2}", i * 10) for i in range(20)], ["k", "g", "amt"]
+        ),
+        0,
+    )
+    v1, _ = mf.resolve_snapshot(spark, sink)
+
+    ups = spark.createDataFrame(
+        [(3, "g1", 999), (4, "g1", 41), (100, "g1", 1000)], ["k", "g", "amt"]
+    )
+    transactional_merge(ups, sink, keys=["k"], order_cols=["g"])
+    transactional_delete(
+        spark.createDataFrame([(0,), (1,)], ["k"]), sink, keys=["k"]
+    )
+
+    ins, dele, upre, upost = mf.read_row_diff_images(spark, sink, v1, ["k"])
+    assert {(r.k, r.g, r.amt) for r in upre.collect()} == {
+        (3, "g1", 30),
+        (4, "g0", 40),
+    }
+    assert {(r.k, r.g, r.amt) for r in upost.collect()} == {
+        (3, "g1", 999),
+        (4, "g1", 41),
+    }
+    assert {r.k for r in ins.collect()} == {100}
+    assert {r.k for r in dele.collect()} == {0, 1}
+
+    def agg(df):
+        return df.groupBy("g").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("amt").cast("bigint").alias("s"),
+        )
+
+    agg1 = agg(mf.read_snapshot(spark, sink, version=v1))
+    delta = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            df.select(
+                "g",
+                F.lit(sgn).cast("bigint").alias("dn"),
+                (F.lit(sgn) * F.col("amt")).cast("bigint").alias("ds"),
+            )
+            for df, sgn in ((ins, 1), (upost, 1), (dele, -1), (upre, -1))
+        ],
+    )
+    dagg = delta.groupBy("g").agg(
+        F.sum("dn").alias("dn"), F.sum("ds").alias("ds")
+    )
+    maintained = (
+        agg1.join(dagg, "g", "full_outer")
+        .select(
+            "g",
+            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n"),
+            (F.coalesce("s", F.lit(0)) + F.coalesce("ds", F.lit(0))).alias("s"),
+        )
+        .filter(F.col("n") > 0)
+    )
+    recomputed = agg(mf.read_snapshot(spark, sink))
+    assert sorted(map(tuple, maintained.collect())) == sorted(
+        map(tuple, recomputed.collect())
+    )
+
+
 def test_compaction_preserves_data_skipping_stats(spark, tmp_path):
     """r6 review fix: compaction merges the superseded entries' min/max
     stats (lo=min of los, hi=max of his) instead of dropping them, so
