@@ -1600,15 +1600,25 @@ def t_chi2_drift(spark, sf_dir):
     silently drop exactly those terms while dof still counted every
     corpus bucket. The domain is sources × corpus buckets (row_tot ⨯
     the ≤10-row col_tot, both broadcast — constant-size at any SF),
-    left-joined back to observed counts with o=0 fill."""
+    left-joined back to observed counts with o=0 fill.
+
+    ``cells`` feeds five branches (row/col/grand totals, the domain
+    join, the dof count); persisted — ONE corpus scan materializes the
+    ≤ |sources|×10-row aggregate and every branch reads the cache (the
+    t_tfidf/t_dsir discipline; unpersist is the ContextCleaner's on
+    plan GC)."""
+    from pyspark import StorageLevel
+
     d = _docs(spark, sf_dir).select(
         "source",
         F.least(F.floor(F.col("n_chars") / 500), F.lit(9))
         .cast("int")
         .alias("bucket"),
     )
-    cells = d.groupBy("source", "bucket").agg(
-        F.count(F.lit(1)).cast("bigint").alias("o")
+    cells = (
+        d.groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     row_tot = cells.groupBy("source").agg(F.sum("o").alias("row_n"))
     col_tot = cells.groupBy("bucket").agg(F.sum("o").alias("col_n"))

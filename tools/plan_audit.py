@@ -29,6 +29,12 @@ AUDIT = [
     "tpch_q1",
     "tpch_q9",
     "tpch_q21",
+    # r14 advice edits with new plan shapes (the other two r14-edited
+    # queries, cdc_row_diff / o_compaction_exec, are deliberately NOT
+    # auditable: building their plans executes a table lifecycle —
+    # see inventory_star._scratch_table_dir)
+    "t_chi2_drift",
+    "a_theta_est_audit",
     "t_quality",
     "t_tfidf_keywords",
     "t_rare_tokens",
