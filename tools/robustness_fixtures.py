@@ -1,8 +1,10 @@
-"""Deterministic robustness fixtures: empty, unicode, and skew corpora.
+"""Deterministic robustness fixtures: empty, unicode, skew, degenerate.
 
 Round 8 swept degenerate VALUES (NULLs, zero-norm vectors, malformed
-wire data); rounds 9/11 added three more axes every 100 TB pipeline
-hits:
+wire data); rounds 9/11/14 added four more axes every 100 TB pipeline
+hits (r14's ``--degenerate`` is partial degeneracy: empty SUBGROUPS on
+populated tables — see :func:`build_degenerate`; swept full-registry,
+193/193 at introduction):
 
 - **empty relations** (``--empty``): schema-identical zero-row copies
   of all ten tables. A filter matching nothing is guaranteed at scale;
@@ -167,6 +169,81 @@ def build_skew(base: str, out: str) -> None:
     )
 
 
+def build_degenerate(base: str, out: str) -> None:
+    """Partial-degeneracy fixture — the FOURTH robustness axis (r14).
+    The empty sweep proves N=0 TABLES; real pipelines more often hit
+    empty SUBGROUPS on otherwise-normal data: a filter predicate that
+    matches nothing this batch, a dimension class with no members, a
+    target domain absent from the corpus. ADVICE r13's theta finding
+    (set B empty while A is not) is exactly this class — guards that
+    only cover the all-empty case. Every transform below empties one
+    set that some registered query filters on, while keeping every
+    table populated:
+
+    - orders: NO 'F' status ('F'→'O': q21's finished-order universe is
+      empty) and NO '1-URGENT' priority ('1-URGENT'→'3-MEDIUM': the
+      points CASE ladder's top branch, p_unpivot's n_urgent column,
+      p_array_funcs' has_urgent all go all-zero/false).
+    - lineitem: NO 'R' returnflag ('R'→'N': every return-based
+      EXISTS/aggregate set — q10 revenue, q21's R-supplier sets,
+      a_corr_regr's R group — is empty).
+    - customer: every acctbal strictly negative (tpch_q22's
+      positive-balance AVG scalar subquery aggregates over ZERO rows →
+      NULL, and NULL-comparison semantics must agree cross-engine).
+    - documents: ONE source (chi2's expected == observed for every
+      cell → the statistic is exactly 0 and the fixed-point rounding
+      of 0 must agree; mixture/stratification queries collapse to a
+      single stratum) and NO 'en' lang (DSIR's target domain is empty
+      → every count coalesces to 0).
+    - part: NO 'small%' and NO '%widget%' names (tpch_q20's inner
+      grouped-HAVING feed and tpch_q9's FIRST selective broadcast
+      filter — the join-order rewrite's anchor — are empty).
+    """
+    os.makedirs(out, exist_ok=True)
+    untouched = [
+        t
+        for t in TABLES
+        if t not in ("orders", "lineitem", "customer", "documents", "part")
+    ]
+    for t in untouched:
+        shutil.copyfile(f"{base}/{t}.parquet", f"{out}/{t}.parquet")
+
+    tbl = pq.read_table(f"{base}/orders.parquet")
+    d = tbl.to_pydict()
+    d["o_orderstatus"] = ["O" if s == "F" else s for s in d["o_orderstatus"]]
+    d["o_orderpriority"] = [
+        "3-MEDIUM" if p == "1-URGENT" else p for p in d["o_orderpriority"]
+    ]
+    pq.write_table(pa.table(d, schema=tbl.schema), f"{out}/orders.parquet")
+
+    tbl = pq.read_table(f"{base}/lineitem.parquet")
+    d = tbl.to_pydict()
+    d["l_returnflag"] = ["N" if f == "R" else f for f in d["l_returnflag"]]
+    pq.write_table(pa.table(d, schema=tbl.schema), f"{out}/lineitem.parquet")
+
+    tbl = pq.read_table(f"{base}/customer.parquet")
+    d = tbl.to_pydict()
+    d["c_acctbal"] = [
+        None if b is None else round(-abs(b) - 1.0, 2) for b in d["c_acctbal"]
+    ]
+    pq.write_table(pa.table(d, schema=tbl.schema), f"{out}/customer.parquet")
+
+    tbl = pq.read_table(f"{base}/documents.parquet")
+    d = tbl.to_pydict()
+    d["source"] = ["src_only"] * len(d["source"])
+    d["lang"] = ["xx" if lg == "en" else lg for lg in d["lang"]]
+    pq.write_table(pa.table(d, schema=tbl.schema), f"{out}/documents.parquet")
+
+    tbl = pq.read_table(f"{base}/part.parquet")
+    d = tbl.to_pydict()
+    d["p_name"] = [
+        (n or "").replace("small", "plain").replace("widget", "gadget")
+        for n in d["p_name"]
+    ]
+    pq.write_table(pa.table(d, schema=tbl.schema), f"{out}/part.parquet")
+    print(f"degenerate-subgroup fixture at {out} (5 tables transformed)")
+
+
 def build_unicode(base: str, out: str) -> None:
     os.makedirs(out, exist_ok=True)
     for t in TABLES:
@@ -224,6 +301,7 @@ def main() -> int:
     ap.add_argument("--empty", action="store_true")
     ap.add_argument("--unicode", action="store_true")
     ap.add_argument("--skew", action="store_true")
+    ap.add_argument("--degenerate", action="store_true")
     ap.add_argument("--list-unicode-family", action="store_true")
     ap.add_argument("--list-skew-family", action="store_true")
     ap.add_argument("--out")
@@ -240,8 +318,10 @@ def main() -> int:
         build_unicode(args.base, args.out or "/tmp/sf_unicode")
     if args.skew:
         build_skew(args.base, args.out or "/tmp/sf_skew")
-    if not (args.empty or args.unicode or args.skew):
-        ap.error("pass --empty, --unicode and/or --skew")
+    if args.degenerate:
+        build_degenerate(args.base, args.out or "/tmp/sf_degen")
+    if not (args.empty or args.unicode or args.skew or args.degenerate):
+        ap.error("pass --empty, --unicode, --skew and/or --degenerate")
     return 0
 
 
