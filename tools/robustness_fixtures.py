@@ -1,10 +1,11 @@
-"""Deterministic robustness fixtures: empty, unicode, skew, degenerate.
+"""Deterministic robustness fixtures: empty, unicode, skew, degenerate, one-row.
 
 Round 8 swept degenerate VALUES (NULLs, zero-norm vectors, malformed
 wire data); rounds 9/11/14 added four more axes every 100 TB pipeline
-hits (r14's ``--degenerate`` is partial degeneracy: empty SUBGROUPS on
-populated tables — see :func:`build_degenerate`; swept full-registry,
-193/193 at introduction):
+hits (r14's ``--degenerate`` is partial degeneracy — empty SUBGROUPS on
+populated tables, see :func:`build_degenerate` — and r14's ``--onerow``
+is the N=1 boundary, see :func:`build_onerow`; both swept
+full-registry, 193/193 each at introduction):
 
 - **empty relations** (``--empty``): schema-identical zero-row copies
   of all ten tables. A filter matching nothing is guaranteed at scale;
@@ -244,6 +245,23 @@ def build_degenerate(base: str, out: str) -> None:
     print(f"degenerate-subgroup fixture at {out} (5 tables transformed)")
 
 
+def build_onerow(base: str, out: str) -> None:
+    """One-row-per-table fixture — the n=1 boundary (r14). The empty
+    sweep proves N=0; this proves N=1, where a different hazard class
+    lives: zero-variance statistics (corr/regr moments divide by 0 —
+    both engines must agree on the NULL), single-point percentiles,
+    1-row windows/ranks, a 1-vector corpus for every kNN/cell
+    derivation (ceil(sqrt(1)) cells, log2 plane floors), and 1-token
+    count tables. Swept full-registry: 193/193 at introduction, with
+    a_corr_regr emitting (NULL, NULL, NULL) identically in both
+    engines."""
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        tbl = pq.read_table(f"{base}/{t}.parquet")
+        pq.write_table(tbl.slice(0, 1), f"{out}/{t}.parquet")
+    print(f"one-row fixture at {out} ({len(TABLES)} single-row tables)")
+
+
 def build_unicode(base: str, out: str) -> None:
     os.makedirs(out, exist_ok=True)
     for t in TABLES:
@@ -302,6 +320,7 @@ def main() -> int:
     ap.add_argument("--unicode", action="store_true")
     ap.add_argument("--skew", action="store_true")
     ap.add_argument("--degenerate", action="store_true")
+    ap.add_argument("--onerow", action="store_true")
     ap.add_argument("--list-unicode-family", action="store_true")
     ap.add_argument("--list-skew-family", action="store_true")
     ap.add_argument("--out")
@@ -320,8 +339,14 @@ def main() -> int:
         build_skew(args.base, args.out or "/tmp/sf_skew")
     if args.degenerate:
         build_degenerate(args.base, args.out or "/tmp/sf_degen")
-    if not (args.empty or args.unicode or args.skew or args.degenerate):
-        ap.error("pass --empty, --unicode, --skew and/or --degenerate")
+    if args.onerow:
+        build_onerow(args.base, args.out or "/tmp/sf_onerow")
+    if not (
+        args.empty or args.unicode or args.skew or args.degenerate or args.onerow
+    ):
+        ap.error(
+            "pass --empty, --unicode, --skew, --degenerate and/or --onerow"
+        )
     return 0
 
 
