@@ -16,6 +16,11 @@ same tiled fixtures `tools/scale_sweep.py` builds:
 - ``pipeline_corpus``: input docs (= the norm_text window-shuffle
   volume; the plan is one scan + one window shuffle + one rollup) and
   post-dedup survivors.
+- ``e_semdedup`` (r14): within-cell candidate pairs Σ C(|cell|,2) and
+  assignment dots N×C under the operator's own trained clustering
+  (C = ceil(√N), 1 Lloyd round) — BOTH dominant stages are ~N^1.5 by
+  design, so the honest work ratio at k=100 is ~1000×, not 100×; the
+  wall ratio must be read against that.
 
 A wall ratio at or under the work ratio means the query scales with
 its data — linear work, sub-linear wall is the healthy shape; a wall
@@ -53,6 +58,10 @@ from f1_realtime_data_pipeline_spark.functions.text import (  # noqa: E402
     tokens,
 )
 from f1_realtime_data_pipeline_spark.operators import dedup as dd  # noqa: E402
+from f1_realtime_data_pipeline_spark.operators import similarity as sim  # noqa: E402
+from f1_realtime_data_pipeline_spark.operators.materialize import (  # noqa: E402
+    materialize,
+)
 from f1_realtime_data_pipeline_spark.session import get_spark  # noqa: E402
 
 #: join-node physical operators worth reporting from an executed plan
@@ -123,6 +132,31 @@ def main() -> int:
 
         rec["pipeline_canon"] = (
             docs.select(normalize_text("text").alias("n")).distinct().count()
+        )
+
+        t0 = time.time()
+        qs["e_semdedup"](spark, sf).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        rec["e_semdedup_sec"] = round(time.time() - t0, 2)
+        embs = spark.read.parquet(f"{sf}/embeddings.parquet")
+        u = materialize(
+            sim._unit_vectors(embs, "vec_id", "embedding"), durable=True
+        )
+        n_vecs = u.count()
+        cents = sim._kmeans_centroids(u, None, 1)
+        n_cells = cents.count()
+        occ = sim._assign_cells(u, cents).groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        rec["semdedup_vecs"] = n_vecs
+        rec["semdedup_cells"] = n_cells
+        rec["semdedup_assign_dots"] = n_vecs * n_cells
+        rec["semdedup_cell_pairs"] = (
+            occ.agg(
+                F.sum(F.expr("n * (n - 1) DIV 2")).cast("bigint").alias("p")
+            ).collect()[0]["p"]
+            or 0
         )
         print(json.dumps(rec), flush=True)
     return 0
