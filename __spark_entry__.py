@@ -263,7 +263,14 @@ _WINDOW_HEAD_R14 = [
 # operator + end-to-end pytest landed in r14,
 # tests/test_streaming.py::test_row_diff_images_incremental_agg_maintenance)
 # registers in r15 where it can DEBUT inside the window (keeping the
-# 0-never-checked invariant) alongside the r11 cohort.
+# 0-never-checked invariant) alongside the r11 cohort. Also leading
+# r15: e_knn_classify, e_diverse_topk, t_repetition — edited late in
+# r14 by the all-NULL sweep fixes (operator-entry classify-drop of
+# degenerate vectors in knn_lsh/knn_join_adc + both SQL twins;
+# NULL-text coalesce in t_repetition); the three in-window members of
+# the same fix (e_knn_lsh, e_knn_join_derived, e_knn_recall_audit)
+# get driver evidence THIS round, and all six re-selfchecked green at
+# sf0.01/sf0.1 plus all six robustness axes after the fix.
 
 _WINDOW_HEAD = _WINDOW_HEAD_R14
 

@@ -175,20 +175,33 @@ def knn_lsh(
     ``neardup_planes_for`` and add tables to buy the recall back —
     plane literals are part of the plan, so a static oracle twin
     needs a pinned count)."""
-    rel = spread(embeddings).withColumn("nrm", norm(F.col(vec_col))).select(
-        F.col(id_col).alias("vid"),
-        unit(F.col(vec_col), F.col("nrm")).alias("uv"),
-        F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    lsh_table_bucket(
-                        F.col(vec_col), t, planes_per_table
-                    ).alias("bkt"),
-                )
-                for t in range(LSH_TABLES)
-            ]
-        ).alias("tbs"),
+    # nrm > 0 drops NULL and zero-norm vectors (r14, found by the
+    # all-NULL-column sweep): the SQL twin drops them implicitly — its
+    # verify stage inner-joins the nrm-filtered unitv CTE and its NULL
+    # buckets never equijoin — but Spark's lsh_table_bucket folds a
+    # NULL vector to bucket 0 (the sign CASE's otherwise-branch), so
+    # unfiltered NULL vectors collided into one bucket and surfaced as
+    # neighbors with NULL cosine. Same classify-drop contract as
+    # _unit_vectors.
+    rel = (
+        spread(embeddings)
+        .withColumn("nrm", norm(F.col(vec_col)))
+        .filter(F.col("nrm") > 0)
+        .select(
+            F.col(id_col).alias("vid"),
+            unit(F.col(vec_col), F.col("nrm")).alias("uv"),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        lsh_table_bucket(
+                            F.col(vec_col), t, planes_per_table
+                        ).alias("bkt"),
+                    )
+                    for t in range(LSH_TABLES)
+                ]
+            ).alias("tbs"),
+        )
     )
     if n_queries is None:
         # batch similarity join: BOTH join sides read this relation, so
@@ -226,10 +239,14 @@ def knn_lsh_sql(
     k: int = 5,
     planes_per_table: int = PLANES_PER_TABLE,
 ) -> str:
+    # FROM normed WHERE nrm > 0 (r14): the classify-drop moved to
+    # operator ENTRY in both engines — degenerate vectors previously
+    # died only at this twin's verify join while the Spark side folded
+    # them into bucket 0 (see knn_lsh).
     per_table = "\n  UNION ALL\n  ".join(
         f"SELECT vec_id, "
         f"{lsh_table_bucket_sql('embedding', t, planes_per_table=planes_per_table)}"
-        f" AS bkt, {t} AS tbl FROM embeddings"
+        f" AS bkt, {t} AS tbl FROM normed WHERE nrm > 0"
         for t in range(LSH_TABLES)
     )
     qfilter = "" if n_queries is None else f"\n  WHERE q.vec_id < {n_queries}"
@@ -961,15 +978,20 @@ def _pq_scored_best(
 
 #: shared CTE chain: every (vid, sub, code, dist) + the per-(vid, sub)
 #: argmin — the prologue of both pq_codes_sql and knn_pq_sql
-def _pq_ctes_sql(n_codes: int) -> str:
+def _pq_ctes_sql(n_codes: int, src: str = "embeddings") -> str:
+    """``src`` (r14): the knn-join twins pass the nrm-filtered normed
+    CTE so the codebook and code assignment see exactly the vectors
+    that can become candidates (the operator-entry classify-drop);
+    the standalone PQ quantization twins keep the raw table — they
+    quantize every row, degenerate or not, in both engines."""
     return f"""subs AS (
   SELECT vec_id AS vid, s.sub,
          list_slice(embedding, s.sub * {PQ_SUBDIM} + 1, (s.sub + 1) * {PQ_SUBDIM}) AS sv
-  FROM embeddings, (SELECT unnest(range(0, {PQ_SUB})) AS sub) s
+  FROM {src}, (SELECT unnest(range(0, {PQ_SUB})) AS sub) s
 ), cb AS (
   SELECT vec_id AS code, s.sub,
          list_slice(embedding, s.sub * {PQ_SUBDIM} + 1, (s.sub + 1) * {PQ_SUBDIM}) AS cw
-  FROM embeddings, (SELECT unnest(range(0, {PQ_SUB})) AS sub) s
+  FROM {src}, (SELECT unnest(range(0, {PQ_SUB})) AS sub) s
   WHERE vec_id < {n_codes}
 ), scored AS (
   SELECT vid, sub, code, {_l2_sql("sv", "cw", PQ_SUBDIM)} AS dist
@@ -1172,26 +1194,36 @@ def knn_join_adc(
     keys; the SDC rank moves (pair, 2×M codes) rows; exact folds and
     unit-vector fetches touch shortlist×N pairs, not candidate×N.
     """
-    base = spread(embeddings).withColumn("nrm", norm(F.col(vec_col))).select(
-        F.col(id_col).alias("vid"),
-        unit(F.col(vec_col), F.col("nrm")).alias("uv"),
-        F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    lsh_table_bucket(
-                        F.col(vec_col), t, planes_per_table
-                    ).alias("bkt"),
-                )
-                for t in range(LSH_TABLES)
-            ]
-        ).alias("tbs"),
-        F.array(
-            *[
-                F.slice(F.col(vec_col), s * PQ_SUBDIM + 1, PQ_SUBDIM)
-                for s in range(PQ_SUB)
-            ]
-        ).alias("svs"),
+    # nrm > 0 (r14, all-NULL sweep): same classify-drop as knn_lsh —
+    # the SQL twin's verify joins its nrm-filtered unitv CTE, so
+    # NULL/zero-norm vectors must never reach the Spark candidate set
+    # either (unfiltered, they fold to bucket 0 and surface as
+    # NULL-cosine neighbors).
+    base = (
+        spread(embeddings)
+        .withColumn("nrm", norm(F.col(vec_col)))
+        .filter(F.col("nrm") > 0)
+        .select(
+            F.col(id_col).alias("vid"),
+            unit(F.col(vec_col), F.col("nrm")).alias("uv"),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        lsh_table_bucket(
+                            F.col(vec_col), t, planes_per_table
+                        ).alias("bkt"),
+                    )
+                    for t in range(LSH_TABLES)
+                ]
+            ).alias("tbs"),
+            F.array(
+                *[
+                    F.slice(F.col(vec_col), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+                    for s in range(PQ_SUB)
+                ]
+            ).alias("svs"),
+        )
     )
     base = materialize(base, durable=True)
 
@@ -1384,7 +1416,7 @@ def knn_join_adc_derived_sql(
     )
     tabs_sql = "\n  UNION ALL\n  ".join(
         f"SELECT vec_id, {_derived_bucket_sql(t)} AS bkt, {t} AS tbl "
-        f"FROM embeddings, p"
+        f"FROM normed, p WHERE nrm > 0"
         for t in range(LSH_TABLES)
     )
     return knn_join_adc_sql(
@@ -1409,10 +1441,14 @@ def knn_join_adc_sql(
     shortlist tie-break, same verify. ``tabs_sql``/``prelude`` let the
     derived-plane twin swap in its dynamic bucket CTE while sharing
     the whole SDC/verify tail."""
+    # operator-entry classify-drop in the twin too (r14): buckets,
+    # codebook, and code assignment all read the nrm-filtered relation
+    # — mirrors the Spark side's filtered base exactly (a degenerate
+    # vector can otherwise consume shortlist slots in one engine only)
     per_table = tabs_sql or "\n  UNION ALL\n  ".join(
         f"SELECT vec_id, "
         f"{lsh_table_bucket_sql('embedding', t, planes_per_table=planes_per_table)}"
-        f" AS bkt, {t} AS tbl FROM embeddings"
+        f" AS bkt, {t} AS tbl FROM normed WHERE nrm > 0"
         for t in range(LSH_TABLES)
     )
     code_cols = ",\n         ".join(
@@ -1429,7 +1465,7 @@ def knn_join_adc_sql(
   SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
   FROM tabs q JOIN tabs c
     ON q.tbl = c.tbl AND q.bkt = c.bkt AND q.vec_id <> c.vec_id
-), {_pq_ctes_sql(n_codes)}, codes AS (
+), {_pq_ctes_sql(n_codes, src="(SELECT vec_id, embedding FROM normed WHERE nrm > 0)")}, codes AS (
   SELECT vid, {code_cols} FROM best GROUP BY vid
 ), sdc AS (
   SELECT a.sub, a.code AS ca, b.code AS cb, {_l2_sql("a.cw", "b.cw", PQ_SUBDIM)} AS d

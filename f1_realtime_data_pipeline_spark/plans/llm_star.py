@@ -1236,7 +1236,19 @@ def t_repetition(spark, sf_dir):
     split() per reference), then one map-only projection computes
     sizes — no shuffle, no UDF."""
     d = _docs(spark, sf_dir)
-    with_toks = d.select("doc_id", tx.tokens("text").alias("toks"))
+    # coalesce to the empty array (r14, all-NULL sweep): a NULL text
+    # tokenizes to NULL, and Spark's slice/transform/size chain
+    # PROPAGATES that NULL into n_2grams/n_3grams — while the DuckDB
+    # twin's greatest(len(NULL)-1, 0) collapses to 0 (Postgres-style
+    # greatest ignores NULLs), emitting (0, 0.0). Empty-array
+    # semantics — zero n-grams, zero duplication — are the right
+    # classification for a NULL document in both engines.
+    with_toks = d.select(
+        "doc_id",
+        F.coalesce(
+            tx.tokens("text"), F.array().cast("array<string>")
+        ).alias("toks"),
+    )
     toks = F.col("toks")
 
     def grams(n):

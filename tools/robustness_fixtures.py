@@ -1,11 +1,13 @@
-"""Deterministic robustness fixtures: empty, unicode, skew, degenerate, one-row.
+"""Deterministic robustness fixtures: empty, unicode, skew, degenerate, one-row, all-null.
 
 Round 8 swept degenerate VALUES (NULLs, zero-norm vectors, malformed
 wire data); rounds 9/11/14 added four more axes every 100 TB pipeline
 hits (r14's ``--degenerate`` is partial degeneracy — empty SUBGROUPS on
 populated tables, see :func:`build_degenerate` — and r14's ``--onerow``
-is the N=1 boundary, see :func:`build_onerow`; both swept
-full-registry, 193/193 each at introduction):
+is the N=1 boundary, see :func:`build_onerow` — both swept
+full-registry, 193/193 each at introduction; r14's ``--allnull`` is
+whole-column NULLs, see :func:`build_allnull` — the axis that FOUND
+five real divergences at introduction, 193/193 after the fixes):
 
 - **empty relations** (``--empty``): schema-identical zero-row copies
   of all ten tables. A filter matching nothing is guaranteed at scale;
@@ -245,6 +247,43 @@ def build_degenerate(base: str, out: str) -> None:
     print(f"degenerate-subgroup fixture at {out} (5 tables transformed)")
 
 
+def build_allnull(base: str, out: str) -> None:
+    """All-NULL-column fixture — the SIXTH robustness axis (r14), and
+    the one that FOUND BUGS at introduction: rows exist but an entire
+    optional column is NULL (a failed upstream join, a dead encoder, a
+    schema migration backfilling late). Perturbs: documents.text/lang/
+    n_chars → NULL, events.props → NULL, embeddings.embedding → NULL.
+    The introduction sweep caught five real cross-engine divergences —
+    knn_lsh/knn_join_adc folded NULL vectors into LSH bucket 0 (the
+    sign CASE's otherwise-branch) and surfaced them as NULL-cosine
+    neighbors while the SQL twins' nrm-filtered verify dropped them
+    (fixed: operator-entry classify-drop in BOTH engines), and
+    t_repetition's slice/transform chain propagated NULL where the
+    twin's greatest(NULL,0) collapsed to empty (fixed: coalesce to the
+    empty array). 193/193 after the fixes."""
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        if t in ("documents", "events", "embeddings"):
+            continue
+        shutil.copyfile(f"{base}/{t}.parquet", f"{out}/{t}.parquet")
+    tbl = pq.read_table(f"{base}/events.parquet")
+    d = tbl.to_pydict()
+    d["props"] = [None] * len(d["props"])
+    pq.write_table(pa.table(d, schema=tbl.schema), f"{out}/events.parquet")
+    tbl = pq.read_table(f"{base}/documents.parquet")
+    d = tbl.to_pydict()
+    n = len(d["text"])
+    d["text"] = [None] * n
+    d["lang"] = [None] * n
+    d["n_chars"] = [None] * n
+    pq.write_table(pa.table(d, schema=tbl.schema), f"{out}/documents.parquet")
+    tbl = pq.read_table(f"{base}/embeddings.parquet")
+    d = tbl.to_pydict()
+    d["embedding"] = [None] * len(d["embedding"])
+    pq.write_table(pa.table(d, schema=tbl.schema), f"{out}/embeddings.parquet")
+    print(f"all-null-column fixture at {out} (3 tables nulled)")
+
+
 def build_onerow(base: str, out: str) -> None:
     """One-row-per-table fixture — the n=1 boundary (r14). The empty
     sweep proves N=0; this proves N=1, where a different hazard class
@@ -321,6 +360,7 @@ def main() -> int:
     ap.add_argument("--skew", action="store_true")
     ap.add_argument("--degenerate", action="store_true")
     ap.add_argument("--onerow", action="store_true")
+    ap.add_argument("--allnull", action="store_true")
     ap.add_argument("--list-unicode-family", action="store_true")
     ap.add_argument("--list-skew-family", action="store_true")
     ap.add_argument("--out")
@@ -341,11 +381,19 @@ def main() -> int:
         build_degenerate(args.base, args.out or "/tmp/sf_degen")
     if args.onerow:
         build_onerow(args.base, args.out or "/tmp/sf_onerow")
+    if args.allnull:
+        build_allnull(args.base, args.out or "/tmp/sf_allnull")
     if not (
-        args.empty or args.unicode or args.skew or args.degenerate or args.onerow
+        args.empty
+        or args.unicode
+        or args.skew
+        or args.degenerate
+        or args.onerow
+        or args.allnull
     ):
         ap.error(
-            "pass --empty, --unicode, --skew, --degenerate and/or --onerow"
+            "pass --empty, --unicode, --skew, --degenerate, --onerow "
+            "and/or --allnull"
         )
     return 0
 
