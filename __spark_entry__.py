@@ -271,6 +271,15 @@ _WINDOW_HEAD_R14 = [
 # the same fix (e_knn_lsh, e_knn_join_derived, e_knn_recall_audit)
 # get driver evidence THIS round, and all six re-selfchecked green at
 # sf0.01/sf0.1 plus all six robustness axes after the fix.
+# Also debuting in r15: plans/graph_ext (g_pagerank, g_degree_stats —
+# iterative BIGINT fixed-point PageRank + degree profile over the
+# co-purchase bipartite graph; operator in operators/graph.py, oracle
+# parity pinned by tests/test_graph.py until the module joins
+# _QUERY_MODULES inside the r15 window) and plans/scoring_ext
+# (t_classifier_scores, t_classifier_dist — the hashed bag-of-words
+# linear-classifier sweep, fastText/FineWeb-Edu shape, in exact
+# integer arithmetic; parity + degenerate shapes pinned by
+# tests/test_scoring.py).
 
 _WINDOW_HEAD = _WINDOW_HEAD_R14
 

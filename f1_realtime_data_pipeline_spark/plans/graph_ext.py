@@ -1,0 +1,186 @@
+"""Graph-analytics extension surface (round 14, REGISTERS IN r15).
+
+Link-graph authority signals for a training-data pipeline: a
+crawl-derived corpus ranks hosts/documents by link authority before
+sampling (Common Crawl publishes its host ranking as exactly this
+computation), and dedup-cluster exemplar choice can use the same
+primitive. The fixtures carry no crawl graph, so the queries derive
+the **co-purchase bipartite graph** from the TPC-H star: customer c
+and supplier s are linked iff some order of c contains a lineitem
+supplied by s — the classic two-mode affiliation graph, exercised in
+both directions so rank flows customer→supplier→customer.
+
+STAGING NOTE (window capacity, same pattern as
+``read_row_diff_images``): this module is NOT in
+``__spark_entry__._QUERY_MODULES`` this round — the r14 driver window
+is at capacity with the r10 cohort + the four advice-edited queries,
+and a new registration outside the window would break the
+0-never-checked freshness invariant VERDICT r13 #1 ordered. It
+registers in r15, where its queries debut INSIDE the window. Until
+then the oracle parity is pinned by pytest
+(tests/test_graph.py) via the same DuckDB comparison the driver runs.
+
+Node-id encoding: ``custkey*2`` / ``suppkey*2+1`` — disjoint id
+spaces in one BIGINT column, decoded by parity in the output. All
+rank arithmetic is the BIGINT fixed-point contract documented in
+``operators.graph`` (deterministic across engines and partitionings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from f1_realtime_data_pipeline_spark.operators.graph import (
+    DAMPING_PCT,
+    RANK_SCALE,
+    pagerank,
+)
+from f1_realtime_data_pipeline_spark.sources.parquet import read_table
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def _register(name, fn, sql):
+    QUERIES[name] = fn
+    if sql is not None:
+        ORACLE[name] = sql
+
+
+#: PageRank iterations for the registered query — enough that every
+#: node's rank has both a customer→supplier and a supplier→customer
+#: hop folded in (bipartite: odd/even hops alternate sides), small
+#: enough that the unrolled DuckDB twin stays readable.
+PR_ITERS = 3
+PR_TOPK = 20
+
+#: the damped base every node holds regardless of in-edges
+_PR_BASE = (100 - DAMPING_PCT) * RANK_SCALE // 100
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customer↔supplier co-purchase edges, both directions."""
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    one_dir = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return one_dir.unionAll(
+        one_dir.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 co-purchase PageRank: which customers/suppliers sit at
+    the densest part of the purchase graph after 3 damped rounds."""
+    ranks = pagerank(_copurchase_edges(spark, sf_dir), iters=PR_ITERS)
+    return (
+        ranks.select(
+            "node",
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("kind"),
+            F.expr("node DIV 2").alias("entity_key"),
+            "rank",
+        )
+        .orderBy(F.col("rank").desc(), F.col("node").asc())
+        .limit(PR_TOPK)
+    )
+
+
+def _pr_iteration_sql(prev: str, out: str) -> str:
+    """One unrolled PageRank round — THE single source of the oracle's
+    update rule, so the three rounds cannot drift apart."""
+    return f"""{out} AS (
+  SELECT n.node,
+         CAST({_PR_BASE} + ({DAMPING_PCT} * COALESCE(inf.inflow, 0)) // 100
+              AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank // d.out_deg) AS inflow
+    FROM edges e
+    JOIN {prev} r ON e.src = r.node
+    JOIN deg d ON e.src = d.src
+    GROUP BY e.dst
+  ) inf ON n.node = inf.node
+)"""
+
+
+_PR_SQL = f"""WITH one_dir AS (
+  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), edges AS (
+  SELECT src, dst FROM one_dir
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM one_dir
+), deg AS (
+  SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src
+), nodes AS (
+  SELECT DISTINCT node
+  FROM (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+), r0 AS (
+  SELECT node, CAST({RANK_SCALE} AS BIGINT) AS rank FROM nodes
+), {_pr_iteration_sql("r0", "r1")},
+{_pr_iteration_sql("r1", "r2")},
+{_pr_iteration_sql("r2", "r3")}
+SELECT node,
+       CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       node // 2 AS entity_key,
+       rank
+FROM r3
+ORDER BY rank DESC, node ASC
+LIMIT {PR_TOPK}"""
+
+_register("g_pagerank", g_pagerank, _PR_SQL)
+
+
+def g_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree profile of the co-purchase graph, per side: node count,
+    min/max/avg degree (avg in exact permille via integer DIV) — the
+    skew diagnostic run BEFORE an iterative job to size its loop
+    (a power-law hub means salting or hub-splitting the rank join)."""
+    e = _copurchase_edges(spark, sf_dir)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    return (
+        deg.groupBy(
+            F.when(F.col("src") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("kind")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("d").alias("min_deg"),
+            F.max("d").alias("max_deg"),
+            F.expr("(sum(d) * 1000) DIV count(*)").alias("avg_deg_permille"),
+        )
+        .orderBy("kind")
+    )
+
+
+_register(
+    "g_degree_stats",
+    g_degree_stats,
+    """WITH one_dir AS (
+  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), edges AS (
+  SELECT src, dst FROM one_dir
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM one_dir
+), deg AS (
+  SELECT src, COUNT(*) AS d FROM edges GROUP BY src
+)
+SELECT CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       COUNT(*) AS n_nodes,
+       MIN(d) AS min_deg,
+       MAX(d) AS max_deg,
+       CAST((SUM(d) * 1000) // COUNT(*) AS BIGINT) AS avg_deg_permille
+FROM deg
+GROUP BY 1
+ORDER BY kind""",
+)

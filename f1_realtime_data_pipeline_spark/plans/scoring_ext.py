@@ -1,0 +1,233 @@
+"""Model-based document scoring (round 14, REGISTERS IN r15).
+
+The heuristic quality gates (`t_quality`, `t_quality_gopher`) and the
+corpus-trained LM scorer (`t_bigram_quality`) cover rules and
+perplexity; what a modern curation pipeline adds is a **trained
+classifier sweep** — fastText-style hashed bag-of-words linear models
+scoring every document (CCNet's LM-filter stage, FineWeb-Edu's
+educational-quality classifier). This module implements that shape
+with the model reduced to engine-portable integer arithmetic:
+
+- features: whitespace tokens (the pinned tokenizer contract) hashed
+  into ``N_BUCKETS`` via the md5 word id — the standard hashing trick,
+  vocabulary-free so the scoring pass is ONE map-side expression with
+  no vocab join and no driver-side model state;
+- weights: per-class BIGINT weights derived deterministically from the
+  bucket id (a fixed pseudo-random projection standing in for trained
+  coefficients — this container cannot ship a trained model, and what
+  the engine must prove is the SCORING plan, not the training run; a
+  real deployment broadcasts a weight table and joins on bucket id,
+  which is the same plan with the closed form replaced by a lookup);
+- scores: per-class integer sums (exact, commutative — partition- and
+  engine-independent), argmax with smallest-class tie-break, margin =
+  winner minus runner-up (the abstention signal a cascade thresholds).
+
+STAGING NOTE (window capacity, same pattern as graph_ext /
+read_row_diff_images): NOT in ``_QUERY_MODULES`` this round; registers
+in r15 where it debuts inside the driver window. Oracle parity is
+pinned until then by tests/test_scoring.py via the driver's own
+comparison.
+
+Scale posture: the scoring pass is scan → explode → hash → conditional
+sums — one shuffle on doc_id (the explode's group-back), partial
+aggregation map-side, zero joins, zero Python. The per-source
+distribution rolls the per-doc relation up to |sources| × |classes|
+rows. At 100 TB this is the cheapest family in the repo: strictly
+linear, no candidate blow-up, no state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from f1_realtime_data_pipeline_spark.functions.text import (
+    HASH_MOD,
+    HASH_MULT,
+    md5_id,
+    md5_id_sql,
+    tokens,
+    tokens_sql,
+)
+from f1_realtime_data_pipeline_spark.sources.parquet import read_table
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def _register(name, fn, sql):
+    QUERIES[name] = fn
+    if sql is not None:
+        ORACLE[name] = sql
+
+
+#: hashed-feature space size. Power of two (the conventional choice);
+#: collisions are part of the hashing-trick contract and identical in
+#: both engines because the bucket id derives from md5.
+N_BUCKETS = 2048
+
+#: number of quality classes (FineWeb-Edu scores 0-5; four keeps the
+#: unrolled argmax ladder readable while exercising the >2-class path)
+N_CLASSES = 4
+
+#: per-class weight range: w ∈ [-8, 8]. 17 values, zero-mean over the
+#: bucket space so class scores are comparable.
+W_SPAN = 17
+W_SHIFT = 8
+
+
+def _bucket(text_col: str = "w") -> Column:
+    return (md5_id(text_col) % N_BUCKETS).alias("b")
+
+
+def _bucket_sql(expr: str = "w") -> str:
+    return f"({md5_id_sql(expr)} % {N_BUCKETS})"
+
+
+def _weight(c: int) -> Column:
+    """Deterministic per-class weight for a bucket column ``b`` —
+    ((b+1)·(MULT+c)) mod P mod 17 − 8. Max operand (2048)·(MULT+3)
+    ≈ 5.4e12 ≪ 2^63; every step integral in both engines."""
+    return F.expr(f"(((b + 1) * {HASH_MULT + c}) % {HASH_MOD}) % {W_SPAN} - {W_SHIFT}")
+
+
+def _weight_sql(c: int) -> str:
+    return f"((((b + 1) * {HASH_MULT + c}) % {HASH_MOD}) % {W_SPAN} - {W_SHIFT})"
+
+
+def _doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc class scores: explode → hash → per-class sums, then a
+    LEFT join back so token-free docs (NULL text — a dead upstream
+    extractor) are CLASSIFIED as unscored rows, never dropped."""
+    d = read_table(spark, sf_dir, "documents")
+    inst = d.select(
+        "doc_id", F.explode(tokens("text")).alias("w")
+    ).select("doc_id", _bucket())
+    scored = inst.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+        *[F.sum(_weight(c)).alias(f"s{c}") for c in range(N_CLASSES)],
+    )
+    return d.select("doc_id", "source").join(scored, "doc_id", "left")
+
+
+#: the per-doc scoring CTE shared by BOTH oracle twins — one source of
+#: the feature/weight arithmetic, so the queries cannot drift.
+_SCORES_CTE = f"""inst AS (
+  SELECT doc_id, {_bucket_sql()} AS b
+  FROM (SELECT doc_id, {tokens_sql('text')} AS t FROM documents),
+       UNNEST(t) AS u(w)
+), scored AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_toks,
+         {', '.join(f'CAST(SUM({_weight_sql(c)}) AS BIGINT) AS s{c}' for c in range(N_CLASSES))}
+  FROM inst GROUP BY doc_id
+), perdoc AS (
+  SELECT d.doc_id, d.source, s.n_toks,
+         {', '.join(f's.s{c}' for c in range(N_CLASSES))},
+         GREATEST({', '.join(f's.s{c}' for c in range(N_CLASSES))}) AS best
+  FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+)"""
+
+_PRED_SQL = " ".join(
+    [f"CASE WHEN s{0} = best THEN 0"]
+    + [f"WHEN s{c} = best THEN {c}" for c in range(1, N_CLASSES)]
+    + ["END"]
+)
+
+#: runner-up = max over classes of (score if not the predicted class):
+#: expressed as the greatest of the three "masked" scores, where the
+#: predicted class's own slot is masked to the minimum of the others
+#: (equivalently: second-largest of the multiset — ties give
+#: margin 0, which is exactly the abstention semantics wanted).
+_RUNNERUP_SQL = (
+    "GREATEST("
+    + ", ".join(
+        f"CASE WHEN {c} = ({_PRED_SQL}) THEN NULL ELSE s{c} END"
+        for c in range(N_CLASSES)
+    )
+    + ")"
+)
+
+
+def t_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document classifier output: predicted class (argmax,
+    smallest-class tie-break), winning score, margin to runner-up."""
+    df = _doc_scores(spark, sf_dir)
+    s_cols = [F.col(f"s{c}") for c in range(N_CLASSES)]
+    best = F.greatest(*s_cols)
+    pred = F.when(s_cols[0] == best, F.lit(0))
+    for c in range(1, N_CLASSES):
+        pred = pred.when(s_cols[c] == best, F.lit(c))
+    runner = F.greatest(
+        *[
+            F.when(F.lit(c) == pred, F.lit(None).cast("bigint")).otherwise(
+                s_cols[c]
+            )
+            for c in range(N_CLASSES)
+        ]
+    )
+    return df.select(
+        "doc_id",
+        "source",
+        F.coalesce("n_toks", F.lit(0)).alias("n_toks"),
+        pred.cast("int").alias("pred_class"),
+        best.cast("bigint").alias("score"),
+        (best - runner).cast("bigint").alias("margin"),
+    )
+
+
+_register(
+    "t_classifier_scores",
+    t_classifier_scores,
+    f"""WITH {_SCORES_CTE}
+SELECT doc_id, source,
+       COALESCE(n_toks, 0) AS n_toks,
+       CAST({_PRED_SQL} AS INT) AS pred_class,
+       CAST(best AS BIGINT) AS score,
+       CAST(best - {_RUNNERUP_SQL} AS BIGINT) AS margin
+FROM perdoc""",
+)
+
+
+def t_classifier_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, predicted class) mixture report: doc and token
+    counts + mean margin in exact permille — what a curation run reads
+    to decide per-source thresholds before filtering."""
+    per = t_classifier_scores(spark, sf_dir)
+    return (
+        per.groupBy("source", "pred_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_toks"),
+            # nullif guard: a group whose every margin is NULL (the
+            # all-null axis — no doc has tokens) has count(margin)=0,
+            # and integer division by zero RAISES under Spark-4 ANSI
+            # and in DuckDB; NULL denominator classifies to NULL in
+            # both engines instead.
+            F.expr("(sum(margin) * 1000) DIV nullif(count(margin), 0)")
+            .cast("bigint")
+            .alias("avg_margin_permille"),
+        )
+        .orderBy("source", "pred_class")
+    )
+
+
+_register(
+    "t_classifier_dist",
+    t_classifier_dist,
+    f"""WITH {_SCORES_CTE}, per AS (
+  SELECT doc_id, source,
+         COALESCE(n_toks, 0) AS n_toks,
+         CAST({_PRED_SQL} AS INT) AS pred_class,
+         CAST(best - {_RUNNERUP_SQL} AS BIGINT) AS margin
+  FROM perdoc
+)
+SELECT source, pred_class,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS n_toks,
+       CAST((SUM(margin) * 1000) // NULLIF(COUNT(margin), 0) AS BIGINT)
+           AS avg_margin_permille
+FROM per
+GROUP BY source, pred_class
+ORDER BY source, pred_class""",
+)

@@ -1,0 +1,124 @@
+"""Graph analytics (operators/graph.py + plans/graph_ext.py).
+
+graph_ext registers in r15 (window capacity — see its module
+docstring); until then THIS file is its oracle gate: the same DuckDB
+comparison the driver runs, plus hand-computed fixed-point unit cases
+the fixtures can't pin.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from f1_realtime_data_pipeline_spark.operators.graph import (
+    RANK_SCALE,
+    pagerank,
+)
+from f1_realtime_data_pipeline_spark.plans import graph_ext as gx
+
+
+def _ranks(df) -> dict[int, int]:
+    return {r.node: r.rank for r in df.collect()}
+
+
+def test_pagerank_two_node_cycle_hand_computed(spark):
+    # A <-> B: deg 1 each, rank exchange is symmetric so both stay at
+    # base + 85% of the other's full rank. Hand-unrolled fixed point:
+    # r0 = S; r1 = 0.15*S + 0.85*S = S (exactly, integer: 15*S//100
+    # truncates nothing at S=1e9); the cycle is a fixed point.
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src bigint, dst bigint")
+    base = 15 * RANK_SCALE // 100
+    want = base + 85 * RANK_SCALE // 100
+    for iters in (1, 3):
+        got = _ranks(pagerank(edges, iters=iters))
+        assert got == {1: want, 2: want}
+
+
+def test_pagerank_star_hand_computed(spark):
+    # 1→3, 2→3 (3 dangling). After one round:
+    #   r(1) = r(2) = base (no in-edges)
+    #   r(3) = base + 85 * (S//1 + S//1) // 100
+    # After two rounds the spokes still hold base; the hub's inflow is
+    # now 2*base (the spokes' round-1 rank), its own mass DROPPED
+    # (dangling contract: 3 has no out-edges).
+    edges = spark.createDataFrame([(1, 3), (2, 3)], "src bigint, dst bigint")
+    S = RANK_SCALE
+    base = 15 * S // 100
+    r1 = _ranks(pagerank(edges, iters=1))
+    assert r1 == {1: base, 2: base, 3: base + (85 * 2 * S) // 100}
+    r2 = _ranks(pagerank(edges, iters=2))
+    assert r2 == {1: base, 2: base, 3: base + (85 * 2 * base) // 100}
+
+
+def test_pagerank_multi_edge_is_weighted(spark):
+    # src 1 links 2 twice and 3 once: out_deg counts edge ROWS (=3),
+    # dst 2 receives two shares, dst 3 one — the weighted contract.
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 2), (1, 3)], "src bigint, dst bigint"
+    )
+    S = RANK_SCALE
+    base = 15 * S // 100
+    got = _ranks(pagerank(edges, iters=1))
+    assert got[2] == base + (85 * 2 * (S // 3)) // 100
+    assert got[3] == base + (85 * (S // 3)) // 100
+
+
+def test_pagerank_iters_zero_and_validation(spark):
+    edges = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    assert _ranks(pagerank(edges, iters=0)) == {1: RANK_SCALE, 2: RANK_SCALE}
+    with pytest.raises(ValueError):
+        pagerank(edges, iters=-1)
+
+
+def test_pagerank_stats_and_empty_graph(spark):
+    stats: dict = {}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src bigint, dst bigint"
+    )
+    out = pagerank(edges, iters=2, stats=stats)
+    assert stats == {"n_edges": 3, "n_nodes": 3, "iters": 2}
+    assert out.count() == 3
+    empty = edges.filter(F.lit(False))
+    assert pagerank(empty, iters=2).count() == 0
+
+
+def _oracle_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * "
+            f"FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", ["g_pagerank", "g_degree_stats"])
+def test_graph_ext_oracle_parity(spark, sf_dir, name):
+    # the driver's comparison, run here until the module registers in
+    # r15: row count, column names, exact values (order-insensitive).
+    sdf = gx.QUERIES[name](spark, sf_dir).toPandas()
+    odf = _oracle_con(sf_dir).execute(gx.ORACLE[name]).fetchdf()
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    s = sdf.reindex(sorted(sdf.columns), axis=1).sort_values(
+        by=sorted(sdf.columns)
+    ).reset_index(drop=True)
+    o = odf.reindex(sorted(odf.columns), axis=1).sort_values(
+        by=sorted(odf.columns)
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(s, o, check_dtype=False)
+
+
+def test_g_pagerank_shape_contracts(spark, sf_dir):
+    out = gx.g_pagerank(spark, sf_dir).toPandas()
+    assert len(out) == gx.PR_TOPK
+    # ranks strictly ordered desc with node tie-break ⇒ deterministic
+    assert list(out["rank"]) == sorted(out["rank"], reverse=True)
+    assert set(out["kind"]) <= {"customer", "supplier"}
+    # parity decode roundtrip: node = 2*key (+1 for suppliers)
+    cust = out[out["kind"] == "customer"]
+    assert (cust["node"] == cust["entity_key"] * 2).all()
+    supp = out[out["kind"] == "supplier"]
+    assert (supp["node"] == supp["entity_key"] * 2 + 1).all()

@@ -1,0 +1,95 @@
+"""Model-based scoring (plans/scoring_ext.py).
+
+scoring_ext registers in r15 (window capacity — see its module
+docstring); until then THIS file is its oracle gate, including the
+degenerate shapes (NULL text, empty string, token ties) the harness
+corpus cannot witness.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from f1_realtime_data_pipeline_spark.plans import scoring_ext as sx
+
+
+def _compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> None:
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert len(sdf) == len(odf)
+    cols = sorted(sdf.columns)
+    s = sdf.reindex(cols, axis=1).sort_values(by=cols, na_position="last").reset_index(drop=True)
+    o = odf.reindex(cols, axis=1).sort_values(by=cols, na_position="last").reset_index(drop=True)
+    pd.testing.assert_frame_equal(s, o, check_dtype=False)
+
+
+def _docs_con(path: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", ["t_classifier_scores", "t_classifier_dist"])
+def test_scoring_oracle_parity(spark, sf_dir, name):
+    sdf = sx.QUERIES[name](spark, sf_dir).toPandas()
+    odf = _docs_con(f"{sf_dir}/documents.parquet").execute(
+        sx.ORACLE[name]
+    ).fetchdf()
+    _compare(sdf, odf)
+
+
+@pytest.fixture()
+def edge_docs(spark, tmp_path):
+    """NULL text (dead extractor), empty string, whitespace-only, and
+    two normal docs sharing a source — the shapes the sf fixtures
+    don't carry."""
+    rows = [
+        (0, None, "en", "a", None),
+        (1, "", "en", "a", 0),
+        (2, "   ", "en", "b", 3),
+        (3, "the quick brown fox", "en", "b", 19),
+        (4, "the quick brown fox", "en", "b", 19),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    path = str(tmp_path / "documents.parquet")
+    df.toPandas().to_parquet(path, index=False)
+    return path
+
+
+@pytest.mark.parametrize("name", ["t_classifier_scores", "t_classifier_dist"])
+def test_scoring_edge_parity(spark, edge_docs, tmp_path, name):
+    # both engines over the SAME degenerate parquet
+    sdf = sx.QUERIES[name](spark, str(tmp_path)).toPandas()
+    odf = _docs_con(edge_docs).execute(sx.ORACLE[name]).fetchdf()
+    _compare(sdf, odf)
+
+
+def test_scoring_classify_never_drop_contracts(spark, tmp_path, edge_docs):
+    per = sx.t_classifier_scores(spark, str(tmp_path)).toPandas()
+    by_id = per.set_index("doc_id")
+    # NULL text: classified as unscored — present, pred NULL, 0 tokens
+    assert len(per) == 5
+    assert by_id.loc[0, "n_toks"] == 0
+    assert pd.isna(by_id.loc[0, "pred_class"])
+    assert pd.isna(by_id.loc[0, "margin"])
+    # '' tokenizes to one boundary-empty token (pinned contract)
+    assert by_id.loc[1, "n_toks"] == 1
+    assert by_id.loc[1, "pred_class"] in range(sx.N_CLASSES)
+    # identical texts score identically (the model is a pure function)
+    assert by_id.loc[3, "score"] == by_id.loc[4, "score"]
+    assert by_id.loc[3, "pred_class"] == by_id.loc[4, "pred_class"]
+    # margins are never negative (winner minus runner-up)
+    scored = per[per["margin"].notna()]
+    assert (scored["margin"] >= 0).all()
+
+
+def test_scoring_dist_accounts_every_doc(spark, sf_dir):
+    per = sx.t_classifier_scores(spark, sf_dir).toPandas()
+    dist = sx.t_classifier_dist(spark, sf_dir).toPandas()
+    assert dist["n_docs"].sum() == len(per)
+    assert dist["n_toks"].sum() == per["n_toks"].sum()
