@@ -279,7 +279,11 @@ _WINDOW_HEAD_R14 = [
 # (t_classifier_scores, t_classifier_dist — the hashed bag-of-words
 # linear-classifier sweep, fastText/FineWeb-Edu shape, in exact
 # integer arithmetic; parity + degenerate shapes pinned by
-# tests/test_scoring.py).
+# tests/test_scoring.py — plus w_decay_popularity, exponential
+# recency decay as an arithmetic right shift on micro-unit BIGINTs;
+# tests/test_decay.py). All five staged queries re-checked green on
+# every robustness axis (empty/unicode/skew/degenerate/onerow/
+# allnull) before staging.
 
 _WINDOW_HEAD = _WINDOW_HEAD_R14
 

@@ -102,13 +102,18 @@ def pagerank(
         .repartition("src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    n_edges = edeg.count()
+    # node set derived from the PERSISTED edge cache (materialized by
+    # the count above), not from `e` — deriving from `e` re-ran the
+    # caller's whole edge plan (join + distinct for the co-purchase
+    # graph) a second time; measured at sf0.1×10: one full extra scan
+    # of an 11.7M-edge build.
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionAll(e.select(F.col("dst").alias("node")))
+        edeg.select(F.col("src").alias("node"))
+        .unionAll(edeg.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint()
     )
-    n_edges = edeg.count()
     if stats is not None:
         stats.update(
             n_edges=n_edges, n_nodes=nodes.count(), iters=iters

@@ -49,7 +49,10 @@ from f1_realtime_data_pipeline_spark.functions.text import (
     tokens,
     tokens_sql,
 )
-from f1_realtime_data_pipeline_spark.sources.parquet import read_table
+from f1_realtime_data_pipeline_spark.sources.parquet import (
+    read_events,
+    read_table,
+)
 
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
@@ -230,4 +233,82 @@ SELECT source, pred_class,
 FROM per
 GROUP BY source, pred_class
 ORDER BY source, pred_class""",
+)
+
+
+# ---------------------------------------------------------------------------
+# recency weighting (exponential time decay)
+#
+# The third weighting signal a curation pipeline applies beside model
+# scores and mixture shares: newer data counts more (a crawl refresh
+# outweighs the copy from two years ago; trending-topic counters decay
+# stale mass). True exp(-λ·age) is a transcendental — engine libms
+# differ in the last ulps and a float sum is partition-order-dependent
+# — so the decay is reduced to the exactly-representable half-life
+# form: weight = 2^-(age_days DIV half_life), applied as an ARITHMETIC
+# RIGHT SHIFT on the micro-unit value. Shifts floor in BOTH engines
+# (Spark shiftright and DuckDB >> are arithmetic — verified on
+# negatives: -7>>1 = -4 in both), sums are BIGINT — the whole
+# aggregate is deterministic at any parallelism. The step-wise decay
+# (constant within each half-life bucket) is the documented trade for
+# exactness; λ-granular decay belongs in one engine's analytics layer,
+# not in a contract two engines must reproduce bit-identically.
+# ---------------------------------------------------------------------------
+
+#: decay half-life in days — one week halves an event's weight
+HALF_LIFE_DAYS = 7
+
+#: shift cap: 2^-62 underflows any BIGINT micro value to 0/-1 anyway,
+#: and shiftleft/>> past 63 is undefined-ish in C semantics — capped
+#: identically in both twins so ancient events classify as ~zero.
+MAX_HALVES = 62
+
+
+def w_decay_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type popularity with exponential recency decay:
+    raw vs decayed micro-unit value mass. Anchor = the corpus'
+    newest event date (a 1-row broadcast scalar — the bounded
+    crossJoin pattern every scalar-anchor query here uses)."""
+    ev = read_events(spark, sf_dir).filter(F.col("ts").isNotNull())
+    anchor = ev.agg(F.max(F.to_date("ts")).alias("anchor"))
+    base = ev.crossJoin(F.broadcast(anchor)).select(
+        "event_type",
+        F.expr("CAST(floor(value * 1000000) AS BIGINT)").alias("v_micro"),
+        F.expr(
+            f"CAST(least(datediff(anchor, to_date(ts)) DIV {HALF_LIFE_DAYS},"
+            f" {MAX_HALVES}) AS INT)"
+        ).alias("halves"),
+    )
+    return (
+        base.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("v_micro").cast("bigint").alias("sum_micro"),
+            # expr form: the Python F.shiftright binding only takes a
+            # literal shift amount; the SQL function takes a column
+            F.sum(F.expr("shiftright(v_micro, halves)"))
+            .cast("bigint")
+            .alias("decayed_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_register(
+    "w_decay_popularity",
+    w_decay_popularity,
+    f"""WITH anchor AS (
+  SELECT MAX(CAST(ts AS DATE)) AS anchor FROM events WHERE ts IS NOT NULL
+), base AS (
+  SELECT event_type,
+         CAST(floor(value * 1000000) AS BIGINT) AS v_micro,
+         CAST(LEAST(date_diff('day', CAST(ts AS DATE), anchor)
+                    // {HALF_LIFE_DAYS}, {MAX_HALVES}) AS INT) AS halves
+  FROM events, anchor WHERE ts IS NOT NULL
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(v_micro) AS BIGINT) AS sum_micro,
+       CAST(SUM(v_micro >> halves) AS BIGINT) AS decayed_micro
+FROM base GROUP BY event_type ORDER BY event_type""",
 )

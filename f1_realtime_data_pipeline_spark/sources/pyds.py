@@ -1,0 +1,152 @@
+"""Spark 4 Python DataSource for the replay topic — the idiomatic
+``spark.read.format("f1replay")`` / ``readStream.format("f1replay")``
+face of ``sources.replay``.
+
+The file-based replay directory (``sources.replay`` — each
+``batch-NNNNN.txt`` file is one producer flush, each line one raw JSON
+payload, the ``value`` a Kafka source would deliver; reference wire
+shape at kafka_producer.py:133-147) gets a first-class source
+implementation on the Python DataSource API Spark 4 added, instead of
+piggy-backing on the text source:
+
+- **batch**: one ``InputPartition`` per batch file — the listing
+  parallelizes across executors exactly like the built-in file source,
+  and a 100k-file replay directory scans wide, not single-threaded.
+- **streaming**: REAL offset management instead of the text source's
+  opaque file log. The offset is ``{"index": n}`` — the count of
+  batch files consumed from the lexicographically-sorted listing
+  (``write_replay_batch``'s zero-padded, atomically-published,
+  never-reused names make that order the publish order). The engine
+  checkpoints these offsets, so restart-resume and exactly-once replay
+  accounting fall out of the contract: ``partitions(start, end)``
+  returns one partition per newly-published file, ``read`` runs on
+  executors, ``commit`` is a no-op (the directory is immutable
+  history — nothing to acknowledge, the Kafka-replay semantics
+  SURVEY.md §3.2 documents).
+
+Scale posture: offsets are O(1) metadata (two ints per trigger); the
+per-trigger listing is one ``os.listdir`` on the driver (the same cost
+the built-in file source pays, without its ever-growing compact log);
+payload bytes flow only through executor-side ``read``. Determinism:
+the sorted listing + atomic publish means every run of the same
+directory yields the same batches in the same order at any
+parallelism.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StringType, StructField, StructType
+
+#: published replay batches: zero-padded so the lexicographic listing
+#: IS the publish order (write_replay_batch's naming contract)
+_PREFIX = "batch-"
+_SUFFIX = ".txt"
+
+
+def _list_batches(path: str) -> list[str]:
+    """Sorted published batch files (in-flight dot-temps excluded)."""
+    if not os.path.isdir(path):
+        return []
+    return sorted(
+        f
+        for f in os.listdir(path)
+        if f.startswith(_PREFIX) and f.endswith(_SUFFIX)
+    )
+
+
+def _read_lines(path: str):
+    # UTF-8 explicitly — same contract as write_replay_batch; a line
+    # is one raw payload, the trailing newline is the separator
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            yield (line.rstrip("\n"),)
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    file_path: str
+
+
+class _ReplayBatchReader(DataSourceReader):
+    def __init__(self, options):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("f1replay requires option 'path'")
+
+    def partitions(self):
+        parts = [
+            _FilePartition(os.path.join(self._path, f))
+            for f in _list_batches(self._path)
+        ]
+        # an empty partition list makes the engine schedule ONE task
+        # with partition=None (the API's no-partitioning default) —
+        # an empty/missing replay directory is a valid zero-row scan,
+        # so hand that task an explicit empty sentinel instead
+        return parts or [_FilePartition("")]
+
+    def read(self, partition: _FilePartition):
+        if partition is None or not partition.file_path:
+            return
+        yield from _read_lines(partition.file_path)
+
+
+class _ReplayStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("f1replay requires option 'path'")
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        return {"index": len(_list_batches(self._path))}
+
+    def partitions(self, start: dict, end: dict):
+        files = _list_batches(self._path)
+        return [
+            _FilePartition(os.path.join(self._path, f))
+            for f in files[start["index"] : end["index"]]
+        ]
+
+    def read(self, partition: _FilePartition):
+        yield from _read_lines(partition.file_path)
+
+    def commit(self, end: dict) -> None:
+        # immutable replay history: nothing to acknowledge upstream
+        pass
+
+
+class F1ReplayDataSource(DataSource):
+    """``format("f1replay")`` — batch + streaming replay-topic source."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "f1replay"
+
+    def schema(self) -> StructType:
+        # the Kafka value column post-cast (SURVEY.md P1): one string
+        # payload per record; parsing stays in the query (from_json),
+        # where the transform contract owns it
+        return StructType([StructField("value", StringType(), True)])
+
+    def reader(self, schema) -> DataSourceReader:
+        return _ReplayBatchReader(self.options)
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return _ReplayStreamReader(self.options)
+
+
+def register_replay_source(spark) -> None:
+    """Register the f1replay format on this session (idempotent —
+    re-registration replaces the entry, latest wins)."""
+    spark.dataSource.register(F1ReplayDataSource)

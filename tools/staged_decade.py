@@ -1,0 +1,105 @@
+"""Decade probe for the r14 STAGED queries (graph_ext, scoring_ext).
+
+Same protocol as tools/scale_sweep.py (tiled fixtures, noop sink,
+best-of-N, fresh process per K via the runner below) applied to the
+four queries that register in r15 — their SCALE.md rows should carry
+measured numbers before they ever enter the driver window, and the
+probe also records WORK counters so the wall ratio is attributable
+(the scale_attrib lesson): co-purchase edges for the graph pair,
+token instances for the classifier pair.
+
+Usage:
+    python tools/staged_decade.py --copies 1 10 [--runs 2]
+Prints one JSON line per K; run under `taskset`-free idle box like
+every other sweep.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def _measure(k: int, out: str, runs: int) -> None:
+    from f1_realtime_data_pipeline_spark.plans import graph_ext as gx
+    from f1_realtime_data_pipeline_spark.plans import scoring_ext as sx
+    from f1_realtime_data_pipeline_spark.session import get_spark
+
+    sf_dir = f"{out}/k{k}"
+    spark = get_spark("staged_decade")
+    # work counters (one pass each, not timed)
+    edges = gx._copurchase_edges(spark, sf_dir).count()
+    inst = (
+        sx._doc_scores(spark, sf_dir)
+        .agg({"n_toks": "sum"})
+        .collect()[0][0]
+    )
+    timings = {}
+    for name, fn in list(gx.QUERIES.items()) + list(sx.QUERIES.items()):
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 2)
+    print(
+        json.dumps(
+            {
+                "k": k,
+                "copurchase_edges": edges,
+                "token_instances": int(inst or 0),
+                "queries": timings,
+            }
+        ),
+        flush=True,
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--copies", nargs="*", type=int, default=[1, 10])
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/tmp/spark_graft_sweep")
+    ap.add_argument("--child-k", type=int, default=None)
+    args = ap.parse_args()
+
+    if args.child_k is not None:
+        _measure(args.child_k, args.out, args.runs)
+        return 0
+
+    # tile via the checked-in builder (idempotent: _OK markers)
+    from f1_realtime_data_pipeline_spark.session import get_spark
+    from tools.scale_sweep import build_scaled, build_scaled_relational
+
+    spark = get_spark("staged_decade_tile")
+    for k in args.copies:
+        build_scaled(spark, args.base, args.out, k)
+        build_scaled_relational(spark, args.base, args.out, k)
+    spark.stop()
+    for k in args.copies:
+        # fresh process per K — the protocol every SCALE.md table uses
+        subprocess.run(
+            [
+                sys.executable,
+                __file__,
+                "--child-k",
+                str(k),
+                "--out",
+                args.out,
+                "--runs",
+                str(args.runs),
+            ],
+            check=True,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
