@@ -258,11 +258,16 @@ _WINDOW_HEAD_R14 = [
     "o_compaction_exec",
 ]
 # r15 staging note: the r10 cohort (46) + the 4 advice-edited queries
-# fill all 50 slots, so the CDF image-set consumption query
-# (incremental aggregate maintenance from read_row_diff_images —
-# operator + end-to-end pytest landed in r14,
+# fill all 50 slots, so the CDF image-set consumption queries
+# (plans/cdf_ext: cdc_row_images — the four-frame image set under the
+# value oracle — and cdc_incremental_agg — a per-group (count, exact
+# decimal sum) aggregate MAINTAINED from the v1 aggregate plus
+# sign-weighted image deltas, oracle = the final state recomputed
+# from source; both written late-r14, parity-green at sf0.001/0.01
+# and on all six robustness axes, tests/test_cdf_ext.py, plus the
+# operator-level e2e
 # tests/test_streaming.py::test_row_diff_images_incremental_agg_maintenance)
-# registers in r15 where it can DEBUT inside the window (keeping the
+# register in r15 where they can DEBUT inside the window (keeping the
 # 0-never-checked invariant) alongside the r11 cohort. Also leading
 # r15: e_knn_classify, e_diverse_topk, t_repetition — edited late in
 # r14 by the all-NULL sweep fixes (operator-entry classify-drop of

@@ -1,0 +1,215 @@
+"""CDF consumption extension (round 14, REGISTERS IN r15).
+
+Round 13 put the manifest's change-data-feed PRODUCTION side under
+the driver (``cdc_row_diff``: insert/delete/update classification;
+``o_compaction_exec``: the maintenance lifecycle). Round 14 added the
+consumption API — ``sources.manifest.read_row_diff_images`` returns
+update PRE-images beside the three frames — and proved delta
+maintenance end-to-end in pytest. This module registers the two
+CONSUMPTION queries the staging note promised for r15:
+
+- :func:`cdc_row_images` — the full four-frame image set under the
+  value oracle (the pre-image frame is what r13's ``cdc_row_diff``
+  could not show);
+- :func:`cdc_incremental_agg` — the reason pre-images exist:
+  a per-group (count, exact decimal sum) aggregate MAINTAINED from
+  the v1 aggregate plus sign-weighted image deltas (+insert,
+  +update_post, −update_pre, −delete), never re-reading v1's rows.
+  The oracle recomputes the final state directly from the source
+  table, so a mis-signed frame, a dropped group, or a double-counted
+  update all surface as value mismatches.
+
+Change script shared with ``cdc_row_diff`` (one source of the residue
+classes — the constants below): a deterministic orders slice, class 4
+inserted by MERGE, class 2 updated in place (+1.0 — exact IEEE at
+fixture magnitudes), class 0 deleted, classes {1,3} carried over.
+
+STAGING NOTE (window capacity, same pattern as graph_ext /
+scoring_ext): NOT in ``_QUERY_MODULES`` this round; registers in r15
+inside the driver window. Parity pinned by tests/test_cdf_ext.py
+until then.
+
+Scale posture: identical to cdc_row_diff — the lifecycle cost is the
+committed writes; the diff itself is two snapshot reads at ANY table
+size (cost ∝ the snapshots, never the history), and the maintenance
+path reads only the images (cost ∝ the CHANGE volume — the entire
+point of incremental aggregate maintenance at 100 TB: a 0.1% daily
+delta updates the aggregate for 0.1% of the scan cost).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from f1_realtime_data_pipeline_spark.operators.aggregations import (
+    DECIMAL_ACC,
+)
+from f1_realtime_data_pipeline_spark.plans.inventory_star import (
+    _scratch_table_dir,
+)
+from f1_realtime_data_pipeline_spark.sources.parquet import read_table
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def _register(name, fn, sql):
+    QUERIES[name] = fn
+    if sql is not None:
+        ORACLE[name] = sql
+
+
+def _build_cdc_table(spark: SparkSession, sf_dir: str, prefix: str):
+    """The cdc_row_diff change script against a fresh scratch table;
+    returns (table_path, v1). See cdc_row_diff's docstring for why
+    the mutation is +1.0 and the dir is uuid-keyed."""
+    from f1_realtime_data_pipeline_spark.sources import manifest as mf
+    from f1_realtime_data_pipeline_spark.streaming.sinks import (
+        transactional_delete,
+        transactional_merge,
+        transactional_parquet_sink,
+    )
+
+    table = f"{_scratch_table_dir(spark, sf_dir, prefix)}/orders_cdc"
+    src = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 10 == 3)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+    mod = F.pmod(F.col("o_orderkey"), F.lit(5))
+    write = transactional_parquet_sink(
+        table, keys=["o_orderkey"], order_cols=["o_orderpriority"]
+    )
+    write(src.filter(mod != 4), 0)
+    v1, _ = mf.resolve_snapshot(spark, table)
+    ups = src.filter(mod.isin(2, 4)).withColumn(
+        "o_totalprice",
+        F.when(mod == 2, F.col("o_totalprice") + 1).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    transactional_merge(
+        ups, table, keys=["o_orderkey"], order_cols=["o_orderpriority"]
+    )
+    transactional_delete(
+        src.filter(mod == 0).select("o_orderkey"), table, keys=["o_orderkey"]
+    )
+    return table, v1, src
+
+
+def _images(spark, table, v1):
+    from f1_realtime_data_pipeline_spark.sources import manifest as mf
+
+    ins, dele, upre, upost = mf.read_row_diff_images(
+        spark, table, v1, keys=["o_orderkey"]
+    )
+    return (
+        (ins, "insert"),
+        (dele, "delete"),
+        (upre, "update_pre"),
+        (upost, "update_post"),
+    )
+
+
+def cdc_row_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four-frame CDF image set, labeled. vs cdc_row_diff: the
+    update PRE-image frame (original price, key present in both
+    snapshots) is the addition — a delta consumer subtracts it."""
+    table, v1, src = _build_cdc_table(spark, sf_dir, "cdfimg")
+    parts = [
+        df.withColumn("change_type", F.lit(tag))
+        for df, tag in _images(spark, table, v1)
+        if df is not None
+    ]
+    if not parts:
+        return src.limit(0).withColumn("change_type", F.lit("insert"))
+    out = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
+    return out.select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", "change_type"
+    )
+
+
+_register(
+    "cdc_row_images",
+    cdc_row_images,
+    """WITH src AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice
+  FROM orders WHERE o_custkey % 10 = 3
+)
+SELECT o_orderkey, o_orderpriority, o_totalprice, 'insert' AS change_type
+FROM src WHERE o_orderkey % 5 = 4
+UNION ALL
+SELECT o_orderkey, o_orderpriority, o_totalprice, 'delete' AS change_type
+FROM src WHERE o_orderkey % 5 = 0
+UNION ALL
+SELECT o_orderkey, o_orderpriority, o_totalprice, 'update_pre' AS change_type
+FROM src WHERE o_orderkey % 5 = 2
+UNION ALL
+SELECT o_orderkey, o_orderpriority, o_totalprice + 1 AS o_totalprice,
+       'update_post' AS change_type
+FROM src WHERE o_orderkey % 5 = 2""",
+)
+
+
+def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority (count, exact decimal sum) MAINTAINED from the v1
+    aggregate + sign-weighted image deltas — v1's rows are never
+    re-read after their one aggregation. Groups whose maintained
+    count reaches zero are dropped (the direct aggregate has no such
+    row). Sums accumulate in DECIMAL (order-free), emitted as double
+    — the decimal_sum contract."""
+    from f1_realtime_data_pipeline_spark.sources import manifest as mf
+
+    table, v1, _src = _build_cdc_table(spark, sf_dir, "cdfagg")
+
+    def agg(df, sign):
+        return df.groupBy("o_orderpriority").agg(
+            (F.count(F.lit(1)) * sign).alias("dn"),
+            (F.sum(F.col("o_totalprice").cast(DECIMAL_ACC)) * sign).alias("ds"),
+        )
+
+    # v1 == 0 means nothing was ever committed (resolve_snapshot's
+    # (0, []) contract — an EMPTY source slice: the empty and onerow
+    # robustness axes both produce it): maintain from an empty base
+    # instead of time-traveling to a version that never existed.
+    snap = mf.read_snapshot(spark, table, version=v1) if v1 else None
+    base = agg(snap if snap is not None else _src.limit(0), 1)
+    signs = {"insert": 1, "delete": -1, "update_pre": -1, "update_post": 1}
+    deltas = [
+        agg(df, signs[tag])
+        for df, tag in _images(spark, table, v1)
+        if df is not None
+    ]
+    merged = reduce(lambda a, b: a.unionByName(b), [base, *deltas])
+    return (
+        merged.groupBy("o_orderpriority")
+        .agg(
+            F.sum("dn").cast("bigint").alias("n_orders"),
+            F.sum("ds").cast("double").alias("sum_price"),
+        )
+        .filter(F.col("n_orders") > 0)
+        .orderBy("o_orderpriority")
+    )
+
+
+_register(
+    "cdc_incremental_agg",
+    cdc_incremental_agg,
+    """WITH src AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice
+  FROM orders WHERE o_custkey % 10 = 3
+), final AS (
+  SELECT o_orderpriority, o_totalprice FROM src WHERE o_orderkey % 5 IN (1, 3)
+  UNION ALL
+  SELECT o_orderpriority, o_totalprice + 1 FROM src WHERE o_orderkey % 5 = 2
+  UNION ALL
+  SELECT o_orderpriority, o_totalprice FROM src WHERE o_orderkey % 5 = 4
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_price
+FROM final GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+)

@@ -1,0 +1,67 @@
+"""CDF consumption queries (plans/cdf_ext.py) — staged r15.
+
+The driver's comparison until registration, plus the maintenance
+invariants the oracle alone can't isolate (frame signs, group drops).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from f1_realtime_data_pipeline_spark.plans import cdf_ext as cx
+
+
+def _orders_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * "
+        f"FROM read_parquet('{sf_dir}/orders.parquet')"
+    )
+    return con
+
+
+def _compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> None:
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    cols = sorted(sdf.columns)
+    s = sdf.reindex(cols, axis=1).sort_values(by=cols, na_position="last").reset_index(drop=True)
+    o = odf.reindex(cols, axis=1).sort_values(by=cols, na_position="last").reset_index(drop=True)
+    pd.testing.assert_frame_equal(s, o, check_dtype=False)
+
+
+@pytest.mark.parametrize("name", ["cdc_row_images", "cdc_incremental_agg"])
+def test_cdf_oracle_parity(spark, sf_dir, name):
+    sdf = cx.QUERIES[name](spark, sf_dir).toPandas()
+    odf = _orders_con(sf_dir).execute(cx.ORACLE[name]).fetchdf()
+    _compare(sdf, odf)
+
+
+def test_cdf_image_frame_invariants(spark, sf_dir):
+    img = cx.cdc_row_images(spark, sf_dir).toPandas()
+    by = {t: g for t, g in img.groupby("change_type")}
+    # update frames pair exactly: same keys, pre holds the original
+    # price, post = pre + 1 keyed row-for-row
+    pre = by["update_pre"].set_index("o_orderkey").sort_index()
+    post = by["update_post"].set_index("o_orderkey").sort_index()
+    assert list(pre.index) == list(post.index)
+    assert (post["o_totalprice"] - pre["o_totalprice"] == 1.0).all()
+    # frames are disjoint by (key, type-class): an inserted key is
+    # never deleted or updated in this script
+    ins = set(by["insert"]["o_orderkey"])
+    dele = set(by["delete"]["o_orderkey"])
+    upd = set(pre.index)
+    assert not (ins & dele) and not (ins & upd) and not (dele & upd)
+
+
+def test_cdf_maintained_agg_matches_direct(spark, sf_dir):
+    # the maintained aggregate equals a direct aggregate of the final
+    # snapshot — recomputed here via the oracle's final-state SQL
+    got = cx.cdc_incremental_agg(spark, sf_dir).toPandas()
+    want = _orders_con(sf_dir).execute(
+        cx.ORACLE["cdc_incremental_agg"]
+    ).fetchdf()
+    _compare(got, want)
+    # sanity: the count column is the maintained (v1 ± deltas) path,
+    # so every group that survived must be positive
+    assert (got["n_orders"] > 0).all()
