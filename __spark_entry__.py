@@ -285,8 +285,12 @@ _WINDOW_HEAD_R14 = [
 # linear-classifier sweep, fastText/FineWeb-Edu shape, in exact
 # integer arithmetic; parity + degenerate shapes pinned by
 # tests/test_scoring.py — plus w_decay_popularity, exponential
-# recency decay as an arithmetic right shift on micro-unit BIGINTs;
-# tests/test_decay.py). All five staged queries re-checked green on
+# recency decay as an arithmetic right shift on micro-unit BIGINTs
+# (tests/test_decay.py), and t_bm25_topk, BM25 retrieval ranking with
+# k1/b folded into one exact integer fraction and the rational
+# log-free idf, hand-computed in tests/test_scoring.py). Together
+# with plans/cdf_ext (see the r15 staging note below), all EIGHT
+# staged queries are hash-matched at sf0.001 AND sf0.01 and green on
 # every robustness axis (empty/unicode/skew/degenerate/onerow/
 # allnull) before staging.
 

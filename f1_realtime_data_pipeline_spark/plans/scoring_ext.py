@@ -312,3 +312,120 @@ SELECT event_type,
        CAST(SUM(v_micro >> halves) AS BIGINT) AS decayed_micro
 FROM base GROUP BY event_type ORDER BY event_type""",
 )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval ranking (the production lexical ranker)
+#
+# t_tfidf_keywords extracts keywords; BM25 is the other direction —
+# rank documents against a QUERY — and adds the two things raw TF-IDF
+# lacks: tf saturation (k1) and document-length normalization (b).
+# Standard parameters k1 = 1.2, b = 0.75, folded into one integer
+# fraction so both engines hash-match:
+#
+#   sat(tf, dl) = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+#               = 44·tf·S / (20·S·tf + 6·S + 18·dl·N)      [exact]
+#
+# with S = Σ dl (corpus token mass) and N = doc count, so avgdl never
+# becomes a rounded intermediate. idf is the same RATIONAL variant
+# t_tfidf_keywords documents ((N−df+1)/(df+1), log-free — ln() is not
+# correctly-rounded across libms), in permille units.
+#
+# Overflow headroom (BIGINT): sat numerator 44·tf·S·10^6 stays under
+# 2^63 to S ≈ 2·10^11 token instances; the idf_ppk · sat_ppm product
+# to N ≈ 4·10^9 documents — both far past any harness SF, both
+# asserted nowhere hot (they are scale notes, not branches).
+# ---------------------------------------------------------------------------
+
+#: the fixed query the registered ranking runs — mixed-frequency
+#: fixture vocabulary; a deployment parameterizes this relation
+BM25_QUERY = ("stream", "vector", "hash", "dup")
+BM25_TOP_K = 20
+
+
+def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k documents for the fixed query by integer-exact BM25.
+    Only documents containing ≥1 query term appear (retrieval returns
+    matches); ties break on doc_id. The inverted-index probe shape:
+    the instance relation is filtered to the query's terms BEFORE any
+    aggregation, so the scored relation is ∝ the query's posting
+    lists, not the corpus."""
+    q = list(BM25_QUERY)
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    dl = d.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    # corpus scalars: N docs-with-tokens, S total token mass
+    ns = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("dl").cast("bigint").alias("__s"),
+    )
+    tf = (
+        d.filter(F.col("term").isin(q))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(ns))
+        .withColumn(
+            "idf_ppk",
+            F.expr("((__n - df + 1) * 1000) DIV (df + 1)"),
+        )
+        .withColumn(
+            "sat_ppm",
+            F.expr(
+                "(44 * tf * __s * 1000000)"
+                " DIV (20 * __s * tf + 6 * __s + 18 * dl * __n)"
+            ),
+        )
+        .withColumn("tscore", F.expr("idf_ppk * sat_ppm"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.max("dl").cast("bigint").alias("dl"),
+            F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
+            F.sum("tscore").cast("bigint").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOP_K)
+    )
+
+
+_BM25_Q_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY)
+
+_register(
+    "t_bm25_topk",
+    t_bm25_topk,
+    f"""WITH inst AS (
+  SELECT doc_id, w AS term
+  FROM (SELECT doc_id, {tokens_sql('text')} AS t FROM documents),
+       UNNEST(t) AS u(w)
+), dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM inst GROUP BY doc_id
+), ns AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS s FROM dl
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM inst WHERE term IN ({_BM25_Q_SQL})
+  GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id, dl.dl,
+         (((ns.n - dfreq.df + 1) * 1000) // (dfreq.df + 1))
+         * ((44 * tf.tf * ns.s * 1000000)
+            // (20 * ns.s * tf.tf + 6 * ns.s + 18 * dl.dl * ns.n)) AS tscore
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), ns
+)
+SELECT doc_id,
+       CAST(MAX(dl) AS BIGINT) AS dl,
+       CAST(COUNT(*) AS INT) AS n_terms_hit,
+       CAST(SUM(tscore) AS BIGINT) AS score
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {BM25_TOP_K}""",
+)

@@ -93,3 +93,49 @@ def test_scoring_dist_accounts_every_doc(spark, sf_dir):
     dist = sx.t_classifier_dist(spark, sf_dir).toPandas()
     assert dist["n_docs"].sum() == len(per)
     assert dist["n_toks"].sum() == per["n_toks"].sum()
+
+
+@pytest.fixture()
+def bm25_docs(spark, tmp_path):
+    rows = [
+        (0, "stream stream stream x", "en", "a", 22),
+        (1, "stream y", "en", "a", 8),
+        (2, "z z z z z z z z", "en", "b", 15),
+        (3, None, "en", "b", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    path = str(tmp_path / "documents.parquet")
+    df.toPandas().to_parquet(path, index=False)
+    return path
+
+
+def test_bm25_hand_computed(spark, tmp_path, bm25_docs):
+    got = {r.doc_id: r for r in sx.t_bm25_topk(spark, str(tmp_path)).collect()}
+    # expected values from the documented integer formula (python //
+    # mirrors both engines' non-negative integer division)
+    N, S = 3, 14  # doc 3 has no tokens; dl = 4, 2, 8
+    df_stream = 2
+    idf_ppk = ((N - df_stream + 1) * 1000) // (df_stream + 1)
+
+    def sat(tf, dl):
+        return (44 * tf * S * 1_000_000) // (20 * S * tf + 6 * S + 18 * dl * N)
+
+    # only the two stream-matching docs are retrieved; the NULL doc
+    # and the no-hit doc never appear
+    assert set(got) == {0, 1}
+    assert got[0].score == idf_ppk * sat(3, 4)
+    assert got[1].score == idf_ppk * sat(1, 2)
+    assert got[0].n_terms_hit == got[1].n_terms_hit == 1
+    # saturation + length normalization rank the tf=3 doc first
+    assert got[0].score > got[1].score
+    # oracle agrees on the same degenerate parquet
+    import duckdb as _d
+    con = _d.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{bm25_docs}')"
+    )
+    odf = con.execute(sx.ORACLE["t_bm25_topk"]).fetchdf()
+    sdf = sx.t_bm25_topk(spark, str(tmp_path)).toPandas()
+    _compare(sdf, odf)
