@@ -346,50 +346,60 @@ BM25_TOP_K = 20
 def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k documents for the fixed query by integer-exact BM25.
     Only documents containing ≥1 query term appear (retrieval returns
-    matches); ties break on doc_id. The inverted-index probe shape:
-    the instance relation is filtered to the query's terms BEFORE any
-    aggregation, so the scored relation is ∝ the query's posting
-    lists, not the corpus."""
+    matches); ties break on doc_id.
+
+    ONE-PASS plan (r14 decade probe finding): the first form built dl
+    and tf as separate aggregations over the same explode and joined
+    them back on doc_id — the corpus was tokenized TWICE and the join
+    shuffled doc-keyed relations (measured 14.8× wall for 10× data).
+    Because the query is a fixed small term set, per-term tfs fold
+    into the SAME doc aggregation as dl as conditional counts: one
+    corpus scan, one doc_id shuffle with map-side combine, zero joins
+    (df/N/S come back as a 1-row broadcast over the doc relation).
+    This is also the honest 100 TB shape when no posting-list table
+    exists; with one, the probe reads |postings| instead (noted in
+    SCALE.md)."""
     q = list(BM25_QUERY)
     d = read_table(spark, sf_dir, "documents").select(
         "doc_id", F.explode(tokens("text")).alias("term")
     )
-    dl = d.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
-    # corpus scalars: N docs-with-tokens, S total token mass
-    ns = dl.agg(
+    per_doc = d.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dl"),
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"tf{i}")
+            for i, t in enumerate(q)
+        ],
+    )
+    # corpus scalars: N docs-with-tokens, S token mass, per-term df
+    ns = per_doc.agg(
         F.count(F.lit(1)).cast("bigint").alias("__n"),
         F.sum("dl").cast("bigint").alias("__s"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"df{i}")
+            for i in range(len(q))
+        ],
     )
-    tf = (
-        d.filter(F.col("term").isin(q))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    scored = per_doc.crossJoin(F.broadcast(ns))
+    tscore = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN"
+        f" (((__n - df{i} + 1) * 1000) DIV (df{i} + 1))"
+        f" * ((44 * tf{i} * __s * 1000000)"
+        f"    DIV (20 * __s * tf{i} + 6 * __s + 18 * dl * __n))"
+        f" ELSE 0 END)"
+        for i in range(len(q))
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
-    scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(ns))
-        .withColumn(
-            "idf_ppk",
-            F.expr("((__n - df + 1) * 1000) DIV (df + 1)"),
-        )
-        .withColumn(
-            "sat_ppm",
-            F.expr(
-                "(44 * tf * __s * 1000000)"
-                " DIV (20 * __s * tf + 6 * __s + 18 * dl * __n)"
-            ),
-        )
-        .withColumn("tscore", F.expr("idf_ppk * sat_ppm"))
+    hits = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)" for i in range(len(q))
     )
     return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.max("dl").cast("bigint").alias("dl"),
-            F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
-            F.sum("tscore").cast("bigint").alias("score"),
-        )
+        scored.withColumn("score", F.expr(tscore).cast("bigint"))
+        .withColumn("n_terms_hit", F.expr(hits).cast("int"))
+        .filter(F.col("n_terms_hit") > 0)
+        .select("doc_id", "dl", "n_terms_hit", "score")
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(BM25_TOP_K)
     )

@@ -145,8 +145,97 @@ class F1ReplayDataSource(DataSource):
     def streamReader(self, schema) -> DataSourceStreamReader:
         return _ReplayStreamReader(self.options)
 
+    def streamWriter(self, schema, overwrite: bool):
+        # append-only topic: overwrite has no meaning on immutable
+        # replay history (the engine passes False for append mode)
+        return _ReplayStreamWriter(self.options)
+
 
 def register_replay_source(spark) -> None:
     """Register the f1replay format on this session (idempotent —
     re-registration replaces the entry, latest wins)."""
     spark.dataSource.register(F1ReplayDataSource)
+
+
+# ---------------------------------------------------------------------------
+# writer side: the PRODUCER face of the replay topic
+# ---------------------------------------------------------------------------
+
+import uuid
+
+from pyspark.sql.datasource import (
+    DataSourceStreamWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class _TaskFile(WriterCommitMessage):
+    """One executor task's staged dot-temp file (picklable)."""
+
+    temp_path: str = ""
+    n_rows: int = 0
+
+
+class _ReplayStreamWriter(DataSourceStreamWriter):
+    """Micro-batch sink publishing replay batch files with the same
+    atomic write-then-publish discipline as ``write_replay_batch``:
+
+    - ``write`` (executor): the task's rows go to a dot-prefixed temp
+      (invisible to the reader's listing) under the topic directory;
+    - ``commit`` (driver): every staged temp is renamed to its final
+      ``batch-{batchId:05d}-p{k}.txt`` name — rename is atomic, so a
+      reader lists either nothing or a complete file. Names embed the
+      batchId, so an engine RETRY of a committed epoch is idempotent:
+      an already-published name means this epoch's files exist — the
+      stale temps are dropped, not double-published;
+    - ``abort`` (driver): staged temps are deleted; nothing was ever
+      visible.
+
+    Row contract: one ``value`` string column (the payload line), the
+    reader's schema. Empty tasks stage nothing (no phantom files).
+    """
+
+    def __init__(self, options):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("f1replay requires option 'path'")
+
+    def write(self, iterator) -> _TaskFile:
+        os.makedirs(self._path, exist_ok=True)
+        tmp = os.path.join(self._path, f".stage-{uuid.uuid4().hex}.tmp")
+        n = 0
+        fh = None
+        try:
+            for row in iterator:
+                if fh is None:
+                    fh = open(tmp, "w", encoding="utf-8")
+                fh.write((row.value or "") + "\n")
+                n += 1
+        finally:
+            if fh is not None:
+                fh.close()
+        return _TaskFile(temp_path=tmp if n else "", n_rows=n)
+
+    def commit(self, messages, batchId: int) -> None:
+        staged = [
+            m.temp_path
+            for m in messages
+            if m is not None and getattr(m, "temp_path", "")
+        ]
+        for k, tmp in enumerate(sorted(staged)):
+            final = os.path.join(
+                self._path, f"{_PREFIX}{batchId:05d}-p{k}{_SUFFIX}"
+            )
+            if os.path.exists(final):
+                # retried commit of an already-published epoch: keep
+                # the published file, drop the duplicate stage
+                os.unlink(tmp)
+            else:
+                os.replace(tmp, final)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            tmp = getattr(m, "temp_path", "") if m is not None else ""
+            if tmp and os.path.exists(tmp):
+                os.unlink(tmp)

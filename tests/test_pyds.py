@@ -79,3 +79,57 @@ def test_pyds_streaming_offsets_and_resume(spark, tmp_path):
         "3",
         "4",
     ]
+
+
+def test_pyds_stream_writer_roundtrip(spark, tmp_path):
+    # topic A --stream--> topic B via the f1replay SINK, then read B
+    # back with the f1replay batch reader: the full producer/consumer
+    # loop on one format
+    src_d = str(tmp_path / "a")
+    dst_d = str(tmp_path / "b")
+    ckpt = str(tmp_path / "ck")
+    write_replay_batch(src_d, [_payload(1), _payload(2)], 0)
+    write_replay_batch(src_d, [_payload(3)], 1)
+    register_replay_source(spark)
+    q = (
+        spark.readStream.format("f1replay")
+        .option("path", src_d)
+        .load()
+        .writeStream.format("f1replay")
+        .option("path", dst_d)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.format("f1replay").option("path", dst_d).load()
+    assert sorted(r.value for r in out.collect()) == sorted(
+        [_payload(1), _payload(2), _payload(3)]
+    )
+    # publish discipline: only final batch-*.txt names remain — no
+    # dot-temp stage files survive a committed epoch
+    import os
+
+    leftovers = [f for f in os.listdir(dst_d) if not f.startswith("batch-")]
+    assert leftovers == []
+    # a second micro-batch appends NEW files (batchId-embedded names),
+    # never rewrites published ones
+    before = sorted(os.listdir(dst_d))
+    write_replay_batch(src_d, [_payload(4)], 2)
+    q = (
+        spark.readStream.format("f1replay")
+        .option("path", src_d)
+        .load()
+        .writeStream.format("f1replay")
+        .option("path", dst_d)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    after = sorted(os.listdir(dst_d))
+    assert set(before) <= set(after) and len(after) > len(before)
+    out2 = spark.read.format("f1replay").option("path", dst_d).load()
+    assert sorted(r.value for r in out2.collect()) == sorted(
+        [_payload(i) for i in (1, 2, 3, 4)]
+    )

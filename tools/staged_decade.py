@@ -27,6 +27,7 @@ sys.path.insert(0, "/root/repo")
 
 
 def _measure(k: int, out: str, runs: int) -> None:
+    from f1_realtime_data_pipeline_spark.plans import cdf_ext as cfx
     from f1_realtime_data_pipeline_spark.plans import graph_ext as gx
     from f1_realtime_data_pipeline_spark.plans import scoring_ext as sx
     from f1_realtime_data_pipeline_spark.session import get_spark
@@ -41,7 +42,11 @@ def _measure(k: int, out: str, runs: int) -> None:
         .collect()[0][0]
     )
     timings = {}
-    for name, fn in list(gx.QUERIES.items()) + list(sx.QUERIES.items()):
+    for name, fn in (
+        list(gx.QUERIES.items())
+        + list(sx.QUERIES.items())
+        + list(cfx.QUERIES.items())
+    ):
         best = float("inf")
         for _ in range(runs):
             t0 = time.time()
