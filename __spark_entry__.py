@@ -289,10 +289,11 @@ _WINDOW_HEAD_R14 = [
 # (tests/test_decay.py), and t_bm25_topk, BM25 retrieval ranking with
 # k1/b folded into one exact integer fraction and the rational
 # log-free idf, hand-computed in tests/test_scoring.py). Together
-# with plans/cdf_ext (see the r15 staging note below), all EIGHT
-# staged queries are hash-matched at sf0.001 AND sf0.01 and green on
-# every robustness axis (empty/unicode/skew/degenerate/onerow/
-# allnull) before staging.
+# with plans/cdf_ext (see the r15 staging note below, incl. the late
+# addition p_table_checksum — the order-free two-fold snapshot
+# checksum), all NINE staged queries are hash-matched at sf0.001 AND
+# sf0.01 and green on every robustness axis (empty/unicode/skew/
+# degenerate/onerow/allnull) before staging.
 
 _WINDOW_HEAD = _WINDOW_HEAD_R14
 

@@ -46,6 +46,8 @@ from pyspark.sql import functions as F
 
 from f1_realtime_data_pipeline_spark.operators.aggregations import (
     DECIMAL_ACC,
+    cents,
+    cents_sql,
 )
 from f1_realtime_data_pipeline_spark.plans.inventory_star import (
     _scratch_table_dir,
@@ -212,4 +214,70 @@ SELECT o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_price
 FROM final GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+)
+
+
+# ---------------------------------------------------------------------------
+# order-free table checksum (snapshot validation)
+#
+# The operational companion of the CDC/diff surface: after a
+# migration, a compaction, a CDF-maintained replica, or an engine
+# swap, "are these two tables the same?" must not cost a sort or a
+# row-by-row join. The standard answer is a COMMUTATIVE per-row hash
+# fold — order-free, partition-free, incrementally recomputable per
+# group. Two independent folds are kept because each is blind to a
+# failure class the other catches: XOR cancels on any row appearing
+# an EVEN number of times (a doubled+dropped pair is invisible), the
+# modular SUM doesn't; the SUM alone is weaker per-bit, XOR isn't.
+# Row hash = the md5-60bit house primitive over an explicit
+# '|'-separated rendering, with the money column rendered through the
+# exact cents integer (raw double→string formatting differs between
+# engines — the rendering contract IS the checksum contract, stated
+# here: key, cents, status, priority).
+# ---------------------------------------------------------------------------
+
+#: modulus for the additive fold: sums of 2^31-bounded terms stay in
+#: BIGINT headroom to ~4·10^9 rows per group
+CHECKSUM_MOD = 2**31
+
+
+def p_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority order-free checksum of orders: row count + XOR
+    fold + modular-sum fold over the 60-bit row hash."""
+    o = read_table(spark, sf_dir, "orders")
+    render = F.concat_ws(
+        "|",
+        F.col("o_orderkey"),
+        cents("o_totalprice"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+    )
+    h = F.conv(F.substring(F.md5(render), 1, 15), 16, 10).cast("bigint")
+    return (
+        o.select("o_orderpriority", h.alias("h"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.expr("bit_xor(h)").cast("bigint").alias("xor_hash"),
+            F.expr(f"sum(h % {CHECKSUM_MOD})").cast("bigint").alias("sum_mod"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_register(
+    "p_table_checksum",
+    p_table_checksum,
+    f"""WITH h AS (
+  SELECT o_orderpriority,
+         CAST('0x' || substr(md5(concat_ws('|',
+              o_orderkey, {cents_sql('o_totalprice')},
+              o_orderstatus, o_orderpriority)), 1, 15) AS BIGINT) AS h
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(h) AS BIGINT) AS xor_hash,
+       CAST(SUM(h % {CHECKSUM_MOD}) AS BIGINT) AS sum_mod
+FROM h GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 )

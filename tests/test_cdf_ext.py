@@ -65,3 +65,49 @@ def test_cdf_maintained_agg_matches_direct(spark, sf_dir):
     # sanity: the count column is the maintained (v1 ± deltas) path,
     # so every group that survived must be positive
     assert (got["n_orders"] > 0).all()
+
+
+def test_table_checksum_properties(spark, sf_dir, tmp_path):
+    base = cx.p_table_checksum(spark, sf_dir).toPandas()
+    # partition-order invariance: same table through a different
+    # physical layout folds to the identical checksums
+    import pyarrow.parquet as pq
+
+    src = f"{sf_dir}/orders.parquet"
+    alt = tmp_path / "perm"
+    alt.mkdir()
+    t = pq.read_table(src).to_pandas().sample(frac=1, random_state=7)
+    t.to_parquet(str(alt / "orders.parquet"), index=False)
+    perm = cx.p_table_checksum(spark, str(alt)).toPandas()
+    pd.testing.assert_frame_equal(
+        base.reset_index(drop=True), perm.reset_index(drop=True), check_dtype=False
+    )
+    # sensitivity: one flipped cent in one row changes that group's
+    # xor_hash AND sum_mod while every other group is untouched
+    mut_dir = tmp_path / "mut"
+    mut_dir.mkdir()
+    t2 = pq.read_table(src).to_pandas()
+    t2.loc[0, "o_totalprice"] = t2.loc[0, "o_totalprice"] + 0.01
+    hit = t2.loc[0, "o_orderpriority"]
+    t2.to_parquet(str(mut_dir / "orders.parquet"), index=False)
+    mut = cx.p_table_checksum(spark, str(mut_dir)).toPandas()
+    b = base.set_index("o_orderpriority")
+    m = mut.set_index("o_orderpriority")
+    assert m.loc[hit, "xor_hash"] != b.loc[hit, "xor_hash"]
+    assert m.loc[hit, "sum_mod"] != b.loc[hit, "sum_mod"]
+    assert (m.loc[hit, "n_rows"] == b.loc[hit, "n_rows"])
+    others = [p for p in b.index if p != hit]
+    pd.testing.assert_frame_equal(b.loc[others], m.loc[others], check_dtype=False)
+    # the two-fold rationale: duplicating one row an even number of
+    # times cancels in XOR (blind) but moves sum_mod and n_rows — the
+    # documented reason BOTH folds are kept
+    dup_dir = tmp_path / "dup"
+    dup_dir.mkdir()
+    t3 = pq.read_table(src).to_pandas()
+    t3 = pd.concat([t3, t3.iloc[[0]], t3.iloc[[0]]], ignore_index=True)
+    hit3 = t3.loc[0, "o_orderpriority"]
+    t3.to_parquet(str(dup_dir / "orders.parquet"), index=False)
+    dupdf = cx.p_table_checksum(spark, str(dup_dir)).toPandas().set_index("o_orderpriority")
+    assert dupdf.loc[hit3, "xor_hash"] == b.loc[hit3, "xor_hash"]
+    assert dupdf.loc[hit3, "sum_mod"] != b.loc[hit3, "sum_mod"]
+    assert dupdf.loc[hit3, "n_rows"] == b.loc[hit3, "n_rows"] + 2

@@ -198,3 +198,78 @@ def test_bmp_ahash_roundtrip_matches_arithmetic(w, h, doc_id):
             if mm.gray_lum_for(doc_id, x, y) > mean:
                 exp |= 1 << ((y * w + x) % 63)
     assert ahash == exp
+
+
+# ---------------------------------------------------------------------------
+# r14 staged-operator arithmetic contracts vs pure-python references
+# ---------------------------------------------------------------------------
+
+_edge = st.tuples(
+    st.integers(min_value=0, max_value=6), st.integers(min_value=0, max_value=6)
+)
+
+
+def _pagerank_ref(edges, iters, scale=10**9, d_pct=85):
+    """Pure-python mirror of operators.graph.pagerank's integer
+    arithmetic (out-degree counts edge rows; dangling mass dropped)."""
+    from collections import Counter, defaultdict
+
+    nodes = {n for e in edges for n in e}
+    deg = Counter(s for s, _ in edges)
+    base = (100 - d_pct) * scale // 100
+    r = {n: scale for n in nodes}
+    for _ in range(iters):
+        inflow = defaultdict(int)
+        for s, t in edges:
+            inflow[t] += r[s] // deg[s]
+        r = {n: base + (d_pct * inflow.get(n, 0)) // 100 for n in nodes}
+    return r
+
+
+@settings(**_SETTINGS)
+@given(
+    edges=st.lists(_edge, min_size=1, max_size=15),
+    iters=st.integers(min_value=0, max_value=3),
+)
+def test_pagerank_matches_reference_on_random_graphs(spark_prop, edges, iters):
+    # self-loops, multi-edges, dangling nodes, disconnected parts —
+    # whatever hypothesis draws, the distributed fixed-point loop must
+    # equal the sequential reference EXACTLY (integer arithmetic has
+    # no tolerance band)
+    from f1_realtime_data_pipeline_spark.operators.graph import pagerank
+
+    df = spark_prop.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r.node: r.rank for r in pagerank(df, iters=iters).collect()}
+    assert got == _pagerank_ref(edges, iters)
+
+
+@settings(**_SETTINGS)
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=-(10**9), max_value=10**9),
+            st.integers(min_value=0, max_value=62),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_decay_shift_is_floor_division_both_engines(spark_prop, vals):
+    # the w_decay_popularity contract: arithmetic right shift ==
+    # floor division by 2^h, identically in Spark SQL, DuckDB, and
+    # python — including negative masses
+    import duckdb
+
+    df = spark_prop.createDataFrame(vals, "v bigint, h int")
+    got = [
+        r.s
+        for r in df.select(F.expr("shiftright(v, h)").alias("s"))
+        .orderBy("s")
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(v BIGINT, h INT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", vals)
+    duck = sorted(x[0] for x in con.execute("SELECT v >> h FROM t").fetchall())
+    ref = sorted(v // (1 << h) for v, h in vals)
+    assert got == duck == ref
