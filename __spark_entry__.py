@@ -268,7 +268,11 @@ _WINDOW_HEAD_R14 = [
 # operator-level e2e
 # tests/test_streaming.py::test_row_diff_images_incremental_agg_maintenance)
 # register in r15 where they can DEBUT inside the window (keeping the
-# 0-never-checked invariant) alongside the r11 cohort. Also leading
+# 0-never-checked invariant) alongside the r11 cohort. On
+# registration, also add the nine staged queries to bench.py's
+# HEADLINE so BENCH_r15 carries their first driver-recorded perf
+# series (tools/staged_decade.py already holds their measured
+# k=1/k=10 decade rows). Also leading
 # r15: e_knn_classify, e_diverse_topk, t_repetition — edited late in
 # r14 by the all-NULL sweep fixes (operator-entry classify-drop of
 # degenerate vectors in knn_lsh/knn_join_adc + both SQL twins;

@@ -29,6 +29,12 @@ scoring_ext): NOT in ``_QUERY_MODULES`` this round; registers in r15
 inside the driver window. Parity pinned by tests/test_cdf_ext.py
 until then.
 
+TOOLING WARNING (inherited from ``_scratch_table_dir``): merely
+BUILDING ``cdc_row_images`` / ``cdc_incremental_agg`` executes the
+full write/merge/delete lifecycle — do not add them to plan-building
+tools (plan_audit's AUDIT list) without expecting side effects.
+``p_table_checksum`` below is side-effect-free.
+
 Scale posture: identical to cdc_row_diff — the lifecycle cost is the
 committed writes; the diff itself is two snapshot reads at ANY table
 size (cost ∝ the snapshots, never the history), and the maintenance
