@@ -292,12 +292,15 @@ _WINDOW_HEAD_R14 = [
 # recency decay as an arithmetic right shift on micro-unit BIGINTs
 # (tests/test_decay.py), and t_bm25_topk, BM25 retrieval ranking with
 # k1/b folded into one exact integer fraction and the rational
-# log-free idf, hand-computed in tests/test_scoring.py). Together
-# with plans/cdf_ext (see the r15 staging note below, incl. the late
-# addition p_table_checksum — the order-free two-fold snapshot
-# checksum), all NINE staged queries are hash-matched at sf0.001 AND
-# sf0.01 and green on every robustness axis (empty/unicode/skew/
-# degenerate/onerow/allnull) before staging.
+# log-free idf, hand-computed in tests/test_scoring.py; plus
+# t_soft_dedup_weights — soft dedup as 1/n_copies sampling weights in
+# exact ppm, full-md5 group keys — and w_decay_curve, the half-life
+# tuning curve in one scan). Together with plans/cdf_ext (see the r15
+# staging note below, incl. the late addition p_table_checksum — the
+# order-free two-fold snapshot checksum), all ELEVEN staged queries
+# are hash-matched at sf0.001 AND sf0.01 and green on every
+# robustness axis (empty/unicode/skew/degenerate/onerow/allnull)
+# before staging.
 
 _WINDOW_HEAD = _WINDOW_HEAD_R14
 

@@ -439,3 +439,96 @@ FROM scored GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC
 LIMIT {BM25_TOP_K}""",
 )
+
+
+# ---------------------------------------------------------------------------
+# soft dedup: duplicate-count reweighting instead of dropping
+#
+# The alternative to hard exact-dedup the training literature keeps
+# reaching for: keep every copy but weight each at 1/n_copies so a
+# document's total sampling mass is copy-count-invariant. One
+# hash-groupBy (the d_exact shuffle) + a group-keyed join back;
+# weight in exact integer ppm. The group key is the FULL md5 hex of
+# the raw text (128-bit, engine-identical) — the reduced 60-bit id
+# would silently merge distinct documents at corpus scale and the
+# weights, unlike ids, are training inputs. NULL texts share one
+# group (the d_exact classification contract).
+# ---------------------------------------------------------------------------
+
+
+def t_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc soft-dedup sampling weight: ppm = 10^6 DIV n_copies."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("k")
+    )
+    grp = d.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("n_copies"))
+    return (
+        d.join(grp, d.k.eqNullSafe(grp.k))
+        .select(
+            "doc_id",
+            "n_copies",
+            F.expr("1000000 DIV n_copies").cast("bigint").alias("weight_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_register(
+    "t_soft_dedup_weights",
+    t_soft_dedup_weights,
+    """WITH d AS (
+  SELECT doc_id, md5(text) AS k FROM documents
+), grp AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_copies FROM d GROUP BY k
+)
+SELECT doc_id, n_copies,
+       CAST(1000000 // n_copies AS BIGINT) AS weight_ppm
+FROM d JOIN grp ON d.k IS NOT DISTINCT FROM grp.k
+ORDER BY doc_id""",
+)
+
+
+def w_decay_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The half-life TUNING curve beside w_decay_popularity: per
+    event type, the decayed mass at H ∈ {1, 7, 30} days in ONE scan
+    (three shift columns over the same micro values) — the
+    knob-picking table, same role as d_lsh_tuning_curve for bands."""
+    ev = read_events(spark, sf_dir).filter(F.col("ts").isNotNull())
+    anchor = ev.agg(F.max(F.to_date("ts")).alias("anchor"))
+    base = ev.crossJoin(F.broadcast(anchor)).select(
+        "event_type",
+        F.expr("CAST(floor(value * 1000000) AS BIGINT)").alias("v"),
+        F.expr("datediff(anchor, to_date(ts))").alias("age"),
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_events")]
+    for hdays in (1, 7, 30):
+        aggs.append(
+            F.sum(
+                F.expr(
+                    f"shiftright(v, CAST(least(age DIV {hdays}, {MAX_HALVES}) AS INT))"
+                )
+            )
+            .cast("bigint")
+            .alias(f"decayed_h{hdays}")
+        )
+    return base.groupBy("event_type").agg(*aggs).orderBy("event_type")
+
+
+_register(
+    "w_decay_curve",
+    w_decay_curve,
+    f"""WITH anchor AS (
+  SELECT MAX(CAST(ts AS DATE)) AS anchor FROM events WHERE ts IS NOT NULL
+), base AS (
+  SELECT event_type,
+         CAST(floor(value * 1000000) AS BIGINT) AS v,
+         date_diff('day', CAST(ts AS DATE), anchor) AS age
+  FROM events, anchor WHERE ts IS NOT NULL
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(v >> CAST(LEAST(age // 1, {MAX_HALVES}) AS INT)) AS BIGINT) AS decayed_h1,
+       CAST(SUM(v >> CAST(LEAST(age // 7, {MAX_HALVES}) AS INT)) AS BIGINT) AS decayed_h7,
+       CAST(SUM(v >> CAST(LEAST(age // 30, {MAX_HALVES}) AS INT)) AS BIGINT) AS decayed_h30
+FROM base GROUP BY event_type ORDER BY event_type""",
+)

@@ -139,3 +139,49 @@ def test_bm25_hand_computed(spark, tmp_path, bm25_docs):
     odf = con.execute(sx.ORACLE["t_bm25_topk"]).fetchdf()
     sdf = sx.t_bm25_topk(spark, str(tmp_path)).toPandas()
     _compare(sdf, odf)
+
+
+def test_soft_dedup_weights_contracts(spark, tmp_path):
+    # copies share mass: weight_ppm = 1e6 DIV n_copies; NULL texts
+    # form ONE group (the d_exact classification contract)
+    rows = [
+        (0, "same text", "en", "a", 9),
+        (1, "same text", "en", "a", 9),
+        (2, "same text", "en", "b", 9),
+        (3, "unique", "en", "b", 6),
+        (4, None, "en", "b", None),
+        (5, None, "en", "a", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    df.toPandas().to_parquet(str(tmp_path / "documents.parquet"), index=False)
+    got = {
+        r.doc_id: (r.n_copies, r.weight_ppm)
+        for r in sx.t_soft_dedup_weights(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        0: (3, 333333),
+        1: (3, 333333),
+        2: (3, 333333),
+        3: (1, 1000000),
+        4: (2, 500000),
+        5: (2, 500000),
+    }
+    # mass conservation within a group: n_copies * weight ≈ 1e6
+    # (truncation loses < n_copies ppm, never gains)
+    for n, w in got.values():
+        assert 1_000_000 - n < n * w <= 1_000_000
+
+
+def test_decay_curve_monotone_and_consistent(spark, sf_dir):
+    curve = sx.w_decay_curve(spark, sf_dir).toPandas().set_index("event_type")
+    pop = (
+        sx.w_decay_popularity(spark, sf_dir).toPandas().set_index("event_type")
+    )
+    # the H=7 column IS w_decay_popularity's decayed mass (same
+    # arithmetic, one pass vs the registered single-H query)
+    assert (curve["decayed_h7"] == pop["decayed_micro"]).all()
+    # longer half-life keeps more mass (fixture values non-negative)
+    assert (curve["decayed_h1"] <= curve["decayed_h7"]).all()
+    assert (curve["decayed_h7"] <= curve["decayed_h30"]).all()
