@@ -269,7 +269,7 @@ _WINDOW_HEAD_R14 = [
 # tests/test_streaming.py::test_row_diff_images_incremental_agg_maintenance)
 # register in r15 where they can DEBUT inside the window (keeping the
 # 0-never-checked invariant) alongside the r11 cohort. On
-# registration, also add the nine staged queries to bench.py's
+# registration, also add the eleven staged queries to bench.py's
 # HEADLINE so BENCH_r15 carries their first driver-recorded perf
 # series (tools/staged_decade.py already holds their measured
 # k=1/k=10 decade rows). Also leading
