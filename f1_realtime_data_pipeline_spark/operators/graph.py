@@ -62,10 +62,16 @@ from f1_realtime_data_pipeline_spark.operators.materialize import (
 #: per-round update ``base + d_pct * inflow DIV 100`` stays in BIGINT.
 DAMPING_PCT = 85
 
-#: default rank scale: one rank point = 1e9 micro-units. Headroom
-#: check: inflow at a node is at most (total mass) ≈ N * scale, so
+#: default rank scale: one rank point = 1e9 micro-units. Headroom:
+#: inflow at a node is at most (total mass) ≈ N * scale, and the
+#: damped intermediate is DAMPING_PCT * inflow, so
 #: N * scale * DAMPING_PCT must stay < 2^63 — at scale=1e9 that holds
-#: to N ≈ 10^11 nodes, beyond any real corpus.
+#: only to N ≈ 2^63 / (85 * 10^9) ≈ 1.1e8 nodes, WITHIN range of real
+#: crawl corpora. ``pagerank`` therefore checks the bound against the
+#: actual node count and refuses to run past it (pass a smaller
+#: ``scale`` — 1e6 raises the bound to ≈1.1e11 nodes at ~1e-6
+#: relative truncation per hop, still far below ranking-relevant
+#: signal).
 RANK_SCALE = 1_000_000_000
 
 
@@ -114,10 +120,24 @@ def pagerank(
         .distinct()
         .localCheckpoint()
     )
-    if stats is not None:
-        stats.update(
-            n_edges=n_edges, n_nodes=nodes.count(), iters=iters
+    # BIGINT headroom guard: the damped intermediate is
+    # damping_pct * inflow with inflow <= total mass ≈ N * scale, so
+    # the arithmetic is only safe while N * scale * damping_pct < 2^63.
+    # The count is one job over the checkpointed |V| relation — cheap
+    # insurance against a silent wraparound that would corrupt every
+    # rank (at scale=1e9 the bound is ~1.1e8 nodes, within real crawl
+    # corpus range).
+    n_nodes = nodes.count()
+    max_nodes = (2**63 - 1) // (damping_pct * scale)
+    if n_nodes > max_nodes:
+        raise ValueError(
+            f"pagerank: {n_nodes} nodes exceeds the BIGINT fixed-point "
+            f"headroom bound of {max_nodes} at scale={scale}, "
+            f"damping_pct={damping_pct}; pass a smaller scale "
+            f"(e.g. 1_000_000 supports ~{(2**63 - 1) // (damping_pct * 1_000_000)} nodes)"
         )
+    if stats is not None:
+        stats.update(n_edges=n_edges, n_nodes=n_nodes, iters=iters)
     try:
         ranks = nodes.withColumn("rank", F.lit(scale).cast("bigint"))
         for _ in range(iters):

@@ -163,6 +163,7 @@ def register_replay_source(spark) -> None:
 
 import uuid
 
+from pyspark import TaskContext
 from pyspark.sql.datasource import (
     DataSourceStreamWriter,
     WriterCommitMessage,
@@ -171,10 +172,21 @@ from pyspark.sql.datasource import (
 
 @dataclass
 class _TaskFile(WriterCommitMessage):
-    """One executor task's staged dot-temp file (picklable)."""
+    """One executor task's staged dot-temp file (picklable).
+
+    ``partition_id`` is the task's input-partition id — the STABLE
+    identity that names the published file. A retried epoch re-runs
+    the same partitions over the same deterministic micro-batch, so
+    partition k stages the same rows on every attempt and the
+    temp→final mapping cannot shuffle between attempts (a
+    ``sorted(uuid-temps)`` mapping could: a crash after publishing one
+    file, then a retry whose arbitrary first temp held different rows,
+    would lose and duplicate rows).
+    """
 
     temp_path: str = ""
     n_rows: int = 0
+    partition_id: int = -1
 
 
 class _ReplayStreamWriter(DataSourceStreamWriter):
@@ -182,13 +194,22 @@ class _ReplayStreamWriter(DataSourceStreamWriter):
     atomic write-then-publish discipline as ``write_replay_batch``:
 
     - ``write`` (executor): the task's rows go to a dot-prefixed temp
-      (invisible to the reader's listing) under the topic directory;
+      (invisible to the reader's listing) under the topic directory,
+      and the commit message carries the task's PARTITION ID;
     - ``commit`` (driver): every staged temp is renamed to its final
-      ``batch-{batchId:05d}-p{k}.txt`` name — rename is atomic, so a
-      reader lists either nothing or a complete file. Names embed the
-      batchId, so an engine RETRY of a committed epoch is idempotent:
-      an already-published name means this epoch's files exist — the
-      stale temps are dropped, not double-published;
+      ``batch-{batchId:05d}-p{partitionId:05d}.txt`` name — rename is
+      atomic, so a reader lists either nothing or a complete file.
+      Both indices are zero-padded, so published names sort in publish
+      order (the stream reader's count-offset contract; an unpadded
+      ``p10`` would sort before ``p2`` and break the
+      sorted-listing==publish-order invariant at >=11 files/epoch).
+      Names embed (batchId, partitionId), so an engine RETRY of a
+      partially-committed epoch is idempotent: partition k re-stages
+      the SAME rows (deterministic micro-batch replay — the same
+      assumption Spark's built-in file committers make), an
+      already-published name keeps the published file and drops the
+      retry's duplicate temp, and the never-published partitions
+      publish from their temps;
     - ``abort`` (driver): staged temps are deleted; nothing was ever
       visible.
 
@@ -204,6 +225,8 @@ class _ReplayStreamWriter(DataSourceStreamWriter):
     def write(self, iterator) -> _TaskFile:
         os.makedirs(self._path, exist_ok=True)
         tmp = os.path.join(self._path, f".stage-{uuid.uuid4().hex}.tmp")
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
         n = 0
         fh = None
         try:
@@ -215,21 +238,21 @@ class _ReplayStreamWriter(DataSourceStreamWriter):
         finally:
             if fh is not None:
                 fh.close()
-        return _TaskFile(temp_path=tmp if n else "", n_rows=n)
+        return _TaskFile(temp_path=tmp if n else "", n_rows=n, partition_id=pid)
 
     def commit(self, messages, batchId: int) -> None:
-        staged = [
-            m.temp_path
-            for m in messages
-            if m is not None and getattr(m, "temp_path", "")
-        ]
-        for k, tmp in enumerate(sorted(staged)):
+        for m in messages:
+            tmp = getattr(m, "temp_path", "") if m is not None else ""
+            if not tmp:
+                continue
             final = os.path.join(
-                self._path, f"{_PREFIX}{batchId:05d}-p{k}{_SUFFIX}"
+                self._path,
+                f"{_PREFIX}{batchId:05d}-p{m.partition_id:05d}{_SUFFIX}",
             )
             if os.path.exists(final):
-                # retried commit of an already-published epoch: keep
-                # the published file, drop the duplicate stage
+                # retried commit of a partially-published epoch: this
+                # partition's file is already out (same rows — stable
+                # partition identity); drop the duplicate stage
                 os.unlink(tmp)
             else:
                 os.replace(tmp, final)

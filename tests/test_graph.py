@@ -73,6 +73,19 @@ def test_pagerank_iters_zero_and_validation(spark):
         pagerank(edges, iters=-1)
 
 
+def test_pagerank_bigint_headroom_guard(spark):
+    # N * scale * damping_pct must stay < 2^63; a scale chosen so the
+    # 2-node fixture already exceeds the bound must be refused (the
+    # silent alternative is wraparound corrupting every rank). The
+    # message points at the remedy (smaller scale).
+    edges = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    too_big = (2**63 - 1) // 85  # bound becomes 1 node < 2 nodes
+    with pytest.raises(ValueError, match="headroom"):
+        pagerank(edges, iters=1, scale=too_big)
+    # at the default scale the same graph is fine
+    assert len(_ranks(pagerank(edges, iters=1))) == 2
+
+
 def test_pagerank_stats_and_empty_graph(spark):
     stats: dict = {}
     edges = spark.createDataFrame(

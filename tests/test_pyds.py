@@ -133,3 +133,73 @@ def test_pyds_stream_writer_roundtrip(spark, tmp_path):
     assert sorted(r.value for r in out2.collect()) == sorted(
         [_payload(i) for i in (1, 2, 3, 4)]
     )
+
+
+def test_pyds_writer_names_sort_in_publish_order(tmp_path):
+    # >=11 staged files in one epoch: the published names must STILL
+    # sort lexicographically in partition order — an unpadded p10
+    # would sort before p2 and break the stream reader's count-offset
+    # slicing (duplicated p8/p9, skipped p10/p11)
+    import os
+
+    from f1_realtime_data_pipeline_spark.sources.pyds import (
+        _ReplayStreamWriter,
+        _TaskFile,
+    )
+
+    d = str(tmp_path / "topic")
+    os.makedirs(d)
+    msgs = []
+    for pid in range(13):
+        tmp = os.path.join(d, f".stage-{pid}.tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(f"row-{pid}\n")
+        msgs.append(_TaskFile(temp_path=tmp, n_rows=1, partition_id=pid))
+    _ReplayStreamWriter({"path": d}).commit(msgs, batchId=0)
+    names = sorted(os.listdir(d))
+    # lexicographic order == partition order for all 13 files
+    contents = []
+    for f in names:
+        with open(os.path.join(d, f), encoding="utf-8") as fh:
+            contents.append(fh.read().strip())
+    assert contents == [f"row-{pid}" for pid in range(13)]
+
+
+def test_pyds_writer_retry_partial_epoch_is_idempotent(tmp_path):
+    # Crash-after-partial-publish retry: attempt 1 published only p0;
+    # the retry re-stages ALL partitions (same rows — stable partition
+    # identity). The retry must keep the published p0, drop its
+    # duplicate temp, and publish p1/p2 — no lost or duplicated rows.
+    import os
+
+    from f1_realtime_data_pipeline_spark.sources.pyds import (
+        _ReplayStreamWriter,
+        _TaskFile,
+    )
+
+    d = str(tmp_path / "topic")
+    os.makedirs(d)
+
+    def stage(pid: int, attempt: int) -> _TaskFile:
+        tmp = os.path.join(d, f".stage-a{attempt}-{pid}.tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(f"row-{pid}\n")
+        return _TaskFile(temp_path=tmp, n_rows=1, partition_id=pid)
+
+    w = _ReplayStreamWriter({"path": d})
+    # attempt 1: only partition 0's rename lands before the "crash"
+    w.commit([stage(0, attempt=1)], batchId=7)
+    assert os.listdir(d) == ["batch-00007-p00000.txt"]
+    # attempt 2: full re-stage of the same epoch
+    w.commit([stage(pid, attempt=2) for pid in range(3)], batchId=7)
+    names = sorted(os.listdir(d))
+    assert names == [
+        "batch-00007-p00000.txt",
+        "batch-00007-p00001.txt",
+        "batch-00007-p00002.txt",
+    ]
+    rows = []
+    for f in names:
+        with open(os.path.join(d, f), encoding="utf-8") as fh:
+            rows.extend(fh.read().split())
+    assert sorted(rows) == ["row-0", "row-1", "row-2"]

@@ -1,12 +1,20 @@
-"""Decade probe for the r14 STAGED queries (graph_ext, scoring_ext).
+"""Decade probe for the graph_ext / scoring_ext / cdf_ext queries.
 
 Same protocol as tools/scale_sweep.py (tiled fixtures, noop sink,
-best-of-N, fresh process per K via the runner below) applied to the
-four queries that register in r15 — their SCALE.md rows should carry
-measured numbers before they ever enter the driver window, and the
-probe also records WORK counters so the wall ratio is attributable
-(the scale_attrib lesson): co-purchase edges for the graph pair,
-token instances for the classifier pair.
+best-of-N, fresh process per K via the runner below) applied to ALL
+ELEVEN queries of the three modules staged in r14 and registered in
+r15 (g_pagerank, g_degree_stats, t_classifier_scores,
+t_classifier_dist, t_bm25_topk, w_decay_popularity, w_decay_curve,
+t_soft_dedup_weights, cdc_row_images, cdc_incremental_agg,
+p_table_checksum) — their SCALE.md rows carry measured numbers, and
+the probe also records WORK counters so the wall ratio is
+attributable (the scale_attrib lesson): co-purchase edges for the
+graph pair, token instances for the classifier pair.
+
+The cdf lifecycle queries create a fresh uuid-keyed scratch table on
+every timed run; the probe deletes each run's scratch dir right after
+the run (via ``inventory_star._LAST_SCRATCH``) so a runs×K sweep does
+not leak unreclaimed directories into tmpfs.
 
 Usage:
     python tools/staged_decade.py --copies 1 10 [--runs 2]
@@ -23,6 +31,23 @@ import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+
+
+def _reap_scratch() -> None:
+    """Delete the scratch table dirs the just-finished run created.
+
+    The cdf lifecycle plans build a fresh uuid-keyed table per
+    invocation; within one sweep process the same-app dirs are never
+    swept by the builder itself (a concurrent build might read them),
+    so the sweep reaps them between timed runs when nothing can."""
+    import shutil
+
+    from f1_realtime_data_pipeline_spark.plans.inventory_star import (
+        _LAST_SCRATCH,
+    )
+
+    for prefix in list(_LAST_SCRATCH):
+        shutil.rmtree(_LAST_SCRATCH.pop(prefix), ignore_errors=True)
 
 
 def _measure(k: int, out: str, runs: int) -> None:
@@ -51,6 +76,7 @@ def _measure(k: int, out: str, runs: int) -> None:
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
+            _reap_scratch()
         timings[name] = round(best, 2)
     print(
         json.dumps(
