@@ -89,6 +89,23 @@ HEADLINE = [
     # so the timing covers write + maintenance + read, deliberately.
     "cdc_row_diff",
     "o_compaction_exec",
+    # r15: the eleven queries registered this round (staged in r14) —
+    # their first driver-recorded perf series (tools/staged_decade.py
+    # holds the measured k=1/k=10 decade rows that preceded
+    # registration). The cdf pair build their table at
+    # plan-construction time like cdc_row_diff above (lifecycle
+    # timing, deliberately).
+    "g_pagerank",
+    "g_degree_stats",
+    "t_classifier_scores",
+    "t_classifier_dist",
+    "t_bm25_topk",
+    "w_decay_popularity",
+    "w_decay_curve",
+    "t_soft_dedup_weights",
+    "cdc_row_images",
+    "cdc_incremental_agg",
+    "p_table_checksum",
 ]
 
 
@@ -147,6 +164,57 @@ def spread(times: list[float]) -> list[float]:
 
 def best_of(fn, runs: int) -> float:
     return timed_runs(fn, runs)[0]
+
+
+def vs_prev_round(timings: dict, control_post: float, sf) -> dict | None:
+    """Control-normalized round-over-round delta (VERDICT r14 #7).
+
+    r14's driver bench recorded a +29% sum that was ~16% box drift;
+    the exoneration lived in README prose. This folds it into the
+    bench artifact itself: find the newest BENCH_r{N}.json the driver
+    left in the repo root, compare the sum over the queries COMMON to
+    both rounds, and scale the delta by the frozen control's ratio
+    (this round's post_sec / that round's post_sec — box speed, not
+    code). ``normalized_delta_pct`` is the code-attributable movement;
+    ``raw_delta_pct`` is what the wall clock said before exoneration.
+    Returns None when no prior artifact (or no usable control) exists.
+    """
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prevs = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not prevs:
+        return None
+    try:
+        with open(prevs[-1]) as fh:
+            prev = json.load(fh)
+        parsed = prev.get("parsed") or {}
+        prev_q = parsed.get("queries") or {}
+        prev_ctl = (parsed.get("control") or {}).get("post_sec")
+        prev_n = prev.get("n")
+    except (OSError, json.JSONDecodeError):
+        return None
+    common = sorted(set(timings) & set(prev_q))
+    if not common or not prev_ctl or not control_post:
+        return None
+    if parsed.get("sf") != sf:
+        # a cross-scale-factor comparison measures the data, not the
+        # code — refuse rather than emit a misleading delta
+        return None
+    cur_sum = sum(timings[q] for q in common)
+    prev_sum = sum(prev_q[q] for q in common)
+    ratio = control_post / prev_ctl
+    raw = 100.0 * (cur_sum - prev_sum) / prev_sum
+    norm = 100.0 * (cur_sum / ratio - prev_sum) / prev_sum
+    return {
+        "round": prev_n,
+        "n_common": len(common),
+        "common_sum_sec": round(cur_sum, 3),
+        "prev_common_sum_sec": round(prev_sum, 3),
+        "control_ratio": round(ratio, 3),
+        "raw_delta_pct": round(raw, 1),
+        "normalized_delta_pct": round(norm, 1),
+    }
 
 
 def main() -> int:
@@ -311,6 +379,13 @@ def main() -> int:
                         round(x, 2) for x in os.getloadavg()
                     ],
                 },
+                # round-over-round movement with the box factored out
+                # (VERDICT r14 #7): sum over the queries common to the
+                # newest recorded BENCH artifact, divided by the
+                # control ratio — normalized_delta_pct is the
+                # code-attributable drift; raw_delta_pct is the
+                # unexonerated wall-clock one.
+                "vs_prev": vs_prev_round(timings, control_post, sf),
             }
         )
     )
