@@ -287,7 +287,17 @@ _WINDOW_HEAD_R15 = [
     "cdc_row_images",        # four-frame CDF image set w/ pre-images
     "cdc_incremental_agg",   # agg MAINTAINED from image deltas
     "p_table_checksum",      # order-free xor+modsum snapshot checksum
-    # Slots 12-14: the three all-NULL-axis fix queries whose latest
+    # Slot 12: NEW in r15 (VERDICT r14 #5) — BM25 via a materialized
+    # term-keyed postings index + |postings(query)|-proportional
+    # probe; same arithmetic and oracle as t_bm25_topk, so the two
+    # forms cross-check each other under the driver.
+    "t_bm25_postings",
+    # Slot 13: NEW in r15 (VERDICT r14 #8) — the dangling-mass
+    # REDISTRIBUTION PageRank variant on the directed one-way
+    # co-purchase graph (every supplier dangling, so the
+    # redistribution term is live each round); unrolled SQL twin.
+    "g_pagerank_dangling",
+    # Slots 14-16: the three all-NULL-axis fix queries whose latest
     # driver rows PREDATE the late-r14 entry-filter/coalesce fixes
     # (e_knn_classify / e_diverse_topk: nrm > 0 classify-drop of
     # degenerate vectors in both engines; t_repetition: NULL-token
@@ -295,10 +305,10 @@ _WINDOW_HEAD_R15 = [
     "e_knn_classify",
     "e_diverse_topk",
     "t_repetition",
-    # Slots 15-50: the first 36 of the 48-row r11 cohort
+    # Slots 17-50: the first 34 of the 48-row r11 cohort
     # (tools/freshness.py oldest list, registration order). The
-    # remaining 12 (t_stratified_sample .. t_sentence_chunk) lead
-    # r16's window, restoring the r12 freshness floor there.
+    # remaining 14 (t_train_split .. t_sentence_chunk) lead r16's
+    # window, restoring the r12 freshness floor there.
     "p_project_rename",
     "p_json_extract",
     "p_to_json",
@@ -333,8 +343,6 @@ _WINDOW_HEAD_R15 = [
     "d_editdist_unicode",
     "t_pii_redact",
     "p_dataset_card",
-    "t_train_split",
-    "t_pack_sequences_dist",
 ]
 # Historical r15 staging note (the staging it describes is RESOLVED —
 # all eleven queries registered above; kept for the r14 audit trail):

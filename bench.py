@@ -96,10 +96,12 @@ HEADLINE = [
     # plan-construction time like cdc_row_diff above (lifecycle
     # timing, deliberately).
     "g_pagerank",
+    "g_pagerank_dangling",
     "g_degree_stats",
     "t_classifier_scores",
     "t_classifier_dist",
     "t_bm25_topk",
+    "t_bm25_postings",
     "w_decay_popularity",
     "w_decay_curve",
     "t_soft_dedup_weights",

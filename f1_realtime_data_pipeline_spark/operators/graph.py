@@ -81,6 +81,7 @@ def pagerank(
     damping_pct: int = DAMPING_PCT,
     scale: int = RANK_SCALE,
     stats: dict | None = None,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """PageRank over a directed edge list (columns ``src``, ``dst``),
     fixed iteration count, BIGINT fixed-point arithmetic.
@@ -89,6 +90,17 @@ def pagerank(
     ``scale``; every node that appears as src or dst gets a row.
     ``stats`` (optional dict) receives n_nodes / n_edges / iters for
     observability, mirroring ``connected_components``.
+
+    ``redistribute_dangling=True`` switches to the probability-
+    preserving variant (VERDICT r14 #8): each round, the mass held by
+    dangling nodes (no out-edges) is split equally across ALL nodes —
+    ``share = (Σ dangling rank) DIV N`` — and damped with the inflow:
+    ``rank' = base + d·(inflow + share) DIV 100``. Cost: one
+    |dangling|-row semi-join aggregate plus a 1-row broadcast per
+    round (the "one scalar broadcast per iteration" the default
+    variant deliberately avoids). Integer-exact and engine-portable
+    like everything else here. The default (False) keeps the
+    documented drop-the-mass relative-authority contract.
     """
     if iters < 0:
         raise ValueError(f"iters must be >= 0, got {iters}")
@@ -138,6 +150,16 @@ def pagerank(
         )
     if stats is not None:
         stats.update(n_edges=n_edges, n_nodes=n_nodes, iters=iters)
+    # dangling node set (no out-edges): constant across rounds, so it
+    # is derived ONCE — |dangling| <= |V| rows, checkpointed like the
+    # node set. Only needed by the redistribution variant.
+    dangling = None
+    if redistribute_dangling and n_nodes > 0:
+        dangling = nodes.join(
+            edeg.select("src").distinct(),
+            nodes.node == F.col("src"),
+            "left_anti",
+        ).localCheckpoint()
     try:
         ranks = nodes.withColumn("rank", F.lit(scale).cast("bigint"))
         for _ in range(iters):
@@ -153,20 +175,36 @@ def pagerank(
                 .groupBy("dst")
                 .agg(F.sum("share").alias("inflow"))
             )
+            if dangling is not None:
+                # per-node share of this round's dangling mass — one
+                # semi-join aggregate to a single row, broadcast onto
+                # the update (the flag's only per-round cost)
+                dshare = ranks.join(dangling, "node", "semi").agg(
+                    F.expr(
+                        f"coalesce(sum(rank), 0) DIV {n_nodes}"
+                    ).cast("bigint").alias("dang_share")
+                )
+                extra = "+ dang_share"
+            else:
+                dshare = None
+                extra = ""
             # nodes with no in-edges still hold the damped base; the
             # left join keeps their rows alive round over round.
+            updated = nodes.join(
+                inflow.hint("shuffle_hash"),
+                nodes.node == inflow.dst,
+                "left",
+            )
+            if dshare is not None:
+                updated = updated.crossJoin(F.broadcast(dshare))
             ranks = (
-                nodes.join(
-                    inflow.hint("shuffle_hash"),
-                    nodes.node == inflow.dst,
-                    "left",
-                )
-                .select(
+                updated.select(
                     "node",
                     (
                         F.lit(base)
                         + F.expr(
-                            f"({damping_pct} * coalesce(inflow, 0)) DIV 100"
+                            f"({damping_pct} * (coalesce(inflow, 0)"
+                            f" {extra})) DIV 100"
                         )
                     ).cast("bigint").alias("rank"),
                 )

@@ -162,6 +162,96 @@ def g_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def g_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PageRank on the DIRECTED one-way co-purchase graph
+    (customer→supplier only) with dangling-mass redistribution
+    (VERDICT r14 #8 — the probability-preserving variant as an
+    oracle-checked query, not just a flag).
+
+    Every supplier is dangling here (no out-edges), so the
+    redistribution term is live in every round — the strongest
+    fixture this star schema offers for the variant: with the default
+    drop-the-mass contract the suppliers' entire mass would vanish
+    each round; with redistribution it returns to the graph as an
+    equal per-node share before damping."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    one_dir = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(one_dir, iters=PR_ITERS, redistribute_dangling=True)
+    return (
+        ranks.select(
+            "node",
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("kind"),
+            F.expr("node DIV 2").alias("entity_key"),
+            "rank",
+        )
+        .orderBy(F.col("rank").desc(), F.col("node").asc())
+        .limit(PR_TOPK)
+    )
+
+
+def _pr_dangling_iteration_sql(prev: str, out: str) -> str:
+    """One unrolled redistribution round: the per-node dangling share
+    is (Σ rank over nodes with no out-edges) DIV N, added to inflow
+    BEFORE damping — the single source of the update rule, matching
+    operators.graph.pagerank(redistribute_dangling=True)."""
+    return f"""{out} AS (
+  SELECT n.node,
+         CAST({_PR_BASE} + ({DAMPING_PCT} * (COALESCE(inf.inflow, 0)
+              + dsh.share)) // 100 AS BIGINT) AS rank
+  FROM nodes n
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank // d.out_deg) AS inflow
+    FROM edges e
+    JOIN {prev} r ON e.src = r.node
+    JOIN deg d ON e.src = d.src
+    GROUP BY e.dst
+  ) inf ON n.node = inf.node
+  CROSS JOIN (
+    SELECT COALESCE(SUM(CASE WHEN d2.src IS NULL THEN r.rank END), 0)
+           // (SELECT COUNT(*) FROM nodes) AS share
+    FROM {prev} r LEFT JOIN deg d2 ON r.node = d2.src
+  ) dsh
+)"""
+
+
+_PR_DANGLING_SQL = f"""WITH edges AS (
+  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), deg AS (
+  SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src
+), nodes AS (
+  SELECT DISTINCT node
+  FROM (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+), r0 AS (
+  SELECT node, CAST({RANK_SCALE} AS BIGINT) AS rank FROM nodes
+), {_pr_dangling_iteration_sql("r0", "r1")},
+{_pr_dangling_iteration_sql("r1", "r2")},
+{_pr_dangling_iteration_sql("r2", "r3")}
+SELECT node,
+       CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       node // 2 AS entity_key,
+       rank
+FROM r3
+ORDER BY rank DESC, node ASC
+LIMIT {PR_TOPK}"""
+
+_register("g_pagerank_dangling", g_pagerank_dangling, _PR_DANGLING_SQL)
+
+
 _register(
     "g_degree_stats",
     g_degree_stats,

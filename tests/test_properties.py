@@ -209,9 +209,10 @@ _edge = st.tuples(
 )
 
 
-def _pagerank_ref(edges, iters, scale=10**9, d_pct=85):
+def _pagerank_ref(edges, iters, scale=10**9, d_pct=85, redistribute=False):
     """Pure-python mirror of operators.graph.pagerank's integer
-    arithmetic (out-degree counts edge rows; dangling mass dropped)."""
+    arithmetic (out-degree counts edge rows; dangling mass dropped by
+    default, split equally across all nodes when ``redistribute``)."""
     from collections import Counter, defaultdict
 
     nodes = {n for e in edges for n in e}
@@ -222,7 +223,13 @@ def _pagerank_ref(edges, iters, scale=10**9, d_pct=85):
         inflow = defaultdict(int)
         for s, t in edges:
             inflow[t] += r[s] // deg[s]
-        r = {n: base + (d_pct * inflow.get(n, 0)) // 100 for n in nodes}
+        share = 0
+        if redistribute and nodes:
+            share = sum(r[n] for n in nodes if deg[n] == 0) // len(nodes)
+        r = {
+            n: base + (d_pct * (inflow.get(n, 0) + share)) // 100
+            for n in nodes
+        }
     return r
 
 
@@ -230,17 +237,25 @@ def _pagerank_ref(edges, iters, scale=10**9, d_pct=85):
 @given(
     edges=st.lists(_edge, min_size=1, max_size=15),
     iters=st.integers(min_value=0, max_value=3),
+    redistribute=st.booleans(),
 )
-def test_pagerank_matches_reference_on_random_graphs(spark_prop, edges, iters):
+def test_pagerank_matches_reference_on_random_graphs(
+    spark_prop, edges, iters, redistribute
+):
     # self-loops, multi-edges, dangling nodes, disconnected parts —
     # whatever hypothesis draws, the distributed fixed-point loop must
     # equal the sequential reference EXACTLY (integer arithmetic has
-    # no tolerance band)
+    # no tolerance band), in BOTH dangling-mass variants
     from f1_realtime_data_pipeline_spark.operators.graph import pagerank
 
     df = spark_prop.createDataFrame(edges, "src bigint, dst bigint")
-    got = {r.node: r.rank for r in pagerank(df, iters=iters).collect()}
-    assert got == _pagerank_ref(edges, iters)
+    got = {
+        r.node: r.rank
+        for r in pagerank(
+            df, iters=iters, redistribute_dangling=redistribute
+        ).collect()
+    }
+    assert got == _pagerank_ref(edges, iters, redistribute=redistribute)
 
 
 @settings(**_SETTINGS)

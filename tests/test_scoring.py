@@ -141,6 +141,22 @@ def test_bm25_hand_computed(spark, tmp_path, bm25_docs):
     _compare(sdf, odf)
 
 
+def test_bm25_postings_matches_topk_form(spark, tmp_path, bm25_docs, sf_dir):
+    # the index+probe form and the one-pass form are the SAME ranking
+    # function — identical arithmetic, identical output — on both the
+    # hand-computed degenerate corpus and the real fixture
+    for d in (str(tmp_path), sf_dir):
+        a = sorted(
+            sx.t_bm25_topk(spark, d).collect(),
+            key=lambda r: (-r.score, r.doc_id),
+        )
+        b = sorted(
+            sx.t_bm25_postings(spark, d).collect(),
+            key=lambda r: (-r.score, r.doc_id),
+        )
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
 def test_soft_dedup_weights_contracts(spark, tmp_path):
     # copies share mass: weight_ppm = 1e6 DIV n_copies; NULL texts
     # form ONE group (the d_exact classification contract)

@@ -50,7 +50,7 @@ def _reap_scratch() -> None:
         shutil.rmtree(_LAST_SCRATCH.pop(prefix), ignore_errors=True)
 
 
-def _measure(k: int, out: str, runs: int) -> None:
+def _measure(k: int, out: str, runs: int, only: list[str] | None = None) -> None:
     from f1_realtime_data_pipeline_spark.plans import cdf_ext as cfx
     from f1_realtime_data_pipeline_spark.plans import graph_ext as gx
     from f1_realtime_data_pipeline_spark.plans import scoring_ext as sx
@@ -65,25 +65,63 @@ def _measure(k: int, out: str, runs: int) -> None:
         .agg({"n_toks": "sum"})
         .collect()[0][0]
     )
+    # BM25 probe-side work: the rows that leave the postings index —
+    # t_bm25_postings' claimed cost unit (VERDICT r14 #5: measure
+    # |postings|-proportional work). The tiled corpus suffixes every
+    # token with its copy index (scale_sweep builder), so the FIXED
+    # fixture query matches nothing here; the decade rows query the
+    # copy-0 vocabulary instead (tile-suffixed terms) — which also
+    # makes the claim vivid: |postings(q)| stays CONSTANT as the
+    # corpus grows 10x, so the warm-index probe wall should stay flat
+    # while the index-free one-pass form grows with the corpus.
+    from pyspark.sql import functions as F
+
+    from f1_realtime_data_pipeline_spark.functions.text import tokens
+    from f1_realtime_data_pipeline_spark.sources.parquet import read_table
+
+    bm25_terms = [f"{t}c0" for t in sx.BM25_QUERY]
+    probe_rows = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tokens("text")).alias("term"))
+        .filter(F.col("term").isin(bm25_terms))
+        .groupBy("term", "doc_id")
+        .count()
+        .count()
+    )
     timings = {}
     for name, fn in (
         list(gx.QUERIES.items())
         + list(sx.QUERIES.items())
         + list(cfx.QUERIES.items())
     ):
+        if only and name not in only:
+            continue
+        if name in ("t_bm25_topk", "t_bm25_postings"):
+            # tile-suffixed terms so retrieval actually retrieves
+            fn = (lambda f: lambda sp, d: f(sp, d, terms=bm25_terms))(fn)
         best = float("inf")
+        runtimes = []
         for _ in range(runs):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
+            runtimes.append(time.time() - t0)
+            best = min(best, runtimes[-1])
             _reap_scratch()
         timings[name] = round(best, 2)
+        if name == "t_bm25_postings" and len(runtimes) > 1:
+            # Spark's CacheManager reuses the persisted index across
+            # identical plans, so run 1 = build+probe and run 2+ =
+            # probe on the warm index — record both faces: the amortized
+            # production shape is the warm one.
+            timings["t_bm25_postings_build"] = round(runtimes[0], 2)
+            timings["t_bm25_postings_warm"] = round(min(runtimes[1:]), 2)
     print(
         json.dumps(
             {
                 "k": k,
                 "copurchase_edges": edges,
                 "token_instances": int(inst or 0),
+                "bm25_probe_postings": probe_rows,
                 "queries": timings,
             }
         ),
@@ -98,10 +136,12 @@ def main() -> int:
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/tmp/spark_graft_sweep")
     ap.add_argument("--child-k", type=int, default=None)
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="restrict the timed loop to these query names")
     args = ap.parse_args()
 
     if args.child_k is not None:
-        _measure(args.child_k, args.out, args.runs)
+        _measure(args.child_k, args.out, args.runs, args.only)
         return 0
 
     # tile via the checked-in builder (idempotent: _OK markers)
@@ -115,19 +155,19 @@ def main() -> int:
     spark.stop()
     for k in args.copies:
         # fresh process per K — the protocol every SCALE.md table uses
-        subprocess.run(
-            [
-                sys.executable,
-                __file__,
-                "--child-k",
-                str(k),
-                "--out",
-                args.out,
-                "--runs",
-                str(args.runs),
-            ],
-            check=True,
-        )
+        cmd = [
+            sys.executable,
+            __file__,
+            "--child-k",
+            str(k),
+            "--out",
+            args.out,
+            "--runs",
+            str(args.runs),
+        ]
+        if args.only:
+            cmd += ["--only", *args.only]
+        subprocess.run(cmd, check=True)
     return 0
 
 
