@@ -1,4 +1,4 @@
-"""CDF consumption extension (round 14, REGISTERS IN r15).
+"""CDF consumption extension (built r14, registered r15).
 
 Round 13 put the manifest's change-data-feed PRODUCTION side under
 the driver (``cdc_row_diff``: insert/delete/update classification;
@@ -24,10 +24,9 @@ classes — the constants below): a deterministic orders slice, class 4
 inserted by MERGE, class 2 updated in place (+1.0 — exact IEEE at
 fixture magnitudes), class 0 deleted, classes {1,3} carried over.
 
-STAGING NOTE (window capacity, same pattern as graph_ext /
-scoring_ext): NOT in ``_QUERY_MODULES`` this round; registers in r15
-inside the driver window. Parity pinned by tests/test_cdf_ext.py
-until then.
+REGISTERED in r15 (``_QUERY_MODULES``), debuting inside the driver
+window per the staging plan; parity also pinned by
+tests/test_cdf_ext.py.
 
 TOOLING WARNING (inherited from ``_scratch_table_dir``): merely
 BUILDING ``cdc_row_images`` / ``cdc_incremental_agg`` executes the

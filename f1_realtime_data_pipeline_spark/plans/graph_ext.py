@@ -1,4 +1,4 @@
-"""Graph-analytics extension surface (round 14, REGISTERS IN r15).
+"""Graph-analytics extension surface (built r14, registered r15).
 
 Link-graph authority signals for a training-data pipeline: a
 crawl-derived corpus ranks hosts/documents by link authority before
@@ -10,15 +10,11 @@ and supplier s are linked iff some order of c contains a lineitem
 supplied by s — the classic two-mode affiliation graph, exercised in
 both directions so rank flows customer→supplier→customer.
 
-STAGING NOTE (window capacity, same pattern as
-``read_row_diff_images``): this module is NOT in
-``__spark_entry__._QUERY_MODULES`` this round — the r14 driver window
-is at capacity with the r10 cohort + the four advice-edited queries,
-and a new registration outside the window would break the
-0-never-checked freshness invariant VERDICT r13 #1 ordered. It
-registers in r15, where its queries debut INSIDE the window. Until
-then the oracle parity is pinned by pytest
-(tests/test_graph.py) via the same DuckDB comparison the driver runs.
+REGISTERED in r15 (``__spark_entry__._QUERY_MODULES``), debuting
+inside the driver window per the staging plan (the r14 window was at
+capacity; registering outside it would have broken the
+0-never-checked freshness invariant). tests/test_graph.py keeps the
+same DuckDB comparison as a pytest-side gate.
 
 Node-id encoding: ``custkey*2`` / ``suppkey*2+1`` — disjoint id
 spaces in one BIGINT column, decoded by parity in the output. All

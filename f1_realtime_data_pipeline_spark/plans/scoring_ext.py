@@ -1,4 +1,4 @@
-"""Model-based document scoring (round 14, REGISTERS IN r15).
+"""Model-based document scoring (built r14, registered r15).
 
 The heuristic quality gates (`t_quality`, `t_quality_gopher`) and the
 corpus-trained LM scorer (`t_bigram_quality`) cover rules and
@@ -22,11 +22,9 @@ with the model reduced to engine-portable integer arithmetic:
   engine-independent), argmax with smallest-class tie-break, margin =
   winner minus runner-up (the abstention signal a cascade thresholds).
 
-STAGING NOTE (window capacity, same pattern as graph_ext /
-read_row_diff_images): NOT in ``_QUERY_MODULES`` this round; registers
-in r15 where it debuts inside the driver window. Oracle parity is
-pinned until then by tests/test_scoring.py via the driver's own
-comparison.
+REGISTERED in r15 (``_QUERY_MODULES``), debuting inside the driver
+window per the staging plan; tests/test_scoring.py keeps the driver's
+own comparison as a pytest-side gate.
 
 Scale posture: the scoring pass is scan → explode → hash → conditional
 sums — one shuffle on doc_id (the explode's group-back), partial

@@ -1,4 +1,4 @@
-"""CDF consumption queries (plans/cdf_ext.py) — staged r15.
+"""CDF consumption queries (plans/cdf_ext.py) — registered r15.
 
 The driver's comparison until registration, plus the maintenance
 invariants the oracle alone can't isolate (frame signs, group drops).

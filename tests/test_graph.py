@@ -1,9 +1,8 @@
 """Graph analytics (operators/graph.py + plans/graph_ext.py).
 
-graph_ext registers in r15 (window capacity — see its module
-docstring); until then THIS file is its oracle gate: the same DuckDB
-comparison the driver runs, plus hand-computed fixed-point unit cases
-the fixtures can't pin.
+graph_ext registered in r15; this file stays its pytest-side
+oracle gate: the same DuckDB comparison the driver runs, plus
+hand-computed fixed-point unit cases the fixtures can't pin.
 """
 
 from __future__ import annotations

@@ -1,9 +1,8 @@
 """Model-based scoring (plans/scoring_ext.py).
 
-scoring_ext registers in r15 (window capacity — see its module
-docstring); until then THIS file is its oracle gate, including the
-degenerate shapes (NULL text, empty string, token ties) the harness
-corpus cannot witness.
+scoring_ext registered in r15; this file stays its pytest-side
+oracle gate, including the degenerate shapes (NULL text, empty
+string, token ties) the harness corpus cannot witness.
 """
 
 from __future__ import annotations
