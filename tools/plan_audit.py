@@ -106,6 +106,20 @@ AUDIT = [
     "w_watermark_curve",
     "q2_champion",
     "q4_podium",
+    # r15 registrations (graph/scoring/retrieval/decay/checksum; the
+    # cdf lifecycle queries stay excluded like cdc_row_diff — building
+    # their plans executes a table lifecycle)
+    "g_pagerank",
+    "g_pagerank_dangling",
+    "g_degree_stats",
+    "t_classifier_scores",
+    "t_classifier_dist",
+    "t_bm25_topk",
+    "t_bm25_postings",
+    "w_decay_popularity",
+    "w_decay_curve",
+    "t_soft_dedup_weights",
+    "p_table_checksum",
 ]
 
 
