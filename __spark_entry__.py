@@ -297,7 +297,12 @@ _WINDOW_HEAD_R15 = [
     # co-purchase graph (every supplier dangling, so the
     # redistribution term is live each round); unrolled SQL twin.
     "g_pagerank_dangling",
-    # Slots 14-16: the three all-NULL-axis fix queries whose latest
+    # Slot 14: NEW in r15 — personalized (seeded) PageRank: teleport
+    # mass restarts only at the seed cohort (the related-entity /
+    # crawl-frontier expansion primitive); unrolled SQL twin with the
+    # seed flag riding the node relation.
+    "g_ppr_seeded",
+    # Slots 15-17: the three all-NULL-axis fix queries whose latest
     # driver rows PREDATE the late-r14 entry-filter/coalesce fixes
     # (e_knn_classify / e_diverse_topk: nrm > 0 classify-drop of
     # degenerate vectors in both engines; t_repetition: NULL-token
@@ -305,9 +310,9 @@ _WINDOW_HEAD_R15 = [
     "e_knn_classify",
     "e_diverse_topk",
     "t_repetition",
-    # Slots 17-50: the first 34 of the 48-row r11 cohort
+    # Slots 18-50: the first 33 of the 48-row r11 cohort
     # (tools/freshness.py oldest list, registration order). The
-    # remaining 14 (t_train_split .. t_sentence_chunk) lead r16's
+    # remaining 15 (p_dataset_card .. t_sentence_chunk) lead r16's
     # window, restoring the r12 freshness floor there.
     "p_project_rename",
     "p_json_extract",
@@ -342,7 +347,6 @@ _WINDOW_HEAD_R15 = [
     "d_span_splice",
     "d_editdist_unicode",
     "t_pii_redact",
-    "p_dataset_card",
 ]
 # Historical r15 staging note (the staging it describes is RESOLVED —
 # all eleven queries registered above; kept for the r14 audit trail):

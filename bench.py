@@ -97,6 +97,7 @@ HEADLINE = [
     # timing, deliberately).
     "g_pagerank",
     "g_pagerank_dangling",
+    "g_ppr_seeded",
     "g_degree_stats",
     "t_classifier_scores",
     "t_classifier_dist",

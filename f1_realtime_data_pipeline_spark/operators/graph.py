@@ -82,6 +82,7 @@ def pagerank(
     scale: int = RANK_SCALE,
     stats: dict | None = None,
     redistribute_dangling: bool = False,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list (columns ``src``, ``dst``),
     fixed iteration count, BIGINT fixed-point arithmetic.
@@ -101,6 +102,20 @@ def pagerank(
     variant deliberately avoids). Integer-exact and engine-portable
     like everything else here. The default (False) keeps the
     documented drop-the-mass relative-authority contract.
+
+    ``seeds`` (a DataFrame with a ``node`` column) switches to
+    PERSONALIZED PageRank — the crawl-frontier / related-entity
+    primitive: teleport mass restarts only at the seed set.
+    Initial rank is ``scale`` on seeds and 0 elsewhere, and the
+    per-round base term ``(100-d)·scale DIV 100`` is paid only to
+    seeds: ``rank' = [n∈seeds]·base + d·inflow DIV 100``. The seed
+    flag is folded into the node relation ONCE (one broadcast-able
+    join before the loop); the loop's plan shape is unchanged. Ranks
+    then measure proximity to the seed cohort instead of global
+    authority. Composes with ``redistribute_dangling`` (the dangling
+    share still spreads over ALL nodes — the relative variant;
+    seed-targeted teleport of dangling mass is the same one-line
+    change if a deployment wants the strict PPR distribution).
     """
     if iters < 0:
         raise ValueError(f"iters must be >= 0, got {iters}")
@@ -130,8 +145,20 @@ def pagerank(
         edeg.select(F.col("src").alias("node"))
         .unionAll(edeg.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
     )
+    if seeds is not None:
+        # fold the seed flag into the node relation ONCE: the loop's
+        # base term becomes seed_flag * base with no per-round join
+        nodes = nodes.join(
+            seeds.select(F.col("node").cast("bigint").alias("node"))
+            .distinct()
+            .withColumn("__seed", F.lit(1)),
+            "node",
+            "left",
+        ).select("node", F.coalesce("__seed", F.lit(0)).alias("__seed"))
+    else:
+        nodes = nodes.withColumn("__seed", F.lit(1))
+    nodes = nodes.localCheckpoint()
     # BIGINT headroom guard: the damped intermediate is
     # damping_pct * inflow with inflow <= total mass ≈ N * scale, so
     # the arithmetic is only safe while N * scale * damping_pct < 2^63.
@@ -161,7 +188,9 @@ def pagerank(
             "left_anti",
         ).localCheckpoint()
     try:
-        ranks = nodes.withColumn("rank", F.lit(scale).cast("bigint"))
+        ranks = nodes.select(
+            "node", (F.col("__seed") * scale).cast("bigint").alias("rank")
+        )
         for _ in range(iters):
             inflow = (
                 edeg.join(
@@ -201,7 +230,7 @@ def pagerank(
                 updated.select(
                     "node",
                     (
-                        F.lit(base)
+                        F.col("__seed") * base
                         + F.expr(
                             f"({damping_pct} * (coalesce(inflow, 0)"
                             f" {extra})) DIV 100"

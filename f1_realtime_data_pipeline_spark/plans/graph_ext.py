@@ -248,6 +248,97 @@ LIMIT {PR_TOPK}"""
 _register("g_pagerank_dangling", g_pagerank_dangling, _PR_DANGLING_SQL)
 
 
+#: seed cohort for the personalized query: every 100th customer — a
+#: deterministic ~1% sample standing in for a curated seed list (in a
+#: crawl pipeline: the trusted-domain list; in entity expansion: the
+#: known-good entities)
+PPR_SEED_MOD = 100
+
+
+def g_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PERSONALIZED PageRank on the co-purchase graph: teleport
+    mass restarts only at the seed cohort (custkey % 100 == 0), so
+    rank measures proximity to the seeds — the related-entity /
+    crawl-frontier expansion primitive (suppliers serving the seed
+    customers rank first, then customers sharing those suppliers).
+    Same fixed-point arithmetic; the seed flag rides the node relation
+    (operators/graph.py::pagerank(seeds=...))."""
+    edges = _copurchase_edges(spark, sf_dir)
+    seeds = (
+        read_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % PPR_SEED_MOD == 0)
+        .select((F.col("c_custkey") * 2).alias("node"))
+    )
+    ranks = pagerank(edges, iters=PR_ITERS, seeds=seeds)
+    return (
+        ranks.filter(F.col("rank") > 0)
+        .select(
+            "node",
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("kind"),
+            F.expr("node DIV 2").alias("entity_key"),
+            "rank",
+        )
+        .orderBy(F.col("rank").desc(), F.col("node").asc())
+        .limit(PR_TOPK)
+    )
+
+
+def _ppr_iteration_sql(prev: str, out: str) -> str:
+    """One unrolled personalized round: the base term is paid only to
+    seed nodes — the single source of the update rule."""
+    return f"""{out} AS (
+  SELECT n.node,
+         CAST(n.is_seed * {_PR_BASE}
+              + ({DAMPING_PCT} * COALESCE(inf.inflow, 0)) // 100
+              AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank // d.out_deg) AS inflow
+    FROM edges e
+    JOIN {prev} r ON e.src = r.node
+    JOIN deg d ON e.src = d.src
+    GROUP BY e.dst
+  ) inf ON n.node = inf.node
+)"""
+
+
+_PPR_SQL = f"""WITH one_dir AS (
+  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), edges AS (
+  SELECT src, dst FROM one_dir
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM one_dir
+), deg AS (
+  SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src
+), seedset AS (
+  SELECT c_custkey * 2 AS node FROM customer
+  WHERE c_custkey % {PPR_SEED_MOD} = 0
+), nodes AS (
+  SELECT node,
+         CASE WHEN node IN (SELECT node FROM seedset) THEN 1 ELSE 0 END
+           AS is_seed
+  FROM (SELECT DISTINCT node
+        FROM (SELECT src AS node FROM edges
+              UNION ALL SELECT dst FROM edges))
+), r0 AS (
+  SELECT node, CAST(is_seed * {RANK_SCALE} AS BIGINT) AS rank FROM nodes
+), {_ppr_iteration_sql("r0", "r1")},
+{_ppr_iteration_sql("r1", "r2")},
+{_ppr_iteration_sql("r2", "r3")}
+SELECT node,
+       CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       node // 2 AS entity_key,
+       rank
+FROM r3
+WHERE rank > 0
+ORDER BY rank DESC, node ASC
+LIMIT {PR_TOPK}"""
+
+_register("g_ppr_seeded", g_ppr_seeded, _PPR_SQL)
+
+
 _register(
     "g_degree_stats",
     g_degree_stats,

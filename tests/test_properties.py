@@ -209,16 +209,21 @@ _edge = st.tuples(
 )
 
 
-def _pagerank_ref(edges, iters, scale=10**9, d_pct=85, redistribute=False):
+def _pagerank_ref(
+    edges, iters, scale=10**9, d_pct=85, redistribute=False, seeds=None
+):
     """Pure-python mirror of operators.graph.pagerank's integer
     arithmetic (out-degree counts edge rows; dangling mass dropped by
-    default, split equally across all nodes when ``redistribute``)."""
+    default, split equally across all nodes when ``redistribute``;
+    ``seeds`` restricts initial mass AND the per-round base term to
+    the seed set — personalized PageRank)."""
     from collections import Counter, defaultdict
 
     nodes = {n for e in edges for n in e}
     deg = Counter(s for s, _ in edges)
     base = (100 - d_pct) * scale // 100
-    r = {n: scale for n in nodes}
+    is_seed = (lambda n: n in seeds) if seeds is not None else (lambda n: True)
+    r = {n: scale * is_seed(n) for n in nodes}
     for _ in range(iters):
         inflow = defaultdict(int)
         for s, t in edges:
@@ -227,7 +232,8 @@ def _pagerank_ref(edges, iters, scale=10**9, d_pct=85, redistribute=False):
         if redistribute and nodes:
             share = sum(r[n] for n in nodes if deg[n] == 0) // len(nodes)
         r = {
-            n: base + (d_pct * (inflow.get(n, 0) + share)) // 100
+            n: is_seed(n) * base
+            + (d_pct * (inflow.get(n, 0) + share)) // 100
             for n in nodes
         }
     return r
@@ -238,24 +244,38 @@ def _pagerank_ref(edges, iters, scale=10**9, d_pct=85, redistribute=False):
     edges=st.lists(_edge, min_size=1, max_size=15),
     iters=st.integers(min_value=0, max_value=3),
     redistribute=st.booleans(),
+    seed_pick=st.one_of(st.none(), st.sets(st.integers(0, 6), max_size=4)),
 )
 def test_pagerank_matches_reference_on_random_graphs(
-    spark_prop, edges, iters, redistribute
+    spark_prop, edges, iters, redistribute, seed_pick
 ):
-    # self-loops, multi-edges, dangling nodes, disconnected parts —
+    # self-loops, multi-edges, dangling nodes, disconnected parts,
+    # seed sets that may be empty or miss the graph entirely —
     # whatever hypothesis draws, the distributed fixed-point loop must
     # equal the sequential reference EXACTLY (integer arithmetic has
-    # no tolerance band), in BOTH dangling-mass variants
+    # no tolerance band), in all dangling/personalization variants
     from f1_realtime_data_pipeline_spark.operators.graph import pagerank
 
     df = spark_prop.createDataFrame(edges, "src bigint, dst bigint")
+    seeds_df = (
+        spark_prop.createDataFrame(
+            [(s,) for s in sorted(seed_pick)], "node bigint"
+        )
+        if seed_pick is not None
+        else None
+    )
     got = {
         r.node: r.rank
         for r in pagerank(
-            df, iters=iters, redistribute_dangling=redistribute
+            df,
+            iters=iters,
+            redistribute_dangling=redistribute,
+            seeds=seeds_df,
         ).collect()
     }
-    assert got == _pagerank_ref(edges, iters, redistribute=redistribute)
+    assert got == _pagerank_ref(
+        edges, iters, redistribute=redistribute, seeds=seed_pick
+    )
 
 
 @settings(**_SETTINGS)

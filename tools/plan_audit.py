@@ -111,6 +111,7 @@ AUDIT = [
     # their plans executes a table lifecycle)
     "g_pagerank",
     "g_pagerank_dangling",
+    "g_ppr_seeded",
     "g_degree_stats",
     "t_classifier_scores",
     "t_classifier_dist",
