@@ -302,7 +302,12 @@ _WINDOW_HEAD_R15 = [
     # crawl-frontier expansion primitive); unrolled SQL twin with the
     # seed flag riding the node relation.
     "g_ppr_seeded",
-    # Slots 15-17: the three all-NULL-axis fix queries whose latest
+    # Slot 15: NEW in r15 — capped common-neighbor supplier similarity
+    # (shared-customer Jaccard in exact ppm; the item-item
+    # collaborative primitive with the occupancy-cap discipline
+    # bounding the co-occurrence self-join).
+    "g_common_neighbors",
+    # Slots 16-18: the three all-NULL-axis fix queries whose latest
     # driver rows PREDATE the late-r14 entry-filter/coalesce fixes
     # (e_knn_classify / e_diverse_topk: nrm > 0 classify-drop of
     # degenerate vectors in both engines; t_repetition: NULL-token
@@ -310,9 +315,9 @@ _WINDOW_HEAD_R15 = [
     "e_knn_classify",
     "e_diverse_topk",
     "t_repetition",
-    # Slots 18-50: the first 33 of the 48-row r11 cohort
+    # Slots 19-50: the first 32 of the 48-row r11 cohort
     # (tools/freshness.py oldest list, registration order). The
-    # remaining 15 (p_dataset_card .. t_sentence_chunk) lead r16's
+    # remaining 16 (t_pii_redact .. t_sentence_chunk) lead r16's
     # window, restoring the r12 freshness floor there.
     "p_project_rename",
     "p_json_extract",
@@ -346,7 +351,6 @@ _WINDOW_HEAD_R15 = [
     "d_incremental_dedup",
     "d_span_splice",
     "d_editdist_unicode",
-    "t_pii_redact",
 ]
 # Historical r15 staging note (the staging it describes is RESOLVED —
 # all eleven queries registered above; kept for the r14 audit trail):

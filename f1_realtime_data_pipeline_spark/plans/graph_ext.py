@@ -24,6 +24,7 @@ rank arithmetic is the BIGINT fixed-point contract documented in
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -337,6 +338,122 @@ ORDER BY rank DESC, node ASC
 LIMIT {PR_TOPK}"""
 
 _register("g_ppr_seeded", g_ppr_seeded, _PPR_SQL)
+
+
+#: per-customer supplier fanout cap for the common-neighbor join — the
+#: occupancy-cap discipline the LSH/clique families use: a co-occurrence
+#: self-join explodes quadratically on hub customers (C suppliers → C²
+#: pairs), so each customer contributes at most CAP deterministically
+#: chosen suppliers (smallest suppkey — stable, engine-portable). The
+#: cap IS the documented semantics (capped common-neighbors), mirrored
+#: exactly in the SQL twin; degrees use the capped edge set so the
+#: Jaccard stays internally consistent.
+CN_FANOUT_CAP = 40
+CN_TOPK = 20
+
+
+def g_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 supplier pairs by shared-customer Jaccard (exact ppm) —
+    the item-item collaborative-similarity primitive ("suppliers
+    bought by the same customers"), and the graph-side counterpart of
+    the embedding family's cosine near-dup.
+
+    Plan: cap each customer's supplier list (see ``CN_FANOUT_CAP``),
+    self-join the capped edge list on the customer key with ``a < b``
+    (each unordered pair once), count shared customers per pair, then
+    join per-supplier capped degrees and fold Jaccard into one integer
+    expression — shared·10⁶ DIV (deg_a + deg_b − shared). At 100 TB
+    the cap bounds the explode at CAP²/2 pairs per customer and the
+    pair aggregation combines map-side; no all-pairs path exists."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    from pyspark.sql import Window
+
+    e = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_suppkey").alias("supp"),
+        )
+        .distinct()
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("cust").orderBy("supp")
+            ),
+        )
+        .filter(F.col("__rn") <= CN_FANOUT_CAP)
+        .drop("__rn")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = e.groupBy("supp").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    l, r = e.alias("l"), e.alias("r")
+    shared = (
+        l.join(r, (F.col("l.cust") == F.col("r.cust")) & (F.col("l.supp") < F.col("r.supp")))
+        .groupBy(
+            F.col("l.supp").alias("supp_a"), F.col("r.supp").alias("supp_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+    )
+    da = deg.select(F.col("supp").alias("supp_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("supp").alias("supp_b"), F.col("deg").alias("deg_b"))
+    return (
+        shared.join(F.broadcast(da), "supp_a")
+        .join(F.broadcast(db), "supp_b")
+        .select(
+            "supp_a",
+            "supp_b",
+            "shared",
+            "deg_a",
+            "deg_b",
+            F.expr("(shared * 1000000) DIV (deg_a + deg_b - shared)")
+            .cast("bigint")
+            .alias("jaccard_ppm"),
+        )
+        .orderBy(
+            F.col("jaccard_ppm").desc(),
+            F.col("shared").desc(),
+            F.col("supp_a").asc(),
+            F.col("supp_b").asc(),
+        )
+        .limit(CN_TOPK)
+    )
+
+
+_register(
+    "g_common_neighbors",
+    g_common_neighbors,
+    f"""WITH raw AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), e AS (
+  SELECT cust, supp FROM (
+    SELECT cust, supp,
+           ROW_NUMBER() OVER (PARTITION BY cust ORDER BY supp) AS rn
+    FROM raw
+  ) WHERE rn <= {CN_FANOUT_CAP}
+), deg AS (
+  SELECT supp, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY supp
+), shared AS (
+  SELECT a.supp AS supp_a, b.supp AS supp_b,
+         CAST(COUNT(*) AS BIGINT) AS shared
+  FROM e a JOIN e b ON a.cust = b.cust AND a.supp < b.supp
+  GROUP BY 1, 2
+)
+SELECT s.supp_a, s.supp_b, s.shared,
+       da.deg AS deg_a, db.deg AS deg_b,
+       CAST((s.shared * 1000000) // (da.deg + db.deg - s.shared)
+            AS BIGINT) AS jaccard_ppm
+FROM shared s
+JOIN deg da ON s.supp_a = da.supp
+JOIN deg db ON s.supp_b = db.supp
+ORDER BY jaccard_ppm DESC, shared DESC, supp_a ASC, supp_b ASC
+LIMIT {CN_TOPK}""",
+)
 
 
 _register(

@@ -134,3 +134,49 @@ def test_g_pagerank_shape_contracts(spark, sf_dir):
     assert (cust["node"] == cust["entity_key"] * 2).all()
     supp = out[out["kind"] == "supplier"]
     assert (supp["node"] == supp["entity_key"] * 2 + 1).all()
+
+
+def _cn_fixture(spark, tmp_path, rows):
+    """orders/lineitem parquet from (custkey, suppkey) pairs — one
+    order per pair keeps the derivation trivial."""
+    orders = [(i, c) for i, (c, _) in enumerate(rows)]
+    lines = [(i, s) for i, (_, s) in enumerate(rows)]
+    spark.createDataFrame(
+        orders, "o_orderkey bigint, o_custkey bigint"
+    ).toPandas().to_parquet(str(tmp_path / "orders.parquet"), index=False)
+    spark.createDataFrame(
+        lines, "l_orderkey bigint, l_suppkey bigint"
+    ).toPandas().to_parquet(str(tmp_path / "lineitem.parquet"), index=False)
+    return str(tmp_path)
+
+
+def test_common_neighbors_hand_computed(spark, tmp_path):
+    # c1:{s1,s2} c2:{s1,s2} c3:{s1,s3} — (s1,s2) shared=2 with
+    # deg(s1)=3, deg(s2)=2 -> 2e6 // 3 = 666666 ppm; (s1,s3) shared=1
+    # -> 1e6 // 3 = 333333 ppm; (s2,s3) share nothing and must be
+    # ABSENT (retrieval returns co-occurring pairs only).
+    d = _cn_fixture(
+        spark, tmp_path,
+        [(1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 3)],
+    )
+    out = {(r.supp_a, r.supp_b): r for r in gx.g_common_neighbors(spark, d).collect()}
+    assert set(out) == {(1, 2), (1, 3)}
+    assert out[(1, 2)].shared == 2 and out[(1, 2)].jaccard_ppm == 666666
+    assert out[(1, 3)].shared == 1 and out[(1, 3)].jaccard_ppm == 333333
+    # pair ordering contract: a < b always
+    assert all(a < b for a, b in out)
+
+
+def test_common_neighbors_fanout_cap_binds(spark, tmp_path, monkeypatch):
+    # one hub customer with 4 suppliers; cap=2 keeps only the two
+    # SMALLEST suppkeys (deterministic), so pairs among {3,4} or
+    # crossing them must not appear and degrees reflect the cap.
+    monkeypatch.setattr(gx, "CN_FANOUT_CAP", 2)
+    d = _cn_fixture(
+        spark, tmp_path,
+        [(1, 1), (1, 2), (1, 3), (1, 4), (2, 1), (2, 2)],
+    )
+    out = {(r.supp_a, r.supp_b): r for r in gx.g_common_neighbors(spark, d).collect()}
+    assert set(out) == {(1, 2)}
+    assert out[(1, 2)].shared == 2
+    assert out[(1, 2)].deg_a == 2 and out[(1, 2)].deg_b == 2

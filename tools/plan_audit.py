@@ -112,6 +112,7 @@ AUDIT = [
     "g_pagerank",
     "g_pagerank_dangling",
     "g_ppr_seeded",
+    "g_common_neighbors",
     "g_degree_stats",
     "t_classifier_scores",
     "t_classifier_dist",
