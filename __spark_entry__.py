@@ -307,7 +307,14 @@ _WINDOW_HEAD_R15 = [
     # collaborative primitive with the occupancy-cap discipline
     # bounding the co-occurrence self-join).
     "g_common_neighbors",
-    # Slots 16-18: the three all-NULL-axis fix queries whose latest
+    # Slots 16-17: NEW in r15 — MIN/MAX incremental view maintenance
+    # (removal-affected groups recomputed via group-pruned snapshot
+    # read, additive groups maintained from v1; the path split itself
+    # is an oracle-checked column) and curriculum-phase binning
+    # (per-source score quartiles + an accounted unscored bin).
+    "cdc_incremental_minmax",
+    "t_curriculum_bins",
+    # Slots 18-20: the three all-NULL-axis fix queries whose latest
     # driver rows PREDATE the late-r14 entry-filter/coalesce fixes
     # (e_knn_classify / e_diverse_topk: nrm > 0 classify-drop of
     # degenerate vectors in both engines; t_repetition: NULL-token
@@ -315,9 +322,9 @@ _WINDOW_HEAD_R15 = [
     "e_knn_classify",
     "e_diverse_topk",
     "t_repetition",
-    # Slots 19-50: the first 32 of the 48-row r11 cohort
+    # Slots 21-50: the first 30 of the 48-row r11 cohort
     # (tools/freshness.py oldest list, registration order). The
-    # remaining 16 (t_pii_redact .. t_sentence_chunk) lead r16's
+    # remaining 18 (d_span_splice .. t_sentence_chunk) lead r16's
     # window, restoring the r12 freshness floor there.
     "p_project_rename",
     "p_json_extract",
@@ -349,8 +356,6 @@ _WINDOW_HEAD_R15 = [
     "s_intersect_except",
     "a_histogram",
     "d_incremental_dedup",
-    "d_span_splice",
-    "d_editdist_unicode",
 ]
 # Historical r15 staging note (the staging it describes is RESOLVED —
 # all eleven queries registered above; kept for the r14 audit trail):

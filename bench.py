@@ -109,6 +109,8 @@ HEADLINE = [
     "t_soft_dedup_weights",
     "cdc_row_images",
     "cdc_incremental_agg",
+    "cdc_incremental_minmax",
+    "t_curriculum_bins",
     "p_table_checksum",
 ]
 

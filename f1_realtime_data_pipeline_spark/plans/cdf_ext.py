@@ -222,6 +222,130 @@ FROM final GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 )
 
 
+def cdc_incremental_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority (count, MAX price) maintained from images — the
+    aggregate family ``cdc_incremental_agg`` deliberately does NOT
+    cover, because MAX is not delta-maintainable under removals: a
+    delete or update_pre that removes the current extremum cannot be
+    "subtracted" from the old MAX. The production IVM discipline,
+    implemented here:
+
+    - groups touched ONLY by additive frames (insert, update_post)
+      maintain incrementally: new_max = greatest(v1_max, adds_max) —
+      v1's rows never re-read;
+    - groups touched by ANY removal frame (delete, update_pre)
+      RECOMPUTE from the current snapshot — but only those groups,
+      via a semi-join pushdown (at 100 TB with a partitioned table,
+      partition pruning makes this read ∝ the affected groups' rows,
+      never the table);
+    - counts maintain exactly for every group (the sign trick), and
+      zero-count groups drop.
+
+    ``recomputed_group`` exposes WHICH path each output row took, so
+    the path split itself sits under the value oracle — a bug that
+    recomputes everything, or nothing, hash-mismatches even when the
+    values happen to agree. The grouping key is the change script's
+    own residue class (``o_orderkey % 5``) DELIBERATELY: grouping by
+    priority would put a removal in every group and leave the
+    incremental path dead under the oracle; cohort grouping gives
+    every maintenance path its own output row — cohorts 1/3 purely
+    incremental from v1 (untouched), cohort 4 additive-only
+    (inserts), cohort 2 recomputed (updates), cohort 0 dropped
+    (all deleted)."""
+    from f1_realtime_data_pipeline_spark.sources import manifest as mf
+
+    table, v1, _src = _build_cdc_table(spark, sf_dir, "cdfmm")
+    ck = F.pmod(F.col("o_orderkey"), F.lit(5)).cast("int").alias(
+        "change_cohort"
+    )
+    snap = mf.read_snapshot(spark, table, version=v1) if v1 else None
+    base = (snap if snap is not None else _src.limit(0)).groupBy(ck).agg(
+        F.max("o_totalprice").alias("v1_max"),
+        F.count(F.lit(1)).cast("bigint").alias("v1_n"),
+    )
+    frames = dict((tag, df) for df, tag in _images(spark, table, v1))
+    empty = _src.limit(0)
+    adds = (
+        (frames.get("insert") or empty)
+        .unionByName(frames.get("update_post") or empty)
+        .groupBy(ck)
+        .agg(
+            F.max("o_totalprice").alias("add_max"),
+            F.count(F.lit(1)).cast("bigint").alias("a_n"),
+        )
+    )
+    rems = (
+        (frames.get("delete") or empty)
+        .unionByName(frames.get("update_pre") or empty)
+        .groupBy(ck)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("r_n"))
+    )
+    # recompute ONLY the removal-affected groups, from the current
+    # snapshot, group-pruned by the semi join
+    cur = mf.read_snapshot(spark, table)
+    recomputed = (
+        (cur if cur is not None else empty)
+        .select(ck, "o_totalprice")
+        .join(
+            F.broadcast(rems.select("change_cohort")),
+            "change_cohort",
+            "semi",
+        )
+        .groupBy("change_cohort")
+        .agg(F.max("o_totalprice").alias("re_max"))
+    )
+    merged = (
+        base.join(adds, "change_cohort", "full_outer")
+        .join(rems, "change_cohort", "full_outer")
+        .join(recomputed, "change_cohort", "full_outer")
+    )
+    return (
+        merged.select(
+            "change_cohort",
+            (
+                F.coalesce("v1_n", F.lit(0))
+                + F.coalesce("a_n", F.lit(0))
+                - F.coalesce("r_n", F.lit(0))
+            ).cast("bigint").alias("n_orders"),
+            F.when(F.col("r_n").isNotNull(), F.col("re_max"))
+            .otherwise(F.greatest("v1_max", "add_max"))
+            .cast("double")
+            .alias("max_price"),
+            F.when(F.col("r_n").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("recomputed_group"),
+        )
+        .filter(F.col("n_orders") > 0)
+        .orderBy("change_cohort")
+    )
+
+
+_register(
+    "cdc_incremental_minmax",
+    cdc_incremental_minmax,
+    """WITH src AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice
+  FROM orders WHERE o_custkey % 10 = 3
+), final AS (
+  SELECT o_orderkey % 5 AS change_cohort, o_totalprice
+  FROM src WHERE o_orderkey % 5 IN (1, 3)
+  UNION ALL
+  SELECT o_orderkey % 5 AS change_cohort, o_totalprice + 1
+  FROM src WHERE o_orderkey % 5 = 2
+  UNION ALL
+  SELECT o_orderkey % 5 AS change_cohort, o_totalprice
+  FROM src WHERE o_orderkey % 5 = 4
+)
+SELECT CAST(change_cohort AS INT) AS change_cohort,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+       CAST(CASE WHEN change_cohort = 2 THEN 1 ELSE 0 END AS INT)
+           AS recomputed_group
+FROM final GROUP BY change_cohort ORDER BY change_cohort""",
+)
+
+
 # ---------------------------------------------------------------------------
 # order-free table checksum (snapshot validation)
 #

@@ -235,6 +235,75 @@ ORDER BY source, pred_class""",
 )
 
 
+#: curriculum phase count — quartiles of the classifier score within
+#: each source (phase 1 = lowest-scoring quartile, the contract a
+#: curriculum schedule consumes; phase 0 = unscored/NULL-text docs,
+#: kept as their own accounted bin, never dropped)
+CURRICULUM_PHASES = 4
+
+
+def t_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-phase assignment rolled up per (source, phase) —
+    the data-prep step of curriculum learning: documents enter
+    training in score order, so the schedule needs each source's
+    quartile boundaries and token mass per phase. NTILE over
+    (score, doc_id) within source — fully deterministic (unique
+    doc_id tie-break), identical in both engines; unscored docs
+    (NULL text → NULL score) form phase 0 so every document is
+    accounted. One scan via the shared classifier relation, one
+    window, one rollup; at 100 TB the window is per-source
+    (partitioned, never global)."""
+    from pyspark.sql import Window
+
+    per = t_classifier_scores(spark, sf_dir)
+    scored = per.filter(F.col("score").isNotNull()).withColumn(
+        "phase",
+        F.ntile(CURRICULUM_PHASES).over(
+            Window.partitionBy("source").orderBy("score", "doc_id")
+        ),
+    )
+    unscored = per.filter(F.col("score").isNull()).withColumn(
+        "phase", F.lit(0)
+    )
+    return (
+        scored.unionByName(unscored)
+        .groupBy("source", F.col("phase").cast("int").alias("phase"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_toks"),
+            F.min("score").cast("bigint").alias("min_score"),
+            F.max("score").cast("bigint").alias("max_score"),
+        )
+        .orderBy("source", "phase")
+    )
+
+
+_register(
+    "t_curriculum_bins",
+    t_curriculum_bins,
+    f"""WITH {_SCORES_CTE}, per AS (
+  SELECT doc_id, source, COALESCE(n_toks, 0) AS n_toks, best
+  FROM perdoc
+), phased AS (
+  SELECT source, n_toks, best,
+         NTILE({CURRICULUM_PHASES})
+           OVER (PARTITION BY source ORDER BY best, doc_id) AS phase
+  FROM per WHERE best IS NOT NULL
+  UNION ALL
+  SELECT source, n_toks, best, 0 AS phase
+  FROM per WHERE best IS NULL
+)
+SELECT source, CAST(phase AS INT) AS phase,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS n_toks,
+       CAST(MIN(best) AS BIGINT) AS min_score,
+       CAST(MAX(best) AS BIGINT) AS max_score
+FROM phased
+GROUP BY source, phase
+ORDER BY source, phase""",
+)
+
+
 # ---------------------------------------------------------------------------
 # recency weighting (exponential time decay)
 #

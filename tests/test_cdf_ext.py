@@ -111,3 +111,44 @@ def test_table_checksum_properties(spark, sf_dir, tmp_path):
     assert dupdf.loc[hit3, "xor_hash"] == b.loc[hit3, "xor_hash"]
     assert dupdf.loc[hit3, "sum_mod"] != b.loc[hit3, "sum_mod"]
     assert dupdf.loc[hit3, "n_rows"] == b.loc[hit3, "n_rows"] + 2
+
+
+def test_minmax_maintenance_path_split(spark, sf_dir):
+    # every maintenance path has its own cohort row: 1/3 purely
+    # incremental from v1 (untouched -> recomputed_group 0), 4
+    # additive-only inserts (0), 2 removal-affected (recomputed, 1),
+    # 0 dropped entirely (all rows deleted -> absent). The values must
+    # equal the direct recompute regardless of path.
+    out = cx.cdc_incremental_minmax(spark, sf_dir).toPandas().set_index(
+        "change_cohort"
+    )
+    assert sorted(out.index) == [1, 2, 3, 4]
+    assert out.loc[2, "recomputed_group"] == 1
+    assert [out.loc[c, "recomputed_group"] for c in (1, 3, 4)] == [0, 0, 0]
+    # direct recompute of the final state, straight from source
+    import pyspark.sql.functions as F
+
+    from f1_realtime_data_pipeline_spark.sources.parquet import read_table
+
+    src = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 10 == 3)
+        .select("o_orderkey", "o_totalprice")
+        .withColumn("c", F.pmod("o_orderkey", F.lit(5)))
+    )
+    direct = (
+        src.filter(F.col("c").isin(1, 3, 4))
+        .select("c", "o_totalprice")
+        .unionByName(
+            src.filter(F.col("c") == 2).select(
+                "c", (F.col("o_totalprice") + 1).alias("o_totalprice")
+            )
+        )
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("o_totalprice").alias("mx"))
+        .toPandas()
+        .set_index("c")
+    )
+    for c in (1, 2, 3, 4):
+        assert out.loc[c, "n_orders"] == direct.loc[c, "n"]
+        assert out.loc[c, "max_price"] == direct.loc[c, "mx"]

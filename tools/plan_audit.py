@@ -116,6 +116,7 @@ AUDIT = [
     "g_degree_stats",
     "t_classifier_scores",
     "t_classifier_dist",
+    "t_curriculum_bins",
     "t_bm25_topk",
     "t_bm25_postings",
     "w_decay_popularity",
