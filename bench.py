@@ -1,12 +1,25 @@
 """Throughput benchmark — the driver runs this per round (BENCH_r{N}.json).
 
 Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints the
-compact summary as the FINAL stdout line: {"metric": ..., "value":
-total_sec, "unit": "sec", "queries": {name: sec}, "sf": ...} — the
-per-query [min, median, max] spreads ride a separate PRECEDING line
-({"spread": ...}) so the summary line stays inside the driver's
-fixed-size stdout tail (VERDICT r12 #2).
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints a COMPACT
+summary as the FINAL stdout line. The driver captures a fixed-size
+(2000-char) stdout tail; r12 and r15 both broke the machine-readable
+channel by letting the final line outgrow it (r12: summary+spreads on
+one line; r15: 58 per-query timings + vs_prev + control + load). The
+contract is now (VERDICT r15 #1):
+
+- FINAL line: metric/value/unit/sf/n_queries + the three reference-
+  contract query timings + compact control + vs_prev. Built by
+  ``build_summary_line`` which HARD-CAPS the serialized length at
+  ``LINE_CAP`` (progressively dropping optional blocks, never the
+  headline value) so the tail can always parse it.
+- ``BENCH_DETAIL.json`` (repo root, overwritten per run): full
+  per-query timings, [min, median, max] spreads, control, load,
+  vs_prev — the judge-facing sidecar.
+- ``BENCH_HISTORY.jsonl`` (repo root, appended per run): the compact
+  per-run record {after_round, sf, runs, queries, control, value}
+  that future rounds' ``vs_prev`` reads now that the driver artifact
+  no longer carries the full per-query dict.
 
 Each query is executed to completion with the noop sink (full plan
 runs, nothing is collected to the driver — same I/O shape a real job
@@ -172,40 +185,135 @@ def best_of(fn, runs: int) -> float:
     return timed_runs(fn, runs)[0]
 
 
-def vs_prev_round(timings: dict, control_post: float, sf) -> dict | None:
+#: hard cap for the serialized final stdout line. The driver's tail is
+#: 2000 chars (measured on every BENCH_r*.json artifact: len(tail) ==
+#: 2000); the cap leaves ~10% headroom for the newline and any driver-
+#: side framing.
+LINE_CAP = 1800
+
+#: the reference-contract headliners that stay in the final line even
+#: in compact form (BASELINE.md's latency criteria are stated against
+#: these three).
+CONTRACT_HEAD = ["q0_stream_transform", "q1_standings", "q4_podium"]
+
+
+def max_artifact_round(root: str) -> int:
+    """Highest N among BENCH_r{N}.json driver artifacts in ``root``
+    (-1 when none exist). This is "the last recorded round": a bench
+    run happening now belongs to round N+1."""
+    import glob
+
+    best = -1
+    for p in glob.glob(os.path.join(root, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            best = max(best, int(m.group(1)))
+    return best
+
+
+def _usable_record(queries, control_post, rec_sf, sf):
+    """A prior record is comparable iff it carries a non-empty query
+    dict, a live control, and the SAME scale factor (a cross-sf delta
+    measures the data, not the code)."""
+    if not isinstance(queries, dict) or not queries:
+        return False
+    if not control_post:
+        return False
+    return rec_sf == sf
+
+
+def resolve_prev(sf, root: str) -> tuple | None:
+    """Pick the newest USABLE prior record to compare against.
+
+    Sources, merged and ranked by (round, #queries):
+
+    - driver artifacts ``BENCH_r{N}.json``: newest-first, skipping any
+      with ``parsed: null`` (the r15 failure) or an empty/absent query
+      dict (the compact post-r15 final line keeps only the contract
+      trio — still usable, but outranked by a same-round history
+      record carrying the full dict).
+    - ``BENCH_HISTORY.jsonl`` records appended by past runs. A record
+      written when the newest artifact was r{K} belongs to round K+1;
+      records with ``after_round == max_artifact_round`` are THIS
+      round's local reruns and are skipped (comparing a run against
+      itself would report ~0 and bury the real round-over-round
+      signal).
+
+    Returns (round_label, source, queries, control_post) or None.
+    """
+    import glob
+
+    cur_max = max_artifact_round(root)
+    best = None  # (round, n_queries, source, queries, ctl)
+
+    for p in sorted(glob.glob(os.path.join(root, "BENCH_r*.json")),
+                    reverse=True):
+        try:
+            with open(p) as fh:
+                prev = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+        parsed = prev.get("parsed") or {}
+        q = parsed.get("queries") or {}
+        ctl = (parsed.get("control") or {}).get("post_sec")
+        if _usable_record(q, ctl, parsed.get("sf"), sf):
+            best = (prev.get("n", -1), len(q), "artifact", q, ctl)
+            break  # newest usable artifact; older ones can't outrank it
+
+    hist = os.path.join(root, "BENCH_HISTORY.jsonl")
+    if os.path.exists(hist):
+        try:
+            lines = open(hist).read().splitlines()
+        except OSError:
+            lines = []
+        for line in reversed(lines):
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            after = rec.get("after_round", -1)
+            if cur_max >= 0 and after >= cur_max:
+                continue  # same-round local rerun — not a prior round
+            q = rec.get("queries") or {}
+            ctl = (rec.get("control") or {}).get("post_sec")
+            if not _usable_record(q, ctl, rec.get("sf"), sf):
+                continue
+            eff = after + 1
+            if best is None or (eff, len(q)) > (best[0], best[1]):
+                best = (eff, len(q), "history", q, ctl)
+            break  # newest eligible history record only
+
+    if best is None:
+        return None
+    return best[0], best[2], best[3], best[4]
+
+
+def vs_prev_round(timings: dict, control_post: float, sf,
+                  root: str | None = None) -> dict | None:
     """Control-normalized round-over-round delta (VERDICT r14 #7).
 
     r14's driver bench recorded a +29% sum that was ~16% box drift;
     the exoneration lived in README prose. This folds it into the
-    bench artifact itself: find the newest BENCH_r{N}.json the driver
-    left in the repo root, compare the sum over the queries COMMON to
-    both rounds, and scale the delta by the frozen control's ratio
-    (this round's post_sec / that round's post_sec — box speed, not
-    code). ``normalized_delta_pct`` is the code-attributable movement;
-    ``raw_delta_pct`` is what the wall clock said before exoneration.
-    Returns None when no prior artifact (or no usable control) exists.
+    bench artifact itself: resolve the newest USABLE prior record
+    (``resolve_prev`` — driver artifact or history sidecar; r15's
+    ``parsed: null`` artifact is skipped, per ADVICE r15), compare the
+    sum over the queries COMMON to both rounds, and scale the delta by
+    the frozen control's ratio (this round's post_sec / that round's
+    post_sec — box speed, not code). ``normalized_delta_pct`` is the
+    code-attributable movement; ``raw_delta_pct`` is what the wall
+    clock said before exoneration. Returns None when no usable prior
+    record (or no usable control) exists.
     """
-    import glob
-
-    here = os.path.dirname(os.path.abspath(__file__))
-    prevs = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
-    if not prevs:
+    if root is None:
+        root = os.path.dirname(os.path.abspath(__file__))
+    if not control_post:
         return None
-    try:
-        with open(prevs[-1]) as fh:
-            prev = json.load(fh)
-        parsed = prev.get("parsed") or {}
-        prev_q = parsed.get("queries") or {}
-        prev_ctl = (parsed.get("control") or {}).get("post_sec")
-        prev_n = prev.get("n")
-    except (OSError, json.JSONDecodeError):
+    prev = resolve_prev(sf, root)
+    if prev is None:
         return None
+    prev_n, source, prev_q, prev_ctl = prev
     common = sorted(set(timings) & set(prev_q))
-    if not common or not prev_ctl or not control_post:
-        return None
-    if parsed.get("sf") != sf:
-        # a cross-scale-factor comparison measures the data, not the
-        # code — refuse rather than emit a misleading delta
+    if not common:
         return None
     cur_sum = sum(timings[q] for q in common)
     prev_sum = sum(prev_q[q] for q in common)
@@ -214,6 +322,7 @@ def vs_prev_round(timings: dict, control_post: float, sf) -> dict | None:
     norm = 100.0 * (cur_sum / ratio - prev_sum) / prev_sum
     return {
         "round": prev_n,
+        "source": source,
         "n_common": len(common),
         "common_sum_sec": round(cur_sum, 3),
         "prev_common_sum_sec": round(prev_sum, 3),
@@ -221,6 +330,84 @@ def vs_prev_round(timings: dict, control_post: float, sf) -> dict | None:
         "raw_delta_pct": round(raw, 1),
         "normalized_delta_pct": round(norm, 1),
     }
+
+
+def build_summary_line(timings: dict, sf, runs: int, control: dict,
+                       vs_prev: dict | None) -> str:
+    """Serialize the FINAL stdout line, hard-capped at ``LINE_CAP``.
+
+    Always present: metric, value (suite sum), unit, sf, n_queries,
+    detail pointer. Optional blocks are dropped in reverse-importance
+    order if the line would exceed the cap (contract-query trio first,
+    then vs_prev, then control) — the headline value always survives.
+    The full per-query dict NEVER rides this line; it lives in
+    BENCH_DETAIL.json / BENCH_HISTORY.jsonl (VERDICT r15 #1).
+    """
+    head = {q: timings[q] for q in CONTRACT_HEAD if q in timings}
+    payload = {
+        "metric": (
+            f"headline suite wall-clock sum, noop sink, local mode, "
+            f"best-of-{runs} (min per query); per-query timings in "
+            f"BENCH_DETAIL.json"
+        ),
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "queries": head,
+        "control": {
+            "pre_sec": control.get("pre_sec"),
+            "post_sec": control.get("post_sec"),
+        },
+        "vs_prev": vs_prev,
+        "detail": "BENCH_DETAIL.json",
+    }
+    for drop in ("queries", "vs_prev", "control"):
+        line = json.dumps(payload)
+        if len(line) <= LINE_CAP:
+            return line
+        payload.pop(drop, None)
+    line = json.dumps(payload)
+    if len(line) > LINE_CAP:  # pragma: no cover — structurally tiny
+        raise AssertionError(
+            f"summary line {len(line)} chars exceeds LINE_CAP even "
+            f"after dropping all optional blocks"
+        )
+    return line
+
+
+def write_sidecars(root: str, *, sf, runs: int, timings: dict,
+                   spreads: dict, control: dict, load: dict,
+                   vs_prev: dict | None) -> None:
+    """Write BENCH_DETAIL.json (overwrite — the judge-facing full
+    record of the latest run) and append the compact per-run record to
+    BENCH_HISTORY.jsonl (what future rounds' vs_prev reads)."""
+    after = max_artifact_round(root)
+    detail = {
+        "after_round": after,
+        "sf": sf,
+        "runs": runs,
+        "value_sec": round(sum(timings.values()), 3),
+        "queries": timings,
+        "spreads": spreads,
+        "control": control,
+        "load": load,
+        "vs_prev": vs_prev,
+    }
+    with open(os.path.join(root, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1)
+        fh.write("\n")
+    hist_rec = {
+        "after_round": after,
+        "sf": sf,
+        "runs": runs,
+        "value_sec": detail["value_sec"],
+        "queries": timings,
+        "control": {"pre_sec": control.get("pre_sec"),
+                    "post_sec": control.get("post_sec")},
+    }
+    with open(os.path.join(root, "BENCH_HISTORY.jsonl"), "a") as fh:
+        fh.write(json.dumps(hist_rec) + "\n")
 
 
 def main() -> int:
@@ -342,59 +529,36 @@ def main() -> int:
     control_post = best_of(
         lambda: run_to_completion(control_plan(spark, sf_dir)), runs
     )
-    # TWO lines, spread FIRST and the compact summary LAST (VERDICT
-    # r12 #2): the driver captures a fixed-size tail of stdout, and
-    # r12's single line — summary + the full per-query spread dict —
-    # outgrew it, clipping the line's START and losing the headline
-    # metric ("parsed": null in BENCH_r12.json). The self-exoneration
-    # spread (VERDICT r11 #6) stays available on its own preceding
-    # line; the final line is short enough to always survive the tail.
+    # Emission contract (VERDICT r15 #1): full per-query detail goes
+    # to the sidecars (BENCH_DETAIL.json for the judge, a
+    # BENCH_HISTORY.jsonl record for future rounds' vs_prev); the
+    # FINAL stdout line is the length-capped compact summary built by
+    # build_summary_line — never the per-query dict, which outgrew the
+    # driver's 2000-char tail in r15 and zeroed the round's
+    # machine-readable bench channel.
+    root = os.path.dirname(os.path.abspath(__file__))
+    control = {
+        "pre_sec": control_pre,
+        "post_sec": control_post,
+        "desc": "frozen lineitem filter+groupBy agg; compare POST_SEC "
+        "across rounds (pre carries residual JVM warmup; delta = box "
+        "load, not code)",
+    }
+    load = {
+        "start_1m_5m_15m": [round(x, 2) for x in load_start],
+        "end_1m_5m_15m": [round(x, 2) for x in os.getloadavg()],
+    }
+    vs_prev = vs_prev_round(timings, control_post, sf, root)
+    write_sidecars(root, sf=sf, runs=runs, timings=timings,
+                   spreads=spreads, control=control, load=load,
+                   vs_prev=vs_prev)
+    # the spread line stays on stdout (human-readable continuity; it
+    # precedes the final line so the tail always ends with the compact
+    # summary)
     print(json.dumps({"spread": spreads}))
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    f"headline query wall-clock, noop sink, local mode, "
-                    f"best-of-{runs} (min per query)"
-                ),
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                # zero-code-change load control (VERDICT r9 #1): a
-                # frozen lineitem scan-agg defined in bench.py, timed
-                # best-of-N before and after the suite. NOT summed
-                # into value. Compare across rounds: if the control
-                # moved, the box did — exonerate per-query deltas
-                # before reading them as regressions.
-                "control": {
-                    "pre_sec": control_pre,
-                    "post_sec": control_post,
-                    "desc": "frozen lineitem filter+groupBy agg; "
-                    "compare POST_SEC across rounds (pre carries "
-                    "residual JVM warmup; delta = box load, not code)",
-                },
-                # load evidence (VERDICT r11 #6): loadavg at suite
-                # start/end; per-query best-of-N [min, median, max]
-                # spreads are on the PRECEDING stdout line — a spike
-                # with a quiet control self-exonerates as box
-                # contention, not a code regression.
-                "load": {
-                    "start_1m_5m_15m": [round(x, 2) for x in load_start],
-                    "end_1m_5m_15m": [
-                        round(x, 2) for x in os.getloadavg()
-                    ],
-                },
-                # round-over-round movement with the box factored out
-                # (VERDICT r14 #7): sum over the queries common to the
-                # newest recorded BENCH artifact, divided by the
-                # control ratio — normalized_delta_pct is the
-                # code-attributable drift; raw_delta_pct is the
-                # unexonerated wall-clock one.
-                "vs_prev": vs_prev_round(timings, control_post, sf),
-            }
-        )
-    )
+    line = build_summary_line(timings, sf, runs, control, vs_prev)
+    assert len(line) <= LINE_CAP, len(line)
+    print(line)
     return 0
 
 

@@ -119,6 +119,17 @@ def pagerank(
     """
     if iters < 0:
         raise ValueError(f"iters must be >= 0, got {iters}")
+    # validate BEFORE any arithmetic: damping_pct=0 or scale=0 would
+    # reach the headroom guard's divisor as 0 and raise a bare
+    # ZeroDivisionError instead of a contract error (ADVICE r15);
+    # damping_pct=100 would zero the teleport base and strand rank at
+    # pure inflow — outside the PageRank contract either way.
+    if not 1 <= damping_pct <= 99:
+        raise ValueError(
+            f"damping_pct must be in 1..99 (percent), got {damping_pct}"
+        )
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
     base = (100 - damping_pct) * scale // 100
 
     e = edges.select(

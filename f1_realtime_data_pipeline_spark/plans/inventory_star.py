@@ -1727,6 +1727,78 @@ def _scratch_table_dir(spark, sf_dir, prefix):
 #: this process (test introspection only; not part of the data path)
 _LAST_SCRATCH: dict = {}
 
+#: (applicationId, sf_dir) → (table, v1, src) for the shared CDC
+#: change-script table (see shared_cdc_table)
+_CDC_CACHE: dict = {}
+
+
+def shared_cdc_table(spark, sf_dir):
+    """Build-once-per-(app, sf_dir) CDC change-script table (VERDICT
+    r15 #3).
+
+    cdc_row_diff / cdc_row_images / cdc_incremental_agg /
+    cdc_incremental_minmax all consume the SAME deterministic change
+    script (orders slice o_custkey%10=3; orderkey%5 residue classes:
+    v1 commits {0,1,2,3}, MERGE inserts class 4 and updates class 2
+    with +1.0, DELETE erases class 0 — see cdc_row_diff's docstring
+    for why +1.0 and not *2). Before r16 each of the four rebuilt its
+    own copy at plan-construction time — ~23 s of the 94 s bench was
+    duplicated fixture lifecycle. The script is write-once/read-many:
+    after the three commits nothing mutates the table (the compaction
+    lifecycle query keeps its own private table for exactly that
+    reason), so one committed copy per (applicationId, sf_dir) serves
+    every consumer with bit-identical reads.
+
+    Returns (table_path, v1_snapshot, src_plan). Rebuilds if the
+    cached directory vanished (tmp sweeps, tools/staged_decade's
+    between-run scrub).
+    """
+    import os as _os
+    import threading as _threading
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    lock = _CDC_CACHE.setdefault("__lock__", _threading.Lock())
+    with lock:
+        hit = _CDC_CACHE.get(key)
+        if hit is not None and _os.path.exists(hit[0]):
+            return hit
+
+        from f1_realtime_data_pipeline_spark.sources import manifest as mf
+        from f1_realtime_data_pipeline_spark.streaming.sinks import (
+            transactional_delete,
+            transactional_merge,
+            transactional_parquet_sink,
+        )
+
+        table = f"{_scratch_table_dir(spark, sf_dir, 'cdc')}/orders_cdc"
+        src = (
+            _t(spark, sf_dir, "orders")
+            .filter(F.col("o_custkey") % 10 == 3)
+            .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        )
+        mod = F.pmod(F.col("o_orderkey"), F.lit(5))
+        write = transactional_parquet_sink(
+            table, keys=["o_orderkey"], order_cols=["o_orderpriority"]
+        )
+        write(src.filter(mod != 4), 0)
+        v1, _ = mf.resolve_snapshot(spark, table)
+        ups = src.filter(mod.isin(2, 4)).withColumn(
+            "o_totalprice",
+            F.when(mod == 2, F.col("o_totalprice") + 1).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        transactional_merge(
+            ups, table, keys=["o_orderkey"], order_cols=["o_orderpriority"]
+        )
+        transactional_delete(
+            src.filter(mod == 0).select("o_orderkey"),
+            table,
+            keys=["o_orderkey"],
+        )
+        _CDC_CACHE[key] = (table, v1, src)
+        return _CDC_CACHE[key]
+
 
 def cdc_row_diff(spark, sf_dir):
     """Change-data-capture contract under the driver (r13, VERDICT r12
@@ -1759,42 +1831,13 @@ def cdc_row_diff(spark, sf_dir):
     'update' into a dropped row on an undocumented positive-price data
     invariant — x + 1.0 changes EVERY double below 2^52 and both
     engines compute it to the identical IEEE bit pattern, no epsilon.
-    Working dir is uuid-keyed per invocation (see
-    ``_scratch_table_dir``)."""
+    The committed change-script table is built ONCE per
+    (applicationId, sf_dir) and shared with the three cdf_ext
+    consumers (``shared_cdc_table``, VERDICT r15 #3 — the script is
+    write-once/read-many, so sharing cannot change any read)."""
     from f1_realtime_data_pipeline_spark.sources import manifest as mf
-    from f1_realtime_data_pipeline_spark.streaming.sinks import (
-        transactional_delete,
-        transactional_merge,
-        transactional_parquet_sink,
-    )
 
-    table = f"{_scratch_table_dir(spark, sf_dir, 'cdc')}/orders_cdc"
-
-    src = (
-        _t(spark, sf_dir, "orders")
-        .filter(F.col("o_custkey") % 10 == 3)
-        .select("o_orderkey", "o_orderpriority", "o_totalprice")
-    )
-    mod = F.pmod(F.col("o_orderkey"), F.lit(5))
-
-    write = transactional_parquet_sink(
-        table, keys=["o_orderkey"], order_cols=["o_orderpriority"]
-    )
-    write(src.filter(mod != 4), 0)
-    v1, _ = mf.resolve_snapshot(spark, table)
-
-    ups = src.filter(mod.isin(2, 4)).withColumn(
-        "o_totalprice",
-        F.when(mod == 2, F.col("o_totalprice") + 1).otherwise(
-            F.col("o_totalprice")
-        ),
-    )
-    transactional_merge(
-        ups, table, keys=["o_orderkey"], order_cols=["o_orderpriority"]
-    )
-    transactional_delete(
-        src.filter(mod == 0).select("o_orderkey"), table, keys=["o_orderkey"]
-    )
+    table, v1, src = shared_cdc_table(spark, sf_dir)
 
     inserted, deleted, updated = mf.read_row_diff(
         spark, table, v1, keys=["o_orderkey"]

@@ -70,6 +70,15 @@ def test_pagerank_iters_zero_and_validation(spark):
     assert _ranks(pagerank(edges, iters=0)) == {1: RANK_SCALE, 2: RANK_SCALE}
     with pytest.raises(ValueError):
         pagerank(edges, iters=-1)
+    # ADVICE r15: damping_pct=0 / scale=0 previously reached the
+    # headroom guard's divisor as 0 and raised a bare
+    # ZeroDivisionError; both must fail as contract errors instead.
+    with pytest.raises(ValueError, match="damping_pct"):
+        pagerank(edges, iters=1, damping_pct=0)
+    with pytest.raises(ValueError, match="damping_pct"):
+        pagerank(edges, iters=1, damping_pct=100)
+    with pytest.raises(ValueError, match="scale"):
+        pagerank(edges, iters=1, scale=0)
 
 
 def test_pagerank_bigint_headroom_guard(spark):
