@@ -670,6 +670,85 @@ def e_knn_join_derived(spark, sf_dir):
 _register("e_knn_join_derived", e_knn_join_derived, sim.knn_join_adc_derived_sql(3))
 
 
+def e_knn_join_recall_audit(spark, sf_dir):
+    """Recall@k of the REGISTERED batch kNN join (derived-plane form)
+    against exact brute-force truth over a sampled query cohort
+    (VERDICT r15 #6): ``e_knn_recall_audit`` covers the point-query
+    path (``knn_lsh``); this audits the production JOIN's shortlist,
+    so the corpus-derived plane count cannot silently trade recall as
+    N grows — occupancy stays constant BY CONSTRUCTION, but recall
+    per occupancy is an empirical property this query measures.
+
+    Shape: truth = exact cosine top-3 for the 16-vector query cohort
+    (one broadcast of 16 unit vectors against one corpus scan — never
+    N²); found = the registered ``knn_join_adc_derived`` output
+    FILTERED to the cohort, so the audited artifact is bit-identical
+    to what ``e_knn_join_derived`` serves (same planes, same SDC
+    shortlist, same verify). Recall in integer ppm per query; the
+    DuckDB twin recomputes both sides from the same closed forms, so
+    a hash match pins the measured recall itself, not just the
+    plumbing. Shared-input discipline per e_knn_recall_audit: one
+    persisted embeddings relation feeds truth and found."""
+    from pyspark import StorageLevel
+
+    embs = _embs(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    truth = (
+        sim.knn_bruteforce(embs, n_queries=16, k=3)
+        .select("query_id", "neighbor_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    found = (
+        sim.knn_join_adc_derived(embs, k=3)
+        .filter(F.col("query_id") < 16)
+        .select("query_id", F.col("neighbor_id").alias("f_neighbor"))
+    )
+    hit = truth.join(
+        found,
+        (truth.query_id == found.query_id)
+        & (truth.neighbor_id == found.f_neighbor),
+        "left_semi",
+    )
+    n_true = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
+    n_hit = hit.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_found"))
+    return (
+        n_true.join(n_hit, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("n_true").cast("int").alias("n_true"),
+            F.coalesce("n_found", F.lit(0)).cast("int").alias("n_found"),
+        )
+        .withColumn(
+            "recall_ppm",
+            F.expr("CAST((n_found * 1000000) DIV n_true AS BIGINT)"),
+        )
+    )
+
+
+_register(
+    "e_knn_join_recall_audit",
+    e_knn_join_recall_audit,
+    f"""WITH truth AS (
+  SELECT query_id, neighbor_id FROM ({sim.knn_bruteforce_sql(16, 3)})
+), found AS (
+  SELECT query_id, neighbor_id FROM ({sim.knn_join_adc_derived_sql(3)})
+  WHERE query_id < 16
+), n_true AS (
+  SELECT query_id, COUNT(*) AS n_true FROM truth GROUP BY query_id
+), n_hit AS (
+  SELECT t.query_id, COUNT(*) AS n_found
+  FROM truth t JOIN found f
+    ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+  GROUP BY t.query_id
+)
+SELECT n_true.query_id,
+       CAST(n_true.n_true AS INT) AS n_true,
+       CAST(COALESCE(n_hit.n_found, 0) AS INT) AS n_found,
+       CAST((COALESCE(n_hit.n_found, 0) * 1000000) // n_true.n_true AS BIGINT)
+           AS recall_ppm
+FROM n_true LEFT JOIN n_hit ON n_hit.query_id = n_true.query_id""",
+)
+
+
 #: cosine threshold for the near-dup detectors — the production value
 #: for model embeddings. The synthetic embeddings top out around
 #: cosine ~0.5 (no natural near-dups), so the near-dup queries run on

