@@ -404,7 +404,77 @@ _WINDOW_HEAD_R15 = [
 # robustness axis (empty/unicode/skew/degenerate/onerow/allnull)
 # before staging.
 
-_WINDOW_HEAD = _WINDOW_HEAD_R15
+_WINDOW_HEAD_R16 = [
+    # --- r16 rotation (VERDICT r15 #2). Slot 1: the ONE new r16
+    # registration — recall@k of the registered derived-plane batch
+    # kNN join vs exact brute-force truth (VERDICT r15 #6); debuts
+    # in-window so the 0-never-checked invariant holds.
+    "e_knn_join_recall_audit",
+    # Slots 2-11: the queries this round's edits touched (driver
+    # evidence must postdate the edit): the four cdc_* consumers now
+    # reading the SHARED build-once change-script table (VERDICT r15
+    # #3), the three sink-riding queries affected by the
+    # MAX_COMMIT_BUCKETS bound + centralized touched-bucket collects
+    # (VERDICT r15 #4), and the three pagerank-family queries behind
+    # the damping/scale validation guard (ADVICE r15).
+    "cdc_row_diff",
+    "cdc_row_images",
+    "cdc_incremental_agg",
+    "cdc_incremental_minmax",
+    "o_compaction_exec",
+    "q1_standings_mv",
+    "q3_classification_mv",
+    "g_pagerank",
+    "g_pagerank_dangling",
+    "g_ppr_seeded",
+    # Slots 12-29: the ENTIRE r11 cohort — all 18 rows whose latest
+    # driver evidence is round 11 (tools/freshness.py oldest list,
+    # registration order). After this round the freshness floor is r12
+    # with zero never-checked rows (VERDICT r15 #2's done-condition).
+    "d_span_splice",
+    "d_editdist_unicode",
+    "t_pii_redact",
+    "p_dataset_card",
+    "t_train_split",
+    "t_pack_sequences_dist",
+    "t_stratified_sample",
+    "e_knn_bruteforce",
+    "e_cosine_neardup_exact",
+    "d_span_dedup",
+    "d_span_dedup_stats",
+    "e_pq_codes",
+    "t_mixture_resample",
+    "t_dsir_select",
+    "t_priority_sample",
+    "t_weighted_sample",
+    "t_heavy_hitters_cms",
+    "t_sentence_chunk",
+    # Slots 30-50: the first 21 of the 47-row r12 cohort in
+    # registration order; the remaining 26 lead r17's window.
+    "p_case_points",
+    "s7_upsert_dim",
+    "j_salted",
+    "a_approx_percentile",
+    "a_approx_percentile_tail",
+    "a_hll_merge_audit",
+    "a_theta_set_audit",
+    "q1_standings",
+    "w_asof_attribution",
+    "w_lateness_audit",
+    "t_quality_gopher",
+    "t_quality_gopher_edges",
+    "t_contamination_bloom",
+    "pipeline_corpus_v2",
+    "d_editdist_neardup",
+    "t_shuffle_order",
+    "t_interleave_sources",
+    "t_length_buckets",
+    "o_zorder_layout",
+    "t_quality",
+    "t_lang_id",
+]
+
+_WINDOW_HEAD = _WINDOW_HEAD_R16
 
 
 

@@ -125,6 +125,9 @@ HEADLINE = [
     "cdc_incremental_minmax",
     "t_curriculum_bins",
     "p_table_checksum",
+    # r16 (VERDICT r15 #6): recall audit of the registered batch kNN
+    # join — first driver-recorded perf series.
+    "e_knn_join_recall_audit",
 ]
 
 
