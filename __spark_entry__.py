@@ -405,11 +405,17 @@ _WINDOW_HEAD_R15 = [
 # before staging.
 
 _WINDOW_HEAD_R16 = [
-    # --- r16 rotation (VERDICT r15 #2). Slot 1: the ONE new r16
-    # registration — recall@k of the registered derived-plane batch
-    # kNN join vs exact brute-force truth (VERDICT r15 #6); debuts
+    # --- r16 rotation (VERDICT r15 #2). Slots 1-3: the THREE new r16
+    # registrations — recall@k of the registered derived-plane batch
+    # kNN join vs exact brute-force truth (VERDICT r15 #6), HITS
+    # hubs/authorities (the link-analysis complement of g_pagerank,
+    # L∞-normalized BIGINT fixed point, unrolled SQL twin), and
+    # reciprocal-rank fusion of the BM25 and LSH-kNN rankings (the
+    # hybrid-retrieval primitive, integer-exact ppb). All debut
     # in-window so the 0-never-checked invariant holds.
     "e_knn_join_recall_audit",
+    "g_hits",
+    "t_rrf_fusion",
     # Slots 2-11: the queries this round's edits touched (driver
     # evidence must postdate the edit): the four cdc_* consumers now
     # reading the SHARED build-once change-script table (VERDICT r15
@@ -449,8 +455,8 @@ _WINDOW_HEAD_R16 = [
     "t_weighted_sample",
     "t_heavy_hitters_cms",
     "t_sentence_chunk",
-    # Slots 30-50: the first 21 of the 47-row r12 cohort in
-    # registration order; the remaining 26 lead r17's window.
+    # Slots 32-50: the first 19 of the 47-row r12 cohort in
+    # registration order; the remaining 28 lead r17's window.
     "p_case_points",
     "s7_upsert_dim",
     "j_salted",
@@ -470,8 +476,6 @@ _WINDOW_HEAD_R16 = [
     "t_interleave_sources",
     "t_length_buckets",
     "o_zorder_layout",
-    "t_quality",
-    "t_lang_id",
 ]
 
 _WINDOW_HEAD = _WINDOW_HEAD_R16

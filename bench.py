@@ -128,6 +128,11 @@ HEADLINE = [
     # r16 (VERDICT r15 #6): recall audit of the registered batch kNN
     # join — first driver-recorded perf series.
     "e_knn_join_recall_audit",
+    # r16 new operators: HITS hubs/authorities (the PageRank-family
+    # loop at 2 half-rounds/iteration) and RRF hybrid retrieval fusion
+    # (BM25 + kNN, both registered scale forms).
+    "g_hits",
+    "t_rrf_fusion",
 ]
 
 

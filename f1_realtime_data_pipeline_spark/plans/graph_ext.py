@@ -30,7 +30,9 @@ from pyspark.sql import functions as F
 
 from f1_realtime_data_pipeline_spark.operators.graph import (
     DAMPING_PCT,
+    HITS_SCALE,
     RANK_SCALE,
+    hits,
     pagerank,
 )
 from f1_realtime_data_pipeline_spark.sources.parquet import read_table
@@ -478,3 +480,111 @@ FROM deg
 GROUP BY 1
 ORDER BY kind""",
 )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (r16): Kleinberg's alternating fixed point
+# on the DIRECTED bipartite co-purchase graph — customers are hubs
+# ("buys from good suppliers"), suppliers are authorities ("bought by
+# good customers"). The link-analysis complement of g_pagerank: same
+# loop discipline (edges persisted once, |side|-row shuffles, one
+# 1-row scalar broadcast per half-round for the L∞ normalization),
+# operator in operators/graph.py:hits. The oracle unrolls the three
+# rounds with the update rule generated by ONE helper per half-step,
+# so the rounds cannot drift apart.
+# ---------------------------------------------------------------------------
+
+HITS_ITERS = 3
+HITS_TOPK = 10
+
+
+def g_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 hub customers and top-10 authority suppliers after 3
+    L∞-normalized HITS rounds, BIGINT fixed point (exact in both
+    engines — see operators.graph.hits for the determinism
+    contract)."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    one_dir = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    scores = hits(one_dir, iters=HITS_ITERS)
+    hubs = (
+        scores.filter(F.col("node") % 2 == 0)
+        .select(
+            F.lit("hub").alias("kind"),
+            F.expr("node DIV 2").cast("bigint").alias("entity_key"),
+            F.col("hub").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("entity_key").asc())
+        .limit(HITS_TOPK)
+    )
+    auths = (
+        scores.filter(F.col("node") % 2 == 1)
+        .select(
+            F.lit("authority").alias("kind"),
+            F.expr("node DIV 2").cast("bigint").alias("entity_key"),
+            F.col("auth").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("entity_key").asc())
+        .limit(HITS_TOPK)
+    )
+    return hubs.unionAll(auths).orderBy(
+        F.col("kind").asc(), F.col("score").desc(), F.col("entity_key").asc()
+    )
+
+
+def _hits_round_sql(prev_auth: str, hub_out: str, auth_out: str) -> str:
+    """One unrolled HITS round (two half-steps) — the single source of
+    the oracle's update rule."""
+    return f"""{hub_out}_raw AS (
+  SELECT e.src AS node, CAST(SUM(a.score) AS BIGINT) AS raw
+  FROM e JOIN {prev_auth} a ON e.dst = a.node GROUP BY e.src
+), {hub_out} AS (
+  SELECT node, CAST((raw * {HITS_SCALE})
+         // (SELECT MAX(raw) FROM {hub_out}_raw) AS BIGINT) AS score
+  FROM {hub_out}_raw
+), {auth_out}_raw AS (
+  SELECT e.dst AS node, CAST(SUM(h.score) AS BIGINT) AS raw
+  FROM e JOIN {hub_out} h ON e.src = h.node GROUP BY e.dst
+), {auth_out} AS (
+  SELECT node, CAST((raw * {HITS_SCALE})
+         // (SELECT MAX(raw) FROM {auth_out}_raw) AS BIGINT) AS score
+  FROM {auth_out}_raw
+)"""
+
+
+_HITS_SQL = f"""WITH e AS (
+  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), a0 AS (
+  SELECT DISTINCT dst AS node, CAST({HITS_SCALE} AS BIGINT) AS score FROM e
+), {_hits_round_sql("a0", "h1", "a1")},
+{_hits_round_sql("a1", "h2", "a2")},
+{_hits_round_sql("a2", "h3", "a3")},
+hr AS (
+  SELECT 'hub' AS kind, CAST(node // 2 AS BIGINT) AS entity_key, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, node ASC) AS rn
+  FROM h3
+), ar AS (
+  SELECT 'authority' AS kind, CAST(node // 2 AS BIGINT) AS entity_key, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, node ASC) AS rn
+  FROM a3
+)
+SELECT kind, entity_key, score FROM (
+  SELECT * FROM hr WHERE rn <= {HITS_TOPK}
+  UNION ALL
+  SELECT * FROM ar WHERE rn <= {HITS_TOPK}
+)
+ORDER BY kind ASC, score DESC, entity_key ASC"""
+
+_register("g_hits", g_hits, _HITS_SQL)

@@ -611,6 +611,98 @@ _register("t_bm25_postings", t_bm25_postings, ORACLE["t_bm25_topk"])
 
 
 # ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal-rank fusion of the lexical (BM25) and
+# semantic (LSH kNN) rankings — the standard production RAG stack
+# (every hybrid search engine ships RRF because it needs no score
+# calibration between heterogeneous rankers). Integer-exact: each
+# list contributes 10^9 DIV (K + rank) "ppb" per document, so the
+# oracle matches bit-for-bit and no float fusion weight exists to
+# drift between engines.
+# ---------------------------------------------------------------------------
+
+RRF_K = 60       # the canonical damping constant from the RRF paper
+RRF_TOPK = 10
+RRF_KNN_K = 20   # semantic list depth (matches BM25_TOP_K)
+
+
+def t_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused top-10 for the fixture query: lexical = the registered
+    integer-exact BM25 top-20 (``t_bm25_topk``), semantic = the
+    registered multi-table sign-LSH kNN of query vector 0 over the
+    embeddings table (vec_id ≡ doc_id in the star schema). Score =
+    Σ_lists 10^9 DIV (60 + rank); documents absent from a list
+    contribute 0 from it. Ties break on doc_id.
+
+    Scale shape: both input rankers are the registered scale forms
+    (BM25: one corpus scan, zero joins; kNN: bucket-pruned candidates,
+    never N²); the fusion itself joins two ≤k-row relations — the
+    lex_rank window runs over the ALREADY-LIMITed 20-row BM25 output
+    (a deliberate 20-row single-partition window, not a corpus
+    sort)."""
+    from pyspark.sql import Window
+
+    from f1_realtime_data_pipeline_spark.operators import similarity as sim
+
+    lex = t_bm25_topk(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+        .cast("int")
+        .alias("lex_rank"),
+    )
+    sem = sim.knn_lsh(
+        read_table(spark, sf_dir, "embeddings"), n_queries=1, k=RRF_KNN_K
+    ).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rnk").cast("int").alias("sem_rank"),
+    )
+    return (
+        lex.join(sem, "doc_id", "full_outer")
+        .withColumn(
+            "rrf_ppb",
+            (
+                F.coalesce(
+                    F.expr(f"1000000000 DIV ({RRF_K} + lex_rank)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"1000000000 DIV ({RRF_K} + sem_rank)"), F.lit(0)
+                )
+            ).cast("bigint"),
+        )
+        .select("doc_id", "lex_rank", "sem_rank", "rrf_ppb")
+        .orderBy(F.col("rrf_ppb").desc(), F.col("doc_id").asc())
+        .limit(RRF_TOPK)
+    )
+
+
+def _rrf_fusion_sql() -> str:
+    from f1_realtime_data_pipeline_spark.operators.similarity import (
+        knn_lsh_sql,
+    )
+
+    return f"""WITH lex AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
+             AS lex_rank
+  FROM ({ORACLE["t_bm25_topk"]})
+), sem AS (
+  SELECT CAST(neighbor_id AS BIGINT) AS doc_id, CAST(rnk AS INT) AS sem_rank
+  FROM ({knn_lsh_sql(1, RRF_KNN_K)})
+)
+SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+       lex.lex_rank, sem.sem_rank,
+       CAST(COALESCE(1000000000 // ({RRF_K} + lex.lex_rank), 0)
+            + COALESCE(1000000000 // ({RRF_K} + sem.sem_rank), 0)
+            AS BIGINT) AS rrf_ppb
+FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+ORDER BY rrf_ppb DESC, doc_id ASC
+LIMIT {RRF_TOPK}"""
+
+
+_register("t_rrf_fusion", t_rrf_fusion, _rrf_fusion_sql())
+
+
+# ---------------------------------------------------------------------------
 # soft dedup: duplicate-count reweighting instead of dropping
 #
 # The alternative to hard exact-dedup the training literature keeps

@@ -189,3 +189,69 @@ def test_common_neighbors_fanout_cap_binds(spark, tmp_path, monkeypatch):
     assert set(out) == {(1, 2)}
     assert out[(1, 2)].shared == 2
     assert out[(1, 2)].deg_a == 2 and out[(1, 2)].deg_b == 2
+
+
+# ---------------------------------------------------------------------------
+# HITS (r16)
+# ---------------------------------------------------------------------------
+
+
+def test_hits_hand_computed(spark):
+    """Three L∞-normalized rounds on a 2-hub/2-authority bipartite
+    graph, every intermediate hand-derived (scale=1e6):
+    h3 = {1: 615384, 2: 1e6}; a3 = {10: 1e6, 11: 619047}."""
+    from f1_realtime_data_pipeline_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [(1, 10), (2, 10), (2, 11)], "src bigint, dst bigint"
+    )
+    out = {r.node: (r.hub, r.auth) for r in hits(edges, iters=3).collect()}
+    assert out == {
+        1: (615384, 0),
+        2: (1_000_000, 0),
+        10: (0, 1_000_000),
+        11: (0, 619047),
+    }
+
+
+def test_hits_validation_and_degenerate(spark):
+    from f1_realtime_data_pipeline_spark.operators.graph import hits
+
+    edges = spark.createDataFrame([(1, 10)], "src bigint, dst bigint")
+    with pytest.raises(ValueError, match="iters"):
+        hits(edges, iters=-1)
+    with pytest.raises(ValueError, match="scale"):
+        hits(edges, iters=1, scale=0)
+    # degree bound: a scale so large one edge exceeds the BIGINT
+    # headroom must refuse with the remedy in the message
+    with pytest.raises(ValueError, match="scale"):
+        hits(edges, iters=1, scale=2**32)
+    # iters=0: both sides at the initial scale, zero cross-scores
+    stats: dict = {}
+    out = {r.node: (r.hub, r.auth)
+           for r in hits(edges, iters=0, stats=stats).collect()}
+    assert out == {1: (1_000_000, 0), 10: (0, 1_000_000)}
+    assert stats == {"n_edges": 1, "deg_max": 1, "iters": 0}
+    # empty graph: empty result, no division ever evaluated
+    assert hits(edges.filter(F.lit(False)), iters=2).count() == 0
+
+
+def test_g_hits_oracle_parity(spark, sf_dir):
+    sdf = gx.QUERIES["g_hits"](spark, sf_dir).toPandas()
+    odf = _oracle_con(sf_dir).execute(gx.ORACLE["g_hits"]).fetchdf()
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    s = sdf.reindex(sorted(sdf.columns), axis=1).sort_values(
+        by=sorted(sdf.columns)
+    ).reset_index(drop=True)
+    o = odf.reindex(sorted(odf.columns), axis=1).sort_values(
+        by=sorted(odf.columns)
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(s, o, check_dtype=False)
+    # shape contract: exactly 10 hubs (customers) + 10 authorities
+    # (suppliers); per-side max score is exactly the scale after a
+    # full round
+    kinds = sdf.groupby("kind")["score"].agg(["count", "max"])
+    assert kinds.loc["hub", "count"] == 10
+    assert kinds.loc["authority", "count"] == 10
+    assert kinds.loc["hub", "max"] == 1_000_000
+    assert kinds.loc["authority", "max"] == 1_000_000

@@ -200,3 +200,35 @@ def test_decay_curve_monotone_and_consistent(spark, sf_dir):
     # longer half-life keeps more mass (fixture values non-negative)
     assert (curve["decayed_h1"] <= curve["decayed_h7"]).all()
     assert (curve["decayed_h7"] <= curve["decayed_h30"]).all()
+
+
+# ---------------------------------------------------------------------------
+# RRF hybrid fusion (r16)
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_fusion_oracle_parity_and_contracts(spark, sf_dir):
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * "
+            f"FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    sdf = sx.QUERIES["t_rrf_fusion"](spark, sf_dir).toPandas()
+    odf = con.execute(sx.ORACLE["t_rrf_fusion"]).fetchdf()
+    _compare(sdf, odf)
+    assert len(sdf) == sx.RRF_TOPK
+    # every fused score decomposes into the two lists' integer
+    # contributions: recompute from the rank columns
+    import numpy as np
+
+    def contrib(rank):
+        return np.where(
+            rank.isna(), 0, 1_000_000_000 // (sx.RRF_K + rank.fillna(1))
+        ).astype("int64")
+
+    want = contrib(sdf["lex_rank"]) + contrib(sdf["sem_rank"])
+    assert (sdf["rrf_ppb"].to_numpy() == want).all()
+    # a doc present in BOTH lists outranks the same ranks alone;
+    # scores are sorted desc with doc_id tie-break
+    assert list(sdf["rrf_ppb"]) == sorted(sdf["rrf_ppb"], reverse=True)
