@@ -416,6 +416,9 @@ _WINDOW_HEAD_R16 = [
     "e_knn_join_recall_audit",
     "g_hits",
     "t_rrf_fusion",
+    # slot 4 (late-r16): the Pareto-frontier data-selection primitive
+    # (quality-vs-token-cost skyline, domain-sized prefix max).
+    "t_pareto_select",
     # Slots 2-11: the queries this round's edits touched (driver
     # evidence must postdate the edit): the four cdc_* consumers now
     # reading the SHARED build-once change-script table (VERDICT r15
@@ -455,8 +458,8 @@ _WINDOW_HEAD_R16 = [
     "t_weighted_sample",
     "t_heavy_hitters_cms",
     "t_sentence_chunk",
-    # Slots 32-50: the first 19 of the 47-row r12 cohort in
-    # registration order; the remaining 28 lead r17's window.
+    # Slots 33-50: the first 18 of the 47-row r12 cohort in
+    # registration order; the remaining 29 lead r17's window.
     "p_case_points",
     "s7_upsert_dim",
     "j_salted",
@@ -475,7 +478,6 @@ _WINDOW_HEAD_R16 = [
     "t_shuffle_order",
     "t_interleave_sources",
     "t_length_buckets",
-    "o_zorder_layout",
 ]
 
 _WINDOW_HEAD = _WINDOW_HEAD_R16

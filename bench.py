@@ -133,6 +133,7 @@ HEADLINE = [
     # (BM25 + kNN, both registered scale forms).
     "g_hits",
     "t_rrf_fusion",
+    "t_pareto_select",
 ]
 
 

@@ -611,6 +611,93 @@ _register("t_bm25_postings", t_bm25_postings, ORACLE["t_bm25_topk"])
 
 
 # ---------------------------------------------------------------------------
+# Pareto-frontier data selection (r16): the quality-vs-cost efficient
+# frontier — a document survives iff NO other document is at least as
+# good on classifier quality AND at least as cheap on token count
+# (strict in one). This is selection-under-a-token-budget's core
+# question ("is there a strictly better doc at this price?") answered
+# corpus-wide in one pass.
+#
+# Scale shape: the 2-D skyline decomposes into (a) max quality per
+# DISTINCT token count — one map-side-combining aggregation — and
+# (b) a strictly-prior prefix max over that grouped relation, which is
+# DOMAIN-sized (≤ max doc length rows, never corpus-sized: the
+# t_domain_weights / p_skew_profile allowlisted class), so its global
+# window is a bounded single task at any corpus size; then one join
+# back on the token count. No pairwise dominance test exists anywhere.
+# ---------------------------------------------------------------------------
+
+
+def t_pareto_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents on the (quality desc, n_toks asc) Pareto frontier.
+
+    quality = the classifier's best class score (the ``best`` column
+    of the shared scoring relation — integer-exact). A doc is kept iff
+    its quality equals the max at its exact length AND strictly
+    exceeds the best quality among all strictly-shorter docs (ties on
+    both axes are mutually non-dominating, so equal (len, quality)
+    pairs all survive — both engines agree by construction). Unscored
+    docs (NULL text → no tokens) cannot price-compete and are
+    excluded."""
+    from pyspark.sql import Window
+
+    d = _doc_scores(spark, sf_dir).filter(F.col("n_toks").isNotNull())
+    best = F.greatest(*[F.col(f"s{c}") for c in range(N_CLASSES)])
+    docs = d.select("doc_id", "n_toks", best.alias("quality"))
+    gm = docs.groupBy("n_toks").agg(F.max("quality").alias("g"))
+    # strictly-prior prefix max over the distinct-length relation:
+    # ROWS .. 1 PRECEDING excludes the current length (each n_toks is
+    # unique here, so ROWS ≡ RANGE minus self)
+    w = Window.orderBy("n_toks").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    pm = gm.select(
+        "n_toks", "g", F.max("g").over(w).alias("best_shorter")
+    )
+    return (
+        docs.join(pm, "n_toks")
+        .filter(
+            (F.col("quality") == F.col("g"))
+            & (
+                F.col("best_shorter").isNull()
+                | (F.col("quality") > F.col("best_shorter"))
+            )
+        )
+        .select(
+            "doc_id",
+            F.col("n_toks").cast("bigint").alias("n_toks"),
+            F.col("quality").cast("bigint").alias("quality"),
+        )
+        .orderBy(F.col("n_toks").asc(), F.col("doc_id").asc())
+    )
+
+
+_register(
+    "t_pareto_select",
+    t_pareto_select,
+    f"""WITH {_SCORES_CTE}, docs AS (
+  SELECT doc_id, n_toks, best AS quality
+  FROM perdoc WHERE n_toks IS NOT NULL
+), gm AS (
+  SELECT n_toks, MAX(quality) AS g FROM docs GROUP BY n_toks
+), pm AS (
+  SELECT n_toks, g,
+         MAX(g) OVER (ORDER BY n_toks
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS best_shorter
+  FROM gm
+)
+SELECT d.doc_id,
+       CAST(d.n_toks AS BIGINT) AS n_toks,
+       CAST(d.quality AS BIGINT) AS quality
+FROM docs d JOIN pm ON d.n_toks = pm.n_toks
+WHERE d.quality = pm.g
+  AND (pm.best_shorter IS NULL OR d.quality > pm.best_shorter)
+ORDER BY n_toks ASC, doc_id ASC""",
+)
+
+
+# ---------------------------------------------------------------------------
 # hybrid retrieval: reciprocal-rank fusion of the lexical (BM25) and
 # semantic (LSH kNN) rankings — the standard production RAG stack
 # (every hybrid search engine ships RRF because it needs no score

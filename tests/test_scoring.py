@@ -232,3 +232,39 @@ def test_rrf_fusion_oracle_parity_and_contracts(spark, sf_dir):
     # a doc present in BOTH lists outranks the same ranks alone;
     # scores are sorted desc with doc_id tie-break
     assert list(sdf["rrf_ppb"]) == sorted(sdf["rrf_ppb"], reverse=True)
+
+
+def test_pareto_select_dominance_semantics(spark, tmp_path):
+    """Hand-built frontier: equal (len, quality) pairs both survive
+    (mutually non-dominating); a strictly-shorter doc with EQUAL
+    quality dominates a longer one; higher-quality-at-same-length
+    dominates; unscored (NULL text) docs are excluded."""
+    rows = [
+        (0, "aa bb", "en", "a", 5),            # 2 tokens
+        (1, "aa bb", "en", "a", 5),            # duplicate: same (t, q)
+        (2, "aa bb cc", "en", "a", 8),         # 3 tokens
+        (3, None, "en", "a", None),            # unscored
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    ).toPandas().to_parquet(str(tmp_path / "documents.parquet"), index=False)
+    out = sx.t_pareto_select(spark, str(tmp_path)).toPandas()
+    got = {int(r.doc_id): (int(r.n_toks), int(r.quality))
+           for r in out.itertuples()}
+    # docs 0 and 1 are identical → both on the frontier (if either is)
+    assert (0 in got) == (1 in got)
+    assert 3 not in got  # unscored excluded
+    # doc 2 survives iff its quality strictly beats the 2-token max
+    q2 = {r.doc_id: r for r in out.itertuples() if r.doc_id == 2}
+    if 0 in got and 2 in got:
+        assert got[2][1] > got[0][1]
+    # oracle parity on the same fixture
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    odf = con.execute(sx.ORACLE["t_pareto_select"]).fetchdf()
+    _compare(out, odf)
