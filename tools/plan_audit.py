@@ -123,6 +123,11 @@ AUDIT = [
     "w_decay_curve",
     "t_soft_dedup_weights",
     "p_table_checksum",
+    # r16 registrations
+    "g_hits",
+    "t_rrf_fusion",
+    "t_pareto_select",
+    "e_knn_join_recall_audit",
 ]
 
 
@@ -144,12 +149,19 @@ AUDIT = [
 #:   its input is the N/1024-row chunk aggregate (domain-sized, the
 #:   same class as p_skew_profile's post-limit rank); the per-row
 #:   window partitions by chunk.
+#: - t_rrf_fusion (r16): the lex_rank window runs over the
+#:   already-LIMITed 20-row BM25 output (the q4_podium class).
+#: - t_pareto_select (r16): the strictly-prior prefix max runs over
+#:   the DISTINCT-length grouped relation — bounded by max doc length,
+#:   never corpus rows (the w_watermark_curve chunk-aggregate class).
 GLOBAL_WINDOW_OK = {
     "p_skew_profile",
     "t_interleave_sources",
     "q4_podium",
     "w_lateness_audit",
     "w_watermark_curve",
+    "t_rrf_fusion",
+    "t_pareto_select",
 }
 
 #: (query, stage-label) exemptions for bounded global windows inside
