@@ -308,3 +308,46 @@ def test_decay_shift_is_floor_division_both_engines(spark_prop, vals):
     duck = sorted(x[0] for x in con.execute("SELECT v >> h FROM t").fetchall())
     ref = sorted(v // (1 << h) for v, h in vals)
     assert got == duck == ref
+
+
+def _hits_ref(edges, iters, scale=10**6):
+    """Pure-python mirror of operators.graph.hits's integer
+    arithmetic: raw side sums over edge ROWS (multi-edges weight),
+    L∞ normalization ``raw * scale // max(raw)`` per half-round,
+    full-outer zeros for nodes missing a side."""
+    from collections import defaultdict
+
+    srcs = {s for s, _ in edges}
+    dsts = {t for _, t in edges}
+    hub = {s: scale for s in srcs}
+    auth = {t: scale for t in dsts}
+    for _ in range(iters):
+        raw = defaultdict(int)
+        for s, t in edges:
+            raw[s] += auth[t]
+        m = max(raw.values())
+        hub = {s: raw[s] * scale // m for s in raw}
+        raw2 = defaultdict(int)
+        for s, t in edges:
+            raw2[t] += hub[s]
+        m2 = max(raw2.values())
+        auth = {t: raw2[t] * scale // m2 for t in raw2}
+    return {
+        n: (hub.get(n, 0), auth.get(n, 0)) for n in srcs | dsts
+    }
+
+
+@settings(**_SETTINGS)
+@given(
+    edges=st.lists(_edge, min_size=1, max_size=15),
+    iters=st.integers(min_value=0, max_value=3),
+)
+def test_hits_matches_reference_on_random_graphs(spark_prop, edges, iters):
+    # self-loops, multi-edges, nodes on both sides, disconnected
+    # parts — the distributed alternating loop must equal the
+    # sequential mirror EXACTLY (integer arithmetic, no tolerance)
+    from f1_realtime_data_pipeline_spark.operators.graph import hits
+
+    df = spark_prop.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r.node: (r.hub, r.auth) for r in hits(df, iters=iters).collect()}
+    assert got == _hits_ref(edges, iters)
