@@ -419,6 +419,10 @@ _WINDOW_HEAD_R16 = [
     # slot 4 (late-r16): the Pareto-frontier data-selection primitive
     # (quality-vs-token-cost skyline, domain-sized prefix max).
     "t_pareto_select",
+    # slot 5 (late-r16): the planted-copy recall audit of the batch
+    # kNN join — the high-cosine regime where recall must be exactly
+    # 10^6 ppm (completes the two-regime story with slot 1).
+    "e_knn_join_dup_recall",
     # Slots 2-11: the queries this round's edits touched (driver
     # evidence must postdate the edit): the four cdc_* consumers now
     # reading the SHARED build-once change-script table (VERDICT r15
@@ -458,8 +462,8 @@ _WINDOW_HEAD_R16 = [
     "t_weighted_sample",
     "t_heavy_hitters_cms",
     "t_sentence_chunk",
-    # Slots 33-50: the first 18 of the 47-row r12 cohort in
-    # registration order; the remaining 29 lead r17's window.
+    # Slots 34-50: the first 17 of the 47-row r12 cohort in
+    # registration order; the remaining 30 lead r17's window.
     "p_case_points",
     "s7_upsert_dim",
     "j_salted",
@@ -477,7 +481,6 @@ _WINDOW_HEAD_R16 = [
     "d_editdist_neardup",
     "t_shuffle_order",
     "t_interleave_sources",
-    "t_length_buckets",
 ]
 
 _WINDOW_HEAD = _WINDOW_HEAD_R16

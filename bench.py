@@ -134,6 +134,7 @@ HEADLINE = [
     "g_hits",
     "t_rrf_fusion",
     "t_pareto_select",
+    "e_knn_join_dup_recall",
 ]
 
 

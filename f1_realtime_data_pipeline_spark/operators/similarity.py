@@ -1402,6 +1402,7 @@ def knn_join_adc_derived_sql(
     k: int = 3,
     n_codes: int = PQ_CODES,
     shortlist: int = PQ_JOIN_SHORTLIST,
+    src: str = "embeddings",
 ) -> str:
     """DuckDB twin of :func:`knn_join_adc_derived`: the plane count is
     a scalar-subquery CTE (``p``) derived from COUNT(*) with the same
@@ -1411,7 +1412,7 @@ def knn_join_adc_derived_sql(
     from f1_realtime_data_pipeline_spark.functions.vector import neardup_planes_sql
 
     prelude = (
-        f"p AS (SELECT {neardup_planes_sql('(SELECT COUNT(*) FROM embeddings)')}"
+        f"p AS (SELECT {neardup_planes_sql(f'(SELECT COUNT(*) FROM {src})')}"
         " AS pc), "
     )
     tabs_sql = "\n  UNION ALL\n  ".join(
@@ -1425,6 +1426,7 @@ def knn_join_adc_derived_sql(
         shortlist=shortlist,
         tabs_sql=tabs_sql,
         prelude=prelude,
+        src=src,
     )
 
 
@@ -1435,6 +1437,7 @@ def knn_join_adc_sql(
     shortlist: int = PQ_JOIN_SHORTLIST,
     tabs_sql: str | None = None,
     prelude: str = "",
+    src: str = "embeddings",
 ) -> str:
     """DuckDB twin of :func:`knn_join_adc` — same candidate
     generation, same seed codebooks, same fixed-order SDC sum, same
@@ -1459,7 +1462,7 @@ def knn_join_adc_sql(
         for s in range(PQ_SUB)
     )
     adc_sum = " + ".join(f"s{s}.d" for s in range(PQ_SUB))
-    return f"""WITH {prelude}{_UNIT_SQL}, tabs AS (
+    return f"""WITH {prelude}{_unit_sql(src)}, tabs AS (
   {per_table}
 ), cand AS (
   SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
