@@ -296,34 +296,36 @@ def hits(
     nodes with no out-edges, ``auth`` 0 for nodes with no in-edges;
     after any full round the per-side max score is exactly ``scale``.
 
-    Scale posture: the edge list is persisted ONCE; each half-round
-    shuffles only the score table (|side| rows ≤ |V|) into the edge
-    join plus one scalar max (1-row broadcast). Per-round lineage is
-    cut with localCheckpoint like the PageRank/CC loops.
+    Scale posture (r16, MEASURED -- tools/graph_skew_probe --op
+    hits): ONE persisted edge cache, NO pre-partitioning, NO
+    join-strategy hints. The first form shipped with two per-key
+    pre-partitioned edge caches plus shuffle_hash hints -- and the
+    skew probe caught it concentrating a 10M-edge hub on one task
+    (the hub is a JOIN key in the hub half-round, not just an
+    aggregation key like PageRank's, and the hint BLOCKED AQE's
+    mitigation): 40.5 s uniform / 60.5 s skewed at 20M edges.
+    Unhinted, AQE picks per side at runtime -- broadcast when a score
+    relation is small, shuffle + skew-split sort-merge when it is not
+    -- measuring 18.1 s uniform / 15.0 s skewed on the same fixtures
+    (skew fully absorbed, uniform 2.2x faster: the double pre-shuffle
+    + double cache was pure waste). Per-half-round raw sums are
+    localCheckpointed once (|side| rows) and feed both the scalar max
+    (1-row broadcast) and the normalization; per-round lineage is cut
+    like the PageRank/CC loops.
     """
     if iters < 0:
         raise ValueError(f"iters must be >= 0, got {iters}")
     if scale < 1:
         raise ValueError(f"scale must be >= 1, got {scale}")
-    e0 = edges.select(
+    e = edges.select(
         F.col("src").cast("bigint").alias("src"),
         F.col("dst").cast("bigint").alias("dst"),
-    )
-    # TWO persisted copies, each pre-partitioned on its half-round's
-    # join key: the hub step joins scores on dst, the auth step on
-    # src. With one unpartitioned cache every half-round re-shuffled
-    # the |E|-row edge list (measured 7.0 s steady at sf0.1); with the
-    # split caches only the |side|-row score relation moves per round
-    # — the pagerank discipline, doubled for the alternating key.
-    e_dst = e0.repartition("dst").persist(StorageLevel.MEMORY_AND_DISK)
-    e_src = e0.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
-    n_edges = e_dst.count()
-    e = e_src
-    e_src.count()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n_edges = e.count()
     degs = e.groupBy("src").agg(F.count(F.lit(1)).alias("d")).agg(
         F.max("d").alias("m")
     ).unionAll(
-        e_dst.groupBy("dst").agg(F.count(F.lit(1)).alias("d")).agg(
+        e.groupBy("dst").agg(F.count(F.lit(1)).alias("d")).agg(
             F.max("d").alias("m")
         )
     ).agg(F.max("m").alias("deg_max")).collect()
@@ -353,10 +355,13 @@ def hits(
             # execute twice per half-round. The checkpoint is |side|
             # rows; the normalized relation then derives from it with
             # one 1-row broadcast (flat lineage, no second checkpoint).
+            # UNHINTED score joins (r16 skew-probe finding, see the
+            # docstring): AQE must stay free to broadcast a small
+            # score relation or skew-split a hub partition -- a
+            # shuffle_hash hint here measured 4x slower on a
+            # 10M-edge hub.
             hub_raw = (
-                e_dst.join(
-                    auth.hint("shuffle_hash"), e_dst.dst == auth.node
-                )
+                e.join(auth, e.dst == auth.node)
                 .groupBy("src")
                 .agg(F.sum("score").alias("raw"))
                 .localCheckpoint()
@@ -369,7 +374,7 @@ def hits(
                 .alias("score"),
             )
             auth_raw = (
-                e_src.join(hub.hint("shuffle_hash"), e_src.src == hub.node)
+                e.join(hub, e.src == hub.node)
                 .groupBy("dst")
                 .agg(F.sum("score").alias("raw"))
                 .localCheckpoint()
@@ -397,5 +402,4 @@ def hits(
         record_stage_plan("hits_scores", out)
         return out
     finally:
-        e_dst.unpersist()
-        e_src.unpersist()
+        e.unpersist()

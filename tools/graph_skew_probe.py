@@ -1,5 +1,10 @@
 """Hub-skew hazard probe for the PageRank loop (VERDICT r14 #6).
 
+r16: ``--op hits`` runs the SAME fixtures through operators.graph.hits
+— the analogous hazard is the auth half-round's ``groupBy(dst)``
+where the hub concentrates; the same map-side-combine absorption
+argument should hold and this measures it.
+
 SCALE.md's PageRank posture says "salt the inflow join only if
 needed" — this probe MEASURES whether it is needed. Two synthetic
 edge fixtures at each decade, built in-plan from ``spark.range`` (no
@@ -60,10 +65,17 @@ def main() -> int:
                     help="|E| at decade 1 (decade 2 is 10x)")
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--op", choices=["pagerank", "hits"],
+                    default="pagerank")
     args = ap.parse_args()
 
-    from f1_realtime_data_pipeline_spark.operators.graph import pagerank
+    from f1_realtime_data_pipeline_spark.operators.graph import (
+        hits,
+        pagerank,
+    )
     from f1_realtime_data_pipeline_spark.session import get_spark
+
+    op = pagerank if args.op == "pagerank" else hits
 
     spark = get_spark("graph_skew_probe")
     walls: dict[tuple[int, str], float] = {}
@@ -74,7 +86,7 @@ def main() -> int:
             best = float("inf")
             for _ in range(args.runs):
                 t0 = time.time()
-                pagerank(e, iters=args.iters).write.format("noop").mode(
+                op(e, iters=args.iters).write.format("noop").mode(
                     "overwrite"
                 ).save()
                 best = min(best, time.time() - t0)
@@ -83,6 +95,7 @@ def main() -> int:
                 json.dumps(
                     {
                         "decade": mult,
+                        "op": args.op,
                         "shape": shape,
                         "n_edges": 2 * m,
                         "iters": args.iters,
