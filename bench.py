@@ -136,6 +136,7 @@ HEADLINE = [
     "t_pareto_select",
     "e_knn_join_dup_recall",
     "d_cluster_exemplars",
+    "pipeline_dedup_keepbest",
 ]
 
 

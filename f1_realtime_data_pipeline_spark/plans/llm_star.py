@@ -265,21 +265,12 @@ def d_dup_clusters(spark, sf_dir):
 _register("d_dup_clusters", d_dup_clusters, dd.dup_clusters_sql(0.5))
 
 
-def d_cluster_exemplars(spark, sf_dir):
-    """Keep-BEST dedup (r16): the production output of a near-dup
-    pass is not "keep the min-id member" but "keep the best member
-    and drop the rest" — per MinHash-LSH cluster, the exemplar is the
-    member with the highest classifier quality (the scoring_ext best
-    class score, integer-exact), ties to the smallest doc_id, NULLs
-    (token-free docs) losing to any scored member. Output one row per
-    cluster: exemplar, its quality, member count, drop count — the
-    relation a curation pipeline anti-joins against the corpus.
-
-    Composition of two REGISTERED relations (clusters ⋈ per-doc
-    scores): one cluster-keyed window (never global), one join. At
-    100 TB the window partitions by cluster_id across executors;
-    cluster count ≫ cores, no hot key beyond the boilerplate masses
-    the occupancy-capped cluster variants already bound."""
+def _cluster_quality_ranked(spark, sf_dir):
+    """(cluster_id, doc_id, quality, rn, n_members): every near-dup
+    cluster member ranked by classifier quality (desc, NULLS LAST,
+    doc_id asc) within its cluster — rn 1 is the keep-best exemplar,
+    rn > 1 are the drops. Shared by d_cluster_exemplars and
+    pipeline_dedup_keepbest."""
     from pyspark.sql import Window
 
     from f1_realtime_data_pipeline_spark.plans.scoring_ext import (
@@ -297,7 +288,7 @@ def d_cluster_exemplars(spark, sf_dir):
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("quality").desc_nulls_last(), F.col("doc_id").asc()
     )
-    ranked = (
+    return (
         clusters.join(quality, "doc_id")
         .withColumn("rn", F.row_number().over(w))
         .withColumn(
@@ -305,6 +296,40 @@ def d_cluster_exemplars(spark, sf_dir):
             F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
         )
     )
+
+
+def _cluster_ranked_sql() -> str:
+    from f1_realtime_data_pipeline_spark.plans.scoring_ext import (
+        _SCORES_CTE,
+    )
+
+    return f"""clusters AS (
+  SELECT * FROM ({dd.dup_clusters_sql(0.5)})
+), {_SCORES_CTE}, ranked AS (
+  SELECT c.cluster_id, c.doc_id, p.best AS quality,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+             ORDER BY p.best DESC NULLS LAST, c.doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+  FROM clusters c JOIN perdoc p ON p.doc_id = c.doc_id
+)"""
+
+
+def d_cluster_exemplars(spark, sf_dir):
+    """Keep-BEST dedup (r16): the production output of a near-dup
+    pass is not "keep the min-id member" but "keep the best member
+    and drop the rest" — per MinHash-LSH cluster, the exemplar is the
+    member with the highest classifier quality (the scoring_ext best
+    class score, integer-exact), ties to the smallest doc_id, NULLs
+    (token-free docs) losing to any scored member. Output one row per
+    cluster: exemplar, its quality, member count, drop count — the
+    relation a curation pipeline anti-joins against the corpus.
+
+    Composition of two REGISTERED relations (clusters ⋈ per-doc
+    scores): one cluster-keyed window (never global), one join. At
+    100 TB the window partitions by cluster_id across executors;
+    cluster count ≫ cores, no hot key beyond the boilerplate masses
+    the occupancy-capped cluster variants already bound."""
+    ranked = _cluster_quality_ranked(spark, sf_dir)
     return (
         ranked.filter(F.col("rn") == 1)
         .select(
@@ -319,19 +344,7 @@ def d_cluster_exemplars(spark, sf_dir):
 
 
 def _cluster_exemplars_sql() -> str:
-    from f1_realtime_data_pipeline_spark.plans.scoring_ext import (
-        _SCORES_CTE,
-    )
-
-    return f"""WITH clusters AS (
-  SELECT * FROM ({dd.dup_clusters_sql(0.5)})
-), {_SCORES_CTE}, ranked AS (
-  SELECT c.cluster_id, c.doc_id, p.best AS quality,
-         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
-             ORDER BY p.best DESC NULLS LAST, c.doc_id ASC) AS rn,
-         COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
-  FROM clusters c JOIN perdoc p ON p.doc_id = c.doc_id
-)
+    return f"""WITH {_cluster_ranked_sql()}
 SELECT cluster_id,
        doc_id AS exemplar_doc_id,
        CAST(quality AS BIGINT) AS exemplar_quality,
@@ -342,6 +355,62 @@ ORDER BY cluster_id"""
 
 
 _register("d_cluster_exemplars", d_cluster_exemplars, _cluster_exemplars_sql())
+
+
+def pipeline_dedup_keepbest(spark, sf_dir):
+    """End-to-end keep-best dedup pipeline (r16): the corpus AFTER
+    the near-dup pass — every document that survives keep-best
+    selection. Singletons (docs in no near-dup cluster) pass through
+    untouched; cluster members survive only if they are their
+    cluster's quality exemplar (see d_cluster_exemplars). One row per
+    surviving doc: doc_id, the cluster it represents (NULL for
+    singletons), and how many corpus docs it stands for (1 for
+    singletons) — the weight column a downstream sampler consumes.
+
+    Shape at 100 TB: the drops relation is bounded by total cluster
+    membership (≪ corpus at real dup rates), so the anti-join
+    broadcasts or shuffles on doc_id; the exemplar left join reuses
+    the same key. Cluster-keyed windows only — never global — and no
+    driver-side collect anywhere in the plan."""
+    ranked = _cluster_quality_ranked(spark, sf_dir)
+    drops = ranked.filter(F.col("rn") > 1).select("doc_id")
+    exemplars = ranked.filter(F.col("rn") == 1).select(
+        "doc_id", "cluster_id", "n_members"
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .join(drops, "doc_id", "left_anti")
+        .join(exemplars, "doc_id", "left")
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.coalesce(F.col("n_members"), F.lit(1))
+            .cast("bigint")
+            .alias("n_represented"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _pipeline_dedup_keepbest_sql() -> str:
+    return f"""WITH {_cluster_ranked_sql()}
+SELECT d.doc_id,
+       r.cluster_id,
+       CAST(COALESCE(r.n_members, 1) AS BIGINT) AS n_represented
+FROM documents d
+LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r ON r.doc_id = d.doc_id
+WHERE NOT EXISTS (
+  SELECT 1 FROM ranked x WHERE x.doc_id = d.doc_id AND x.rn > 1
+)
+ORDER BY d.doc_id"""
+
+
+_register(
+    "pipeline_dedup_keepbest",
+    pipeline_dedup_keepbest,
+    _pipeline_dedup_keepbest_sql(),
+)
 
 
 def d_dup_clusters_iter(spark, sf_dir):

@@ -1447,3 +1447,33 @@ def test_cluster_exemplars_keep_best_semantics(spark, tmp_path):
     assert c.exemplar_doc_id == 0          # equal quality -> min id
     assert c.n_members == 3 and c.n_dropped == 2
     assert c.exemplar_quality is not None
+
+
+def test_pipeline_dedup_keepbest_survivors(spark, tmp_path):
+    """r16 end-to-end keep-best pipeline: cluster drops vanish, the
+    exemplar carries the cluster weight, singletons pass through with
+    weight 1 and NULL cluster_id."""
+    from f1_realtime_data_pipeline_spark.plans.llm_star import (
+        pipeline_dedup_keepbest,
+    )
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    texts = {
+        0: dup,
+        1: dup,
+        2: dup,
+        7: "completely different singleton text about rivers and maps",
+    }
+    rows = [(i, t, "en", "s", len(t)) for i, t in texts.items()]
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    ).toPandas().to_parquet(str(tmp_path / "documents.parquet"),
+                            index=False)
+    out = {r.doc_id: r
+           for r in pipeline_dedup_keepbest(spark, str(tmp_path)).collect()}
+    # drops 1 and 2 are gone; exemplar 0 and singleton 7 survive
+    assert set(out) == {0, 7}
+    assert out[0].n_represented == 3 and out[0].cluster_id is not None
+    assert out[7].n_represented == 1 and out[7].cluster_id is None

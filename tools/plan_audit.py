@@ -128,6 +128,8 @@ AUDIT = [
     "t_rrf_fusion",
     "t_pareto_select",
     "e_knn_join_recall_audit",
+    "d_cluster_exemplars",
+    "pipeline_dedup_keepbest",
 ]
 
 
