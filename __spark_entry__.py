@@ -419,6 +419,10 @@ _WINDOW_HEAD_R16 = [
     # slot 4 (late-r16): the Pareto-frontier data-selection primitive
     # (quality-vs-token-cost skyline, domain-sized prefix max).
     "t_pareto_select",
+    # slot 5b (late-r16): the end-to-end keep-best survivor corpus —
+    # the anti-join consumer of d_cluster_exemplars' ranking, debuting
+    # in-window alongside it.
+    "pipeline_dedup_keepbest",
     # slot 5 (late-r16): the planted-copy recall audit of the batch
     # kNN join — the high-cosine regime where recall must be exactly
     # 10^6 ppm (completes the two-regime story with slot 1).
