@@ -351,3 +351,66 @@ def test_hits_matches_reference_on_random_graphs(spark_prop, edges, iters):
     df = spark_prop.createDataFrame(edges, "src bigint, dst bigint")
     got = {r.node: (r.hub, r.auth) for r in hits(df, iters=iters).collect()}
     assert got == _hits_ref(edges, iters)
+
+
+# ---- keep-best dedup pipeline (r16) --------------------------------------
+
+# a tiny pool of base texts; sampling WITH replacement plants exact-dup
+# groups, and near-identical long texts plant near-dup (LSH) pairs
+_BASE_TEXTS = st.sampled_from(
+    [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta iota",
+        "one two three four five six seven eight nine ten",
+        "rivers and maps and a completely different story",
+        "",
+    ]
+)
+
+
+@settings(max_examples=4, deadline=None)
+@given(texts=st.lists(_BASE_TEXTS, min_size=1, max_size=10))
+def test_keepbest_pipeline_partition_invariants(
+    spark_prop, tmp_path_factory, texts
+):
+    """Model check against the ACTUAL cluster relation: the survivor
+    corpus is a partition of the input — (1) exactly one survivor per
+    cluster, and it is a member of that cluster; (2) every
+    non-cluster doc survives as a singleton (weight 1, NULL
+    cluster_id); (3) survivor weights sum to the corpus size (no doc
+    double-counted or lost)."""
+    from f1_realtime_data_pipeline_spark.operators.dedup import dup_clusters
+    from f1_realtime_data_pipeline_spark.plans.llm_star import (
+        pipeline_dedup_keepbest,
+    )
+
+    tmp = tmp_path_factory.mktemp("keepbest")
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    df = spark_prop.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    )
+    df.toPandas().to_parquet(str(tmp / "documents.parquet"), index=False)
+
+    members: dict = {}
+    for r in dup_clusters(df, threshold=0.5).collect():
+        members.setdefault(r.cluster_id, set()).add(r.doc_id)
+    clustered = set().union(*members.values()) if members else set()
+
+    out = pipeline_dedup_keepbest(spark_prop, str(tmp)).collect()
+    assert len({r.doc_id for r in out}) == len(out)  # no dup survivors
+
+    survivors_by_cluster: dict = {}
+    for r in out:
+        if r.cluster_id is not None:
+            assert r.cluster_id not in survivors_by_cluster
+            survivors_by_cluster[r.cluster_id] = r
+        else:
+            assert r.doc_id not in clustered
+            assert r.n_represented == 1
+    assert set(survivors_by_cluster) == set(members)
+    for cid, r in survivors_by_cluster.items():
+        assert r.doc_id in members[cid]
+        assert r.n_represented == len(members[cid])
+    assert sum(r.n_represented for r in out) == len(texts)
