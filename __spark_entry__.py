@@ -423,6 +423,9 @@ _WINDOW_HEAD_R16 = [
     # the anti-join consumer of d_cluster_exemplars' ranking, debuting
     # in-window alongside it.
     "pipeline_dedup_keepbest",
+    # slot 5c (late-r16): Heaps-law bigram-vocabulary growth at decade
+    # corpus prefixes (digit-count bucketing, integer-exact).
+    "t_vocab_growth",
     # slot 5 (late-r16): the planted-copy recall audit of the batch
     # kNN join — the high-cosine regime where recall must be exactly
     # 10^6 ppm (completes the two-regime story with slot 1).

@@ -137,6 +137,7 @@ HEADLINE = [
     "e_knn_join_dup_recall",
     "d_cluster_exemplars",
     "pipeline_dedup_keepbest",
+    "t_vocab_growth",
 ]
 
 

@@ -655,6 +655,81 @@ SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, rnk FRO
 )
 
 
+def t_vocab_growth(spark, sf_dir):
+    """Heaps-law BIGRAM-vocabulary growth (r16): distinct word-bigram
+    count at decade-sized id-ordered corpus prefixes (docs with
+    doc_id < 10^k) — the curve a tokenizer-coverage / corpus-diversity
+    study reads (bigrams, because any natural corpus saturates its
+    unigram vocabulary within the first decade; the bigram regime is
+    where Heaps growth is measurable). Each bigram contributes at its
+    FIRST document; the decade bucket is first_doc's DIGIT COUNT
+    (string length of the bigint), so there is no float log10 anywhere
+    and both engines bucket bit-identically, including at exact powers
+    of 10.
+
+    Shape at 100 TB: bigram construction is per-row array zip_with
+    (map-side, no self-join, no explode-then-rejoin); one
+    vocabulary-sized min-combine shuffle (map-side partial MIN per
+    bigram); the decade regroup lands on ≤19 rows (bigint digit
+    domain) and the prefix sum runs over THAT domain-sized relation —
+    the t_pareto_select allowlisted window class, never a corpus-sized
+    global window."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", tx.tokens("text").alias("t"))
+    n_pairs = F.greatest(F.size("t") - 1, F.lit(0))
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("t", F.lit(1), n_pairs),
+                F.slice("t", F.lit(2), n_pairs),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bigram"),
+    )
+    first = bigrams.groupBy("bigram").agg(F.min("doc_id").alias("first_doc"))
+    per_k = first.groupBy(
+        F.length(F.col("first_doc").cast("string")).cast("int").alias("k")
+    ).agg(F.count(F.lit(1)).alias("new_bigrams"))
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_k.select(
+            F.concat(F.lit("1"), F.expr("repeat('0', k)"))
+            .cast("bigint")
+            .alias("prefix_docs"),
+            F.col("new_bigrams").cast("bigint").alias("new_bigrams"),
+            F.sum("new_bigrams").over(w).cast("bigint").alias("vocab_size"),
+        )
+        .orderBy("prefix_docs")
+    )
+
+
+_register(
+    "t_vocab_growth",
+    t_vocab_growth,
+    f"""WITH toks AS (
+  SELECT doc_id, unnest({tx.tokens_sql("text")}) AS word,
+         generate_subscripts({tx.tokens_sql("text")}, 1) AS pos
+  FROM documents
+), bi AS (
+  SELECT a.doc_id, a.word || ' ' || b.word AS bigram
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+), first AS (
+  SELECT bigram, MIN(doc_id) AS first_doc FROM bi GROUP BY bigram
+), per_k AS (
+  SELECT CAST(LENGTH(CAST(first_doc AS VARCHAR)) AS INT) AS k,
+         COUNT(*) AS new_bigrams
+  FROM first GROUP BY 1
+)
+SELECT CAST('1' || repeat('0', k) AS BIGINT) AS prefix_docs,
+       CAST(new_bigrams AS BIGINT) AS new_bigrams,
+       CAST(SUM(new_bigrams) OVER (ORDER BY k
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS vocab_size
+FROM per_k ORDER BY prefix_docs""",
+)
 
 
 def t_normalize(spark, sf_dir):

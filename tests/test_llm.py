@@ -1477,3 +1477,27 @@ def test_pipeline_dedup_keepbest_survivors(spark, tmp_path):
     assert set(out) == {0, 7}
     assert out[0].n_represented == 3 and out[0].cluster_id is not None
     assert out[7].n_represented == 1 and out[7].cluster_id is None
+
+
+def test_vocab_growth_hand_computed(spark, tmp_path):
+    """r16 Heaps bigram curve on a hand-computable corpus: doc 3
+    (1 digit) introduces 'a b' and 'b c'; doc 12 (2 digits) repeats
+    'a b' (no contribution) and introduces 'c d'; doc 100 (3 digits)
+    introduces nothing new and a singleton token yields no bigram."""
+    from f1_realtime_data_pipeline_spark.plans.llm_star import (
+        t_vocab_growth,
+    )
+
+    texts = {3: "a b c", 12: "a b  c d", 100: "a b", 101: "solo"}
+    rows = [(i, t, "en", "s", len(t)) for i, t in texts.items()]
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    ).toPandas().to_parquet(str(tmp_path / "documents.parquet"),
+                            index=False)
+    out = [tuple(r) for r in t_vocab_growth(spark, str(tmp_path)).collect()]
+    # doc 3: bigrams {a b, b c} -> k=1 adds 2
+    # doc 12: bigrams {a b, b c, c d} -> k=2 adds 1 (c d)
+    # docs 100/101: nothing new -> no k=3 row
+    assert out == [(10, 2, 2), (100, 1, 3)]

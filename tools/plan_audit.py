@@ -130,6 +130,7 @@ AUDIT = [
     "e_knn_join_recall_audit",
     "d_cluster_exemplars",
     "pipeline_dedup_keepbest",
+    "t_vocab_growth",
 ]
 
 
@@ -156,6 +157,9 @@ AUDIT = [
 #: - t_pareto_select (r16): the strictly-prior prefix max runs over
 #:   the DISTINCT-length grouped relation — bounded by max doc length,
 #:   never corpus rows (the w_watermark_curve chunk-aggregate class).
+#: - t_vocab_growth (r16): the prefix sum runs over the decade-bucket
+#:   aggregate — ≤19 rows (bigint digit domain), the same
+#:   domain-sized class as t_pareto_select.
 GLOBAL_WINDOW_OK = {
     "p_skew_profile",
     "t_interleave_sources",
@@ -164,6 +168,7 @@ GLOBAL_WINDOW_OK = {
     "w_watermark_curve",
     "t_rrf_fusion",
     "t_pareto_select",
+    "t_vocab_growth",
 }
 
 #: (query, stage-label) exemptions for bounded global windows inside
