@@ -426,6 +426,9 @@ _WINDOW_HEAD_R16 = [
     # slot 5c (late-r16): Heaps-law bigram-vocabulary growth at decade
     # corpus prefixes (digit-count bucketing, integer-exact).
     "t_vocab_growth",
+    # slot 5d (late-r16): cluster-balanced selection — cap per trained
+    # k-means cell, most prototypical first (density equalization).
+    "e_balanced_select",
     # slot 5 (late-r16): the planted-copy recall audit of the batch
     # kNN join — the high-cosine regime where recall must be exactly
     # 10^6 ppm (completes the two-regime story with slot 1).

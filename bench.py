@@ -138,6 +138,7 @@ HEADLINE = [
     "d_cluster_exemplars",
     "pipeline_dedup_keepbest",
     "t_vocab_growth",
+    "e_balanced_select",
 ]
 
 

@@ -1792,6 +1792,82 @@ def semdedup(
     )
 
 
+def balanced_select(
+    embeddings: DataFrame,
+    cap: int = 4,
+    n_clusters: int | None = None,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-balanced selection (density equalization): k-means the
+    corpus (same deterministic trainer as :func:`kmeans_assign` /
+    :func:`semdedup`), then keep at most ``cap`` members per cluster —
+    most PROTOTYPICAL first (highest unit-dot affinity to the trained
+    centroid, ties to the lowest vec_id). Over-dense regions of
+    embedding space are capped to the same budget as sparse ones — the
+    balancing pass a curation pipeline runs after near-dup pruning so
+    the training mix isn't dominated by the corpus's densest mode.
+
+    Output (vec_id, cell, cell_rank, cell_size, keep) for every
+    vector, ``keep = cell_rank <= cap``.
+
+    Scale shape: the affinity is ALREADY computed by the assignment
+    scaffold (:func:`_ranked_cells` at ``__rn = 1``) — no extra dot
+    pass; one row_number window PARTITIONED BY CELL (C ≈ √N cells at
+    the default, never global); no self-join, no collect. Skewed
+    (hot-vector) cells tie on affinity and break by vec_id, so the
+    rank is deterministic in any engine."""
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    u = materialize(_unit_vectors(embeddings, id_col, vec_col), durable=True)
+    cents = _kmeans_centroids(u, n_clusters, iters)
+    assigned = _ranked_cells(u, cents).filter(F.col("__rn") == 1)
+    w = Window.partitionBy("cell").orderBy(
+        F.col("aff").desc(), F.col("vid").asc()
+    )
+    return (
+        assigned.withColumn("cell_rank", F.row_number().over(w))
+        .withColumn(
+            "cell_size", F.count(F.lit(1)).over(Window.partitionBy("cell"))
+        )
+        .select(
+            F.col("vid").alias("vec_id"),
+            "cell",
+            F.col("cell_rank").cast("int").alias("cell_rank"),
+            F.col("cell_size").cast("bigint").alias("cell_size"),
+            (F.col("cell_rank") <= cap).alias("keep"),
+        )
+    )
+
+
+def balanced_select_sql(
+    cap: int = 4,
+    n_clusters: int | None = None,
+    iters: int = 1,
+    dim: int = LSH_DIM,
+) -> str:
+    """DuckDB twin of :func:`balanced_select` — shares the trained-
+    centroid CTE chain, recomputes the single assigned-pair dot (N
+    dots) since ``final_assign`` drops the affinity column."""
+    return f"""WITH {_UNIT_SQL},
+{_kmeans_ctes(n_clusters, iters, dim)}, scored AS (
+  SELECT f.vec_id, f.cell, {dot_sql("u.uv", "c.cv", dim)} AS aff
+  FROM final_assign f
+  JOIN unitv u USING (vec_id)
+  JOIN cents{iters} c ON c.cell = f.cell
+), branked AS (
+  SELECT vec_id, cell,
+         CAST(ROW_NUMBER() OVER (PARTITION BY cell
+              ORDER BY aff DESC, vec_id ASC) AS INT) AS cell_rank,
+         COUNT(*) OVER (PARTITION BY cell) AS cell_size
+  FROM scored
+)
+SELECT vec_id, cell, cell_rank, CAST(cell_size AS BIGINT) AS cell_size,
+       cell_rank <= {cap} AS keep
+FROM branked"""
+
+
 def semdedup_sql(
     threshold: float = SEMDEDUP_EPS,
     n_cells: int | None = None,

@@ -112,6 +112,17 @@ def e_kmeans(spark, sf_dir):
 _register("e_kmeans", e_kmeans, sim.kmeans_assign_sql())
 
 
+def e_balanced_select(spark, sf_dir):
+    """Cluster-balanced selection (r16): cap every trained k-means
+    cell at 4 members, most prototypical first — the density-
+    equalization pass that stops the corpus's densest embedding mode
+    from dominating the training mix."""
+    return sim.balanced_select(_embs(spark, sf_dir))
+
+
+_register("e_balanced_select", e_balanced_select, sim.balanced_select_sql())
+
+
 # ---------------------------------------------------------------------------
 # Gopher-rule quality filter
 # ---------------------------------------------------------------------------

@@ -185,6 +185,49 @@ def test_kmeans_separates_two_blobs(spark):
     assert cells[0] != cells[1]
 
 
+def test_balanced_select_caps_cells_and_breaks_ties_by_id(spark):
+    """r16 density equalization: (1) per cell the rank is dense
+    1..cell_size and keep == rank <= cap, so kept = min(cap, size);
+    (2) a cell of IDENTICAL vectors (all affinities equal) keeps the
+    LOWEST vec_ids — the deterministic tie-break the skew axis
+    relies on."""
+    blob_a = [[1.0, 0.05 * i] + [0.0] * 62 for i in range(5)]
+    blob_b = [[0.05 * i, 1.0] + [0.0] * 62 for i in range(5)]
+    vecs = [blob_a[0], blob_b[0]] + blob_a[1:] + blob_b[1:]
+    out = sim.balanced_select(
+        _embs(spark, vecs), cap=2, n_clusters=2, iters=2
+    ).collect()
+    by_cell: dict = {}
+    for r in out:
+        by_cell.setdefault(r.cell, []).append(r)
+    assert len(out) == 10 and len(by_cell) == 2
+    for rows in by_cell.values():
+        assert sorted(r.cell_rank for r in rows) == list(
+            range(1, len(rows) + 1)
+        )
+        assert all(r.cell_size == len(rows) for r in rows)
+        assert all(r.keep == (r.cell_rank <= 2) for r in rows)
+        assert sum(r.keep for r in rows) == min(2, len(rows))
+
+    # identical vectors: one cell, equal affinity, ties -> min ids kept
+    same = [[1.0] + [0.0] * 63] * 6
+    kept = sorted(
+        r.vec_id
+        for r in sim.balanced_select(
+            _embs(spark, same), cap=3, n_clusters=1
+        ).collect()
+        if r.keep
+    )
+    assert kept == [0, 1, 2]
+
+
+def test_balanced_select_rejects_bad_cap(spark):
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="cap"):
+        sim.balanced_select(_embs(spark, [[1.0] * 64]), cap=0)
+
+
 def test_kmeans_fixed_point_sums_are_partition_invariant(spark):
     # Same data, 1 vs 32 shuffle partitions -> bit-identical assignment
     # (the fixed-point decimal accumulation is order-free).

@@ -131,6 +131,7 @@ AUDIT = [
     "d_cluster_exemplars",
     "pipeline_dedup_keepbest",
     "t_vocab_growth",
+    "e_balanced_select",
 ]
 
 
