@@ -429,6 +429,9 @@ _WINDOW_HEAD_R16 = [
     # slot 5d (late-r16): cluster-balanced selection — cap per trained
     # k-means cell, most prototypical first (density equalization).
     "e_balanced_select",
+    # slot 5e (late-r16): embedding-space coverage audit of the
+    # keep-best dedup pass (cells with zero survivors).
+    "e_survivor_coverage",
     # slot 5 (late-r16): the planted-copy recall audit of the batch
     # kNN join — the high-cosine regime where recall must be exactly
     # 10^6 ppm (completes the two-regime story with slot 1).

@@ -139,6 +139,7 @@ HEADLINE = [
     "pipeline_dedup_keepbest",
     "t_vocab_growth",
     "e_balanced_select",
+    "e_survivor_coverage",
 ]
 
 

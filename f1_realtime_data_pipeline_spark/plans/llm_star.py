@@ -413,6 +413,52 @@ _register(
 )
 
 
+def e_survivor_coverage(spark, sf_dir):
+    """Embedding-space coverage audit of the keep-best dedup pass
+    (r16): per trained k-means cell, how many vectors remain after
+    `pipeline_dedup_keepbest` — the check that near-dup pruning didn't
+    silently wipe out an entire region of embedding space (a cell with
+    n_survivors = 0 means every doc in that semantic neighborhood was
+    dropped as someone's near-dup). Composes two REGISTERED scale
+    forms (the k-means assignment and the survivor corpus) with one
+    doc_id-keyed left join and one cell-keyed aggregate.
+
+    Shape at 100 TB: both inputs keep their own documented bounds; the
+    join keys on vec_id/doc_id; the aggregate output is CELL-sized
+    (C ≈ √N at the production default) with map-side partial
+    counts — never a corpus-sized shuffle result."""
+    cells = sim.kmeans_assign(_embs(spark, sf_dir))
+    survivors = pipeline_dedup_keepbest(spark, sf_dir).select(
+        F.col("doc_id").alias("vec_id"), F.lit(1).alias("surv")
+    )
+    return (
+        cells.join(survivors, "vec_id", "left")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum(F.coalesce(F.col("surv"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_survivors"),
+        )
+        .withColumn("covered", F.col("n_survivors") > 0)
+        .orderBy("cell")
+    )
+
+
+_register(
+    "e_survivor_coverage",
+    e_survivor_coverage,
+    f"""SELECT c.cell,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(COUNT(s.doc_id) AS BIGINT) AS n_survivors,
+       COUNT(s.doc_id) > 0 AS covered
+FROM ({sim.kmeans_assign_sql()}) c
+LEFT JOIN ({_pipeline_dedup_keepbest_sql()}) s ON s.doc_id = c.vec_id
+GROUP BY c.cell
+ORDER BY c.cell""",
+)
+
+
 def d_dup_clusters_iter(spark, sf_dir):
     """The LARGE-graph branch of the canonicalizer, driver-checked:
     same MinHash-LSH pair graph and the same recursive-CTE oracle as

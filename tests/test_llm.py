@@ -1479,6 +1479,44 @@ def test_pipeline_dedup_keepbest_survivors(spark, tmp_path):
     assert out[7].n_represented == 1 and out[7].cluster_id is None
 
 
+def test_survivor_coverage_flags_wiped_cell(spark, tmp_path):
+    """r16 coverage audit: docs 0/1 are exact dups (survivor = 0),
+    doc 2 unique. With 3 vectors < KMEANS_C every vector seeds its own
+    cell, so vec 1's cell loses its only member to the dedup drop and
+    must read covered=false; cells 0 and 2 stay covered."""
+    import pandas as pd
+
+    from f1_realtime_data_pipeline_spark.plans.llm_star import (
+        e_survivor_coverage,
+    )
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    texts = {0: dup, 1: dup, 2: "a different document about rivers"}
+    rows = [(i, t, "en", "s", len(t)) for i, t in texts.items()]
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    ).toPandas().to_parquet(str(tmp_path / "documents.parquet"),
+                            index=False)
+    vecs = {0: [1.0] + [0.0] * 63, 1: [0.0, 1.0] + [0.0] * 62,
+            2: [0.0, 0.0, 1.0] + [0.0] * 61}
+    pd.DataFrame(
+        {"vec_id": list(vecs), "embedding": [vecs[i] for i in vecs],
+         "label": [0, 0, 0]}
+    ).to_parquet(str(tmp_path / "embeddings.parquet"), index=False)
+
+    out = {r.cell: r for r in e_survivor_coverage(spark, str(tmp_path)).collect()}
+    assert len(out) == 3
+    covered = {c: r.covered for c, r in out.items()}
+    assert sum(covered.values()) == 2
+    assert all(r.n_vectors == 1 for r in out.values())
+    # the uncovered cell is the one whose sole member (doc 1) was
+    # dropped as doc 0's duplicate
+    uncovered = [c for c, r in out.items() if not r.covered]
+    assert len(uncovered) == 1 and out[uncovered[0]].n_survivors == 0
+
+
 def test_vocab_growth_hand_computed(spark, tmp_path):
     """r16 Heaps bigram curve on a hand-computable corpus: doc 3
     (1 digit) introduces 'a b' and 'b c'; doc 12 (2 digits) repeats

@@ -132,6 +132,7 @@ AUDIT = [
     "pipeline_dedup_keepbest",
     "t_vocab_growth",
     "e_balanced_select",
+    "e_survivor_coverage",
 ]
 
 
