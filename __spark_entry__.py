@@ -432,6 +432,10 @@ _WINDOW_HEAD_R16 = [
     # slot 5e (late-r16): embedding-space coverage audit of the
     # keep-best dedup pass (cells with zero survivors).
     "e_survivor_coverage",
+    # slot 5f (late-r16): incremental near-dup admission — the batch
+    # probed against the existing corpus's LSH band index; no
+    # existing×existing candidate join anywhere.
+    "d_incremental_neardup",
     # slot 5 (late-r16): the planted-copy recall audit of the batch
     # kNN join — the high-cosine regime where recall must be exactly
     # 10^6 ppm (completes the two-regime story with slot 1).

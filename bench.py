@@ -140,6 +140,7 @@ HEADLINE = [
     "t_vocab_growth",
     "e_balanced_select",
     "e_survivor_coverage",
+    "d_incremental_neardup",
 ]
 
 

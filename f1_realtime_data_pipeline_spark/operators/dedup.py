@@ -667,6 +667,147 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= {threshold}"""
 
 
+def incremental_neardup_admission(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_strategy: str = "md5",
+    batch_ge: int | None = None,
+) -> DataFrame:
+    """Incremental-ingest NEAR-dup admission gate: the ~10% "new
+    batch" (same deterministic hash split as
+    :func:`~...llm_ext.d_incremental_dedup`'s exact gate) probed
+    against the EXISTING corpus's MinHash-LSH band index — a batch doc
+    is admitted iff no existing doc shares a band bucket AND verifies
+    at true shingle-Jaccard >= ``threshold``. The continuously-
+    ingesting pipeline's fuzzy admission control: where the exact gate
+    rejects only byte-identical resubmissions, this one rejects
+    paraphrase-level boilerplate.
+
+    Output one row per batch doc: (doc_id, n_near_matches,
+    best_jaccard, admitted); ``best_jaccard`` is NULL for admitted
+    docs (no verified match).
+
+    Scale shape — the incremental property: there is NO
+    existing×existing candidate join anywhere in the plan. Candidates
+    come from bands(existing) ⋈ bands(batch) on (band_idx, sig), so
+    candidate volume is Σ over batch band-buckets of their EXISTING
+    occupancy — ∝ batch size at a fixed corpus density, never corpus².
+    The true-Jaccard verify touches only that candidate set (8-byte
+    hash join keys, the minhash_lsh_pairs contract). The corpus-side
+    signature pass is a map-only scan in this registered form; a real
+    deployment persists the (doc_id, band_idx, sig) index once (the
+    t_bm25_postings pattern) and only the batch recomputes per ingest.
+    """
+    if batch_ge is None:
+        batch_ge = _TEST_GE
+    bucket = split_bucket()
+    sides = docs.select(
+        "doc_id", (bucket >= F.lit(batch_ge)).alias("is_batch")
+    )
+    sh = doc_shingles(docs, MINHASH_SHINGLE_N).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs = _minhash_sigs(sh, id_strategy)
+    members = _band_memberships(sigs).join(sides, "doc_id")
+    me = members.filter(~F.col("is_batch")).select(
+        F.col("doc_id").alias("doc_a"), "band_idx", "sig"
+    )
+    mb = members.filter(F.col("is_batch")).select(
+        F.col("doc_id").alias("doc_b"), "band_idx", "sig"
+    )
+    cand = me.join(mb, ["band_idx", "sig"]).select("doc_a", "doc_b").distinct()
+    common, sa, sb = _candidate_overlap(sh, cand)
+    hits = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .groupBy("doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_near_matches"),
+            F.max("jaccard").alias("best_jaccard"),
+        )
+        .withColumnRenamed("doc_b", "doc_id")
+    )
+    return (
+        sides.filter(F.col("is_batch"))
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_near_matches"), F.lit(0))
+            .cast("bigint")
+            .alias("n_near_matches"),
+            "best_jaccard",
+            F.col("n_near_matches").isNull().alias("admitted"),
+        )
+    )
+
+
+def incremental_neardup_admission_sql(
+    threshold: float = 0.5,
+    id_strategy: str = "md5",
+    batch_ge: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`incremental_neardup_admission` — same
+    band construction as :func:`minhash_lsh_pairs_sql`, with the
+    candidate join restricted to existing×batch."""
+    if batch_ge is None:
+        batch_ge = _TEST_GE
+    band_exprs = []
+    for band in range(LSH_BANDS):
+        parts = " || '_' || ".join(
+            f"CAST(mh{band * BAND_ROWS + r} AS VARCHAR)"
+            for r in range(BAND_ROWS)
+        )
+        band_exprs.append(
+            f"SELECT doc_id, {band} AS band_idx, {parts} AS sig FROM sigs"
+        )
+    bands_union = "\n  UNION ALL\n  ".join(band_exprs)
+    return f"""WITH {_minhash_sig_sql(id_strategy)},
+bands AS (
+  {bands_union}
+), sides AS (
+  SELECT doc_id, ({split_bucket_sql()}) >= {batch_ge} AS is_batch
+  FROM documents
+), cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x
+  JOIN sides sx ON sx.doc_id = x.doc_id AND NOT sx.is_batch
+  JOIN bands y ON x.band_idx = y.band_idx AND x.sig = y.sig
+  JOIN sides sy ON sy.doc_id = y.doc_id AND sy.is_batch
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM doc_sh GROUP BY doc_id
+), common AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN doc_sh wa ON wa.doc_id = c.doc_a
+  JOIN doc_sh wb ON wb.doc_id = c.doc_b AND wb.shingle = wa.shingle
+  GROUP BY c.doc_a, c.doc_b
+), hits AS (
+  SELECT doc_b AS doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_near_matches,
+         MAX(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common))
+             AS best_jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+        >= {threshold}
+  GROUP BY doc_b
+)
+SELECT s.doc_id,
+       CAST(COALESCE(h.n_near_matches, 0) AS BIGINT) AS n_near_matches,
+       h.best_jaccard,
+       h.n_near_matches IS NULL AS admitted
+FROM sides s LEFT JOIN hits h ON h.doc_id = s.doc_id
+WHERE s.is_batch"""
+
+
 def minhash_est_audit(docs: DataFrame, id_strategy: str = "md5") -> DataFrame:
     """Sketch-accuracy audit: for every banded-LSH candidate pair,
     the MinHash ESTIMATE of Jaccard (matching permutations / 16)

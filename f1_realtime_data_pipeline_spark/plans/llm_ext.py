@@ -645,6 +645,34 @@ FROM batch b LEFT JOIN existing e ON b.text = e.text"""
 _register("d_incremental_dedup", d_incremental_dedup, _incremental_dedup_sql())
 
 
+def d_incremental_neardup(spark, sf_dir):
+    """Incremental NEAR-dup admission (r16): the same ~10% batch as
+    d_incremental_dedup, probed against the existing corpus's
+    MinHash-LSH band index and verified at true shingle-Jaccard ≥ 0.5
+    — the fuzzy admission control a continuously-ingesting pipeline
+    runs where the exact gate only catches byte-identical resubmits.
+    No existing×existing candidate join anywhere (see the operator
+    docstring for the incremental scale shape)."""
+    from f1_realtime_data_pipeline_spark.operators.dedup import (
+        incremental_neardup_admission,
+    )
+
+    return incremental_neardup_admission(_docs(spark, sf_dir))
+
+
+def _incremental_neardup_sql() -> str:
+    from f1_realtime_data_pipeline_spark.operators.dedup import (
+        incremental_neardup_admission_sql,
+    )
+
+    return incremental_neardup_admission_sql()
+
+
+_register(
+    "d_incremental_neardup", d_incremental_neardup, _incremental_neardup_sql()
+)
+
+
 # ---------------------------------------------------------------------------
 # pipeline_corpus_v2: the full modern prep pipeline in one plan
 # ---------------------------------------------------------------------------

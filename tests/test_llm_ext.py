@@ -185,6 +185,44 @@ def test_kmeans_separates_two_blobs(spark):
     assert cells[0] != cells[1]
 
 
+def test_incremental_neardup_gate_checks_existing_only(spark, tmp_path):
+    """r16 fuzzy admission: a batch doc duplicating an EXISTING doc is
+    rejected (n_near_matches>=1, best_jaccard 1.0); a novel batch doc
+    is admitted; and — the incremental property — a batch doc that
+    duplicates only ANOTHER BATCH doc is still admitted (the gate
+    probes the existing index, it never pairs batch x batch).
+    Split buckets: ids 0/1/2 -> existing, 17/21/38 -> batch."""
+    from f1_realtime_data_pipeline_spark.plans.llm_ext import (
+        d_incremental_neardup,
+    )
+
+    texts = {
+        0: "alpha beta gamma delta epsilon zeta eta theta",
+        1: "one two three four five six seven eight",
+        2: "one two three four five six seven eight",
+        17: "alpha beta gamma delta epsilon zeta eta theta",
+        21: "purple monkeys dishwasher quantum flute parade sings",
+        38: "purple monkeys dishwasher quantum flute parade sings",
+    }
+    rows = [(i, t, "en", "s", len(t)) for i, t in texts.items()]
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    ).toPandas().to_parquet(str(tmp_path / "documents.parquet"),
+                            index=False)
+    out = {r.doc_id: r
+           for r in d_incremental_neardup(spark, str(tmp_path)).collect()}
+    assert set(out) == {17, 21, 38}
+    assert not out[17].admitted
+    assert out[17].n_near_matches == 1
+    assert out[17].best_jaccard == 1.0
+    for i in (21, 38):  # novel / batch-internal dup: both admitted
+        assert out[i].admitted
+        assert out[i].n_near_matches == 0
+        assert out[i].best_jaccard is None
+
+
 def test_balanced_select_caps_cells_and_breaks_ties_by_id(spark):
     """r16 density equalization: (1) per cell the rank is dense
     1..cell_size and keep == rank <= cap, so kept = min(cap, size);

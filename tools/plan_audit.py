@@ -133,6 +133,7 @@ AUDIT = [
     "t_vocab_growth",
     "e_balanced_select",
     "e_survivor_coverage",
+    "d_incremental_neardup",
 ]
 
 
