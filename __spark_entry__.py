@@ -436,6 +436,9 @@ _WINDOW_HEAD_R16 = [
     # probed against the existing corpus's LSH band index; no
     # existing×existing candidate join anywhere.
     "d_incremental_neardup",
+    # slot 5g (late-r16): per-doc bigram novelty vs the existing
+    # corpus (integer ppm), the n-gram data-selection signal.
+    "t_novelty_score",
     # slot 5 (late-r16): the planted-copy recall audit of the batch
     # kNN join — the high-cosine regime where recall must be exactly
     # 10^6 ppm (completes the two-regime story with slot 1).

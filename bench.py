@@ -141,6 +141,7 @@ HEADLINE = [
     "e_balanced_select",
     "e_survivor_coverage",
     "d_incremental_neardup",
+    "t_novelty_score",
 ]
 
 

@@ -701,6 +701,19 @@ SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, rnk FRO
 )
 
 
+def _bigrams_col(tcol: str):
+    """array<string> of adjacent word bigrams from a token-array
+    column — per-row zip_with (map-side, no self-join); empty for
+    arrays shorter than 2. Shared by t_vocab_growth and
+    t_novelty_score."""
+    n_pairs = F.greatest(F.size(tcol) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(tcol, F.lit(1), n_pairs),
+        F.slice(tcol, F.lit(2), n_pairs),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+
+
 def t_vocab_growth(spark, sf_dir):
     """Heaps-law BIGRAM-vocabulary growth (r16): distinct word-bigram
     count at decade-sized id-ordered corpus prefixes (docs with
@@ -724,17 +737,7 @@ def t_vocab_growth(spark, sf_dir):
 
     d = _docs(spark, sf_dir)
     toks = d.select("doc_id", tx.tokens("text").alias("t"))
-    n_pairs = F.greatest(F.size("t") - 1, F.lit(0))
-    bigrams = toks.select(
-        "doc_id",
-        F.explode(
-            F.zip_with(
-                F.slice("t", F.lit(1), n_pairs),
-                F.slice("t", F.lit(2), n_pairs),
-                lambda a, b: F.concat(a, F.lit(" "), b),
-            )
-        ).alias("bigram"),
-    )
+    bigrams = toks.select("doc_id", F.explode(_bigrams_col("t")).alias("bigram"))
     first = bigrams.groupBy("bigram").agg(F.min("doc_id").alias("first_doc"))
     per_k = first.groupBy(
         F.length(F.col("first_doc").cast("string")).cast("int").alias("k")
@@ -776,6 +779,95 @@ SELECT CAST('1' || repeat('0', k) AS BIGINT) AS prefix_docs,
            AS vocab_size
 FROM per_k ORDER BY prefix_docs""",
 )
+
+
+def t_novelty_score(spark, sf_dir):
+    """Per-doc novelty scoring (r16): for every doc in the ~10%
+    ingest batch (the deterministic split shared with the incremental
+    gates), the fraction of its DISTINCT word bigrams unseen anywhere
+    in the existing corpus — the "how much new signal does this doc
+    carry" score a data-selection pass ranks by (the n-gram-novelty
+    counterpart of t_dsir_select's importance weights). Integer-exact:
+    novelty_ppm = (10⁶ · n_novel) DIV n_bigrams, so the oracle matches
+    bit-for-bit. Batch docs with <2 tokens carry no bigrams and emit
+    no row.
+
+    Shape at 100 TB: bigrams are per-row zip_with (map-side); the
+    existing side reduces to its DISTINCT bigram set (vocabulary-
+    sized, sub-linear by Heaps — measured by t_vocab_growth); the
+    batch⋈existing membership join keys on the bigram and the final
+    rollup is a per-doc partial agg. A real deployment persists the
+    existing set once (or a bloom twin — the t_contamination_bloom
+    pattern) and only the batch recomputes per ingest."""
+    from f1_realtime_data_pipeline_spark.operators.dedup import _TEST_GE
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        tx.tokens("text").alias("t"),
+        split_bucket().alias("bucket"),
+    )
+    bi = toks.select(
+        "doc_id",
+        "bucket",
+        F.explode(_bigrams_col("t")).alias("bigram"),
+    )
+    batch_bi = (
+        bi.filter(F.col("bucket") >= _TEST_GE)
+        .select("doc_id", "bigram")
+        .distinct()
+    )
+    exist_bi = (
+        bi.filter(F.col("bucket") < _TEST_GE)
+        .select("bigram")
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    return (
+        batch_bi.join(exist_bi, "bigram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_ppm",
+            F.expr("CAST((1000000 * n_novel) DIV n_bigrams AS BIGINT)"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _novelty_score_sql() -> str:
+    from f1_realtime_data_pipeline_spark.operators.dedup import _TEST_GE
+
+    return f"""WITH toks AS (
+  SELECT doc_id, unnest({tx.tokens_sql("text")}) AS word,
+         generate_subscripts({tx.tokens_sql("text")}, 1) AS pos,
+         ({split_bucket_sql()}) AS bucket
+  FROM documents
+), bi AS (
+  SELECT a.doc_id, a.bucket, a.word || ' ' || b.word AS bigram
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+), batch_bi AS (
+  SELECT DISTINCT doc_id, bigram FROM bi WHERE bucket >= {_TEST_GE}
+), exist_bi AS (
+  SELECT DISTINCT bigram FROM bi WHERE bucket < {_TEST_GE}
+)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CASE WHEN e.bigram IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel,
+       CAST((1000000 * SUM(CASE WHEN e.bigram IS NULL THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS novelty_ppm
+FROM batch_bi b LEFT JOIN exist_bi e ON e.bigram = b.bigram
+GROUP BY b.doc_id
+ORDER BY b.doc_id"""
+
+
+_register("t_novelty_score", t_novelty_score, _novelty_score_sql())
 
 
 def t_normalize(spark, sf_dir):

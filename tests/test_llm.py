@@ -1479,6 +1479,31 @@ def test_pipeline_dedup_keepbest_survivors(spark, tmp_path):
     assert out[7].n_represented == 1 and out[7].cluster_id is None
 
 
+def test_novelty_score_hand_computed(spark, tmp_path):
+    """r16 novelty: batch doc 17 ('a b x y') carries 3 distinct
+    bigrams of which 2 are unseen in the existing corpus ('a b c') ->
+    ppm = 2000000 DIV 3; batch doc 38 repeats existing text -> 0 ppm;
+    a bigram-free batch doc (21, one token) emits no row; existing
+    docs never appear."""
+    from f1_realtime_data_pipeline_spark.plans.llm_star import (
+        t_novelty_score,
+    )
+
+    texts = {0: "a b c", 17: "a b x y", 21: "solo", 38: "a b c"}
+    rows = [(i, t, "en", "s", len(t)) for i, t in texts.items()]
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    ).toPandas().to_parquet(str(tmp_path / "documents.parquet"),
+                            index=False)
+    out = {r.doc_id: tuple(r)
+           for r in t_novelty_score(spark, str(tmp_path)).collect()}
+    assert set(out) == {17, 38}
+    assert out[17] == (17, 3, 2, 2000000 // 3)
+    assert out[38] == (38, 2, 0, 0)
+
+
 def test_survivor_coverage_flags_wiped_cell(spark, tmp_path):
     """r16 coverage audit: docs 0/1 are exact dups (survivor = 0),
     doc 2 unique. With 3 vectors < KMEANS_C every vector seeds its own

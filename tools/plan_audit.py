@@ -134,6 +134,7 @@ AUDIT = [
     "e_balanced_select",
     "e_survivor_coverage",
     "d_incremental_neardup",
+    "t_novelty_score",
 ]
 
 
