@@ -414,3 +414,58 @@ def test_keepbest_pipeline_partition_invariants(
         assert r.doc_id in members[cid]
         assert r.n_represented == len(members[cid])
     assert sum(r.n_represented for r in out) == len(texts)
+
+
+# ---- bigram novelty scoring (r16) ----------------------------------------
+
+_BATCH_IDS = [17, 21, 38, 42, 63, 67, 84, 88]  # split_bucket >= 900
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    exist_texts=st.lists(_doc, min_size=0, max_size=4),
+    batch_texts=st.lists(_doc, min_size=1, max_size=4),
+)
+def test_novelty_score_matches_python_model(
+    spark_prop, tmp_path_factory, exist_texts, batch_texts
+):
+    """Model check on random corpora: novelty_ppm equals the exact
+    integer model over the pinned tokenizer contract (boundary empties
+    included), batch docs with no bigram emit no row, and existing
+    docs never appear."""
+    import re
+
+    from f1_realtime_data_pipeline_spark.plans.llm_star import (
+        t_novelty_score,
+    )
+
+    ids_texts = list(enumerate(exist_texts)) + [
+        (_BATCH_IDS[i], t) for i, t in enumerate(batch_texts)
+    ]
+    tmp = tmp_path_factory.mktemp("novelty")
+    rows = [(i, t, "en", "s", len(t)) for i, t in ids_texts]
+    spark_prop.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    ).toPandas().to_parquet(str(tmp / "documents.parquet"), index=False)
+
+    def bigrams(t):
+        toks = re.split(r"[ \t\n\x0B\f\r]+", t.lower())
+        return {f"{a} {b}" for a, b in zip(toks, toks[1:])}
+
+    seen = set()
+    for t in exist_texts:
+        seen |= bigrams(t)
+    expected = {}
+    for i, t in enumerate(batch_texts):
+        bg = bigrams(t)
+        if bg:
+            novel = len(bg - seen)
+            expected[_BATCH_IDS[i]] = (
+                len(bg), novel, (1_000_000 * novel) // len(bg)
+            )
+
+    out = {r.doc_id: (r.n_bigrams, r.n_novel, r.novelty_ppm)
+           for r in t_novelty_score(spark_prop, str(tmp)).collect()}
+    assert out == expected
