@@ -439,6 +439,9 @@ _WINDOW_HEAD_R16 = [
     # slot 5g (late-r16): per-doc bigram novelty vs the existing
     # corpus (integer ppm), the n-gram data-selection signal.
     "t_novelty_score",
+    # slot 5h (late-r16): triangle count + global clustering of the
+    # top-K similarity graph (degree-ordered orientation).
+    "g_triangles",
     # slot 5 (late-r16): the planted-copy recall audit of the batch
     # kNN join — the high-cosine regime where recall must be exactly
     # 10^6 ppm (completes the two-regime story with slot 1).

@@ -142,6 +142,7 @@ HEADLINE = [
     "e_survivor_coverage",
     "d_incremental_neardup",
     "t_novelty_score",
+    "g_triangles",
 ]
 
 

@@ -588,3 +588,211 @@ SELECT kind, entity_key, score FROM (
 ORDER BY kind ASC, score DESC, entity_key ASC"""
 
 _register("g_hits", g_hits, _HITS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# triangle counting / global clustering (r16)
+# ---------------------------------------------------------------------------
+
+#: project a supplier-supplier edge only when the pair shares at least
+#: this many (capped) customers — the same density knob every
+#: co-occurrence projection needs so hub customers don't densify the
+#: projected graph into a clique.
+TRI_MIN_SHARED = 2
+
+#: keep each node's TRI_KNN_K most-similar partners (shared desc, id
+#: asc) — the top-K similarity graph. Projected degree is bounded by
+#: 2K REGARDLESS of corpus density (TPC-H's uniform incidence would
+#: otherwise project a near-complete graph), the same reason
+#: production similarity graphs are kNN graphs.
+TRI_KNN_K = 8
+
+
+def g_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the supplier
+    TOP-K SIMILARITY graph: candidate pairs share >= TRI_MIN_SHARED
+    capped customers, and each supplier keeps only its TRI_KNN_K
+    most-similar partners (shared desc, id asc) — the kNN-graph
+    projection every production similarity graph uses, bounding
+    projected degree at 2K regardless of corpus density (an absolute
+    shared-count edge rule projects TPC-H's uniform incidence into a
+    near-complete graph: measured 166M triangles / 36 s at sf0.1;
+    this form is 1000x smaller and density-invariant). The
+    graph-density primitive (community structure, spam-ring
+    detection) missing from the PageRank/HITS family.
+
+    Counting uses DEGREE-ORDERED ORIENTATION (the classic O(m^1.5)
+    bound): each undirected edge is directed from its lower-(deg, id)
+    endpoint, wedges are generated only from out-neighbor pairs —
+    out-degree under this orientation is O(sqrt(m)) — and each
+    triangle closes exactly once via a join back to the undirected
+    edge set. No vertex ever enumerates its full neighborhood
+    unordered, so hub suppliers cannot explode the wedge join; the
+    upstream CN_FANOUT_CAP bounds the projection itself (the
+    g_common_neighbors contract).
+
+    Output one row: (n_nodes, n_edges, n_wedges, n_triangles,
+    closed_ppm) with closed_ppm = 3*10^6*triangles DIV wedges
+    (wedges = sum over v of C(deg_v, 2)) — all integer-exact. The
+    three 1-row aggregates meet in scalar crossjoins (the allowlisted
+    broadcast-anchor pattern)."""
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    e = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_suppkey").alias("supp"),
+        )
+        .distinct()
+        .withColumn(
+            "__rn",
+            F.row_number().over(Window.partitionBy("cust").orderBy("supp")),
+        )
+        .filter(F.col("__rn") <= CN_FANOUT_CAP)
+        .drop("__rn")
+    )
+    l, r = e.alias("l"), e.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.cust") == F.col("r.cust"))
+            & (F.col("l.supp") < F.col("r.supp")),
+        )
+        .groupBy(F.col("l.supp").alias("a"), F.col("r.supp").alias("b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= TRI_MIN_SHARED)
+    )
+    sym = pairs.select(
+        F.col("a").alias("v"), F.col("b").alias("w"), "shared"
+    ).unionAll(
+        pairs.select(F.col("b").alias("v"), F.col("a").alias("w"), "shared")
+    )
+    topk = (
+        sym.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("v").orderBy(
+                    F.col("shared").desc(), F.col("w").asc()
+                )
+            ),
+        )
+        .filter(F.col("__rn") <= TRI_KNN_K)
+        .select("v", "w")
+    )
+    und = (
+        topk.select(
+            F.least("v", "w").alias("a"), F.greatest("v", "w").alias("b")
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    inc = und.select(F.col("a").alias("v")).unionAll(
+        und.select(F.col("b").alias("v"))
+    )
+    deg = inc.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    ed = und.join(
+        deg.select(F.col("v").alias("a"), F.col("deg").alias("dega")), "a"
+    ).join(deg.select(F.col("v").alias("b"), F.col("deg").alias("degb")), "b")
+    fwd = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedge = o1.join(
+        o2,
+        (F.col("o1.u") == F.col("o2.u")) & (F.col("o1.v") < F.col("o2.v")),
+    ).select(F.col("o1.v").alias("x"), F.col("o2.v").alias("y"))
+    tri = wedge.join(
+        und, (F.col("x") == F.col("a")) & (F.col("y") == F.col("b"))
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    nodes = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.coalesce(F.sum(F.expr("deg * (deg - 1) DIV 2")), F.lit(0))
+        .cast("bigint")
+        .alias("n_wedges"),
+    )
+    edges_c = und.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        nodes.crossJoin(edges_c)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.expr(
+                "CAST(CASE WHEN n_wedges = 0 THEN 0 "
+                "ELSE (3000000 * n_triangles) DIV n_wedges END AS BIGINT)"
+            ).alias("closed_ppm"),
+        )
+    )
+
+
+_register(
+    "g_triangles",
+    g_triangles,
+    f"""WITH raw AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), e AS (
+  SELECT cust, supp FROM (
+    SELECT cust, supp,
+           ROW_NUMBER() OVER (PARTITION BY cust ORDER BY supp) AS rn
+    FROM raw
+  ) WHERE rn <= {CN_FANOUT_CAP}
+), pairs AS (
+  SELECT a.supp AS a, b.supp AS b, COUNT(*) AS shared
+  FROM e a JOIN e b ON a.cust = b.cust AND a.supp < b.supp
+  GROUP BY 1, 2 HAVING COUNT(*) >= {TRI_MIN_SHARED}
+), sym AS (
+  SELECT a AS v, b AS w, shared FROM pairs
+  UNION ALL
+  SELECT b AS v, a AS w, shared FROM pairs
+), topk AS (
+  SELECT v, w FROM (
+    SELECT v, w,
+           ROW_NUMBER() OVER (PARTITION BY v
+               ORDER BY shared DESC, w ASC) AS rn
+    FROM sym
+  ) WHERE rn <= {TRI_KNN_K}
+), und AS (
+  SELECT DISTINCT LEAST(v, w) AS a, GREATEST(v, w) AS b FROM topk
+), deg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+  ) GROUP BY v
+), oriented AS (
+  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+              THEN u.a ELSE u.b END AS u,
+         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+              THEN u.b ELSE u.a END AS v
+  FROM und u JOIN deg da ON da.v = u.a JOIN deg db ON db.v = u.b
+), wedge AS (
+  SELECT o1.v AS x, o2.v AS y
+  FROM oriented o1 JOIN oriented o2 ON o1.u = o2.u AND o1.v < o2.v
+), tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM wedge w JOIN und t ON t.a = w.x AND t.b = w.y
+), nodes AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(COALESCE(SUM(deg * (deg - 1) // 2), 0) AS BIGINT) AS n_wedges
+  FROM deg
+), edges_c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM und
+)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       CAST(CASE WHEN n_wedges = 0 THEN 0
+            ELSE (3000000 * n_triangles) // n_wedges END AS BIGINT)
+           AS closed_ppm
+FROM nodes, edges_c, tri""",
+)

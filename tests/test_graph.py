@@ -255,3 +255,39 @@ def test_g_hits_oracle_parity(spark, sf_dir):
     assert kinds.loc["authority", "count"] == 10
     assert kinds.loc["hub", "max"] == 1_000_000
     assert kinds.loc["authority", "max"] == 1_000_000
+
+
+def test_triangles_hand_computed(spark, tmp_path):
+    """r16 triangle/kNN graph: customers c1,c2 buy {10,11,12} (every
+    pair shares 2 -> triangle), c3,c4 buy {12,13} (edge 12-13). kNN
+    cap (K=8) keeps everything. deg = 10:2, 11:2, 12:3, 13:1 ->
+    wedges = 1+1+3+0 = 5, triangles = 1, closed = 3e6 // 5."""
+    rows = []
+    for c in (1, 2):
+        rows += [(c, 10), (c, 11), (c, 12)]
+    for c in (3, 4):
+        rows += [(c, 12), (c, 13)]
+    d = _cn_fixture(spark, tmp_path, rows)
+    out = gx.g_triangles(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (4, 4, 5, 1)
+    assert r.closed_ppm == 3_000_000 // 5
+
+
+def test_triangles_knn_cap_binds(spark, tmp_path, monkeypatch):
+    """With TRI_KNN_K=1 every node keeps only its single most-similar
+    partner, so the 3-clique (each pair shared=2, ties by id) thins to
+    edges selected by either endpoint: 10->11, 11->10, 12->10 (and
+    13's best is 12) -> und = {(10,11), (10,12), (12,13)}: a path, no
+    triangle, and no node has degree > 2."""
+    monkeypatch.setattr(gx, "TRI_KNN_K", 1)
+    rows = []
+    for c in (1, 2):
+        rows += [(c, 10), (c, 11), (c, 12)]
+    for c in (3, 4):
+        rows += [(c, 12), (c, 13)]
+    d = _cn_fixture(spark, tmp_path, rows)
+    r = gx.g_triangles(spark, d).collect()[0]
+    assert r.n_triangles == 0
+    assert r.n_edges == 3

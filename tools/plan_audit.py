@@ -135,6 +135,7 @@ AUDIT = [
     "e_survivor_coverage",
     "d_incremental_neardup",
     "t_novelty_score",
+    "g_triangles",
 ]
 
 
