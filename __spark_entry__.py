@@ -442,6 +442,9 @@ _WINDOW_HEAD_R16 = [
     # slot 5h (late-r16): triangle count + global clustering of the
     # top-K similarity graph (degree-ordered orientation).
     "g_triangles",
+    # slot 5i (late-r16): k-core peeling on the same kNN graph
+    # (3 unrolled rounds, localCheckpoint lineage cuts).
+    "g_kcore_trim",
     # slot 5 (late-r16): the planted-copy recall audit of the batch
     # kNN join — the high-cosine regime where recall must be exactly
     # 10^6 ppm (completes the two-regime story with slot 1).

@@ -143,6 +143,7 @@ HEADLINE = [
     "d_incremental_neardup",
     "t_novelty_score",
     "g_triangles",
+    "g_kcore_trim",
 ]
 
 

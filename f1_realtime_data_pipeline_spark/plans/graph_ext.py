@@ -608,34 +608,12 @@ TRI_MIN_SHARED = 2
 TRI_KNN_K = 8
 
 
-def g_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle count + global clustering coefficient of the supplier
-    TOP-K SIMILARITY graph: candidate pairs share >= TRI_MIN_SHARED
-    capped customers, and each supplier keeps only its TRI_KNN_K
-    most-similar partners (shared desc, id asc) — the kNN-graph
-    projection every production similarity graph uses, bounding
-    projected degree at 2K regardless of corpus density (an absolute
-    shared-count edge rule projects TPC-H's uniform incidence into a
-    near-complete graph: measured 166M triangles / 36 s at sf0.1;
-    this form is 1000x smaller and density-invariant). The
-    graph-density primitive (community structure, spam-ring
-    detection) missing from the PageRank/HITS family.
-
-    Counting uses DEGREE-ORDERED ORIENTATION (the classic O(m^1.5)
-    bound): each undirected edge is directed from its lower-(deg, id)
-    endpoint, wedges are generated only from out-neighbor pairs —
-    out-degree under this orientation is O(sqrt(m)) — and each
-    triangle closes exactly once via a join back to the undirected
-    edge set. No vertex ever enumerates its full neighborhood
-    unordered, so hub suppliers cannot explode the wedge join; the
-    upstream CN_FANOUT_CAP bounds the projection itself (the
-    g_common_neighbors contract).
-
-    Output one row: (n_nodes, n_edges, n_wedges, n_triangles,
-    closed_ppm) with closed_ppm = 3*10^6*triangles DIV wedges
-    (wedges = sum over v of C(deg_v, 2)) — all integer-exact. The
-    three 1-row aggregates meet in scalar crossjoins (the allowlisted
-    broadcast-anchor pattern)."""
+def _knn_sim_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The supplier top-K similarity graph: undirected (a < b) edges,
+    persisted — each supplier keeps its TRI_KNN_K most-similar
+    partners (shared capped customers desc, id asc) among pairs with
+    >= TRI_MIN_SHARED shared customers. Shared by g_triangles and
+    g_kcore_trim (one projection definition, two consumers)."""
     from pyspark.sql import Window
 
     orders = read_table(spark, sf_dir, "orders").select(
@@ -686,13 +664,44 @@ def g_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") <= TRI_KNN_K)
         .select("v", "w")
     )
-    und = (
+    return (
         topk.select(
             F.least("v", "w").alias("a"), F.greatest("v", "w").alias("b")
         )
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+
+
+def g_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the supplier
+    TOP-K SIMILARITY graph: candidate pairs share >= TRI_MIN_SHARED
+    capped customers, and each supplier keeps only its TRI_KNN_K
+    most-similar partners (shared desc, id asc) — the kNN-graph
+    projection every production similarity graph uses, bounding
+    projected degree at 2K regardless of corpus density (an absolute
+    shared-count edge rule projects TPC-H's uniform incidence into a
+    near-complete graph: measured 166M triangles / 36 s at sf0.1;
+    this form is 1000x smaller and density-invariant). The
+    graph-density primitive (community structure, spam-ring
+    detection) missing from the PageRank/HITS family.
+
+    Counting uses DEGREE-ORDERED ORIENTATION (the classic O(m^1.5)
+    bound): each undirected edge is directed from its lower-(deg, id)
+    endpoint, wedges are generated only from out-neighbor pairs —
+    out-degree under this orientation is O(sqrt(m)) — and each
+    triangle closes exactly once via a join back to the undirected
+    edge set. No vertex ever enumerates its full neighborhood
+    unordered, so hub suppliers cannot explode the wedge join; the
+    upstream CN_FANOUT_CAP bounds the projection itself (the
+    g_common_neighbors contract).
+
+    Output one row: (n_nodes, n_edges, n_wedges, n_triangles,
+    closed_ppm) with closed_ppm = 3*10^6*triangles DIV wedges
+    (wedges = sum over v of C(deg_v, 2)) — all integer-exact. The
+    three 1-row aggregates meet in scalar crossjoins (the allowlisted
+    broadcast-anchor pattern)."""
+    und = _knn_sim_edges(spark, sf_dir)
     inc = und.select(F.col("a").alias("v")).unionAll(
         und.select(F.col("b").alias("v"))
     )
@@ -738,10 +747,10 @@ def g_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_register(
-    "g_triangles",
-    g_triangles,
-    f"""WITH raw AS (
+def _knn_sim_edges_sql() -> str:
+    """CTE chain ending in ``und (a, b)`` — the DuckDB twin of
+    :func:`_knn_sim_edges`."""
+    return f"""raw AS (
   SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
   FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 ), e AS (
@@ -750,7 +759,7 @@ _register(
            ROW_NUMBER() OVER (PARTITION BY cust ORDER BY supp) AS rn
     FROM raw
   ) WHERE rn <= {CN_FANOUT_CAP}
-), pairs AS (
+), pairs AS MATERIALIZED (
   SELECT a.supp AS a, b.supp AS b, COUNT(*) AS shared
   FROM e a JOIN e b ON a.cust = b.cust AND a.supp < b.supp
   GROUP BY 1, 2 HAVING COUNT(*) >= {TRI_MIN_SHARED}
@@ -765,9 +774,15 @@ _register(
                ORDER BY shared DESC, w ASC) AS rn
     FROM sym
   ) WHERE rn <= {TRI_KNN_K}
-), und AS (
+), und AS MATERIALIZED (
   SELECT DISTINCT LEAST(v, w) AS a, GREATEST(v, w) AS b FROM topk
-), deg AS (
+)"""
+
+
+_register(
+    "g_triangles",
+    g_triangles,
+    f"""WITH {_knn_sim_edges_sql()}, deg AS (
   SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
     SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
   ) GROUP BY v
@@ -796,3 +811,114 @@ SELECT n_nodes, n_edges, n_wedges, n_triangles,
            AS closed_ppm
 FROM nodes, edges_c, tri""",
 )
+
+
+# ---------------------------------------------------------------------------
+# k-core trim (r16)
+# ---------------------------------------------------------------------------
+
+#: peel nodes with degree below this from the kNN similarity graph —
+#: set between the fixture graph's min degree (8 — every node picks
+#: its own top-8) and its mean (~13): K=9 peels a live cascade at
+#: every SF without emptying the graph (K=12 emptied sf0.01 by round
+#: 3; K=6 removed nothing).
+KCORE_K = 9
+KCORE_ROUNDS = 3
+
+
+def g_kcore_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative k-core peeling on the supplier top-K similarity graph
+    (KCORE_ROUNDS rounds, unrolled — the HITS/PageRank fixed-depth
+    oracle pattern): each round drops every node whose CURRENT degree
+    is < KCORE_K, then the edges touching it; the removal cascades.
+    The standard pre-filter before community/triangle analysis (peel
+    the sparse periphery so the dense core is what gets mined), and
+    the graph-side analogue of the dedup pipeline's低-quality trim.
+
+    Output one row per round: (round, n_removed, n_edges_after) —
+    n_removed counts nodes peeled THAT round (isolated nodes vanish
+    with their last edge and are never re-counted).
+
+    Scale shape: per round one degree aggregate (map-side combine,
+    |V|-row result) and one double semi-join of edges against the
+    keep set — the same |V|-row-shuffle-per-round discipline as the
+    registered PageRank loop; each round's edge set is persisted once
+    and feeds the next round plus its own count. Production runs
+    data-dependent rounds to a fixpoint; the registered form pins the
+    depth so the DuckDB twin unrolls exactly."""
+    edges = _knn_sim_edges(spark, sf_dir)
+    per_round = []
+    for rnd in range(1, KCORE_ROUNDS + 1):
+        inc = edges.select(F.col("a").alias("v")).unionAll(
+            edges.select(F.col("b").alias("v"))
+        )
+        deg = inc.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= KCORE_K).select("v")
+        removed = deg.filter(F.col("deg") < KCORE_K).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_removed")
+        )
+        # localCheckpoint, not persist: each round's plan otherwise
+        # stacks every prior round's lineage and replanning grows
+        # superlinearly (measured: round 3 at 13 s vs 2 s with the cut
+        # — the same lesson as the connected-components loop).
+        edges = (
+            edges.join(keep.withColumnRenamed("v", "a"), "a")
+            .join(keep.withColumnRenamed("v", "b"), "b")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        per_round.append(
+            removed.crossJoin(
+                edges.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_edges_after")
+                )
+            ).select(
+                F.lit(rnd).cast("int").alias("round"),
+                "n_removed",
+                "n_edges_after",
+            )
+        )
+    out = per_round[0]
+    for df in per_round[1:]:
+        out = out.unionAll(df)
+    return out.orderBy("round")
+
+
+def _kcore_round_sql(rnd: int) -> str:
+    """One unrolled peel round — the single source of the oracle's
+    update rule (e{rnd-1} -> deg/keep/rm/e{rnd}/ec{rnd})."""
+    p, c = rnd - 1, rnd
+    return f"""deg{c} AS (
+  SELECT v, COUNT(*) AS deg FROM (
+    SELECT a AS v FROM e{p} UNION ALL SELECT b FROM e{p}
+  ) GROUP BY v
+), keep{c} AS (
+  SELECT v FROM deg{c} WHERE deg >= {KCORE_K}
+), rm{c} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_removed
+  FROM deg{c} WHERE deg < {KCORE_K}
+), e{c} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{p} e
+  JOIN keep{c} ka ON ka.v = e.a
+  JOIN keep{c} kb ON kb.v = e.b
+), ec{c} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges_after FROM e{c}
+)"""
+
+
+def _kcore_sql() -> str:
+    rounds = ",\n".join(_kcore_round_sql(r) for r in range(1, KCORE_ROUNDS + 1))
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INTEGER) AS round, rm{r}.n_removed,"
+        f" ec{r}.n_edges_after FROM rm{r}, ec{r}"
+        for r in range(1, KCORE_ROUNDS + 1)
+    )
+    return f"""WITH {_knn_sim_edges_sql()}, e0 AS (
+  SELECT a, b FROM und
+),
+{rounds}
+{selects}
+ORDER BY round"""
+
+
+_register("g_kcore_trim", g_kcore_trim, _kcore_sql())

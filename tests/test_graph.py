@@ -291,3 +291,38 @@ def test_triangles_knn_cap_binds(spark, tmp_path, monkeypatch):
     r = gx.g_triangles(spark, d).collect()[0]
     assert r.n_triangles == 0
     assert r.n_edges == 3
+
+
+def test_kcore_trim_hand_computed(spark, tmp_path, monkeypatch):
+    """r16 k-core peel at K=2 on a hand-built graph: triangle 10-11-12
+    (deg 2 each, after 12-13 edge deg(12)=3) + pendant 13 (deg 1).
+    Round 1 peels 13 -> triangle remains (3 edges); rounds 2-3 peel
+    nothing (the triangle IS the 2-core)."""
+    monkeypatch.setattr(gx, "KCORE_K", 2)
+    rows = []
+    for c in (1, 2):
+        rows += [(c, 10), (c, 11), (c, 12)]
+    for c in (3, 4):
+        rows += [(c, 12), (c, 13)]
+    d = _cn_fixture(spark, tmp_path, rows)
+    out = [(r.round, r.n_removed, r.n_edges_after)
+           for r in gx.g_kcore_trim(spark, d).collect()]
+    assert out == [(1, 1, 3), (2, 0, 3), (3, 0, 3)]
+
+
+def test_kcore_trim_cascade(spark, tmp_path, monkeypatch):
+    """A path graph cascades: 10-11-12-13 (via shared customers) at
+    K=2 — endpoints (deg 1) peel in round 1, leaving edge 11-12 whose
+    endpoints now have deg 1 -> round 2 peels both, round 3 empty."""
+    monkeypatch.setattr(gx, "KCORE_K", 2)
+    rows = []
+    for c, (s1, s2) in zip((1, 2), [(10, 11), (10, 11)]):
+        rows += [(c, s1), (c, s2)]
+    for c, (s1, s2) in zip((3, 4), [(11, 12), (11, 12)]):
+        rows += [(c, s1), (c, s2)]
+    for c, (s1, s2) in zip((5, 6), [(12, 13), (12, 13)]):
+        rows += [(c, s1), (c, s2)]
+    d = _cn_fixture(spark, tmp_path, rows)
+    out = [(r.round, r.n_removed, r.n_edges_after)
+           for r in gx.g_kcore_trim(spark, d).collect()]
+    assert out == [(1, 2, 1), (2, 2, 0), (3, 0, 0)]

@@ -136,6 +136,7 @@ AUDIT = [
     "d_incremental_neardup",
     "t_novelty_score",
     "g_triangles",
+    "g_kcore_trim",
 ]
 
 
