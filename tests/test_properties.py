@@ -469,3 +469,120 @@ def test_novelty_score_matches_python_model(
     out = {r.doc_id: (r.n_bigrams, r.n_novel, r.novelty_ppm)
            for r in t_novelty_score(spark_prop, str(tmp)).collect()}
     assert out == expected
+
+
+# ---- kNN similarity graph: triangles + k-core (r16) -----------------------
+
+_cs_pair = st.tuples(
+    st.integers(min_value=1, max_value=6),      # custkey
+    st.integers(min_value=10, max_value=16),    # suppkey
+)
+
+
+def _knn_model(rows, k):
+    """Pure-python mirror of _knn_sim_edges: capped incidence (cap 40
+    is a no-op at this size), pairs with shared >= 2, per-node top-k
+    by (shared desc, id asc), undirected union."""
+    inc = {}
+    for c, s in set(rows):
+        inc.setdefault(c, set()).add(s)
+    from collections import Counter
+    shared = Counter()
+    for supps in inc.values():
+        ss = sorted(supps)
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                shared[(ss[i], ss[j])] += 1
+    shared = {p: n for p, n in shared.items() if n >= 2}
+    nbrs = {}
+    for (a, b), n in shared.items():
+        nbrs.setdefault(a, []).append((b, n))
+        nbrs.setdefault(b, []).append((a, n))
+    und = set()
+    for v, lst in nbrs.items():
+        lst.sort(key=lambda wn: (-wn[1], wn[0]))
+        for w, _n in lst[:k]:
+            und.add((min(v, w), max(v, w)))
+    return und
+
+
+@settings(max_examples=4, deadline=None)
+@given(rows=st.lists(_cs_pair, min_size=1, max_size=30))
+def test_triangles_match_python_model(spark_prop, tmp_path_factory, rows):
+    """g_triangles equals brute-force triangle enumeration over the
+    modeled kNN projection on random bipartite graphs (K=2 so the
+    kNN cap actually binds). Module attrs are set/restored manually —
+    hypothesis forbids function-scoped monkeypatch inside @given."""
+    import itertools
+
+    from f1_realtime_data_pipeline_spark.plans import graph_ext as gx
+
+    _saved = gx.TRI_KNN_K
+    gx.TRI_KNN_K = 2
+    und = _knn_model(rows, 2)
+    nodes = sorted({v for e in und for v in e})
+    deg = {v: sum(v in e for e in und) for v in nodes}
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    tris = sum(
+        (min(a, b), max(a, b)) in und
+        and (min(b, c), max(b, c)) in und
+        and (min(a, c), max(a, c)) in und
+        for a, b, c in itertools.combinations(nodes, 3)
+    )
+    expected = (
+        len(nodes), len(und), wedges, tris,
+        0 if wedges == 0 else (3_000_000 * tris) // wedges,
+    )
+
+    tmp = tmp_path_factory.mktemp("tri")
+    orders = [(i, c) for i, (c, _) in enumerate(rows)]
+    lines = [(i, s) for i, (_, s) in enumerate(rows)]
+    spark_prop.createDataFrame(
+        orders, "o_orderkey bigint, o_custkey bigint"
+    ).toPandas().to_parquet(str(tmp / "orders.parquet"), index=False)
+    spark_prop.createDataFrame(
+        lines, "l_orderkey bigint, l_suppkey bigint"
+    ).toPandas().to_parquet(str(tmp / "lineitem.parquet"), index=False)
+    try:
+        r = gx.g_triangles(spark_prop, str(tmp)).collect()[0]
+    finally:
+        gx.TRI_KNN_K = _saved
+    assert tuple(r) == expected
+
+
+@settings(max_examples=4, deadline=None)
+@given(rows=st.lists(_cs_pair, min_size=1, max_size=30))
+def test_kcore_trim_matches_python_model(spark_prop, tmp_path_factory, rows):
+    """g_kcore_trim's per-round removals/edges equal a sequential
+    peel of the modeled projection (K=2, kNN cap 2)."""
+    from f1_realtime_data_pipeline_spark.plans import graph_ext as gx
+
+    _saved = (gx.TRI_KNN_K, gx.KCORE_K)
+    gx.TRI_KNN_K, gx.KCORE_K = 2, 2
+    edges = _knn_model(rows, 2)
+    expected = []
+    for rnd in range(1, 4):
+        deg = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {v for v, d in deg.items() if d >= 2}
+        removed = len(deg) - len(keep)
+        edges = {(a, b) for a, b in edges if a in keep and b in keep}
+        expected.append((rnd, removed, len(edges)))
+
+    tmp = tmp_path_factory.mktemp("kcore")
+    orders = [(i, c) for i, (c, _) in enumerate(rows)]
+    lines = [(i, s) for i, (_, s) in enumerate(rows)]
+    spark_prop.createDataFrame(
+        orders, "o_orderkey bigint, o_custkey bigint"
+    ).toPandas().to_parquet(str(tmp / "orders.parquet"), index=False)
+    spark_prop.createDataFrame(
+        lines, "l_orderkey bigint, l_suppkey bigint"
+    ).toPandas().to_parquet(str(tmp / "lineitem.parquet"), index=False)
+    try:
+        got = [(r.round, r.n_removed, r.n_edges_after)
+               for r in gx.g_kcore_trim(spark_prop, str(tmp)).collect()]
+    finally:
+        gx.TRI_KNN_K, gx.KCORE_K = _saved
+    assert got == expected
