@@ -445,6 +445,10 @@ _WINDOW_HEAD_R16 = [
     # slot 5i (late-r16): k-core peeling on the same kNN graph
     # (3 unrolled rounds, localCheckpoint lineage cuts).
     "g_kcore_trim",
+    # slot 5j (late-r16): manifest schema evolution — narrow epoch +
+    # wide epoch, merged-schema read backfills NULLs (the r5 contract
+    # driver-checked for the first time).
+    "o_schema_evolution",
     # slot 5 (late-r16): the planted-copy recall audit of the batch
     # kNN join — the high-cosine regime where recall must be exactly
     # 10^6 ppm (completes the two-regime story with slot 1).

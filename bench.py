@@ -144,6 +144,7 @@ HEADLINE = [
     "t_novelty_score",
     "g_triangles",
     "g_kcore_trim",
+    "o_schema_evolution",
 ]
 
 

@@ -1944,6 +1944,70 @@ FROM orders WHERE o_custkey % 10 = 7""",
 )
 
 
+def o_schema_evolution(spark, sf_dir):
+    """Schema evolution under the driver (r16): epoch 0 commits the
+    NARROW schema (o_orderkey, o_totalprice); epoch 1 appends rows
+    carrying a NEW column (o_orderpriority). The manifest merges the
+    schemas at commit time (sources.manifest.merge_schemas) and the
+    snapshot read is PINNED to the merged schema, so epoch-0 files —
+    written before the column existed — surface NULL for it with no
+    per-file footer sweep (the r5 evolution contract of
+    manifest.read_snapshot, previously exercised only by pytest).
+    The oracle reconstructs the expected union: NULL priority for the
+    narrow half, the real value for the wide half.
+
+    Scale shape: add-a-column is O(1) metadata (one merged-schema doc
+    in the commit) — no rewrite of existing files, the lakehouse
+    contract; the read lists only the snapshot's entries."""
+    from f1_realtime_data_pipeline_spark.sources import manifest as mf
+    from f1_realtime_data_pipeline_spark.streaming.sinks import (
+        read_sink_snapshot,
+        transactional_parquet_sink,
+    )
+
+    table = f"{_scratch_table_dir(spark, sf_dir, 'evo')}/orders_evo"
+    src = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 10 == 5)
+    mod = F.pmod(F.col("o_orderkey"), F.lit(2))
+    write = transactional_parquet_sink(
+        table, keys=["o_orderkey"], order_cols=["o_orderkey"]
+    )
+    write(
+        src.filter(mod == 0).select("o_orderkey", "o_totalprice"), 0
+    )
+    write(
+        src.filter(mod == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        ),
+        1,
+    )
+    if not mf.snapshot_versions(spark, table):
+        return src.limit(0).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+    out = read_sink_snapshot(spark, table)
+    if "o_orderpriority" not in out.columns:
+        # only the narrow epoch committed (e.g. the one-row corpus has
+        # no odd-key order): the table legitimately never adopted the
+        # column — NULL-pad to the query contract, the standard
+        # evolution-consumer guard.
+        out = out.withColumn(
+            "o_orderpriority", F.lit(None).cast("string")
+        )
+    return out.select("o_orderkey", "o_totalprice", "o_orderpriority")
+
+
+_register(
+    "o_schema_evolution",
+    o_schema_evolution,
+    """SELECT o_orderkey, o_totalprice,
+       CAST(NULL AS VARCHAR) AS o_orderpriority
+FROM orders WHERE o_custkey % 10 = 5 AND o_orderkey % 2 = 0
+UNION ALL
+SELECT o_orderkey, o_totalprice, o_orderpriority
+FROM orders WHERE o_custkey % 10 = 5 AND o_orderkey % 2 = 1""",
+)
+
+
 def p_unpivot(spark, sf_dir):
     """UNPIVOT/melt (r13): the inverse of ``a_pivot`` — a wide
     per-status aggregate (priority-class counts as three columns)

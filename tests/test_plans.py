@@ -584,3 +584,28 @@ def test_corr_regr_matches_numpy(spark, sf_dir):
         assert abs(row.regr_intercept - intercept) < 1e-4 * max(
             1, abs(intercept)
         )
+
+
+def test_schema_evolution_backfills_nulls(spark, tmp_path):
+    """r16 evolution contract: epoch 0 commits without the priority
+    column, epoch 1 adds it — the merged-schema read surfaces NULL for
+    epoch-0 rows and the real value for epoch-1 rows, with no rewrite
+    of epoch-0 files."""
+    from f1_realtime_data_pipeline_spark.plans.inventory_star import (
+        o_schema_evolution,
+    )
+
+    rows = [(k, 5, float(k) * 10, f"P{k}") for k in (1, 2, 3, 4)]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_totalprice double, "
+        "o_orderpriority string",
+    ).toPandas().to_parquet(str(tmp_path / "orders.parquet"), index=False)
+    out = {r.o_orderkey: r
+           for r in o_schema_evolution(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    for k in (2, 4):   # narrow epoch: column backfills as NULL
+        assert out[k].o_orderpriority is None
+    for k in (1, 3):   # wide epoch: the committed value survives
+        assert out[k].o_orderpriority == f"P{k}"
+    assert all(out[k].o_totalprice == k * 10 for k in out)
