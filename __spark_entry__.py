@@ -449,6 +449,9 @@ _WINDOW_HEAD_R16 = [
     # wide epoch, merged-schema read backfills NULLs (the r5 contract
     # driver-checked for the first time).
     "o_schema_evolution",
+    # slot 5k (late-r16): bounded RANGE-frame trailing 30-day window
+    # (the only bounded value-range frame in the registry).
+    "w_trailing_spend",
     # slot 5 (late-r16): the planted-copy recall audit of the batch
     # kNN join — the high-cosine regime where recall must be exactly
     # 10^6 ppm (completes the two-regime story with slot 1).

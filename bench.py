@@ -145,6 +145,7 @@ HEADLINE = [
     "g_triangles",
     "g_kcore_trim",
     "o_schema_evolution",
+    "w_trailing_spend",
 ]
 
 

@@ -533,3 +533,64 @@ SELECT prev_type, event_type AS next_type,
 FROM seq WHERE prev_type IS NOT NULL
 GROUP BY 1, 2""",
 )
+
+
+def w_trailing_spend(spark, sf_dir):
+    """Bounded RANGE-frame window (r16): per customer, the trailing
+    30-day spend and order count at every order — RANGE BETWEEN 29
+    PRECEDING AND CURRENT ROW over an integer day key, the surface no
+    other registered window exercises (every prior RANGE frame is
+    UNBOUNDED PRECEDING; o_window_running is a ROWS frame). The frame
+    is VALUE-bounded, so same-day peer orders all join the frame
+    regardless of row order — deterministic under any partitioning,
+    unlike a ROWS equivalent. Money is exact bigint cents.
+
+    Shape at 100 TB: one window partitioned by customer (cardinality
+    ≫ cores, no hot key in a retail-shaped corpus); day derivation is
+    map-side integer arithmetic; nothing global."""
+    from f1_realtime_data_pipeline_spark.sources.parquet import read_table
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).cast("bigint").alias("day"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("order_cents"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day")
+        .rangeBetween(-29, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "day",
+        "order_cents",
+        F.sum("order_cents").over(w).cast("bigint").alias("trailing_30d_cents"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_orders_30d"),
+    )
+
+
+_register(
+    "w_trailing_spend",
+    w_trailing_spend,
+    """WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(DATE_DIFF('day', DATE '1970-01-01',
+              CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS order_cents
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, day, order_cents,
+       CAST(SUM(order_cents) OVER (PARTITION BY o_custkey ORDER BY day
+            RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS trailing_30d_cents,
+       CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY day
+            RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n_orders_30d
+FROM o""",
+)

@@ -392,3 +392,49 @@ def test_multimodal_decoders_bounded_and_64bit():
     full = mm._decode_mp4_full(mm.encode_mp4(16, 16, 1000, 1))
     assert full[5] is not None and full[5] > 0
     assert "chunk_off bigint" in mm.FRAME_PLAN_SCHEMA
+
+
+def test_trailing_spend_range_frame_semantics(spark, tmp_path):
+    """r16 bounded RANGE frame: day 30's frame [1..30] drops day 0 but
+    keeps days 10/29; day 60 stands alone (frame [31..60] excludes
+    30); and same-day peers BOTH join the frame regardless of row
+    order (value-bounded, not ROWS)."""
+    import datetime as dt
+
+    from f1_realtime_data_pipeline_spark.plans.windows_star import (
+        w_trailing_spend,
+    )
+
+    def ts(day):
+        return dt.datetime(1970, 1, 1) + dt.timedelta(days=day)
+
+    # (orderkey, custkey, day, price)
+    orders = [
+        (1, 7, 0, 1.00), (2, 7, 10, 2.00), (3, 7, 10, 4.00),
+        (4, 7, 29, 8.00), (5, 7, 30, 16.00), (6, 7, 60, 32.00),
+    ]
+    spark.createDataFrame(
+        [(k, c, ts(d), p) for k, c, d, p in orders],
+        "o_orderkey bigint, o_custkey bigint, o_orderdate timestamp, "
+        "o_totalprice double",
+    ).toPandas().to_parquet(
+        str(tmp_path / "orders.parquet"),
+        index=False,
+        # pandas defaults to TIMESTAMP(NANOS), which Spark's vectorized
+        # parquet reader rejects — the events-table gotcha
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+
+    out = {r.o_orderkey: r
+           for r in w_trailing_spend(spark, str(tmp_path)).collect()}
+    want = {   # trailing cents, n in frame
+        1: (100, 1),            # day 0 alone
+        2: (700, 3),            # day 10: 1+2+4 (same-day peer included)
+        3: (700, 3),
+        4: (1500, 4),           # day 29: all of 0..29
+        5: (3000, 4),           # day 30: frame [1..30] drops day 0
+        6: (3200, 1),           # day 60: frame [31..60]
+    }
+    got = {k: (r.trailing_30d_cents, r.n_orders_30d) for k, r in out.items()}
+    assert got == want

@@ -137,6 +137,7 @@ AUDIT = [
     "t_novelty_score",
     "g_triangles",
     "g_kcore_trim",
+    "w_trailing_spend",
     # o_schema_evolution stays excluded like cdc_row_diff /
     # o_compaction_exec — building its plan executes the two-epoch
     # write lifecycle.
