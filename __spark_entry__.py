@@ -452,6 +452,9 @@ _WINDOW_HEAD_R16 = [
     # slot 5k (late-r16): bounded RANGE-frame trailing 30-day window
     # (the only bounded value-range frame in the registry).
     "w_trailing_spend",
+    # slot 5l (late-r16): PQ-ADC recall audit — completes the audit
+    # family (LSH and IVF had one; the lossy index did not).
+    "e_pq_recall_audit",
     # slot 5 (late-r16): the planted-copy recall audit of the batch
     # kNN join — the high-cosine regime where recall must be exactly
     # 10^6 ppm (completes the two-regime story with slot 1).

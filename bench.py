@@ -146,6 +146,7 @@ HEADLINE = [
     "g_kcore_trim",
     "o_schema_evolution",
     "w_trailing_spend",
+    "e_pq_recall_audit",
 ]
 
 

@@ -739,6 +739,79 @@ FROM n_true LEFT JOIN n_hit ON n_hit.query_id = n_true.query_id""",
 )
 
 
+def e_pq_recall_audit(spark, sf_dir):
+    """Recall@k of the PQ-ADC compressed index against exact
+    brute-force truth (r16) — completes the audit family: LSH has
+    e_knn_recall_audit, IVF has e_ivf_probe_curve, and the quantized
+    path had none, yet PQ is the index whose recall actually depends
+    on a lossy code (codebook quality), so it needs the audit MOST.
+    Same shared-input/persisted-truth discipline and integer-ppm
+    output as e_knn_recall_audit.
+
+    READING the fixture numbers: ~30% mean recall@5 at sf0.01 is the
+    HONEST figure for first-k-seeded codebooks over unstructured
+    synthetic vectors — ADC distortion is worst exactly when the data
+    has no cluster structure for the codebook to exploit. That is the
+    finding, not a bug: a deployment seeing this curve re-trains the
+    codebook (k-means per subspace) or raises M before trusting the
+    index — which is why the audit must ship WITH the index."""
+    from pyspark import StorageLevel
+
+    embs = _embs(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    truth = (
+        sim.knn_bruteforce(embs, n_queries=16, k=5)
+        .select("query_id", "neighbor_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    found = sim.knn_pq(embs, n_queries=16, k=5).select(
+        "query_id", F.col("neighbor_id").alias("f_neighbor")
+    )
+    hit = truth.join(
+        found,
+        (truth.query_id == found.query_id)
+        & (truth.neighbor_id == found.f_neighbor),
+        "left_semi",
+    )
+    n_true = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
+    n_hit = hit.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_found"))
+    return (
+        n_true.join(n_hit, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("n_true").cast("int").alias("n_true"),
+            F.coalesce("n_found", F.lit(0)).cast("int").alias("n_found"),
+        )
+        .withColumn(
+            "recall_ppm",
+            F.expr("CAST((n_found * 1000000) DIV n_true AS BIGINT)"),
+        )
+    )
+
+
+_register(
+    "e_pq_recall_audit",
+    e_pq_recall_audit,
+    f"""WITH truth AS (
+  SELECT query_id, neighbor_id FROM ({sim.knn_bruteforce_sql(16, 5)})
+), found AS (
+  SELECT query_id, neighbor_id FROM ({sim.knn_pq_sql(16, 5)})
+), n_true AS (
+  SELECT query_id, COUNT(*) AS n_true FROM truth GROUP BY query_id
+), n_hit AS (
+  SELECT t.query_id, COUNT(*) AS n_found
+  FROM truth t JOIN found f
+    ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+  GROUP BY t.query_id
+)
+SELECT n_true.query_id,
+       CAST(n_true.n_true AS INT) AS n_true,
+       CAST(COALESCE(n_hit.n_found, 0) AS INT) AS n_found,
+       CAST((COALESCE(n_hit.n_found, 0) * 1000000) // n_true.n_true AS BIGINT)
+           AS recall_ppm
+FROM n_true LEFT JOIN n_hit ON n_hit.query_id = n_true.query_id""",
+)
+
+
 # ---------------------------------------------------------------------------
 # watermark-lateness CDF, distributed prefix-max
 #

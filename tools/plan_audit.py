@@ -138,6 +138,7 @@ AUDIT = [
     "g_triangles",
     "g_kcore_trim",
     "w_trailing_spend",
+    "e_pq_recall_audit",
     # o_schema_evolution stays excluded like cdc_row_diff /
     # o_compaction_exec — building its plan executes the two-epoch
     # write lifecycle.
