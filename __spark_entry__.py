@@ -19,8 +19,10 @@ from pyspark.sql import DataFrame, SparkSession
 from f1_realtime_data_pipeline_spark.plans import (
     cdf_ext,
     contract_star,
+    dq_ext,
     graph_ext,
     inventory_star,
+    ivm_ext,
     layout_ext,
     llm_ext,
     llm_star,
@@ -115,6 +117,11 @@ _QUERY_MODULES = [
     graph_ext,
     scoring_ext,
     cdf_ext,
+    # r16 session-2 registrations: temporal-dim + view-maintenance
+    # extension (SCD2 build/as-of/merge, join-view IVM, bloom prune)
+    # and the declarative data-quality constraint audit.
+    ivm_ext,
+    dq_ext,
 ]
 
 #: queries pulled to the head of the driver's 50-query window this
@@ -413,6 +420,24 @@ _WINDOW_HEAD_R16 = [
     # reciprocal-rank fusion of the BM25 and LSH-kNN rankings (the
     # hybrid-retrieval primitive, integer-exact ppb). All debut
     # in-window so the 0-never-checked invariant holds.
+    # slots 0a-0d (r16 session 2): the temporal-dimension /
+    # view-maintenance family — SCD Type-2 build + its point-in-time
+    # as-of lookup (asof_join vs an interval-predicate oracle),
+    # signed-delta join-view IVM (ΔA⋈B + A⋈ΔB + ΔA⋈ΔB folded onto
+    # the stored base), and explicit bloom-filter semi-join pruning
+    # (deterministic hash family, FP volume under the value oracle).
+    "cdc_scd2_build",
+    "cdc_scd2_asof",
+    # slot 0c: incremental SCD2 merge — touched keys rebuilt, the
+    # rest passed through; oracle = the full rebuild (incremental
+    # must equal full, row for row).
+    "cdc_scd2_merge",
+    "cdc_ivm_join",
+    "j_bloom_prune",
+    # slot 0f: the Deequ-shaped declarative constraint audit
+    # (completeness/uniqueness/referential/range/set/pattern in one
+    # scan + one broadcast anti-join).
+    "p_dq_checks",
     "e_knn_join_recall_audit",
     "g_hits",
     "t_rrf_fusion",

@@ -147,6 +147,15 @@ HEADLINE = [
     "o_schema_evolution",
     "w_trailing_spend",
     "e_pq_recall_audit",
+    # r16 session 2: the temporal-dim / view-maintenance family
+    # (SCD2 build + point-in-time as-of, signed-delta join-view IVM,
+    # bloom-filter semi-join pruning).
+    "cdc_scd2_build",
+    "cdc_scd2_asof",
+    "cdc_scd2_merge",
+    "cdc_ivm_join",
+    "j_bloom_prune",
+    "p_dq_checks",
 ]
 
 

@@ -1,0 +1,161 @@
+"""Semantic invariants for plans/ivm_ext.py (the oracle pins values;
+these pin the CONTRACTS the values rest on)."""
+
+from __future__ import annotations
+
+from f1_realtime_data_pipeline_spark.plans import ivm_ext
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_scd2_intervals_partition_time(spark):
+    """Per key: exactly one current version, versions dense from 1,
+    and each effective_to equals the NEXT version's effective_from
+    (intervals tile the key's history with no gap or overlap)."""
+    rows = ivm_ext.cdc_scd2_build(spark, SF).collect()
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r.cust_id, []).append(r)
+    assert by_key, "slice must be non-empty"
+    for versions in by_key.values():
+        versions.sort(key=lambda r: r.version_n)
+        assert [v.version_n for v in versions] == list(
+            range(1, len(versions) + 1)
+        )
+        assert sum(v.is_current for v in versions) == 1
+        assert versions[-1].is_current == 1
+        assert versions[-1].effective_to is None
+        for cur, nxt in zip(versions, versions[1:]):
+            assert cur.effective_to == nxt.effective_from
+            assert cur.effective_from < cur.effective_to
+
+
+def test_scd2_asof_matches_interval_semantics(spark):
+    """Every matched fact's dim version was valid at the fact ts;
+    unmatched facts predate their key's first version (or the key has
+    no dim rows at all — odd-only customers)."""
+    dim = {
+        (r.cust_id, r.version_n): r
+        for r in ivm_ext.cdc_scd2_build(spark, SF).collect()
+    }
+    # rebuild the even-parity dim the asof query actually probes
+    even_rows = [
+        r
+        for r in ivm_ext._scd2_source(spark, SF, parity=0)
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+        .collect()
+    ]
+    first_even: dict = {}
+    for r in even_rows:
+        first_even.setdefault(r.o_custkey, r.o_orderdate)
+    out = ivm_ext.cdc_scd2_asof(spark, SF).collect()
+    assert out
+    n_matched = 0
+    for r in out:
+        if r.dim_version is None:
+            first = first_even.get(r.cust_id)
+            assert first is None or r.ts < first
+        else:
+            n_matched += 1
+    assert n_matched > 0
+
+
+def test_scd2_merge_equals_full_rebuild(spark):
+    """The incremental path (anti-join passthrough + semi-join-pruned
+    rebuild) is row-identical to the full build, and both sides of
+    the split are non-trivial at the cut date."""
+    from pyspark.sql import functions as F
+
+    full = ivm_ext.cdc_scd2_build(spark, SF)
+    merged = ivm_ext.cdc_scd2_merge(spark, SF)
+    cols = full.columns
+    sym_diff = full.select(cols).exceptAll(merged.select(cols)).count()
+    sym_diff += merged.select(cols).exceptAll(full.select(cols)).count()
+    assert sym_diff == 0
+    cut = ivm_ext.SCD2_MERGE_CUT
+    src = ivm_ext._scd2_source(spark, SF, parity=None)
+    n_base = src.filter(F.col("o_orderdate") < cut).count()
+    n_delta = src.filter(F.col("o_orderdate") >= cut).count()
+    assert n_base > 0 and n_delta > 0, "cut must split the history"
+
+
+def test_dq_checks_detect_planted_violations(spark, tmp_path):
+    """One planted violation per constraint class: the audit must
+    count each exactly (a gate that can only ever say 'passed' is
+    untested)."""
+    import datetime as dt
+
+    from f1_realtime_data_pipeline_spark.plans.dq_ext import p_dq_checks
+
+    ts = dt.datetime(1995, 1, 1)
+    rows = [
+        # clean row
+        (1, 10, "O", 100.0, ts, "1-URGENT"),
+        # completeness: NULL custkey (also skips the referential scan)
+        (2, None, "O", 100.0, ts, "1-URGENT"),
+        # uniqueness: duplicate orderkey 3
+        (3, 10, "O", 100.0, ts, "1-URGENT"),
+        (3, 10, "O", 100.0, ts, "1-URGENT"),
+        # referential: custkey 99 absent from customer
+        (4, 99, "O", 100.0, ts, "1-URGENT"),
+        # range: non-positive price
+        (5, 10, "O", -5.0, ts, "1-URGENT"),
+        # set: status outside {O,F,P}
+        (6, 10, "X", 100.0, ts, "1-URGENT"),
+        # pattern: malformed priority
+        (7, 10, "O", 100.0, ts, "urgent"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).toPandas().to_parquet(
+        str(tmp_path / "orders.parquet"),
+        index=False,
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    spark.createDataFrame(
+        [(10, "c10", 0, 0.0, "BUILDING")],
+        "c_custkey bigint, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    ).toPandas().to_parquet(str(tmp_path / "customer.parquet"), index=False)
+
+    got = {
+        r.check_name: (r.n_checked, r.n_violations, r.passed)
+        for r in p_dq_checks(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "completeness_custkey": (8, 1, 0),
+        "pattern_priority": (8, 1, 0),
+        "range_totalprice_pos": (8, 1, 0),
+        "referential_custkey": (8, 1, 0),
+        "set_orderstatus": (8, 1, 0),
+        "unique_orderkey": (8, 1, 0),
+    }
+
+
+def test_bloom_prune_no_false_negative(spark):
+    """The (bloom_pass=0, true_member=1) cell must not exist — a
+    bloom filter never drops a real member."""
+    rows = ivm_ext.j_bloom_prune(spark, SF).collect()
+    cells = {(r.bloom_pass, r.true_member): r.n_rows for r in rows}
+    assert (0, 1) not in cells
+    assert cells.get((1, 1), 0) > 0, "members must pass"
+
+
+def test_bloom_mask_stays_below_sign_bit(spark):
+    """Every stored word is non-negative: positions map into 62 bits
+    so two's-complement shift semantics can never diverge per engine."""
+    from pyspark.sql import functions as F
+
+    dimkeys = (
+        ivm_ext.read_table(spark, SF, "customer")
+        .select(F.col("c_custkey").alias("k"))
+        .distinct()
+    )
+    for c, d in ivm_ext.BLOOM_HASHES:
+        mx = dimkeys.select(
+            ivm_ext._bloom_pos("k", c, d).alias("p")
+        ).agg(F.max("p"), F.min("p")).collect()[0]
+        assert 0 <= mx[1] and mx[0] < ivm_ext.BLOOM_BITS
