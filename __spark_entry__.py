@@ -434,6 +434,10 @@ _WINDOW_HEAD_R16 = [
     "cdc_scd2_merge",
     "cdc_ivm_join",
     "j_bloom_prune",
+    # slot 0e2: PPJoin-lite prefix-filtered token-similarity join —
+    # oracle is the UNFILTERED brute-force join, so the value hash
+    # proves prefix+length filter completeness.
+    "d_prefix_join",
     # slot 0f: the Deequ-shaped declarative constraint audit
     # (completeness/uniqueness/referential/range/set/pattern in one
     # scan + one broadcast anti-join).

@@ -156,6 +156,7 @@ HEADLINE = [
     "cdc_ivm_join",
     "j_bloom_prune",
     "p_dq_checks",
+    "d_prefix_join",
 ]
 
 

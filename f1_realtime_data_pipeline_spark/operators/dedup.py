@@ -2086,3 +2086,138 @@ SELECT w.doc_id,
        (CAST(COUNT(d.win) AS DOUBLE) / COUNT(*)) AS dup_frac
 FROM wins w LEFT JOIN dupw d ON w.win = d.win
 GROUP BY w.doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered word-token similarity join (PPJoin-lite)
+# ---------------------------------------------------------------------------
+
+
+def prefix_filter_join(
+    docs: DataFrame, tau_num: int = 7, tau_den: int = 10
+) -> DataFrame:
+    """Word-token Jaccard similarity join with PREFIX + LENGTH
+    filtering (Chaudhuri/Xiao's PPJoin family, the scale-correct
+    alternative to joining on every shared token).
+
+    Prefix-filter theorem: order each doc's distinct tokens by a
+    GLOBAL total order (rarest first — ``(df, tok)`` ascending); if
+    ``J(A,B) >= τ`` then A and B must share a token within their
+    first ``|T| - ceil(τ·|T|) + 1`` tokens. So the candidate join
+    touches only those prefix tokens — the RAREST ones, with the
+    smallest postings lists — instead of the full inverted index
+    (``ngram_jaccard_pairs`` joins all shingles and needs a
+    hot-shingle cap; here the prefix choice IS the skew guard).
+    Length filter: ``τ·max(|A|,|B|) <= min(|A|,|B|)`` culls
+    candidates before verification, integer-exact as
+    ``tau_den·min >= tau_num·max``.
+
+    The ordering key is the ``(df, token-string)`` pair itself — no
+    global rank numbering (a dense rank would need a single-partition
+    window; the per-doc sort only ever compares within one doc's
+    tokens). Verification recomputes the EXACT intersection for
+    surviving candidates only.
+
+    τ is a rational ``tau_num/tau_den`` so every comparison and the
+    reported ``jacc_ppm`` stay in integer arithmetic (engine-exact).
+    The oracle twin (`prefix_filter_join_sql`) is the UNFILTERED
+    brute-force join with the same final threshold — a value-hash
+    match therefore PROVES the prefix+length filters lost no pair
+    (filter completeness under the oracle, not just speed).
+    """
+    t = (
+        docs.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+        )
+        .distinct()
+    )
+    sizes = t.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_tok")
+    )
+    dfreq = t.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "tok")
+    # prefix length: n - ceil(τ n) + 1, ceil via (a + b - 1) DIV b
+    pref = (
+        t.join(dfreq, "tok")
+        .withColumn("rn", F.row_number().over(wdoc))
+        .join(sizes, "doc_id")
+        .filter(
+            F.col("rn")
+            <= F.col("n_tok")
+            - (
+                (F.col("n_tok") * tau_num + tau_den - 1)
+                / tau_den
+            ).cast("int")
+            + 1
+        )
+        .select("doc_id", "tok", "n_tok")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_tok").alias("na"),
+            F.col("b.n_tok").alias("nb"),
+        )
+        .distinct()
+        .filter(
+            F.lit(tau_den) * F.least("na", "nb")
+            >= F.lit(tau_num) * F.greatest("na", "nb")
+        )
+    )
+    common = (
+        cand.join(t.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
+        .join(
+            t.alias("tb"),
+            (F.col("doc_b") == F.col("tb.doc_id"))
+            & (F.col("ta.tok") == F.col("tb.tok")),
+        )
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    uni = F.col("na") + F.col("nb") - F.col("n_common")
+    return (
+        common.filter(F.lit(tau_den) * F.col("n_common") >= F.lit(tau_num) * uni)
+        .select(
+            "doc_a",
+            "doc_b",
+            "na",
+            "nb",
+            F.expr(
+                "CAST((1000000 * n_common) DIV (na + nb - n_common) AS BIGINT)"
+            ).alias("jacc_ppm"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def prefix_filter_join_sql(
+    tau_num: int = 7, tau_den: int = 10, where: str = ""
+) -> str:
+    """Brute-force twin: EVERY shared-token pair verified, no prefix
+    or length filter — completeness cross-check (see operator doc)."""
+    return f"""WITH t AS (
+  SELECT DISTINCT doc_id, unnest({tokens_sql("text")}) AS tok
+  FROM documents {where}
+), sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS INT) AS n FROM t GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, sa.n AS na, sb.n AS nb,
+       CAST((1000000 * n_common) // (sa.n + sb.n - n_common) AS BIGINT)
+           AS jacc_ppm
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE {tau_den} * n_common >= {tau_num} * (sa.n + sb.n - n_common)
+ORDER BY doc_a, doc_b"""

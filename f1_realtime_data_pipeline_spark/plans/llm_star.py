@@ -212,6 +212,32 @@ def d_ngram_jaccard(spark, sf_dir):
 _register("d_ngram_jaccard", d_ngram_jaccard, dd.ngram_jaccard_pairs_sql(3, 0.5))
 
 
+def d_prefix_join(spark, sf_dir):
+    """PPJoin-lite word-token similarity join: prefix + length
+    filtering, exact verification; oracle = the UNFILTERED brute-force
+    join, so a hash match proves the filters lose no pair. Registered
+    over a fixed two-source slice at tau=4/5: the synthetic corpus is
+    word-level homogeneous (tau=0.7 over all sources passes 51k of
+    125k possible pairs — no filter prunes that), and the slice keeps
+    the brute-force oracle's quadratic term bounded per SF while the
+    slice itself still grows 10x per decade."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir).filter(
+        F.col("source").isin("src1", "src7")
+    )
+    return dd.prefix_filter_join(docs, tau_num=4, tau_den=5)
+
+
+_register(
+    "d_prefix_join",
+    d_prefix_join,
+    dd.prefix_filter_join_sql(
+        4, 5, where="WHERE source IN ('src1', 'src7')"
+    ),
+)
+
+
 def d_containment(spark, sf_dir):
     """Asymmetric containment near-dup (|Sa∩Sb|/|Sa| — Broder): the
     quote/subset detector a Jaccard threshold is blind to."""
