@@ -58,7 +58,11 @@ def p_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_rows = F.count(F.lit(1))
 
     def viol(cond):
-        return F.sum(F.when(cond, 1).otherwise(0))
+        # COALESCE 0: SUM over an EMPTY table is NULL in both engines,
+        # and the passed flag would go NULL in Spark but 0 under the
+        # oracle's CASE — the contract is that an empty table PASSES
+        # every check (0 checked, 0 violations).
+        return F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
 
     single = o.agg(
         n_rows.alias("n"),
@@ -109,14 +113,17 @@ _register(
     p_dq_checks,
     """WITH base AS (
   SELECT COUNT(*) AS n,
-         SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_complete,
+         COALESCE(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+                  0) AS v_complete,
          COUNT(*) - COUNT(DISTINCT o_orderkey) AS v_unique,
-         SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS v_range,
-         SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
-                  THEN 1 ELSE 0 END) AS v_set,
-         SUM(CASE WHEN o_orderpriority IS NULL
-                   OR NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z]+$')
-                  THEN 1 ELSE 0 END) AS v_pattern
+         COALESCE(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END),
+                  0) AS v_range,
+         COALESCE(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                           THEN 1 ELSE 0 END), 0) AS v_set,
+         COALESCE(SUM(CASE WHEN o_orderpriority IS NULL
+                            OR NOT regexp_matches(o_orderpriority,
+                                                  '^[1-5]-[A-Z]+$')
+                           THEN 1 ELSE 0 END), 0) AS v_pattern
   FROM orders
 ), ref AS (
   SELECT COUNT(*) AS v_ref
