@@ -2125,12 +2125,17 @@ def prefix_filter_join(
     match therefore PROVES the prefix+length filters lost no pair
     (filter completeness under the oracle, not just speed).
     """
+    # persisted: the token relation feeds four consumers (sizes, df,
+    # the prefix self-join's two sides, and verification) — without
+    # the cut each re-reads and re-tokenizes the corpus
     t = (
         docs.select(
             "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
         )
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    record_stage_plan("prefix_join_tokens", t)
     sizes = t.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_tok")
     )

@@ -64,7 +64,18 @@ def p_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         # every check (0 checked, 0 violations).
         return F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
 
-    single = o.agg(
+    # the FK flag folds into the same scan: broadcast-left-join the
+    # dim's key set, then every constraint is one conditional sum in
+    # ONE aggregation over ONE pass of orders (+ the customer scan) —
+    # the separate anti-join branch re-read orders a second time
+    custkeys = (
+        read_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("o_custkey"))
+        .distinct()
+        .withColumn("__ref", F.lit(1))
+    )
+    flagged = o.join(F.broadcast(custkeys), "o_custkey", "left")
+    wide = flagged.agg(
         n_rows.alias("n"),
         viol(F.col("o_custkey").isNull()).alias("v_complete"),
         (n_rows - F.countDistinct("o_orderkey")).alias("v_unique"),
@@ -74,17 +85,10 @@ def p_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ~F.col("o_orderpriority").rlike(DQ_PRIORITY_RE)
             | F.col("o_orderpriority").isNull()
         ).alias("v_pattern"),
+        viol(
+            F.col("o_custkey").isNotNull() & F.col("__ref").isNull()
+        ).alias("v_ref"),
     )
-    custkeys = read_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("o_custkey")
-    )
-    orphans = (
-        o.select("o_custkey")
-        .filter(F.col("o_custkey").isNotNull())
-        .join(F.broadcast(custkeys), "o_custkey", "anti")
-        .agg(F.count(F.lit(1)).alias("v_ref"))
-    )
-    wide = single.crossJoin(F.broadcast(orphans))
     checks = [
         ("completeness_custkey", "v_complete"),
         ("pattern_priority", "v_pattern"),
@@ -93,19 +97,25 @@ def p_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("set_orderstatus", "v_set"),
         ("unique_orderkey", "v_unique"),
     ]
-    parts = [
-        wide.select(
-            F.lit(name).alias("check_name"),
-            F.col("n").cast("bigint").alias("n_checked"),
-            F.col(col).cast("bigint").alias("n_violations"),
-            (F.col(col) == 0).cast("int").alias("passed"),
-        )
-        for name, col in checks
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out.orderBy("check_name")
+    # pivot the 1-row wide relation to |checks| rows with ONE explode —
+    # a UNION of per-check selects re-executes the whole aggregation
+    # (18 parquet scans for a 2-scan audit, measured in plan_audit)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("check_name"),
+                F.col("n").cast("bigint").alias("n_checked"),
+                F.col(col).cast("bigint").alias("n_violations"),
+            )
+            for name, col in checks
+        ]
+    )
+    return (
+        wide.select(F.explode(entries).alias("x"))
+        .select("x.*")
+        .withColumn("passed", (F.col("n_violations") == 0).cast("int"))
+        .orderBy("check_name")
+    )
 
 
 _register(

@@ -64,6 +64,7 @@ ONLY at bit 63 — stay below it).
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -317,10 +318,33 @@ def cdc_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     a_old = arow(o.filter(k7 != 0), F.col("o_totalprice"), 1)
+
+    def _entry(val, sign):
+        return F.struct(val.alias("v"), F.lit(sign).alias("s"))
+
+    # each delta relation derives from ONE scan: the signed
+    # contributions (insert = +post; update = +post −pre) explode out
+    # of a single filtered pass instead of a 3-branch UNION that
+    # re-reads the table per branch. The deltas are then PERSISTED —
+    # they are ∝ the change volume (the thing IVM keeps small), and
+    # each feeds two join terms.
     delta_a = (
-        arow(o.filter(k7 == 0), F.col("o_totalprice"), 1)
-        .unionAll(arow(o.filter(k7 == 3), F.col("o_totalprice") + 1.0, 1))
-        .unionAll(arow(o.filter(k7 == 3), F.col("o_totalprice"), -1))
+        o.filter(k7.isin(0, 3))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.explode(
+                F.when(
+                    k7 == 0, F.array(_entry(F.col("o_totalprice"), 1))
+                ).otherwise(
+                    F.array(
+                        _entry(F.col("o_totalprice") + 1.0, 1),
+                        _entry(F.col("o_totalprice"), -1),
+                    )
+                )
+            ).alias("x"),
+        )
+        .select("custkey", F.col("x.v").alias("price"), F.col("x.s").alias("sa"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     def brow(df, seg_col, sign):
@@ -331,8 +355,19 @@ def cdc_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     b_old = brow(c, F.col("c_mktsegment"), 1)
-    delta_b = brow(c.filter(k11 == 5), F.lit("MOVED"), 1).unionAll(
-        brow(c.filter(k11 == 5), F.col("c_mktsegment"), -1)
+    delta_b = (
+        c.filter(k11 == 5)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.explode(
+                F.array(
+                    _entry(F.lit("MOVED"), 1),
+                    _entry(F.col("c_mktsegment"), -1),
+                )
+            ).alias("x"),
+        )
+        .select("custkey", F.col("x.v").alias("segment"), F.col("x.s").alias("sb"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     def term(a, b):
@@ -421,18 +456,22 @@ def j_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     negative — and the (1,0) cell is the measured FP volume the
     filter's sizing buys. Probe cost: one broadcast map literal +
     pure column arithmetic on the scan; no shuffle added."""
+    # persisted: the key set feeds both the filter build and the
+    # true-membership flag (two consumers, one scan)
     dimkeys = (
         read_table(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == "BUILDING")
         .select(F.col("c_custkey").alias("k"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # filter build: 3 positions per key -> word/bit -> bit_or fold
-    parts = [
-        dimkeys.select(_bloom_pos("k", c, d).alias("pos"))
-        for c, d in BLOOM_HASHES
-    ]
-    pos = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    # filter build: 3 positions per key out of ONE pass (explode, not
+    # a 3-branch union that re-scans per hash) -> word/bit -> bit_or
+    pos = dimkeys.select(
+        F.explode(
+            F.array(*[_bloom_pos("k", c, d) for c, d in BLOOM_HASHES])
+        ).alias("pos")
+    )
     words = (
         pos.select(
             (F.col("pos") / BLOOM_WORD_BITS).cast("bigint").alias("word"),

@@ -142,6 +142,16 @@ AUDIT = [
     # o_schema_evolution stays excluded like cdc_row_diff /
     # o_compaction_exec — building its plan executes the two-epoch
     # write lifecycle.
+    # r16 session 2: temporal-dim / view-maintenance family + DQ
+    # audit + prefix-filter join (all side-effect-free plans — they
+    # read parquet only, unlike the cdc_* lifecycle family)
+    "cdc_scd2_build",
+    "cdc_scd2_asof",
+    "cdc_scd2_merge",
+    "cdc_ivm_join",
+    "j_bloom_prune",
+    "p_dq_checks",
+    "d_prefix_join",
 ]
 
 
