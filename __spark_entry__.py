@@ -434,6 +434,12 @@ _WINDOW_HEAD_R16 = [
     "cdc_scd2_merge",
     "cdc_ivm_join",
     "j_bloom_prune",
+    # slot 0e0: exact maximum-inner-product top-k (the unnormalized
+    # retrieval objective; reduction-to-cosine order-equivalence
+    # pinned in pytest) and the explicit GROUPING SETS form (the
+    # chosen-subset generalization of a_cube/a_rollup).
+    "e_mips_topk",
+    "a_grouping_sets",
     # slot 0e2: PPJoin-lite prefix-filtered token-similarity join —
     # oracle is the UNFILTERED brute-force join, so the value hash
     # proves prefix+length filter completeness.

@@ -157,6 +157,8 @@ HEADLINE = [
     "j_bloom_prune",
     "p_dq_checks",
     "d_prefix_join",
+    "e_mips_topk",
+    "a_grouping_sets",
 ]
 
 

@@ -2028,3 +2028,76 @@ def kmeans_assign_sql(
         f"WITH {_UNIT_SQL},\n{_kmeans_ctes(n_clusters, iters, dim)}\n"
         "SELECT vec_id, cell FROM final_assign"
     )
+
+
+# ---------------------------------------------------------------------------
+# maximum-inner-product search (MIPS)
+# ---------------------------------------------------------------------------
+
+
+def mips_topk(
+    embeddings: DataFrame,
+    n_queries: int = 16,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact maximum-inner-product top-k for the first ``n_queries``
+    vectors — the retrieval objective when scores are trained as raw
+    dot products (DSSM/two-tower recommenders, unnormalized embedding
+    heads). Differs from :func:`knn_bruteforce` exactly when norms
+    vary: cosine divides the norm out, MIPS rewards it, so a
+    high-norm vector can out-rank a better-aligned low-norm one —
+    the reason it is its own operator, not a cosine special case.
+
+    NULL embeddings are filtered on both sides (a NULL dot product
+    would sort engine-dependently); zero vectors stay — their inner
+    product is a well-defined 0, unlike the cosine family's
+    classify-drop of direction-less rows.
+
+    Scale path: the classic Bachrach/Neyshabur reduction — augment DB
+    vectors with ``sqrt(M² − ‖x‖²)`` (M = max norm) and queries with
+    0, making augmented-cosine order equal MIPS order — after which
+    the sign-LSH/IVF cosine infrastructure serves MIPS unchanged.
+    The reduction's order-equivalence is pinned by
+    tests/test_ivm_ext.py over this operator as truth.
+    """
+    rel = (
+        spread(embeddings)
+        .filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    )
+    q = rel.filter(F.col("vid") < n_queries).select(
+        F.col("vid").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = rel.select(F.col("vid").alias("neighbor_id"), F.col("v").alias("cv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("ip", dot(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("ip").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", "ip")
+    )
+
+
+def mips_topk_sql(n_queries: int = 16, k: int = 5) -> str:
+    return f"""WITH rel AS (
+  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {dot_sql("q.embedding", "c.embedding")} AS ip
+  FROM rel q JOIN rel c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < {n_queries}
+)
+SELECT query_id, neighbor_id, rnk, ip FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY ip DESC, neighbor_id ASC) AS INT) AS rnk
+  FROM scored
+) WHERE rnk <= {k}"""

@@ -1024,6 +1024,44 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
 )
 
 
+def a_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS — the general chosen-subset form the
+    CUBE/ROLLUP lattices are sugar over: by-status totals AND
+    by-priority totals in ONE aggregation pass, no cross grain and no
+    () set (so the empty-input contract is the natural zero rows in
+    both engines, unlike a_cube's grand-total union-in). gid
+    disambiguates which set a row belongs to (Spark grouping_id and
+    DuckDB GROUPING share the bitmask contract — probed, identical).
+    One shuffle; Spark expands the two sets from a single scan."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"]],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("o_totalprice").cast(DECIMAL_ACC))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+_register(
+    "a_grouping_sets",
+    a_grouping_sets,
+    """SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""",
+)
+
+
 def a_percentiles(spark, sf_dir):
     """Exact interpolated percentiles (median/p90) of order totals per
     status — Spark ``percentile`` and DuckDB ``quantile_cont`` both

@@ -992,6 +992,15 @@ def e_knn_bruteforce(spark, sf_dir):
 _register("e_knn_bruteforce", e_knn_bruteforce, sim.knn_bruteforce_sql(16, 5))
 
 
+def e_mips_topk(spark, sf_dir):
+    """Exact maximum-inner-product top-k — the unnormalized-retrieval
+    objective; diverges from cosine exactly when norms vary."""
+    return sim.mips_topk(_embs(spark, sf_dir), n_queries=16, k=5)
+
+
+_register("e_mips_topk", e_mips_topk, sim.mips_topk_sql(16, 5))
+
+
 def e_lsh_buckets(spark, sf_dir):
     return sim.lsh_buckets(_embs(spark, sf_dir))
 

@@ -159,3 +159,75 @@ def test_bloom_mask_stays_below_sign_bit(spark):
             ivm_ext._bloom_pos("k", c, d).alias("p")
         ).agg(F.max("p"), F.min("p")).collect()[0]
         assert 0 <= mx[1] and mx[0] < ivm_ext.BLOOM_BITS
+
+
+def test_mips_reduction_preserves_order(spark):
+    """The Bachrach/Neyshabur MIPS→cosine reduction: augmenting DB
+    vectors with sqrt(M²−‖x‖²) (queries with 0) makes augmented-cosine
+    ranking equal inner-product ranking — pinned against mips_topk as
+    truth. Also pins that MIPS ≠ plain cosine on this corpus (if the
+    two never diverged the operator would be redundant)."""
+    import math
+
+    from f1_realtime_data_pipeline_spark.operators import similarity as sim
+    from f1_realtime_data_pipeline_spark.sources.parquet import read_table
+
+    embs = {
+        r.vec_id: r.embedding
+        for r in read_table(spark, SF, "embeddings")
+        .filter("embedding IS NOT NULL")
+        .collect()
+    }
+    big_m = max(math.sqrt(sum(x * x for x in v)) for v in embs.values())
+    aug = {
+        i: list(v) + [math.sqrt(max(0.0, big_m**2 - sum(x * x for x in v)))]
+        for i, v in embs.items()
+    }
+
+    def top1_aug_cosine(qid):
+        qv = list(embs[qid]) + [0.0]
+        qn = math.sqrt(sum(x * x for x in qv))
+        best = None
+        for cid, cv in aug.items():
+            if cid == qid:
+                continue
+            cn = math.sqrt(sum(x * x for x in cv))
+            cos = sum(a * b for a, b in zip(qv, cv)) / (qn * cn)
+            key = (-cos, cid)
+            if best is None or key < best[0]:
+                best = (key, cid)
+        return best[1]
+
+    mips = {
+        r.query_id: r.neighbor_id
+        for r in sim.mips_topk(
+            read_table(spark, SF, "embeddings"), n_queries=8, k=1
+        ).collect()
+    }
+    assert mips, "fixture must produce MIPS results"
+    for qid, want in mips.items():
+        assert top1_aug_cosine(qid) == want
+
+    # the operator DISTINCTION, on a constructed fixture (the synthetic
+    # corpus's cluster geometry happens to make MIPS and cosine agree
+    # at every probed (query, rank) — measured at sf0.001 and sf0.01):
+    # neighbor 1 is perfectly aligned with the query but short
+    # (cosine winner); neighbor 2 is slightly off-axis but 10× longer
+    # (inner-product winner).
+    planted = spark.createDataFrame(
+        [
+            (0, [1.0] + [0.0] * 7, 0),
+            (1, [0.5] + [0.0] * 7, 0),
+            (2, [4.0, 3.0] + [0.0] * 6, 0),
+        ],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    m1 = {
+        r.query_id: r.neighbor_id
+        for r in sim.mips_topk(planted, n_queries=1, k=1).collect()
+    }
+    c1 = {
+        r.query_id: r.neighbor_id
+        for r in sim.knn_bruteforce(planted, n_queries=1, k=1).collect()
+    }
+    assert m1[0] == 2 and c1[0] == 1
