@@ -235,9 +235,13 @@ LEFT JOIN dim d
 
 
 #: merge cut: history strictly before is the "stored" dim, at/after
-#: is the arriving change batch (TPC-H order dates span 1992-1998, so
-#: both sides are populated at every SF)
-SCD2_MERGE_CUT = "1995-07-01"
+#: is the arriving change batch. The fixture's order dates span
+#: 1995-01..2001-08; a LATE cut keeps the batch small so BOTH merge
+#: paths carry real volume — at 2001-03-01, half the slice's keys are
+#: untouched (anti-join passthrough) and half rebuild (sf0.01:
+#: 19 of 38 touched; sf0.001: 3 of 4) — an early cut touched every
+#: key and left the passthrough path dead under the oracle
+SCD2_MERGE_CUT = "2001-03-01"
 
 
 def cdc_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -420,20 +424,31 @@ GROUP BY segment ORDER BY segment""",
 # explicit bloom-filter semi-join pruning
 # ---------------------------------------------------------------------------
 
-#: 66 words × 62 usable bits = 4092 filter bits (bit 62+ never set —
-#: two's-complement shift portability, see module docstring)
+#: words hold 62 usable bits (bit 62+ never set — two's-complement
+#: shift portability, see module docstring)
 BLOOM_WORD_BITS = 62
-BLOOM_WORDS = 66
-BLOOM_BITS = BLOOM_WORD_BITS * BLOOM_WORDS  # 4092
+#: filter SIZE is DERIVED from the dim's key count in-plan:
+#: bits = max(62, ceil(10·n / 62)·62) — ~10 bits/key at k=3 hashes
+#: ≈ 1.7 % FP. A FIXED size is the scale bug the decade probe caught:
+#: pinned at 4092 bits the filter saturated at 10× the dim (sf0.1:
+#: 88k false positives vs 29.5k true — ~75 % FP, the filter pruned
+#: nothing). Derivation mirrors e_knn_join_derived's in-plan plane
+#: count: the oracle recomputes it from COUNT(*) so one static SQL
+#: string is exact at every SF.
+BLOOM_BITS_PER_KEY = 10
+#: legacy fixed floor, still the minimum (and the empty-dim size)
+BLOOM_BITS = 62 * 66  # 4092
 #: Knuth / xxhash-style odd multipliers, all < 2^32
 BLOOM_HASHES = ((2654435761, 1), (2246822519, 2), (3266489917, 3))
 BLOOM_P = (1 << 61) - 1  # Mersenne prime 2^61-1
 
 
-def _bloom_pos(key, c, d):
+def _bloom_pos(key, c, d, m):
+    """Position of hash (c, d) for ``key`` in an ``m``-bit filter;
+    ``m`` may be a derived Column (the registered sizing) or an int."""
+    m_col = F.lit(m) if isinstance(m, int) else m
     return F.pmod(
-        F.pmod(F.col(key) * F.lit(c) + F.lit(d), F.lit(BLOOM_P)),
-        F.lit(BLOOM_BITS),
+        F.pmod(F.col(key) * F.lit(c) + F.lit(d), F.lit(BLOOM_P)), m_col
     )
 
 
@@ -448,16 +463,19 @@ def _bit_mask(pos):
 
 
 def j_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bloom-filter runtime pruning, tabulated: build a 4092-bit
-    filter from the BUILDING-segment customers' keys, probe every
-    order's o_custkey, and cross-tabulate bloom_pass × true_member
-    (true membership via a broadcast semi-join flag). The
-    (pass=0, member=1) cell must be EMPTY — blooms never false-
-    negative — and the (1,0) cell is the measured FP volume the
-    filter's sizing buys. Probe cost: one broadcast map literal +
-    pure column arithmetic on the scan; no shuffle added."""
-    # persisted: the key set feeds both the filter build and the
-    # true-membership flag (two consumers, one scan)
+    """Bloom-filter runtime pruning, tabulated: build a filter SIZED
+    from the BUILDING-segment customers' key count (~10 bits/key,
+    derived in-plan — see BLOOM_BITS_PER_KEY), probe every order's
+    o_custkey, and cross-tabulate bloom_pass × true_member (true
+    membership via a broadcast semi-join flag). The (pass=0,
+    member=1) cell must be EMPTY — blooms never false-negative — and
+    the (1,0) cell is the measured FP volume the sizing buys, which
+    the derived size keeps ~constant-RATE as the dim grows (the
+    fixed-size filter saturated a decade up). Probe cost: one
+    broadcast map literal + pure column arithmetic on the scan; no
+    shuffle added."""
+    # persisted: the key set feeds the size derivation, the filter
+    # build, and the true-membership flag (three consumers, one scan)
     dimkeys = (
         read_table(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == "BUILDING")
@@ -465,11 +483,23 @@ def j_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    anchor = dimkeys.agg(F.count(F.lit(1)).alias("__n")).select(
+        F.expr(
+            f"greatest(CAST({BLOOM_WORD_BITS} AS BIGINT), "
+            f"((__n * {BLOOM_BITS_PER_KEY} + {BLOOM_WORD_BITS - 1}) "
+            f"DIV {BLOOM_WORD_BITS}) * {BLOOM_WORD_BITS})"
+        ).alias("m_bits")
+    )
     # filter build: 3 positions per key out of ONE pass (explode, not
     # a 3-branch union that re-scans per hash) -> word/bit -> bit_or
-    pos = dimkeys.select(
+    pos = dimkeys.crossJoin(F.broadcast(anchor)).select(
         F.explode(
-            F.array(*[_bloom_pos("k", c, d) for c, d in BLOOM_HASHES])
+            F.array(
+                *[
+                    _bloom_pos("k", c, d, F.col("m_bits"))
+                    for c, d in BLOOM_HASHES
+                ]
+            )
         ).alias("pos")
     )
     words = (
@@ -484,14 +514,14 @@ def j_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.map_from_entries(
             F.collect_list(F.struct("word", "bits"))
         ).alias("bloom_map")
-    )
+    ).crossJoin(F.broadcast(anchor))
     facts = read_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("k")
     )
     probed = facts.crossJoin(F.broadcast(bloom))
     checks = []
     for c, d in BLOOM_HASHES:
-        p = _bloom_pos("k", c, d)
+        p = _bloom_pos("k", c, d, F.col("m_bits"))
         word = (p / BLOOM_WORD_BITS).cast("bigint")
         mask = _bit_mask(p)
         hit = (
@@ -520,7 +550,9 @@ def j_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BLOOM_POS_SQL = "(({k} * {c} + {d}) % 2305843009213693951) % 4092"
+_BLOOM_POS_SQL = (
+    "(({k} * {c} + {d}) % 2305843009213693951) % mb.m_bits"
+)
 
 
 def _bloom_probe_sql(k: str) -> tuple[str, str, str]:
@@ -538,12 +570,17 @@ _register(
     f"""WITH dimkeys AS (
   SELECT DISTINCT c_custkey AS k FROM customer
   WHERE c_mktsegment = 'BUILDING'
+), mb AS (
+  SELECT GREATEST(CAST(62 AS BIGINT),
+                  ((COUNT(*) * {BLOOM_BITS_PER_KEY} + 61) // 62) * 62)
+             AS m_bits
+  FROM dimkeys
 ), pos AS (
-  SELECT {_D1} AS p FROM dimkeys
+  SELECT {_D1} AS p FROM dimkeys CROSS JOIN mb
   UNION ALL
-  SELECT {_D2} AS p FROM dimkeys
+  SELECT {_D2} AS p FROM dimkeys CROSS JOIN mb
   UNION ALL
-  SELECT {_D3} AS p FROM dimkeys
+  SELECT {_D3} AS p FROM dimkeys CROSS JOIN mb
 ), bloom AS (
   SELECT CAST(p // 62 AS BIGINT) AS word,
          bit_or(CAST(1 AS BIGINT) << CAST(p % 62 AS INT)) AS bits
@@ -559,6 +596,7 @@ _register(
               THEN 1 ELSE 0 END AS bloom_pass,
          CASE WHEN dk.k IS NOT NULL THEN 1 ELSE 0 END AS true_member
   FROM (SELECT o_custkey AS k FROM orders) o
+  CROSS JOIN mb
   LEFT JOIN bloom b1 ON b1.word = {_P1} // 62
   LEFT JOIN bloom b2 ON b2.word = {_P2} // 62
   LEFT JOIN bloom b3 ON b3.word = {_P3} // 62

@@ -77,6 +77,20 @@ def test_scd2_merge_equals_full_rebuild(spark):
     n_base = src.filter(F.col("o_orderdate") < cut).count()
     n_delta = src.filter(F.col("o_orderdate") >= cut).count()
     assert n_base > 0 and n_delta > 0, "cut must split the history"
+    # BOTH merge paths must carry keys: untouched passthrough AND
+    # touched rebuild (an early cut touched every key and left the
+    # anti-join path dead)
+    keys = set(r.o_custkey for r in src.select("o_custkey").distinct().collect())
+    touched = set(
+        r.o_custkey
+        for r in src.filter(F.col("o_orderdate") >= cut)
+        .select("o_custkey")
+        .distinct()
+        .collect()
+    )
+    assert touched and keys - touched, (
+        f"cut must split the KEY set too: {len(touched)}/{len(keys)} touched"
+    )
 
 
 def test_dq_checks_detect_planted_violations(spark, tmp_path):
@@ -156,7 +170,7 @@ def test_bloom_mask_stays_below_sign_bit(spark):
     )
     for c, d in ivm_ext.BLOOM_HASHES:
         mx = dimkeys.select(
-            ivm_ext._bloom_pos("k", c, d).alias("p")
+            ivm_ext._bloom_pos("k", c, d, ivm_ext.BLOOM_BITS).alias("p")
         ).agg(F.max("p"), F.min("p")).collect()[0]
         assert 0 <= mx[1] and mx[0] < ivm_ext.BLOOM_BITS
 
