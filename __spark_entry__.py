@@ -440,6 +440,12 @@ _WINDOW_HEAD_R16 = [
     # chosen-subset generalization of a_cube/a_rollup).
     "e_mips_topk",
     "a_grouping_sets",
+    # slot 0e1: nearest-direction tolerance-bounded as-of (the pandas
+    # merge_asof(direction='nearest') twin — two carry windows vs an
+    # interval-join oracle) and the k-anonymity / l-diversity
+    # release-gate audit.
+    "w_asof_nearest",
+    "p_kanon_audit",
     # slot 0e2: PPJoin-lite prefix-filtered token-similarity join —
     # oracle is the UNFILTERED brute-force join, so the value hash
     # proves prefix+length filter completeness.

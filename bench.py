@@ -159,6 +159,8 @@ HEADLINE = [
     "d_prefix_join",
     "e_mips_topk",
     "a_grouping_sets",
+    "w_asof_nearest",
+    "p_kanon_audit",
 ]
 
 

@@ -178,3 +178,101 @@ def asof_join(
             F.col("__m.__ts").alias(right_ts_alias),
         )
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str,
+    value_cols: Sequence[str],
+    tolerance_s: int,
+    right_ts_alias: str = "matched_ts",
+) -> DataFrame:
+    """Nearest-direction as-of join: attach to each left row the right
+    row with the same key whose timestamp is CLOSEST in either
+    direction, within ``tolerance_s`` seconds (left-outer; ties at
+    equal distance go to the EARLIER right row — the backward match).
+    The pandas ``merge_asof(direction='nearest', tolerance=...)``
+    shape, built scalably: the same union + carry-forward pass as
+    :func:`asof_join` run over BOTH sort directions of ONE unioned
+    relation — two windows on the same key partition, no interval
+    join, state linear in rows.
+
+    Distances are integer epoch seconds (timestamps cast to long), so
+    the pick between the backward and forward candidate is exact in
+    any engine. Right rows must be unique per (key, ts) — same
+    determinism contract as :func:`asof_join`.
+    """
+    from pyspark.sql.window import Window
+
+    lcols = left.columns
+    rpayload = F.struct(
+        *[F.col(c).alias(c) for c in value_cols],
+        F.col(ts_col).alias("__ts"),
+    )
+    r = right.filter(F.col(ts_col).isNotNull()).select(
+        F.col(on),
+        F.col(ts_col),
+        F.lit(0).alias("__side"),
+        rpayload.alias("__rrow"),
+    )
+    null_rrow = F.lit(None).cast(r.schema["__rrow"].dataType)
+    l = left.withColumn("__side", F.lit(1)).withColumn("__rrow", null_rrow)
+    for c in lcols:
+        if c not in (on, ts_col):
+            r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    cols = [
+        on,
+        ts_col,
+        "__side",
+        *[c for c in lcols if c not in (on, ts_col)],
+        "__rrow",
+    ]
+    unioned = l.select(*cols).unionByName(r.select(*cols))
+    wb = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # forward carry: DESC scan — right rows at or after the left row
+    # (at equal ts, __side asc still puts the right row first, so an
+    # exact-tie match is visible to both directions with distance 0)
+    wf = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts_col).desc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        F.last("__rrow", ignorenulls=True).over(wb).alias("__b"),
+        F.last("__rrow", ignorenulls=True).over(wf).alias("__f"),
+    ).filter(F.col("__side") == 1)
+    # TIMESTAMP_NTZ has no direct long cast; route through TIMESTAMP
+    # (session tz is pinned UTC — session.py — so this is epoch
+    # seconds, matching the oracle's epoch())
+    def _epoch(c):
+        return c.cast("timestamp").cast("long")
+
+    ts_l = _epoch(F.col(ts_col))
+    db = ts_l - _epoch(F.col("__b.__ts"))
+    df_ = _epoch(F.col("__f.__ts")) - ts_l
+    valid_b = F.col("__b").isNotNull() & (db <= tolerance_s)
+    valid_f = F.col("__f").isNotNull() & (df_ <= tolerance_s)
+    pick_b = valid_b & (~valid_f | (db <= df_))
+    m = F.when(pick_b, F.col("__b")).when(valid_f, F.col("__f"))
+    direction = (
+        F.when(pick_b, F.lit("b"))
+        .when(valid_f, F.lit("f"))
+        .cast("string")
+    )
+    dist = (
+        F.when(pick_b, db).when(valid_f, df_).cast("bigint")
+    )
+    return carried.select(
+        *lcols,
+        *[m.getField(c).alias(c) for c in value_cols],
+        m.getField("__ts").alias(right_ts_alias),
+        direction.alias("match_dir"),
+        dist.alias("dist_s"),
+    )

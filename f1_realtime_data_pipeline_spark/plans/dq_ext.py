@@ -162,3 +162,61 @@ SELECT check_name,
        CAST(CASE WHEN v = 0 THEN 1 ELSE 0 END AS INT) AS passed
 FROM checks ORDER BY check_name""",
 )
+
+
+#: k-anonymity threshold and l-diversity minimum for the audit
+KANON_K = 10
+LDIV_L = 2
+
+
+def p_kanon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit over the customer table — the
+    privacy gate a training-data release runs before shipping rows
+    that carry quasi-identifiers. Equivalence classes are the
+    (nationkey, mktsegment) QI combinations; the sensitive attribute
+    is the account-balance sign. A class re-identifies when its size
+    is below k (= KANON_K) and leaks when every member shares one
+    sensitive value (distinct < LDIV_L — homogeneity attack). One
+    aggregation; output is |QI domain| rows at any table size, so the
+    audit is a map-side-combining groupBy with no scale hazard."""
+    c = read_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("class_size"),
+            F.countDistinct(
+                F.when(F.col("c_acctbal") >= 0, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("distinct_sensitive"),
+        )
+        .withColumn(
+            "meets_k", (F.col("class_size") >= KANON_K).cast("int")
+        )
+        .withColumn(
+            "meets_l", (F.col("distinct_sensitive") >= LDIV_L).cast("int")
+        )
+        .orderBy("nationkey", "mktsegment")
+    )
+
+
+_register(
+    "p_kanon_audit",
+    p_kanon_audit,
+    f"""SELECT c_nationkey AS nationkey,
+       c_mktsegment AS mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS class_size,
+       CAST(COUNT(DISTINCT CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS distinct_sensitive,
+       CAST(CASE WHEN COUNT(*) >= {KANON_K} THEN 1 ELSE 0 END AS INT)
+           AS meets_k,
+       CAST(CASE WHEN COUNT(DISTINCT CASE WHEN c_acctbal >= 0
+                                          THEN 1 ELSE 0 END) >= {LDIV_L}
+                 THEN 1 ELSE 0 END AS INT) AS meets_l
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+ORDER BY nationkey, mktsegment""",
+)

@@ -608,3 +608,81 @@ SELECT CAST(bloom_pass AS INT) AS bloom_pass,
        CAST(COUNT(DISTINCT k) AS BIGINT) AS n_keys
 FROM probed GROUP BY 1, 2 ORDER BY 1, 2""",
 )
+
+
+#: nearest-asof tolerance: 100 days in seconds — the slice's orders
+#: sit ~8 months apart per customer, so matched and unmatched facts
+#: both occur at every SF
+ASOF_NEAREST_TOL_S = 100 * 86400
+
+
+def w_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of with tolerance (pandas
+    ``merge_asof(direction='nearest')``): odd-orderkey facts matched
+    to the CLOSEST even-orderkey dim change in either direction
+    within 100 days; ties at equal distance take the earlier
+    (backward) row. Spark = one union + two carry windows
+    (operators.joins.asof_join_nearest); oracle = the independent
+    tolerance-bounded interval join ranked by (distance, ts) —
+    two formulations of the same semantics."""
+    from f1_realtime_data_pipeline_spark.operators.joins import (
+        asof_join_nearest,
+    )
+
+    dim = _scd2_source(spark, sf_dir, parity=0).select(
+        F.col("o_custkey").alias("cust_id"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderpriority").alias("dim_priority"),
+    )
+    facts = _scd2_source(spark, sf_dir, parity=1).select(
+        F.col("o_orderkey").alias("fact_id"),
+        F.col("o_custkey").alias("cust_id"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    out = asof_join_nearest(
+        facts,
+        dim,
+        on="cust_id",
+        ts_col="ts",
+        value_cols=["dim_priority"],
+        tolerance_s=ASOF_NEAREST_TOL_S,
+    )
+    return out.select(
+        "fact_id", "cust_id", "ts", "dim_priority", "matched_ts",
+        "match_dir", "dist_s",
+    )
+
+
+_register(
+    "w_asof_nearest",
+    w_asof_nearest,
+    f"""WITH dsrc AS ({_SCD2_SRC_SQL.format(parity="AND o_orderkey % 2 = 0")}),
+dim AS (
+  SELECT o_custkey AS cust_id, o_orderdate AS dts,
+         o_orderpriority AS dim_priority
+  FROM dsrc
+),
+fsrc AS ({_SCD2_SRC_SQL.format(parity="AND o_orderkey % 2 = 1")}),
+ranked AS (
+  SELECT f.o_orderkey AS fact_id, f.o_custkey AS cust_id,
+         f.o_orderdate AS ts, d.dim_priority, d.dts AS matched_ts,
+         CASE WHEN d.dts IS NULL THEN NULL
+              WHEN d.dts <= f.o_orderdate THEN 'b' ELSE 'f' END
+             AS match_dir,
+         CAST(abs(CAST(epoch(f.o_orderdate) AS BIGINT)
+                  - CAST(epoch(d.dts) AS BIGINT)) AS BIGINT) AS dist_s,
+         ROW_NUMBER() OVER (
+           PARTITION BY f.o_orderkey
+           ORDER BY abs(CAST(epoch(f.o_orderdate) AS BIGINT)
+                        - CAST(epoch(d.dts) AS BIGINT)), d.dts
+         ) AS __rn
+  FROM fsrc f
+  LEFT JOIN dim d
+    ON f.o_custkey = d.cust_id
+   AND abs(CAST(epoch(f.o_orderdate) AS BIGINT)
+           - CAST(epoch(d.dts) AS BIGINT)) <= {ASOF_NEAREST_TOL_S}
+)
+SELECT fact_id, cust_id, ts, dim_priority, matched_ts,
+       match_dir, dist_s
+FROM ranked WHERE __rn = 1""",
+)

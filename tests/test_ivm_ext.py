@@ -245,3 +245,45 @@ def test_mips_reduction_preserves_order(spark):
         for r in sim.knn_bruteforce(planted, n_queries=1, k=1).collect()
     }
     assert m1[0] == 2 and c1[0] == 1
+
+
+def test_asof_nearest_contract(spark):
+    """Constructed cases: backward tie wins at equal distance, a
+    forward-only match within tolerance attaches with dir='f',
+    out-of-tolerance rows stay unmatched, and exact-ts matches have
+    distance 0."""
+    import datetime as dt
+
+    from f1_realtime_data_pipeline_spark.operators.joins import (
+        asof_join_nearest,
+    )
+
+    def ts(day):
+        return dt.datetime(2000, 1, 1) + dt.timedelta(days=day)
+
+    right = spark.createDataFrame(
+        [(1, ts(10), "r10"), (1, ts(20), "r20"), (2, ts(50), "r50")],
+        "k bigint, ts timestamp, val string",
+    )
+    left = spark.createDataFrame(
+        [
+            (100, 1, ts(15)),   # equidistant 10/20 -> backward r10
+            (101, 1, ts(21)),   # nearest r20 backward
+            (102, 2, ts(45)),   # only forward r50 within tol
+            (103, 2, ts(200)),  # out of tolerance -> unmatched
+            (104, 1, ts(10)),   # exact tie -> dist 0
+        ],
+        "fact_id bigint, k bigint, ts timestamp",
+    )
+    out = {
+        r.fact_id: (r.val, r.match_dir, r.dist_s)
+        for r in asof_join_nearest(
+            left, right, on="k", ts_col="ts", value_cols=["val"],
+            tolerance_s=30 * 86400,
+        ).collect()
+    }
+    assert out[100] == ("r10", "b", 5 * 86400)
+    assert out[101] == ("r20", "b", 1 * 86400)
+    assert out[102] == ("r50", "f", 5 * 86400)
+    assert out[103] == (None, None, None)
+    assert out[104] == ("r10", "b", 0)

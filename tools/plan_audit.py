@@ -152,6 +152,10 @@ AUDIT = [
     "j_bloom_prune",
     "p_dq_checks",
     "d_prefix_join",
+    "e_mips_topk",
+    "a_grouping_sets",
+    "w_asof_nearest",
+    "p_kanon_audit",
 ]
 
 
