@@ -446,6 +446,11 @@ _WINDOW_HEAD_R16 = [
     # release-gate audit.
     "w_asof_nearest",
     "p_kanon_audit",
+    # slot 0e3: exact CUSUM changepoint detection — the clamped
+    # recursion as prefix-sum − running-min (two frames, one
+    # per-priority window), allowance derived in-plan in integer
+    # millicounts.
+    "w_cusum_shift",
     # slot 0e2: PPJoin-lite prefix-filtered token-similarity join —
     # oracle is the UNFILTERED brute-force join, so the value hash
     # proves prefix+length filter completeness.

@@ -161,6 +161,7 @@ HEADLINE = [
     "a_grouping_sets",
     "w_asof_nearest",
     "p_kanon_audit",
+    "w_cusum_shift",
 ]
 
 

@@ -594,3 +594,94 @@ SELECT o_orderkey, o_custkey, day, order_cents,
            AS n_orders_30d
 FROM o""",
 )
+
+
+def w_cusum_shift(spark, sf_dir):
+    """Exact CUSUM changepoint detection over daily order volume per
+    priority — the sequential drift monitor (Page's CUSUM) made
+    window-expressible: the clamped recursion
+    ``S_t = max(0, S_{t-1} + x_t − k)`` equals
+    ``P_t − min_{j≤t} P_j`` where ``P`` is the prefix sum of
+    ``x − k`` — a running sum plus a running min, two frames over the
+    SAME per-priority window, no recursion and no UDF. The allowance
+    ``k`` is the priority's own mean daily volume, derived in-plan in
+    millicount fixed point (integer DIV — bit-stable cross-engine);
+    alarm threshold h = 5·k (five allowance-units of accumulated
+    drift). Scale: the aggregation grid is (priority × day) —
+    domain-sized, not row-sized — and every window partitions by
+    priority; nothing global, nothing floating-point."""
+    from f1_realtime_data_pipeline_spark.sources.parquet import read_table
+
+    o = read_table(spark, sf_dir, "orders")
+    daily = (
+        o.filter(F.col("o_orderdate").isNotNull())
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.date_trunc("DAY", F.col("o_orderdate")).alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    wp = Window.partitionBy("priority")
+    wo = wp.orderBy("day")
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # k_milli = (1000 * total) DIV days per priority, in-plan — pure
+    # INTEGER division: a double route diverges per engine at the
+    # cast (Spark truncates, DuckDB rounds — measured k off by one,
+    # drifting the whole CUSUM by +1/day)
+    daily = (
+        daily.withColumn("__tot", F.sum("n").over(wp))
+        .withColumn("__days", F.count(F.lit(1)).over(wp))
+        .withColumn("k_milli", F.expr("(1000 * __tot) DIV __days"))
+        .drop("__tot", "__days")
+    )
+    daily = daily.withColumn(
+        "p", F.sum(F.lit(1000) * F.col("n") - F.col("k_milli")).over(wrun)
+    )
+    daily = daily.withColumn(
+        "cusum_milli",
+        F.col("p") - F.least(F.min("p").over(wrun), F.lit(0)),
+    )
+    return daily.select(
+        "priority",
+        "day",
+        "n",
+        F.col("cusum_milli").cast("bigint").alias("cusum_milli"),
+        (F.col("cusum_milli") > 5 * F.col("k_milli"))
+        .cast("int")
+        .alias("shift_flag"),
+    ).orderBy("priority", "day")
+
+
+_register(
+    "w_cusum_shift",
+    w_cusum_shift,
+    """WITH daily AS (
+  SELECT o_orderpriority AS priority,
+         date_trunc('day', o_orderdate) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders WHERE o_orderdate IS NOT NULL
+  GROUP BY 1, 2
+), k AS (
+  SELECT *,
+         (1000 * SUM(n) OVER (PARTITION BY priority))
+             // (COUNT(*) OVER (PARTITION BY priority)) AS k_milli
+  FROM daily
+), pre AS (
+  SELECT *,
+         SUM(1000 * n - k_milli) OVER (
+           PARTITION BY priority ORDER BY day
+           ROWS UNBOUNDED PRECEDING) AS p
+  FROM k
+), cus AS (
+  SELECT *,
+         p - LEAST(MIN(p) OVER (
+               PARTITION BY priority ORDER BY day
+               ROWS UNBOUNDED PRECEDING), 0) AS cusum_milli
+  FROM pre
+)
+SELECT priority, day, n,
+       CAST(cusum_milli AS BIGINT) AS cusum_milli,
+       CAST(CASE WHEN cusum_milli > 5 * k_milli THEN 1 ELSE 0 END AS INT)
+           AS shift_flag
+FROM cus ORDER BY priority, day""",
+)

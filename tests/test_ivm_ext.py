@@ -287,3 +287,50 @@ def test_asof_nearest_contract(spark):
     assert out[102] == ("r50", "f", 5 * 86400)
     assert out[103] == (None, None, None)
     assert out[104] == ("r10", "b", 0)
+
+
+def test_cusum_window_identity_matches_recursion(spark, tmp_path):
+    """The window form (prefix sum − running min) must equal the
+    clamped recursion S_t = max(0, S_{t-1} + x_t − k) exactly, and a
+    planted volume shift must raise the flag while the pre-shift
+    regime stays quiet."""
+    import datetime as dt
+
+    from f1_realtime_data_pipeline_spark.plans.windows_star import (
+        w_cusum_shift,
+    )
+
+    # 30 quiet days of 2/day, then 10 days of 12/day (the shift)
+    rows = []
+    key = 0
+    for day in range(40):
+        n = 2 if day < 30 else 12
+        for _ in range(n):
+            key += 1
+            rows.append(
+                (key, 1, "O", 1.0,
+                 dt.datetime(2020, 1, 1) + dt.timedelta(days=day),
+                 "1-URGENT")
+            )
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).toPandas().to_parquet(
+        str(tmp_path / "orders.parquet"),
+        index=False,
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    out = sorted(
+        w_cusum_shift(spark, str(tmp_path)).collect(), key=lambda r: r.day
+    )
+    total, days = 2 * 30 + 12 * 10, 40
+    k = (1000 * total) // days
+    s = 0
+    for r in out:
+        s = max(0, s + 1000 * r.n - k)
+        assert r.cusum_milli == s, f"day {r.day}: {r.cusum_milli} != {s}"
+        assert r.shift_flag == (1 if s > 5 * k else 0)
+    assert out[-1].shift_flag == 1, "post-shift regime must alarm"
+    assert all(r.shift_flag == 0 for r in out[:30]), "quiet regime"

@@ -156,6 +156,7 @@ AUDIT = [
     "a_grouping_sets",
     "w_asof_nearest",
     "p_kanon_audit",
+    "w_cusum_shift",
 ]
 
 
