@@ -48,10 +48,11 @@ Scale posture, per query:
   term is the stored MV in production — recomputed here only so the
   oracle can see the whole equation (same posture as
   cdc_incremental_agg's v1 aggregate, cdf_ext.py).
-- bloom_prune: filter build is |dim-keys| rows folded to W=66 words;
-  the probe is a map-side expression against one broadcast literal —
-  zero shuffle added to the fact scan. FP rate is sized by
-  M/n ≈ 4092/≈300 bits-per-key at sf0.01.
+- bloom_prune: filter build is |dim-keys| rows folded to
+  ceil(bits/62) words; the probe is a map-side expression against one
+  broadcast literal — zero shuffle added to the fact scan. Filter
+  SIZE derives from the dim key count in-plan (~10 bits/key — see
+  BLOOM_BITS_PER_KEY), holding the FP rate flat as the dim grows.
 
 Hash-arithmetic bounds (engine-portable BIGINT, no overflow):
 ``key * C_i`` with C_i < 2^32 requires key < 2^31 — TPC-H custkeys

@@ -32,6 +32,9 @@ NAMES = [
     "d_prefix_join",
     "e_mips_topk",
     "a_grouping_sets",
+    "w_asof_nearest",
+    "p_kanon_audit",
+    "w_cusum_shift",
 ]
 
 
