@@ -451,6 +451,10 @@ _WINDOW_HEAD_R16 = [
     # per-priority window), allowance derived in-plan in integer
     # millicounts.
     "w_cusum_shift",
+    # slot 0e4: synchronous label propagation — community detection on
+    # the shared kNN projection (LPA's frequency rule vs CC's
+    # min-label: sub-communities survive inside one component).
+    "g_label_prop",
     # slot 0e2: PPJoin-lite prefix-filtered token-similarity join —
     # oracle is the UNFILTERED brute-force join, so the value hash
     # proves prefix+length filter completeness.

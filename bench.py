@@ -162,6 +162,7 @@ HEADLINE = [
     "w_asof_nearest",
     "p_kanon_audit",
     "w_cusum_shift",
+    "g_label_prop",
 ]
 
 

@@ -922,3 +922,93 @@ ORDER BY round"""
 
 
 _register("g_kcore_trim", g_kcore_trim, _kcore_sql())
+
+
+#: synchronous LPA rounds — fixed depth so the oracle unrolls exactly
+#: (production runs to label stability, the kcore/pagerank pattern)
+LPA_ROUNDS = 3
+
+
+def g_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (Raghavan LPA) on the supplier
+    top-K similarity graph — community detection, the third consumer
+    of the shared kNN projection (triangles and k-core are the other
+    two). Distinct from the connected-components canonicalizers: CC's
+    min-label rule converges to one label per component; LPA adopts
+    each node's MOST FREQUENT neighbor label (tie → smallest), so
+    dense sub-communities keep distinct labels inside one component.
+
+    Every update is synchronous from the PREVIOUS round's labels
+    (asynchronous LPA is execution-order-dependent — unusable under
+    a cross-engine value oracle); the frequency count + (count DESC,
+    label ASC) pick is exact integer arithmetic, so three unrolled
+    rounds are bit-reproducible in both engines.
+
+    Scale shape: per round one (v, label)-keyed count aggregate
+    (map-side combine) and one |V|-row-per-node window pick — the
+    registered PageRank loop discipline (per-round state is the
+    |V|-row label relation, never the edge list); labels
+    localCheckpointed per round (lineage-stacking lesson, measured on
+    the k-core loop). Output: (node, community) after LPA_ROUNDS."""
+    from pyspark.sql import Window
+
+    edges = _knn_sim_edges(spark, sf_dir)
+    inc = (
+        edges.select(F.col("a").alias("v"), F.col("b").alias("nbr"))
+        .unionAll(
+            edges.select(F.col("b").alias("v"), F.col("a").alias("nbr"))
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = inc.select("v").distinct().withColumn("label", F.col("v"))
+    w = Window.partitionBy("v").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    for _ in range(LPA_ROUNDS):
+        cand = (
+            inc.join(
+                labels.withColumnRenamed("v", "nbr"), "nbr"
+            )
+            .groupBy("v", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("v", "label")
+            .localCheckpoint()
+        )
+    return labels.select(
+        F.col("v").cast("bigint").alias("node"),
+        F.col("label").cast("bigint").alias("community"),
+    ).orderBy("node")
+
+
+def _lpa_round_sql(rnd: int) -> str:
+    p, c = rnd - 1, rnd
+    return f"""l{c} AS MATERIALIZED (
+  SELECT v, label FROM (
+    SELECT i.v, l.label, COUNT(*) AS cnt,
+           ROW_NUMBER() OVER (PARTITION BY i.v
+                              ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+    FROM inc i JOIN l{p} l ON l.v = i.nbr
+    GROUP BY i.v, l.label
+  ) WHERE rn = 1
+)"""
+
+
+def _lpa_sql() -> str:
+    rounds = ",\n".join(_lpa_round_sql(r) for r in range(1, LPA_ROUNDS + 1))
+    return f"""WITH {_knn_sim_edges_sql()}, inc AS MATERIALIZED (
+  SELECT a AS v, b AS nbr FROM und
+  UNION ALL
+  SELECT b AS v, a AS nbr FROM und
+), l0 AS (
+  SELECT DISTINCT v, v AS label FROM inc
+),
+{rounds}
+SELECT CAST(v AS BIGINT) AS node, CAST(label AS BIGINT) AS community
+FROM l{LPA_ROUNDS} ORDER BY node"""
+
+
+_register("g_label_prop", g_label_prop, _lpa_sql())

@@ -326,3 +326,44 @@ def test_kcore_trim_cascade(spark, tmp_path, monkeypatch):
     out = [(r.round, r.n_removed, r.n_edges_after)
            for r in gx.g_kcore_trim(spark, d).collect()]
     assert out == [(1, 2, 1), (2, 2, 0), (3, 0, 0)]
+
+
+def test_label_prop_matches_python_model(spark, tmp_path):
+    """r16 s2 LPA on a barbell graph (two triangles bridged by one
+    edge) vs a sequential synchronous-LPA Python model over the SAME
+    edge set — and the two triangles must keep distinct communities
+    (the property that separates LPA from the min-label CC rule,
+    which would merge the whole component)."""
+    from collections import defaultdict
+
+    tri1 = [(10, 11), (10, 12), (11, 12)]
+    tri2 = [(20, 21), (20, 22), (21, 22)]
+    bridge = [(12, 20)]
+    edges = tri1 + tri2 + bridge
+    rows = []
+    cust = 0
+    for a, b in edges:
+        for _ in range(gx.TRI_MIN_SHARED):
+            cust += 1
+            rows += [(cust, a), (cust, b)]
+    d = _cn_fixture(spark, tmp_path, rows)
+
+    got = {
+        r.node: r.community for r in gx.g_label_prop(spark, d).collect()
+    }
+
+    adj = defaultdict(list)
+    for a, b in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    labels = {v: v for v in adj}
+    for _ in range(gx.LPA_ROUNDS):
+        new = {}
+        for v in adj:
+            cnt = defaultdict(int)
+            for n in adj[v]:
+                cnt[labels[n]] += 1
+            new[v] = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        labels = new
+    assert got == labels
+    assert len({got[v] for v in (10, 11, 12)} & {got[v] for v in (20, 21, 22)}) == 0

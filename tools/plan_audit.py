@@ -157,6 +157,7 @@ AUDIT = [
     "w_asof_nearest",
     "p_kanon_audit",
     "w_cusum_shift",
+    "g_label_prop",
 ]
 
 
