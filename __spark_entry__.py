@@ -455,6 +455,10 @@ _WINDOW_HEAD_R16 = [
     # the shared kNN projection (LPA's frequency rule vs CC's
     # min-label: sub-communities survive inside one component).
     "g_label_prop",
+    # slot 0e5: IVF + PQ-ADC composed (the FAISS IVFx,PQy two-stage
+    # layout knn_pq's docstring promised) — cell-pruned candidates
+    # ranked by distance tables, no exact vector math past the probe.
+    "e_knn_ivfpq",
     # slot 0e2: PPJoin-lite prefix-filtered token-similarity join —
     # oracle is the UNFILTERED brute-force join, so the value hash
     # proves prefix+length filter completeness.

@@ -163,6 +163,7 @@ HEADLINE = [
     "p_kanon_audit",
     "w_cusum_shift",
     "g_label_prop",
+    "e_knn_ivfpq",
 ]
 
 

@@ -2101,3 +2101,141 @@ SELECT query_id, neighbor_id, rnk, ip FROM (
             ORDER BY ip DESC, neighbor_id ASC) AS INT) AS rnk
   FROM scored
 ) WHERE rnk <= {k}"""
+
+
+def knn_ivfpq(
+    embeddings: DataFrame,
+    n_queries: int = 16,
+    k: int = 5,
+    n_cells: int | None = None,
+    iters: int = 1,
+    n_codes: int = PQ_CODES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF + PQ-ADC, composed — the production two-stage ANN layout
+    (FAISS ``IVFx,PQy``): the trained-centroid IVF probe prunes the
+    candidate set to the query's ``IVF_NPROBE`` cells, then PQ's
+    asymmetric distance tables rank ONLY those candidates — no exact
+    vector arithmetic anywhere past the probe (the full-width vectors
+    are never fetched for scoring; knn_pq's docstring promises this
+    composition, this operator delivers it). Output
+    (query_id, neighbor_id, rnk, adc_dist), ADC summed in fixed
+    subspace order, ties to the lower neighbor id.
+
+    Correctness wiring: the PQ relations are built from the SAME
+    nrm-filtered vector set the IVF probe sees (the operator-entry
+    classify-drop — a zero-norm vector can neither be a candidate nor
+    a codeword here), so the oracle's CTE chain and this plan agree
+    row-for-row.
+
+    Scale shape: candidates ≈ nprobe/C of the corpus per query (C =
+    ceil(√N) default — the fraction SHRINKS as N grows); the ADC
+    stage touches the CODES relation for candidates only, joined to
+    the broadcast Q×M×k distance tables — per-query cost ∝ candidate
+    count × M lookups, never N. At 100 TB: centroids broadcast
+    (~16 MB at 10⁹ vectors), codes are the stored index (M small ints
+    per vector), and recall is audited the same way as the standalone
+    stages (e_pq_recall_audit / e_ivf_probe_curve)."""
+    u = materialize(_unit_vectors(embeddings, id_col, vec_col), durable=True)
+    cents = _kmeans_centroids(u, n_cells, iters)
+    ranked = _ranked_cells(u, cents)
+    assignments = ranked.filter(F.col("__rn") == 1).select(
+        F.col("vid").alias("neighbor_id"), "cell"
+    )
+    probes = ranked.filter(
+        (F.col("vid") < n_queries) & (F.col("__rn") <= IVF_NPROBE)
+    ).select(F.col("vid").alias("query_id"), "cell")
+    cand = (
+        probes.join(assignments, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    emb_f = (
+        spread(embeddings)
+        .withColumn("__nrm", norm(F.col(vec_col)))
+        .filter(F.col("__nrm") > 0)
+        .select(id_col, vec_col)
+    )
+    scored, best = _pq_scored_best(emb_f, n_codes, id_col, vec_col, share=True)
+    dt = scored.filter(F.col("vid") < n_queries).select(
+        F.col("vid").alias("query_id"), "sub", "code", F.col("dist").alias("d")
+    )
+    pairs = (
+        cand.join(
+            best.select(F.col("vid").alias("neighbor_id"), "sub", "code"),
+            "neighbor_id",
+        )
+        .join(F.broadcast(dt), ["query_id", "sub", "code"])
+    )
+    per_pair = pairs.groupBy("query_id", "neighbor_id").agg(
+        *[
+            F.max(F.when(F.col("sub") == s, F.col("d"))).alias(f"__d{s}")
+            for s in range(PQ_SUB)
+        ]
+    )
+    adc = F.col("__d0")
+    for s in range(1, PQ_SUB):
+        adc = adc + F.col(f"__d{s}")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        per_pair.withColumn("adc_dist", adc)
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", "adc_dist")
+    )
+
+
+def knn_ivfpq_sql(
+    n_queries: int = 16,
+    k: int = 5,
+    n_cells: int | None = None,
+    iters: int = 1,
+    n_codes: int = PQ_CODES,
+    dim: int = LSH_DIM,
+) -> str:
+    """DuckDB twin of :func:`knn_ivfpq`. CTE names are prefixed to
+    avoid colliding with the probe/PQ prologues it borrows from
+    (_knn_probe_sql and _pq_ctes_sql both define ``scored``)."""
+    adc_terms = " + ".join(
+        f"MAX(CASE WHEN b.sub = {s} THEN d END)" for s in range(PQ_SUB)
+    )
+    filtered_src = "(SELECT vec_id, embedding FROM normed WHERE nrm > 0)"
+    return f"""WITH {_UNIT_SQL},
+{_kmeans_ctes(n_cells, iters, dim)}, vranked AS (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY aff DESC, cell ASC) AS rn
+  FROM (
+    SELECT u.vec_id, c.cell, {dot_sql("u.uv", "c.cv")} AS aff
+    FROM unitv u CROSS JOIN cents{iters} c
+  )
+), vassign AS (
+  SELECT vec_id AS neighbor_id, cell FROM vranked WHERE rn = 1
+), vprobes AS (
+  SELECT vec_id AS query_id, cell FROM vranked
+  WHERE vec_id < {n_queries} AND rn <= {IVF_NPROBE}
+), vcand AS (
+  SELECT DISTINCT query_id, neighbor_id
+  FROM vprobes JOIN vassign USING (cell)
+  WHERE query_id <> neighbor_id
+), {_pq_ctes_sql(n_codes, src=filtered_src)}, dt AS (
+  SELECT vid AS query_id, sub, code, dist AS d
+  FROM scored WHERE vid < {n_queries}
+), per_pair AS (
+  SELECT c.query_id, c.neighbor_id, {adc_terms} AS adc_dist
+  FROM vcand c
+  JOIN best b ON b.vid = c.neighbor_id
+  JOIN dt ON dt.query_id = c.query_id
+         AND dt.sub = b.sub AND dt.code = b.code
+  GROUP BY c.query_id, c.neighbor_id
+)
+SELECT query_id, neighbor_id, rnk, adc_dist FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY adc_dist ASC, neighbor_id ASC) AS INT) AS rnk
+  FROM per_pair
+) WHERE rnk <= {k}"""

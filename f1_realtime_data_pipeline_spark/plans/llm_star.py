@@ -1001,6 +1001,16 @@ def e_mips_topk(spark, sf_dir):
 _register("e_mips_topk", e_mips_topk, sim.mips_topk_sql(16, 5))
 
 
+def e_knn_ivfpq(spark, sf_dir):
+    """IVF+PQ-ADC composed (FAISS IVFx,PQy): trained-centroid cell
+    pruning, then distance-table ranking of the pruned candidates —
+    no exact vector arithmetic past the probe."""
+    return sim.knn_ivfpq(_embs(spark, sf_dir), n_queries=16, k=5)
+
+
+_register("e_knn_ivfpq", e_knn_ivfpq, sim.knn_ivfpq_sql(16, 5))
+
+
 def e_lsh_buckets(spark, sf_dir):
     return sim.lsh_buckets(_embs(spark, sf_dir))
 

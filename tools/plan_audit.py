@@ -158,6 +158,7 @@ AUDIT = [
     "p_kanon_audit",
     "w_cusum_shift",
     "g_label_prop",
+    "e_knn_ivfpq",
 ]
 
 
