@@ -459,6 +459,11 @@ _WINDOW_HEAD_R16 = [
     # layout knn_pq's docstring promised) — cell-pruned candidates
     # ranked by distance tables, no exact vector math past the probe.
     "e_knn_ivfpq",
+    # slot 0e6: KEYLESS interval-containment join, hour-bucket
+    # decomposed — equi-join on the bucket key instead of the naive
+    # cross×range plan; oracle = the unbucketed join, so decomposition
+    # completeness is hash-proven.
+    "w_interval_bucket",
     # slot 0e2: PPJoin-lite prefix-filtered token-similarity join —
     # oracle is the UNFILTERED brute-force join, so the value hash
     # proves prefix+length filter completeness.

@@ -164,6 +164,7 @@ HEADLINE = [
     "w_cusum_shift",
     "g_label_prop",
     "e_knn_ivfpq",
+    "w_interval_bucket",
 ]
 
 

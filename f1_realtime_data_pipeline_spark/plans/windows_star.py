@@ -685,3 +685,93 @@ SELECT priority, day, n,
            AS shift_flag
 FROM cus ORDER BY priority, day""",
 )
+
+
+def w_interval_bucket(spark, sf_dir):
+    """KEYLESS interval-containment join, bucket-decomposed — the
+    scale form of "which purchases (any user) fall inside any
+    incident window?" where no equi key links the sides.
+    w_interval_join's shape leans on its user_id equi key; without
+    one, the naive plan is a cross join with a range filter
+    (|points| × |windows| candidates — the 100 TB killer). Here each
+    window explodes into the HOUR buckets it covers (bounded: windows
+    are user-day activity spans, ≤24 buckets) and each point carries
+    its own hour bucket, so the join is an EQUI-join on the bucket
+    key; a (window, point) pair matches in exactly ONE bucket — the
+    point's own hour — so no dedup pass is needed. The oracle is the
+    UNBUCKETED naive range join: a value-hash match PROVES the
+    decomposition loses no pair (the d_prefix_join discipline).
+
+    Windows: per (user ≡ 7 mod 50, day) activity span [min ts, max
+    ts]. Points: every purchase event. Exact containment re-verified
+    after the bucket join (the bucket overlap is necessary, not
+    sufficient)."""
+    ev = read_events(spark, sf_dir).filter(F.col("ts").isNotNull())
+    wins = (
+        ev.filter(F.pmod(F.col("user_id"), F.lit(50)) == 7)
+        .groupBy(
+            F.col("user_id").alias("win_user"),
+            F.date_trunc("DAY", F.col("ts")).alias("__day"),
+        )
+        .agg(
+            F.min("ts").alias("win_start"),
+            F.max("ts").alias("win_end"),
+        )
+    )
+    wbuckets = wins.select(
+        "win_user",
+        "win_start",
+        "win_end",
+        F.explode(
+            F.sequence(
+                F.date_trunc("HOUR", F.col("win_start")),
+                F.date_trunc("HOUR", F.col("win_end")),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bkt"),
+    )
+    pts = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.date_trunc("HOUR", F.col("ts")).alias("bkt"),
+    )
+    return (
+        pts.join(wbuckets, "bkt")
+        .filter(
+            (F.col("p_ts") >= F.col("win_start"))
+            & (F.col("p_ts") <= F.col("win_end"))
+        )
+        # rolled up per window: the pair enumeration grew ~125× per
+        # decade at the fixture's densities (1.5k → 185k rows) while
+        # the window relation grows linearly — and a lost pair still
+        # hash-mismatches through the counts, so the completeness
+        # proof survives the rollup
+        .groupBy("win_user", "win_start")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.countDistinct("p_user").cast("bigint").alias("n_buyers"),
+        )
+        .orderBy("win_user", "win_start")
+    )
+
+
+_register(
+    "w_interval_bucket",
+    w_interval_bucket,
+    """WITH wins AS (
+  SELECT user_id AS win_user, date_trunc('day', ts) AS d,
+         MIN(ts) AS win_start, MAX(ts) AS win_end
+  FROM events WHERE user_id % 50 = 7 AND ts IS NOT NULL
+  GROUP BY 1, 2
+), pts AS (
+  SELECT user_id AS p_user, ts AS p_ts
+  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+)
+SELECT win_user, win_start,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(COUNT(DISTINCT p_user) AS BIGINT) AS n_buyers
+FROM wins JOIN pts
+  ON p_ts >= win_start AND p_ts <= win_end
+GROUP BY win_user, win_start
+ORDER BY win_user, win_start""",
+)

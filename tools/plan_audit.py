@@ -159,6 +159,7 @@ AUDIT = [
     "w_cusum_shift",
     "g_label_prop",
     "e_knn_ivfpq",
+    "w_interval_bucket",
 ]
 
 
