@@ -965,13 +965,24 @@ def _pq_scored_best(
         from pyspark import StorageLevel
 
         scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
-    w = Window.partitionBy("vid", "sub").orderBy(
-        F.col("dist").asc(), F.col("code").asc()
-    )
+    # per-(vid, sub) argmin as ONE hash aggregate (r16 optimization
+    # round, guide §2.3 "aggregate before you shuffle"): min over an
+    # orderable (dist, code) struct picks the same row as the previous
+    # row_number window — lexicographic struct comparison IS the
+    # (dist ASC, code ASC) order — but partial-aggregates map-side, so
+    # the exchange moves ≤ N·M grouped rows instead of sorting all
+    # N·M·k scored rows (the window form shuffled AND sorted the full
+    # scored relation; plan diff: Window+2×Sort+Exchange(vid,sub) →
+    # partial HashAggregate → Exchange → final HashAggregate).
     best = (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("vid", "sub", "code", "dist")
+        scored.groupBy("vid", "sub")
+        .agg(F.min(F.struct("dist", "code")).alias("__best"))
+        .select(
+            "vid",
+            "sub",
+            F.col("__best.code").alias("code"),
+            F.col("__best.dist").alias("dist"),
+        )
     )
     return scored, best
 
@@ -1237,21 +1248,22 @@ def knn_join_adc(
         .join(F.broadcast(cb), "sub")
         .withColumn("dist", _l2(F.col("sv"), F.col("cw")))
     )
-    w_best = Window.partitionBy("vid", "sub").orderBy(
-        F.col("dist").asc(), F.col("code").asc()
-    )
-    codes = (
-        scored.withColumn("__rn", F.row_number().over(w_best))
-        .filter(F.col("__rn") == 1)
-        .groupBy("vid")
-        .agg(
-            *[
-                F.max(F.when(F.col("sub") == s, F.col("code")))
-                .cast("int")
-                .alias(f"c{s}")
-                for s in range(PQ_SUB)
-            ]
-        )
+    # per-(vid, sub) argmin + wide pivot in ONE hash aggregate (r16
+    # optimization round, guide §2.3): min over the orderable
+    # (dist, code) struct under a per-subspace CASE replicates the old
+    # (dist ASC, code ASC) row_number pick, and the groupBy(vid) pivot
+    # that used to be a SECOND shuffle folds into the same aggregate —
+    # the previous shape sorted all N·M·k scored rows under a window
+    # and then re-shuffled the winners; this one partial-aggregates
+    # map-side and moves N grouped rows once.
+    codes = scored.groupBy("vid").agg(
+        *[
+            F.min(F.when(F.col("sub") == s, F.struct("dist", "code")))
+            .getField("code")
+            .cast("int")
+            .alias(f"c{s}")
+            for s in range(PQ_SUB)
+        ]
     )
     # both the query and neighbor side of the rank join read this
     codes = materialize(codes, durable=True)
