@@ -291,12 +291,24 @@ def d_dup_clusters(spark, sf_dir):
 _register("d_dup_clusters", d_dup_clusters, dd.dup_clusters_sql(0.5))
 
 
-def _cluster_quality_ranked(spark, sf_dir):
+def _cluster_quality_ranked(spark, sf_dir, share=False):
     """(cluster_id, doc_id, quality, rn, n_members): every near-dup
     cluster member ranked by classifier quality (desc, NULLS LAST,
     doc_id asc) within its cluster — rn 1 is the keep-best exemplar,
     rn > 1 are the drops. Shared by d_cluster_exemplars and
-    pipeline_dedup_keepbest."""
+    pipeline_dedup_keepbest.
+
+    ``share=True`` persists the ranked relation for consumers that
+    branch it more than once (keep-best reads rn=1 exemplars AND rn>1
+    drops; the coverage audit stacks both) — unpersisted, each branch
+    re-ran the FULL upstream: MinHash-LSH clustering + classifier
+    scores + both windows (measured r16: 30 parquet scans /
+    40 exchanges in pipeline_dedup_keepbest's plan). Single-branch
+    consumers (d_cluster_exemplars) keep the default: a cache built
+    for one read is pure overhead (the d_simhash_pairs lesson; its
+    min wall regressed 3.3 → 5.3 s when persisted unconditionally).
+    Cluster-membership-sized cache, lifecycle via ContextCleaner on
+    plan GC (the dedup.py policy)."""
     from pyspark.sql import Window
 
     from f1_realtime_data_pipeline_spark.plans.scoring_ext import (
@@ -314,7 +326,7 @@ def _cluster_quality_ranked(spark, sf_dir):
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("quality").desc_nulls_last(), F.col("doc_id").asc()
     )
-    return (
+    ranked = (
         clusters.join(quality, "doc_id")
         .withColumn("rn", F.row_number().over(w))
         .withColumn(
@@ -322,6 +334,11 @@ def _cluster_quality_ranked(spark, sf_dir):
             F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
         )
     )
+    if share:
+        from pyspark import StorageLevel
+
+        ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
+    return ranked
 
 
 def _cluster_ranked_sql() -> str:
@@ -398,7 +415,7 @@ def pipeline_dedup_keepbest(spark, sf_dir):
     broadcasts or shuffles on doc_id; the exemplar left join reuses
     the same key. Cluster-keyed windows only — never global — and no
     driver-side collect anywhere in the plan."""
-    ranked = _cluster_quality_ranked(spark, sf_dir)
+    ranked = _cluster_quality_ranked(spark, sf_dir, share=True)
     drops = ranked.filter(F.col("rn") > 1).select("doc_id")
     exemplars = ranked.filter(F.col("rn") == 1).select(
         "doc_id", "cluster_id", "n_members"
