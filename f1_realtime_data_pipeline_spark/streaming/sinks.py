@@ -100,6 +100,22 @@ def _key_bucket(keys: Sequence[str], n_buckets: int) -> F.Column:
     return F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
 
 
+def _clustered_for_write(df: DataFrame) -> DataFrame:
+    """Cluster an epoch batch by its bucket column before the
+    ``partitionBy(_BUCKET_COL)`` write (r16 optimization round, guide
+    §6 output-file sizing): unclustered, every upstream task holding
+    rows of a bucket opens its own file under that bucket's directory
+    — a 32-task dedup shuffle × 16 buckets sprayed hundreds of tiny
+    files per epoch, and the per-file open/commit cost dominated the
+    epoch wall (the data is KBs). Hash-repartitioning on the bucket
+    column puts each bucket in exactly one task, so an epoch writes
+    exactly one file per touched bucket — the same clustered-write
+    discipline compact_snapshot already uses, and at production bucket
+    counts (up to MAX_COMMIT_BUCKETS) the shuffle spreads across the
+    cluster while keeping file count == bucket count."""
+    return df.repartition(F.col(_BUCKET_COL))
+
+
 def _resolved_bucketing(
     doc: dict,
     keys: Sequence[str],
@@ -293,9 +309,6 @@ def idempotent_parquet_sink(
         # twice per epoch
         deduped.persist()
         try:
-            # prune the dedup read to the batch's own buckets: a
-            # micro-batch touches ≤ n_buckets partition values
-            batch_buckets = sorted(_touched_buckets(deduped))
             batch = deduped
             # first-epoch probe via the Hadoop FileSystem API. Probe
             # for a DATA partition dir, not bare dir existence (r7
@@ -310,6 +323,14 @@ def idempotent_parquet_sink(
             )
             if has_data:
                 try:
+                    # prune the dedup read to the batch's own buckets
+                    # (a micro-batch touches ≤ n_buckets partition
+                    # values). Collected only on this branch — the
+                    # first epoch of a fresh sink has nothing to
+                    # anti-join against, and the distinct-bucket
+                    # collect was a whole wasted Spark job there
+                    # (r16 optimization round).
+                    batch_buckets = sorted(_touched_buckets(deduped))
                     existing = pruned_sink_keys(
                         batch_df.sparkSession, sink_path, keys, batch_buckets
                     )
@@ -318,7 +339,9 @@ def idempotent_parquet_sink(
                     # dir exists but holds no readable footers (a
                     # partially failed first epoch): plain append
                     pass
-            batch.write.mode("append").partitionBy(_BUCKET_COL).parquet(sink_path)
+            _clustered_for_write(batch).write.mode("append").partitionBy(
+                _BUCKET_COL
+            ).parquet(sink_path)
         finally:
             deduped.unpersist()
 
@@ -435,7 +458,6 @@ def transactional_parquet_sink(
         )
         deduped.persist()
         try:
-            batch_buckets = sorted(_touched_buckets(deduped))
             # additive schema evolution (r5): the commit records the
             # union of every epoch's columns; a type conflict raises
             # BEFORE any data is written. The DATA schema excludes the
@@ -445,13 +467,24 @@ def transactional_parquet_sink(
             )
             merged_schema = manifest.merge_schemas(prev_schema, batch_schema)
             batch = deduped
-            existing = manifest.read_snapshot(
-                spark, sink_path, buckets=batch_buckets, doc=snap_doc
-            )
-            if existing is not None:
-                batch = _anti_join_on_keys(batch, existing.select(*keys), keys)
+            if entries:
+                # the idempotence anti-join only exists against a
+                # committed snapshot with live entries; collecting the
+                # batch's distinct buckets on an entry-less table (the
+                # first epoch of every sink, and every post-delete-all
+                # epoch) was a whole wasted Spark job (r16 optimization
+                # round). read_snapshot on an entry-less doc returns
+                # None/empty, so skipping the branch is value-identical.
+                batch_buckets = sorted(_touched_buckets(deduped))
+                existing = manifest.read_snapshot(
+                    spark, sink_path, buckets=batch_buckets, doc=snap_doc
+                )
+                if existing is not None:
+                    batch = _anti_join_on_keys(
+                        batch, existing.select(*keys), keys
+                    )
             epoch_rel = f"data/epoch-{epoch_id:012d}-{uuid4().hex[:8]}"
-            batch.write.partitionBy(_BUCKET_COL).parquet(
+            _clustered_for_write(batch).write.partitionBy(_BUCKET_COL).parquet(
                 f"{sink_path}/{epoch_rel}"
             )
             # enumerate what the write actually produced: an all-dup
@@ -777,7 +810,7 @@ def transactional_merge(
                 .drop("__rn", "__src")
             )
             merge_rel = f"data/merge-{version + 1:012d}-{uuid4().hex[:8]}"
-            merged.write.partitionBy(_BUCKET_COL).parquet(
+            _clustered_for_write(merged).write.partitionBy(_BUCKET_COL).parquet(
                 f"{sink_path}/{merge_rel}"
             )
             new_entries = _bucket_entries(spark, sink_path, merge_rel)
@@ -901,9 +934,9 @@ def transactional_delete(
             # small (r6 review fix)
             survivors = base.join(dk.select(*keys), keys, "left_anti")
             del_rel = f"data/delete-{version + 1:012d}-{uuid4().hex[:8]}"
-            survivors.write.partitionBy(_BUCKET_COL).parquet(
-                f"{sink_path}/{del_rel}"
-            )
+            _clustered_for_write(survivors).write.partitionBy(
+                _BUCKET_COL
+            ).parquet(f"{sink_path}/{del_rel}")
             new_entries = _bucket_entries(spark, sink_path, del_rel)
             if manifest.commit_snapshot(
                 spark,
@@ -1096,7 +1129,7 @@ def transactional_agg_sink(
                 F.sum("n_rows").alias("n_rows"),
             )
             agg_rel = f"data/agg-{version + 1:012d}-{uuid4().hex[:8]}"
-            merged.write.partitionBy(_BUCKET_COL).parquet(
+            _clustered_for_write(merged).write.partitionBy(_BUCKET_COL).parquet(
                 f"{sink_path}/{agg_rel}"
             )
             new_entries = _bucket_entries(spark, sink_path, agg_rel)

@@ -2449,3 +2449,38 @@ def test_agg_sink_rejects_decimal_on_legacy_table_too(spark, tmp_path):
         write(batch, 0)
     # nothing was committed on top of the legacy declaration
     assert mf.snapshot_versions(spark, sink) == [1]
+
+
+def test_epoch_write_one_file_per_touched_bucket(spark, tmp_path):
+    """r16 optimization round: epoch data is CLUSTERED by the bucket
+    column before the partitioned write, so an epoch directory holds
+    exactly one parquet file per touched bucket. Unclustered, every
+    upstream shuffle task holding rows of a bucket opened its own file
+    under that bucket's dir — measured 1535 files (vs 48) and ~5x the
+    epoch wall for the 3-epoch compaction fixture at sf0.1."""
+    import glob
+
+    from f1_realtime_data_pipeline_spark.streaming.sinks import (
+        transactional_merge,
+        transactional_parquet_sink,
+    )
+
+    sink = str(tmp_path / "clustered")
+    # 200 keys across 16 buckets, parallelized wide so the pre-write
+    # relation genuinely spans many tasks
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(200)], "k bigint, v string"
+    ).repartition(8)
+    write = transactional_parquet_sink(sink, keys=["k"], order_cols=["v"])
+    write(df, 0)
+    for d in glob.glob(f"{sink}/data/epoch-*/__kb=*"):
+        files = glob.glob(f"{d}/*.parquet")
+        assert len(files) == 1, f"{d}: {len(files)} files"
+    # the merge path writes clustered too
+    ups = spark.createDataFrame(
+        [(i, f"w{i}") for i in range(0, 200, 2)], "k bigint, v string"
+    ).repartition(8)
+    transactional_merge(ups, sink, keys=["k"], order_cols=["v"])
+    for d in glob.glob(f"{sink}/data/merge-*/__kb=*"):
+        files = glob.glob(f"{d}/*.parquet")
+        assert len(files) == 1, f"{d}: {len(files)} files"
