@@ -423,7 +423,16 @@ def _band_candidates(
         raise ValueError(
             f"band config {bands_n}x{rows_n} exceeds {MINHASH_PERMS} perms"
         )
-    bands = _band_memberships(sigs, bands_n, rows_n)
+    # persisted (r16 optimization round): the candidate equi-join
+    # references the band-membership relation on BOTH sides —
+    # unpersisted, the signature aggregation under it (a 16-column
+    # min-hash groupBy over the exploded shingle relation) ran once
+    # per side even when the shingle strings themselves were cached.
+    # bands_n rows of (id, small string) per doc; lifecycle via
+    # ContextCleaner on plan GC (the shingle-cache policy above).
+    bands = _band_memberships(sigs, bands_n, rows_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     return (
         bands.alias("x")
         .join(bands.alias("y"), ["band_idx", "sig"])
@@ -1012,7 +1021,15 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, id_strategy: str = "md5
     """
     n_bands = max_hamming + 1
     width = (SIMHASH_BITS + n_bands - 1) // n_bands
-    sigs = simhash_signatures(docs, id_strategy)
+    # persisted (r16 optimization round): BOTH sides of the band
+    # equi-join below reference this relation — unpersisted, the full
+    # signature computation (tokenize + explode + 62 conditional sums)
+    # ran once per side. The cache is (doc_id, simhash): 16 bytes per
+    # doc, far below corpus scale; lifecycle via ContextCleaner on
+    # plan GC (the minhash_lsh_pairs shingle-cache policy).
+    sigs = simhash_signatures(docs, id_strategy).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     bands = sigs.select(
         "doc_id",
         "simhash",

@@ -321,15 +321,22 @@ def hits(
         F.col("src").cast("bigint").alias("src"),
         F.col("dst").cast("bigint").alias("dst"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    n_edges = e.count()
+    # one pre-flight pass (r16 optimization round): the edge count —
+    # previously a separate full e.count() job — rides the same
+    # degree-profile aggregation that computes the headroom guard's
+    # deg_max (Σ per-src counts IS the edge count), so the persisted
+    # edge cache materializes under a single job instead of two.
     degs = e.groupBy("src").agg(F.count(F.lit(1)).alias("d")).agg(
-        F.max("d").alias("m")
+        F.max("d").alias("m"), F.sum("d").alias("n")
     ).unionAll(
         e.groupBy("dst").agg(F.count(F.lit(1)).alias("d")).agg(
-            F.max("d").alias("m")
+            F.max("d").alias("m"), F.sum("d").alias("n")
         )
-    ).agg(F.max("m").alias("deg_max")).collect()
+    ).agg(
+        F.max("m").alias("deg_max"), F.max("n").alias("n_edges")
+    ).collect()
     deg_max = int(degs[0][0] or 0)
+    n_edges = int(degs[0][1] or 0)
     max_deg_bound = (2**63 - 1) // (scale * scale)
     if deg_max > max_deg_bound:
         raise ValueError(
