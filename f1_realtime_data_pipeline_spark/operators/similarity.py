@@ -1560,10 +1560,44 @@ def _ranked_cells(u: DataFrame, cents: DataFrame) -> DataFrame:
     return scored.withColumn("__rn", F.row_number().over(w))
 
 
+def _cell_argmax(u: DataFrame, cents: DataFrame, carry=()) -> DataFrame:
+    """(vid, cell, aff[, carried...]): each vector's argmax-affinity
+    centroid — the ``_ranked_cells`` ``__rn = 1`` pick as ONE hash
+    aggregate (r16 optimization round, guide §2.3 "aggregate before
+    you shuffle"): max over an orderable (aff, -cell) struct IS the
+    (aff DESC, cell ASC) row_number order — cells are unique within a
+    vector's group, so the comparator never reaches the carried
+    fields — and it partial-aggregates map-side, so the exchange moves
+    N grouped rows instead of sorting the N×C scored relation under a
+    window. ``carry`` names extra ``u``-side columns to ride along
+    (e.g. ``uv``), which also saves the join-back consumers previously
+    paid to re-fetch them. Ranked consumers that need more than the
+    top cell (the IVF probe, the probe-tuning curve) still use
+    :func:`_ranked_cells`."""
+    scored = u.crossJoin(F.broadcast(cents)).withColumn(
+        "aff", dot(F.col("uv"), F.col("cv"))
+    )
+    best = scored.groupBy("vid").agg(
+        F.max(
+            F.struct(
+                F.col("aff"),
+                (-F.col("cell")).alias("__negcell"),
+                *[F.col(c) for c in carry],
+            )
+        ).alias("__b")
+    )
+    return best.select(
+        "vid",
+        (-F.col("__b.__negcell")).alias("cell"),
+        F.col("__b.aff").alias("aff"),
+        *[F.col(f"__b.{c}").alias(c) for c in carry],
+    )
+
+
 def _assign_cells(u: DataFrame, cents: DataFrame) -> DataFrame:
     """(vid, cell): argmax over centroids — ``_ranked_cells`` at
-    ``__rn = 1``."""
-    return _ranked_cells(u, cents).filter(F.col("__rn") == 1).select("vid", "cell")
+    ``__rn = 1``, computed by the :func:`_cell_argmax` aggregate."""
+    return _cell_argmax(u, cents).select("vid", "cell")
 
 
 def ivf_cells(
@@ -1605,13 +1639,22 @@ def _knn_probe(u: DataFrame, cents: DataFrame, n_queries: int, k: int) -> DataFr
     probe the ``IVF_NPROBE`` nearest cells for the query vectors, and
     exact-rank the candidates. Candidates shuffle on the int cell key;
     with C cells the candidate set is ~nprobe/C of the corpus."""
-    ranked = _ranked_cells(u, cents)
-    assignments = ranked.filter(F.col("__rn") == 1).select(
+    # split consumers (r16 optimization round): the old shape built
+    # ONE ranked N×C window and filtered it twice, so the crossjoin +
+    # full window ran once per branch. The assignment branch only
+    # needs the argmax (the _cell_argmax aggregate, no window at
+    # all); the probe branch needs ranks but only for the n_queries
+    # query vectors, so its window input is Q×C rows, not N×C. The
+    # affinity dot is the same expression over the same materialized
+    # unit vectors in both branches — bit-identical values.
+    assignments = _cell_argmax(u, cents, carry=("uv",)).select(
         F.col("vid").alias("neighbor_id"), F.col("uv").alias("cv2"), "cell"
     )
-    probes = ranked.filter(
-        (F.col("vid") < n_queries) & (F.col("__rn") <= IVF_NPROBE)
-    ).select(F.col("vid").alias("query_id"), F.col("uv").alias("qv"), "cell")
+    probes = _ranked_cells(
+        u.filter(F.col("vid") < n_queries), cents
+    ).filter(F.col("__rn") <= IVF_NPROBE).select(
+        F.col("vid").alias("query_id"), F.col("uv").alias("qv"), "cell"
+    )
     cand = (
         probes.join(assignments, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -1778,8 +1821,10 @@ def semdedup(
     # without this the final join re-ran the N×C-dot cell assignment
     # (the operator's dominant stage) a second time per call.
     members = materialize(
-        _assign_cells(u, cents)
-        .join(u, "vid")
+        # _cell_argmax carries uv through the assignment aggregate, so
+        # the old join-back to ``u`` for the unit vectors is gone (r16
+        # optimization round)
+        _cell_argmax(u, cents, carry=("uv",))
         .select(F.col("vid").alias("vec_id"), "cell", "uv"),
         durable=True,
     )
@@ -1834,7 +1879,9 @@ def balanced_select(
         raise ValueError(f"cap must be >= 1, got {cap}")
     u = materialize(_unit_vectors(embeddings, id_col, vec_col), durable=True)
     cents = _kmeans_centroids(u, n_clusters, iters)
-    assigned = _ranked_cells(u, cents).filter(F.col("__rn") == 1)
+    # the argmax aggregate keeps ``aff`` for the prototypicality rank
+    # below — no N×C window for the assignment (r16 optimization round)
+    assigned = _cell_argmax(u, cents)
     w = Window.partitionBy("cell").orderBy(
         F.col("aff").desc(), F.col("vid").asc()
     )
@@ -1935,7 +1982,10 @@ def _kmeans_centroids(
     outlives the call)."""
     cents = _seed_centroids(u, n_clusters)
     for _ in range(iters):
-        members = _assign_cells(u, cents).join(u, "vid")
+        # assignment argmax as one aggregate carrying uv — no window
+        # over N×C and no join-back per Lloyd round (r16 optimization
+        # round)
+        members = _cell_argmax(u, cents, carry=("uv",))
         exploded = members.select(
             "cell", F.posexplode("uv").alias("pos", "v")
         )
@@ -2151,13 +2201,18 @@ def knn_ivfpq(
     stages (e_pq_recall_audit / e_ivf_probe_curve)."""
     u = materialize(_unit_vectors(embeddings, id_col, vec_col), durable=True)
     cents = _kmeans_centroids(u, n_cells, iters)
-    ranked = _ranked_cells(u, cents)
-    assignments = ranked.filter(F.col("__rn") == 1).select(
+    # split consumers like _knn_probe (r16 optimization round): argmax
+    # assignment as one hash aggregate, ranked probes over the Q-row
+    # query slice only — the shared ranked N×C window previously ran
+    # once per branch.
+    assignments = _cell_argmax(u, cents).select(
         F.col("vid").alias("neighbor_id"), "cell"
     )
-    probes = ranked.filter(
-        (F.col("vid") < n_queries) & (F.col("__rn") <= IVF_NPROBE)
-    ).select(F.col("vid").alias("query_id"), "cell")
+    probes = _ranked_cells(
+        u.filter(F.col("vid") < n_queries), cents
+    ).filter(F.col("__rn") <= IVF_NPROBE).select(
+        F.col("vid").alias("query_id"), "cell"
+    )
     cand = (
         probes.join(assignments, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))

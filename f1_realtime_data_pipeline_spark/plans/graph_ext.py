@@ -635,6 +635,14 @@ def _knn_sim_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("__rn") <= CN_FANOUT_CAP)
         .drop("__rn")
+        # persisted (r16 optimization round): the co-occurrence
+        # self-join below references this capped incidence relation on
+        # BOTH sides — unpersisted, the orders⋈lineitem + distinct +
+        # fanout-cap window ran once per side (g_common_neighbors
+        # already caches its identical incidence; the kNN projection
+        # now matches). ≤ CN_FANOUT_CAP rows per customer; lifecycle
+        # via ContextCleaner on plan GC.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     l, r = e.alias("l"), e.alias("r")
     pairs = (
