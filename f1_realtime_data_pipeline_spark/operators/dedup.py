@@ -193,7 +193,16 @@ def _inverted_index_common(
         .select("doc_id", F.xxhash64("shingle").alias("shk"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    df_counts = sh_raw.groupBy("shk").agg(F.count("*").alias("df"))
+    # persisted (r16 optimization round): the hot-shingle anti filter
+    # AND the pairable semi filter both read the df table — each
+    # reference re-ran the full |shingles|-row aggregate over the
+    # cached shingle relation. Distinct-shingle-sized (12 bytes/row),
+    # same ContextCleaner lifecycle as sh_raw.
+    df_counts = (
+        sh_raw.groupBy("shk")
+        .agg(F.count("*").alias("df"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sh = sh_raw.join(
         F.broadcast(df_counts.filter(F.col("df") > max_doc_freq)), "shk", "left_anti"
     )
