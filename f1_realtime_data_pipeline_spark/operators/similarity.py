@@ -1282,26 +1282,40 @@ def knn_join_adc(
     tb = base.select("vid", F.explode("tbs").alias("tb")).select(
         "vid", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt")
     )
+    # candidate-stage exchange plan (r17 optimization round, VERDICT
+    # r16 #3 — guide §2.4 "two operations keyed the same way can share
+    # one exchange"): the r16 shape shuffled the candidate relation
+    # FOUR times (dropDuplicates on (q, n), codes join on query_id,
+    # codes join on neighbor_id, then the shortlist window back on
+    # query_id). Repartitioning once on neighbor_id lets the pair
+    # dedup ride it (hashpartitioning(neighbor_id) satisfies the
+    # aggregate's (q, n) clustered distribution) AND co-partitions the
+    # candidates for the neighbor-side codes join; joining the QUERY
+    # side last leaves the relation hash-partitioned on query_id, so
+    # the shortlist window adds no exchange. 4 candidate-side
+    # exchanges -> 2; inner-join reordering + identical dedup keys =
+    # identical rows (oracle-checked).
     cand = (
         tb.select(F.col("vid").alias("query_id"), "tbl", "bkt")
         .join(tb.select(F.col("vid").alias("neighbor_id"), "tbl", "bkt"), ["tbl", "bkt"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
+        .repartition(F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
 
     ranked = cand.join(
         codes.select(
-            F.col("vid").alias("query_id"),
-            *[F.col(f"c{s}").alias(f"qc{s}") for s in range(PQ_SUB)],
-        ),
-        "query_id",
-    ).join(
-        codes.select(
             F.col("vid").alias("neighbor_id"),
             *[F.col(f"c{s}").alias(f"nc{s}") for s in range(PQ_SUB)],
         ),
         "neighbor_id",
+    ).join(
+        codes.select(
+            F.col("vid").alias("query_id"),
+            *[F.col(f"c{s}").alias(f"qc{s}") for s in range(PQ_SUB)],
+        ),
+        "query_id",
     )
     for s in range(PQ_SUB):
         sd = sdc.filter(F.col("sub") == s).select(

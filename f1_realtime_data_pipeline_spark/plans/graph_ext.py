@@ -35,6 +35,9 @@ from f1_realtime_data_pipeline_spark.operators.graph import (
     hits,
     pagerank,
 )
+from f1_realtime_data_pipeline_spark.operators.materialize import (
+    record_stage_plan,
+)
 from f1_realtime_data_pipeline_spark.sources.parquet import read_table
 
 QUERIES: dict = {}
@@ -953,11 +956,14 @@ def g_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds are bit-reproducible in both engines.
 
     Scale shape: per round one (v, label)-keyed count aggregate
-    (map-side combine) and one |V|-row-per-node window pick — the
-    registered PageRank loop discipline (per-round state is the
-    |V|-row label relation, never the edge list); labels
-    localCheckpointed per round (lineage-stacking lesson, measured on
-    the k-core loop). Output: (node, community) after LPA_ROUNDS."""
+    (map-side combine) and one rn=1 window pick that plans as a
+    map-side WindowGroupLimit (≤1 row per (v, partition) crosses the
+    exchange — measured faster than a max(struct) SortAggregate, see
+    the in-loop note) — the registered PageRank loop discipline
+    (per-round state is the |V|-row label relation, never the edge
+    list); labels localCheckpointed per round (lineage-stacking
+    lesson, measured on the k-core loop). Output: (node, community)
+    after LPA_ROUNDS."""
     from pyspark.sql import Window
 
     edges = _knn_sim_edges(spark, sf_dir)
@@ -980,12 +986,23 @@ def g_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("v", "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
+        # DELIBERATELY a window, not a max(struct) aggregate (r17
+        # optimization round, VERDICT r16 #5 sweep): the rn=1 filter
+        # already plans as WindowGroupLimit BEFORE the exchange
+        # (Spark 3.5+ top-k pushdown — map-side partial argmax), so
+        # the plan moves ≤1 row per (v, partition) exactly like a
+        # partial aggregate; the tried max(struct(c, -label, label))
+        # conversion planned as SortAggregate (struct buffers are not
+        # hash-aggregable) and measured 3.0 -> 5.6 s on an interleaved
+        # A/B. Plan evidence: plans/r17/g_label_prop_before.txt
+        # (lpa_round stages).
         labels = (
             cand.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("v", "label")
-            .localCheckpoint()
         )
+        record_stage_plan("lpa_round", labels)
+        labels = labels.localCheckpoint()
     return labels.select(
         F.col("v").cast("bigint").alias("node"),
         F.col("label").cast("bigint").alias("community"),

@@ -38,7 +38,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from f1_realtime_data_pipeline_spark.operators.aggregations import dedup_first_wins
 from f1_realtime_data_pipeline_spark.sources import manifest
 
 #: key-hash partition count for the idempotent sink. Each micro-batch
@@ -98,6 +97,37 @@ def _touched_buckets(df: DataFrame) -> set[int]:
 
 def _key_bucket(keys: Sequence[str], n_buckets: int) -> F.Column:
     return F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
+
+
+def _dedup_clustered(
+    pre: DataFrame, keys: Sequence[str], order: Sequence
+) -> DataFrame:
+    """First-wins dedup FUSED with the bucket-clustering exchange (r17
+    optimization round, guide §2.4 "two operations keyed the same way
+    can share one exchange"). ``pre`` must already carry ``_BUCKET_COL``
+    — a deterministic function of ``keys``, so hash-partitioning on the
+    bucket column alone already co-locates every row of a key. The
+    dedup window partitions by ``(_BUCKET_COL, *keys)``: that clustered
+    distribution is satisfied by the repartition's
+    ``hashpartitioning(_BUCKET_COL)`` (partition expressions ⊆ window
+    clustering keys), so the epoch pipeline pays ONE exchange for
+    dedup + clustered write where the r16 shape paid two (a dedup
+    window exchange on the keys, then ``_clustered_for_write``'s
+    repartition on the bucket column) — the planner adds only a
+    partition-local sort. Survivor identity is unchanged: the bucket
+    column is constant within a key group, so the (bucket, keys)
+    groups ARE the keys groups and ``row_number`` sees the same rows
+    in the same ``order`` (pytest-pinned equivalence in
+    tests/test_streaming.py). ``order`` may carry leading precedence
+    columns (the MERGE path's ``__src DESC``) ahead of the caller's
+    order columns."""
+    w = Window.partitionBy(_BUCKET_COL, *keys).orderBy(*order)
+    return (
+        pre.repartition(F.col(_BUCKET_COL))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
 
 def _clustered_for_write(df: DataFrame) -> DataFrame:
@@ -301,15 +331,19 @@ def idempotent_parquet_sink(
         nb = _resolved_plain_buckets(
             batch_df.sparkSession, sink_path, n_buckets, keys=keys
         )
-        deduped = dedup_first_wins(batch_df, keys, order).withColumn(
-            _BUCKET_COL, _key_bucket(keys, nb)
-        )
+        # bucket the RAW batch; the first-wins dedup happens inside
+        # _dedup_clustered, fused with the clustering exchange (r17).
+        # Anti-join BEFORE dedup is value-identical: both operate on
+        # whole key groups (the anti-join drops every row of an
+        # already-written key; dedup picks the same survivor from the
+        # surviving groups) — pinned in tests/test_streaming.py.
+        pre = batch_df.withColumn(_BUCKET_COL, _key_bucket(keys, nb))
         # persist: the batch feeds two actions (bucket-list collect +
         # the append) — without it the micro-batch SOURCE is scanned
         # twice per epoch
-        deduped.persist()
+        pre.persist()
         try:
-            batch = deduped
+            batch = pre
             # first-epoch probe via the Hadoop FileSystem API. Probe
             # for a DATA partition dir, not bare dir existence (r7
             # review: the sidecar write above always creates the sink
@@ -322,28 +356,32 @@ def idempotent_parquet_sink(
                 for st in fs.listStatus(root)
             )
             if has_data:
+                # prune the dedup read to the batch's own buckets (a
+                # micro-batch touches ≤ n_buckets partition values).
+                # Collected only on this branch — the first epoch of a
+                # fresh sink has nothing to anti-join against, and the
+                # distinct-bucket collect was a whole wasted Spark job
+                # there (r16 optimization round). Collected OUTSIDE the
+                # try (ADVICE r16 #1): the except must only guard the
+                # sink read — an AnalysisException from the collect
+                # itself must propagate, not silently skip the
+                # idempotence anti-join and append duplicate keys.
+                batch_buckets = sorted(_touched_buckets(pre))
                 try:
-                    # prune the dedup read to the batch's own buckets
-                    # (a micro-batch touches ≤ n_buckets partition
-                    # values). Collected only on this branch — the
-                    # first epoch of a fresh sink has nothing to
-                    # anti-join against, and the distinct-bucket
-                    # collect was a whole wasted Spark job there
-                    # (r16 optimization round).
-                    batch_buckets = sorted(_touched_buckets(deduped))
                     existing = pruned_sink_keys(
                         batch_df.sparkSession, sink_path, keys, batch_buckets
                     )
-                    batch = _anti_join_on_keys(batch, existing, keys)
                 except AnalysisException:
                     # dir exists but holds no readable footers (a
                     # partially failed first epoch): plain append
-                    pass
-            _clustered_for_write(batch).write.mode("append").partitionBy(
-                _BUCKET_COL
-            ).parquet(sink_path)
+                    existing = None
+                if existing is not None:
+                    batch = _anti_join_on_keys(batch, existing, keys)
+            _dedup_clustered(batch, keys, order).write.mode(
+                "append"
+            ).partitionBy(_BUCKET_COL).parquet(sink_path)
         finally:
-            deduped.unpersist()
+            pre.unpersist()
 
     return write
 
@@ -453,20 +491,21 @@ def transactional_parquet_sink(
         nb, bucketing_meta = _resolved_bucketing(
             snap_doc, keys, n_buckets, spark=spark, sink_path=sink_path
         )
-        deduped = dedup_first_wins(batch_df, keys, order).withColumn(
-            _BUCKET_COL, _key_bucket(keys, nb)
-        )
-        deduped.persist()
+        # bucket the RAW batch; first-wins dedup is fused with the
+        # clustering exchange in _dedup_clustered (r17 — anti-join
+        # before dedup is value-identical, see idempotent sink note)
+        pre = batch_df.withColumn(_BUCKET_COL, _key_bucket(keys, nb))
+        pre.persist()
         try:
             # additive schema evolution (r5): the commit records the
             # union of every epoch's columns; a type conflict raises
             # BEFORE any data is written. The DATA schema excludes the
             # bucket column (directory-encoded, not in the files).
             batch_schema = json.loads(
-                deduped.drop(_BUCKET_COL).schema.json()
+                pre.drop(_BUCKET_COL).schema.json()
             )
             merged_schema = manifest.merge_schemas(prev_schema, batch_schema)
-            batch = deduped
+            batch = pre
             if entries:
                 # the idempotence anti-join only exists against a
                 # committed snapshot with live entries; collecting the
@@ -475,7 +514,7 @@ def transactional_parquet_sink(
                 # epoch) was a whole wasted Spark job (r16 optimization
                 # round). read_snapshot on an entry-less doc returns
                 # None/empty, so skipping the branch is value-identical.
-                batch_buckets = sorted(_touched_buckets(deduped))
+                batch_buckets = sorted(_touched_buckets(pre))
                 existing = manifest.read_snapshot(
                     spark, sink_path, buckets=batch_buckets, doc=snap_doc
                 )
@@ -484,9 +523,9 @@ def transactional_parquet_sink(
                         batch, existing.select(*keys), keys
                     )
             epoch_rel = f"data/epoch-{epoch_id:012d}-{uuid4().hex[:8]}"
-            _clustered_for_write(batch).write.partitionBy(_BUCKET_COL).parquet(
-                f"{sink_path}/{epoch_rel}"
-            )
+            _dedup_clustered(batch, keys, order).write.partitionBy(
+                _BUCKET_COL
+            ).parquet(f"{sink_path}/{epoch_rel}")
             # enumerate what the write actually produced: an all-dup
             # epoch yields no bucket dirs -> nothing to commit (replay)
             new_entries = _bucket_entries(spark, sink_path, epoch_rel)
@@ -552,7 +591,7 @@ def transactional_parquet_sink(
                     spark, sink_path, keep_last=keep_history
                 )
         finally:
-            deduped.unpersist()
+            pre.unpersist()
 
     return write
 
@@ -750,9 +789,15 @@ def transactional_merge(
         nb, bucketing_meta = _resolved_bucketing(
             snap_doc, keys, n_buckets, spark=spark, sink_path=sink_path
         )
-        up = dedup_first_wins(updates, keys, order).withColumn(
-            _BUCKET_COL, _key_bucket(keys, nb)
-        )
+        # RAW updates, bucketed: the within-updates first-wins dedup is
+        # SUBSUMED by the precedence window below (r17 optimization
+        # round) — ordering by (__src DESC, *order) picks, per key, the
+        # first update row under ``order`` whenever any update exists,
+        # which is exactly dedup_first_wins(updates)'s winner; base
+        # rows are unique per key by the sink invariant. Dropping the
+        # separate dedup removes one whole exchange of the update
+        # relation (pytest-pinned equivalence in test_streaming.py).
+        up = updates.withColumn(_BUCKET_COL, _key_bucket(keys, nb))
         if prev_schema is None and entries:
             # pre-schema-tracking table (r6 review fix): the base's
             # ACTUAL schema is the previous schema — without this,
@@ -802,15 +847,13 @@ def transactional_merge(
                     both = both.unionByName(p)
             else:
                 both = side_up
-            # updates beat base; within a side the explicit order decides
-            w = Window.partitionBy(*keys).orderBy(F.col("__src").desc(), *order)
-            merged = (
-                both.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .drop("__rn", "__src")
-            )
+            # updates beat base; within a side the explicit order
+            # decides — one fused exchange dedups AND clusters (r17)
+            merged = _dedup_clustered(
+                both, keys, [F.col("__src").desc(), *order]
+            ).drop("__src")
             merge_rel = f"data/merge-{version + 1:012d}-{uuid4().hex[:8]}"
-            _clustered_for_write(merged).write.partitionBy(_BUCKET_COL).parquet(
+            merged.write.partitionBy(_BUCKET_COL).parquet(
                 f"{sink_path}/{merge_rel}"
             )
             new_entries = _bucket_entries(spark, sink_path, merge_rel)
@@ -1124,12 +1167,26 @@ def transactional_agg_sink(
                             _BUCKET_COL, F.lit(e["bucket"])
                         )
                     )
-            merged = both.groupBy(*group_cols, _BUCKET_COL).agg(
-                *[F.sum(c).alias(c) for c in sum_cols],
-                F.sum("n_rows").alias("n_rows"),
+            # repartition on the bucket column FIRST: hashpartitioning
+            # on _BUCKET_COL (a function of the group key) satisfies
+            # the merge aggregate's clustered distribution on
+            # (group_cols, _BUCKET_COL), so the re-sum runs in place on
+            # the clustered partitions and the write needs no second
+            # exchange — one shuffle where the r16 shape paid two
+            # (groupBy exchange + _clustered_for_write). The input is
+            # already near-unique per key (a partial aggregate unioned
+            # with committed per-key rows), so no map-side partial
+            # aggregation is lost (r17 optimization round).
+            merged = (
+                both.repartition(F.col(_BUCKET_COL))
+                .groupBy(*group_cols, _BUCKET_COL)
+                .agg(
+                    *[F.sum(c).alias(c) for c in sum_cols],
+                    F.sum("n_rows").alias("n_rows"),
+                )
             )
             agg_rel = f"data/agg-{version + 1:012d}-{uuid4().hex[:8]}"
-            _clustered_for_write(merged).write.partitionBy(_BUCKET_COL).parquet(
+            merged.write.partitionBy(_BUCKET_COL).parquet(
                 f"{sink_path}/{agg_rel}"
             )
             new_entries = _bucket_entries(spark, sink_path, agg_rel)

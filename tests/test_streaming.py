@@ -2484,3 +2484,83 @@ def test_epoch_write_one_file_per_touched_bucket(spark, tmp_path):
     for d in glob.glob(f"{sink}/data/merge-*/__kb=*"):
         files = glob.glob(f"{d}/*.parquet")
         assert len(files) == 1, f"{d}: {len(files)} files"
+
+
+def test_fused_dedup_clustered_survivor_equivalence(spark):
+    """r17 optimization round (VERDICT r16 #1): the sinks' first-wins
+    dedup now rides the bucket-clustering exchange (window partitioned
+    by (_BUCKET_COL, *keys) over a repartition on the bucket column
+    alone). The survivor per key must be IDENTICAL to the reference
+    dedup_first_wins pick — including duplicate keys spread across
+    many upstream partitions and NULL key rows — because committed
+    sink contents depend on it."""
+    from f1_realtime_data_pipeline_spark.operators.aggregations import (
+        dedup_first_wins,
+    )
+    from f1_realtime_data_pipeline_spark.streaming.sinks import (
+        _BUCKET_COL,
+        _dedup_clustered,
+        _key_bucket,
+    )
+
+    rows = []
+    for i in range(300):
+        # 3 candidate rows per key with a total order on (ord, v)
+        for j in (2, 0, 1):
+            rows.append((i % 75, j, f"p{i}_{j}"))
+    rows.append((None, 5, "null_a"))
+    rows.append((None, 1, "null_b"))
+    df = spark.createDataFrame(
+        rows, "k int, ord int, v string"
+    ).repartition(16)
+    keys = ["k"]
+    order = [F.col("ord").asc(), F.col("v").asc()]
+    pre = df.withColumn(_BUCKET_COL, _key_bucket(keys, 16))
+    skey = lambda r: (r.k is None, r.k, r.ord, r.v)  # noqa: E731
+    got = sorted(
+        _dedup_clustered(pre, keys, order)
+        .select("k", "ord", "v")
+        .collect(),
+        key=skey,
+    )
+    want = sorted(dedup_first_wins(df, keys, order).collect(), key=skey)
+    assert got == want
+    # the fused shape plans exactly ONE hash exchange (the clustering
+    # repartition); the dedup window adds only a partition-local sort
+    # on top of it (the RoundRobin exchange is this fixture's own
+    # .repartition(16) spreading the input)
+    plan = _dedup_clustered(pre, keys, order)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_merge_precedence_subsumes_update_dedup(spark, tmp_path):
+    """r17: transactional_merge no longer pre-dedups the update set —
+    the precedence window's (__src DESC, *order) ordering picks, per
+    key, exactly dedup_first_wins(updates)'s winner. Pin it with an
+    update set carrying duplicate keys in adversarial input order."""
+    from f1_realtime_data_pipeline_spark.streaming.sinks import (
+        read_sink_snapshot,
+        transactional_merge,
+        transactional_parquet_sink,
+    )
+
+    sink = str(tmp_path / "merge_dedup")
+    base = spark.createDataFrame(
+        [(i, 0, f"base{i}") for i in range(40)], "k int, ord int, v string"
+    )
+    write = transactional_parquet_sink(sink, keys=["k"], order_cols=["ord", "v"])
+    write(base, 0)
+    # duplicate update keys: per key, rows (ord=9, 'z'), (ord=1, 'a'),
+    # (ord=1, 'b') — first-wins under (ord, v) must pick (1, 'a')
+    ups = spark.createDataFrame(
+        [(k, o, s) for k in range(0, 40, 2) for o, s in ((9, "z"), (1, "b"), (1, "a"))],
+        "k int, ord int, v string",
+    ).repartition(8)
+    transactional_merge(ups, sink, keys=["k"], order_cols=["ord", "v"])
+    out = {r.k: (r.ord, r.v) for r in read_sink_snapshot(spark, sink).collect()}
+    assert len(out) == 40
+    for k in range(40):
+        if k % 2 == 0:
+            assert out[k] == (1, "a"), f"k={k}: {out[k]}"
+        else:
+            assert out[k] == (0, f"base{k}")

@@ -30,9 +30,14 @@ def main() -> int:
     ap.add_argument("names", nargs="+")
     args = ap.parse_args()
 
-    spark = get_spark("microbench")
     qs = entrymod.queries()
     names = [n for n in args.names if n in qs]
+    for unknown in (n for n in args.names if n not in qs):
+        print(f"[skip] {unknown}: not a registered query", file=sys.stderr)
+    if not names:
+        print("error: no registered query names given", file=sys.stderr)
+        return 2
+    spark = get_spark("microbench")
     for t in ("lineitem", "orders", "customer", "documents", "embeddings"):
         spark.read.parquet(f"{args.sf_dir}/{t}.parquet").agg(
             {"*": "count"}
